@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard conf.
+  *
+  * Scale posture: AQE on (runtime coalescing + skew-join splitting),
+  * shuffle partitions sized for the local harness (a real cluster sets
+  * this to ~2-3x total cores), UTC so timestamp_ntz vs timestamp never
+  * shifts, and nanos-as-long so the parquet TIMESTAMP(NANOS) events table
+  * is readable (Spark has no nanosecond timestamp type).
+  */
+object GraftSession {
+
+  def builder(cpus: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  def local(cpus: Int = 32): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,579 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+/** SURVEY.md §2.2 — the relational query algebra over the testdata star
+  * schema. The reference's consumers query the shredded DuckDB file with
+  * ordinary SQL (wd2duckdb README "query the database"); this catalog is
+  * that full SQL surface re-expressed as declarative Spark plans.
+  *
+  * Scale notes (100 TB posture):
+  *   - dims (region/nation/supplier/customer) are always broadcast() in
+  *     joins — no shuffle of the fact side beyond its own aggregation;
+  *   - per-group top-k is a window + filter, never a global sort;
+  *   - every aggregate is partial-first (map-side combine) by groupBy
+  *     construction; AQE coalesces the post-shuffle partitions.
+  *
+  * Determinism: floats are never summed as doubles — inputs are cast to
+  * DECIMAL(38,4) (exact, order-independent), the sum cast back to double.
+  * avg = exact-sum/count in BOTH engines. Every query ends in a total
+  * ORDER BY (unique key in the sort), with NULLS FIRST pinned in oracle
+  * SQL (DuckDB defaults to NULLS LAST; Spark asc defaults NULLS FIRST).
+  */
+object RelCatalog extends QueryModule {
+
+  private val D = DecimalType(38, 4)
+  private def dec(c: Column): Column = c.cast(D)
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+  private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  // Oracle SQL fragment mirroring dsum/davg exactly.
+  private def S(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,4))) AS DOUBLE)"
+  private def A(x: String) = s"${S(x)}/COUNT(*)"
+
+  // Money columns are exact 2-decimal values, so products are computed in
+  // DECIMAL end-to-end (exact in both engines). A double product cast to
+  // decimal is NOT portable: DuckDB rounds via x*10^scale in binary,
+  // Spark via exact BigDecimal — near-midpoint products diverge.
+  private val D2 = DecimalType(18, 2)
+  private def discPrice: Column =
+    (col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+  private def charge: Column =
+    discPrice.cast(DecimalType(18, 4)) * (lit(1.0) + col("l_tax")).cast(D2)
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
+  private val chargeSql =
+    s"CAST($discPriceSql AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2))"
+
+  def queries: Seq[Q] = Seq(
+    // ---- scans / filters / projections -------------------------------
+    Q(
+      "rel_scan_project",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "rel_filter",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .filter(
+            col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
+              col("l_quantity") < 10 && col("l_returnflag") === "R")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_date"),
+            col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 10 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    // ---- aggregation --------------------------------------------------
+    Q(
+      "rel_agg_global",
+      (s, dir) =>
+        Tables(s, dir).lineitem.agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(to_date(col("l_shipdate"))).as("min_ship"),
+          max(to_date(col("l_shipdate"))).as("max_ship")),
+      Some(s"""SELECT COUNT(*) AS n_rows, ${S("l_quantity")} AS sum_qty, ${A("l_quantity")} AS avg_qty,
+             |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             |MIN(CAST(l_shipdate AS DATE)) AS min_ship, MAX(CAST(l_shipdate AS DATE)) AS max_ship
+             |FROM lineitem""".stripMargin)
+    ),
+    Q(
+      "rel_agg_group",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(discPrice.cast(DecimalType(38, 4))).cast("double").as("sum_disc_price"),
+            sum(charge.cast(DecimalType(38, 6))).cast("double").as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |${S("l_quantity")} AS sum_qty,
+             |${S("l_extendedprice")} AS sum_base_price,
+             |CAST(SUM(CAST($discPriceSql AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST($chargeSql AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+             |${A("l_quantity")} AS avg_qty, ${A("l_extendedprice")} AS avg_price, ${A("l_discount")} AS avg_disc,
+             |COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    Q(
+      "rel_agg_distinct",
+      (s, dir) =>
+        Tables(s, dir).lineitem.agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_orderkey")).as("nd_order"),
+          sum_distinct(dec(col("l_quantity"))).cast("double").as("sumd_qty")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS nd_part, COUNT(DISTINCT l_orderkey) AS nd_order,
+             |CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sumd_qty
+             |FROM lineitem""".stripMargin)
+    ),
+    Q(
+      "rel_having",
+      (s, dir) =>
+        Tables(s, dir).orders
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+          .filter(col("n_orders") >= 12)
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders, ${S("o_totalprice")} AS total_spend
+             |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin)
+    ),
+    // ---- joins --------------------------------------------------------
+    Q(
+      "rel_join_inner",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${S("l_extendedprice")} AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "rel_join_broadcast",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("acct_total"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${S("c_acctbal")} AS acct_total
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+    ),
+    Q(
+      "rel_join_left",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation
+          .join(t.customer, col("n_nationkey") === col("c_nationkey"), "left")
+          .groupBy("n_nationkey", "n_name")
+          .agg(
+            count(col("c_custkey")).as("n_cust"),
+            dsum(coalesce(col("c_acctbal"), lit(0.0))).as("acct_total"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_cust,
+             |${S("COALESCE(c_acctbal, 0.0)")} AS acct_total
+             |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+             |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin)
+    ),
+    Q(
+      "rel_join_semi",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_join_anti",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(
+            t.orders.filter(col("o_totalprice") > 450000.0),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_join_multiway",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .join(
+            t.orders.filter(
+              col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ntz("1997-01-01 00:00:00")),
+            col("o_custkey") === col("c_custkey"))
+          .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .join(
+            broadcast(t.supplier),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            sum(discPrice.cast(DecimalType(38, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, CAST(SUM(CAST($discPriceSql AS DECIMAL(38,4))) AS DOUBLE) AS revenue, COUNT(*) AS n
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+    // ---- ordering / set ops ------------------------------------------
+    Q(
+      "rel_sort_limit",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(15),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin)
+    ),
+    Q(
+      "rel_distinct",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    Q(
+      "rel_union",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cu = t.customer.select(col("c_nationkey").as("key"))
+        val su = t.supplier.select(col("s_nationkey").as("key"))
+        val all = cu.union(su).agg(count(lit(1)).as("n")).withColumn("kind", lit("union_all"))
+        val ded =
+          cu.union(su).distinct().agg(count(lit(1)).as("n")).withColumn("kind", lit("union_dedup"))
+        all.unionByName(ded).select("kind", "n").orderBy("kind")
+      },
+      Some("""SELECT 'union_all' AS kind, COUNT(*) AS n FROM
+             |(SELECT c_nationkey AS key FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT 'union_dedup' AS kind, COUNT(*) AS n FROM
+             |(SELECT c_nationkey AS key FROM customer UNION SELECT s_nationkey FROM supplier)
+             |ORDER BY kind""".stripMargin)
+    ),
+    Q(
+      "rel_intersect",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .select(col("c_nationkey").as("nationkey"))
+          .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin)
+    ),
+    Q(
+      "rel_except",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .select(col("c_custkey").as("custkey"))
+          .except(
+            t.orders
+              .filter(col("o_totalprice") > 450000.0)
+              .select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+             |ORDER BY custkey""".stripMargin)
+    ),
+    // ---- window functions --------------------------------------------
+    Q(
+      "rel_window_rank",
+      (s, dir) => {
+        val w =
+          Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables(s, dir).customer
+          .select(
+            col("c_custkey"),
+            col("c_nationkey"),
+            col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             |row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_nationkey, rn""".stripMargin)
+    ),
+    Q(
+      "rel_window_running",
+      (s, dir) => {
+        val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wMov = base.rowsBetween(-3, Window.currentRow)
+        Tables(s, dir).orders
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_date"),
+            sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("run_total"),
+            (sum(dec(col("o_totalprice"))).over(wMov).cast("double") /
+              count(lit(1)).over(wMov)).as("mov_avg"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w1 AS DOUBLE) AS run_total,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w2 AS DOUBLE)/COUNT(*) OVER w2 AS mov_avg
+             |FROM orders
+             |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+    Q(
+      "rel_window_leadlag",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir).orders
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(wFull).as("last_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |lag(o_totalprice) OVER w AS prev_price, lead(o_totalprice) OVER w AS next_price,
+             |first_value(o_orderkey) OVER w AS first_ok,
+             |last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+    Q(
+      "rel_qualify_topk_group",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir).orders
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+    ),
+    // ---- multi-dimensional aggregation -------------------------------
+    Q(
+      "rel_rollup",
+      (s, dir) => {
+        // DataFrame rollup() after a multi-join trips Spark's ambiguous
+        // self-join detector (SPARK analyzer quirk); SQL ROLLUP lowers to
+        // the identical Expand+Aggregate plan. DataFrame-API rollup/cube
+        // is exercised on a single relation in rel_cube.
+        Tables(s, dir).views("customer", "nation", "region")
+        s.sql(s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${S("c_acctbal")} AS acct_total
+                 |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 |JOIN region ON n_regionkey = r_regionkey
+                 |GROUP BY ROLLUP (r_name, n_name)
+                 |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${S("c_acctbal")} AS acct_total
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "rel_cube",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${S("l_quantity")} AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "rel_grouping_sets",
+      (s, dir) => {
+        Tables(s, dir).views("nation", "region")
+        s.sql("""SELECT r_name, n_name, COUNT(*) AS n
+                |FROM nation JOIN region ON n_regionkey = r_regionkey
+                |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+                |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "rel_pivot",
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .withColumnRenamed("F", "qty_f")
+          .withColumnRenamed("O", "qty_o")
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_f,
+             |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    // ---- scalar expressions ------------------------------------------
+    Q(
+      "rel_case_expr",
+      (s, dir) =>
+        Tables(s, dir).orders
+          .select(
+            col("o_orderkey"),
+            when(col("o_orderstatus") === "F", "done")
+              .when(col("o_orderstatus") === "O", "open")
+              .otherwise("other")
+              .as("status_word"),
+            coalesce(expr("nullif(o_totalprice, 0.0)"), lit(-1.0)).as("price_nz"),
+            when(col("o_totalprice") > 150000.0, "big").otherwise("small").as("size_class"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_orderstatus = 'F' THEN 'done' WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_word,
+             |COALESCE(NULLIF(o_totalprice, 0.0), -1.0) AS price_nz,
+             |CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS size_class
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "rel_string_funcs",
+      (s, dir) =>
+        Tables(s, dir).part
+          .select(
+            col("p_partkey"),
+            substring(col("p_name"), 1, 8).as("name8"),
+            upper(col("p_brand")).as("brand_up"),
+            trim(concat(lit(" "), col("p_type"), lit(" "))).as("type_trim"),
+            expr("replace(p_type, ' ', '_')").as("type_snake"),
+            length(col("p_name")).as("name_len"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, substr(p_name, 1, 8) AS name8, upper(p_brand) AS brand_up,
+             |trim(' ' || p_type || ' ') AS type_trim, replace(p_type, ' ', '_') AS type_snake,
+             |CAST(length(p_name) AS INTEGER) AS name_len
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "rel_date_funcs",
+      (s, dir) =>
+        Tables(s, dir).orders
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+            datediff(to_date(lit("1999-01-01")), to_date(col("o_orderdate")))
+              .as("days_to_1999"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |CAST(month(o_orderdate) AS INTEGER) AS mo,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    // ---- subqueries ---------------------------------------------------
+    Q(
+      "rel_in_subquery",
+      (s, dir) => {
+        Tables(s, dir).views("customer", "nation")
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_scalar_subquery",
+      (s, dir) => {
+        Tables(s, dir).views("customer")
+        s.sql("""SELECT c_custkey, c_acctbal FROM customer
+                |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*) FROM customer)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*) FROM customer)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_exists_correlated",
+      (s, dir) => {
+        Tables(s, dir).views("customer", "orders")
+        s.sql("""SELECT c_custkey FROM customer c
+                |WHERE EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_values_inline",
+      (s, dir) => {
+        Tables(s, dir).views("region")
+        s.sql("""SELECT v.tag, r.r_name FROM
+                |VALUES (0, 'zero'), (1, 'one'), (2, 'two') AS v(rk, tag)
+                |JOIN region r ON r.r_regionkey = v.rk
+                |ORDER BY v.tag""".stripMargin)
+      },
+      Some("""SELECT v.tag, r.r_name FROM
+             |(VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS v(rk, tag)
+             |JOIN region r ON r.r_regionkey = v.rk
+             |ORDER BY v.tag""".stripMargin)
+    )
+  )
+}

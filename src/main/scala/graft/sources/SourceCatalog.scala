@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.3 — source readers. The reference streams JSON lines from
+  * file/stdin (main.rs:61-116) tolerating malformed lines; here the JSON
+  * source demonstrates the same tolerance via PERMISSIVE mode + a corrupt
+  * record column, with an explicit schema (no inference scan — at 100 TB
+  * an inference pass would double the read).
+  *
+  * The JSON/CSV roundtrips build the text lines distributed
+  * (Dataset[String] from a projection — no driver collect), read them
+  * back through the real spark.read path, and must reproduce the
+  * original table exactly; the oracle is the original table.
+  */
+object SourceCatalog extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "src_parquet",
+      (s, dir) =>
+        Tables(s, dir).part
+          .filter(col("p_size").between(10, 30))
+          .select("p_partkey", "p_name", "p_size")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_size FROM part
+             |WHERE p_size BETWEEN 10 AND 30 ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "src_json",
+      (s, dir) => {
+        implicit val enc = org.apache.spark.sql.Encoders.STRING
+        val docs = Tables(s, dir).documents
+        val lines = docs
+          .select(to_json(struct(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
+          .as[String]
+        // Inject malformed lines: the reader must skip them, as the
+        // reference skips unparseable dump lines (main.rs:100-113).
+        val corrupt = s.createDataset(Seq("{\"doc_id\": oops", "]", ""))
+        val schema = new StructType()
+          .add("doc_id", LongType)
+          .add("lang", StringType)
+          .add("source", StringType)
+          .add("n_chars", LongType)
+          .add("_corrupt_record", StringType)
+        s.read
+          .schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(lines.union(corrupt))
+          .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+          .drop("_corrupt_record")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""")
+    ),
+    Q(
+      "src_csv",
+      (s, dir) => {
+        implicit val enc = org.apache.spark.sql.Encoders.STRING
+        val lines = Tables(s, dir).nation
+          .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+          .as[String]
+        s.read
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .option("sep", "|")
+          .csv(lines)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
+    )
+  )
+}
