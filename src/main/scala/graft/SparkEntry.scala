@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     operators.RelCatalog,
-    sources.SourceCatalog
+    sources.SourceCatalog,
+    wikidata.WikidataCatalog
   )
 
   private lazy val all: Seq[Q] = {

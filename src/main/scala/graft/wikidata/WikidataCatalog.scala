@@ -1,0 +1,186 @@
+package graft.wikidata
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 — the reference's core capability re-expressed
+  * Spark-first: JSON-lines dump -> typed property-graph star schema.
+  * Input is the deterministic SyntheticDump built from nation/region, so
+  * every oracle reconstructs the expected shredded table relationally
+  * from the same parquet the engine read.
+  */
+object WikidataCatalog extends QueryModule {
+
+  private val nIsBig = "CAST(10+n_nationkey AS BIGINT)"
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "wd_parse",
+      (s, dir) =>
+        SyntheticDump
+          .entities(s, dir)
+          .select(col("id").as("id_str"), col("labels")("en")("value").as("label"))
+          .orderBy("id_str"),
+      Some("""SELECT * FROM (
+             |SELECT 'Q'||(10+n_nationkey) AS id_str, n_name AS label FROM nation
+             |UNION ALL SELECT 'P'||(40+r_regionkey), r_name FROM region
+             |UNION ALL SELECT 'L7', 'lex'
+             |) ORDER BY id_str""".stripMargin)
+    ),
+    Q(
+      "wd_id_codec",
+      (s, dir) => {
+        val base = Tables(s, dir).nation.select(col("n_nationkey").cast("long").as("n"))
+        val n = col("n").cast("string")
+        val ids = base
+          .select(concat(lit("Q"), n).as("id_str"))
+          .union(base.select(concat(lit("P"), n)))
+          .union(base.select(concat(lit("L"), n)))
+          .union(base.select(concat(lit("L"), n, lit("-F"), (pmod(col("n"), lit(5)) + 1).cast("string"))))
+          .union(base.select(concat(lit("L"), n, lit("-S"), (pmod(col("n"), lit(3)) + 1).cast("string"))))
+          .union(s.createDataFrame(
+            Seq("@Quantity", "@Coordinate", "@String", "@DateTime", "@Entity").map(Tuple1(_)))
+            .toDF("id_str"))
+        ids
+          .select(col("id_str"), IdCodec.idToU32(col("id_str")).as("u32"))
+          .orderBy("id_str")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'Q'||n_nationkey AS id_str, CAST(n_nationkey AS BIGINT) AS u32 FROM nation
+             |UNION ALL SELECT 'P'||n_nationkey, 1000000000+n_nationkey FROM nation
+             |UNION ALL SELECT 'L'||n_nationkey, 2000000000+n_nationkey FROM nation
+             |UNION ALL SELECT 'L'||n_nationkey||'-F'||(n_nationkey%5+1),
+             |  (n_nationkey + n_nationkey%5+1 + 5000000000) % 4294967296 FROM nation
+             |UNION ALL SELECT 'L'||n_nationkey||'-S'||(n_nationkey%3+1),
+             |  (n_nationkey + n_nationkey%3+1 + 5500000000) % 4294967296 FROM nation
+             |UNION ALL SELECT * FROM (VALUES ('@Quantity', 4000000001), ('@Coordinate', 4000000002),
+             |  ('@String', 4000000003), ('@DateTime', 4000000004), ('@Entity', 4000000005)) v(a, b)
+             |) ORDER BY id_str""".stripMargin)
+    ),
+    Q(
+      "wd_vertex",
+      (s, dir) =>
+        WikidataShredder
+          .vertex(SyntheticDump.entities(s, dir))
+          .orderBy("id"),
+      Some(s"""SELECT * FROM (
+             |SELECT $nIsBig AS id, n_name AS label,
+             |  CASE WHEN n_nationkey%5=0 THEN NULL ELSE 'nation '||n_name END AS description FROM nation
+             |UNION ALL SELECT 1000000040+r_regionkey, r_name, NULL FROM region
+             |UNION ALL SELECT 2000000007, 'lex', 'a lexeme'
+             |) ORDER BY id""".stripMargin)
+    ),
+    Q(
+      "wd_edge",
+      (s, dir) =>
+        WikidataShredder
+          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .orderBy("src_id", "property_id", "dst_id"),
+      Some(s"""SELECT * FROM (
+             |SELECT $nIsBig AS src_id, CAST(1000000031 AS BIGINT) AS property_id, CAST(100+n_regionkey AS BIGINT) AS dst_id FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000007, 200+n_nationkey FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000005, 10+n_nationkey FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000006, 10+n_nationkey FROM nation
+             |UNION ALL SELECT 1000000040+r_regionkey, 1000000031, 300+r_regionkey FROM region
+             |UNION ALL SELECT 2000000007, 1000000008, 705032713
+             |UNION ALL SELECT 2000000007, 1000000009, 1205032714
+             |) ORDER BY src_id, property_id, dst_id""".stripMargin)
+    ),
+    Q(
+      "wd_string",
+      (s, dir) =>
+        WikidataShredder
+          .string(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .orderBy("src_id", "property_id", "string"),
+      Some(s"""SELECT * FROM (
+             |SELECT $nIsBig AS src_id, CAST(1000000003 AS BIGINT) AS property_id, $nIsBig AS dst_id, 'S-'||n_name AS "string" FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000002, 10+n_nationkey, 'EXT-'||n_nationkey FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000856, 10+n_nationkey, 'https://example.org/'||n_nationkey FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000001448, 10+n_nationkey, 'The '||n_name FROM nation
+             |) ORDER BY src_id, property_id, "string"""".stripMargin)
+    ),
+    Q(
+      "wd_quantity",
+      (s, dir) =>
+        WikidataShredder
+          .quantity(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .orderBy("src_id"),
+      Some(s"""SELECT $nIsBig AS src_id, CAST(1000001082 AS BIGINT) AS property_id, $nIsBig AS dst_id,
+             |CAST(n_nationkey*1000 + 500.25 AS DOUBLE) AS amount,
+             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(n_nationkey*1000 + 490.25 AS DOUBLE) END AS lower_bound,
+             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(n_nationkey*1000 + 510.25 AS DOUBLE) END AS upper_bound,
+             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(4917 AS BIGINT) END AS unit_id
+             |FROM nation ORDER BY src_id""".stripMargin)
+    ),
+    Q(
+      "wd_coordinates",
+      (s, dir) =>
+        WikidataShredder
+          .coordinates(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .orderBy("src_id"),
+      Some(s"""SELECT $nIsBig AS src_id, CAST(1000000625 AS BIGINT) AS property_id, $nIsBig AS dst_id,
+             |CAST(n_nationkey*2.5 - 25.0 AS DOUBLE) AS latitude,
+             |CAST(n_regionkey*10.0 - 20.0 AS DOUBLE) AS longitude,
+             |CAST(0.01 AS DOUBLE) AS "precision",
+             |CAST(2 AS BIGINT) AS globe_id
+             |FROM nation ORDER BY src_id""".stripMargin)
+    ),
+    Q(
+      "wd_time",
+      (s, dir) =>
+        WikidataShredder
+          .time(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .select("src_id", "property_id", "dst_id", "time_str", "precision")
+          .orderBy("src_id"),
+      Some(s"""SELECT $nIsBig AS src_id, CAST(1000000571 AS BIGINT) AS property_id, $nIsBig AS dst_id,
+             |CASE WHEN n_nationkey%7=0 THEN 'infinity' ELSE (1950+n_nationkey)||'-03-11 00:00:00' END AS time_str,
+             |CASE WHEN n_nationkey%7=0 THEN 9 ELSE 11 END AS "precision"
+             |FROM nation ORDER BY src_id""".stripMargin)
+    ),
+    Q(
+      "wd_rank_filter",
+      (s, dir) =>
+        WikidataShredder
+          .claims(SyntheticDump.entities(s, dir))
+          .groupBy("property_id")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("property_id"),
+      Some("""SELECT * FROM (
+             |SELECT CAST(1000000002 AS BIGINT) AS property_id, (SELECT COUNT(*) FROM nation) AS n
+             |UNION ALL SELECT 1000000003, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000000005, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000000006, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000000007, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000000008, 1
+             |UNION ALL SELECT 1000000009, 1
+             |UNION ALL SELECT 1000000031, (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)
+             |UNION ALL SELECT 1000000571, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000000625, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000000856, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000001082, (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 1000001448, (SELECT COUNT(*) FROM nation)
+             |) ORDER BY property_id""".stripMargin)
+    ),
+    Q(
+      "wd_pipeline",
+      (s, dir) => {
+        val sh = WikidataShredder.shred(SyntheticDump.entities(s, dir))
+        sh.all
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).as("n_rows")).withColumn("table_name", lit(nm))
+          }
+          .reduce(_.unionByName(_))
+          .select("table_name", "n_rows")
+          .orderBy("table_name")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'coordinates' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows
+             |UNION ALL SELECT 'edge', 4*(SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
+             |UNION ALL SELECT 'quantity', (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'time', (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+1
+             |) ORDER BY table_name""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,186 @@
+package graft.wikidata
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shredded star schema — the reference's 6 DuckDB tables
+  * (/root/reference/wikidata-rs/src/value.rs:146-198), same column names
+  * so downstream SQL ports verbatim. All edge-like tables share
+  * (src_id, property_id, dst_id); annotation tables self-loop
+  * (dst_id = src_id, value.rs:238-284).
+  */
+final case class Shredded(
+    vertex: DataFrame,
+    edge: DataFrame,
+    string: DataFrame,
+    quantity: DataFrame,
+    coordinates: DataFrame,
+    time: DataFrame) {
+  def all: Seq[(String, DataFrame)] = Seq(
+    "vertex" -> vertex,
+    "edge" -> edge,
+    "string" -> string,
+    "quantity" -> quantity,
+    "coordinates" -> coordinates,
+    "time" -> time)
+}
+
+/** JSON-lines Wikidata dump -> typed star schema, as one declarative
+  * Spark plan per table over a single parsed claims relation.
+  *
+  * Line handling mirrors the reference (main.rs:99-154): trim, skip
+  * "["/"]"/empty, strip one trailing comma, tolerate malformed JSON
+  * (PERMISSIVE + corrupt-record filter — the reference warns and skips,
+  * main.rs:316-321). Deprecated-rank claims are dropped (main.rs:200-212).
+  *
+  * Scale: the dump is line-splittable text, so the scan parallelizes by
+  * HDFS split; parsing is schema-on-read with the polymorphic datavalue
+  * captured raw and sub-parsed per family (see WikidataSchema). The
+  * claims relation is computed once and persisted when materializing all
+  * 6 tables (one source scan, multi-sink) — on a cluster this is a
+  * memory-and-disk cache sized by executor storage.
+  */
+object WikidataShredder {
+  import WikidataSchema._
+
+  /** Reference line sanitation, main.rs:104-119. */
+  def cleanLines(raw: Dataset[String]): Dataset[String] = {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    raw
+      .toDF("line")
+      .select(trim(col("line")).as("line"))
+      .filter(col("line") =!= "" && col("line") =!= "[" && col("line") =!= "]")
+      .select(
+        when(
+          col("line").endsWith(","),
+          expr("substring(line, 1, length(line) - 1)"))
+          .otherwise(col("line"))
+          .as("line"))
+      .as[String]
+  }
+
+  /** Parse cleaned lines; malformed lines and lines that are not entity
+    * objects are skipped, not fatal (main.rs:124-151). */
+  def parse(spark: SparkSession, lines: Dataset[String]): DataFrame =
+    spark.read
+      .schema(entity)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(cleanLines(lines))
+      .filter(col("_corrupt_record").isNull && col("id").isNotNull)
+      .drop("_corrupt_record")
+
+  /** vertex(id, label, description) — English-only (lib.rs:20,
+    * main.rs:182-198). */
+  def vertex(entities: DataFrame): DataFrame =
+    entities.select(
+      IdCodec.idToU32(col("id")).as("id"),
+      col("labels")("en")("value").as("label"),
+      col("descriptions")("en")("value").as("description"))
+
+  /** One row per non-deprecated claim: (src_id, property_id, snaktype,
+    * datatype, vtype, raw-JSON value). The routing base for every edge
+    * table. */
+  def claims(entities: DataFrame): DataFrame =
+    entities
+      .select(IdCodec.idToU32(col("id")).as("src_id"), explode(col("claims")))
+      .withColumnRenamed("key", "prop")
+      .select(col("src_id"), IdCodec.idToU32(col("prop")).as("property_id"), explode(col("value")).as("claim"))
+      .filter(col("claim.rank") =!= "deprecated") // main.rs:203
+      .select(
+        col("src_id"),
+        col("property_id"),
+        col("claim.mainsnak.snaktype").as("snaktype"),
+        col("claim.mainsnak.datatype").as("datatype"),
+        col("claim.mainsnak.datavalue.type").as("vtype"),
+        col("claim.mainsnak.datavalue.value").as("raw"))
+
+  private def keys = Seq(col("src_id"), col("property_id"))
+
+  /** edge: entity-valued claims, plus NoValue/UnknownValue self-loops
+    * (value.rs:237-239, 429-430). */
+  def edge(cl: DataFrame): DataFrame = {
+    val ent = cl
+      .filter(col("snaktype") === "value" && col("vtype") === "wikibase-entityid")
+      .withColumn("ev", from_json(col("raw"), entityIdValue))
+      .select(keys :+ IdCodec.idToU32(col("ev.id")).as("dst_id"): _*)
+    val absent = cl
+      .filter(col("snaktype").isin("novalue", "somevalue"))
+      .select(keys :+ col("src_id").as("dst_id"): _*)
+    ent.union(absent)
+  }
+
+  /** string: the whole string family — string/CommonsMedia/ExternalID/
+    * Url/MathExpr/GeoShape/MusicNotation/TabularData arrive as bare
+    * strings; MonolingualText stores .text whatever the language
+    * (value.rs:378-425, 393). Self-loop. */
+  def string(cl: DataFrame): DataFrame = {
+    val bare = cl
+      .filter(col("snaktype") === "value" && col("vtype") === "string")
+      .select(keys ++ Seq(col("src_id").as("dst_id"), col("raw").as("string")): _*)
+    val mono = cl
+      .filter(col("snaktype") === "value" && col("vtype") === "monolingualtext")
+      .withColumn("mv", from_json(col("raw"), monoValue))
+      .select(keys ++ Seq(col("src_id").as("dst_id"), col("mv.text").as("string")): _*)
+    bare.union(mono)
+  }
+
+  /** quantity: amount/bounds parsed from the dump's signed decimal
+    * strings; unit URI -> Qid or null for "1" (value.rs:403-413). */
+  def quantity(cl: DataFrame): DataFrame =
+    cl.filter(col("snaktype") === "value" && col("vtype") === "quantity")
+      .withColumn("qv", from_json(col("raw"), quantityValue))
+      .select(keys ++ Seq(
+        col("src_id").as("dst_id"),
+        col("qv.amount").cast("double").as("amount"),
+        col("qv.lowerBound").cast("double").as("lower_bound"),
+        col("qv.upperBound").cast("double").as("upper_bound"),
+        IdCodec.qidFromUri(col("qv.unit")).as("unit_id")): _*)
+
+  /** coordinates: lat/lon/precision + globe Qid (value.rs:379-389). */
+  def coordinates(cl: DataFrame): DataFrame =
+    cl.filter(col("snaktype") === "value" && col("vtype") === "globecoordinate")
+      .withColumn("cv", from_json(col("raw"), coordValue))
+      .select(keys ++ Seq(
+        col("src_id").as("dst_id"),
+        col("cv.latitude").as("latitude"),
+        col("cv.longitude").as("longitude"),
+        col("cv.precision").as("precision"),
+        IdCodec.qidFromUri(col("cv.globe")).as("globe_id")): _*)
+
+  /** time: year >= 9999 becomes the reference's DuckDB `infinity`
+    * sentinel (value.rs:271-284). Spark has no infinity timestamp, so
+    * `time` is null for those rows and `time_str` carries the canonical
+    * rendering ('infinity' or 'yyyy-MM-dd HH:mm:ss'). */
+  def time(cl: DataFrame): DataFrame = {
+    val parsed = cl
+      .filter(col("snaktype") === "value" && col("vtype") === "time")
+      .withColumn("tv", from_json(col("raw"), timeValue))
+      .withColumn("yr", regexp_extract(col("tv.time"), "^\\+?(-?\\d+)-", 1).cast("long"))
+    parsed.select(keys ++ Seq(
+      col("src_id").as("dst_id"),
+      when(col("yr") >= 9999, lit(null).cast("timestamp_ntz"))
+        .otherwise(
+          to_timestamp_ntz(
+            regexp_replace(col("tv.time"), "^\\+", ""),
+            lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+        .as("time"),
+      when(col("yr") >= 9999, lit("infinity"))
+        .otherwise(
+          date_format(
+            to_timestamp_ntz(
+              regexp_replace(col("tv.time"), "^\\+", ""),
+              lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            "yyyy-MM-dd HH:mm:ss"))
+        .as("time_str"),
+      col("tv.precision").as("precision")): _*)
+  }
+
+  /** Full shred — single source scan; the claims relation is persisted
+    * so the 6 sinks share one parse (the reference's one-pass appender
+    * loop, main.rs:311-326). */
+  def shred(entities: DataFrame): Shredded = {
+    val cl = claims(entities).persist()
+    Shredded(vertex(entities), edge(cl), string(cl), quantity(cl), coordinates(cl), time(cl))
+  }
+}

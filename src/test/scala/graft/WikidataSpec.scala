@@ -1,0 +1,62 @@
+package graft
+
+import graft.wikidata.{IdCodec, SyntheticDump, WikidataShredder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-semantics edge cases (file:line cites are to
+  * /root/reference). CatalogSpec covers "runs + non-empty"; the DuckDB
+  * harness covers full values. */
+class WikidataSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val entities = SyntheticDump.entities(spark, sf)
+  private lazy val claims = WikidataShredder.claims(entities)
+
+  test("malformed lines are skipped, not fatal (main.rs:316-321)") {
+    // 25 nations + 5 regions + 1 lexeme parse; noise lines vanish
+    assert(entities.count() === 31)
+  }
+
+  test("deprecated-rank claims dropped, preferred kept (main.rs:200-212)") {
+    val p4 = IdCodec.PidOffset + 4
+    val p7 = IdCodec.PidOffset + 7
+    assert(claims.filter(col("property_id") === p4).count() === 0)
+    assert(claims.filter(col("property_id") === p7).count() === 25)
+  }
+
+  test("novalue/somevalue self-loop (value.rs:238-239)") {
+    val edges = WikidataShredder.edge(claims)
+    val loops = edges.filter(
+      col("property_id").isin(IdCodec.PidOffset + 5, IdCodec.PidOffset + 6))
+    assert(loops.count() === 50)
+    assert(loops.filter(col("dst_id") =!= col("src_id")).count() === 0)
+  }
+
+  test("Fid/Sid wrap u32 (id.rs:73-84)") {
+    val df = spark
+      .createDataFrame(Seq(Tuple1("L7-F2"), Tuple1("L7-S3"), Tuple1("F7-F2")))
+      .toDF("id")
+      .select(IdCodec.idToU32(col("id")).as("u"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(705032713L, 1205032714L, 705032713L))
+  }
+
+  test("year >= 9999 becomes infinity sentinel (value.rs:271-284)") {
+    val t = WikidataShredder.time(claims)
+    val inf = t.filter(col("time_str") === "infinity")
+    assert(inf.count() > 0)
+    assert(inf.filter(col("time").isNotNull).count() === 0)
+    assert(t.filter(col("time_str") =!= "infinity" && col("time").isNull).count() === 0)
+  }
+
+  test("dimensionless unit '1' -> null unit_id (value.rs:403-413)") {
+    val q = WikidataShredder.quantity(claims)
+    assert(q.filter(col("unit_id").isNull).count() > 0)
+    assert(q.filter(col("unit_id").isNotNull && col("unit_id") =!= 4917).count() === 0)
+  }
+
+  test("monolingual text stored regardless of language (value.rs:393)") {
+    val s = WikidataShredder.string(claims)
+    assert(s.filter(col("string").startsWith("The ")).count() === 25)
+  }
+}
