@@ -12,7 +12,10 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.RelCatalog,
     sources.SourceCatalog,
-    wikidata.WikidataCatalog
+    wikidata.WikidataCatalog,
+    text.TextCatalog,
+    dedup.DedupCatalog,
+    ann.AnnCatalog
   )
 
   private lazy val all: Seq[Q] = {

@@ -1,0 +1,266 @@
+package graft.dedup
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 deduplication — the scale-critical family.
+  *
+  * Scale posture per operator:
+  *   - exact / normalized: ONE hash-shuffle on the digest (groupBy md5);
+  *     map-side partial agg; no pairwise work at all.
+  *   - MinHash+LSH: O(n*bands) band-bucket shuffle; pairwise Jaccard only
+  *     inside buckets (candidate set), never n^2. Language blocking
+  *     bounds bucket width; at 100 TB add bucket-size capping + salting.
+  *   - SimHash: 64-bit signature per doc; hamming<=3 pairs found via the
+  *     4x16-bit pigeonhole chunk join (a pair within distance 3 must
+  *     share at least one exact chunk) — equality joins only.
+  *   - n-gram Jaccard: explode-join-count set similarity (shuffle on
+  *     (lang, shingle)); the exact baseline the sketches approximate.
+  *   - embedding cosine: label-blocked pair join with exact-decimal dots.
+  *
+  * The corpus has no exact duplicates, so the exact/embedding variants
+  * union in deterministic modified copies (doc_id + 100000/200000 tags)
+  * to exercise the dedup path; the oracle does the same.
+  */
+object DedupCatalog extends QueryModule {
+
+  /** Distinct 3-gram shingle sets per doc (blocked by lang). */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private val shingleSql =
+    """w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |       list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+      |       FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "dedup_exact",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select("doc_id", "text")
+        val copies = d
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        d.union(copies)
+          .groupBy(md5(col("text").cast("binary")).as("digest"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_copies") > 1)
+          .orderBy("digest")
+      },
+      Some("""SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+             |FROM (SELECT doc_id, text FROM documents
+             |      UNION ALL SELECT doc_id+100000, text FROM documents WHERE doc_id%10=0)
+             |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY digest""".stripMargin)
+    ),
+    Q(
+      "dedup_exact_norm",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select("doc_id", "text")
+        // copies differ in case + whitespace; normalization recovers them
+        val copies = d
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), concat(upper(col("text")), lit("  ")).as("text"))
+        d.union(copies)
+          .groupBy(md5(normText(col("text")).cast("binary")).as("digest"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_copies") > 1)
+          .orderBy("digest")
+      },
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+             |COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+             |FROM (SELECT doc_id, text FROM documents
+             |      UNION ALL SELECT doc_id+200000, upper(text)||'  ' FROM documents WHERE doc_id%7=0)
+             |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY digest""".stripMargin)
+    ),
+    Q(
+      "dedup_minhash_lsh",
+      (s, dir) => {
+        // k=64 md5-based minhashes (string-min over salted digests — the
+        // salt makes 64 independent hash functions; hex min is portable
+        // to the oracle), b=16 bands x r=4 rows.
+        val sh = shingleDf(s, dir)
+        val mh = sh.withColumn(
+          "mh",
+          transform(
+            sequence(lit(0), lit(63)),
+            i => array_min(transform(col("sh"), x => md5(concat(i.cast("string"), lit(":"), x).cast("binary"))))))
+        val bands = mh
+          .select(
+            col("doc_id"),
+            col("lang"),
+            posexplode(
+              transform(
+                sequence(lit(0), lit(15)),
+                b => md5(concat_ws(",", slice(col("mh"), b * 4 + 1, lit(4))).cast("binary")))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bucket")
+        val cand = bands
+          .as("a")
+          .join(
+            bands.as("b"),
+            col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .withColumn(
+            "jaccard",
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))))
+          .filter(col("jaccard") >= 0.7)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $shingleSql,
+             |mh AS (SELECT doc_id, lang, s,
+             |       [list_min([md5((i::VARCHAR)||':'||x) for x in s]) for i in range(64)] AS m FROM sh),
+             |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
+             |          FROM mh, UNNEST(range(16)) AS t(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |         ON a.lang=b.lang AND a.b=b.b AND a.bucket=b.bucket AND a.doc_id<b.doc_id),
+             |j AS (SELECT id_a, id_b,
+             |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
+             |      FROM cand JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b)
+             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin)
+    ),
+    Q(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        // Exact set-similarity via explode-join: shuffle on (lang,
+        // shingle), |A ∩ B| by count, Jaccard from set sizes.
+        val sh = shingleDf(s, dir)
+        val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+        val inter = tok
+          .as("a")
+          .join(
+            tok.as("b"),
+            col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+          .withColumn("jaccard", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+          .filter(col("jaccard") >= 0.7)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $shingleSql,
+             |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+             |          FROM tok a JOIN tok b ON a.lang=b.lang AND a.g=b.g AND a.doc_id<b.doc_id
+             |          GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(s) AS sz FROM sh)
+             |SELECT id_a, id_b, c::DOUBLE/(x.sz + y.sz - c) AS jaccard
+             |FROM inter JOIN sz x ON x.doc_id=id_a JOIN sz y ON y.doc_id=id_b
+             |WHERE c::DOUBLE/(x.sz + y.sz - c) >= 0.7 ORDER BY id_a, id_b""".stripMargin)
+    ),
+    Q(
+      "dedup_simhash",
+      (s, dir) => {
+        // 64-bit SimHash over xxhash64(word); near-dup pairs at hamming
+        // <= 3 found via the 4x16-bit pigeonhole chunk join. rows-only
+        // (no 64-bit portable hash exists across Spark and DuckDB).
+        val d = Tables(s, dir).documents.select("doc_id", "lang", "text")
+        val copies = d
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("lang"), col("text"))
+        val sig = d
+          .union(copies)
+          .withColumn("wset", array_distinct(ws(col("text"))))
+          .withColumn(
+            "bitsums",
+            aggregate(
+              transform(
+                col("wset"),
+                w =>
+                  transform(
+                    sequence(lit(0), lit(63)),
+                    j => call_function("shiftright", xxhash64(w), j).bitwiseAND(1) * 2 - 1)),
+              transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+              (acc, v) => zip_with(acc, v, (x, y) => x + y)))
+          .withColumn(
+            "simhash",
+            aggregate(
+              zip_with(
+                col("bitsums"),
+                sequence(lit(0), lit(63)),
+                (s0, j) => when(s0 > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+              lit(0L),
+              (acc, x) => acc.bitwiseOR(x)))
+          .select("doc_id", "lang", "simhash")
+        val chunks = sig.select(
+          col("doc_id"),
+          col("lang"),
+          col("simhash"),
+          posexplode(
+            transform(
+              sequence(lit(0), lit(3)),
+              c => call_function("shiftright", col("simhash"), c * 16).bitwiseAND(0xFFFF))))
+        val pairs = chunks
+          .as("a")
+          .join(
+            chunks.as("b"),
+            col("a.lang") === col("b.lang") && col("a.pos") === col("b.pos") &&
+              col("a.col") === col("b.col") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          .distinct()
+        pairs.filter(col("hamming") <= 3).orderBy("id_a", "id_b")
+      },
+      None // rows-only: no portable 64-bit hash across engines
+    ),
+    Q(
+      "dedup_embedding",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val copies = e
+          .filter(pmod(col("vec_id"), lit(25)) === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+        val base = e
+          .select("vec_id", "embedding", "label")
+          .union(copies)
+          .withColumn("nsq", normSqExact(col("embedding")))
+        val a = base.select(
+          col("vec_id").as("id_a"),
+          col("embedding").as("ea"),
+          col("label").as("la"),
+          col("nsq").as("na"))
+        val b = base.select(
+          col("vec_id").as("id_b"),
+          col("embedding").as("eb"),
+          col("label").as("lb"),
+          col("nsq").as("nb"))
+        a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
+          .withColumn("cosine", cosineFrom(dotExact(col("ea"), col("eb")), col("na"), col("nb")))
+          .filter(col("cosine") >= 0.95)
+          .select("id_a", "id_b", "cosine")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+             |           UNION ALL SELECT vec_id+100000, label, embedding FROM embeddings WHERE vec_id%25=0),
+             |n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM e),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |      CAST((SELECT SUM(a.qv[i]*b.qv[i]) FROM UNNEST(range(1, len(a.qv)+1)) AS t(i)) AS DOUBLE)
+             |        / (sqrt(CAST(a.nsq AS DOUBLE))*sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+             |      FROM m a JOIN m b ON a.label=b.label AND a.vec_id<b.vec_id)
+             |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives as pure Column expressions (codegen-inlined; no UDFs
+  * in the hot path). Every helper has an exact DuckDB mirror used by the
+  * oracle SQL in the catalogs — keep both in sync:
+  *   ws        <-> string_split(text, ' ')
+  *   shingles  <-> [array_to_string(ws[i:i+k-1],' ') for i in range(1, len(ws)-k+2)]
+  *   stopHits  <-> len([w for w in ws if w IN (...)])
+  *   normText  <-> trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+  */
+object TextFunctions {
+
+  /** Tiny fixed stopword profile (enough for ratio features over the
+    * synthetic corpus; a real deployment would broadcast a per-language
+    * list). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  val StopwordsSql: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def ws(text: Column): Column = split(text, " ")
+
+  /** Word k-grams, positional (duplicates kept). Empty for docs shorter
+    * than k words — note Spark's sequence(1, n) is DESCENDING for n<1,
+    * hence the guard. */
+  def shingles(words: Column, k: Int): Column =
+    when(
+      size(words) >= k,
+      transform(
+        sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle set — the MinHash/Jaccard input. */
+  def shingleSet(text: Column, k: Int = 3): Column =
+    array_distinct(shingles(ws(text), k))
+
+  def stopHits(words: Column): Column =
+    size(filter(words, w => w.isin(Stopwords: _*)))
+
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

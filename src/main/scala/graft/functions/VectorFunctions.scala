@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over Array[Float] embedding columns, as Column
+  * expressions (zip_with/aggregate stay inside codegen).
+  *
+  * Exact-dot discipline: float sums are order-sensitive in IEEE, and
+  * engines round double->decimal differently (DuckDB scales in binary,
+  * Spark via exact BigDecimal), so no floating path is portable. Instead
+  * elements are quantized to a 1e-6 grid as BIGINT — x*1e6 is the same
+  * IEEE double everywhere and both engines round it half-away-from-zero
+  * — and dots are exact integer sums. Cosines computed from those
+  * integers are bit-identical across engines.
+  *
+  * Oracle mirror for dotExact(a, b):
+  *   (SELECT SUM(CAST(round(CAST(a[i] AS DOUBLE)*1000000) AS BIGINT)
+  *             * CAST(round(CAST(b[i] AS DOUBLE)*1000000) AS BIGINT))
+  *    FROM UNNEST(range(1, len(a)+1)) t(i))
+  */
+object VectorFunctions {
+
+  private def quant(x: Column): Column =
+    round(x.cast("double") * 1000000).cast("long")
+
+  /** Exact integer dot product over 1e-6-quantized elements. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => quant(x) * quant(y)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  def normSqExact(a: Column): Column = dotExact(a, a)
+
+  /** Cosine from a precomputed exact dot and exact squared norms. */
+  def cosineFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Plain double dot product — engine-internal paths (LSH/IVF scoring)
+    * where no cross-engine comparison happens. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 text analysis — language-ID heuristic, quality
+  * scoring, token counting, winnowing fingerprints. All per-document
+  * Column-expression plans: narrow (embarrassingly parallel, no
+  * shuffle), so they scale linearly with input splits.
+  */
+object TextCatalog extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "text_quality",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("n_words", size(ws(col("text"))).cast("long"))
+          .withColumn(
+            "alpha_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
+              .cast("double") / length(col("text")))
+          .withColumn(
+            "stop_ratio",
+            stopHits(ws(col("text"))).cast("double") / size(ws(col("text"))))
+          .withColumn(
+            "avg_word_len",
+            length(regexp_replace(col("text"), " ", "")).cast("double") / size(ws(col("text"))))
+          .withColumn(
+            "quality",
+            least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5 +
+              col("alpha_ratio") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2)
+          .select("doc_id", "lang", "n_words", "alpha_ratio", "stop_ratio", "avg_word_len", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+             |len(string_split(text,' '))::BIGINT AS n_words,
+             |(length(text)-length(regexp_replace(text,'[a-z]','','g')))::DOUBLE/length(text) AS alpha_ratio,
+             |len([w for w in string_split(text,' ') if w IN $StopwordsSql])::DOUBLE/len(string_split(text,' ')) AS stop_ratio,
+             |length(replace(text,' ',''))::DOUBLE/len(string_split(text,' ')) AS avg_word_len,
+             |least(CAST(1.0 AS DOUBLE), len(string_split(text,' '))::DOUBLE/100.0)*0.5
+             |  + ((length(text)-length(regexp_replace(text,'[a-z]','','g')))::DOUBLE/length(text))*0.3
+             |  + (1.0 - len([w for w in string_split(text,' ') if w IN $StopwordsSql])::DOUBLE/len(string_split(text,' ')))*0.2 AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_tokens",
+      (s, dir) =>
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            size(ws(col("text"))).cast("long").as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("re_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text,' '))::BIGINT AS ws_tokens,
+             |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS re_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_langid",
+      (s, dir) =>
+        Tables(s, dir).documents
+          .withColumn(
+            "en_score",
+            stopHits(ws(col("text"))).cast("double") / size(ws(col("text"))))
+          .select(
+            col("doc_id"),
+            col("en_score"),
+            when(col("en_score") >= 0.06, "en").otherwise("und").as("pred_lang"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |len([w for w in string_split(text,' ') if w IN $StopwordsSql])::DOUBLE/len(string_split(text,' ')) AS en_score,
+             |CASE WHEN len([w for w in string_split(text,' ') if w IN $StopwordsSql])::DOUBLE/len(string_split(text,' ')) >= 0.06
+             |     THEN 'en' ELSE 'und' END AS pred_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_fingerprint",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.withColumn("sh", shingles(ws(col("text")), 3))
+          .filter(size(col("sh")) >= 4)
+          .withColumn("hs", transform(col("sh"), x => md5(x.cast("binary"))))
+          .withColumn(
+            "mins",
+            transform(
+              sequence(lit(1), size(col("hs")) - 3),
+              i => array_min(slice(col("hs"), i, lit(4)))))
+          .withColumn("fp", array_sort(array_distinct(col("mins"))))
+          .select(
+            col("doc_id"),
+            size(col("fp")).cast("long").as("n_fp"),
+            md5(concat_ws(",", col("fp")).cast("binary")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, [array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)] AS s
+             |       FROM w WHERE len(ws) >= 3),
+             |hs AS (SELECT doc_id, [md5(x) for x in s] AS h FROM sh WHERE len(s) >= 4),
+             |mn AS (SELECT doc_id, list_sort(list_distinct([list_min(h[i:i+3]) for i in range(1, len(h)-2)])) AS fp FROM hs)
+             |SELECT doc_id, len(fp)::BIGINT AS n_fp, md5(array_to_string(fp, ',')) AS digest
+             |FROM mn ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality checks for the approximate (rows-only) operators: the LSH and
+  * IVF candidate generators must recover a reasonable fraction of the
+  * brute-force top-k, and SimHash must surface exact copies at hamming 0.
+  */
+class AnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val brute = pairs(SparkEntry.queries("ann_bruteforce")(spark, sf))
+
+  test("ann_lsh recall vs brute force") {
+    val lsh = pairs(SparkEntry.queries("ann_lsh")(spark, sf))
+    val recall = (lsh & brute).size.toDouble / brute.size
+    info(f"ann_lsh recall@5 = $recall%.3f (${lsh.size} candidates)")
+    assert(recall > 0.05, s"LSH recall collapsed: $recall")
+  }
+
+  test("ann_ivf recall vs brute force") {
+    val ivf = pairs(SparkEntry.queries("ann_ivf")(spark, sf))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"ann_ivf recall@5 = $recall%.3f")
+    assert(recall > 0.1, s"IVF recall collapsed: $recall")
+  }
+
+  test("dedup_simhash finds exact copies at hamming 0") {
+    val rows = SparkEntry
+      .queries("dedup_simhash")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // injected copies: doc_id%50=0 tagged +300000 — must all appear at 0
+    val copies = rows.filter { case (a, b, _) => b == a + 300000 }
+    assert(copies.nonEmpty)
+    assert(copies.forall(_._3 == 0))
+    assert(rows.forall(_._3 <= 3))
+  }
+
+  test("dedup_minhash_lsh agrees with exact ngram jaccard at tau=0.7") {
+    def ab(name: String) = SparkEntry
+      .queries(name)(spark, sf)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val mh = ab("dedup_minhash_lsh")
+    val exact = ab("dedup_ngram_jaccard")
+    // LSH candidates are verified with the same exact Jaccard, so MinHash
+    // output must be a subset of the exact pairs; banding (b=16, r=4)
+    // at j>=0.7 catches a pair with prob ~1-(1-0.7^4)^16 ~ 0.99
+    assert(mh.subsetOf(exact), s"false positives: ${mh -- exact}")
+    assert(mh.size.toDouble >= 0.8 * exact.size, s"minhash recall too low: ${mh.size}/${exact.size}")
+  }
+}
