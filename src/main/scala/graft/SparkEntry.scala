@@ -15,7 +15,9 @@ object SparkEntry {
     wikidata.WikidataCatalog,
     text.TextCatalog,
     dedup.DedupCatalog,
-    ann.AnnCatalog
+    ann.AnnCatalog,
+    streaming.StreamingCatalog,
+    multimodal.MultimodalCatalog
   )
 
   private lazy val all: Seq[Q] = {

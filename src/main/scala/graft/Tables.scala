@@ -34,7 +34,8 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def events: DataFrame =
     eventsRaw
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      // integer div — a double division would lose precision at 1e18 ns
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
   /** Register the named tables as temp views so spark.sql text matches the
     * DuckDB oracle text (same table names as the parquet basenames). */

@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Batched JDBC sink — the Spark analog of the reference's DuckDB
+  * appender + 1000-inserts-per-transaction loop (main.rs:300-326,
+  * lib.rs:21). Each partition opens a connection and writes
+  * `batchSize`-row batches; table DDL is generated with DuckDB-shaped
+  * types (value.rs:146-198) so the output schema matches the
+  * reference's database structure.
+  *
+  * Parquet is the scale-path sink; JDBC is for feeding the shredded
+  * tables into an external warehouse. Tested against embedded Derby
+  * (the only JDBC engine in the container) in SinksSpec.
+  */
+object GraftJdbcSink {
+
+  /** DuckDB-flavoured column types (UINTEGER has no JDBC analog: ids are
+    * BIGINT, matching the engine's u32-in-i64 representation). */
+  def sqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
+    case StringType => "VARCHAR(4096)"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  def ddlFor(table: String, schema: StructType): String =
+    schema.fields
+      .map(f => s"${f.name} ${sqlType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
+      .mkString(s"CREATE TABLE $table (", ", ", ")")
+
+  /** Create the table (if absent) and append the frame in batches.
+    * Executors write partitions concurrently — the JDBC-side unit of
+    * parallelism, like one appender per thread. */
+  def write(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      if (!meta.next()) {
+        val st = conn.createStatement()
+        try st.executeUpdate(ddlFor(table, df.schema))
+        finally st.close()
+      }
+    } finally conn.close()
+    df.write
+      .mode("append")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, new java.util.Properties())
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** SURVEY.md §2.5 — Structured Streaming over the events table.
+  *
+  *   - stream_window_agg runs a REAL readStream (file source, availableNow
+  *     trigger, memory sink): tumbling 1-hour windows per event_type.
+  *     Batch-equivalent semantics make it oracle-checkable.
+  *   - stream_sessionize uses session_window (gap 10 min) per user —
+  *     executed in batch mode (same operator the stream path uses);
+  *     the oracle is the classic gaps-and-islands SQL.
+  *
+  * Stateful flatMapGroupsWithState lives in StatefulOps (spec-tested;
+  * arbitrary state is not SQL-expressible).
+  *
+  * events.parquet is TIMESTAMP(NANOS): read as bigint nanos
+  * (nanosAsLong), truncated to micros with integer div — matching
+  * DuckDB's ns->us cast. Window starts are emitted as epoch seconds so
+  * no timezone representation crosses the engine boundary.
+  */
+object StreamingCatalog extends QueryModule {
+
+  /** Tumbling-window agg as a genuine streaming query, run to completion
+    * with Trigger.AvailableNow and returned from the memory sink. */
+  private def windowAgg(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(s, dir).eventsRaw.schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double")
+          .as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+    val name = s"graft_stream_${System.nanoTime()}"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "stream_window_agg",
+      (s, dir) => windowAgg(s, dir),
+      Some("""SELECT (epoch_ns(ts)//3600000000000)*3600 AS window_start, event_type,
+             |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_sessionize",
+      (s, dir) =>
+        Tables(s, dir).events
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            unix_timestamp(col("session_window.start")).as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+             |o AS (SELECT user_id, us,
+             |      CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 600000000
+             |           THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s AS (SELECT user_id, us,
+             |      SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess
+             |      FROM o)
+             |SELECT user_id, MIN(us)//1000000 AS session_start, COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin)
+    )
+  )
+}

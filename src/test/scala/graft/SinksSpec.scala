@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftJdbcSink, GraftSinks}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("partitioned parquet roundtrip + partition pruning") {
+    val li = Tables(spark, sf).lineitem
+    val path = tmp("graft_parquet")
+    GraftSinks.parquet(li, path, Seq("l_returnflag"))
+    val back = spark.read.parquet(path)
+    assert(back.count() === li.count())
+    // a partition-key predicate must prune to the matching directory
+    val plan = back
+      .filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    assert(
+      back.filter(col("l_returnflag") === "R").count() ===
+        li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("csv and json writer roundtrips") {
+    val n = Tables(spark, sf).nation
+    val cPath = tmp("graft_csv")
+    val jPath = tmp("graft_json")
+    GraftSinks.csv(n, cPath)
+    GraftSinks.json(n, jPath)
+    val c = spark.read.option("header", "true").schema(n.schema).csv(cPath)
+    val j = spark.read.schema(n.schema).json(jPath)
+    assert(c.orderBy("n_nationkey").collect() === n.orderBy("n_nationkey").collect())
+    assert(j.orderBy("n_nationkey").collect() === n.orderBy("n_nationkey").collect())
+  }
+
+  test("jdbc sink: DuckDB-shaped DDL + batched write to embedded Derby") {
+    val n = Tables(spark, sf).nation
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    assert(
+      GraftJdbcSink.ddlFor("nation", n.schema) ===
+        "CREATE TABLE nation (n_nationkey INTEGER, n_name VARCHAR(4096), n_regionkey INTEGER)")
+    GraftJdbcSink.write(n, url, "nation", batchSize = 7)
+    val back = spark.read.jdbc(url, "nation", new java.util.Properties())
+    assert(back.count() === 25)
+    assert(
+      back.orderBy("N_NATIONKEY").select("N_NAME").collect().map(_.getString(0)).toSeq ===
+        n.orderBy("n_nationkey").select("n_name").collect().map(_.getString(0)).toSeq)
+  }
+}
