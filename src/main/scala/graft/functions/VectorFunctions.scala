@@ -24,12 +24,22 @@ object VectorFunctions {
   private def quant(x: Column): Column =
     round(x.cast("double") * 1000000).cast("long")
 
-  /** Exact integer dot product over 1e-6-quantized elements. */
-  def dotExact(a: Column, b: Column): Column =
+  /** Quantize a float vector once — pairwise operators must work over
+    * pre-quantized arrays (quantizing inside the pair join would redo
+    * 2x64 rounds per PAIR instead of 64 per VECTOR). */
+  def quantize(a: Column): Column = transform(a, x => quant(x))
+
+  /** Exact integer dot product over pre-quantized vectors. */
+  def dotQ(qa: Column, qb: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => quant(x) * quant(y)),
+      zip_with(qa, qb, (x, y) => x * y),
       lit(0L),
       (acc, x) => acc + x)
+
+  def normSqQ(qa: Column): Column = dotQ(qa, qa)
+
+  /** Exact integer dot product over raw float vectors (one-shot use). */
+  def dotExact(a: Column, b: Column): Column = dotQ(quantize(a), quantize(b))
 
   def normSqExact(a: Column): Column = dotExact(a, a)
 

@@ -1,28 +1,20 @@
 package graft.tools
 
-import graft.GraftSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import graft.{GraftSession, SparkEntry}
 
-/** Scratch diagnostics main — not part of the library surface. */
+/** Plan-hygiene audit: prints the formatted physical plan of key queries
+  * so pushdown/pruning/broadcast decisions can be eyeballed (SURVEY §5).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4)
-    implicit val enc = org.apache.spark.sql.Encoders.STRING
-    // Does StringType capture a raw JSON object / keep a bare string?
-    val lines = spark.createDataset(
-      Seq(
-        """{"dv":{"type":"string","value":"hello"}}""",
-        """{"dv":{"type":"quantity","value":{"amount":"+15.25","unit":"1"}}}""",
-        """{"dv":{"type":"entity","value":{"entity-type":"item","id":"Q42"}}}"""
-      ))
-    val schema = new StructType().add(
-      "dv",
-      new StructType().add("type", StringType).add("value", StringType))
-    val df = spark.read.schema(schema).json(lines)
-    df.show(false)
-    val q = new StructType().add("amount", StringType).add("unit", StringType)
-    df.select(from_json(col("dv.value"), q).as("qv")).show(false)
+    val spark = GraftSession.local(8)
+    val dir = "/root/testdata/sf0.001"
+    val interesting = if (args.nonEmpty) args.toSeq
+    else Seq("rel_filter", "rel_scan_project", "rel_join_broadcast", "rel_agg_group", "rel_join_multiway")
+    interesting.foreach { name =>
+      println(s"========== $name ==========")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }
