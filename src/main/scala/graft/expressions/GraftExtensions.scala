@@ -1,0 +1,54 @@
+package graft.expressions
+
+import graft.wikidata.IdCodec
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The engine's SQL surface: native + codec functions, injectable two
+  * ways —
+  *   - spark.sql.extensions=graft.expressions.GraftExtensions (config),
+  *   - GraftExtensions.register(spark) at runtime (idempotent; used by
+  *     the catalogs so any session works).
+  *
+  * graft_dotq(a, b)        native codegen dot product (DotQ)
+  * graft_id_to_u32(id)     Wikidata id string -> dense u32 (IdCodec)
+  * graft_qid_from_uri(u)   entity URI / "1" -> Qid or null
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def fromColumnFn(name: String, arity: Int)(
+      f: Seq[Column] => Column): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity, s"$name expects $arity arguments")
+        Bridge.expressionEager(f(exprs.map(Bridge.column)))
+      })
+
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("graft_dotq"),
+      new ExpressionInfo(classOf[DotQ].getName, "graft_dotq"),
+      (exprs: Seq[Expression]) => DotQ(exprs(0), exprs(1))),
+    fromColumnFn("graft_id_to_u32", 1)(cols => IdCodec.idToU32(cols.head)),
+    fromColumnFn("graft_qid_from_uri", 1)(cols => IdCodec.qidFromUri(cols.head))
+  )
+
+  /** Idempotent runtime registration for sessions not built with the
+    * extensions config. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      }
+    }
+}

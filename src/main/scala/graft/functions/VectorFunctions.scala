@@ -29,8 +29,18 @@ object VectorFunctions {
     * 2x64 rounds per PAIR instead of 64 per VECTOR). */
   def quantize(a: Column): Column = transform(a, x => quant(x))
 
-  /** Exact integer dot product over pre-quantized vectors. */
+  /** Exact integer dot product over pre-quantized vectors — native
+    * codegen expression (graft.expressions.DotQ); see dotQInterpreted
+    * for the equivalent higher-order-function formulation. */
   def dotQ(qa: Column, qb: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.DotQ(
+        org.apache.spark.sql.graftbridge.Bridge.expression(qa),
+        org.apache.spark.sql.graftbridge.Bridge.expression(qb)))
+
+  /** Interpreted formulation (zip_with/aggregate) — kept as the
+    * reference semantics for DotQ's spec. */
+  def dotQInterpreted(qa: Column, qb: Column): Column =
     aggregate(
       zip_with(qa, qb, (x, y) => x * y),
       lit(0L),

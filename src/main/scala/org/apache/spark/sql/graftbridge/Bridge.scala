@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+package graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. ExpressionUtils is private[sql], so
+  * custom native expressions (graft.expressions.*) go through this
+  * package-located shim — the conventional pattern for Spark extension
+  * libraries. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a catalyst Expression.
+    * Function-registry builders need this: the lazy ColumnNodeExpression
+    * wrapper from `expression` is only converted at the Dataset API
+    * boundary, and expressions produced by a FunctionBuilder never pass
+    * that boundary — they would reach codegen unconverted. */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+}
