@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // static conf: managed-table home for bucketed writes
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def local(cpus: Int = 32): SparkSession = {
     val spark = builder(cpus).getOrCreate()
