@@ -81,19 +81,27 @@ object DedupCatalog extends QueryModule {
     Q(
       "dedup_minhash_lsh",
       (s, dir) => {
-        // k=64 md5-based minhashes (string-min over salted digests — the
-        // salt makes 64 independent hash functions; hex min is portable
-        // to the oracle), b=16 bands x r=4 rows.
+        // k=64 Carter-Wegman minhashes: ONE md5 per shingle, split into
+        // two 60-bit halves (h1, h2), h_i = (h1 + i*h2) mod M with
+        // M = 2^31-1 — the same arithmetic is expressible in DuckDB
+        // (hex-string '0x..' casts), so the oracle matches exactly.
+        // b=16 bands x r=4 rows.
         //
         // Computed as 64 min() aggregates over exploded shingles: each
-        // shingle row hashes 64 salts exactly ONCE and min combines
-        // map-side. (A nested transform over the shingle array gets
-        // inlined by CollapseProject into every downstream consumer and
-        // recomputed per band and per join side — measured 60x slower.)
+        // shingle row hashes ONCE and min combines map-side. (A nested
+        // transform over the shingle array gets inlined by
+        // CollapseProject into every downstream consumer and recomputed
+        // per band and per join side — measured 60x slower; and a
+        // 64-md5-per-shingle salt family costs 10x this scheme.)
+        val M = 2147483647L
         val sh = shingleDf(s, dir)
-        val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+        val tok = sh
+          .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+          .withColumn("hx", md5(col("g").cast("binary")))
+          .withColumn("h1", pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("long"), lit(M)))
+          .withColumn("h2", pmod(conv(substring(col("hx"), 17, 15), 16, 10).cast("long"), lit(M)))
         val minAggs = (0 until 64).map(i =>
-          min(md5(concat(lit(i.toString), lit(":"), col("g")).cast("binary"))).as(s"m$i"))
+          min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(M))).as(s"m$i"))
         val mh = tok
           .groupBy("doc_id", "lang")
           .agg(minAggs.head, minAggs.tail: _*)
@@ -108,7 +116,11 @@ object DedupCatalog extends QueryModule {
             posexplode(
               transform(
                 sequence(lit(0), lit(15)),
-                b => md5(concat_ws(",", slice(col("mh"), b * 4 + 1, lit(4))).cast("binary")))))
+                b =>
+                  md5(concat_ws(
+                    ",",
+                    transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
+                    .cast("binary")))))
           .withColumnRenamed("pos", "band")
           .withColumnRenamed("col", "bucket")
         val cand = bands
@@ -131,8 +143,13 @@ object DedupCatalog extends QueryModule {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $shingleSql,
-             |mh AS (SELECT doc_id, lang, s,
-             |       [list_min([md5((i::VARCHAR)||':'||x) for x in s]) for i in range(64)] AS m FROM sh),
+             |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
+             |hh AS (SELECT doc_id, lang,
+             |       ('0x'||substr(md5(g),1,15))::BIGINT % 2147483647 AS h1,
+             |       ('0x'||substr(md5(g),17,15))::BIGINT % 2147483647 AS h2 FROM tok),
+             |mhi AS (SELECT doc_id, lang, i, MIN((h1 + i*h2) % 2147483647) AS mv
+             |        FROM hh, UNNEST(range(64)) AS t(i) GROUP BY 1, 2, 3),
+             |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2),
              |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
              |          FROM mh, UNNEST(range(16)) AS t(b)),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -146,4 +146,57 @@ object SyntheticDump {
     * catalog query shreds from. */
   def entities(spark: SparkSession, dir: String) =
     WikidataShredder.parse(spark, lines(spark, dir))
+
+  /** Scale-proportional dump: one item per `orders` row (~150k entities
+    * at sf0.1) — the ingestion-throughput workload. nation/region dumps
+    * are fixed-size (25+5+1 entities) and only prove semantics; this one
+    * scales with the sf like a real dump slice.
+    *
+    * Q(3e6+o_orderkey): label 'order N';
+    *   P20 entity -> Q(4e6+o_custkey); P21 quantity o_totalprice (2-dec
+    *   exact); P22 time o_orderdate; P23 string o_orderpriority.
+    */
+  def ordersLines(spark: SparkSession, dir: String): Dataset[String] = {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    val t = Tables(spark, dir)
+    val ok = col("o_orderkey").cast("long")
+    val claims = concat_ws(
+      ",",
+      concat(lit("\"P20\":"),
+        lit("["),
+        claim(valueSnak("P20", "wikibase-item", "wikibase-entityid",
+          itemValue(col("o_custkey").cast("long") + 4000000L)), "normal"),
+        lit("]")),
+      concat(lit("\"P21\":"),
+        lit("["),
+        claim(valueSnak("P21", "quantity", "quantity",
+          concat(
+            lit("""{"amount":"+"""),
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("string"),
+            lit("""","unit":"1"}"""))), "normal"),
+        lit("]")),
+      concat(lit("\"P22\":"),
+        lit("["),
+        claim(valueSnak("P22", "time", "time",
+          concat(
+            lit("""{"time":"+"""),
+            date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
+            lit("""Z","precision":11}"""))), "normal"),
+        lit("]")),
+      concat(lit("\"P23\":"),
+        lit("["),
+        claim(valueSnak("P23", "string", "string", j(col("o_orderpriority"))), "normal"),
+        lit("]"))
+    )
+    t.orders
+      .select(
+        concat(
+          lit("""{"type":"item","id":"Q"""), str(ok + 3000000L), lit("\""),
+          lit(""","labels":{"en":{"language":"en","value":"order """), str(ok), lit("\"}}"),
+          lit(""","claims":{"""), claims, lit("}}")).as("line"))
+      .as[String]
+  }
+
+  def ordersEntities(spark: SparkSession, dir: String) =
+    WikidataShredder.parse(spark, ordersLines(spark, dir))
 }

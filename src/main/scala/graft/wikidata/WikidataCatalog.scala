@@ -162,6 +162,22 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY property_id""".stripMargin)
     ),
     Q(
+      "wd_shred_orders",
+      // Scale-proportional ingestion: build + parse + shred one entity
+      // per orders row (~150k at sf0.1); output the quantity table.
+      (s, dir) =>
+        WikidataShredder
+          .quantity(WikidataShredder.claims(SyntheticDump.ordersEntities(s, dir)))
+          .orderBy("src_id"),
+      Some("""SELECT CAST(3000000+o_orderkey AS BIGINT) AS src_id,
+             |CAST(1000000021 AS BIGINT) AS property_id,
+             |CAST(3000000+o_orderkey AS BIGINT) AS dst_id,
+             |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS amount,
+             |CAST(NULL AS DOUBLE) AS lower_bound, CAST(NULL AS DOUBLE) AS upper_bound,
+             |CAST(NULL AS BIGINT) AS unit_id
+             |FROM orders ORDER BY src_id""".stripMargin)
+    ),
+    Q(
       "wd_pipeline",
       (s, dir) => {
         val sh = WikidataShredder.shred(SyntheticDump.entities(s, dir))
