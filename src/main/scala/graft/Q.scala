@@ -18,3 +18,17 @@ final case class Q(
 trait QueryModule {
   def queries: Seq[Q]
 }
+
+object Fan {
+
+  /** Spread a scan across all cores before CPU-heavy narrow work.
+    *
+    * The local testdata parquet is single-row-group, so a scan yields
+    * ONE partition and everything before the first shuffle runs in one
+    * task. On a real cluster the scan itself provides splits and this
+    * repartition round-trips a small exchange — harmless (AQE coalesces)
+    * — but locally it is the difference between 1x and 32x parallelism
+    * on hash/quantize/JSON-build loops. */
+  def out(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}

@@ -1,6 +1,6 @@
 package graft.ann
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Fan, Q, QueryModule, Tables}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -25,7 +25,8 @@ object AnnCatalog extends QueryModule {
   private val K = 5
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).embeddings
+    Fan
+      .out(Tables(s, dir).embeddings)
       .withColumn("qv", quantize(col("embedding")))
       .withColumn("nsq", normSqQ(col("qv")))
 

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Fan, Q, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -29,7 +29,8 @@ object DedupCatalog extends QueryModule {
 
   /** Distinct 3-gram shingle sets per doc (blocked by lang). */
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+    Fan
+      .out(Tables(s, dir).documents)
       .select(col("doc_id"), col("lang"), shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -200,7 +201,7 @@ object DedupCatalog extends QueryModule {
         // 64-bit SimHash over xxhash64(word); near-dup pairs at hamming
         // <= 3 found via the 4x16-bit pigeonhole chunk join. rows-only
         // (no 64-bit portable hash exists across Spark and DuckDB).
-        val d = Tables(s, dir).documents.select("doc_id", "lang", "text")
+        val d = Fan.out(Tables(s, dir).documents.select("doc_id", "lang", "text"))
         val copies = d
           .filter(pmod(col("doc_id"), lit(50)) === 0)
           .select((col("doc_id") + 300000).as("doc_id"), col("lang"), col("text"))

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Fan, Q, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,7 @@ object TextCatalog extends QueryModule {
     Q(
       "text_quality",
       (s, dir) => {
-        val d = Tables(s, dir).documents
+        val d = Fan.out(Tables(s, dir).documents)
         d.select(col("doc_id"), col("lang"), col("text"))
           .withColumn("n_words", size(ws(col("text"))).cast("long"))
           .withColumn(
@@ -48,7 +48,8 @@ object TextCatalog extends QueryModule {
     Q(
       "text_tokens",
       (s, dir) =>
-        Tables(s, dir).documents
+        Fan
+          .out(Tables(s, dir).documents)
           .select(
             col("doc_id"),
             size(ws(col("text"))).cast("long").as("ws_tokens"),
@@ -61,7 +62,8 @@ object TextCatalog extends QueryModule {
     Q(
       "text_langid",
       (s, dir) =>
-        Tables(s, dir).documents
+        Fan
+          .out(Tables(s, dir).documents)
           .withColumn(
             "en_score",
             stopHits(ws(col("text"))).cast("double") / size(ws(col("text"))))
@@ -85,7 +87,7 @@ object TextCatalog extends QueryModule {
         // recompute). The repartition is a deliberate exchange so the
         // fingerprint array is materialized once before fan-out into
         // (n_fp, digest).
-        val d = Tables(s, dir).documents
+        val d = Fan.out(Tables(s, dir).documents)
         d.withColumn("sh", shingles(ws(col("text")), 3))
           .filter(size(col("sh")) >= 4)
           .select(col("doc_id"), posexplode(col("sh")))

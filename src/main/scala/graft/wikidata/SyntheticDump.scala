@@ -1,6 +1,6 @@
 package graft.wikidata
 
-import graft.Tables
+import graft.{Fan, Tables}
 import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -188,7 +188,8 @@ object SyntheticDump {
         claim(valueSnak("P23", "string", "string", j(col("o_orderpriority"))), "normal"),
         lit("]"))
     )
-    t.orders
+    Fan
+      .out(t.orders)
       .select(
         concat(
           lit("""{"type":"item","id":"Q"""), str(ok + 3000000L), lit("\""),
