@@ -59,6 +59,16 @@ object WikidataShredder {
       .as[String]
   }
 
+  /** Read a dump from disk — Hadoop codecs make .gz/.bz2 transparent,
+    * covering the reference's compressed-pipeline inputs
+    * (main.rs:261-269). NOTE .gz is not splittable: one file = one read
+    * task, so a production dump should be .bz2 (splittable) or
+    * pre-chunked into many .gz parts. */
+  def parseFile(spark: SparkSession, path: String): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    parse(spark, spark.read.textFile(path))
+  }
+
   /** Parse cleaned lines; malformed lines and lines that are not entity
     * objects are skipped, not fatal (main.rs:124-151). */
   def parse(spark: SparkSession, lines: Dataset[String]): DataFrame =

@@ -13,6 +13,23 @@ class WikidataSpec extends AnyFunSuite {
   private lazy val entities = SyntheticDump.entities(spark, sf)
   private lazy val claims = WikidataShredder.claims(entities)
 
+  test("gzip-compressed dumps parse transparently (main.rs:261-269)") {
+    import java.nio.file.Files
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft_gz")
+    val f = dir.resolve("dump.json.gz").toFile
+    val out = new GZIPOutputStream(new java.io.FileOutputStream(f))
+    SyntheticDump.lines(spark, sf).collect().foreach { l =>
+      out.write((l + "\n").getBytes("UTF-8"))
+    }
+    out.close()
+    val fromGz = WikidataShredder.parseFile(spark, f.getAbsolutePath)
+    assert(fromGz.count() === entities.count())
+    assert(
+      WikidataShredder.vertex(fromGz).orderBy("id").collect() ===
+        WikidataShredder.vertex(entities).orderBy("id").collect())
+  }
+
   test("malformed lines are skipped, not fatal (main.rs:316-321)") {
     // 25 nations + 5 regions + 1 lexeme parse; noise lines vanish
     assert(entities.count() === 31)
