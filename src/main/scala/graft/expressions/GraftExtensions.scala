@@ -17,8 +17,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * graft_qid_from_uri(u)   entity URI / "1" -> Qid or null
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {

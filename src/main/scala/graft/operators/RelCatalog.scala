@@ -408,6 +408,26 @@ object RelCatalog extends QueryModule {
     ),
     // ---- multi-dimensional aggregation -------------------------------
     Q(
+      "rel_topk_custom",
+      // Same semantics as rel_qualify_topk_group, computed by the
+      // custom bounded-heap operator (graft.plans.TopKPerGroupExec)
+      // instead of a window sort — see PlansSpec for the plan shape.
+      (s, dir) =>
+        graft.plans.GraftOps
+          .topKPerGroup(
+            Tables(s, dir).orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            Seq(col("o_custkey")),
+            3,
+            col("o_totalprice").desc,
+            col("o_orderkey"))
+          .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    ),
+    Q(
       "rel_rollup",
       (s, dir) => {
         // DataFrame rollup() after a multi-join trips Spark's ambiguous

@@ -19,4 +19,12 @@ object Bridge {
     * that boundary — they would reach codegen unconverted. */
   def expressionEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Analyzed logical plan of a frame (for building custom plan nodes). */
+  def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame. */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
