@@ -31,6 +31,41 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("sortexec"), plan)
   }
 
+  test("TopKRewriteRule turns window+filter+drop(rn) into the custom operator") {
+    val orders = Tables(spark, sf).orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    // strategy must be known to the planner for the rewritten node
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+    }
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.TopKRewriteRule
+    try {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def topk = orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey") // rn projected away -> rewrite fires
+      val plan = topk.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), plan)
+      assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["), plan)
+      assert(!plan.toLowerCase.contains("sortexec"), plan)
+      // keeping rn blocks the rewrite (conservative)
+      val keepRn = orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      assert(keepRn.queryExecution.executedPlan.toString.contains("Window"))
+      // values identical to the un-rewritten plan
+      val expected = keepRn.select("o_custkey", "o_orderkey")
+      assert(
+        topk.orderBy("o_custkey", "o_orderkey").collect() ===
+          expected.orderBy("o_custkey", "o_orderkey").collect())
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.TopKRewriteRule)
+    }
+  }
+
   test("topKPerGroup with k larger than any group returns everything") {
     val orders = Tables(spark, sf).orders.select("o_custkey", "o_orderkey")
     val all = GraftOps.topKPerGroup(orders, Seq(col("o_custkey")), 1000000, col("o_orderkey"))
