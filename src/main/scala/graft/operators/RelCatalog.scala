@@ -392,6 +392,25 @@ object RelCatalog extends QueryModule {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
     Q(
+      "rel_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables(s, dir).customer
+          .select(
+            col("c_custkey"),
+            col("c_nationkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |ntile(4) OVER w AS quartile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cdist
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)
+    ),
+    Q(
       "rel_qualify_topk_group",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
