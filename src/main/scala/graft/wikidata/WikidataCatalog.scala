@@ -162,6 +162,66 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY property_id""".stripMargin)
     ),
     Q(
+      "wd_query_labels",
+      // Consumer-side graph query: resolve edge targets to their labels
+      // (edge JOIN vertex ON dst_id=id) — the reference's users do this
+      // against the DuckDB file; only dst ids with a vertex row match
+      // (here: the novalue/somevalue self-loops).
+      (s, dir) => {
+        val ents = SyntheticDump.entities(s, dir)
+        val edge = WikidataShredder.edge(WikidataShredder.claims(ents))
+        val vertex = WikidataShredder.vertex(ents)
+        edge
+          .join(vertex, col("dst_id") === col("id"))
+          .select(col("src_id"), col("property_id"), col("dst_id"), col("label").as("dst_label"))
+          .orderBy("src_id", "property_id")
+      },
+      Some("""SELECT * FROM (
+             |SELECT CAST(10+n_nationkey AS BIGINT) AS src_id, CAST(1000000005 AS BIGINT) AS property_id,
+             |       CAST(10+n_nationkey AS BIGINT) AS dst_id, n_name AS dst_label FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000006, 10+n_nationkey, n_name FROM nation
+             |) ORDER BY src_id, property_id""".stripMargin)
+    ),
+    Q(
+      "wd_query_2hop",
+      // 2-hop traversal: edge a JOIN edge b ON a.dst_id = b.src_id,
+      // path counts per (property, property) pair.
+      (s, dir) => {
+        val edge = WikidataShredder.edge(
+          WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+        edge
+          .as("a")
+          .join(edge.as("b"), col("a.dst_id") === col("b.src_id"))
+          .groupBy(col("a.property_id").as("p_first"), col("b.property_id").as("p_second"))
+          .agg(count(lit(1)).as("n_paths"))
+          .orderBy("p_first", "p_second")
+      },
+      Some("""SELECT pa.p AS p_first, pb.p AS p_second, (SELECT COUNT(*) FROM nation) AS n_paths
+             |FROM (VALUES (CAST(1000000005 AS BIGINT)), (CAST(1000000006 AS BIGINT))) pa(p)
+             |CROSS JOIN (VALUES (CAST(1000000005 AS BIGINT)), (CAST(1000000006 AS BIGINT)),
+             |                   (CAST(1000000007 AS BIGINT)), (CAST(1000000031 AS BIGINT))) pb(p)
+             |ORDER BY p_first, p_second""".stripMargin)
+    ),
+    Q(
+      "wd_query_typed_filter",
+      // Typed-value filter + label resolution: population-style quantity
+      // claims above a threshold, joined back to the vertex label.
+      (s, dir) => {
+        val ents = SyntheticDump.entities(s, dir)
+        val quantity = WikidataShredder.quantity(WikidataShredder.claims(ents))
+        val vertex = WikidataShredder.vertex(ents)
+        quantity
+          .filter(col("amount") > 12000.0)
+          .join(vertex, col("src_id") === col("id"))
+          .select(col("src_id"), col("label"), col("amount"), col("unit_id"))
+          .orderBy("src_id")
+      },
+      Some("""SELECT CAST(10+n_nationkey AS BIGINT) AS src_id, n_name AS label,
+             |CAST(n_nationkey*1000 + 500.25 AS DOUBLE) AS amount,
+             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(4917 AS BIGINT) END AS unit_id
+             |FROM nation WHERE n_nationkey*1000 + 500.25 > 12000.0 ORDER BY src_id""".stripMargin)
+    ),
+    Q(
       "wd_shred_orders",
       // Scale-proportional ingestion: build + parse + shred one entity
       // per orders row (~150k at sf0.1); output the quantity table.
