@@ -254,6 +254,129 @@ object RelCatalog extends QueryModule {
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
     ),
+    Q(
+      "rel_join_full",
+      (s, dir) => {
+        // sf-independent asymmetry: region keys 0..4 vs {2,3,7,9} —
+        // left-only, matched, and right-only rows at every scale factor
+        val probe = s.createDataFrame(Seq(2, 3, 7, 9).map(Tuple1(_))).toDF("v_key")
+        Tables(s, dir).region
+          .join(probe, col("r_regionkey") === col("v_key"), "full")
+          .select("r_regionkey", "r_name", "v_key")
+          .orderBy(asc_nulls_first("r_regionkey"), asc_nulls_first("v_key"))
+      },
+      Some("""SELECT r_regionkey, r_name, v_key
+             |FROM region FULL JOIN (VALUES (2), (3), (7), (9)) v(v_key) ON r_regionkey = v_key
+             |ORDER BY r_regionkey NULLS FIRST, v_key NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "rel_join_cross",
+      (s, dir) => {
+        val tags = s.createDataFrame(Seq("a", "b").map(Tuple1(_))).toDF("tag")
+        Tables(s, dir).region
+          .crossJoin(tags)
+          .select("r_regionkey", "r_name", "tag")
+          .orderBy("r_regionkey", "tag")
+      },
+      Some("""SELECT r_regionkey, r_name, tag
+             |FROM region CROSS JOIN (VALUES ('a'), ('b')) v(tag)
+             |ORDER BY r_regionkey, tag""".stripMargin)
+    ),
+    Q(
+      "rel_cte",
+      (s, dir) => {
+        Tables(s, dir).views("customer", "orders")
+        s.sql("""WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                |             GROUP BY 1 HAVING COUNT(*) >= 12)
+                |SELECT c.c_custkey, c.c_name, b.n
+                |FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+                |ORDER BY c.c_custkey""".stripMargin)
+      },
+      Some("""WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+             |             GROUP BY 1 HAVING COUNT(*) >= 12)
+             |SELECT c.c_custkey, c.c_name, b.n
+             |FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+             |ORDER BY c.c_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_limit_offset",
+      (s, dir) => {
+        Tables(s, dir).views("orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin)
+    ),
+    Q(
+      "rel_null_handling",
+      (s, dir) =>
+        Tables(s, dir).orders
+          .select(
+            col("o_orderkey"),
+            expr("nullif(o_orderstatus, 'O')").as("st"),
+            expr("nullif(o_orderstatus, 'O')").isNull.cast("int").as("is_open"),
+            coalesce(expr("nullif(o_orderstatus, 'O')"), lit("open")).as("st_filled"),
+            (!(col("o_orderstatus") <=> lit("F"))).as("not_f"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+             |CAST(NULLIF(o_orderstatus, 'O') IS NULL AS INTEGER) AS is_open,
+             |COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st_filled,
+             |o_orderstatus IS DISTINCT FROM 'F' AS not_f
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "rel_math_funcs",
+      // only cross-engine-exact math: abs/ceil/floor, IEEE sqrt,
+      // greatest/least, integer mod. (round-to-decimal of doubles and
+      // transcendentals are NOT portable: libm vs JVM differ in ulps.)
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            abs(col("l_discount") - 0.05).as("disc_dev"),
+            ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
+            floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+            (col("l_orderkey") % 7).as("mod7"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |abs(l_discount - 0.05) AS disc_dev,
+             |CAST(ceil(l_extendedprice/1000.0) AS BIGINT) AS price_k_ceil,
+             |CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS price_k_floor,
+             |sqrt(l_quantity) AS qty_sqrt,
+             |greatest(l_tax, l_discount) AS max_rate,
+             |l_orderkey % 7 AS mod7
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "rel_agg_collect",
+      (s, dir) =>
+        Tables(s, dir).nation
+          .groupBy("n_regionkey")
+          .agg(
+            concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"),
+            count(lit(1)).as("n"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey, array_to_string(list(n_name ORDER BY n_name), ',') AS names,
+             |COUNT(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    ),
+    Q(
+      "rel_string_regexp",
+      (s, dir) =>
+        Tables(s, dir).part
+          .filter(col("p_name").rlike("an"))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_type"), "([a-z]+)$", 1).as("type_last"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("name_masked"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, regexp_extract(p_type, '([a-z]+)$', 1) AS type_last,
+             |regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked
+             |FROM part WHERE regexp_matches(p_name, 'an') ORDER BY p_partkey""".stripMargin)
+    ),
     // ---- ordering / set ops ------------------------------------------
     Q(
       "rel_sort_limit",

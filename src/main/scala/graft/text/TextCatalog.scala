@@ -79,6 +79,25 @@ object TextCatalog extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_ngram_freq",
+      // corpus statistics: global top-20 word bigrams — explode +
+      // count-shuffle + deterministic top-k (count desc, bigram asc)
+      (s, dir) =>
+        Fan
+          .out(Tables(s, dir).documents)
+          .select(explode(shingles(ws(col("text")), 2)).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      Some("""WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+             |sh AS (SELECT [array_to_string(ws[i:i+1],' ') for i in range(1, len(ws))] AS s
+             |       FROM w WHERE len(ws) >= 2),
+             |tok AS (SELECT g AS bigram FROM sh, UNNEST(s) AS t(g))
+             |SELECT bigram, COUNT(*) AS n FROM tok GROUP BY bigram
+             |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+    ),
+    Q(
       "text_fingerprint",
       (s, dir) => {
         // md5 once per shingle via explode + aggregation barrier —
