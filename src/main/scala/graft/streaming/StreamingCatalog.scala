@@ -57,7 +57,40 @@ object StreamingCatalog extends QueryModule {
     s.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Streaming dedup: duplicate the stream (self-union) then
+    * dropDuplicates on the id — the streaming analog of exact dedup,
+    * with dedup state maintained by the engine. Counts per type must
+    * equal the distinct-id counts of one copy. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(s, dir).eventsRaw.schema
+    def src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val doubled = src.union(src)
+    val deduped = doubled
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_sdedup_${System.nanoTime()}"
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).orderBy("event_type")
+  }
+
   def queries: Seq[Q] = Seq(
+    Q(
+      "stream_dedup",
+      (s, dir) => streamDedup(s, dir),
+      Some("""SELECT event_type, COUNT(DISTINCT event_id) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
     Q(
       "stream_window_agg",
       (s, dir) => windowAgg(s, dir),

@@ -136,6 +136,9 @@ object SyntheticDump {
       "  ", // blank line
       """{"type":"lexeme","id":"L7","labels":{"en":{"language":"en","value":"lex"}},"descriptions":{"en":{"language":"en","value":"a lexeme"}},"claims":{"P8":[{"mainsnak":{"snaktype":"value","property":"P8","datatype":"wikibase-form","datavalue":{"type":"wikibase-entityid","value":{"entity-type":"form","id":"L7-F2"}}},"type":"statement","rank":"normal"}],"P9":[{"mainsnak":{"snaktype":"value","property":"P9","datatype":"wikibase-sense","datavalue":{"type":"wikibase-entityid","value":{"entity-type":"sense","id":"L7-S3"}}},"type":"statement","rank":"normal"}]}}""",
       """{"id": broken json line that must be skipped""",
+      // claims-less entity: vertex row only (the wikidata model allows
+      // entities with no statements)
+      """{"type":"item","id":"Q5000000","labels":{"en":{"language":"en","value":"solo"}}}""",
       "]"
     ))
 

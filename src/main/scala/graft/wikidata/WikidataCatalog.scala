@@ -25,6 +25,7 @@ object WikidataCatalog extends QueryModule {
              |SELECT 'Q'||(10+n_nationkey) AS id_str, n_name AS label FROM nation
              |UNION ALL SELECT 'P'||(40+r_regionkey), r_name FROM region
              |UNION ALL SELECT 'L7', 'lex'
+             |UNION ALL SELECT 'Q5000000', 'solo'
              |) ORDER BY id_str""".stripMargin)
     ),
     Q(
@@ -68,6 +69,7 @@ object WikidataCatalog extends QueryModule {
              |  CASE WHEN n_nationkey%5=0 THEN NULL ELSE 'nation '||n_name END AS description FROM nation
              |UNION ALL SELECT 1000000040+r_regionkey, r_name, NULL FROM region
              |UNION ALL SELECT 2000000007, 'lex', 'a lexeme'
+             |UNION ALL SELECT 5000000, 'solo', NULL
              |) ORDER BY id""".stripMargin)
     ),
     Q(
@@ -255,7 +257,7 @@ object WikidataCatalog extends QueryModule {
              |UNION ALL SELECT 'quantity', (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 'time', (SELECT COUNT(*) FROM nation)
-             |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+1
+             |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
              |) ORDER BY table_name""".stripMargin)
     )
   )

@@ -31,8 +31,8 @@ class WikidataSpec extends AnyFunSuite {
   }
 
   test("malformed lines are skipped, not fatal (main.rs:316-321)") {
-    // 25 nations + 5 regions + 1 lexeme parse; noise lines vanish
-    assert(entities.count() === 31)
+    // 25 nations + 5 regions + 1 lexeme + 1 claims-less item; noise vanishes
+    assert(entities.count() === 32)
   }
 
   test("deprecated-rank claims dropped, preferred kept (main.rs:200-212)") {
