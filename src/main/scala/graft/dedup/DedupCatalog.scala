@@ -40,6 +40,92 @@ object DedupCatalog extends QueryModule {
       |       list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
       |       FROM w WHERE len(ws) >= 3)""".stripMargin
 
+  /** Verified near-dup pairs (id_a, id_b, jaccard) — the MinHash+LSH
+    * pipeline shared by dedup_minhash_lsh and dedup_cluster_assign.
+    *
+    * k=64 Carter-Wegman minhashes: ONE md5 per shingle, split into two
+    * 60-bit halves (h1, h2), h_i = (h1 + i*h2) mod M with M = 2^31-1 —
+    * the same arithmetic is expressible in DuckDB (hex-string '0x..'
+    * casts), so the oracle matches exactly. b=16 bands x r=4 rows.
+    *
+    * Computed as 64 min() aggregates over exploded shingles: each
+    * shingle row hashes ONCE and min combines map-side. (A nested
+    * transform over the shingle array gets inlined by CollapseProject
+    * into every downstream consumer and recomputed per band and per
+    * join side — measured 60x slower; and a 64-md5-per-shingle salt
+    * family costs 10x this scheme.)
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val M = 2147483647L
+    val sh = shingleDf(s, dir)
+    val tok = sh
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+      .withColumn("hx", md5(col("g").cast("binary")))
+      .withColumn("h1", pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("long"), lit(M)))
+      .withColumn("h2", pmod(conv(substring(col("hx"), 17, 15), 16, 10).cast("long"), lit(M)))
+    val minAggs = (0 until 64).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(M))).as(s"m$i"))
+    val mh = tok
+      .groupBy("doc_id", "lang")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
+    val bands = mh
+      .select(
+        col("doc_id"),
+        col("lang"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(15)),
+            b =>
+              md5(concat_ws(
+                ",",
+                transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
+                .cast("binary")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val cand = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Oracle mirror of minhashPairs, ending in the out_pairs CTE so
+    * consumers append their own SELECT. */
+  private val minhashPairsSql: String =
+    s"""WITH $shingleSql,
+       |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
+       |hh AS (SELECT doc_id, lang,
+       |       ('0x'||substr(md5(g),1,15))::BIGINT % 2147483647 AS h1,
+       |       ('0x'||substr(md5(g),17,15))::BIGINT % 2147483647 AS h2 FROM tok),
+       |mhi AS (SELECT doc_id, lang, i, MIN((h1 + i*h2) % 2147483647) AS mv
+       |        FROM hh, UNNEST(range(64)) AS t(i) GROUP BY 1, 2, 3),
+       |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
+       |          FROM mh, UNNEST(range(16)) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |         ON a.lang=b.lang AND a.b=b.b AND a.bucket=b.bucket AND a.doc_id<b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
+       |      FROM cand JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b),
+       |out_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q(
       "dedup_exact",
@@ -81,85 +167,41 @@ object DedupCatalog extends QueryModule {
     ),
     Q(
       "dedup_minhash_lsh",
+      (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b"),
+      Some(minhashPairsSql + "\nSELECT id_a, id_b, jaccard FROM out_pairs ORDER BY id_a, id_b")
+    ),
+    Q(
+      "dedup_cluster_assign",
+      // near-dup pairs -> duplicate clusters: symmetric closure +
+      // self-loops, then two rounds of min-label propagation (fixed
+      // round count keeps it deterministic and oracle-identical; two
+      // rounds close the short chains near-dup cliques form). rep_id is
+      // the canonical keeper per cluster.
       (s, dir) => {
-        // k=64 Carter-Wegman minhashes: ONE md5 per shingle, split into
-        // two 60-bit halves (h1, h2), h_i = (h1 + i*h2) mod M with
-        // M = 2^31-1 — the same arithmetic is expressible in DuckDB
-        // (hex-string '0x..' casts), so the oracle matches exactly.
-        // b=16 bands x r=4 rows.
-        //
-        // Computed as 64 min() aggregates over exploded shingles: each
-        // shingle row hashes ONCE and min combines map-side. (A nested
-        // transform over the shingle array gets inlined by
-        // CollapseProject into every downstream consumer and recomputed
-        // per band and per join side — measured 60x slower; and a
-        // 64-md5-per-shingle salt family costs 10x this scheme.)
-        val M = 2147483647L
-        val sh = shingleDf(s, dir)
-        val tok = sh
-          .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
-          .withColumn("hx", md5(col("g").cast("binary")))
-          .withColumn("h1", pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("long"), lit(M)))
-          .withColumn("h2", pmod(conv(substring(col("hx"), 17, 15), 16, 10).cast("long"), lit(M)))
-        val minAggs = (0 until 64).map(i =>
-          min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(M))).as(s"m$i"))
-        val mh = tok
-          .groupBy("doc_id", "lang")
-          .agg(minAggs.head, minAggs.tail: _*)
-          .select(
-            col("doc_id"),
-            col("lang"),
-            array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
-        val bands = mh
-          .select(
-            col("doc_id"),
-            col("lang"),
-            posexplode(
-              transform(
-                sequence(lit(0), lit(15)),
-                b =>
-                  md5(concat_ws(
-                    ",",
-                    transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
-                    .cast("binary")))))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bucket")
-        val cand = bands
-          .as("a")
-          .join(
-            bands.as("b"),
-            col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-          .withColumn(
-            "jaccard",
-            size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              size(array_union(col("sa"), col("sb"))))
-          .filter(col("jaccard") >= 0.7)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
+        val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+        val nodes =
+          pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b"))).distinct()
+        val edges = pairs
+          .select(col("id_a").as("x"), col("id_b").as("y"))
+          .union(pairs.select(col("id_b"), col("id_a")))
+          .union(nodes.select(col("id"), col("id")))
+        val r1 = edges.groupBy("x").agg(min(col("y")).as("r"))
+        val r2 = edges
+          .join(r1.select(col("x").as("y"), col("r")), "y")
+          .groupBy("x")
+          .agg(min(col("r")).as("rep_id"))
+        r2.select(col("x").as("doc_id"), col("rep_id")).orderBy("doc_id")
       },
-      Some(s"""WITH $shingleSql,
-             |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
-             |hh AS (SELECT doc_id, lang,
-             |       ('0x'||substr(md5(g),1,15))::BIGINT % 2147483647 AS h1,
-             |       ('0x'||substr(md5(g),17,15))::BIGINT % 2147483647 AS h2 FROM tok),
-             |mhi AS (SELECT doc_id, lang, i, MIN((h1 + i*h2) % 2147483647) AS mv
-             |        FROM hh, UNNEST(range(64)) AS t(i) GROUP BY 1, 2, 3),
-             |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2),
-             |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
-             |          FROM mh, UNNEST(range(16)) AS t(b)),
-             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |         FROM bands a JOIN bands b
-             |         ON a.lang=b.lang AND a.b=b.b AND a.bucket=b.bucket AND a.doc_id<b.doc_id),
-             |j AS (SELECT id_a, id_b,
-             |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
-             |      FROM cand JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b)
-             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin)
+      Some(minhashPairsSql +
+        """,
+          |prs AS (SELECT id_a, id_b FROM out_pairs),
+          |nodes AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
+          |edges AS (SELECT id_a AS x, id_b AS y FROM prs
+          |          UNION ALL SELECT id_b, id_a FROM prs
+          |          UNION ALL SELECT id, id FROM nodes),
+          |r1 AS (SELECT x, MIN(y) AS r FROM edges GROUP BY x),
+          |r2 AS (SELECT e.x, MIN(r1.r) AS rep_id FROM edges e JOIN r1 ON r1.x = e.y GROUP BY e.x)
+          |SELECT x AS doc_id, rep_id FROM r2 ORDER BY doc_id""".stripMargin)
     ),
     Q(
       "dedup_ngram_jaccard",

@@ -377,6 +377,38 @@ object RelCatalog extends QueryModule {
              |regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked
              |FROM part WHERE regexp_matches(p_name, 'an') ORDER BY p_partkey""".stripMargin)
     ),
+    Q(
+      "rel_tpch_q3",
+      // TPC-H Q3 shipping-priority shape: segment-filtered customer
+      // broadcast into orders⋈lineitem, revenue per order, top 10.
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(
+            t.orders.filter(col("o_orderdate") < ntz("1998-06-01 00:00:00")),
+            col("c_custkey") === col("o_custkey"))
+          .join(
+            t.lineitem.filter(col("l_shipdate") > ntz("1998-06-01 00:00:00")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            col("l_orderkey"),
+            to_date(col("o_orderdate")).as("o_date"),
+            col("o_orderpriority"))
+          .agg(sum(discPrice.cast(DecimalType(38, 4))).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+             |CAST(SUM(CAST($discPriceSql AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
     // ---- ordering / set ops ------------------------------------------
     Q(
       "rel_sort_limit",

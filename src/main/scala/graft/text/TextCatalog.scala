@@ -79,6 +79,32 @@ object TextCatalog extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_corpus_stats",
+      // per-language corpus report: doc counts, token volume, length
+      // distribution (only exact-portable aggregates — no double sums)
+      (s, dir) =>
+        Fan
+          .out(Tables(s, dir).documents)
+          .withColumn("nw", size(ws(col("text"))).cast("long"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("total_tokens"),
+            (sum(col("nw")).cast("double") / count(lit(1))).as("avg_tokens"),
+            min(col("nw")).as("min_tokens"),
+            max(col("nw")).as("max_tokens"),
+            (sum(when(col("nw") >= 100, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+              .as("pct_long"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |SUM(len(string_split(text,' '))) AS total_tokens,
+             |CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens,
+             |MIN(len(string_split(text,' '))) AS min_tokens,
+             |MAX(len(string_split(text,' '))) AS max_tokens,
+             |CAST(SUM(CASE WHEN len(string_split(text,' ')) >= 100 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS pct_long
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "text_ngram_freq",
       // corpus statistics: global top-20 word bigrams — explode +
       // count-shuffle + deterministic top-k (count desc, bigram asc)
