@@ -40,11 +40,18 @@ object AnnCatalog extends QueryModule {
       (s, dir) => {
         val c = corpus(s, dir)
         val q = queriesDf(c)
-        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-        c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        // top-k per query via the custom bounded-heap operator (no
+        // per-group sort); rank derived afterwards over the k-bounded
+        // result — the scalable decomposition of "ranked top-k".
+        val scored = c
+          .join(broadcast(q), col("vec_id") =!= col("q_id"))
           .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+          .select("q_id", "vec_id", "cosine")
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
           .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
           .select("q_id", "rank", "vec_id", "cosine")
           .orderBy("q_id", "rank")
       },

@@ -79,6 +79,51 @@ object TextCatalog extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_split_assign",
+      // deterministic train/val/test assignment: md5-derived bucket of
+      // the doc id — stable across runs, machines, and engines (the
+      // pipeline property that makes splits reproducible and leak-free)
+      (s, dir) =>
+        Tables(s, dir).documents
+          .withColumn(
+            "bucket",
+            pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+              .cast("long"), lit(100L)))
+          .select(
+            col("doc_id"),
+            col("bucket"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test")
+              .as("split"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+             |CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+             |     WHEN ('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+             |     ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_sample_stratified",
+      // per-language stratified sample (deterministic via the same
+      // md5-bucket trick: keep ~20% of each language) — rows-only is
+      // unnecessary since the bucket arithmetic is portable
+      (s, dir) =>
+        Tables(s, dir).documents
+          .withColumn(
+            "bucket",
+            pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+              .cast("long"), lit(100L)))
+          .filter(col("bucket") < 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+             |WHERE ('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "text_corpus_stats",
       // per-language corpus report: doc counts, token volume, length
       // distribution (only exact-portable aggregates — no double sums)
