@@ -17,7 +17,8 @@ object SparkEntry {
     dedup.DedupCatalog,
     ann.AnnCatalog,
     streaming.StreamingCatalog,
-    multimodal.MultimodalCatalog
+    multimodal.MultimodalCatalog,
+    pipeline.PipelineCatalog
   )
 
   private lazy val all: Seq[Q] = {

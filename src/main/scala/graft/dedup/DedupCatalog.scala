@@ -55,7 +55,7 @@ object DedupCatalog extends QueryModule {
     * join side — measured 60x slower; and a 64-md5-per-shingle salt
     * family costs 10x this scheme.)
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val M = 2147483647L
     val sh = shingleDf(s, dir)
     val tok = sh
@@ -105,9 +105,39 @@ object DedupCatalog extends QueryModule {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** (doc_id, rep_id) cluster assignment from the verified near-dup
+    * pairs — two fixed rounds of min-label propagation. */
+  private[graft] def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+    val nodes =
+      pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b"))).distinct()
+    val edges = pairs
+      .select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .union(nodes.select(col("id"), col("id")))
+    val r1 = edges.groupBy("x").agg(min(col("y")).as("r"))
+    edges
+      .join(r1.select(col("x").as("y"), col("r")), "y")
+      .groupBy("x")
+      .agg(min(col("r")).as("rep_id"))
+      .select(col("x").as("doc_id"), col("rep_id"))
+  }
+
+  /** Cluster-assignment oracle CTE chain (appends to minhashPairsSql),
+    * ending in r2(x, rep_id). */
+  private[graft] val clusterAssignSqlTail: String =
+    """,
+      |prs AS (SELECT id_a, id_b FROM out_pairs),
+      |nodes AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
+      |edges AS (SELECT id_a AS x, id_b AS y FROM prs
+      |          UNION ALL SELECT id_b, id_a FROM prs
+      |          UNION ALL SELECT id, id FROM nodes),
+      |r1 AS (SELECT x, MIN(y) AS r FROM edges GROUP BY x),
+      |r2 AS (SELECT e.x, MIN(r1.r) AS rep_id FROM edges e JOIN r1 ON r1.x = e.y GROUP BY e.x)""".stripMargin
+
   /** Oracle mirror of minhashPairs, ending in the out_pairs CTE so
     * consumers append their own SELECT. */
-  private val minhashPairsSql: String =
+  private[graft] val minhashPairsSql: String =
     s"""WITH $shingleSql,
        |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
        |hh AS (SELECT doc_id, lang,
@@ -177,31 +207,9 @@ object DedupCatalog extends QueryModule {
       // round count keeps it deterministic and oracle-identical; two
       // rounds close the short chains near-dup cliques form). rep_id is
       // the canonical keeper per cluster.
-      (s, dir) => {
-        val pairs = minhashPairs(s, dir).select("id_a", "id_b")
-        val nodes =
-          pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b"))).distinct()
-        val edges = pairs
-          .select(col("id_a").as("x"), col("id_b").as("y"))
-          .union(pairs.select(col("id_b"), col("id_a")))
-          .union(nodes.select(col("id"), col("id")))
-        val r1 = edges.groupBy("x").agg(min(col("y")).as("r"))
-        val r2 = edges
-          .join(r1.select(col("x").as("y"), col("r")), "y")
-          .groupBy("x")
-          .agg(min(col("r")).as("rep_id"))
-        r2.select(col("x").as("doc_id"), col("rep_id")).orderBy("doc_id")
-      },
-      Some(minhashPairsSql +
-        """,
-          |prs AS (SELECT id_a, id_b FROM out_pairs),
-          |nodes AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
-          |edges AS (SELECT id_a AS x, id_b AS y FROM prs
-          |          UNION ALL SELECT id_b, id_a FROM prs
-          |          UNION ALL SELECT id, id FROM nodes),
-          |r1 AS (SELECT x, MIN(y) AS r FROM edges GROUP BY x),
-          |r2 AS (SELECT e.x, MIN(r1.r) AS rep_id FROM edges e JOIN r1 ON r1.x = e.y GROUP BY e.x)
-          |SELECT x AS doc_id, rep_id FROM r2 ORDER BY doc_id""".stripMargin)
+      (s, dir) => clusterAssign(s, dir).orderBy("doc_id"),
+      Some(minhashPairsSql + clusterAssignSqlTail +
+        "\nSELECT x AS doc_id, rep_id FROM r2 ORDER BY doc_id")
     ),
     Q(
       "dedup_ngram_jaccard",
