@@ -476,6 +476,65 @@ object RelCatalog extends QueryModule {
              |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
              |ORDER BY custkey""".stripMargin)
     ),
+    Q(
+      "rel_asof_join",
+      // as-of join (an operator Spark lacks natively): for every click,
+      // the most recent purchase by the same user at-or-before it.
+      // Composed as union-tag + last(ignoreNulls) over a user-ordered
+      // window — one shuffle on the key, no per-row range scan; the
+      // standard scalable as-of decomposition.
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+          .filter(col("event_type").isin("click", "purchase"))
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn(
+          "purchase_ts",
+          when(col("event_type") === "purchase", col("ts_us")))
+          .withColumn("last_purchase_us", last(col("purchase_ts"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us", "last_purchase_us")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type
+             |           FROM events WHERE event_type IN ('click', 'purchase')),
+             |m AS (SELECT event_id, user_id, ts_us, event_type,
+             |      last_value(CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS)
+             |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+             |      FROM e)
+             |SELECT event_id, user_id, ts_us, last_purchase_us FROM m
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "rel_join_range",
+      // non-equi range join: price-band dimension BETWEEN join (plans as
+      // a broadcast nested-loop — correct shape for a tiny band dim)
+      (s, dir) => {
+        val bands = s
+          .createDataFrame(Seq(
+            ("b0", 0.0, 20000.0),
+            ("b1", 20000.0, 50000.0),
+            ("b2", 50000.0, 80000.0),
+            ("b3", 80000.0, 1e9)))
+          .toDF("band", "lo", "hi")
+        Tables(s, dir).lineitem
+          .join(
+            broadcast(bands),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy("band")
+      },
+      Some(s"""SELECT band, COUNT(*) AS n, ${S("l_extendedprice")} AS total
+             |FROM lineitem JOIN (VALUES ('b0', 0.0, 20000.0), ('b1', 20000.0, 50000.0),
+             |     ('b2', 50000.0, 80000.0), ('b3', 80000.0, 1000000000.0)) bands(band, lo, hi)
+             |ON l_extendedprice >= lo AND l_extendedprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin)
+    ),
     // ---- window functions --------------------------------------------
     Q(
       "rel_window_rank",
