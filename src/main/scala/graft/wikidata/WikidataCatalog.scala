@@ -1,6 +1,7 @@
 package graft.wikidata
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 — the reference's core capability re-expressed
@@ -162,6 +163,41 @@ object WikidataCatalog extends QueryModule {
              |UNION ALL SELECT 1000001082, (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 1000001448, (SELECT COUNT(*) FROM nation)
              |) ORDER BY property_id""".stripMargin)
+    ),
+    Q(
+      "wd_upsert_vertex",
+      // dump-refresh merge: a newer partial dump (changed labels + new
+      // entities) upserts into the existing vertex table, latest wins —
+      // union + per-id row_number on version, the scalable merge shape
+      // (one shuffle on id; no driver-side diffing).
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val v1 = WikidataShredder
+          .vertex(SyntheticDump.entities(s, dir))
+          .select(col("id"), col("label"), lit(1).as("version"))
+        val n = col("n_nationkey").cast("long")
+        val updates = t.nation
+          .filter(pmod(n, lit(4)) === 0)
+          .select((n + 10).as("id"), concat(col("n_name"), lit(" v2")).as("label"), lit(2).as("version"))
+          .union(t.region.select(
+            (col("r_regionkey").cast("long") + 500).as("id"),
+            concat(col("r_name"), lit(" new")).as("label"),
+            lit(2).as("version")))
+        val w = Window.partitionBy("id").orderBy(col("version").desc)
+        v1.union(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("id", "label")
+          .orderBy("id")
+      },
+      Some("""SELECT * FROM (
+             |SELECT CAST(10+n_nationkey AS BIGINT) AS id,
+             |  CASE WHEN n_nationkey%4=0 THEN n_name||' v2' ELSE n_name END AS label FROM nation
+             |UNION ALL SELECT 1000000040+r_regionkey, r_name FROM region
+             |UNION ALL SELECT 2000000007, 'lex'
+             |UNION ALL SELECT 5000000, 'solo'
+             |UNION ALL SELECT 500+r_regionkey, r_name||' new' FROM region
+             |) ORDER BY id""".stripMargin)
     ),
     Q(
       "wd_query_labels",
