@@ -103,6 +103,12 @@ object DedupCatalog extends QueryModule {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= 0.7)
       .select("id_a", "id_b", "jaccard")
+      // persisted so the three consumers (pairs / cluster_assign /
+      // pipe_end_to_end) share one computation per session — the cache
+      // manager matches the identical logical plan across calls. The
+      // pair set is tiny (near-dup pairs only), so this is a metadata
+      // cost, not a memory cost.
+      .persist()
   }
 
   /** (doc_id, rep_id) cluster assignment from the verified near-dup
