@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object PipelineCatalog extends QueryModule {
 
-  private val qualitySql =
-    """least(CAST(1.0 AS DOUBLE), len(string_split(text,' '))::DOUBLE/100.0)*0.5
-      |  + ((length(text)-length(regexp_replace(text,'[a-z]','','g')))::DOUBLE/length(text))*0.3
-      |  + (1.0 - len([w for w in string_split(text,' ') if w IN (('the'), ('a'), ('of'), ('and'), ('is'), ('to'), ('in'))])::DOUBLE/len(string_split(text,' ')))*0.2""".stripMargin
+  /** quality >= 0.8 as an EXACT integer inequality. quality is
+    *   min(nw,100)/200 + 0.3*alpha/len + 0.2*(nw-stop)/nw
+    * — a sum of small-integer ratios. Multiplying through by the positive
+    * common denominator 200*len*nw gives
+    *   min(nw,100)*len*nw + 60*alpha*nw + 40*(nw-stop)*len >= 160*len*nw
+    * which both engines evaluate in exact BIGINT arithmetic: no float
+    * boundary can flip a document between engines (round-1 driver hash
+    * fail was exactly such a boundary).
+    */
+  private val qualityGateSql =
+    "LEAST(nw,100)*len*nw + 60*alpha*nw + 40*(nw-stop)*len >= 160*len*nw"
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -32,14 +39,18 @@ object PipelineCatalog extends QueryModule {
       (s, dir) => {
         val d = Fan.out(Tables(s, dir).documents)
         val quality = d
-          .withColumn("nw", size(ws(col("text"))))
+          .withColumn("nw", size(ws(col("text"))).cast("long"))
+          .withColumn("len", length(col("text")).cast("long"))
           .withColumn(
-            "quality",
-            least(lit(1.0), col("nw").cast("double") / 100.0) * 0.5 +
-              ((length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
-                .cast("double") / length(col("text"))) * 0.3 +
-              (lit(1.0) - stopHits(ws(col("text"))).cast("double") / size(ws(col("text")))) * 0.2)
-          .filter(col("quality") >= 0.8)
+            "alpha",
+            (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
+              .cast("long"))
+          .withColumn("stop", stopHits(ws(col("text"))).cast("long"))
+          .filter(
+            least(col("nw"), lit(100L)) * col("len") * col("nw") +
+              lit(60L) * col("alpha") * col("nw") +
+              lit(40L) * (col("nw") - col("stop")) * col("len") >=
+              lit(160L) * col("len") * col("nw"))
         // drop non-canonical members of near-dup clusters
         val dupDrop = DedupCatalog
           .clusterAssign(s, dir)
@@ -57,14 +68,20 @@ object PipelineCatalog extends QueryModule {
                   .cast("long"), lit(100L)) < 90, "val")
               .otherwise("test"))
           .groupBy("split", "lang")
-          .agg(count(lit(1)).as("n_docs"), sum(col("nw").cast("long")).as("n_tokens"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
           .orderBy("split", "lang")
       },
       Some(DedupCatalog.minhashPairsSql + DedupCatalog.clusterAssignSqlTail +
         s""",
            |dupdrop AS (SELECT x AS doc_id FROM r2 WHERE rep_id <> x),
-           |kept AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nw FROM documents
-           |         WHERE ($qualitySql) >= 0.8
+           |qm AS (SELECT doc_id, lang,
+           |       len(string_split(text,' '))::BIGINT AS nw,
+           |       length(text)::BIGINT AS len,
+           |       (length(text)-length(regexp_replace(text,'[a-z]','','g')))::BIGINT AS alpha,
+           |       len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS stop
+           |       FROM documents),
+           |kept AS (SELECT doc_id, lang, nw FROM qm
+           |         WHERE $qualityGateSql
            |           AND doc_id NOT IN (SELECT doc_id FROM dupdrop)),
            |assigned AS (SELECT lang, nw,
            |  CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'

@@ -58,9 +58,13 @@ object StreamingCatalog extends QueryModule {
   }
 
   /** Streaming dedup: duplicate the stream (self-union) then
-    * dropDuplicates on the id — the streaming analog of exact dedup,
-    * with dedup state maintained by the engine. Counts per type must
-    * equal the distinct-id counts of one copy. */
+    * dropDuplicatesWithinWatermark on the id — the streaming analog of
+    * exact dedup with BOUNDED state: an id is only held until the
+    * watermark (1 hour behind max event time) passes it, instead of
+    * forever (the unbounded dropDuplicates is the canonical streaming
+    * scale-killer; duplicates in real pipelines arrive close together,
+    * which is exactly the within-watermark contract). Counts per type
+    * must equal the distinct-id counts of one copy. */
   private def streamDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
@@ -68,9 +72,13 @@ object StreamingCatalog extends QueryModule {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val doubled = src.union(src)
+    val doubled = src
+      .union(src)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "1 hour")
     val deduped = doubled
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
     val name = s"graft_sdedup_${System.nanoTime()}"

@@ -126,7 +126,10 @@ object TextCatalog extends QueryModule {
     Q(
       "text_corpus_stats",
       // per-language corpus report: doc counts, token volume, length
-      // distribution (only exact-portable aggregates — no double sums)
+      // distribution. The ratio columns (mean tokens, long-doc share)
+      // are emitted in exact integer MICRO-units — (sum*1e6) div count —
+      // so the cross-engine hash has no float representation at all
+      // (round-1 hash fail was the raw double divisions here).
       (s, dir) =>
         Fan
           .out(Tables(s, dir).documents)
@@ -135,19 +138,29 @@ object TextCatalog extends QueryModule {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("nw")).as("total_tokens"),
-            (sum(col("nw")).cast("double") / count(lit(1))).as("avg_tokens"),
             min(col("nw")).as("min_tokens"),
             max(col("nw")).as("max_tokens"),
-            (sum(when(col("nw") >= 100, 1L).otherwise(0L)).cast("double") / count(lit(1)))
-              .as("pct_long"))
+            sum(when(col("nw") >= 100, 1L).otherwise(0L)).as("n_long"))
+          .select(
+            col("lang"),
+            col("n_docs"),
+            col("total_tokens"),
+            expr("(total_tokens * CAST(1000000 AS BIGINT)) div n_docs").as("avg_tokens_micro"),
+            col("min_tokens"),
+            col("max_tokens"),
+            col("n_long"),
+            expr("(n_long * CAST(1000000 AS BIGINT)) div n_docs").as("pct_long_micro"))
           .orderBy("lang"),
-      Some("""SELECT lang, COUNT(*) AS n_docs,
-             |SUM(len(string_split(text,' '))) AS total_tokens,
-             |CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens,
-             |MIN(len(string_split(text,' '))) AS min_tokens,
-             |MAX(len(string_split(text,' '))) AS max_tokens,
-             |CAST(SUM(CASE WHEN len(string_split(text,' ')) >= 100 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS pct_long
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+      Some("""WITH t AS (SELECT lang, len(string_split(text,' '))::BIGINT AS nw FROM documents),
+             |g AS (SELECT lang, COUNT(*) AS n_docs, SUM(nw)::BIGINT AS total_tokens,
+             |      MIN(nw) AS min_tokens, MAX(nw) AS max_tokens,
+             |      SUM(CASE WHEN nw >= 100 THEN 1 ELSE 0 END)::BIGINT AS n_long
+             |      FROM t GROUP BY lang)
+             |SELECT lang, n_docs, total_tokens,
+             |(total_tokens * 1000000) // n_docs AS avg_tokens_micro,
+             |min_tokens, max_tokens, n_long,
+             |(n_long * 1000000) // n_docs AS pct_long_micro
+             |FROM g ORDER BY lang""".stripMargin)
     ),
     Q(
       "text_ngram_freq",

@@ -276,6 +276,37 @@ object WikidataCatalog extends QueryModule {
              |FROM orders ORDER BY src_id""".stripMargin)
     ),
     Q(
+      "wd_sink_layout",
+      // The reference's end artifact: shred -> materialize ALL 6 tables
+      // with the indexed layout (partition-by-property-bucket, sorted by
+      // src_id; ShreddedLayout) -> reopen from disk and count. The
+      // oracle reconstructs the expected counts relationally, so this is
+      // a full write-path + read-path round trip under the driver gate.
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_layout_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        ShreddedLayout.write(WikidataShredder.shred(SyntheticDump.entities(s, dir)), base)
+        Seq("coordinates", "edge", "quantity", "string", "time", "vertex")
+          .map { nm =>
+            ShreddedLayout
+              .read(s, base, nm)
+              .agg(count(lit(1)).as("n_rows"))
+              .withColumn("table_name", lit(nm))
+          }
+          .reduce(_.unionByName(_))
+          .select("table_name", "n_rows")
+          .orderBy("table_name")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'coordinates' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows
+             |UNION ALL SELECT 'edge', 4*(SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
+             |UNION ALL SELECT 'quantity', (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'time', (SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
+             |) ORDER BY table_name""".stripMargin)
+    ),
+    Q(
       "wd_pipeline",
       (s, dir) => {
         val sh = WikidataShredder.shred(SyntheticDump.entities(s, dir))

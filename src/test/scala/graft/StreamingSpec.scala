@@ -38,4 +38,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(1L) === UserUpdate(1, 3, 17.0))
     assert(last(2L) === UserUpdate(2, 1, 1.0))
   }
+
+  test("watermarked dedup drops dups and EVICTS state past the horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)] // (event_id, type, epoch_sec)
+    val deduped = input
+      .toDS()
+      .toDF("event_id", "event_type", "sec")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds($"sec"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("graft_wm_dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val t0 = 1000000L
+    input.addData((1L, "a", t0), (1L, "a", t0), (2L, "b", t0))
+    query.processAllAvailable()
+    // far past t0 + delay: watermark advances, ids 1/2 become evictable
+    input.addData((3L, "a", t0 + 300))
+    query.processAllAvailable()
+    input.addData((4L, "a", t0 + 600))
+    query.processAllAvailable()
+    val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+    query.stop()
+
+    val ids = spark.table("graft_wm_dedup_test").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L, 3L, 4L)) // duplicates dropped, nothing lost
+    // bounded state: ids 1/2 (and 3) aged out of the store — NOT 4 rows forever
+    assert(stateRows < 4, s"state not evicted: $stateRows rows")
+  }
 }
