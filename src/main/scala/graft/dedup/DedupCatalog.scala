@@ -27,12 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupCatalog extends QueryModule {
 
+  /** LSH buckets wider than this are dropped from candidate generation
+    * (degenerate-bucket guard; see minhashPairs). */
+  private val MaxBucketWidth = 50
+
+  /** Shingles occurring in more than this many documents per language
+    * are excluded from n-gram candidate GENERATION (not verification) —
+    * standard prefix filtering; see dedup_ngram_jaccard. */
+  private val ShingleDfCap = 100
+
   /** Distinct 3-gram shingle sets per doc (blocked by lang). */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+  private def shingleDfFrom(docs: DataFrame): DataFrame =
     Fan
-      .out(Tables(s, dir).documents)
+      .out(docs)
       .select(col("doc_id"), col("lang"), shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    shingleDfFrom(Tables(s, dir).documents)
 
   private val shingleSql =
     """w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
@@ -55,9 +67,11 @@ object DedupCatalog extends QueryModule {
     * join side — measured 60x slower; and a 64-md5-per-shingle salt
     * family costs 10x this scheme.)
     */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(shingleDf(s, dir))
+
+  private[graft] def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val M = 2147483647L
-    val sh = shingleDf(s, dir)
     val tok = sh
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
       .withColumn("hx", md5(col("g").cast("binary")))
@@ -86,10 +100,22 @@ object DedupCatalog extends QueryModule {
                 .cast("binary")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val cand = bands
+    // Bucket-width cap: a degenerate bucket (empty docs, boilerplate
+    // headers) would make the self-join below O(width²). Buckets wider
+    // than MaxBucketWidth are dropped entirely — their members collide
+    // on MANY bands (near-dups agree on ~all minhashes), so the pair is
+    // still found via a non-degenerate band; the hot-bucket list itself
+    // is tiny (≤ n/cap entries), hence the broadcast anti-join.
+    val hot = bands
+      .groupBy("lang", "band", "bucket")
+      .agg(count(lit(1)).as("bw"))
+      .filter(col("bw") > MaxBucketWidth)
+      .select("lang", "band", "bucket")
+    val capped = bands.join(broadcast(hot), Seq("lang", "band", "bucket"), "left_anti")
+    val cand = capped
       .as("a")
       .join(
-        bands.as("b"),
+        capped.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -154,8 +180,10 @@ object DedupCatalog extends QueryModule {
        |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2),
        |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
        |          FROM mh, UNNEST(range(16)) AS t(b)),
+       |hot AS (SELECT lang, b, bucket FROM bands GROUP BY 1, 2, 3 HAVING COUNT(*) > $MaxBucketWidth),
+       |capped AS (SELECT bands.* FROM bands ANTI JOIN hot USING (lang, b, bucket)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b
+       |         FROM capped a JOIN capped b
        |         ON a.lang=b.lang AND a.b=b.b AND a.bucket=b.bucket AND a.doc_id<b.doc_id),
        |j AS (SELECT id_a, id_b,
        |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
@@ -220,36 +248,51 @@ object DedupCatalog extends QueryModule {
     Q(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        // Exact set-similarity via explode-join: shuffle on (lang,
-        // shingle), |A ∩ B| by count, Jaccard from set sizes.
-        val sh = shingleDf(s, dir)
+        // Set-similarity in two phases (prefix-filter style). Candidate
+        // GENERATION joins only document-frequency-capped shingles —
+        // the tok⋈tok posting-list join is quadratic in the hottest
+        // shingle's df, so boilerplate shingles (df > ShingleDfCap) are
+        // excluded there. A jaccard>=0.7 pair shares many shingles and
+        // is still proposed via its rare ones. VERIFICATION is exact
+        // over the full shingle sets of the candidate pairs only.
+        // persist: sh feeds 4 plan subtrees (tok, the df counts, and
+        // both verification sides) — one row per doc, metadata-sized.
+        val sh = shingleDf(s, dir).persist()
         val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-        val inter = tok
+        val dfs = tok.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+        // shuffle key (lang, g) matches the candidate join key — one
+        // partitioning reused, no extra shuffle class
+        val rare = tok.join(dfs.filter(col("df") <= ShingleDfCap), Seq("lang", "g"))
+        val cand = rare
           .as("a")
           .join(
-            tok.as("b"),
+            rare.as("b"),
             col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
               col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("c"))
-        inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
-          .withColumn("jaccard", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .withColumn(
+            "jaccard",
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))))
           .filter(col("jaccard") >= 0.7)
           .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $shingleSql,
              |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
-             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-             |          FROM tok a JOIN tok b ON a.lang=b.lang AND a.g=b.g AND a.doc_id<b.doc_id
-             |          GROUP BY 1, 2),
-             |sz AS (SELECT doc_id, len(s) AS sz FROM sh)
-             |SELECT id_a, id_b, c::DOUBLE/(x.sz + y.sz - c) AS jaccard
-             |FROM inter JOIN sz x ON x.doc_id=id_a JOIN sz y ON y.doc_id=id_b
-             |WHERE c::DOUBLE/(x.sz + y.sz - c) >= 0.7 ORDER BY id_a, id_b""".stripMargin)
+             |dfs AS (SELECT lang, g FROM tok GROUP BY 1, 2 HAVING COUNT(*) <= $ShingleDfCap),
+             |rare AS (SELECT tok.doc_id, tok.lang, tok.g FROM tok SEMI JOIN dfs USING (lang, g)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM rare a JOIN rare b
+             |         ON a.lang=b.lang AND a.g=b.g AND a.doc_id<b.doc_id),
+             |j AS (SELECT id_a, id_b,
+             |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
+             |      FROM cand JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b)
+             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin)
     ),
     Q(
       "dedup_simhash",
@@ -311,6 +354,14 @@ object DedupCatalog extends QueryModule {
     Q(
       "dedup_embedding",
       (s, dir) => {
+        // Near-dup vectors via LSH bucketing, NOT all-pairs-in-label:
+        // candidates = same label AND hyperplane signature within
+        // hamming-1 (9 equality probes per vector — the ann_lsh
+        // multiprobe shape), then EXACT integer-quantized cosine
+        // verification on the candidates only. O(n·9) bucket join;
+        // a big label block is no longer quadratic. The planes are
+        // md5-derived constants (VectorFunctions.hyperBucket), so the
+        // DuckDB oracle computes identical buckets.
         val e = Tables(s, dir).embeddings
         val copies = e
           .filter(pmod(col("vec_id"), lit(25)) === 0)
@@ -320,32 +371,44 @@ object DedupCatalog extends QueryModule {
           .union(copies)
           .withColumn("qv", quantize(col("embedding")))
           .withColumn("nsq", normSqQ(col("qv")))
+          .withColumn("bucket", hyperBucket(col("qv")))
         val a = base.select(
           col("vec_id").as("id_a"),
           col("qv").as("qa"),
-          col("label").as("la"),
-          col("nsq").as("na"))
+          col("label"),
+          col("nsq").as("na"),
+          explode(
+            array(
+              col("bucket") +:
+                (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+            .as("probe"))
         val b = base.select(
           col("vec_id").as("id_b"),
           col("qv").as("qb"),
-          col("label").as("lb"),
-          col("nsq").as("nb"))
-        a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
+          col("label"),
+          col("nsq").as("nb"),
+          col("bucket").as("probe"))
+        a.join(b, Seq("label", "probe"))
+          .filter(col("id_a") < col("id_b"))
           .withColumn("cosine", cosineFrom(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
           .filter(col("cosine") >= 0.95)
           .select("id_a", "id_b", "cosine")
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
              |           UNION ALL SELECT vec_id+100000, label, embedding FROM embeddings WHERE vec_id%25=0),
              |n AS (SELECT vec_id, label,
              |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM e),
              |m AS (SELECT vec_id, label, qv,
-             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq,
+             |      ${hyperBucketSql("qv")} AS bucket FROM n),
+             |pr AS (SELECT vec_id, label, qv, nsq, pb FROM m,
+             |       UNNEST([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8),
+             |               xor(bucket,16), xor(bucket,32), xor(bucket,64), xor(bucket,128)]) AS t(pb)),
              |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |      CAST((SELECT SUM(a.qv[i]*b.qv[i]) FROM UNNEST(range(1, len(a.qv)+1)) AS t(i)) AS DOUBLE)
              |        / (sqrt(CAST(a.nsq AS DOUBLE))*sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-             |      FROM m a JOIN m b ON a.label=b.label AND a.vec_id<b.vec_id)
+             |      FROM pr a JOIN m b ON a.pb=b.bucket AND a.label=b.label AND a.vec_id<b.vec_id)
              |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin)
     )
   )

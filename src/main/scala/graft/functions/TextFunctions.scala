@@ -23,9 +23,19 @@ object TextFunctions {
   def ws(text: Column): Column = split(text, " ")
 
   /** Word k-grams, positional (duplicates kept). Empty for docs shorter
-    * than k words — note Spark's sequence(1, n) is DESCENDING for n<1,
-    * hence the guard. */
+    * than k words. Native single-pass expression — see
+    * graft.expressions.ShingleK. */
   def shingles(words: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.ShingleK(
+        org.apache.spark.sql.graftbridge.Bridge.expression(words),
+        k,
+        distinct = false))
+
+  /** Interpreted reference formulation — kept as ShingleK's spec mirror.
+    * Note Spark's sequence(1, n) is DESCENDING for n<1, hence the
+    * guard. */
+  def shinglesInterpreted(words: Column, k: Int): Column =
     when(
       size(words) >= k,
       transform(
@@ -33,13 +43,26 @@ object TextFunctions {
         i => concat_ws(" ", slice(words, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle set — the MinHash/Jaccard input. */
+  /** Distinct shingle set — the MinHash/Jaccard input (first-occurrence
+    * order, like DuckDB list_distinct). */
   def shingleSet(text: Column, k: Int = 3): Column =
-    array_distinct(shingles(ws(text), k))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.ShingleK(
+        org.apache.spark.sql.graftbridge.Bridge.expression(ws(text)),
+        k,
+        distinct = true))
 
   def stopHits(words: Column): Column =
     size(filter(words, w => w.isin(Stopwords: _*)))
 
   def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Native winnowing fingerprint over collect_list'd (pos, hash)
+    * structs — see graft.expressions.WinnowFingerprint. */
+  def winnowFp(structs: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.WinnowFingerprint(
+        org.apache.spark.sql.graftbridge.Bridge.expression(structs),
+        w))
 }

@@ -64,4 +64,43 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
+
+  /** Random-hyperplane signatures with CONSTANT ±1 planes derived from
+    * MD5 at plan-build time (not per row, and not engine-specific), so
+    * the identical bucket is computable in DuckDB — the portability
+    * trick that lets LSH-bucketed operators keep full SQL oracles.
+    * Over pre-quantized integer vectors the plane dot is an exact
+    * integer sum, so the sign (= the bucket bit) can never diverge
+    * between engines. The per-plane dot is emitted as a FLAT ±element
+    * sum (64 adds), which stays inside whole-stage codegen — no
+    * interpreted higher-order functions in the hot path. */
+  def planeSigns(bits: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until bits).map { j =>
+      val d = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"graft_plane_$j".getBytes("UTF-8"))
+      (0 until dim).map(i => if (((d(i / 8) >> (i % 8)) & 1) == 1) 1 else -1)
+    }
+
+  /** bits-wide LSH bucket of a quantized vector (bit j set iff the
+    * plane-j dot is >= 0). */
+  def hyperBucket(qv: Column, bits: Int = 8, dim: Int = 64): Column =
+    planeSigns(bits, dim).zipWithIndex.map { case (signs, j) =>
+      val dotJ = signs.zipWithIndex.map { case (sg, i) =>
+        if (sg > 0) element_at(qv, i + 1) else -element_at(qv, i + 1)
+      }.reduce(_ + _)
+      when(dotJ >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The exact DuckDB mirror of [[hyperBucket]] over a quantized-vector
+    * SQL expression (1-based list indexing). */
+  def hyperBucketSql(qv: String, bits: Int = 8, dim: Int = 64): String =
+    planeSigns(bits, dim).zipWithIndex
+      .map { case (signs, j) =>
+        val dotJ = signs.zipWithIndex
+          .map { case (sg, i) => (if (sg > 0) "+" else "-") + s"$qv[${i + 1}]" }
+          .mkString
+        s"(CASE WHEN ($dotJ) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
 }

@@ -184,28 +184,22 @@ object TextCatalog extends QueryModule {
     Q(
       "text_fingerprint",
       (s, dir) => {
-        // md5 once per shingle via explode + aggregation barrier —
-        // leaving the hash chain as nested array lambdas lets
-        // CollapseProject inline it into every consumer (measured 3x
-        // recompute). The repartition is a deliberate exchange so the
-        // fingerprint array is materialized once before fan-out into
-        // (n_fp, digest).
+        // md5 once per shingle via explode + aggregation barrier, then
+        // everything after the aggregate — sort-by-pos, sliding-window
+        // min, distinct, sort — is ONE native codegen expression
+        // (WinnowFingerprint), replacing the interpreted
+        // transform/slice/array_min chain that was the worst bench
+        // line. fp is consumed twice (size + digest); the native call
+        // is cheap enough that CollapseProject's inline-per-consumer
+        // no longer needs an exchange barrier.
         val d = Fan.out(Tables(s, dir).documents)
         d.withColumn("sh", shingles(ws(col("text")), 3))
           .filter(size(col("sh")) >= 4)
           .select(col("doc_id"), posexplode(col("sh")))
           .select(col("doc_id"), col("pos"), md5(col("col").cast("binary")).as("h"))
           .groupBy("doc_id")
-          .agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("h")))), x => x.getField("h"))
-              .as("hs"))
-          .withColumn(
-            "mins",
-            transform(
-              sequence(lit(1), size(col("hs")) - 3),
-              i => array_min(slice(col("hs"), i, lit(4)))))
-          .withColumn("fp", array_sort(array_distinct(col("mins"))))
-          .repartition(col("doc_id"))
+          .agg(collect_list(struct(col("pos"), col("h"))).as("ph"))
+          .withColumn("fp", winnowFp(col("ph"), 4))
           .select(
             col("doc_id"),
             size(col("fp")).cast("long").as("n_fp"),

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *             else bounds ±10, unit Q4917
   *       P625 coordinate (n*2.5-25, r*10-20, 0.01, globe Q2)
   *       P571 time: n%7=0 -> year 10000 (infinity, precision 9);
+  *             n%5=0 -> zero month/day (+Y-00-00, precision 9);
+  *             n%3=0 -> BC year (-0(500+n), precision 11);
   *             else (1950+n)-03-11, precision 11
   *   - property P(40+r) per region: label r_name, no descriptions,
   *     claim P31 -> Q(300+r)
-  *   - one lexeme L7: claims P8 -> form L7-F2, P9 -> sense L7-S3
+  *   - one lexeme L7: claims P8 -> form L7-F2, P9 -> sense L7-S3,
+  *     P11 multilingual text with en -> string, P12 without en -> edge
+  *     self-loop
   *   - noise: "[", "]", blanks, malformed JSON; nation lines carry a
   *     trailing comma (all must be tolerated, main.rs:104-119).
   */
@@ -106,6 +110,14 @@ object SyntheticDump {
         arr(claim(
           valueSnak("P571", "time", "time",
             when(n % 7 === 0, lit("""{"time":"+10000-01-01T00:00:00Z","precision":9}"""))
+              // zero month/day, the real-dump form for precision<=10
+              .when(n % 5 === 0, concat(
+                lit("""{"time":"+"""), str(n + 1950),
+                lit("""-00-00T00:00:00Z","precision":9}""")))
+              // BC year
+              .when(n % 3 === 0, concat(
+                lit("""{"time":"-0"""), str(n + 500),
+                lit("""-03-11T00:00:00Z","precision":11}""")))
               .otherwise(concat(
                 lit("""{"time":"+"""), str(n + 1950),
                 lit("""-03-11T00:00:00Z","precision":11}""")))),
@@ -134,7 +146,10 @@ object SyntheticDump {
     val fixed = spark.createDataset(Seq(
       "[",
       "  ", // blank line
-      """{"type":"lexeme","id":"L7","labels":{"en":{"language":"en","value":"lex"}},"descriptions":{"en":{"language":"en","value":"a lexeme"}},"claims":{"P8":[{"mainsnak":{"snaktype":"value","property":"P8","datatype":"wikibase-form","datavalue":{"type":"wikibase-entityid","value":{"entity-type":"form","id":"L7-F2"}}},"type":"statement","rank":"normal"}],"P9":[{"mainsnak":{"snaktype":"value","property":"P9","datatype":"wikibase-sense","datavalue":{"type":"wikibase-entityid","value":{"entity-type":"sense","id":"L7-S3"}}},"type":"statement","rank":"normal"}]}}""",
+      // P11: multilingual text WITH an English entry -> string row;
+      // P12: multilingual text with NO English -> edge self-loop
+      // (value.rs:394-401)
+      """{"type":"lexeme","id":"L7","labels":{"en":{"language":"en","value":"lex"}},"descriptions":{"en":{"language":"en","value":"a lexeme"}},"claims":{"P8":[{"mainsnak":{"snaktype":"value","property":"P8","datatype":"wikibase-form","datavalue":{"type":"wikibase-entityid","value":{"entity-type":"form","id":"L7-F2"}}},"type":"statement","rank":"normal"}],"P9":[{"mainsnak":{"snaktype":"value","property":"P9","datatype":"wikibase-sense","datavalue":{"type":"wikibase-entityid","value":{"entity-type":"sense","id":"L7-S3"}}},"type":"statement","rank":"normal"}],"P11":[{"mainsnak":{"snaktype":"value","property":"P11","datatype":"multilingual-text","datavalue":{"type":"multilingualtext","value":[{"language":"de","text":"mehr"},{"language":"en","text":"multi"}]}},"type":"statement","rank":"normal"}],"P12":[{"mainsnak":{"snaktype":"value","property":"P12","datatype":"multilingual-text","datavalue":{"type":"multilingualtext","value":[{"language":"de","text":"nur-de"}]}},"type":"statement","rank":"normal"}]}}""",
       """{"id": broken json line that must be skipped""",
       // claims-less entity: vertex row only (the wikidata model allows
       // entities with no statements)

@@ -87,6 +87,7 @@ object WikidataCatalog extends QueryModule {
              |UNION ALL SELECT 1000000040+r_regionkey, 1000000031, 300+r_regionkey FROM region
              |UNION ALL SELECT 2000000007, 1000000008, 705032713
              |UNION ALL SELECT 2000000007, 1000000009, 1205032714
+             |UNION ALL SELECT 2000000007, 1000000012, 2000000007
              |) ORDER BY src_id, property_id, dst_id""".stripMargin)
     ),
     Q(
@@ -100,6 +101,7 @@ object WikidataCatalog extends QueryModule {
              |UNION ALL SELECT 10+n_nationkey, 1000000002, 10+n_nationkey, 'EXT-'||n_nationkey FROM nation
              |UNION ALL SELECT 10+n_nationkey, 1000000856, 10+n_nationkey, 'https://example.org/'||n_nationkey FROM nation
              |UNION ALL SELECT 10+n_nationkey, 1000001448, 10+n_nationkey, 'The '||n_name FROM nation
+             |UNION ALL SELECT 2000000007, 1000000011, 2000000007, 'multi'
              |) ORDER BY src_id, property_id, "string"""".stripMargin)
     ),
     Q(
@@ -136,8 +138,11 @@ object WikidataCatalog extends QueryModule {
           .select("src_id", "property_id", "dst_id", "time_str", "precision")
           .orderBy("src_id"),
       Some(s"""SELECT $nIsBig AS src_id, CAST(1000000571 AS BIGINT) AS property_id, $nIsBig AS dst_id,
-             |CASE WHEN n_nationkey%7=0 THEN 'infinity' ELSE (1950+n_nationkey)||'-03-11 00:00:00' END AS time_str,
-             |CASE WHEN n_nationkey%7=0 THEN 9 ELSE 11 END AS "precision"
+             |CASE WHEN n_nationkey%7=0 THEN 'infinity'
+             |     WHEN n_nationkey%5=0 THEN (1950+n_nationkey)||'-01-01 00:00:00'
+             |     WHEN n_nationkey%3=0 THEN '-0'||(500+n_nationkey)||'-03-11 00:00:00'
+             |     ELSE (1950+n_nationkey)||'-03-11 00:00:00' END AS time_str,
+             |CASE WHEN n_nationkey%7=0 OR n_nationkey%5=0 THEN 9 ELSE 11 END AS "precision"
              |FROM nation ORDER BY src_id""".stripMargin)
     ),
     Q(
@@ -156,6 +161,8 @@ object WikidataCatalog extends QueryModule {
              |UNION ALL SELECT 1000000007, (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 1000000008, 1
              |UNION ALL SELECT 1000000009, 1
+             |UNION ALL SELECT 1000000011, 1
+             |UNION ALL SELECT 1000000012, 1
              |UNION ALL SELECT 1000000031, (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)
              |UNION ALL SELECT 1000000571, (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 1000000625, (SELECT COUNT(*) FROM nation)
@@ -218,6 +225,7 @@ object WikidataCatalog extends QueryModule {
              |SELECT CAST(10+n_nationkey AS BIGINT) AS src_id, CAST(1000000005 AS BIGINT) AS property_id,
              |       CAST(10+n_nationkey AS BIGINT) AS dst_id, n_name AS dst_label FROM nation
              |UNION ALL SELECT 10+n_nationkey, 1000000006, 10+n_nationkey, n_name FROM nation
+             |UNION ALL SELECT 2000000007, 1000000012, 2000000007, 'lex'
              |) ORDER BY src_id, property_id""".stripMargin)
     ),
     Q(
@@ -234,11 +242,16 @@ object WikidataCatalog extends QueryModule {
           .agg(count(lit(1)).as("n_paths"))
           .orderBy("p_first", "p_second")
       },
-      Some("""SELECT pa.p AS p_first, pb.p AS p_second, (SELECT COUNT(*) FROM nation) AS n_paths
+      Some("""SELECT * FROM (
+             |SELECT pa.p AS p_first, pb.p AS p_second, (SELECT COUNT(*) FROM nation) AS n_paths
              |FROM (VALUES (CAST(1000000005 AS BIGINT)), (CAST(1000000006 AS BIGINT))) pa(p)
              |CROSS JOIN (VALUES (CAST(1000000005 AS BIGINT)), (CAST(1000000006 AS BIGINT)),
              |                   (CAST(1000000007 AS BIGINT)), (CAST(1000000031 AS BIGINT))) pb(p)
-             |ORDER BY p_first, p_second""".stripMargin)
+             |UNION ALL SELECT * FROM (VALUES
+             |  (CAST(1000000012 AS BIGINT), CAST(1000000008 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (CAST(1000000012 AS BIGINT), CAST(1000000009 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (CAST(1000000012 AS BIGINT), CAST(1000000012 AS BIGINT), CAST(1 AS BIGINT))) v(a, b, c)
+             |) ORDER BY p_first, p_second""".stripMargin)
     ),
     Q(
       "wd_query_typed_filter",
@@ -299,9 +312,9 @@ object WikidataCatalog extends QueryModule {
       },
       Some("""SELECT * FROM (
              |SELECT 'coordinates' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows
-             |UNION ALL SELECT 'edge', 4*(SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
+             |UNION ALL SELECT 'edge', 4*(SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+3
              |UNION ALL SELECT 'quantity', (SELECT COUNT(*) FROM nation)
-             |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)+1
              |UNION ALL SELECT 'time', (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
              |) ORDER BY table_name""".stripMargin)
@@ -320,9 +333,9 @@ object WikidataCatalog extends QueryModule {
       },
       Some("""SELECT * FROM (
              |SELECT 'coordinates' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows
-             |UNION ALL SELECT 'edge', 4*(SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
+             |UNION ALL SELECT 'edge', 4*(SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+3
              |UNION ALL SELECT 'quantity', (SELECT COUNT(*) FROM nation)
-             |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)
+             |UNION ALL SELECT 'string', 4*(SELECT COUNT(*) FROM nation)+1
              |UNION ALL SELECT 'time', (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
              |) ORDER BY table_name""".stripMargin)

@@ -52,6 +52,11 @@ object WikidataSchema {
     .add("text", StringType)
     .add("language", StringType)
 
+  /** Multilingual text: array of (language, text) pairs. The English
+    * entry becomes a string row; with no English entry the claim lands
+    * in edge as a self-loop (value.rs:394-401). */
+  val multiValue: ArrayType = ArrayType(monoValue)
+
   val quantityValue: StructType = new StructType()
     .add("amount", StringType)
     .add("lowerBound", StringType)

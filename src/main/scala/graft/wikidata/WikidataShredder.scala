@@ -107,8 +107,10 @@ object WikidataShredder {
 
   private def keys = Seq(col("src_id"), col("property_id"))
 
-  /** edge: entity-valued claims, plus NoValue/UnknownValue self-loops
-    * (value.rs:237-239, 429-430). */
+  /** edge: entity-valued claims, NoValue/UnknownValue self-loops
+    * (value.rs:237-239, 429-430), and multilingual texts with no
+    * English entry (value.rs:394-401 — Table::None lands in edge as a
+    * self-loop). */
   def edge(cl: DataFrame): DataFrame = {
     val ent = cl
       .filter(col("snaktype") === "value" && col("vtype") === "wikibase-entityid")
@@ -117,7 +119,12 @@ object WikidataShredder {
     val absent = cl
       .filter(col("snaktype").isin("novalue", "somevalue"))
       .select(keys :+ col("src_id").as("dst_id"): _*)
-    ent.union(absent)
+    val multiNoEn = cl
+      .filter(col("snaktype") === "value" && col("vtype") === "multilingualtext")
+      .withColumn("mv", from_json(col("raw"), multiValue))
+      .filter(!exists(col("mv"), t => t.getField("language") === "en"))
+      .select(keys :+ col("src_id").as("dst_id"): _*)
+    ent.union(absent).union(multiNoEn)
   }
 
   /** string: the whole string family — string/CommonsMedia/ExternalID/
@@ -132,7 +139,17 @@ object WikidataShredder {
       .filter(col("snaktype") === "value" && col("vtype") === "monolingualtext")
       .withColumn("mv", from_json(col("raw"), monoValue))
       .select(keys ++ Seq(col("src_id").as("dst_id"), col("mv.text").as("string")): _*)
-    bare.union(mono)
+    // multilingual text: the English entry's text (no-English claims go
+    // to edge instead, value.rs:394-401)
+    val multiEn = cl
+      .filter(col("snaktype") === "value" && col("vtype") === "multilingualtext")
+      .withColumn("mv", from_json(col("raw"), multiValue))
+      .withColumn("en", filter(col("mv"), t => t.getField("language") === "en"))
+      .filter(size(col("en")) > 0)
+      .select(keys ++ Seq(
+        col("src_id").as("dst_id"),
+        element_at(col("en"), 1).getField("text").as("string")): _*)
+    bare.union(mono).union(multiEn)
   }
 
   /** quantity: amount/bounds parsed from the dump's signed decimal
@@ -161,27 +178,36 @@ object WikidataShredder {
   /** time: year >= 9999 becomes the reference's DuckDB `infinity`
     * sentinel (value.rs:271-284). Spark has no infinity timestamp, so
     * `time` is null for those rows and `time_str` carries the canonical
-    * rendering ('infinity' or 'yyyy-MM-dd HH:mm:ss'). */
+    * rendering ('infinity' or 'yyyy-MM-dd HH:mm:ss').
+    *
+    * Real dumps also carry zero month/day for coarse precisions
+    * ("+2002-00-00T00:00:00Z") and negative (BC) years. Zero components
+    * are normalized to January 1st before parsing — the same
+    * normalization the reference's wikidata-crate -> chrono path
+    * applies. BC years are outside Spark's timestamp range: `time` is
+    * null and `time_str` carries the canonical signed rendering
+    * ('-0500-03-11 00:00:00'), which DuckDB/chrono render losslessly. */
   def time(cl: DataFrame): DataFrame = {
     val parsed = cl
       .filter(col("snaktype") === "value" && col("vtype") === "time")
       .withColumn("tv", from_json(col("raw"), timeValue))
-      .withColumn("yr", regexp_extract(col("tv.time"), "^\\+?(-?\\d+)-", 1).cast("long"))
+      .withColumn(
+        "tn",
+        regexp_replace(regexp_replace(col("tv.time"), "-00-", "-01-"), "-00T", "-01T"))
+      .withColumn("yr", regexp_extract(col("tn"), "^\\+?(-?\\d+)-", 1).cast("long"))
+    def ts = to_timestamp_ntz(
+      regexp_replace(col("tn"), "^\\+", ""),
+      lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
     parsed.select(keys ++ Seq(
       col("src_id").as("dst_id"),
-      when(col("yr") >= 9999, lit(null).cast("timestamp_ntz"))
-        .otherwise(
-          to_timestamp_ntz(
-            regexp_replace(col("tv.time"), "^\\+", ""),
-            lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+      when(col("yr") >= 9999 || col("yr") < 0, lit(null).cast("timestamp_ntz"))
+        .otherwise(ts)
         .as("time"),
       when(col("yr") >= 9999, lit("infinity"))
-        .otherwise(
-          date_format(
-            to_timestamp_ntz(
-              regexp_replace(col("tv.time"), "^\\+", ""),
-              lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-            "yyyy-MM-dd HH:mm:ss"))
+        .when(
+          col("yr") < 0,
+          regexp_replace(regexp_replace(col("tn"), "T", " "), "Z$", ""))
+        .otherwise(date_format(ts, "yyyy-MM-dd HH:mm:ss"))
         .as("time_str"),
       col("tv.precision").as("precision")): _*)
   }

@@ -24,6 +24,82 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("graft_dotq") && l.trim.startsWith("*(")), plan)
   }
 
+  test("native WinnowFingerprint matches the interpreted HOF formulation") {
+    import graft.functions.TextFunctions._
+    val d = Tables(spark, sf).documents
+      .withColumn("sh", shingles(ws(col("text")), 3))
+      .filter(size(col("sh")) >= 4)
+      .select(col("doc_id"), posexplode(col("sh")))
+      .select(col("doc_id"), col("pos"), md5(col("col").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("h"))).as("ph"))
+    val interp = d
+      .withColumn(
+        "hs",
+        transform(array_sort(col("ph")), x => x.getField("h")))
+      .withColumn(
+        "mins",
+        transform(
+          sequence(lit(1), size(col("hs")) - 3),
+          i => array_min(slice(col("hs"), i, lit(4)))))
+      .select(col("doc_id"), array_sort(array_distinct(col("mins"))).as("fp"))
+    val native = d.select(col("doc_id"), winnowFp(col("ph"), 4).as("fp"))
+    val joined = native
+      .withColumnRenamed("fp", "fp_n")
+      .join(interp, "doc_id")
+    assert(joined.filter(col("fp_n") =!= col("fp")).count() === 0)
+    assert(native.count() > 0)
+    // After an aggregate the optimizer folds winnowFp into the
+    // ObjectHashAggregate result projection (one eval per group). In a
+    // plain projection it must sit inside the WholeStageCodegen span:
+    val proj = spark
+      .range(100)
+      .select(
+        array(
+          struct(lit(1).as("pos"), md5(col("id").cast("string").cast("binary")).as("h")),
+          struct(lit(0).as("pos"), md5((col("id") + 1).cast("string").cast("binary")).as("h")))
+          .as("ph"))
+      .select(winnowFp(col("ph"), 2).as("fp"))
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("graft_winnow") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("native ShingleK matches the interpreted formulation") {
+    import graft.functions.TextFunctions._
+    val d = Tables(spark, sf).documents
+    val both = d.select(
+      shingles(ws(col("text")), 3).as("nat"),
+      shinglesInterpreted(ws(col("text")), 3).as("interp"),
+      shingleSet(col("text"), 3).as("nat_set"),
+      array_distinct(shinglesInterpreted(ws(col("text")), 3)).as("interp_set"))
+    assert(both.filter(col("nat") =!= col("interp")).count() === 0)
+    assert(both.filter(col("nat_set") =!= col("interp_set")).count() === 0)
+    // short-doc edge: fewer than k words -> empty array, not null
+    import spark.implicits._
+    val short = Seq("one two", "a").toDF("text").select(shingles(ws(col("text")), 3).as("s"))
+    assert(short.collect().forall(_.getSeq[String](0).isEmpty))
+    // codegen-resident in a plain projection
+    val plan = d
+      .select(shingles(ws(col("text")), 3).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("graft_shingle") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("WinnowFingerprint short arrays and empty results") {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    // 3 hashes with w=4 -> no full window -> empty fingerprint
+    val df = Seq((1L, Seq((1, "b"), (0, "a"), (2, "c"))))
+      .toDF("id", "ph")
+      .select(col("id"), winnowFp(col("ph"), 4).as("fp"))
+    assert(df.collect().head.getSeq[String](1) === Seq.empty)
+    // exactly one window -> its min, position order applied
+    val one = Seq((1L, Seq((3, "a"), (0, "d"), (1, "c"), (2, "b"))))
+      .toDF("id", "ph")
+      .select(winnowFp(col("ph"), 4).as("fp"))
+    assert(one.collect().head.getSeq[String](0) === Seq("a"))
+  }
+
   test("SQL surface: graft_dotq / graft_id_to_u32 registered functions") {
     GraftExtensions.register(spark)
     val r = spark

@@ -39,6 +39,25 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH bucket cap bounds a degenerate boilerplate bucket") {
+    import spark.implicits._
+    // 300 identical boilerplate docs — one degenerate bucket per band,
+    // width 300 >> cap: without the cap the band self-join alone is
+    // ~16*300²/2 = 720k candidate rows. Plus one genuine near-dup pair
+    // of distinct long docs (bucket width 2, survives the cap).
+    val boiler = (0 until 300).map(i =>
+      (10000L + i, "en", "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val words = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = Seq((1L, "en", words), (2L, "en", words + " extra"))
+    val docs = (boiler ++ nearDup).toDF("doc_id", "lang", "text")
+    val pairs = graft.dedup.DedupCatalog
+      .minhashPairsFrom(docs.select($"doc_id", $"lang", graft.functions.TextFunctions.shingleSet($"text").as("sh")))
+      .collect()
+    // the degenerate clique is dropped (its 300² pairs never material-
+    // ize); the genuine near-dup pair is still found via its own bucket
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
   test("two-phase salted aggregation equals direct aggregation") {
     val e = Tables(spark, sf).events
     // skewed key -> salt to 8 subkeys, partial-agg, then final agg

@@ -63,7 +63,37 @@ class WikidataSpec extends AnyFunSuite {
     val inf = t.filter(col("time_str") === "infinity")
     assert(inf.count() > 0)
     assert(inf.filter(col("time").isNotNull).count() === 0)
-    assert(t.filter(col("time_str") =!= "infinity" && col("time").isNull).count() === 0)
+    // every non-infinity, non-BC row parses to a real timestamp
+    assert(
+      t.filter(
+        col("time_str") =!= "infinity" && !col("time_str").startsWith("-") &&
+          col("time").isNull)
+        .count() === 0)
+  }
+
+  test("zero month/day normalizes to Jan 1; BC years keep canonical time_str") {
+    val t = WikidataShredder.time(claims)
+    // n%5=0 (not %7): +Y-00-00 -> Y-01-01, timestamp present
+    val zeroed = t.filter(col("time_str").endsWith("-01-01 00:00:00"))
+    assert(zeroed.count() === 4) // n = 5, 10, 15, 20
+    assert(zeroed.filter(col("time").isNull).count() === 0)
+    // n%3=0 (not %5/%7): negative year rendered, timestamp null
+    val bc = t.filter(col("time_str").startsWith("-"))
+    assert(bc.count() === 6) // n = 3, 6, 9, 12, 18, 24
+    assert(bc.filter(col("time").isNotNull).count() === 0)
+    assert(bc.filter(col("time_str") === "-0503-03-11 00:00:00").count() === 1)
+  }
+
+  test("multilingual text: en entry -> string, no-en -> edge self-loop (value.rs:394-401)") {
+    val s = WikidataShredder.string(claims)
+    val p11 = IdCodec.PidOffset + 11
+    val p12 = IdCodec.PidOffset + 12
+    assert(s.filter(col("property_id") === p11).select("string").collect().map(_.getString(0)).toSeq === Seq("multi"))
+    assert(s.filter(col("property_id") === p12).count() === 0)
+    val e = WikidataShredder.edge(claims)
+    val loop = e.filter(col("property_id") === p12).collect()
+    assert(loop.length === 1)
+    assert(loop.head.getLong(0) === loop.head.getLong(2)) // self-loop
   }
 
   test("dimensionless unit '1' -> null unit_id (value.rs:403-413)") {
