@@ -71,27 +71,15 @@ object AnnCatalog extends QueryModule {
     Q(
       "ann_lsh",
       (s, dir) => {
-        // 8-bit signature: bit j = sign(v . h_j), h_j[i] = +-1 derived
-        // from xxhash64(j*64+i) — deterministic pseudo-random planes.
+        // 6-bit random-hyperplane signature over the quantized vector —
+        // md5-derived CONSTANT planes (VectorFunctions.hyperBucket), so
+        // the identical bucket is computable in DuckDB and the query
+        // has a full SQL oracle. 64 buckets sizes the cells to the
+        // corpus (a production corpus raises bits to keep cell width
+        // bounded). Multiprobe: the query's own bucket plus all
+        // hamming-1 neighbors — 7 equality probes per query.
         val c = corpus(s, dir)
-        def bucket(v: org.apache.spark.sql.Column) =
-          aggregate(
-            transform(
-              sequence(lit(0), lit(7)),
-              j =>
-                when(
-                  aggregate(
-                    sequence(lit(0), lit(63)),
-                    lit(0.0),
-                    (acc, i) =>
-                      acc + element_at(v, i + 1).cast("double") *
-                        when(pmod(xxhash64(j * 64 + i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))) >= 0,
-                  lit(1L)).otherwise(lit(0L))),
-            lit(0L),
-            (acc, b) => acc * 2 + b)
-        val sig = c.withColumn("bucket", bucket(col("embedding")))
-        // multiprobe: the query's own bucket plus all hamming-1 neighbors
-        // (flip each of the 8 signature bits) — 9 probes per query
+        val sig = c.withColumn("bucket", hyperBucket(col("qv"), bits = 6))
         val q = sig
           .filter(col("vec_id") < 10)
           .select(
@@ -99,11 +87,9 @@ object AnnCatalog extends QueryModule {
             col("qv").as("qe"),
             col("nsq").as("qn"),
             explode(
-              transform(
-                sequence(lit(-1), lit(7)),
-                j =>
-                  when(j < 0, col("bucket"))
-                    .otherwise(col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), j)))))
+              array(
+                col("bucket") +:
+                  (0 until 6).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
               .as("bucket"))
         val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
         sig
@@ -115,42 +101,57 @@ object AnnCatalog extends QueryModule {
           .select("q_id", "rank", "vec_id", "cosine")
           .orderBy("q_id", "rank")
       },
-      None // rows-only: approximate candidate set; recall measured in AnnSpec
+      Some(s"""WITH n AS (SELECT vec_id,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq,
+             |      ${hyperBucketSql("qv", bits = 6)} AS bucket FROM n),
+             |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn, pb FROM m,
+             |      UNNEST([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8),
+             |              xor(bucket,16), xor(bucket,32)]) AS t(pb)
+             |      WHERE vec_id < 10),
+             |scored AS (SELECT q.q_id, m.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM q JOIN m ON q.pb = m.bucket WHERE m.vec_id <> q.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     ),
     Q(
       "ann_ivf",
       (s, dir) => {
         val c = corpus(s, dir)
-        // k-means-lite centroids: one-pass per-label dimension means.
+        // k-means-lite centroids in EXACT integer space: per-label
+        // element sums (BIGINT) + counts. Scores divide the exact
+        // integer dot by the count — one IEEE division, bit-identical
+        // in DuckDB, so cell assignment (and therefore the whole query)
+        // is oracle-checkable.
         val cents = c
-          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), posexplode(col("qv")))
           .groupBy("label", "pos")
-          .agg(avg(col("col").cast("double")).as("m"))
+          .agg(sum(col("col")).as("sv"))
           .groupBy("label")
           .agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("m")))), x => x.getField("m"))
-              .as("centroid"))
-          .select(col("label").as("cell"), col("centroid"))
-        // assign every vector to its nearest centroid (cosine-equivalent
-        // for unit vectors: max dot)
+            transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
+              .as("csum"))
+          .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
+          .select(col("label").as("cell"), col("csum"), col("cnt"))
+        // assign every vector to its nearest centroid (max mean dot)
         val wAssign = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
         val assigned = c
           .join(broadcast(cents))
-          .withColumn("score", dot(col("embedding"), col("centroid")))
+          .withColumn("score", dotQ(col("qv"), col("csum")).cast("double") / col("cnt"))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
-          .select("vec_id", "embedding", "qv", "nsq", "cell")
+          .select("vec_id", "qv", "nsq", "cell")
         val q = assigned.filter(col("vec_id") < 10)
         // probe the 2 nearest cells per query
         val wProbe = Window.partitionBy("q_id").orderBy(col("score").desc, col("cell"))
         val probes = q
-          .select(
-            col("vec_id").as("q_id"),
-            col("embedding").as("pe"),
-            col("qv").as("qe"),
-            col("nsq").as("qn"))
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
           .join(broadcast(cents))
-          .withColumn("score", dot(col("pe"), col("centroid")))
+          .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 2)
           .select("q_id", "qe", "qn", "cell")
@@ -164,7 +165,31 @@ object AnnCatalog extends QueryModule {
           .select("q_id", "rank", "vec_id", "cosine")
           .orderBy("q_id", "rank")
       },
-      None // rows-only: approximate; recall measured in AnnSpec
+      Some(s"""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
+             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+             |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
+             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+             |       FROM m CROSS JOIN cc),
+             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+             |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
+             |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
+             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+             |       FROM sc WHERE sc.vec_id < 10),
+             |probes AS (SELECT q_id, qe, qn, cell FROM qp WHERE rn <= 2),
+             |scored AS (SELECT p.q_id, s.vec_id,
+             |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
+             |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
+             |   FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     )
   )
 }

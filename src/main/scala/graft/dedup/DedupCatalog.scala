@@ -297,45 +297,46 @@ object DedupCatalog extends QueryModule {
     Q(
       "dedup_simhash",
       (s, dir) => {
-        // 64-bit SimHash over xxhash64(word); near-dup pairs at hamming
-        // <= 3 found via the 4x16-bit pigeonhole chunk join. rows-only
-        // (no 64-bit portable hash exists across Spark and DuckDB).
+        // 64-bit SimHash from md5-derived word bits (two 60-bit halves
+        // h1/h2, like MinHash) — portable, so the query has a full SQL
+        // oracle. Signature kept as FOUR 16-bit chunks (c0..c3): the
+        // pigeonhole candidate join (a hamming<=3 pair shares at least
+        // one exact chunk) works on chunk equality, and 16-bit values
+        // never touch BIGINT sign/overflow in either engine. Per-word
+        // hashing is ONE md5, bit-sums are 64 map-side sum() aggregates
+        // (the CollapseProject-proof explode shape, like MinHash).
         val d = Fan.out(Tables(s, dir).documents.select("doc_id", "lang", "text"))
         val copies = d
           .filter(pmod(col("doc_id"), lit(50)) === 0)
           .select((col("doc_id") + 300000).as("doc_id"), col("lang"), col("text"))
-        val sig = d
+        val tok = d
           .union(copies)
-          .withColumn("wset", array_distinct(ws(col("text"))))
-          .withColumn(
-            "bitsums",
-            aggregate(
-              transform(
-                col("wset"),
-                w =>
-                  transform(
-                    sequence(lit(0), lit(63)),
-                    j => call_function("shiftright", xxhash64(w), j).bitwiseAND(1) * 2 - 1)),
-              transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-              (acc, v) => zip_with(acc, v, (x, y) => x + y)))
-          .withColumn(
-            "simhash",
-            aggregate(
-              zip_with(
-                col("bitsums"),
-                sequence(lit(0), lit(63)),
-                (s0, j) => when(s0 > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-              lit(0L),
-              (acc, x) => acc.bitwiseOR(x)))
-          .select("doc_id", "lang", "simhash")
+          .select(col("doc_id"), col("lang"), explode(array_distinct(ws(col("text")))).as("g"))
+          .withColumn("hx", md5(col("g").cast("binary")))
+          .withColumn("h1", conv(substring(col("hx"), 1, 15), 16, 10).cast("long"))
+          .withColumn("h2", conv(substring(col("hx"), 17, 15), 16, 10).cast("long"))
+        val sumAggs = (0 until 64).map { j =>
+          val h = if (j < 60) shiftright(col("h1"), j) else shiftright(col("h2"), j - 60)
+          sum(h.bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
+        }
+        val sig = tok
+          .groupBy("doc_id", "lang")
+          .agg(sumAggs.head, sumAggs.tail: _*)
+          .select(
+            Seq(col("doc_id"), col("lang")) ++ (0 until 4).map { c =>
+              (0 until 16)
+                .map(k => when(col(s"s${c * 16 + k}") > 0, lit((1L << k))).otherwise(lit(0L)))
+                .reduce(_ + _)
+                .as(s"c$c")
+            }: _*)
         val chunks = sig.select(
           col("doc_id"),
           col("lang"),
-          col("simhash"),
-          posexplode(
-            transform(
-              sequence(lit(0), lit(3)),
-              c => call_function("shiftright", col("simhash"), c * 16).bitwiseAND(0xFFFF))))
+          col("c0"),
+          col("c1"),
+          col("c2"),
+          col("c3"),
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
         val pairs = chunks
           .as("a")
           .join(
@@ -345,11 +346,36 @@ object DedupCatalog extends QueryModule {
           .select(
             col("a.doc_id").as("id_a"),
             col("b.doc_id").as("id_b"),
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+            (bit_count(col("a.c0").bitwiseXOR(col("b.c0"))) +
+              bit_count(col("a.c1").bitwiseXOR(col("b.c1"))) +
+              bit_count(col("a.c2").bitwiseXOR(col("b.c2"))) +
+              bit_count(col("a.c3").bitwiseXOR(col("b.c3")))).as("hamming"))
           .distinct()
         pairs.filter(col("hamming") <= 3).orderBy("id_a", "id_b")
       },
-      None // rows-only: no portable 64-bit hash across engines
+      Some("""WITH d AS (SELECT doc_id, lang, text FROM documents
+             |           UNION ALL SELECT doc_id+300000, lang, text FROM documents WHERE doc_id%50=0),
+             |w AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS ws FROM d),
+             |tok AS (SELECT doc_id, lang, g FROM w, UNNEST(ws) AS t(g)),
+             |h AS (SELECT doc_id, lang,
+             |      ('0x'||substr(md5(g),1,15))::BIGINT AS h1,
+             |      ('0x'||substr(md5(g),17,15))::BIGINT AS h2 FROM tok),
+             |bits AS (SELECT doc_id, lang, j,
+             |      SUM(((CASE WHEN j < 60 THEN h1 >> j ELSE h2 >> (j-60) END) & 1) * 2 - 1) AS s
+             |      FROM h, UNNEST(range(64)) AS t(j) GROUP BY 1, 2, 3),
+             |ch AS (SELECT doc_id, lang, j // 16 AS c,
+             |      SUM(CASE WHEN s > 0 THEN (1::BIGINT << (j % 16)) ELSE 0 END)::BIGINT AS chunk
+             |      FROM bits GROUP BY 1, 2, 3),
+             |sig AS (SELECT doc_id, lang,
+             |      MAX(CASE WHEN c=0 THEN chunk END) AS c0, MAX(CASE WHEN c=1 THEN chunk END) AS c1,
+             |      MAX(CASE WHEN c=2 THEN chunk END) AS c2, MAX(CASE WHEN c=3 THEN chunk END) AS c3
+             |      FROM ch GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |      bit_count(xor(a.c0,b.c0)) + bit_count(xor(a.c1,b.c1)) +
+             |      bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)) AS hamming
+             |      FROM sig a JOIN sig b ON a.lang=b.lang AND a.doc_id<b.doc_id
+             |        AND (a.c0=b.c0 OR a.c1=b.c1 OR a.c2=b.c2 OR a.c3=b.c3))
+             |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)
     ),
     Q(
       "dedup_embedding",
