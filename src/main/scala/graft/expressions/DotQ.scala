@@ -13,8 +13,8 @@ import org.apache.spark.sql.types._
   * dedup_embedding / ann_* stay inside a single generated function
   * instead of boxing through HigherOrderFunction lambdas per element.
   *
-  * Semantics identical to dotQ (same oracle mirror). Arrays are assumed
-  * element-non-null (they come from quantize() over non-null floats);
+  * Semantics identical to dotQ (same oracle mirror). A null element in
+  * either array nulls the result (matching the interpreted fold);
   * length mismatch truncates to the shorter side.
   */
 case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
@@ -32,15 +32,25 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dotq"
 
+  /** A null ELEMENT nulls the whole dot (matching the interpreted
+    * zip_with/aggregate mirror, where null * y -> null poisons the
+    * fold) — graft_dotq is a registered SQL function, so misuse with
+    * null-bearing arrays must not silently sum to a wrong value. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -56,6 +66,7 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |long $s = 0L;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $s += $a.getLong($i) * $b.getLong($i);
            |}
            |${ev.value} = $s;

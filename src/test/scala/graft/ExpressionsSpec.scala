@@ -117,6 +117,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(5))
   }
 
+  test("DotQ nulls the result on null elements (interpreted parity)") {
+    GraftExtensions.register(spark)
+    val r = spark
+      .sql("""SELECT graft_dotq(array(1L, NULL, 3L), array(4L, 5L, 6L)) AS withnull,
+             |graft_dotq(array(1L, 2L), array(4L, NULL)) AS rightnull,
+             |graft_dotq(array(1L, 2L), array(4L, 5L)) AS clean""".stripMargin)
+      .collect()
+      .head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) === 14L)
+    // interpreted mirror agrees
+    import spark.implicits._
+    val interp = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dotQInterpreted(col("a"), col("b")).as("d"))
+      .collect()
+      .head
+    assert(interp.isNullAt(0))
+  }
+
   test("DotQ rejects wrong input types") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

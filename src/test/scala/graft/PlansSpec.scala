@@ -50,6 +50,13 @@ class PlansSpec extends AnyFunSuite {
       assert(plan.contains("TopKPerGroup"), plan)
       assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["), plan)
       assert(!plan.toLowerCase.contains("sortexec"), plan)
+      // opt-out switch: disabling the conf keeps Spark's window plan
+      spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "false")
+      try {
+        val off = topk.queryExecution.executedPlan.toString
+        assert(!off.contains("TopKPerGroup"), off)
+        assert(off.contains("Window"), off)
+      } finally spark.conf.unset(graft.plans.TopKRewriteRule.EnabledKey)
       // keeping rn blocks the rewrite (conservative)
       val keepRn = orders
         .withColumn("rn", row_number().over(w))
