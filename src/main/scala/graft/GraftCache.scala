@@ -1,0 +1,31 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+
+/** Session-scoped registry for graft-owned persisted plans.
+  *
+  * Operators persist small intermediates (near-dup pair sets, shingle
+  * relations) so multiple consumers inside one query share a single
+  * computation. In a long-lived session those cached blocks would
+  * otherwise accumulate: the harnesses (Verify / Bench) call [[clear]]
+  * between queries, and library users embedding the catalogs can do the
+  * same at their own batch boundaries.
+  */
+object GraftCache {
+
+  private val registered = ArrayBuffer.empty[Dataset[_]]
+
+  /** Register an already-persisted dataset for later cleanup. */
+  def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    registered += ds
+    ds
+  }
+
+  /** Unpersist every registered dataset (non-blocking) and forget them. */
+  def clear(): Unit = synchronized {
+    registered.foreach(_.unpersist(blocking = false))
+    registered.clear()
+  }
+}

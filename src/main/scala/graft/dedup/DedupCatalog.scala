@@ -1,6 +1,8 @@
 package graft.dedup
 
-import graft.{Fan, Q, QueryModule, Tables}
+import scala.util.chaining._
+
+import graft.{Fan, GraftCache, Q, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -37,7 +39,7 @@ object DedupCatalog extends QueryModule {
   private val ShingleDfCap = 100
 
   /** Distinct 3-gram shingle sets per doc (blocked by lang). */
-  private def shingleDfFrom(docs: DataFrame): DataFrame =
+  private[graft] def shingleDfFrom(docs: DataFrame): DataFrame =
     Fan
       .out(docs)
       .select(col("doc_id"), col("lang"), shingleSet(col("text")).as("sh"))
@@ -46,11 +48,13 @@ object DedupCatalog extends QueryModule {
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
     shingleDfFrom(Tables(s, dir).documents)
 
-  private val shingleSql =
-    """w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, lang,
-      |       list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
-      |       FROM w WHERE len(ws) >= 3)""".stripMargin
+  private def shingleSqlFrom(src: String): String =
+    s"""w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM $src),
+       |sh AS (SELECT doc_id, lang,
+       |       list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+       |       FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  private val shingleSql = shingleSqlFrom("documents")
 
   /** Verified near-dup pairs (id_a, id_b, jaccard) — the MinHash+LSH
     * pipeline shared by dedup_minhash_lsh and dedup_cluster_assign.
@@ -106,10 +110,18 @@ object DedupCatalog extends QueryModule {
     // on MANY bands (near-dups agree on ~all minhashes), so the pair is
     // still found via a non-degenerate band; the hot-bucket list itself
     // is tiny (≤ n/cap entries), hence the broadcast anti-join.
+    // observe: one row here = one dropped degenerate bucket. The metric
+    // surfaces the recall trade (capped cliques produce NO pairs — exact
+    // dedup is the intended catch for identical-doc floods); harnesses
+    // log it via GraftMetrics.
     val hot = bands
       .groupBy("lang", "band", "bucket")
       .agg(count(lit(1)).as("bw"))
       .filter(col("bw") > MaxBucketWidth)
+      .observe(
+        "graft_lsh_cap",
+        count(lit(1)).as("dropped_hot_buckets"),
+        coalesce(sum(col("bw")), lit(0L)).as("dropped_bucket_rows"))
       .select("lang", "band", "bucket")
     val capped = bands.join(broadcast(hot), Seq("lang", "band", "bucket"), "left_anti")
     val cand = capped
@@ -133,14 +145,23 @@ object DedupCatalog extends QueryModule {
       // pipe_end_to_end) share one computation per session — the cache
       // manager matches the identical logical plan across calls. The
       // pair set is tiny (near-dup pairs only), so this is a metadata
-      // cost, not a memory cost.
+      // cost, not a memory cost. Registered with GraftCache so harnesses
+      // unpersist it between queries (no session-lifetime cache growth).
       .persist()
-  }
+  }.pipe(GraftCache.register)
 
   /** (doc_id, rep_id) cluster assignment from the verified near-dup
     * pairs — two fixed rounds of min-label propagation. */
-  private[graft] def clusterAssign(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+  private[graft] def clusterAssign(s: SparkSession, dir: String): DataFrame =
+    clusterAssignFrom(minhashPairs(s, dir))
+
+  /** Same propagation over an arbitrary corpus (pipe_end_to_end feeds an
+    * augmented documents relation through the identical chain). */
+  private[graft] def clusterAssignOver(docs: DataFrame): DataFrame =
+    clusterAssignFrom(minhashPairsFrom(shingleDfFrom(docs)))
+
+  private[graft] def clusterAssignFrom(pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.select("id_a", "id_b")
     val nodes =
       pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b"))).distinct()
     val edges = pairs
@@ -167,10 +188,11 @@ object DedupCatalog extends QueryModule {
       |r1 AS (SELECT x, MIN(y) AS r FROM edges GROUP BY x),
       |r2 AS (SELECT e.x, MIN(r1.r) AS rep_id FROM edges e JOIN r1 ON r1.x = e.y GROUP BY e.x)""".stripMargin
 
-  /** Oracle mirror of minhashPairs, ending in the out_pairs CTE so
-    * consumers append their own SELECT. */
-  private[graft] val minhashPairsSql: String =
-    s"""WITH $shingleSql,
+  /** Oracle mirror of minhashPairs over an arbitrary source relation,
+    * ending in the out_pairs CTE (no WITH prefix) so consumers prepend
+    * their own CTEs and append their own SELECT. */
+  private[graft] def minhashPairsCtesFrom(src: String): String =
+    s"""${shingleSqlFrom(src)},
        |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
        |hh AS (SELECT doc_id, lang,
        |       ('0x'||substr(md5(g),1,15))::BIGINT % 2147483647 AS h1,
@@ -189,6 +211,9 @@ object DedupCatalog extends QueryModule {
        |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
        |      FROM cand JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b),
        |out_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7)""".stripMargin
+
+  /** Oracle mirror of minhashPairs on the documents table. */
+  private[graft] val minhashPairsSql: String = "WITH " + minhashPairsCtesFrom("documents")
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -257,9 +282,18 @@ object DedupCatalog extends QueryModule {
         // over the full shingle sets of the candidate pairs only.
         // persist: sh feeds 4 plan subtrees (tok, the df counts, and
         // both verification sides) — one row per doc, metadata-sized.
-        val sh = shingleDf(s, dir).persist()
+        // GraftCache-registered: harnesses unpersist between queries.
+        val sh = GraftCache.register(shingleDf(s, dir).persist())
         val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
-        val dfs = tok.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+        // observe: how many shingles the df-cap excluded from candidate
+        // generation (recall trade surfaced as a metric, like the LSH cap)
+        val dfs = tok
+          .groupBy("lang", "g")
+          .agg(count(lit(1)).as("df"))
+          .observe(
+            "graft_ngram_cap",
+            coalesce(sum(when(col("df") > ShingleDfCap, 1L).otherwise(0L)), lit(0L))
+              .as("capped_shingles"))
         // shuffle key (lang, g) matches the candidate join key — one
         // partitioning reused, no extra shuffle class
         val rare = tok.join(dfs.filter(col("df") <= ShingleDfCap), Seq("lang", "g"))

@@ -8,16 +8,24 @@ import org.apache.spark.sql.functions._
 /** The whole curation pipeline as ONE declarative plan — what a
   * training-data team actually ships:
   *
-  *   quality filter -> near-dup cluster removal (keep the canonical
-  *   representative) -> deterministic split assignment -> per-split
-  *   per-language report.
+  *   quality filter -> EXACT dedup (digest keep-list) -> near-dup
+  *   cluster removal (keep the canonical representative) ->
+  *   deterministic split assignment -> per-split per-language report.
   *
-  * Every stage reuses the production operators (quality formula, the
-  * MinHash+LSH cluster assignment, the md5-bucket split) and the whole
-  * chain stays inside Catalyst: the optimizer sees one DAG — quality
-  * filtering prunes before the dedup joins, the anti-join against
-  * non-canonical duplicates is a broadcastable id list, and nothing
-  * leaves the cluster.
+  * Every stage reuses the production operators (quality formula, exact
+  * digest dedup, the MinHash+LSH cluster assignment, the md5-bucket
+  * split) and the whole chain stays inside Catalyst: the optimizer sees
+  * one DAG — quality filtering prunes before the dedup joins, the
+  * anti-join against non-canonical duplicates is a broadcastable id
+  * list, and nothing leaves the cluster.
+  *
+  * Exact dedup is NOT redundant with the near-dup stage: the LSH bucket
+  * cap (DedupCatalog.MaxBucketWidth) intentionally drops degenerate
+  * buckets, so a flood of >cap IDENTICAL documents produces no near-dup
+  * pairs at all — only the digest stage catches it. The query proves
+  * this by injecting a 60-copy clique of one document (doc_ids
+  * 400000..400059): wider than the cap in every band, so it must
+  * survive LSH and die at the digest stage, in both engines.
   */
 object PipelineCatalog extends QueryModule {
 
@@ -37,8 +45,16 @@ object PipelineCatalog extends QueryModule {
     Q(
       "pipe_end_to_end",
       (s, dir) => {
-        val d = Fan.out(Tables(s, dir).documents)
-        val quality = d
+        val docs = Tables(s, dir).documents.select("doc_id", "lang", "text")
+        // 60 identical copies of doc 7 — a boilerplate flood wider than
+        // the LSH bucket cap, so the near-dup stage (by design) proposes
+        // no pairs for it; the exact stage must drop all 60.
+        val clique = docs
+          .filter(col("doc_id") === 7)
+          .crossJoin(s.range(60).select((col("id") + 400000L).as("copy_id")))
+          .select(col("copy_id").as("doc_id"), col("lang"), col("text"))
+        val aug = Fan.out(docs.unionByName(clique))
+        val quality = aug
           .withColumn("nw", size(ws(col("text"))).cast("long"))
           .withColumn("len", length(col("text")).cast("long"))
           .withColumn(
@@ -51,11 +67,20 @@ object PipelineCatalog extends QueryModule {
               lit(60L) * col("alpha") * col("nw") +
               lit(40L) * (col("nw") - col("stop")) * col("len") >=
               lit(160L) * col("len") * col("nw"))
-        // drop non-canonical members of near-dup clusters
-        val dupDrop = DedupCatalog
-          .clusterAssign(s, dir)
+        // exact dedup: keep the min doc_id per digest, drop the rest —
+        // one hash-shuffle on the digest, no pairwise work
+        val digests = aug
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        val exactDrop = digests
+          .join(digests.groupBy("digest").agg(min(col("doc_id")).as("keep_id")), "digest")
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select("doc_id")
+        // near-dup stage: drop non-canonical members of LSH clusters
+        val nearDrop = DedupCatalog
+          .clusterAssignOver(aug)
           .filter(col("rep_id") =!= col("doc_id"))
           .select("doc_id")
+        val dupDrop = exactDrop.union(nearDrop).distinct()
         val kept = quality.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
         kept
           .withColumn(
@@ -71,15 +96,21 @@ object PipelineCatalog extends QueryModule {
           .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
           .orderBy("split", "lang")
       },
-      Some(DedupCatalog.minhashPairsSql + DedupCatalog.clusterAssignSqlTail +
+      Some("WITH aug AS (SELECT doc_id, lang, text FROM documents\n" +
+        "     UNION ALL SELECT 400000+i, lang, text FROM documents, UNNEST(range(60)) AS t(i) WHERE doc_id=7),\n" +
+        DedupCatalog.minhashPairsCtesFrom("aug") + DedupCatalog.clusterAssignSqlTail +
         s""",
-           |dupdrop AS (SELECT x AS doc_id FROM r2 WHERE rep_id <> x),
+           |neardrop AS (SELECT x AS doc_id FROM r2 WHERE rep_id <> x),
+           |exdrop AS (SELECT doc_id FROM
+           |           (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM aug)
+           |           WHERE doc_id <> keep_id),
+           |dupdrop AS (SELECT doc_id FROM exdrop UNION SELECT doc_id FROM neardrop),
            |qm AS (SELECT doc_id, lang,
            |       len(string_split(text,' '))::BIGINT AS nw,
            |       length(text)::BIGINT AS len,
            |       (length(text)-length(regexp_replace(text,'[a-z]','','g')))::BIGINT AS alpha,
            |       len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS stop
-           |       FROM documents),
+           |       FROM aug),
            |kept AS (SELECT doc_id, lang, nw FROM qm
            |         WHERE $qualityGateSql
            |           AND doc_id NOT IN (SELECT doc_id FROM dupdrop)),
@@ -88,7 +119,7 @@ object PipelineCatalog extends QueryModule {
            |       WHEN ('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
            |       ELSE 'test' END AS split
            |  FROM kept)
-           |SELECT split, lang, COUNT(*) AS n_docs, SUM(nw) AS n_tokens
+           |SELECT split, lang, COUNT(*) AS n_docs, SUM(nw)::BIGINT AS n_tokens
            |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin)
     )
   )
