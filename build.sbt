@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// If the local cache happens to carry the DuckDB JDBC driver, put it on
+// the TEST classpath so SinksSpec can exercise a real DuckDB file
+// end-to-end (the reference's actual output artifact). Absent the jar,
+// those tests self-cancel and the Derby substitution still runs.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

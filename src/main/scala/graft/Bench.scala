@@ -17,6 +17,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftMetrics.install(spark)
 
     // JIT/classloading warmup on the tiny sf so per-query numbers
     // reflect the engine, not first-touch costs.
@@ -27,12 +28,19 @@ object Bench {
       val ok =
         try { force(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        finally GraftCache.clear() // timings never borrow a predecessor's cache
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture can truncate the per-query tail; the same line goes
+    // to a file so the full 88-entry map always survives the round.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     spark.stop()
   }
 }

@@ -31,6 +31,7 @@ object GraftSession {
   def local(cpus: Int = 32): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftMetrics.install(spark)
     spark
   }
 }

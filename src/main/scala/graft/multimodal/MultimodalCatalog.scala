@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Blobs are synthesized from the documents table (text bytes as the
   * payload) so results are deterministic and reproducible at every
-  * scale factor. rows-only: DuckDB-portable binary semantics are not
-  * worth pinning; MultimodalSpec asserts shape + determinism.
+  * scale factor. Both queries carry full DuckDB oracles: the Spark side
+  * computes over the BINARY column (byte offsets, byte lengths), the
+  * oracle over VARCHAR — equivalent because the synthetic corpus is
+  * pure ASCII (octet_length == length for every document, asserted in
+  * MultimodalSpec), so char positions ARE byte positions. On a real
+  * binary corpus only the Spark side applies; the oracle exists to pin
+  * the metadata/sampling arithmetic cross-engine.
   */
 object MultimodalCatalog extends QueryModule {
 
@@ -30,9 +35,18 @@ object MultimodalCatalog extends QueryModule {
             // "parsed header" fields — deterministic fake dimensions
             (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
             (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
-            (crc32(col("blob")) % 256).cast("int").as("brightness"))
+            // first checksum byte as the fake luminance statistic —
+            // md5-derived so the oracle computes the identical value
+            conv(substring(md5(col("blob")), 1, 2), 16, 10).cast("int").as("brightness"))
           .orderBy("doc_id"),
-      None
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text))::BIGINT AS blob_len,
+             |  hex(encode(substr(text, 1, 4))) AS magic_hex,
+             |  md5(text) AS checksum,
+             |  ((doc_id % 64) * 16 + 16)::INTEGER AS width,
+             |  ((doc_id % 48) * 16 + 16)::INTEGER AS height,
+             |  ('0x' || substr(md5(text), 1, 2))::INTEGER AS brightness
+             |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
       "mm_framesample",
@@ -56,7 +70,13 @@ object MultimodalCatalog extends QueryModule {
             md5(expr("substring(blob, byte_offset + 1, stride)")).as("frame_md5"))
           .orderBy("doc_id", "frame_idx")
       },
-      None
+      Some("""WITH st AS (SELECT doc_id, text,
+             |            greatest(octet_length(encode(text)) // 4, 1)::BIGINT AS stride
+             |            FROM documents)
+             |SELECT doc_id, i::INTEGER AS frame_idx, (i*stride)::BIGINT AS byte_offset,
+             |       md5(substr(text, (i*stride + 1)::INTEGER, stride::INTEGER)) AS frame_md5
+             |FROM st, UNNEST(range(4)) AS t(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -52,17 +52,30 @@ object GraftJdbcSink {
     val conn = DriverManager.getConnection(url)
     try {
       def exists(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, name, null)
+        val md = conn.getMetaData
+        // getTables treats the name as a LIKE pattern: escape the
+        // metacharacters so nation_x can't match nationYx
+        // (DuckDB's driver returns null here — then the name goes through
+        // unescaped, which merely risks a false-positive skip of the DDL,
+        // and the create-race re-probe below covers the miss)
+        val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+        val pat = esc.fold(name)(e =>
+          name.replace(e, e + e).replace("_", e + "_").replace("%", e + "%"))
+        val rs = md.getTables(null, null, pat, null)
         try rs.next()
         finally rs.close()
       }
-      if (!exists(table.toUpperCase) && !exists(table.toLowerCase) && !exists(table)) {
+      def existsAnyCase: Boolean =
+        exists(table.toUpperCase) || exists(table.toLowerCase) || exists(table)
+      if (!existsAnyCase) {
         val st = conn.createStatement()
         try st.executeUpdate(ddlFor(table, df.schema))
         catch {
-          case e: java.sql.SQLException
-              if e.getMessage != null &&
-                e.getMessage.toLowerCase.contains("exist") => // lost the race: fine
+          // Don't trust message text ('... does not exist' would also
+          // match a substring check): re-probe the catalog — if the
+          // table is there now we merely lost a create race; anything
+          // else is a genuine failure and propagates.
+          case e: java.sql.SQLException if existsAnyCase => ()
         } finally st.close()
       }
     } finally conn.close()

@@ -135,9 +135,18 @@ object WikidataCatalog extends QueryModule {
       (s, dir) =>
         WikidataShredder
           .time(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
-          .select("src_id", "property_id", "dst_id", "time_str", "precision")
+          .select("src_id", "property_id", "dst_id", "time_micros", "time_str", "precision")
           .orderBy("src_id"),
+      // time_micros oracle: DuckDB parses the signed BC rendering
+      // natively ('-0503-03-11 ...'::TIMESTAMP, proleptic Gregorian,
+      // astronomical years) — epoch_us of that must equal the engine's
+      // BIGINT days-from-civil arithmetic, BC rows included.
       Some(s"""SELECT $nIsBig AS src_id, CAST(1000000571 AS BIGINT) AS property_id, $nIsBig AS dst_id,
+             |CASE WHEN n_nationkey%7=0 THEN NULL
+             |     ELSE epoch_us((CASE
+             |       WHEN n_nationkey%5=0 THEN (1950+n_nationkey)||'-01-01 00:00:00'
+             |       WHEN n_nationkey%3=0 THEN '-0'||(500+n_nationkey)||'-03-11 00:00:00'
+             |       ELSE (1950+n_nationkey)||'-03-11 00:00:00' END)::TIMESTAMP) END AS time_micros,
              |CASE WHEN n_nationkey%7=0 THEN 'infinity'
              |     WHEN n_nationkey%5=0 THEN (1950+n_nationkey)||'-01-01 00:00:00'
              |     WHEN n_nationkey%3=0 THEN '-0'||(500+n_nationkey)||'-03-11 00:00:00'

@@ -1,7 +1,8 @@
 package graft.wikidata
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Shredded star schema — the reference's 6 DuckDB tables
   * (/root/reference/wikidata-rs/src/value.rs:146-198), same column names
@@ -186,7 +187,16 @@ object WikidataShredder {
     * normalization the reference's wikidata-crate -> chrono path
     * applies. BC years are outside Spark's timestamp range: `time` is
     * null and `time_str` carries the canonical signed rendering
-    * ('-0500-03-11 00:00:00'), which DuckDB/chrono render losslessly. */
+    * ('-0500-03-11 00:00:00'), which DuckDB/chrono render losslessly.
+    *
+    * `time_micros` closes the typed-filtering gap for BC rows (the
+    * reference keeps any chrono DateTime, value.rs:271-284): proleptic
+    * Gregorian epoch microseconds (astronomical year numbering, the
+    * ISO-8601/chrono/DuckDB convention), computed with the
+    * days-from-civil algorithm in exact BIGINT arithmetic — both engines
+    * produce bit-identical values. Defined for years in
+    * [-290000, 9998] (the DuckDB timestamp envelope; 'infinity' and
+    * deep-time years are null). */
   def time(cl: DataFrame): DataFrame = {
     val parsed = cl
       .filter(col("snaktype") === "value" && col("vtype") === "time")
@@ -198,11 +208,29 @@ object WikidataShredder {
     def ts = to_timestamp_ntz(
       regexp_replace(col("tn"), "^\\+", ""),
       lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    // days-from-civil (proleptic Gregorian): year shifted +400000 so every
+    // intermediate division is on non-negative values (floor == truncate
+    // in any engine); the 1000-era shift is subtracted back in `days`.
+    val timePartRe = "^[+-]?\\d+-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})"
+    def part(g: Int) = regexp_extract(col("tn"), timePartRe, g).cast("long")
+    def idiv(c: Column, n: Long) = floor(c / lit(n)).cast("long")
+    val mo = part(1); val dy = part(2)
+    val yadj = col("yr") - when(mo <= 2, 1L).otherwise(0L) + lit(400000L)
+    val era = idiv(yadj, 400L)
+    val yoe = yadj - era * 400
+    val doy = idiv(lit(153L) * pmod(mo + 9, lit(12L)) + 2, 5L) + dy - 1
+    val doe = yoe * 365 + idiv(yoe, 4L) - idiv(yoe, 100L) + doy
+    val days = era * lit(146097L) + doe - lit(719468L) - lit(146097000L)
+    val micros =
+      days * lit(86400000000L) + (part(3) * 3600 + part(4) * 60 + part(5)) * lit(1000000L)
     parsed.select(keys ++ Seq(
       col("src_id").as("dst_id"),
       when(col("yr") >= 9999 || col("yr") < 0, lit(null).cast("timestamp_ntz"))
         .otherwise(ts)
         .as("time"),
+      when(col("yr") >= 9999 || col("yr") < -290000, lit(null).cast("long"))
+        .otherwise(micros)
+        .as("time_micros"),
       when(col("yr") >= 9999, lit("infinity"))
         .when(
           col("yr") < 0,
@@ -214,9 +242,19 @@ object WikidataShredder {
 
   /** Full shred — single source scan; the claims relation is persisted
     * so the 6 sinks share one parse (the reference's one-pass appender
-    * loop, main.rs:311-326). */
+    * loop, main.rs:311-326).
+    *
+    * Storage level comes from `spark.graft.shred.storageLevel` (default
+    * MEMORY_AND_DISK). At 100 TB the parsed claims relation dwarfs
+    * executor storage memory — set DISK_ONLY there so the cache never
+    * competes with shuffle/execution memory, or NONE to recompute per
+    * sink. Registered with GraftCache for harness cleanup. */
   def shred(entities: DataFrame): Shredded = {
-    val cl = claims(entities).persist()
+    val levelName = entities.sparkSession.conf
+      .get("spark.graft.shred.storageLevel", "MEMORY_AND_DISK")
+    val cl =
+      if (levelName == "NONE") claims(entities)
+      else graft.GraftCache.register(claims(entities).persist(StorageLevel.fromString(levelName)))
     Shredded(vertex(entities), edge(cl), string(cl), quantity(cl), coordinates(cl), time(cl))
   }
 }

@@ -17,6 +17,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("synthetic corpus is pure ASCII — mm oracle byte/char equivalence holds") {
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = Tables(spark, sf).documents
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0L)
+  }
+
   test("stub decoder runs per-partition over typed blobs") {
     implicit val enc = org.apache.spark.sql.Encoders.product[Blob]
     val blobs = spark.createDataset(

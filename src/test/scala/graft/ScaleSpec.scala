@@ -50,12 +50,57 @@ class ScaleSpec extends AnyFunSuite {
     val words = (0 until 40).map(i => s"tok$i").mkString(" ")
     val nearDup = Seq((1L, "en", words), (2L, "en", words + " extra"))
     val docs = (boiler ++ nearDup).toDF("doc_id", "lang", "text")
-    val pairs = graft.dedup.DedupCatalog
-      .minhashPairsFrom(docs.select($"doc_id", $"lang", graft.functions.TextFunctions.shingleSet($"text").as("sh")))
-      .collect()
+    // capture the graft_lsh_cap observed metric the cap emits — the
+    // recall trade must be visible, not silent
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        // suites share the session: only claim the metric row with real
+        // drops (this test is the only source of a non-empty cap drop)
+        qe.observedMetrics.get("graft_lsh_cap")
+          .filter(_.getAs[Long]("dropped_hot_buckets") > 0)
+          .foreach(r => observed = Some(r))
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val pairs =
+      try graft.dedup.DedupCatalog
+        .minhashPairsFrom(docs.select($"doc_id", $"lang", graft.functions.TextFunctions.shingleSet($"text").as("sh")))
+        .collect()
+      finally GraftCache.clear()
     // the degenerate clique is dropped (its 300² pairs never material-
     // ize); the genuine near-dup pair is still found via its own bucket
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // listener delivery is async — poll briefly
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    try spark.listenerManager.unregister(listener)
+    catch { case _: IllegalArgumentException => }
+    val m = observed.getOrElse(fail("graft_lsh_cap metric never observed"))
+    // all 16 bands of the 300-doc clique collide -> 16 dropped buckets,
+    // 300 member rows each
+    assert(m.getAs[Long]("dropped_hot_buckets") === 16L)
+    assert(m.getAs[Long]("dropped_bucket_rows") === 4800L)
+  }
+
+  test("GraftCache.clear unpersists every graft-owned cached plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", (0 until 40).map(i => s"w$i").mkString(" ")),
+      (2L, "en", (0 until 40).map(i => s"w$i").mkString(" ") + " extra"))
+      .toDF("doc_id", "lang", "text")
+    val pairs = graft.dedup.DedupCatalog.minhashPairsFrom(
+      docs.select($"doc_id", $"lang", graft.functions.TextFunctions.shingleSet($"text").as("sh")))
+    pairs.count()
+    assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    GraftCache.clear()
+    assert(pairs.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 
   test("two-phase salted aggregation equals direct aggregation") {

@@ -39,6 +39,31 @@ class SinksSpec extends AnyFunSuite {
     assert(j.orderBy("n_nationkey").collect() === n.orderBy("n_nationkey").collect())
   }
 
+  test("jdbc sink: full shred -> real .duckdb file -> reopen + count (main.rs:274-310)") {
+    // the reference's end artifact is an indexed DuckDB database; with
+    // the DuckDB JDBC driver on the classpath this is the genuine
+    // equivalent: shred all 6 tables, write through JDBC, reopen, count
+    val loadable =
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: Throwable => false }
+    assume(loadable, "DuckDB JDBC driver not on the test classpath")
+    val url = s"jdbc:duckdb:${tmp("graft_duckdb")}/graft.duckdb"
+    val shredded = graft.wikidata.WikidataShredder
+      .shred(graft.wikidata.SyntheticDump.entities(spark, sf))
+    try {
+      shredded.all.foreach { case (name, df) =>
+        GraftJdbcSink.write(df, url, name, batchSize = 50)
+      }
+      val conn = java.sql.DriverManager.getConnection(url)
+      try shredded.all.foreach { case (name, df) =>
+        val st = conn.createStatement()
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $name")
+        try { rs.next(); assert(rs.getLong(1) === df.count(), s"table $name") }
+        finally { rs.close(); st.close() }
+      } finally conn.close()
+    } finally GraftCache.clear()
+  }
+
   test("jdbc sink: DuckDB-shaped DDL + batched write to embedded Derby") {
     val n = Tables(spark, sf).nation
     val url = "jdbc:derby:memory:graftdb;create=true"

@@ -84,6 +84,41 @@ class WikidataSpec extends AnyFunSuite {
     assert(bc.filter(col("time_str") === "-0503-03-11 00:00:00").count() === 1)
   }
 
+  test("time_micros: typed range filtering works on BC rows (value.rs:271-284)") {
+    val t = WikidataShredder.time(claims)
+    // BC rows: typed `time` is null (Spark timestamp floor) but
+    // time_micros carries the exact proleptic epoch — range filters work
+    val bcYear500s = t.filter(
+      col("time_micros") >= -80000000000000000L && col("time_micros") < -62167219200000000L)
+    assert(bcYear500s.count() === 6) // the -05xx rows (n = 3,6,9,12,18,24)
+    assert(bcYear500s.filter(col("time").isNotNull).count() === 0)
+    // spot-pin one value against DuckDB's epoch_us('-0503-03-11 00:00:00')
+    val v = t
+      .filter(col("time_str") === "-0503-03-11 00:00:00")
+      .select("time_micros").collect().head.getLong(0)
+    assert(v === -78034320000000000L) // = duckdb epoch_us('-0503-03-11 00:00:00')
+    // infinity rows have no typed epoch either
+    assert(t.filter(col("time_str") === "infinity" && col("time_micros").isNotNull).count() === 0)
+    // AD rows: time_micros agrees with the typed timestamp it shadows
+    val ad = t.filter(col("time").isNotNull)
+    // session tz is UTC, so ntz -> timestamp is the same instant
+    assert(
+      ad.filter(unix_micros(col("time").cast("timestamp")) =!= col("time_micros"))
+        .count() === 0)
+  }
+
+  test("shred cache honors spark.graft.shred.storageLevel (100 TB knob)") {
+    val entities = graft.wikidata.SyntheticDump.entities(spark, sf)
+    spark.conf.set("spark.graft.shred.storageLevel", "DISK_ONLY")
+    try {
+      val plan = WikidataShredder.shred(entities).edge.queryExecution.optimizedPlan.toString
+      assert(plan.contains("StorageLevel(disk, 1 replicas)"), plan)
+    } finally {
+      spark.conf.unset("spark.graft.shred.storageLevel")
+      GraftCache.clear()
+    }
+  }
+
   test("multilingual text: en entry -> string, no-en -> edge self-loop (value.rs:394-401)") {
     val s = WikidataShredder.string(claims)
     val p11 = IdCodec.PidOffset + 11
