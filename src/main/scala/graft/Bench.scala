@@ -23,7 +23,11 @@ object Bench {
     // reflect the engine, not first-touch costs.
     force(SparkEntry.entry(spark))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional local-iteration filter (driver sets neither)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { force(fn(spark, sfDir)); true }

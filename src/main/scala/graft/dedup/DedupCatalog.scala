@@ -90,8 +90,13 @@ object DedupCatalog extends QueryModule {
         col("doc_id"),
         col("lang"),
         array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
-    val bands = mh
-      .select(
+    // persisted: the shingle-explode + md5 + 64-min-agg chain above is
+    // the expensive subtree, and bands feeds BOTH the hot-bucket list
+    // (broadcast side) and the capped candidate join — without the cache
+    // it would compute twice. 16 small rows per doc, far smaller than
+    // the corpus text; GraftCache-registered for harness cleanup.
+    val bands = GraftCache.register(
+      mh.select(
         col("doc_id"),
         col("lang"),
         posexplode(
@@ -102,8 +107,9 @@ object DedupCatalog extends QueryModule {
                 ",",
                 transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
                 .cast("binary")))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+        .persist())
     // Bucket-width cap: a degenerate bucket (empty docs, boilerplate
     // headers) would make the self-join below O(width²). Buckets wider
     // than MaxBucketWidth are dropped entirely — their members collide
@@ -273,18 +279,27 @@ object DedupCatalog extends QueryModule {
     Q(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        // Set-similarity in two phases (prefix-filter style). Candidate
-        // GENERATION joins only document-frequency-capped shingles —
-        // the tok⋈tok posting-list join is quadratic in the hottest
-        // shingle's df, so boilerplate shingles (df > ShingleDfCap) are
-        // excluded there. A jaccard>=0.7 pair shares many shingles and
-        // is still proposed via its rare ones. VERIFICATION is exact
-        // over the full shingle sets of the candidate pairs only.
+        // Exact set-similarity join with a true PREFIX FILTER (PPJoin
+        // family, Chaudhuri/Xiao et al.): order every document's
+        // shingles by global rarity (df asc, shingle asc — a total
+        // order, identical in both engines) and keep only the first
+        // floor(0.3*n)+1 per doc. Any pair with Jaccard >= 0.7 MUST
+        // share one of these prefix shingles, so candidate generation
+        // over prefixes alone is lossless — and the posting-list join
+        // shrinks ~(1/0.3)² vs joining all tokens. The df cap still
+        // applies on top (a flood of identical docs has identical
+        // prefixes — that quadratic guard stays, same declared recall
+        // trade as the LSH bucket cap). VERIFICATION is exact over the
+        // full shingle sets of the candidate pairs only.
         // persist: sh feeds 4 plan subtrees (tok, the df counts, and
         // both verification sides) — one row per doc, metadata-sized.
         // GraftCache-registered: harnesses unpersist between queries.
         val sh = GraftCache.register(shingleDf(s, dir).persist())
-        val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
+        val tok = sh.select(
+          col("doc_id"),
+          col("lang"),
+          explode(col("sh")).as("g"),
+          size(col("sh")).cast("long").as("n"))
         // observe: how many shingles the df-cap excluded from candidate
         // generation (recall trade surfaced as a metric, like the LSH cap)
         val dfs = tok
@@ -296,11 +311,21 @@ object DedupCatalog extends QueryModule {
               .as("capped_shingles"))
         // shuffle key (lang, g) matches the candidate join key — one
         // partitioning reused, no extra shuffle class
-        val rare = tok.join(dfs.filter(col("df") <= ShingleDfCap), Seq("lang", "g"))
-        val cand = rare
+        val prefix = tok
+          .join(dfs, Seq("lang", "g"))
+          .withColumn(
+            "rn",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("lang", "doc_id")
+                .orderBy(col("df"), col("g"))))
+          // (3n) div 10 == floor(0.3n) exactly, integer-only in both engines
+          .filter(col("rn") <= expr("(3 * n) div 10") + 1 && col("df") <= ShingleDfCap)
+          .select("doc_id", "lang", "g")
+        val cand = prefix
           .as("a")
           .join(
-            rare.as("b"),
+            prefix.as("b"),
             col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -317,11 +342,15 @@ object DedupCatalog extends QueryModule {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $shingleSql,
-             |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
-             |dfs AS (SELECT lang, g FROM tok GROUP BY 1, 2 HAVING COUNT(*) <= $ShingleDfCap),
-             |rare AS (SELECT tok.doc_id, tok.lang, tok.g FROM tok SEMI JOIN dfs USING (lang, g)),
+             |tok AS (SELECT doc_id, lang, g, len(s)::BIGINT AS n FROM sh, UNNEST(s) AS t(g)),
+             |dfs AS (SELECT lang, g, COUNT(*) AS df FROM tok GROUP BY 1, 2),
+             |ranked AS (SELECT tok.doc_id, tok.lang, tok.g, tok.n, dfs.df,
+             |           row_number() OVER (PARTITION BY tok.lang, tok.doc_id ORDER BY dfs.df, tok.g) AS rn
+             |           FROM tok JOIN dfs USING (lang, g)),
+             |prefix AS (SELECT doc_id, lang, g FROM ranked
+             |           WHERE rn <= (3 * n) // 10 + 1 AND df <= $ShingleDfCap),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |         FROM rare a JOIN rare b
+             |         FROM prefix a JOIN prefix b
              |         ON a.lang=b.lang AND a.g=b.g AND a.doc_id<b.doc_id),
              |j AS (SELECT id_a, id_b,
              |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard

@@ -68,11 +68,13 @@ object PipelineCatalog extends QueryModule {
               lit(40L) * (col("nw") - col("stop")) * col("len") >=
               lit(160L) * col("len") * col("nw"))
         // exact dedup: keep the min doc_id per digest, drop the rest —
-        // one hash-shuffle on the digest, no pairwise work
-        val digests = aug
+        // ONE hash-shuffle on the digest (window min), no pairwise work
+        val exactDrop = aug
           .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
-        val exactDrop = digests
-          .join(digests.groupBy("digest").agg(min(col("doc_id")).as("keep_id")), "digest")
+          .withColumn(
+            "keep_id",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
           .filter(col("doc_id") =!= col("keep_id"))
           .select("doc_id")
         // near-dup stage: drop non-canonical members of LSH clusters
@@ -80,8 +82,13 @@ object PipelineCatalog extends QueryModule {
           .clusterAssignOver(aug)
           .filter(col("rep_id") =!= col("doc_id"))
           .select("doc_id")
-        val dupDrop = exactDrop.union(nearDrop).distinct()
-        val kept = quality.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
+        // exact duplicates can be a large corpus fraction at 100 TB —
+        // that anti-join must stay a shuffle join (AQE may still choose
+        // broadcast from runtime stats). Near-dup clusters are rare, so
+        // that id list IS broadcast-worthy.
+        val kept = quality
+          .join(exactDrop, Seq("doc_id"), "left_anti")
+          .join(broadcast(nearDrop), Seq("doc_id"), "left_anti")
         kept
           .withColumn(
             "split",

@@ -213,6 +213,107 @@ object TextCatalog extends QueryModule {
              |mn AS (SELECT doc_id, list_sort(list_distinct([list_min(h[i:i+3]) for i in range(1, len(h)-2)])) AS fp FROM hs)
              |SELECT doc_id, len(fp)::BIGINT AS n_fp, md5(array_to_string(fp, ',')) AS digest
              |FROM mn ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_repetition",
+      // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+      // count of the most frequent word / bigram / trigram plus the
+      // distinct-gram count, per document — exact integers (consumers
+      // derive the fractions, which keeps the cross-engine hash exact).
+      // Per-doc-key shuffles only; scales linearly in corpus size.
+      (s, dir) => {
+        val base = Fan
+          .out(Tables(s, dir).documents)
+          .select(col("doc_id"), ws(col("text")).as("w"))
+        def grams(k: Int) = {
+          val g = if (k == 1) col("w") else shingles(col("w"), k)
+          base
+            .select(col("doc_id"), explode(g).as("g"))
+            .groupBy("doc_id", "g")
+            .agg(count(lit(1)).as("c"))
+            .groupBy("doc_id")
+            .agg(max(col("c")).as(s"top${k}_n"), count(lit(1)).as(s"uniq${k}_n"))
+        }
+        base
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+          .join(grams(1), Seq("doc_id"), "left_outer")
+          .join(grams(2), Seq("doc_id"), "left_outer")
+          .join(grams(3), Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            col("n_words"),
+            coalesce(col("top1_n"), lit(0L)).as("top1_n"),
+            coalesce(col("uniq1_n"), lit(0L)).as("uniq1_n"),
+            coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+            coalesce(col("uniq2_n"), lit(0L)).as("uniq2_n"),
+            coalesce(col("top3_n"), lit(0L)).as("top3_n"),
+            coalesce(col("uniq3_n"), lit(0L)).as("uniq3_n"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |t1 AS (SELECT doc_id, g, COUNT(*) AS c FROM w, UNNEST(ws) AS t(g) GROUP BY 1,2),
+             |a1 AS (SELECT doc_id, MAX(c) AS top1_n, COUNT(*) AS uniq1_n FROM t1 GROUP BY 1),
+             |s2 AS (SELECT doc_id, [array_to_string(ws[i:i+1],' ') for i in range(1, len(ws))] AS s
+             |       FROM w WHERE len(ws) >= 2),
+             |t2 AS (SELECT doc_id, g, COUNT(*) AS c FROM s2, UNNEST(s) AS t(g) GROUP BY 1,2),
+             |a2 AS (SELECT doc_id, MAX(c) AS top2_n, COUNT(*) AS uniq2_n FROM t2 GROUP BY 1),
+             |s3 AS (SELECT doc_id, [array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)] AS s
+             |       FROM w WHERE len(ws) >= 3),
+             |t3 AS (SELECT doc_id, g, COUNT(*) AS c FROM s3, UNNEST(s) AS t(g) GROUP BY 1,2),
+             |a3 AS (SELECT doc_id, MAX(c) AS top3_n, COUNT(*) AS uniq3_n FROM t3 GROUP BY 1)
+             |SELECT w.doc_id, len(ws)::BIGINT AS n_words,
+             |  coalesce(top1_n, 0)::BIGINT AS top1_n, coalesce(uniq1_n, 0)::BIGINT AS uniq1_n,
+             |  coalesce(top2_n, 0)::BIGINT AS top2_n, coalesce(uniq2_n, 0)::BIGINT AS uniq2_n,
+             |  coalesce(top3_n, 0)::BIGINT AS top3_n, coalesce(uniq3_n, 0)::BIGINT AS uniq3_n
+             |FROM w LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_pii_scrub",
+      // PII redaction — the pre-training scrub pass: count and replace
+      // email/phone patterns. The corpus has no organic PII, so the
+      // query injects a deterministic example into every 20th document
+      // (both engines, same expression) to exercise the match paths.
+      // Narrow per-row regex work, no shuffle.
+      (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        Fan
+          .out(Tables(s, dir).documents.select("doc_id", "text"))
+          .withColumn(
+            "t",
+            when(
+              pmod(col("doc_id"), lit(20)) === 0,
+              concat(
+                col("text"),
+                lit(" contact user"),
+                col("doc_id").cast("string"),
+                lit("@example.org or call 555-123-4567")))
+              .otherwise(col("text")))
+          .withColumn(
+            "redacted",
+            regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+            length(col("redacted")).cast("long").as("redacted_len"),
+            md5(col("redacted").cast("binary")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 20 = 0
+             |       THEN text || ' contact user' || doc_id::VARCHAR || '@example.org or call 555-123-4567'
+             |       ELSE text END AS t FROM documents),
+             |r AS (SELECT doc_id, t,
+             |      regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |                     '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted FROM aug)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+             |  len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))::BIGINT AS n_phones,
+             |  length(redacted)::BIGINT AS redacted_len,
+             |  md5(redacted) AS redacted_md5
+             |FROM r ORDER BY doc_id""".stripMargin)
     )
   )
 }
