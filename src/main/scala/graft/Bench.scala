@@ -6,6 +6,13 @@ import org.apache.spark.sql.DataFrame
   * SPARK_GRAFT_SF_DIR. Results are materialized through the noop v2 sink
   * — a bare count() would let Catalyst prune projections and
   * under-measure; noop forces every output column through the plan.
+  *
+  * Each query runs against a cleared cache (GraftCache.clear between
+  * entries): earlier rounds let a query silently reuse a predecessor's
+  * persisted plan through the cache manager, which flattered whichever
+  * query ran second. Timings here are per-query self-contained costs;
+  * queries that legitimately reuse an intermediate persist it
+  * themselves inside their own plan.
   */
 object Bench {
 

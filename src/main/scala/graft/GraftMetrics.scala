@@ -27,7 +27,14 @@ object GraftMetrics {
           val kv = Option(row.schema)
             .map(_.fieldNames.zip(row.toSeq).map { case (k, v) => s"$k=$v" }.mkString(", "))
             .getOrElse(row.toString)
-          log.info(s"$name: $kv")
+          // a nonzero drop count is a recall trade in effect — surface it
+          // even at the default WARN session log level
+          val dropped = row.toSeq.exists {
+            case n: Long => n != 0L
+            case n: Int => n != 0
+            case _ => false
+          }
+          if (dropped) log.warn(s"$name: $kv") else log.info(s"$name: $kv")
         case _ =>
       }
     override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit = ()

@@ -74,7 +74,11 @@ object DedupCatalog extends QueryModule {
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(shingleDf(s, dir))
 
-  private[graft] def minhashPairsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def minhashPairsFrom(shRaw: DataFrame): DataFrame = {
+    // persisted: consumed by the minhash explode AND both verification
+    // joins — without the cache the whole upstream corpus plan is
+    // recomputed per consumer (and the plan tree triples in size)
+    val sh = GraftCache.register(shRaw.persist())
     val M = 2147483647L
     val tok = sh
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))

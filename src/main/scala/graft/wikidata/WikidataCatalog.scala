@@ -222,7 +222,8 @@ object WikidataCatalog extends QueryModule {
       // against the DuckDB file; only dst ids with a vertex row match
       // (here: the novalue/somevalue self-loops).
       (s, dir) => {
-        val ents = SyntheticDump.entities(s, dir)
+        // one dump synthesis shared by the edge and vertex parses
+        val ents = graft.GraftCache.register(SyntheticDump.entities(s, dir).persist())
         val edge = WikidataShredder.edge(WikidataShredder.claims(ents))
         val vertex = WikidataShredder.vertex(ents)
         edge
@@ -242,8 +243,12 @@ object WikidataCatalog extends QueryModule {
       // 2-hop traversal: edge a JOIN edge b ON a.dst_id = b.src_id,
       // path counts per (property, property) pair.
       (s, dir) => {
-        val edge = WikidataShredder.edge(
-          WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+        // persisted: both sides of the self-join would otherwise re-run
+        // the dump parse; self-contained instead of relying on another
+        // query's cache being resident (GraftCache-registered)
+        val edge = graft.GraftCache.register(
+          WikidataShredder.edge(
+            WikidataShredder.claims(SyntheticDump.entities(s, dir))).persist())
         edge
           .as("a")
           .join(edge.as("b"), col("a.dst_id") === col("b.src_id"))
@@ -267,7 +272,7 @@ object WikidataCatalog extends QueryModule {
       // Typed-value filter + label resolution: population-style quantity
       // claims above a threshold, joined back to the vertex label.
       (s, dir) => {
-        val ents = SyntheticDump.entities(s, dir)
+        val ents = graft.GraftCache.register(SyntheticDump.entities(s, dir).persist())
         val quantity = WikidataShredder.quantity(WikidataShredder.claims(ents))
         val vertex = WikidataShredder.vertex(ents)
         quantity
