@@ -92,7 +92,49 @@ object StreamingCatalog extends QueryModule {
     s.table(name).orderBy("event_type")
   }
 
+  /** Real flatMapGroupsWithState over the file stream: per-user running
+    * (count, exact micro-unit total) state machine, Update output. The
+    * memory sink collects one update per user per micro-batch; the
+    * FINAL state per user (the row with max n — updates are cumulative)
+    * equals the batch aggregation, independent of how the source split
+    * into micro-batches. */
+  private def stateRunning(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(s, dir).eventsRaw.schema
+    import s.implicits._
+    val src = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(
+        col("user_id"),
+        round(col("value") * 1000000).cast("long").as("v_micros"))
+      .as[StatefulOps.EventM]
+    val updates = StatefulOps.runningMicros(src)
+    val name = s"graft_sstate_${System.nanoTime()}"
+    val query = updates.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(
+        max(col("n")).as("n_events"),
+        max_by(col("total_micros"), col("n")).as("total_micros"))
+      .orderBy("user_id")
+  }
+
   def queries: Seq[Q] = Seq(
+    Q(
+      "stream_state_running",
+      (s, dir) => stateRunning(s, dir),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |SUM(CAST(round(value*1000000) AS BIGINT))::BIGINT AS total_micros
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
     Q(
       "stream_dedup",
       (s, dir) => streamDedup(s, dir),
