@@ -15,7 +15,14 @@ libraryDependencies ++= Seq(
 // those tests self-cancel and the Derby substitution still runs.
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  (cache ** "duckdb_jdbc-*.jar").classpath
+  // exactly one driver jar (newest by name), never -sources/-javadoc —
+  // multiple versions on the classpath would make which driver loads
+  // classpath-order dependent
+  (cache ** "duckdb_jdbc-*.jar").get()
+    .filter(_.getName.matches("duckdb_jdbc-[0-9.]+\\.jar"))
+    .sortBy(_.getName)
+    .takeRight(1)
+    .classpath
 }
 Test / fork := true
 run / fork := true

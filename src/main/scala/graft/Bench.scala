@@ -36,12 +36,16 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try { force(fn(spark, sfDir)); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        finally GraftCache.clear() // timings never borrow a predecessor's cache
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      // dt captured BEFORE the cache teardown in finally — the unpersist
+      // bookkeeping is harness cost, not query cost
+      var dt = -1.0
+      try {
+        force(fn(spark, sfDir))
+        dt = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      } finally GraftCache.clear() // timings never borrow a predecessor's cache
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

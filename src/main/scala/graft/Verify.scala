@@ -39,8 +39,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map (it's static strings — only the dumps
+    // above respect the filter): a filtered re-run into a previously
+    // full outDir must not shrink oracle_sql.json, or a later compare
+    // over that dir silently checks a subset.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -55,15 +55,20 @@ object GraftJdbcSink {
         val md = conn.getMetaData
         // getTables treats the name as a LIKE pattern: escape the
         // metacharacters so nation_x can't match nationYx
-        // (DuckDB's driver returns null here — then the name goes through
-        // unescaped, which merely risks a false-positive skip of the DDL,
-        // and the create-race re-probe below covers the miss)
+        // (DuckDB's driver returns null here — escaping is then
+        // impossible, so the exact-name re-check below carries the load)
         val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
         val pat = esc.fold(name)(e =>
           name.replace(e, e + e).replace("_", e + "_").replace("%", e + "%"))
         val rs = md.getTables(null, null, pat, null)
-        try rs.next()
-        finally rs.close()
+        // getTables treats the name as a LIKE pattern: even escaped,
+        // require an EXACT name match so `a_b` never matches `axb` and
+        // silently skips the reference-shaped DDL
+        try {
+          var hit = false
+          while (!hit && rs.next()) hit = rs.getString("TABLE_NAME") == name
+          hit
+        } finally rs.close()
       }
       def existsAnyCase: Boolean =
         exists(table.toUpperCase) || exists(table.toLowerCase) || exists(table)

@@ -222,9 +222,14 @@ object TextCatalog extends QueryModule {
       // derive the fractions, which keeps the cross-engine hash exact).
       // Per-doc-key shuffles only; scales linearly in corpus size.
       (s, dir) => {
-        val base = Fan
-          .out(Tables(s, dir).documents)
-          .select(col("doc_id"), ws(col("text")).as("w"))
+        // persisted: fans out to 4 aggregation branches (n_words + the
+        // three gram sizes) — without the cache each branch re-scans and
+        // re-tokenizes the corpus
+        val base = graft.GraftCache.register(
+          Fan
+            .out(Tables(s, dir).documents)
+            .select(col("doc_id"), ws(col("text")).as("w"))
+            .persist())
         def grams(k: Int) = {
           val g = if (k == 1) col("w") else shingles(col("w"), k)
           base
