@@ -53,7 +53,7 @@ object Bench {
     println(line)
     // stdout capture can truncate the per-query tail; the same line goes
     // to a file so the full 88-entry map always survives the round.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     spark.stop()
