@@ -54,51 +54,8 @@ object PipelineCatalog extends QueryModule {
           .crossJoin(s.range(60).select((col("id") + 400000L).as("copy_id")))
           .select(col("copy_id").as("doc_id"), col("lang"), col("text"))
         val aug = Fan.out(docs.unionByName(clique))
-        val quality = aug
-          .withColumn("nw", size(ws(col("text"))).cast("long"))
-          .withColumn("len", length(col("text")).cast("long"))
-          .withColumn(
-            "alpha",
-            (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
-              .cast("long"))
-          .withColumn("stop", stopHits(ws(col("text"))).cast("long"))
-          .filter(
-            least(col("nw"), lit(100L)) * col("len") * col("nw") +
-              lit(60L) * col("alpha") * col("nw") +
-              lit(40L) * (col("nw") - col("stop")) * col("len") >=
-              lit(160L) * col("len") * col("nw"))
-        // exact dedup: keep the min doc_id per digest, drop the rest —
-        // ONE hash-shuffle on the digest (window min), no pairwise work
-        val exactDrop = aug
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
-          .withColumn(
-            "keep_id",
-            min(col("doc_id")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
-          .filter(col("doc_id") =!= col("keep_id"))
-          .select("doc_id")
-        // near-dup stage: drop non-canonical members of LSH clusters
-        val nearDrop = DedupCatalog
-          .clusterAssignOver(aug)
-          .filter(col("rep_id") =!= col("doc_id"))
-          .select("doc_id")
-        // exact duplicates can be a large corpus fraction at 100 TB —
-        // that anti-join must stay a shuffle join (AQE may still choose
-        // broadcast from runtime stats). Near-dup clusters are rare, so
-        // that id list IS broadcast-worthy.
-        val kept = quality
-          .join(exactDrop, Seq("doc_id"), "left_anti")
-          .join(broadcast(nearDrop), Seq("doc_id"), "left_anti")
-        kept
-          .withColumn(
-            "split",
-            when(
-              pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-                .cast("long"), lit(100L)) < 80, "train")
-              .when(
-                pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-                  .cast("long"), lit(100L)) < 90, "val")
-              .otherwise("test"))
+        Pipeline
+          .curate(aug)
           .groupBy("split", "lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
           .orderBy("split", "lang")
