@@ -208,21 +208,10 @@ object WikidataShredder {
     def ts = to_timestamp_ntz(
       regexp_replace(col("tn"), "^\\+", ""),
       lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
-    // days-from-civil (proleptic Gregorian): year shifted +400000 so every
-    // intermediate division is on non-negative values (floor == truncate
-    // in any engine); the 1000-era shift is subtracted back in `days`.
     val timePartRe = "^[+-]?\\d+-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})"
     def part(g: Int) = regexp_extract(col("tn"), timePartRe, g).cast("long")
-    def idiv(c: Column, n: Long) = floor(c / lit(n)).cast("long")
-    val mo = part(1); val dy = part(2)
-    val yadj = col("yr") - when(mo <= 2, 1L).otherwise(0L) + lit(400000L)
-    val era = idiv(yadj, 400L)
-    val yoe = yadj - era * 400
-    val doy = idiv(lit(153L) * pmod(mo + 9, lit(12L)) + 2, 5L) + dy - 1
-    val doe = yoe * 365 + idiv(yoe, 4L) - idiv(yoe, 100L) + doy
-    val days = era * lit(146097L) + doe - lit(719468L) - lit(146097000L)
     val micros =
-      days * lit(86400000000L) + (part(3) * 3600 + part(4) * 60 + part(5)) * lit(1000000L)
+      TimeEpoch.micros(col("yr"), part(1), part(2), part(3), part(4), part(5))
     parsed.select(keys ++ Seq(
       col("src_id").as("dst_id"),
       when(col("yr") >= 9999 || col("yr") < 0, lit(null).cast("timestamp_ntz"))
