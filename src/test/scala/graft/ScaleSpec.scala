@@ -103,6 +103,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairs.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("parquet scan pushes filters and prunes columns") {
+    val q = Tables(spark, sf).lineitem
+      .filter(col("l_orderkey") > 1000L)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must reach the scan...
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)"), plan)
+    // ...and the scan must read ONLY the projected columns
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.exists(s => s.split(",").length == 2 && s.contains("l_orderkey") && s.contains("l_quantity")), plan)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathological key carrying ~97% of the left side
+      val left = spark.range(300000).select(
+        when(col("id") % 100 < 97, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS dataframe's AQE plan (count() would plan
+      // a separate aggregate query and leave this one un-finalized)
+      assert(joined.collect().length === 300000)
+      // AQE's FINAL plan (post-execution) must have split the hot partition
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("two-phase salted aggregation equals direct aggregation") {
     val e = Tables(spark, sf).events
     // skewed key -> salt to 8 subkeys, partial-agg, then final agg
