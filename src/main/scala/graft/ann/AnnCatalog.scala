@@ -69,6 +69,34 @@ object AnnCatalog extends QueryModule {
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     ),
     Q(
+      "ann_range_search",
+      // Radius search: ALL corpus vectors with cosine >= 0.35 of each
+      // query — the retrieval-filtering complement of top-k (dedup uses
+      // the same shape over self-pairs). Same broadcast-queries /
+      // streaming-corpus decomposition as ann_bruteforce; the threshold
+      // compares bit-identical doubles (exact integer dot, one IEEE
+      // division) so the cut is stable cross-engine.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val q = queriesDf(c)
+        c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+          .filter(col("cosine") >= 0.35)
+          .select("q_id", "vec_id", "cosine")
+          .orderBy("q_id", "vec_id")
+      },
+      Some("""WITH n AS (SELECT vec_id,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+             |scored AS (SELECT q.q_id, m.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM m CROSS JOIN q WHERE m.vec_id <> q.q_id)
+             |SELECT q_id, vec_id, cosine FROM scored WHERE cosine >= 0.35 ORDER BY q_id, vec_id""".stripMargin)
+    ),
+    Q(
       "ann_lsh",
       (s, dir) => {
         // 6-bit random-hyperplane signature over the quantized vector —
