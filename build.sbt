@@ -13,6 +13,17 @@ libraryDependencies ++= Seq(
 // the TEST classpath so SinksSpec can exercise a real DuckDB file
 // end-to-end (the reference's actual output artifact). Absent the jar,
 // those tests self-cancel and the Derby substitution still runs.
+// same jar on the Runtime classpath so `runMain graft.Main --database
+// out.duckdb` can produce the reference's literal artifact (no
+// compile-time dependency — the sink loads the driver reflectively)
+Runtime / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get()
+    .filter(_.getName.matches("duckdb_jdbc-[0-9.]+\\.jar"))
+    .sortBy(_.getName)
+    .takeRight(1)
+    .classpath
+}
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
   // exactly one driver jar (newest by name), never -sources/-javadoc —

@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   *   - the output is the ShreddedLayout directory tree: partitioned +
   *     sorted parquet = the reference's tables + indices
   *     (value.rs:306-350) as pure layout
+  *   - a `--database` path ending in `.duckdb` instead produces the
+  *     reference's LITERAL artifact: tables written through the JDBC
+  *     sink into a DuckDB file, then `src_id`/`dst_id` indexed exactly
+  *     as the reference does (value.rs:332-348). Requires the DuckDB
+  *     JDBC driver on the classpath; fails with a clear message if
+  *     absent.
   */
 object Main {
 
@@ -33,7 +39,33 @@ object Main {
         tmp.toString
       } else json
     val entities = wikidata.WikidataShredder.parseFile(spark, path)
-    wikidata.ShreddedLayout.write(wikidata.WikidataShredder.shred(entities), database)
+    val shredded = wikidata.WikidataShredder.shred(entities)
+    if (database.endsWith(".duckdb")) writeDuckDb(shredded, database)
+    else wikidata.ShreddedLayout.write(shredded, database)
+  }
+
+  /** The reference's end artifact: an indexed `.duckdb` database. */
+  private def writeDuckDb(shredded: wikidata.Shredded, database: String): Unit = {
+    try Class.forName("org.duckdb.DuckDBDriver")
+    catch {
+      case _: ClassNotFoundException =>
+        sys.error(
+          "DuckDB JDBC driver not on the classpath — point --database at a " +
+            "directory for the parquet layout, or add the driver jar")
+    }
+    val url = s"jdbc:duckdb:$database"
+    shredded.all.foreach { case (name, df) =>
+      sources.GraftJdbcSink.write(df, url, name)
+    }
+    // the reference indexes exactly src_id and dst_id (value.rs:332-348)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try shredded.all.foreach { case (name, df) =>
+      df.schema.fieldNames.filter(c => c == "src_id" || c == "dst_id").foreach { c =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE INDEX IF NOT EXISTS ${name}_${c}_index ON $name ($c)")
+        finally st.close()
+      }
+    } finally conn.close()
   }
 
   def main(args: Array[String]): Unit = {
