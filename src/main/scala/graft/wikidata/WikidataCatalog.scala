@@ -14,6 +14,16 @@ object WikidataCatalog extends QueryModule {
 
   private val nIsBig = "CAST(10+n_nationkey AS BIGINT)"
 
+  /** Shared by wd_quantity (batch shred) and wd_stream_ingest (the same
+    * shred run incrementally) — both must produce this exact relation. */
+  private lazy val quantityOracle =
+    s"""SELECT $nIsBig AS src_id, CAST(1000001082 AS BIGINT) AS property_id, $nIsBig AS dst_id,
+       |CAST(n_nationkey*1000 + 500.25 AS DOUBLE) AS amount,
+       |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(n_nationkey*1000 + 490.25 AS DOUBLE) END AS lower_bound,
+       |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(n_nationkey*1000 + 510.25 AS DOUBLE) END AS upper_bound,
+       |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(4917 AS BIGINT) END AS unit_id
+       |FROM nation ORDER BY src_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q(
       "wd_parse",
@@ -110,12 +120,33 @@ object WikidataCatalog extends QueryModule {
         WikidataShredder
           .quantity(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
           .orderBy("src_id"),
-      Some(s"""SELECT $nIsBig AS src_id, CAST(1000001082 AS BIGINT) AS property_id, $nIsBig AS dst_id,
-             |CAST(n_nationkey*1000 + 500.25 AS DOUBLE) AS amount,
-             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(n_nationkey*1000 + 490.25 AS DOUBLE) END AS lower_bound,
-             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(n_nationkey*1000 + 510.25 AS DOUBLE) END AS upper_bound,
-             |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(4917 AS BIGINT) END AS unit_id
-             |FROM nation ORDER BY src_id""".stripMargin)
+      Some(quantityOracle)
+    ),
+    Q(
+      "wd_stream_ingest",
+      // Continuous dump ingestion: the dump lines arrive as a file
+      // STREAM (written to a temp dir first, then readStream.text +
+      // parseStream + the same shred operators), run to completion with
+      // AvailableNow. The result must equal the batch shred of the same
+      // dump — micro-batch boundaries cannot change a per-line shred.
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dump").toString
+        SyntheticDump.lines(s, dir).write.mode("overwrite").text(tmp)
+        implicit val enc = org.apache.spark.sql.Encoders.STRING
+        val src = s.readStream.text(tmp).as[String]
+        val out = WikidataShredder.quantity(
+          WikidataShredder.claims(WikidataShredder.parseStream(src)))
+        val name = s"graft_wdingest_${System.nanoTime()}"
+        val query = out.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(name).orderBy("src_id")
+      },
+      Some(quantityOracle)
     ),
     Q(
       "wd_coordinates",

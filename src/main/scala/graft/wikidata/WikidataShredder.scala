@@ -81,6 +81,21 @@ object WikidataShredder {
       .filter(col("_corrupt_record").isNull && col("id").isNotNull)
       .drop("_corrupt_record")
 
+  /** Streaming variant of [[parse]]: same sanitation and entity schema
+    * over a STREAMING Dataset of raw dump lines — `from_json` replaces
+    * the batch json reader (which cannot run incrementally). Malformed
+    * lines parse to a null struct -> null id -> skipped, matching the
+    * batch path's PERMISSIVE contract. Continuous dump ingestion is the
+    * 100 TB posture: each micro-batch shreds incrementally instead of
+    * re-reading the accumulated dump. */
+  def parseStream(lines: Dataset[String]): DataFrame =
+    cleanLines(lines)
+      .toDF("line")
+      .select(from_json(col("line"), entity).as("e"))
+      .select("e.*")
+      .filter(col("id").isNotNull)
+      .drop("_corrupt_record")
+
   /** vertex(id, label, description) — English-only (lib.rs:20,
     * main.rs:182-198). */
   def vertex(entities: DataFrame): DataFrame =
