@@ -15,6 +15,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * graft_dotq(a, b)        native codegen dot product (DotQ)
   * graft_id_to_u32(id)     Wikidata id string -> dense u32 (IdCodec)
   * graft_qid_from_uri(u)   entity URI / "1" -> Qid or null
+  * graft_time_micros(y,m,d,h,mi,s)  proleptic epoch micros, BC-capable
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -43,7 +44,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotQ].getName, "graft_dotq"),
       (exprs: Seq[Expression]) => DotQ(exprs(0), exprs(1))),
     fromColumnFn("graft_id_to_u32", 1)(cols => IdCodec.idToU32(cols.head)),
-    fromColumnFn("graft_qid_from_uri", 1)(cols => IdCodec.qidFromUri(cols.head))
+    fromColumnFn("graft_qid_from_uri", 1)(cols => IdCodec.qidFromUri(cols.head)),
+    // proleptic-Gregorian epoch micros from civil parts — BIGINT-exact,
+    // BC-capable where the TIMESTAMP type is not (TimeEpoch)
+    fromColumnFn("graft_time_micros", 6)(cols =>
+      graft.wikidata.TimeEpoch.micros(cols(0), cols(1), cols(2), cols(3), cols(4), cols(5)))
   )
 
   /** Idempotent runtime registration for sessions not built with the

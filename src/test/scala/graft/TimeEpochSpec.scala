@@ -15,6 +15,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeEpochSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("graft_time_micros is callable from SQL and handles BC years") {
+    graft.expressions.GraftExtensions.register(spark)
+    val v = spark
+      .sql("SELECT graft_time_micros(-503L, 3L, 11L, 0L, 0L, 0L) AS m")
+      .collect().head.getLong(0)
+    assert(v === -78034320000000000L)
+  }
+
   test("micros == java.time epoch for 500 random datetimes + edge cases") {
     val rnd = new scala.util.Random(42)
     val edges = Seq(
