@@ -325,13 +325,18 @@ object DedupCatalog extends QueryModule {
                 .orderBy(col("df"), col("g"))))
           // (3n) div 10 == floor(0.3n) exactly, integer-only in both engines
           .filter(col("rn") <= expr("(3 * n) div 10") + 1 && col("df") <= ShingleDfCap)
-          .select("doc_id", "lang", "g")
+          .select("doc_id", "lang", "g", "n")
+        // LENGTH filter (sound): J(A,B) >= 0.7 forces the set sizes
+        // within ratio 0.7 of each other — 7*|A| <= 10*|B| and vice
+        // versa, exact integers. Prunes cross-length candidates before
+        // the expensive distinct+verify.
         val cand = prefix
           .as("a")
           .join(
             prefix.as("b"),
             col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 7 <= col("b.n") * 10 && col("b.n") * 7 <= col("a.n") * 10)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
         cand
@@ -351,11 +356,12 @@ object DedupCatalog extends QueryModule {
              |ranked AS (SELECT tok.doc_id, tok.lang, tok.g, tok.n, dfs.df,
              |           row_number() OVER (PARTITION BY tok.lang, tok.doc_id ORDER BY dfs.df, tok.g) AS rn
              |           FROM tok JOIN dfs USING (lang, g)),
-             |prefix AS (SELECT doc_id, lang, g FROM ranked
+             |prefix AS (SELECT doc_id, lang, g, n FROM ranked
              |           WHERE rn <= (3 * n) // 10 + 1 AND df <= $ShingleDfCap),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |         FROM prefix a JOIN prefix b
-             |         ON a.lang=b.lang AND a.g=b.g AND a.doc_id<b.doc_id),
+             |         ON a.lang=b.lang AND a.g=b.g AND a.doc_id<b.doc_id
+             |            AND a.n*7 <= b.n*10 AND b.n*7 <= a.n*10),
              |j AS (SELECT id_a, id_b,
              |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
              |      FROM cand JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b)
