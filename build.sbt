@@ -13,28 +13,26 @@ libraryDependencies ++= Seq(
 // the TEST classpath so SinksSpec can exercise a real DuckDB file
 // end-to-end (the reference's actual output artifact). Absent the jar,
 // those tests self-cancel and the Derby substitution still runs.
-// same jar on the Runtime classpath so `runMain graft.Main --database
-// out.duckdb` can produce the reference's literal artifact (no
-// compile-time dependency — the sink loads the driver reflectively)
-Runtime / unmanagedJars ++= {
+// If the local cache carries the DuckDB JDBC driver, put exactly ONE
+// jar (newest by numeric version, never -sources/-javadoc) on the Test
+// and Runtime classpaths: SinksSpec/MainSpec exercise a real DuckDB
+// file end-to-end, and `runMain graft.Main --database out.duckdb` can
+// produce the reference's literal artifact (no compile-time dependency
+// — the sink loads the driver reflectively). Absent the jar, those
+// tests self-cancel and the CLI reports a clear error.
+def duckdbDriverJar: Def.Initialize[Task[Seq[Attributed[File]]]] = Def.task {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  def version(f: File): Seq[Int] =
+    "[0-9]+".r.findAllIn(f.getName).toSeq.map(_.toInt)
+  import scala.math.Ordering.Implicits._
   (cache ** "duckdb_jdbc-*.jar").get()
     .filter(_.getName.matches("duckdb_jdbc-[0-9.]+\\.jar"))
-    .sortBy(_.getName)
+    .sortBy(version)
     .takeRight(1)
     .classpath
 }
-Test / unmanagedJars ++= {
-  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  // exactly one driver jar (newest by name), never -sources/-javadoc —
-  // multiple versions on the classpath would make which driver loads
-  // classpath-order dependent
-  (cache ** "duckdb_jdbc-*.jar").get()
-    .filter(_.getName.matches("duckdb_jdbc-[0-9.]+\\.jar"))
-    .sortBy(_.getName)
-    .takeRight(1)
-    .classpath
-}
+Runtime / unmanagedJars ++= duckdbDriverJar.value
+Test / unmanagedJars ++= duckdbDriverJar.value
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

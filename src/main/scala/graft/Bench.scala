@@ -52,8 +52,9 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout capture can truncate the per-query tail; the same line goes
-    // to a file so the full 88-entry map always survives the round.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    // to a file (cwd-relative — the harness runs from the repo root, and
+    // SPARK_GRAFT_BENCH_OUT overrides) so the full map survives.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     spark.stop()

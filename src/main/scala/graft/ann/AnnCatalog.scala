@@ -34,36 +34,41 @@ object AnnCatalog extends QueryModule {
     c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
 
+  /** (q_id, vec_id, cosine) for every query x corpus pair — the shared
+    * base of ann_bruteforce (top-k) and ann_range_search (radius). */
+  private def scoredPairs(c: DataFrame): DataFrame =
+    c.join(broadcast(queriesDf(c)), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+      .select("q_id", "vec_id", "cosine")
+
+  /** Oracle mirror of scoredPairs, ending in the scored CTE. */
+  private val scoredSql =
+    """WITH n AS (SELECT vec_id,
+      |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+      |m AS (SELECT vec_id, qv,
+      |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+      |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+      |scored AS (SELECT q.q_id, m.vec_id,
+      |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+      |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+      |  FROM m CROSS JOIN q WHERE m.vec_id <> q.q_id)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q(
       "ann_bruteforce",
       (s, dir) => {
-        val c = corpus(s, dir)
-        val q = queriesDf(c)
         // top-k per query via the custom bounded-heap operator (no
         // per-group sort); rank derived afterwards over the k-bounded
         // result — the scalable decomposition of "ranked top-k".
-        val scored = c
-          .join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
-          .select("q_id", "vec_id", "cosine")
         val top = graft.plans.GraftOps
-          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+          .topKPerGroup(scoredPairs(corpus(s, dir)), Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
         val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
         top
           .withColumn("rank", row_number().over(w))
           .select("q_id", "rank", "vec_id", "cosine")
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH n AS (SELECT vec_id,
-             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
-             |m AS (SELECT vec_id, qv,
-             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
-             |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
-             |scored AS (SELECT q.q_id, m.vec_id,
-             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
-             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
-             |  FROM m CROSS JOIN q WHERE m.vec_id <> q.q_id),
+      Some(s"""$scoredSql,
              |ranked AS (SELECT q_id, vec_id, cosine,
              |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
@@ -76,24 +81,11 @@ object AnnCatalog extends QueryModule {
       // streaming-corpus decomposition as ann_bruteforce; the threshold
       // compares bit-identical doubles (exact integer dot, one IEEE
       // division) so the cut is stable cross-engine.
-      (s, dir) => {
-        val c = corpus(s, dir)
-        val q = queriesDf(c)
-        c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+      (s, dir) =>
+        scoredPairs(corpus(s, dir))
           .filter(col("cosine") >= 0.35)
-          .select("q_id", "vec_id", "cosine")
-          .orderBy("q_id", "vec_id")
-      },
-      Some("""WITH n AS (SELECT vec_id,
-             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
-             |m AS (SELECT vec_id, qv,
-             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
-             |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
-             |scored AS (SELECT q.q_id, m.vec_id,
-             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
-             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
-             |  FROM m CROSS JOIN q WHERE m.vec_id <> q.q_id)
+          .orderBy("q_id", "vec_id"),
+      Some(s"""$scoredSql
              |SELECT q_id, vec_id, cosine FROM scored WHERE cosine >= 0.35 ORDER BY q_id, vec_id""".stripMargin)
     ),
     Q(

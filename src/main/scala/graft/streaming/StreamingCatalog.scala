@@ -54,7 +54,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    s.table(name).orderBy("window_start", "event_type")
+    MemoryResult.drain(s, name)(_.orderBy("window_start", "event_type"))
   }
 
   /** Streaming dedup: duplicate the stream (self-union) then
@@ -89,7 +89,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    s.table(name).orderBy("event_type")
+    MemoryResult.drain(s, name)(_.orderBy("event_type"))
   }
 
   /** Real flatMapGroupsWithState over the file stream: per-user running
@@ -119,12 +119,12 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    s.table(name)
-      .groupBy("user_id")
-      .agg(
-        max(col("n")).as("n_events"),
-        max_by(col("total_micros"), col("n")).as("total_micros"))
-      .orderBy("user_id")
+    MemoryResult.drain(s, name)(
+      _.groupBy("user_id")
+        .agg(
+          max(col("n")).as("n_events"),
+          max_by(col("total_micros"), col("n")).as("total_micros"))
+        .orderBy("user_id"))
   }
 
   def queries: Seq[Q] = Seq(

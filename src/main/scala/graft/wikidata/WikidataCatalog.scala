@@ -144,7 +144,10 @@ object WikidataCatalog extends QueryModule {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        s.table(name).orderBy("src_id")
+        val drained = graft.streaming.MemoryResult.drain(s, name)(_.orderBy("src_id"))
+        // input temp dir fully consumed into the drained checkpoint
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        drained
       },
       Some(quantityOracle)
     ),

@@ -91,9 +91,18 @@ object WikidataShredder {
   def parseStream(lines: Dataset[String]): DataFrame =
     cleanLines(lines)
       .toDF("line")
-      .select(from_json(col("line"), entity).as("e"))
+      .select(
+        from_json(
+          col("line"),
+          entity,
+          Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("e"))
       .select("e.*")
-      .filter(col("id").isNotNull)
+      // same drop rule as the batch path: a populated corrupt-record
+      // column (partially-malformed entity) skips the WHOLE entity, not
+      // just the broken field — else stream and batch shreds diverge
+      .filter(col("_corrupt_record").isNull && col("id").isNotNull)
       .drop("_corrupt_record")
 
   /** vertex(id, label, description) — English-only (lib.rs:20,
