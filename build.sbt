@@ -9,10 +9,6 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
-// If the local cache happens to carry the DuckDB JDBC driver, put it on
-// the TEST classpath so SinksSpec can exercise a real DuckDB file
-// end-to-end (the reference's actual output artifact). Absent the jar,
-// those tests self-cancel and the Derby substitution still runs.
 // If the local cache carries the DuckDB JDBC driver, put exactly ONE
 // jar (newest by numeric version, never -sources/-javadoc) on the Test
 // and Runtime classpaths: SinksSpec/MainSpec exercise a real DuckDB

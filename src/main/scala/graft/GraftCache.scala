@@ -16,6 +16,7 @@ import org.apache.spark.sql.Dataset
 object GraftCache {
 
   private val registered = ArrayBuffer.empty[Dataset[_]]
+  private val cleanups = ArrayBuffer.empty[() => Unit]
 
   /** Register an already-persisted dataset for later cleanup. */
   def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
@@ -23,9 +24,19 @@ object GraftCache {
     ds
   }
 
-  /** Unpersist every registered dataset (non-blocking) and forget them. */
+  /** Register an arbitrary cleanup thunk for blocks Dataset.unpersist
+    * cannot reach (e.g. localCheckpoint RDD blocks, which live outside
+    * the CacheManager — see MemoryResult). */
+  def registerCleanup(f: () => Unit): Unit = synchronized {
+    cleanups += f
+  }
+
+  /** Unpersist every registered dataset (non-blocking), run every
+    * cleanup thunk, and forget them all. */
   def clear(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))
     registered.clear()
+    cleanups.foreach(f => f())
+    cleanups.clear()
   }
 }

@@ -27,13 +27,15 @@ object GraftMetrics {
           val kv = Option(row.schema)
             .map(_.fieldNames.zip(row.toSeq).map { case (k, v) => s"$k=$v" }.mkString(", "))
             .getOrElse(row.toString)
-          // a nonzero drop count is a recall trade in effect — surface it
-          // even at the default WARN session log level
-          val dropped = row.toSeq.exists {
-            case n: Long => n != 0L
-            case n: Int => n != 0
+          // a nonzero DROP counter is a recall trade in effect — surface
+          // it even at the default WARN session log level. Keyed on the
+          // field-name convention (dropped_*/capped_*) so ordinary
+          // counts (rows processed etc.) in future metrics stay at INFO.
+          val dropped = Option(row.schema).exists(_.fieldNames.zip(row.toSeq).exists {
+            case (k, n: Long) => (k.startsWith("dropped_") || k.startsWith("capped_")) && n != 0L
+            case (k, n: Int) => (k.startsWith("dropped_") || k.startsWith("capped_")) && n != 0
             case _ => false
-          }
+          })
           if (dropped) log.warn(s"$name: $kv") else log.info(s"$name: $kv")
         case _ =>
       }

@@ -111,13 +111,18 @@ object AnnCatalog extends QueryModule {
                 col("bucket") +:
                   (0 until 6).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
               .as("bucket"))
-        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-        sig
+        // top-k through the bounded-heap operator (no per-group sort of
+        // the full candidate set); rank derived over the k-bounded rows
+        // only — same decomposition as ann_bruteforce.
+        val cand = sig
           .join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(cand, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
           .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
           .select("q_id", "rank", "vec_id", "cosine")
           .orderBy("q_id", "rank")
       },
@@ -157,31 +162,40 @@ object AnnCatalog extends QueryModule {
               .as("csum"))
           .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
           .select(col("label").as("cell"), col("csum"), col("cnt"))
-        // assign every vector to its nearest centroid (max mean dot)
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+        // assign every vector to its nearest centroid (max mean dot).
+        // Argmax by AGGREGATION, not a row_number window: min_by keyed
+        // on struct(-score, cell) — same total order as (score DESC,
+        // cell ASC) — gets map-side partial combine, so the shuffle
+        // carries N rows instead of the window's N*k. Ties are broken
+        // inside the key (cell is part of it), so equal-key rows carry
+        // identical payloads and the result is deterministic.
         val assigned = c
           .join(broadcast(cents))
           .withColumn("score", dotQ(col("qv"), col("csum")).cast("double") / col("cnt"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select("vec_id", "qv", "nsq", "cell")
+          .groupBy("vec_id")
+          .agg(min_by(
+            struct(col("qv"), col("nsq"), col("cell")),
+            struct(negate(col("score")), col("cell"))).as("best"))
+          .select(col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"), col("best.cell").as("cell"))
         val q = assigned.filter(col("vec_id") < 10)
-        // probe the 2 nearest cells per query
-        val wProbe = Window.partitionBy("q_id").orderBy(col("score").desc, col("cell"))
-        val probes = q
+        // probe the 2 nearest cells per query — genuine k>1, so the
+        // bounded-heap operator, not a full-sort window
+        val probeScored = q
           .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
           .join(broadcast(cents))
           .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 2)
+        val probes = graft.plans.GraftOps
+          .topKPerGroup(probeScored, Seq(col("q_id")), 2, col("score").desc, col("cell"))
           .select("q_id", "qe", "qn", "cell")
-        val wRank = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-        assigned
+        val scored = assigned
           .join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val wRank = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
           .withColumn("rank", row_number().over(wRank))
-          .filter(col("rank") <= K)
           .select("q_id", "rank", "vec_id", "cosine")
           .orderBy("q_id", "rank")
       },

@@ -7,13 +7,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the temp view, so repeated builder invocations (Verify + Bench + spec
   * runs in one session) don't accumulate per-invocation result tables
   * in the catalog for the session lifetime. The localCheckpoint
-  * materializes the rows independent of the dropped view and is
-  * GraftCache-registered for harness teardown.
+  * materializes the rows independent of the dropped view; its blocks
+  * live OUTSIDE the CacheManager (Dataset.unpersist can't reach them),
+  * so teardown registers the checkpointed RDDs themselves and
+  * GraftCache.clear unpersists those directly.
   */
 object MemoryResult {
 
   def drain(s: SparkSession, name: String)(order: DataFrame => DataFrame): DataFrame = {
-    val mat = GraftCache.register(order(s.table(name)).localCheckpoint(eager = true))
+    val mat = order(s.table(name)).localCheckpoint(eager = true)
+    val rdds = org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(mat)
+    GraftCache.registerCleanup(() => rdds.foreach(_.unpersist(blocking = false)))
     s.catalog.dropTempView(name)
     mat
   }

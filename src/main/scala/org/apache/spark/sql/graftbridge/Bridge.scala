@@ -27,4 +27,10 @@ object Bridge {
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Checkpoint RDDs referenced by a frame's plan (LogicalRDD leaves).
+    * Dataset.unpersist routes through the CacheManager, which never
+    * holds localCheckpoint blocks — freeing them needs the RDD itself. */
+  def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect { case l: execution.LogicalRDD => l.rdd }
 }

@@ -29,6 +29,17 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.1, s"IVF recall collapsed: $recall")
   }
 
+  test("ann_ivf assignment is a partial aggregation, not a window") {
+    // The centroid-assignment argmax must shuffle N rows (min_by with
+    // map-side partial combine), not N*k window input. The only Window
+    // left in the whole query is the rank over the already-k-bounded
+    // top rows.
+    val plan = SparkEntry.queries("ann_ivf")(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"), s"assignment lost partial combine:\n$plan")
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected at most the final rank Window, got $windows:\n$plan")
+  }
+
   test("dedup_simhash finds exact copies at hamming 0") {
     val rows = SparkEntry
       .queries("dedup_simhash")(spark, sf)
