@@ -46,4 +46,40 @@ object GraftMetrics {
   def install(spark: SparkSession): Unit =
     if (installed.put(spark, java.lang.Boolean.TRUE) == null)
       spark.listenerManager.register(listener)
+
+  /** Run `body` (which should execute at least one action whose plan
+    * carries graft_* observe nodes) and return its result together with
+    * the captured metrics: metricName -> (fieldName -> value).
+    *
+    * This is the library-facing REPORT channel — the logging listener
+    * above is the ops channel. QueryExecutionListener dispatch rides the
+    * async listener bus, so after `body` returns we wait (bounded) for
+    * the first metric batch to land; a plan whose observe nodes sit
+    * under an already-materialized cached relation legitimately reports
+    * nothing (the capped computation did not re-run), so callers get an
+    * empty map rather than an error after the timeout.
+    */
+  def collect[T](spark: SparkSession, waitSecs: Int = 10)(body: => T): (T, Map[String, Map[String, Any]]) = {
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
+    val capture = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach {
+          case (name, row) if name.startsWith("graft_") =>
+            val fields = Option(row.schema)
+              .map(_.fieldNames.zip(row.toSeq).toMap)
+              .getOrElse(Map.empty[String, Any])
+            seen.put(name, fields)
+          case _ =>
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(capture)
+    try {
+      val result = body
+      val deadline = System.nanoTime() + waitSecs * 1000L * 1000L * 1000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      (result, seen.asScala.toMap)
+    } finally spark.listenerManager.unregister(capture)
+  }
 }

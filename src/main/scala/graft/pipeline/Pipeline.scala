@@ -76,4 +76,19 @@ object Pipeline {
       qualityFilter(docs)
         .join(exactDropIds(docs), Seq("doc_id"), "left_anti")
         .join(broadcast(nearDupDropIds(docs)), Seq("doc_id"), "left_anti"))
+
+  /** [[curate]] plus the recall-trade report: runs `action` on the
+    * curated frame and returns its result together with every graft_*
+    * observed metric the execution emitted — e.g.
+    * `graft_lsh_cap -> dropped_hot_buckets`, the count of degenerate
+    * LSH buckets whose pairwise work the width cap skipped (their
+    * members are caught by the exact-digest stage instead). A pipeline
+    * user sees what the caps dropped, not just the curated rows.
+    *
+    * Metrics report what THIS execution computed: if the near-dup pair
+    * set was already materialized in the session cache, the capped
+    * stage does not re-run and the report is legitimately empty.
+    */
+  def curateAndReport[T](docs: DataFrame)(action: DataFrame => T): (T, Map[String, Map[String, Any]]) =
+    graft.GraftMetrics.collect(docs.sparkSession)(action(curate(docs)))
 }

@@ -25,7 +25,16 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingCatalog extends QueryModule {
 
   /** Tumbling-window agg as a genuine streaming query, run to completion
-    * with Trigger.AvailableNow and returned from the memory sink. */
+    * with Trigger.AvailableNow and returned from the memory sink.
+    *
+    * The memory-sink/complete-mode combination is the HARNESS's
+    * result-collection seam — the result is a small final aggregate and
+    * the driver needs it as a DataFrame. It is not the deployment
+    * shape: complete mode rewrites the entire result every micro-batch
+    * and a memory sink lives on the driver. The production twin is
+    * [[windowAggAppendToFiles]] — watermarked append mode into a file
+    * sink with a checkpoint (spec-verified round-trip in
+    * StreamingSpec). */
   private def windowAgg(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
@@ -55,6 +64,49 @@ object StreamingCatalog extends QueryModule {
       .start()
     query.awaitTermination()
     MemoryResult.drain(s, name)(_.orderBy("window_start", "event_type"))
+  }
+
+  /** PRODUCTION sink shape of the windowed aggregation: watermarked
+    * APPEND-mode stream into a parquet file sink with a checkpoint.
+    * Append mode emits each window exactly once, when the watermark
+    * (1 hour behind max event time) passes the window end — the sink
+    * accumulates finalized windows only and the aggregation state stays
+    * bounded, which is what a 100 TB deployment needs (complete mode's
+    * rewrite-everything-per-batch does not scale past toy results).
+    *
+    * Windows still open when the data runs out flush via Spark's
+    * no-data micro-batch (fired after the last data batch advances the
+    * watermark); windows the final watermark has NOT passed stay in
+    * state by design — a caller wanting them flushed feeds a later
+    * event to push the watermark (StreamingSpec stages a sentinel). */
+  def windowAggAppendToFiles(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(srcDir).schema
+    val agg = s.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double")
+          .as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+    val query = agg.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
   }
 
   /** Streaming dedup: duplicate the stream (self-union) then

@@ -26,6 +26,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set("train", "val", "test").contains(kept.head.getString(1)))
   }
 
+  test("Pipeline.curateAndReport surfaces the LSH cap's recall trade") {
+    // The 60-copy clique (same shape as pipe_end_to_end's) floods every
+    // band bucket past MaxBucketWidth: the cap must drop those buckets
+    // AND the report must say so — the trade is visible, not silent.
+    val docs = Tables(spark, sf).documents.select("doc_id", "lang", "text")
+    val clique = docs
+      .filter(col("doc_id") === 7)
+      .crossJoin(spark.range(60).select((col("id") + 400000L).as("copy_id")))
+      .select(col("copy_id").as("doc_id"), col("lang"), col("text"))
+    GraftCache.clear() // fresh materialization so the capped stage runs
+    val (nKept, report) =
+      try Pipeline.curateAndReport(docs.unionByName(clique))(_.count())
+      finally GraftCache.clear()
+    assert(nKept > 0)
+    val cap = report.getOrElse("graft_lsh_cap", fail(s"graft_lsh_cap missing from report: $report"))
+    assert(cap("dropped_hot_buckets").asInstanceOf[Long] > 0L, s"clique not capped: $cap")
+    // the clique itself must still die at the exact-digest stage
+    val ids = try Pipeline.curate(docs.unionByName(clique))
+      .filter(col("doc_id") >= 400000L).count()
+    finally GraftCache.clear()
+    assert(ids <= 1L)
+  }
+
   test("Pipeline stages compose: quality gate is exact-integer, split is deterministic") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents.select("doc_id", "lang", "text")

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StatefulOps
 import graft.streaming.StatefulOps.{Event, UserUpdate}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -37,6 +38,47 @@ class StreamingSpec extends AnyFunSuite {
     val last = rows.groupBy(_.user_id).map { case (u, rs) => u -> rs.last }
     assert(last(1L) === UserUpdate(1, 3, 17.0))
     assert(last(2L) === UserUpdate(2, 1, 1.0))
+  }
+
+  test("append-mode windowed agg into a file sink equals the batch aggregation") {
+    // The production shape of stream_window_agg: watermarked append mode
+    // into parquet with a checkpoint. A far-future sentinel event pushes
+    // the watermark past every real window end so the file sink must
+    // hold EXACTLY the batch aggregation (the sentinel's own window
+    // stays in state — never finalized — by design).
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sink").toFile
+    val srcDir = new java.io.File(base, "src").getAbsolutePath
+    val sinkDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+    val raw = Tables(spark, sf).eventsRaw
+    raw.write.mode("overwrite").parquet(srcDir)
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    raw.limit(1)
+      .withColumn("ts", lit(maxNs + 10L * 3600L * 1000000000L))
+      .withColumn("event_type", lit("zz_sentinel"))
+      .coalesce(1)
+      .write.mode("append").parquet(srcDir)
+
+    graft.streaming.StreamingCatalog.windowAggAppendToFiles(spark, srcDir, sinkDir, ckptDir)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val got = spark.read.parquet(sinkDir)
+      .select("window_start", "event_type", "n", "sum_value")
+      .filter(col("event_type") =!= "zz_sentinel")
+      .collect().map(key).toSet
+    val want = Tables(spark, sf).events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect().map(key).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
   }
 
   test("watermarked dedup drops dups and EVICTS state past the horizon") {
