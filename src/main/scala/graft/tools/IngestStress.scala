@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.{GraftCache, GraftSession, SparkEntry}
+import graft.wikidata.{ShreddedLayout, SyntheticDump, WikidataShredder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5 ingestion scale-stress (the dedup/ANN family got the same
+  * treatment in round 3): replicate the sf0.1 orders table 10x with
+  * shifted keys so every synthetic entity id stays distinct, then time
+  * the shred family at 1x vs 10x input, plus the shred-cache storage
+  * levels (MEMORY_AND_DISK / DISK_ONLY / NONE) on the 10x input.
+  *
+  *   sbt "runMain graft.tools.IngestStress"        # both scales
+  *   sbt "runMain graft.tools.IngestStress 10x"    # stress scale only
+  *
+  * Workloads (all on the scale-PROPORTIONAL orders dump — the
+  * nation/region dump is a fixed ~31 entities and only proves
+  * semantics, so it cannot carry a scaling curve):
+  *   - shred_orders:  the wd_shred_orders catalog query (parse + shred
+  *     quantity + global sort).
+  *   - pipeline_all6: full 6-table shred, every table materialized —
+  *     the wd_pipeline shape at dump scale.
+  *   - sink_layout:   pipeline_all6 plus the partitioned/sorted layout
+  *     write — the wd_sink_layout shape at dump scale.
+  */
+object IngestStress {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(label: String)(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"INGEST_STRESS $label%-34s $dt%8.2f s")
+    dt
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = "/root/testdata/sf0.1"
+    val stress = s"$tmp/graft_stress_sf1"
+    val stressOrders = new java.io.File(s"$stress/orders.parquet")
+    if (!stressOrders.exists()) {
+      val o = spark.read.parquet(s"$base/orders.parquet")
+      (0 until 10)
+        .map(i => o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(stressOrders.getAbsolutePath)
+    }
+
+    def pipelineAll6(dir: String): Unit = {
+      val sh = WikidataShredder.shred(SyntheticDump.ordersEntities(spark, dir))
+      sh.all.foreach { case (_, df) => force(df) }
+    }
+
+    def runAll(dir: String, tag: String): Unit = {
+      time(s"shred_orders_$tag") { force(SparkEntry.queries("wd_shred_orders")(spark, dir)) }
+      GraftCache.clear()
+      time(s"pipeline_all6_$tag") { pipelineAll6(dir) }
+      GraftCache.clear()
+      time(s"sink_layout_$tag") {
+        ShreddedLayout.write(
+          WikidataShredder.shred(SyntheticDump.ordersEntities(spark, dir)),
+          s"$tmp/graft_stress_layout_$tag")
+      }
+      GraftCache.clear()
+    }
+
+    // warmup (JIT/classloading) on the tiny sf
+    force(SparkEntry.entry(spark))
+
+    if (!args.contains("10x")) runAll(base, "1x")
+    runAll(stress, "10x")
+
+    // storage-level experiment on the 10x input: where does the parsed
+    // claims cache want to live when the dump outgrows storage memory?
+    for (lvl <- Seq("MEMORY_AND_DISK", "DISK_ONLY", "NONE")) {
+      spark.conf.set("spark.graft.shred.storageLevel", lvl)
+      time(s"pipeline_all6_10x_$lvl") { pipelineAll6(stress) }
+      GraftCache.clear()
+    }
+    spark.conf.unset("spark.graft.shred.storageLevel")
+    spark.stop()
+  }
+}
