@@ -74,11 +74,10 @@ object DedupCatalog extends QueryModule {
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(shingleDf(s, dir))
 
-  private[graft] def minhashPairsFrom(shRaw: DataFrame): DataFrame = {
-    // persisted: consumed by the minhash explode AND both verification
-    // joins — without the cache the whole upstream corpus plan is
-    // recomputed per consumer (and the plan tree triples in size)
-    val sh = GraftCache.register(shRaw.persist())
+  /** Banded LSH buckets (doc_id, lang, band, bucket): k=64 minhashes
+    * sliced into b=16 bands of r=4, each band md5-bucketed. Shared by
+    * the pair pipeline and dedup_lsh_cap_report. */
+  private[graft] def bandsFrom(sh: DataFrame): DataFrame = {
     val M = 2147483647L
     val tok = sh
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
@@ -94,26 +93,33 @@ object DedupCatalog extends QueryModule {
         col("doc_id"),
         col("lang"),
         array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
-    // persisted: the shingle-explode + md5 + 64-min-agg chain above is
-    // the expensive subtree, and bands feeds BOTH the hot-bucket list
-    // (broadcast side) and the capped candidate join — without the cache
-    // it would compute twice. 16 small rows per doc, far smaller than
-    // the corpus text; GraftCache-registered for harness cleanup.
-    val bands = GraftCache.register(
-      mh.select(
-        col("doc_id"),
-        col("lang"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(15)),
-            b =>
-              md5(concat_ws(
-                ",",
-                transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
-                .cast("binary")))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-        .persist())
+    mh.select(
+      col("doc_id"),
+      col("lang"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(15)),
+          b =>
+            md5(concat_ws(
+              ",",
+              transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
+              .cast("binary")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  private[graft] def minhashPairsFrom(shRaw: DataFrame): DataFrame = {
+    // persisted: consumed by the minhash explode AND both verification
+    // joins — without the cache the whole upstream corpus plan is
+    // recomputed per consumer (and the plan tree triples in size)
+    val sh = GraftCache.register(shRaw.persist())
+    // persisted: the shingle-explode + md5 + 64-min-agg chain inside
+    // bandsFrom is the expensive subtree, and bands feeds BOTH the
+    // hot-bucket list (broadcast side) and the capped candidate join —
+    // without the cache it would compute twice. 16 small rows per doc,
+    // far smaller than the corpus text; GraftCache-registered for
+    // harness cleanup.
+    val bands = GraftCache.register(bandsFrom(sh).persist())
     // Bucket-width cap: a degenerate bucket (empty docs, boilerplate
     // headers) would make the self-join below O(width²). Buckets wider
     // than MaxBucketWidth are dropped entirely — their members collide
@@ -201,7 +207,9 @@ object DedupCatalog extends QueryModule {
   /** Oracle mirror of minhashPairs over an arbitrary source relation,
     * ending in the out_pairs CTE (no WITH prefix) so consumers prepend
     * their own CTEs and append their own SELECT. */
-  private[graft] def minhashPairsCtesFrom(src: String): String =
+  /** Oracle mirror of bandsFrom over an arbitrary source relation,
+    * ending in the bands CTE (no WITH prefix). */
+  private[graft] def bandsCtesFrom(src: String): String =
     s"""${shingleSqlFrom(src)},
        |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
        |hh AS (SELECT doc_id, lang,
@@ -211,7 +219,10 @@ object DedupCatalog extends QueryModule {
        |        FROM hh, UNNEST(range(64)) AS t(i) GROUP BY 1, 2, 3),
        |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2),
        |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
-       |          FROM mh, UNNEST(range(16)) AS t(b)),
+       |          FROM mh, UNNEST(range(16)) AS t(b))""".stripMargin
+
+  private[graft] def minhashPairsCtesFrom(src: String): String =
+    s"""${bandsCtesFrom(src)},
        |hot AS (SELECT lang, b, bucket FROM bands GROUP BY 1, 2, 3 HAVING COUNT(*) > $MaxBucketWidth),
        |capped AS (SELECT bands.* FROM bands ANTI JOIN hot USING (lang, b, bucket)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -268,6 +279,39 @@ object DedupCatalog extends QueryModule {
       "dedup_minhash_lsh",
       (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b"),
       Some(minhashPairsSql + "\nSELECT id_a, id_b, jaccard FROM out_pairs ORDER BY id_a, id_b")
+    ),
+    Q(
+      "dedup_lsh_cap_report",
+      // The bucket-width cap's recall trade as an ORACLE-CHECKED result
+      // (the observe() counters surface the same numbers at runtime;
+      // this query pins the arithmetic cross-engine): per-lang count of
+      // hot band-buckets and the rows inside them, over the corpus
+      // augmented with the 60-copy clique (same augmentation as
+      // pipe_end_to_end — guarantees the cap actually fires: 61
+      // identical docs flood all 16 of their band buckets past the
+      // width-50 cap).
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "lang", "text")
+        val clique = docs
+          .filter(col("doc_id") === 7)
+          .crossJoin(s.range(60).select((col("id") + 400000L).as("copy_id")))
+          .select(col("copy_id").as("doc_id"), col("lang"), col("text"))
+        bandsFrom(shingleDfFrom(docs.unionByName(clique)))
+          .groupBy("lang", "band", "bucket")
+          .agg(count(lit(1)).as("bw"))
+          .filter(col("bw") > MaxBucketWidth)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_hot_buckets"), sum(col("bw")).as("n_dropped_rows"))
+          .orderBy("lang")
+      },
+      Some("WITH aug AS (SELECT doc_id, lang, text FROM documents\n" +
+        "     UNION ALL SELECT 400000+i, lang, text FROM documents, UNNEST(range(60)) AS t(i) WHERE doc_id=7),\n" +
+        bandsCtesFrom("aug") +
+        s""",
+           |hb AS (SELECT lang, b, bucket, COUNT(*) AS bw FROM bands
+           |       GROUP BY 1, 2, 3 HAVING COUNT(*) > $MaxBucketWidth)
+           |SELECT lang, COUNT(*) AS n_hot_buckets, SUM(bw)::BIGINT AS n_dropped_rows
+           |FROM hb GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
       "dedup_cluster_assign",
