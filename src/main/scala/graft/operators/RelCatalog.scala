@@ -824,6 +824,28 @@ object RelCatalog extends QueryModule {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "rel_explode_lateral",
+      // Lateral array expansion (UNNEST): split p_type into words and
+      // explode WITH ORDINALITY — Spark's Generate node (posexplode),
+      // a narrow per-row operator (no shuffle; the ORDER BY is the
+      // determinism contract, not the operator). pos cast to BIGINT to
+      // match DuckDB's range() ordinal.
+      (s, dir) =>
+        Tables(s, dir).part
+          .filter(col("p_partkey") <= 200)
+          .select(col("p_partkey"), posexplode(split(col("p_type"), " ")))
+          .select(
+            col("p_partkey"),
+            col("pos").cast("long").as("pos"),
+            col("col").as("word"))
+          .orderBy("p_partkey", "pos", "word"),
+      Some("""WITH x AS (SELECT p_partkey, string_split(p_type, ' ') AS ws
+             |           FROM part WHERE p_partkey <= 200)
+             |SELECT p_partkey, i - 1 AS pos, ws[i] AS word
+             |FROM x, UNNEST(range(1, len(ws)+1)) AS t(i)
+             |ORDER BY p_partkey, pos, word""".stripMargin)
+    ),
+    Q(
       "rel_values_inline",
       (s, dir) => {
         Tables(s, dir).views("region")

@@ -35,7 +35,13 @@ object StreamingCatalog extends QueryModule {
     * [[windowAggAppendToFiles]] — watermarked append mode into a file
     * sink with a checkpoint (spec-verified round-trip in
     * StreamingSpec). */
-  private def windowAgg(s: SparkSession, dir: String): DataFrame = {
+  private def windowAgg(s: SparkSession, dir: String): DataFrame =
+    windowAggBy(s, dir, window(col("ts"), "1 hour"))
+
+  /** [[windowAgg]] with a caller-chosen time window (tumbling or
+    * sliding — stream_window_sliding passes `window(ts, 2h, 1h)`, so
+    * each event lands in slide-count windows). */
+  private def windowAggBy(s: SparkSession, dir: String, win: org.apache.spark.sql.Column): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
     val stream = s.readStream
@@ -44,7 +50,7 @@ object StreamingCatalog extends QueryModule {
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
@@ -199,6 +205,20 @@ object StreamingCatalog extends QueryModule {
       Some("""SELECT (epoch_ns(ts)//3600000000000)*3600 AS window_start, event_type,
              |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_window_sliding",
+      // Sliding 2-hour windows every hour: each event contributes to
+      // exactly 2 windows (Spark's window() expands the row; the oracle
+      // mirrors the expansion with UNNEST(range(2))). Same real-stream
+      // scaffold as stream_window_agg.
+      (s, dir) => windowAggBy(s, dir, window(col("ts"), "2 hours", "1 hour")),
+      Some("""WITH e AS (SELECT epoch_ns(ts)//3600000000000 AS hr, event_type, value FROM events),
+             |w AS (SELECT (hr - k)*3600 AS window_start, event_type, value
+             |      FROM e, UNNEST(range(2)) AS t(k))
+             |SELECT window_start, event_type, COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
     ),
     Q(
       "stream_sessionize",

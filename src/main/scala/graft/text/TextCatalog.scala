@@ -13,6 +13,57 @@ object TextCatalog extends QueryModule {
 
   def queries: Seq[Q] = Seq(
     Q(
+      "text_decontaminate",
+      // Benchmark decontamination: flag training documents sharing any
+      // 8-gram with the eval set (doc_id < 5 stands in for a held-out
+      // benchmark). Catches VERBATIM INCLUSION inside a larger document
+      // — which exact dedup misses by construction — so the query
+      // injects both cases: doc 500000 embeds eval doc 2's text between
+      // unrelated words, doc 500001 is a verbatim copy of eval doc 3.
+      //
+      // Scale posture: eval benchmarks are tiny next to a training
+      // corpus, so the distinct eval-8-gram set is BROADCAST and the
+      // train side stays a narrow explode — the only shuffle is the
+      // final per-doc count. 8-gram explode of the corpus is bounded by
+      // ~word count per doc (distinct set, ShingleK codegen).
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "lang", "text")
+        val embedded = docs
+          .filter(col("doc_id") === 2)
+          .select(
+            lit(500000L).as("doc_id"),
+            col("lang"),
+            concat(lit("alpha beta gamma delta "), col("text"), lit(" epsilon zeta")).as("text"))
+        val copy = docs
+          .filter(col("doc_id") === 3)
+          .select(lit(500001L).as("doc_id"), col("lang"), col("text"))
+        val aug = docs.unionByName(embedded).unionByName(copy)
+        val evalGrams = aug
+          .filter(col("doc_id") < 5)
+          .select(explode(shingleSet(col("text"), 8)).as("g"))
+          .distinct()
+        Fan
+          .out(aug.filter(col("doc_id") >= 5))
+          .select(col("doc_id"), explode(shingleSet(col("text"), 8)).as("g"))
+          .join(broadcast(evalGrams), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, lang, text FROM documents
+             |  UNION ALL SELECT 500000, lang, 'alpha beta gamma delta ' || text || ' epsilon zeta'
+             |            FROM documents WHERE doc_id = 2
+             |  UNION ALL SELECT 500001, lang, text FROM documents WHERE doc_id = 3),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM aug),
+             |g AS (SELECT doc_id,
+             |      list_distinct([array_to_string(ws[i:i+7],' ') for i in range(1, len(ws)-6)]) AS s
+             |      FROM w WHERE len(ws) >= 8),
+             |ev AS (SELECT DISTINCT gg AS g FROM g, UNNEST(s) AS t(gg) WHERE doc_id < 5),
+             |tr AS (SELECT doc_id, gg AS g FROM g, UNNEST(s) AS t(gg) WHERE doc_id >= 5)
+             |SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (g)
+             |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_quality",
       (s, dir) => {
         val d = Fan.out(Tables(s, dir).documents)

@@ -40,6 +40,12 @@ class AnnSpec extends AnyFunSuite {
     assert(windows <= 1, s"expected at most the final rank Window, got $windows:\n$plan")
   }
 
+  test("ann_lsh candidate ranking goes through the bounded-heap operator") {
+    val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"bucket candidates not heap-bounded:\n$plan")
+    assert("Window".r.findAllIn(plan).size <= 1, s"full-sort window crept back:\n$plan")
+  }
+
   test("dedup_simhash finds exact copies at hamming 0") {
     val rows = SparkEntry
       .queries("dedup_simhash")(spark, sf)
