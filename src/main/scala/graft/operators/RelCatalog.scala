@@ -591,6 +591,43 @@ object RelCatalog extends QueryModule {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
     Q(
+      "rel_window_range_frame",
+      // RANGE frame over a time axis — value-based, not row-count-based:
+      // all orders of the same customer within the trailing 30 days of
+      // each order, ties (same date) included as frame peers regardless
+      // of row order, which is exactly what makes RANGE deterministic
+      // here without a full tiebreak. Order key is epoch seconds (a
+      // number both engines range over identically); money in BIGINT
+      // cents per the window discipline above.
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_epoch"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables(s, dir).orders
+          .filter(col("o_custkey") <= 200)
+          .withColumn("o_epoch", col("o_orderdate").cast("timestamp").cast("long"))
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            (sum(col("cents")).over(w).cast("double") / 100.0).as("sum_30d"),
+            count(lit(1)).over(w).as("n_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |            epoch(CAST(o_orderdate AS TIMESTAMP)) AS o_epoch,
+             |            CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |            FROM orders WHERE o_custkey <= 200)
+             |SELECT o_custkey, o_orderkey,
+             |CAST(SUM(cents) OVER w AS DOUBLE)/100 AS sum_30d,
+             |COUNT(*) OVER w AS n_30d
+             |FROM o
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+    Q(
       "rel_window_leadlag",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

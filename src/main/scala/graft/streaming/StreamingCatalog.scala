@@ -115,6 +115,39 @@ object StreamingCatalog extends QueryModule {
     query.awaitTermination()
   }
 
+  /** Stream-static join: enrich the event stream with the customer
+    * dimension (user_id = c_custkey), then aggregate per market
+    * segment. The static side is re-broadcast per micro-batch by
+    * Spark — the canonical streaming-enrichment shape (no state, no
+    * watermark needed for an inner stream-static join); at scale the
+    * dim stays broadcast-sized or becomes a slowly-changing table the
+    * planner shuffles once. Batch-equivalent, so fully oracle-checked. */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(s, dir).eventsRaw.schema
+    val cust = Tables(s, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
+    val joined = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double")
+          .as("sum_value"))
+    val name = s"graft_sjoin_${System.nanoTime()}"
+    val query = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(s, name)(_.orderBy("c_mktsegment"))
+  }
+
   /** Streaming dedup: duplicate the stream (self-union) then
     * dropDuplicatesWithinWatermark on the id — the streaming analog of
     * exact dedup with BOUNDED state: an id is only held until the
@@ -219,6 +252,14 @@ object StreamingCatalog extends QueryModule {
              |SELECT window_start, event_type, COUNT(*) AS n,
              |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
              |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_join_static",
+      (s, dir) => streamStaticJoin(s, dir),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     ),
     Q(
       "stream_sessionize",
