@@ -49,6 +49,33 @@ object MultimodalCatalog extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_resize",
+      // Resize plan: halve the fake header dimensions and digest a
+      // deterministic 1-in-4 byte subsample of the payload — the
+      // codec-free stand-in for pixel downsampling (a real deployment
+      // swaps the subsample for the decoder seam in StubDecoder; the
+      // dim arithmetic, narrow per-row shape, and digest plumbing are
+      // the real Spark side). No shuffle: pure per-row expressions.
+      (s, dir) =>
+        Tables(s, dir).documents
+          .withColumn("n_samp", expr("CAST((length(text) + 3) DIV 4 AS BIGINT)"))
+          .select(
+            col("doc_id"),
+            ((pmod(col("doc_id"), lit(64)) * 16 + 16) / 2).cast("int").as("out_w"),
+            ((pmod(col("doc_id"), lit(48)) * 16 + 16) / 2).cast("int").as("out_h"),
+            md5(expr(
+              "CAST(array_join(transform(sequence(0L, n_samp - 1L)," +
+                " i -> substring(text, CAST(i*4+1 AS INT), 1)), '') AS BINARY)"))
+              .as("resized_md5"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | (((doc_id % 64) * 16 + 16) // 2)::INTEGER AS out_w,
+             | (((doc_id % 48) * 16 + 16) // 2)::INTEGER AS out_h,
+             | md5(array_to_string([substr(text, (i*4+1)::INTEGER, 1)
+             |                      for i in range(0, (length(text)+3)//4)], '')) AS resized_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_framesample",
       (s, dir) => {
         // Deterministic frame sampling: split each blob into 4 equal
