@@ -378,6 +378,34 @@ object RelCatalog extends QueryModule {
              |FROM part WHERE regexp_matches(p_name, 'an') ORDER BY p_partkey""".stripMargin)
     ),
     Q(
+      "rel_json_extract",
+      // Semi-structured extraction: events.props carries a JSON payload
+      // (the reference's consumers keep such annotation blobs in string
+      // columns and extract at query time). get_json_object is a native
+      // codegen'd path expression — the extraction stays inside the
+      // scan's WholeStageCodegen span, so the only shuffle is the final
+      // 10-bucket aggregate. Integer-only outputs keep the cross-engine
+      // hash exact.
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        e.groupBy((col("k") % 10).as("k_mod"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("event_id")).as("min_event"),
+            max(col("event_id")).as("max_event"))
+          .orderBy("k_mod")
+      },
+      Some("""SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_mod,
+             |COUNT(*) AS n,
+             |SUM(CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS sum_k,
+             |MIN(event_id) AS min_event, MAX(event_id) AS max_event
+             |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)
+    ),
+    Q(
       "rel_tpch_q3",
       // TPC-H Q3 shipping-priority shape: segment-filtered customer
       // broadcast into orders⋈lineitem, revenue per order, top 10.

@@ -115,6 +115,45 @@ object StreamingCatalog extends QueryModule {
     query.awaitTermination()
   }
 
+  /** foreachBatch sink with exactly-once semantics on a plain file store:
+    * each micro-batch's per-user delta aggregate lands at a path keyed by
+    * the DETERMINISTIC batchId (`batch=<id>`) in overwrite mode, so a
+    * replay after a failure rewrites the same directory instead of
+    * duplicating rows — the standard idempotent-foreachBatch recipe for
+    * sinks without transactions (parquet, object stores). Readers compact
+    * with a per-key aggregate over all batch dirs.
+    *
+    * This is the third production sink shape next to the append-mode
+    * file sink ([[windowAggAppendToFiles]]) and the JDBC batch sink:
+    * foreachBatch is where MERGE/upsert logic goes when the target has
+    * no streaming writer. Spec: StreamingSpec replays the whole stream
+    * from a wiped checkpoint and asserts the sink is unchanged. */
+  def foreachBatchDeltaUpsert(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(srcDir).schema
+    val query = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches, not one
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+              .as("sum_value"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** Stream-static join: enrich the event stream with the customer
     * dimension (user_id = c_custkey), then aggregate per market
     * segment. The static side is re-broadcast per micro-batch by

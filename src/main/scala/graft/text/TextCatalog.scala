@@ -325,6 +325,46 @@ object TextCatalog extends QueryModule {
              |ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_rarity_score",
+      // Corpus-level rarity scoring — the two-pass shape behind
+      // perplexity-style quality filters (CCNet, Wenzek et al. 2020):
+      // pass 1 aggregates a corpus-wide document-frequency table, pass 2
+      // joins it back per document. Signals stay exact integers (sum /
+      // min / max of df over the doc's distinct vocabulary); consumers
+      // derive the fractions, which keeps the cross-engine hash exact.
+      //
+      // Scale posture: the df table is vocabulary-sized (Zipf-bounded,
+      // orders of magnitude smaller than the corpus) but NOT guaranteed
+      // broadcast-safe at 100 TB, so the join is left un-hinted — AQE
+      // broadcasts it when it fits and falls back to a hash shuffle on
+      // the word key when it doesn't. Both passes are partial-first
+      // aggregations over one persisted tokenization.
+      (s, dir) => {
+        val docWords = graft.GraftCache.register(
+          Fan
+            .out(Tables(s, dir).documents)
+            .select(col("doc_id"), explode(ws(col("text"))).as("g"))
+            .distinct()
+            .persist())
+        val df = docWords.groupBy("g").agg(count(lit(1)).as("df"))
+        docWords
+          .join(df, "g")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_vocab"),
+            sum(col("df")).as("sum_df"),
+            min(col("df")).as("min_df"),
+            max(col("df")).as("max_df"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |d AS (SELECT DISTINCT doc_id, g FROM w, UNNEST(ws) AS t(g)),
+             |df AS (SELECT g, COUNT(*) AS df FROM d GROUP BY g)
+             |SELECT doc_id, COUNT(*) AS n_vocab, SUM(df)::BIGINT AS sum_df,
+             |MIN(df) AS min_df, MAX(df) AS max_df
+             |FROM d JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_pii_scrub",
       // PII redaction — the pre-training scrub pass: count and replace
       // email/phone patterns. The corpus has no organic PII, so the

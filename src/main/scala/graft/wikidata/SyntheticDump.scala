@@ -218,4 +218,35 @@ object SyntheticDump {
 
   def ordersEntities(spark: SparkSession, dir: String) =
     WikidataShredder.parse(spark, ordersLines(spark, dir))
+
+  /** Hierarchy dump for path queries: one item per nation row whose only
+    * claim is P279 (subclass-of) pointing at the binary-tree parent
+    * Q(10 + n/2) — so the shredded edge table forms a 25-node tree with
+    * chains up to 5 deep (24→12→6→3→1→0) and a root self-loop at Q10.
+    * The P279* ancestor traversal over exactly this edge shape is THE
+    * canonical query the reference's consumers run against the DuckDB
+    * file (class-hierarchy walks, main README use case).
+    */
+  def chainLines(spark: SparkSession, dir: String): Dataset[String] = {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    val t = Tables(spark, dir)
+    val n = col("n_nationkey").cast("long")
+    t.nation
+      .select(
+        concat(
+          lit("""{"type":"item","id":"Q"""), str(n + 10), lit("\""),
+          lit(""","labels":{"en":{"language":"en","value":""""), col("n_name"), lit("\"}}"),
+          lit(""","claims":{"P279":["""),
+          claim(
+            // `div`, not `/`: Spark's `/` on longs is a DOUBLE divide and
+            // would render the parent Qid as "Q15.0"
+            valueSnak("P279", "wikibase-item", "wikibase-entityid",
+              itemValue(expr("CAST(n_nationkey AS BIGINT) div 2") + 10)),
+            "normal"),
+          lit("]}}")).as("line"))
+      .as[String]
+  }
+
+  def chainEntities(spark: SparkSession, dir: String) =
+    WikidataShredder.parse(spark, chainLines(spark, dir))
 }

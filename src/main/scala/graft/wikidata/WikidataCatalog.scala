@@ -302,6 +302,51 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY p_first, p_second""".stripMargin)
     ),
     Q(
+      "wd_query_path_closure",
+      // Bounded transitive closure — the P279*/P31* ancestor walk that is
+      // the canonical consumer query over the reference's edge table
+      // (class-hierarchy traversal via repeated src_id=dst_id joins;
+      // DuckDB consumers write it as a recursive CTE, which is exactly
+      // the oracle here). Spark-first shape: BFS by iterated equi-joins
+      // with the depth bound unrolled into the plan — each hop is one
+      // shuffle on the join key, the frontier stays a projection (no
+      // driver-side loop state), and min(depth) dedups path multiplicity
+      // with a partial-first aggregate. At 100 TB each hop would reuse
+      // the edge table's bucketing on src_id, so hops co-locate.
+      (s, dir) => {
+        val edge = graft.GraftCache.register(
+          WikidataShredder
+            .edge(WikidataShredder.claims(SyntheticDump.chainEntities(s, dir)))
+            .filter(col("property_id") === 1000000279L)
+            .select(col("src_id"), col("dst_id"))
+            .persist())
+        val base = edge.withColumn("depth", lit(1L))
+        val paths = (2 to 3)
+          .foldLeft((base, base)) { case ((acc, frontier), _) =>
+            val next = frontier
+              .as("f")
+              .join(edge.as("e"), col("f.dst_id") === col("e.src_id"))
+              .select(col("f.src_id"), col("e.dst_id"), (col("f.depth") + 1).as("depth"))
+            (acc.unionByName(next), next)
+          }
+          ._1
+        paths
+          .groupBy("src_id", "dst_id")
+          .agg(min(col("depth")).as("depth"))
+          .orderBy("src_id", "dst_id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(10+n_nationkey AS BIGINT) AS src_id,
+             |         CAST(10 + n_nationkey//2 AS BIGINT) AS dst_id FROM nation),
+             |anc AS (
+             |  SELECT src_id, dst_id, CAST(1 AS BIGINT) AS depth FROM e
+             |  UNION ALL
+             |  SELECT a.src_id, e.dst_id, a.depth + 1 FROM anc a
+             |  JOIN e ON a.dst_id = e.src_id WHERE a.depth < 3)
+             |SELECT src_id, dst_id, MIN(depth) AS depth FROM anc
+             |GROUP BY src_id, dst_id ORDER BY src_id, dst_id""".stripMargin)
+    ),
+    Q(
       "wd_query_typed_filter",
       // Typed-value filter + label resolution: population-style quantity
       // claims above a threshold, joined back to the vertex label.

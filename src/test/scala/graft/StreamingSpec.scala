@@ -81,6 +81,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch delta upsert is idempotent under full replay") {
+    val base = java.nio.file.Files.createTempDirectory("graft-feb").toFile
+    val srcDir = new java.io.File(base, "src").getAbsolutePath
+    val sinkDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt")
+    // 4 source files -> 4 micro-batches under maxFilesPerTrigger=1
+    Tables(spark, sf).eventsRaw.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+    def compacted() = spark.read.parquet(sinkDir)
+      .groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+
+    graft.streaming.StreamingCatalog.foreachBatchDeltaUpsert(spark, srcDir, sinkDir, ckptDir.getAbsolutePath)
+    val first = compacted()
+    val want = Tables(spark, sf).events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4))).as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+    assert(first === want)
+
+    // failure-recovery replay: wipe the checkpoint so batch ids restart at
+    // 0 and every micro-batch re-executes against the SAME sink — the
+    // deterministic batch=<id> overwrite paths must leave it unchanged
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckptDir)
+    graft.streaming.StreamingCatalog.foreachBatchDeltaUpsert(spark, srcDir, sinkDir, ckptDir.getAbsolutePath)
+    assert(compacted() === first)
+  }
+
   test("watermarked dedup drops dups and EVICTS state past the horizon") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

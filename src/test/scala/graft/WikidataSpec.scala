@@ -141,4 +141,20 @@ class WikidataSpec extends AnyFunSuite {
     val s = WikidataShredder.string(claims)
     assert(s.filter(col("string").startsWith("The ")).count() === 25)
   }
+
+  test("path closure walks the P279 chain with min-depth dedup") {
+    val rows = SparkEntry
+      .queries("wd_query_path_closure")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // chain 24 -> 12 -> 6 -> 3: each hop at its exact depth
+    assert(rows((34L, 22L)) === 1L)
+    assert(rows((34L, 16L)) === 2L)
+    assert(rows((34L, 13L)) === 3L)
+    // deeper ancestors than the bound are absent (24 -> 1 is depth 4)
+    assert(!rows.contains((34L, 11L)))
+    // root self-loop dedups to min depth 1 despite depth-2/3 path copies
+    assert(rows((10L, 10L)) === 1L)
+  }
 }
