@@ -144,6 +144,112 @@ object AnnCatalog extends QueryModule {
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     ),
     Q(
+      "ann_pq",
+      // Product quantization (Jégou et al., PAMI 2011) — the memory-
+      // bound scale path: each vector is stored as m=8 one-byte-ish
+      // codes (nearest sub-codebook centroid per 8-dim subspace) and
+      // queries score the whole corpus from an 8×|cells| lookup table
+      // (ADC) without touching the raw floats. Everything stays in the
+      // exact-integer discipline so the query has a full SQL oracle:
+      // centroids are per-label SUM vectors with a count (as ann_ivf),
+      // distances compare -2·v·s·c + ssq over the common denominator c²
+      // (one IEEE division of exact BIGINTs — bit-identical cross-
+      // engine), and the per-subspace LUT entry is fixed-pointed to a
+      // BIGINT (round(1e6·d)) so the 8-way ADC SUM is an integer
+      // aggregate — order-independent, no float-summation drift.
+      //
+      // Scale posture: codebooks and the per-query LUT are tiny and
+      // broadcast; code assignment is a map-side partial min_by keyed
+      // (vec_id, j); the only wide shuffle is the (q_id, vec_id) ADC
+      // sum, map-side combined from m rows per pair. A production
+      // deployment collects the m codes into one array column and folds
+      // the LUT in a single projection (no per-j rows at all); the
+      // exploded shape here keeps every stage oracle-expressible.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        // m=8 subspaces × 8 dims over the 64-dim quantized vector
+        val sub = c
+          .select(col("vec_id"), col("label"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))
+          .withColumn("sv", expr("slice(qv, j*8+1, 8)"))
+          .select("vec_id", "label", "j", "sv")
+        // sub-codebooks: per (subspace, label) exact elementwise sums +
+        // count + squared norm of the sum vector
+        val cb = sub
+          .select(col("j"), col("label"), posexplode(col("sv")))
+          .groupBy("j", "label", "pos")
+          .agg(sum(col("col")).as("sv_sum"))
+          .groupBy("j", "label")
+          .agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("sv_sum")))), x => x.getField("sv_sum"))
+              .as("csum"))
+          .join(sub.groupBy("j", "label").agg(count(lit(1)).as("cnt")), Seq("j", "label"))
+          .withColumn("ssq", dotQ(col("csum"), col("csum")))
+          .select(col("j"), col("label").as("cell"), col("csum"), col("cnt"), col("ssq"))
+        // ||v - s/c||² ranking ≡ (-2·v·s·c + ssq)/c² + const: exact
+        // integer numerator, one portable IEEE division
+        def score(sv: org.apache.spark.sql.Column) =
+          (lit(-2L) * dotQ(sv, col("csum")) * col("cnt") + col("ssq")).cast("double") /
+            (col("cnt") * col("cnt"))
+        // per-vector code per subspace: argmin by AGGREGATION (map-side
+        // partial min_by), not a row_number window — same rationale as
+        // ann_ivf's assignment
+        val codes = sub
+          .join(broadcast(cb), Seq("j"))
+          .withColumn("sc", score(col("sv")))
+          .groupBy("vec_id", "j")
+          .agg(min_by(col("cell"), struct(col("sc"), col("cell"))).as("cell"))
+        // per-query LUT: fixed-point BIGINT distance per (j, cell)
+        val lut = sub
+          .filter(col("vec_id") < 10)
+          .join(broadcast(cb), Seq("j"))
+          .select(
+            col("vec_id").as("q_id"),
+            col("j"),
+            col("cell"),
+            round(lit(1e6) * score(col("sv"))).cast("long").as("fp"))
+        // ADC: integer sum of the m LUT entries selected by the codes
+        val adc = codes
+          .join(broadcast(lut), Seq("j", "cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("fp")).as("adc"))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(adc, Seq(col("q_id")), K, col("adc").asc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "adc")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |sub AS (SELECT vec_id, label, j, qv[j*8+1 : j*8+8] AS sv FROM n, UNNEST(range(8)) AS t(j)),
+             |cbs AS (SELECT j, label AS cell, i, SUM(sv[i])::BIGINT AS s
+             |        FROM sub, UNNEST(range(1, 9)) AS t(i) GROUP BY 1, 2, 3),
+             |cbl AS (SELECT j, cell, list(s ORDER BY i) AS csum FROM cbs GROUP BY 1, 2),
+             |cnt AS (SELECT j, label AS cell, COUNT(*) AS cnt FROM sub GROUP BY 1, 2),
+             |cb AS (SELECT cbl.j, cbl.cell, csum, cnt,
+             |       (SELECT SUM(csum[i]*csum[i]) FROM UNNEST(range(1, 9)) AS t(i))::BIGINT AS ssq
+             |       FROM cbl JOIN cnt USING (j, cell)),
+             |sc AS (SELECT s.vec_id, s.j, c.cell,
+             |       CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
+             |            AS DOUBLE)/(c.cnt*c.cnt) AS score
+             |       FROM sub s JOIN cb c ON s.j = c.j),
+             |codes AS (SELECT vec_id, j, cell FROM
+             |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cell) AS rn FROM sc)
+             |          WHERE rn = 1),
+             |lut AS (SELECT s.vec_id AS q_id, s.j, c.cell,
+             |        CAST(round(1e6 * (CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
+             |                               AS DOUBLE)/(c.cnt*c.cnt))) AS BIGINT) AS fp
+             |        FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
+             |adc AS (SELECT l.q_id, k.vec_id, SUM(l.fp)::BIGINT AS adc
+             |        FROM codes k JOIN lut l ON k.j = l.j AND k.cell = l.cell
+             |        WHERE k.vec_id <> l.q_id GROUP BY 1, 2),
+             |ranked AS (SELECT q_id, vec_id, adc,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc)
+             |SELECT q_id, rank, vec_id, adc FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
       "ann_ivf",
       (s, dir) => {
         val c = corpus(s, dir)

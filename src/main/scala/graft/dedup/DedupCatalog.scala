@@ -276,6 +276,70 @@ object DedupCatalog extends QueryModule {
              |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY digest""".stripMargin)
     ),
     Q(
+      "dedup_span",
+      // Substring-level dedup signals (the motivation of Lee et al.
+      // 2022, "Deduplicating Training Data Makes Language Models
+      // Better"): exact whole-doc dedup misses a document that EMBEDS a
+      // span copied from another, so this pass counts per-document how
+      // many of its 10-gram spans recur anywhere in the corpus. The
+      // query injects both cases — doc 600000 wraps the first 15 words
+      // of doc 7 in unrelated text (span-level duplicate, invisible to
+      // dedup_exact), doc 600001 is a verbatim copy of doc 8 (every
+      // span fires). A curation pipeline drops or trims docs with a
+      // high duplicated-span fraction.
+      //
+      // Scale posture: the span table is one narrow explode (distinct
+      // 10-grams per doc ≈ word count, ShingleK codegen), the corpus
+      // frequency is a partial-first count on the span key, and the
+      // join back is span-keyed — the same two-pass shape as
+      // text_rarity_score. No pairwise work at all (span IDENTITY, not
+      // similarity, so no LSH needed); at 100 TB spans would be
+      // hash64'd instead of carried as strings to shrink the shuffle.
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        val embedded = docs
+          .filter(col("doc_id") === 7)
+          .select(
+            lit(600000L).as("doc_id"),
+            concat(
+              lit("omega psi chi "),
+              array_join(slice(ws(col("text")), 1, 15), " "),
+              lit(" phi upsilon")).as("text"))
+        val copy = docs
+          .filter(col("doc_id") === 8)
+          .select(lit(600001L).as("doc_id"), col("text"))
+        val aug = docs.unionByName(embedded).unionByName(copy)
+        val spans = GraftCache.register(
+          Fan
+            .out(aug)
+            .select(col("doc_id"), explode(shingleSet(col("text"), 10)).as("g"))
+            .persist())
+        val freq = spans.groupBy("g").agg(count(lit(1)).as("f"))
+        spans
+          .join(freq, "g")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum((col("f") > 1).cast("long")).as("n_dup_spans"),
+            max(col("f")).as("max_span_freq"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 600000, 'omega psi chi ' || array_to_string(string_split(text,' ')[1:15],' ') || ' phi upsilon'
+             |            FROM documents WHERE doc_id = 7
+             |  UNION ALL SELECT 600001, text FROM documents WHERE doc_id = 8),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM aug),
+             |g AS (SELECT doc_id,
+             |      list_distinct([array_to_string(ws[i:i+9],' ') for i in range(1, len(ws)-8)]) AS s
+             |      FROM w WHERE len(ws) >= 10),
+             |d AS (SELECT doc_id, g FROM g, UNNEST(s) AS t(g)),
+             |f AS (SELECT g, COUNT(*) AS f FROM d GROUP BY g)
+             |SELECT doc_id, COUNT(*) AS n_spans,
+             |SUM(CASE WHEN f > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+             |MAX(f) AS max_span_freq
+             |FROM d JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "dedup_minhash_lsh",
       (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b"),
       Some(minhashPairsSql + "\nSELECT id_a, id_b, jaccard FROM out_pairs ORDER BY id_a, id_b")

@@ -134,6 +134,34 @@ object RelCatalog extends QueryModule {
              |FROM lineitem""".stripMargin)
     ),
     Q(
+      "rel_sketch_distinct",
+      // Sketch-based distinct counting — the 100 TB answer to COUNT
+      // DISTINCT (one pass, fixed memory, mergeable partials; the exact
+      // count needs a full shuffle of the distinct keys). The estimates
+      // are engine-specific (HLL++ here, HLL in DuckDB), so the oracle
+      // contract is the ERROR BOUND, not the estimate: each engine
+      // emits its exact count plus a flag that its own sketch landed
+      // within 10% — deterministically 1 on both sides (rsd=0.02 here,
+      // ~1.6% observed in DuckDB, vs the 10% gate).
+      (s, dir) =>
+        Tables(s, dir).orders
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_exact"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+          .select(
+            col("o_orderpriority"),
+            col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.1)
+              .cast("long")
+              .as("within_10pct"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+             |CASE WHEN abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+             |     <= COUNT(DISTINCT o_custkey) * 0.1 THEN 1 ELSE 0 END AS within_10pct
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "rel_having",
       (s, dir) =>
         Tables(s, dir).orders

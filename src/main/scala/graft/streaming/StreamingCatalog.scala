@@ -187,6 +187,53 @@ object StreamingCatalog extends QueryModule {
     MemoryResult.drain(s, name)(_.orderBy("c_mktsegment"))
   }
 
+  /** Stream-stream interval join: clicks joined to purchases of the
+    * SAME user within the following hour — the canonical conversion /
+    * attribution query, and the one streaming shape that genuinely
+    * needs state on BOTH sides. Both streams carry a 2-hour watermark
+    * and the join condition bounds event time on both ends, so Spark
+    * can evict buffered rows once the watermark passes the interval —
+    * state stays bounded by (watermark + interval) × arrival rate, not
+    * by stream length, which is the 100 TB requirement. Inner join in
+    * append mode: rows emit as they match (no watermark wait), and the
+    * sides shuffle on user_id so matches co-locate. Batch-equivalent
+    * (AvailableNow over a static file), hence fully oracle-checked;
+    * gap_us is an exact integer difference of truncated-ns micros. */
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(s, dir).eventsRaw.schema
+    def side(tpe: String, pfx: String) = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === tpe)
+      .select(
+        col("event_id").as(s"${pfx}_id"),
+        col("user_id").as(s"${pfx}_user"),
+        expr("ts div 1000").as(s"${pfx}_us"),
+        timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+      .withWatermark(s"${pfx}_ts", "2 hours")
+    val joined = side("click", "click")
+      .join(
+        side("purchase", "buy"),
+        expr("""click_user = buy_user AND
+                buy_ts >= click_ts AND buy_ts <= click_ts + interval 1 hour"""))
+      .select(
+        col("click_id"),
+        col("buy_id"),
+        col("click_user").as("user_id"),
+        (col("buy_us") - col("click_us")).as("gap_us"))
+    val name = s"graft_ssj_${System.nanoTime()}"
+    val query = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(s, name)(_.orderBy("click_id", "buy_id"))
+  }
+
   /** Streaming dedup: duplicate the stream (self-union) then
     * dropDuplicatesWithinWatermark on the id — the streaming analog of
     * exact dedup with BOUNDED state: an id is only held until the
@@ -299,6 +346,17 @@ object StreamingCatalog extends QueryModule {
              |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+    Q(
+      "stream_stream_join",
+      (s, dir) => streamStreamJoin(s, dir),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events)
+             |SELECT a.event_id AS click_id, b.event_id AS buy_id, a.user_id,
+             |b.us - a.us AS gap_us
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+             |  AND b.us >= a.us AND b.us <= a.us + 3600000000
+             |ORDER BY click_id, buy_id""".stripMargin)
     ),
     Q(
       "stream_sessionize",

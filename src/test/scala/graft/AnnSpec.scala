@@ -46,6 +46,37 @@ class AnnSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).size <= 1, s"full-sort window crept back:\n$plan")
   }
 
+  test("ann_pq recall vs brute force, assignment partial, ADC integer-typed") {
+    val pq = SparkEntry.queries("ann_pq")(spark, sf)
+    val recall = (pairs(pq) & brute).size.toDouble / brute.size
+    info(f"ann_pq recall@5 = $recall%.3f")
+    // coarse label-derived codebooks: expect rough neighbors, not collapse
+    assert(recall > 0.05, s"PQ recall collapsed: $recall")
+    // ADC must be the order-independent BIGINT fixed-point sum
+    assert(pq.schema("adc").dataType === org.apache.spark.sql.types.LongType)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"), s"code assignment lost partial combine:\n$plan")
+    assert("Window".r.findAllIn(plan).size <= 1, s"full-sort window crept back:\n$plan")
+  }
+
+  test("dedup_span flags embedded and verbatim span copies") {
+    val rows = SparkEntry
+      .queries("dedup_span")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 600000 embeds words 1-15 of doc 7: its 6 interior 10-gram
+    // spans of that window duplicate doc 7's, the junk-bridging spans
+    // don't — so SOME but not ALL spans are dups on both sides
+    val (n7, d7, _) = rows(7L)
+    val (nE, dE, _) = rows(600000L)
+    assert(d7 >= 6 && d7 < n7, s"doc 7 span dups: $d7/$n7")
+    assert(dE >= 6 && dE < nE, s"embed doc span dups: $dE/$nE")
+    // verbatim copy: every span of doc 8 and its copy is duplicated
+    assert(rows(8L)._1 === rows(8L)._2)
+    assert(rows(600001L)._1 === rows(600001L)._2)
+  }
+
   test("dedup_simhash finds exact copies at hamming 0") {
     val rows = SparkEntry
       .queries("dedup_simhash")(spark, sf)
