@@ -617,6 +617,106 @@ object DedupCatalog extends QueryModule {
              |        / (sqrt(CAST(a.nsq AS DOUBLE))*sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
              |      FROM pr a JOIN m b ON a.pb=b.bucket AND a.label=b.label AND a.vec_id<b.vec_id)
              |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin)
+    ),
+    Q(
+      "dedup_semdedup",
+      // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+      // embedding space, then drop near-duplicates WITHIN each cluster
+      // — the curation-side consumer of the ann_ivf machinery. Cells
+      // are k-means-lite centroids (exact integer per-label sums, as
+      // ann_ivf) and every vector is re-ASSIGNED to its nearest
+      // centroid by min_by aggregation, so membership is learned, not
+      // given — unlike dedup_embedding, which blocks on the raw label.
+      // Within a cell, candidate pairs come from hyperplane-bucket
+      // hamming-1 multiprobe (never all-pairs-in-cell), verified by
+      // exact quantized cosine >= 0.95. Keeper policy: deterministic
+      // min-id (SemDeDup keeps the vector farthest from the centroid;
+      // any total order works — min-id keeps the oracle portable).
+      // Output is the DROP LIST a pipeline would anti-join against:
+      // (vec_id, cell, keeper, n_near).
+      //
+      // Scale posture: centroids broadcast; assignment shuffles N rows
+      // (map-side partial min_by); the only candidate join is on
+      // (cell, bucket) equality behind the 9-probe fan-out — O(n * 9)
+      // candidates, quadratic only within a (cell, bucket) collision
+      // group, which the bucket bits bound.
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val copies = e
+          .filter(pmod(col("vec_id"), lit(25)) === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+        val base = Fan
+          .out(e.select("vec_id", "embedding", "label").union(copies))
+          .withColumn("qv", quantize(col("embedding")))
+          .withColumn("nsq", normSqQ(col("qv")))
+        val cents = base
+          .select(col("label"), posexplode(col("qv")))
+          .groupBy("label", "pos")
+          .agg(sum(col("col")).as("sv"))
+          .groupBy("label")
+          .agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
+              .as("csum"))
+          .join(base.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
+          .select(col("label").as("cell"), col("csum"), col("cnt"))
+        val assigned = base
+          .join(broadcast(cents))
+          .withColumn("score", dotQ(col("qv"), col("csum")).cast("double") / col("cnt"))
+          .groupBy("vec_id")
+          .agg(min_by(
+            struct(col("qv"), col("nsq"), col("cell")),
+            struct(negate(col("score")), col("cell"))).as("best"))
+          .select(col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"), col("best.cell").as("cell"))
+          .withColumn("bucket", hyperBucket(col("qv")))
+        val a = assigned.select(
+          col("vec_id").as("id_a"),
+          col("qv").as("qa"),
+          col("cell"),
+          col("nsq").as("na"),
+          explode(
+            array(
+              col("bucket") +:
+                (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+            .as("probe"))
+        val b = assigned.select(
+          col("vec_id"),
+          col("qv").as("qb"),
+          col("cell"),
+          col("nsq").as("nb"),
+          col("bucket").as("probe"))
+        a.join(b, Seq("cell", "probe"))
+          .filter(col("id_a") < col("vec_id"))
+          .withColumn("cosine", cosineFrom(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+          .filter(col("cosine") >= 0.95)
+          .groupBy("vec_id", "cell")
+          .agg(min(col("id_a")).as("keeper"), count(lit(1)).as("n_near"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+             |           UNION ALL SELECT vec_id+100000, label, embedding FROM embeddings WHERE vec_id%25=0),
+             |n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM e),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
+             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+             |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
+             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+             |       FROM m CROSS JOIN cc),
+             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+             |assigned AS (SELECT vec_id, qv, nsq, cell, ${hyperBucketSql("qv")} AS bucket FROM asg WHERE rn = 1),
+             |pr AS (SELECT vec_id, qv, nsq, cell, pb FROM assigned,
+             |       UNNEST([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8),
+             |               xor(bucket,16), xor(bucket,32), xor(bucket,64), xor(bucket,128)]) AS t(pb)),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS vec_id, b.cell,
+             |      CAST((SELECT SUM(a.qv[i]*b.qv[i]) FROM UNNEST(range(1, len(a.qv)+1)) AS t(i)) AS DOUBLE)
+             |        / (sqrt(CAST(a.nsq AS DOUBLE))*sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+             |      FROM pr a JOIN assigned b ON a.pb=b.bucket AND a.cell=b.cell AND a.vec_id<b.vec_id)
+             |SELECT vec_id, cell, MIN(id_a) AS keeper, COUNT(*)::BIGINT AS n_near
+             |FROM p WHERE cosine >= 0.95 GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin)
     )
   )
 }

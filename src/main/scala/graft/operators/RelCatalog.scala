@@ -162,6 +162,62 @@ object RelCatalog extends QueryModule {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "rel_sketch_topk",
+      // Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+      // d=4 hash rows x w=64 buckets of exact BIGINT counters estimate
+      // every key's frequency from fixed memory — the streaming/
+      // pre-aggregation answer to "top sellers" when the key space is
+      // too wide to count exactly. Unlike HLL/t-digest, the sketch here
+      // is built from md5-derived hashes shared with the oracle, so
+      // BOTH engines compute the identical sketch and the comparison is
+      // exact — estimates, overcounts and all (and CM guarantees
+      // est >= exact, visible in the overcount column). Emits the top
+      // 10 exact keys alongside their sketch estimates.
+      //
+      // Scale posture: the sketch build is one map-side-combined
+      // groupBy over (j, bucket) — 256 cells regardless of input size —
+      // and the probe joins against those 256 broadcast rows. The exact
+      // side exists only to exhibit the error; a production user keeps
+      // just the sketch.
+      (s, dir) => {
+        def bucket(j: Column, k: Column): Column =
+          conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 64
+        val li = Tables(s, dir).lineitem.select(col("l_suppkey").cast("long").as("k"))
+        val sketch = li
+          .withColumn("j", explode(expr("sequence(0, 3)")))
+          .withColumn("bucket", bucket(col("j"), col("k")))
+          .groupBy("j", "bucket")
+          .agg(count(lit(1)).as("c"))
+        val exact = li.groupBy("k").agg(count(lit(1)).as("n_exact"))
+        exact
+          .withColumn("j", explode(expr("sequence(0, 3)")))
+          .withColumn("bucket", bucket(col("j"), col("k")))
+          .join(broadcast(sketch), Seq("j", "bucket"))
+          .groupBy("k", "n_exact")
+          .agg(min(col("c")).as("n_est"))
+          .orderBy(col("n_exact").desc, col("k"))
+          .limit(10)
+          .select(
+            col("k").as("l_suppkey"),
+            col("n_exact"),
+            col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("n_exact").desc, col("l_suppkey"))
+      },
+      Some("""WITH li AS (SELECT l_suppkey::BIGINT AS k FROM lineitem),
+             |h AS (SELECT k, j,
+             |      CAST('0x'||substr(md5('cm'||j::VARCHAR||':'||k::VARCHAR),1,8) AS BIGINT)%64 AS bucket
+             |      FROM li, UNNEST(range(4)) AS t(j)),
+             |sk AS (SELECT j, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+             |ex AS (SELECT k, COUNT(*) AS n_exact FROM li GROUP BY 1),
+             |kb AS (SELECT DISTINCT k, j, bucket FROM h),
+             |est AS (SELECT kb.k, MIN(sk.c)::BIGINT AS n_est FROM kb JOIN sk USING (j, bucket) GROUP BY 1)
+             |SELECT ex.k AS l_suppkey, ex.n_exact, est.n_est, est.n_est - ex.n_exact AS overcount
+             |FROM ex JOIN est ON ex.k = est.k
+             |ORDER BY ex.n_exact DESC, l_suppkey LIMIT 10""".stripMargin)
+    ),
+    Q(
       "rel_having",
       (s, dir) =>
         Tables(s, dir).orders

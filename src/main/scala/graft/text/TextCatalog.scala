@@ -2,6 +2,7 @@ package graft.text
 
 import graft.{Fan, Q, QueryModule, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 text analysis — language-ID heuristic, quality
@@ -410,6 +411,65 @@ object TextCatalog extends QueryModule {
              |  length(redacted)::BIGINT AS redacted_len,
              |  md5(redacted) AS redacted_md5
              |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_pack_chunks",
+      // Sequence packing for LLM pretraining: concatenate all documents
+      // in doc_id order and cut the token stream into fixed 64-token
+      // chunks; each doc maps to the [first_chunk, last_chunk] window
+      // it lands in. The core primitive is a GLOBAL exclusive prefix
+      // sum of per-doc token counts — the textbook case where the
+      // obvious plan (one Window over ORDER BY doc_id) serializes the
+      // whole table through a single partition. This implements the
+      // distributed two-phase scan instead:
+      //   1. per-bucket (doc_id div 1000) local exclusive prefix sums —
+      //      windows partitioned BY BUCKET, so they parallelize;
+      //   2. bucket TOTALS (one row per bucket) get the global-window
+      //      treatment — trivially small at any corpus size — and the
+      //      resulting bucket offsets broadcast-join back.
+      // start_tok = bucket_offset + local_prefix. At 100 TB the only
+      // single-partition work is #buckets rows; everything else is
+      // bucket-parallel. The oracle states the SEMANTICS with the naive
+      // global window — tiny at sf, identical by associativity.
+      (s, dir) => {
+        val t = Fan
+          .out(Tables(s, dir).documents)
+          .select(col("doc_id"), size(ws(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+          .withColumn("bucket", expr("doc_id div 1000"))
+        val wLocal = Window
+          .partitionBy("bucket")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = t.withColumn("loc", coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+        val wBucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t
+          .groupBy("bucket")
+          .agg(sum(col("n_tok")).as("btot"))
+          .withColumn("boff", coalesce(sum(col("btot")).over(wBucket), lit(0L)))
+          .select("bucket", "boff")
+        local
+          .join(broadcast(offsets), "bucket")
+          .withColumn("start_tok", col("boff") + col("loc"))
+          .withColumn("first_chunk", expr("start_tok div 64"))
+          .withColumn("last_chunk", expr("(start_tok + n_tok - 1) div 64"))
+          .select(
+            col("doc_id"),
+            col("n_tok"),
+            col("start_tok"),
+            col("first_chunk"),
+            col("last_chunk"),
+            (col("last_chunk") - col("first_chunk") + 1).as("n_chunks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok FROM documents),
+             |p AS (SELECT doc_id, n_tok,
+             |      COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+             |      FROM t WHERE n_tok > 0)
+             |SELECT doc_id, n_tok, start_tok,
+             |start_tok//64 AS first_chunk, (start_tok+n_tok-1)//64 AS last_chunk,
+             |((start_tok+n_tok-1)//64 - start_tok//64 + 1) AS n_chunks
+             |FROM p ORDER BY doc_id""".stripMargin)
     )
   )
 }

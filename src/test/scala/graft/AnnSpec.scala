@@ -77,6 +77,29 @@ class AnnSpec extends AnyFunSuite {
     assert(rows(600001L)._1 === rows(600001L)._2)
   }
 
+  test("dedup_semdedup drops every injected copy, assignment keeps partial combine") {
+    val df = SparkEntry.queries("dedup_semdedup")(spark, sf)
+    val dropped = df
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    // every injected copy (vec_id+100000) must be in the drop list with
+    // a keeper no later than its original (min-id keeper policy)
+    val originals = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select("vec_id")
+      .collect()
+      .map(_.getLong(0))
+      .filter(_ % 25 == 0)
+    assert(originals.nonEmpty)
+    originals.foreach { v =>
+      assert(dropped.contains(v + 100000), s"copy of $v not dropped")
+      assert(dropped(v + 100000) <= v, s"keeper for copy of $v is ${dropped(v + 100000)}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"), s"cell assignment lost partial combine:\n$plan")
+  }
+
   test("dedup_simhash finds exact copies at hamming 0") {
     val rows = SparkEntry
       .queries("dedup_simhash")(spark, sf)

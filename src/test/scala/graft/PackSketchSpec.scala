@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value/plan properties of the packing and sketch operators that the
+  * DuckDB oracle cannot express: token-stream contiguity, the
+  * distributed-scan plan shape, and the count-min overestimate
+  * guarantee.
+  */
+class PackSketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_pack_chunks packs a contiguous token stream, bucket-parallel scan") {
+    val df = SparkEntry.queries("text_pack_chunks")(spark, sf)
+    val rows = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // exclusive prefix sum: doc i+1 starts exactly where doc i ended
+    assert(rows.head._3 === 0L, "first doc must start at token 0")
+    rows.sliding(2).foreach {
+      case Array((_, n, s, _, _, _), (d2, _, s2, _, _, _)) =>
+        assert(s2 === s + n, s"gap/overlap in token stream before doc $d2")
+      case _ =>
+    }
+    // chunk span arithmetic is internally consistent
+    rows.foreach { case (d, n, s, fc, lc, nc) =>
+      assert(fc === s / 64 && lc === (s + n - 1) / 64 && nc === lc - fc + 1, s"chunk math off for doc $d")
+    }
+    // the full-table window must be partitioned BY BUCKET (parallel),
+    // not a single global sort — only the tiny bucket-offset window may
+    // run single-partition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"), s"per-bucket window lost its parallel partitioning:\n$plan")
+  }
+
+  test("rel_sketch_topk: count-min never underestimates, sketch probe is broadcast") {
+    val df = SparkEntry.queries("rel_sketch_topk")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (k, exact, est, over) =>
+      assert(est >= exact, s"CM underestimated key $k: $est < $exact")
+      assert(over === est - exact)
+    }
+    // descending by exact count (keys ascending within ties)
+    assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"sketch probe should broadcast the 256-cell sketch:\n$plan")
+  }
+}
