@@ -24,6 +24,27 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingCatalog extends QueryModule {
 
+  /** Every stateful micro-batch pays a fixed PER-STATE-PARTITION cost —
+    * store open, delta commit, snapshot bookkeeping; a stream-stream
+    * join carries four stores per partition — so the state partition
+    * count is a real sizing decision, not a constant to inherit from
+    * the relational shuffle setting. Measured on this box: the interval
+    * join returns identical rows in ~8 s with 32 inherited partitions
+    * vs ~3 s with 8 (pure store overhead, flat across sf0.001–sf0.1).
+    * State partitioning is also FROZEN into the checkpoint at first
+    * start, which is exactly why it must be chosen deliberately: size
+    * `spark.graft.stream.statePartitions` (default 8) to expected state
+    * volume ÷ per-partition budget — thousands on a 1000-executor
+    * 100 TB deployment, a handful for local harness state. The knob is
+    * applied around plan time and restored after the run. */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.stream.statePartitions", "8"))
+    try body
+    finally s.conf.set(key, old)
+  }
+
   /** Tumbling-window agg as a genuine streaming query, run to completion
     * with Trigger.AvailableNow and returned from the memory sink.
     *
@@ -41,7 +62,7 @@ object StreamingCatalog extends QueryModule {
   /** [[windowAgg]] with a caller-chosen time window (tumbling or
     * sliding — stream_window_sliding passes `window(ts, 2h, 1h)`, so
     * each event lands in slide-count windows). */
-  private def windowAggBy(s: SparkSession, dir: String, win: org.apache.spark.sql.Column): DataFrame = {
+  private def windowAggBy(s: SparkSession, dir: String, win: org.apache.spark.sql.Column): DataFrame = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
     val stream = s.readStream
@@ -85,7 +106,7 @@ object StreamingCatalog extends QueryModule {
     * watermark); windows the final watermark has NOT passed stay in
     * state by design — a caller wanting them flushed feeds a later
     * event to push the watermark (StreamingSpec stages a sentinel). */
-  def windowAggAppendToFiles(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = {
+  def windowAggAppendToFiles(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(srcDir).schema
     val agg = s.readStream
@@ -128,7 +149,7 @@ object StreamingCatalog extends QueryModule {
     * foreachBatch is where MERGE/upsert logic goes when the target has
     * no streaming writer. Spec: StreamingSpec replays the whole stream
     * from a wiped checkpoint and asserts the sink is unchanged. */
-  def foreachBatchDeltaUpsert(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = {
+  def foreachBatchDeltaUpsert(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(srcDir).schema
     val query = s.readStream
@@ -161,7 +182,7 @@ object StreamingCatalog extends QueryModule {
     * watermark needed for an inner stream-static join); at scale the
     * dim stays broadcast-sized or becomes a slowly-changing table the
     * planner shuffles once. Batch-equivalent, so fully oracle-checked. */
-  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
     val cust = Tables(s, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
@@ -199,7 +220,7 @@ object StreamingCatalog extends QueryModule {
     * sides shuffle on user_id so matches co-locate. Batch-equivalent
     * (AvailableNow over a static file), hence fully oracle-checked;
     * gap_us is an exact integer difference of truncated-ns micros. */
-  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
     def side(tpe: String, pfx: String) = s.readStream
@@ -242,7 +263,7 @@ object StreamingCatalog extends QueryModule {
     * scale-killer; duplicates in real pipelines arrive close together,
     * which is exactly the within-watermark contract). Counts per type
     * must equal the distinct-id counts of one copy. */
-  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
     def src = s.readStream
@@ -275,7 +296,7 @@ object StreamingCatalog extends QueryModule {
     * FINAL state per user (the row with max n — updates are cumulative)
     * equals the batch aggregation, independent of how the source split
     * into micro-batches. */
-  private def stateRunning(s: SparkSession, dir: String): DataFrame = {
+  private def stateRunning(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(s, dir).eventsRaw.schema
     import s.implicits._
