@@ -218,6 +218,87 @@ object RelCatalog extends QueryModule {
              |ORDER BY ex.n_exact DESC, l_suppkey LIMIT 10""".stripMargin)
     ),
     Q(
+      "rel_join_bloom_prune",
+      // Bloom-filter join pruning — the runtime-filter trick behind
+      // Spark's own InjectRuntimeFilter, built by hand so the
+      // false-positive trade is DATA: the selective dim side
+      // (BUILDING customers) folds into a 1024-bit Bloom (16 BIGINT
+      // words, k=4 md5-derived hashes) via a bit_or aggregate; the
+      // fact side (distinct order customers) probes it and only
+      // bloom-positive keys would reach the real join. Because the
+      // hashes are md5-derived and shared with the oracle, both
+      // engines build the bit-identical filter and the comparison is
+      // exact — including n_false_pos, the keys the bloom passes that
+      // the join would discard. m=1024 is deliberately small so the
+      // trade is visible across scale factors (near-0 FP at sf0.001,
+      // saturating as the build set outgrows the bits — the sizing
+      // decision a 100 TB deployment makes explicitly).
+      //
+      // Scale posture: the bloom build is a map-side-combined bit_or
+      // over 16 words — constant size regardless of build cardinality
+      // — and the probe joins those 16 broadcast rows; no shuffle of
+      // the fact side at all. That is the point: the prune costs a
+      // broadcast of 128 bytes however big either side is.
+      (s, dir) => {
+        def h(j: Column, k: Column): Column =
+          conv(substring(md5(concat(lit("bf"), j.cast("string"), lit(":"), k.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1024
+        val t = Tables(s, dir)
+        val build = t.customer
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").cast("long").as("k"))
+          .distinct()
+        val bloom = build
+          .withColumn("j", explode(expr("sequence(0, 3)")))
+          .withColumn("h", h(col("j"), col("k")))
+          .select(expr("h div 64").as("word"), expr("shiftleft(1L, int(h % 64))").as("mask"))
+          .groupBy("word")
+          .agg(expr("bit_or(mask)").as("bits"))
+        val probed = t.orders
+          .select(col("o_custkey").cast("long").as("k"))
+          .distinct()
+          .withColumn("j", explode(expr("sequence(0, 3)")))
+          .withColumn("h", h(col("j"), col("k")))
+          .withColumn("word", expr("h div 64"))
+          .withColumn("mask", expr("shiftleft(1L, int(h % 64))"))
+          .join(broadcast(bloom), Seq("word"), "left")
+          .withColumn("hit", (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L).cast("long"))
+          .groupBy("k")
+          .agg((sum(col("hit")) === 4).cast("long").as("pass"))
+          .join(broadcast(build.withColumn("in_build", lit(1L))), Seq("k"), "left")
+          .withColumn("in_build", coalesce(col("in_build"), lit(0L)))
+        probed
+          .agg(
+            count(lit(1)).as("n_probe"),
+            sum(col("pass")).as("n_pass"),
+            sum(col("pass") * col("in_build")).as("n_true_pos"),
+            sum(col("pass") * (lit(1L) - col("in_build"))).as("n_false_pos"))
+          .crossJoin(broadcast(build.agg(count(lit(1)).as("n_build"))))
+          .select("n_build", "n_probe", "n_pass", "n_true_pos", "n_false_pos")
+      },
+      Some("""WITH build AS (SELECT DISTINCT c_custkey::BIGINT AS k FROM customer WHERE c_mktsegment='BUILDING'),
+             |hb AS (SELECT k, j,
+             |       CAST('0x'||substr(md5('bf'||j::VARCHAR||':'||k::VARCHAR),1,8) AS BIGINT)%1024 AS h
+             |       FROM build, UNNEST(range(4)) AS t(j)),
+             |bloom AS (SELECT h//64 AS word, bit_or(1::BIGINT << CAST(h%64 AS INTEGER)) AS bits FROM hb GROUP BY 1),
+             |probe AS (SELECT DISTINCT o_custkey::BIGINT AS k FROM orders),
+             |hp AS (SELECT k, j,
+             |       CAST('0x'||substr(md5('bf'||j::VARCHAR||':'||k::VARCHAR),1,8) AS BIGINT)%1024 AS h
+             |       FROM probe, UNNEST(range(4)) AS t(j)),
+             |hits AS (SELECT hp.k,
+             |         SUM(CASE WHEN (COALESCE(b.bits, 0) & (1::BIGINT << CAST(hp.h%64 AS INTEGER))) <> 0
+             |                  THEN 1 ELSE 0 END) AS hits
+             |         FROM hp LEFT JOIN bloom b ON hp.h//64 = b.word GROUP BY 1),
+             |p AS (SELECT hits.k, CASE WHEN hits = 4 THEN 1 ELSE 0 END AS pass,
+             |      CASE WHEN build.k IS NULL THEN 0 ELSE 1 END AS in_build
+             |      FROM hits LEFT JOIN build ON hits.k = build.k)
+             |SELECT (SELECT COUNT(*) FROM build)::BIGINT AS n_build,
+             |COUNT(*)::BIGINT AS n_probe, SUM(pass)::BIGINT AS n_pass,
+             |SUM(pass*in_build)::BIGINT AS n_true_pos,
+             |SUM(pass*(1-in_build))::BIGINT AS n_false_pos
+             |FROM p""".stripMargin)
+    ),
+    Q(
       "rel_having",
       (s, dir) =>
         Tables(s, dir).orders
