@@ -70,15 +70,25 @@ object Bench {
         if (failed || times.isEmpty) (name, -1.0, -1.0, Seq(-1.0))
         else (name, median(times.toSeq), times.min, times.toSeq)
       }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }.mkString("{", ",", "}")
+    // Two renderings of the same measurements:
+    //  - stdout: COMPACT (medians rounded to ms, no detail map). The
+    //    driver captures a bounded tail of stdout and json-parses the
+    //    line; round 4's detail-carrying line outgrew that window and
+    //    the start of the line was cut off -> BENCH_r4 "parsed": null.
+    //    ~111 queries x ~20 bytes keeps this well inside the window.
+    //  - bench.json: FULL precision + per-run detail for spread audits.
+    def ms(x: Double): String = if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
     val detail = results.map { case (k, med, mn, runs) =>
       "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn +
         ",\"runs\":" + runs.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, _) if med >= 0 => med }.sum
+    val stdoutLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""detail":$detail,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
-    println(line)
+    println(stdoutLine)
     // stdout capture can truncate the per-query tail; the same line goes
     // to a file (cwd-relative — the harness runs from the repo root, and
     // SPARK_GRAFT_BENCH_OUT overrides) so the full map survives. A

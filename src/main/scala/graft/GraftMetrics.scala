@@ -53,11 +53,15 @@ object GraftMetrics {
     *
     * This is the library-facing REPORT channel — the logging listener
     * above is the ops channel. QueryExecutionListener dispatch rides the
-    * async listener bus, so after `body` returns we wait (bounded) for
-    * the first metric batch to land; a plan whose observe nodes sit
-    * under an already-materialized cached relation legitimately reports
-    * nothing (the capped computation did not re-run), so callers get an
-    * empty map rather than an error after the timeout.
+    * async listener bus, but every completed action has POSTED its
+    * SQLExecutionEnd before the action call returns — so after `body`
+    * returns, draining the bus (Bridge.waitListenerBusEmpty) is both
+    * necessary and sufficient: multi-action bodies lose no late batches
+    * (the old first-non-empty exit could), and a body with no observe
+    * nodes returns as soon as the bus idles instead of burning the full
+    * timeout. A plan whose observe nodes sit under an already-
+    * materialized cached relation legitimately reports nothing (the
+    * capped computation did not re-run) → empty map, not an error.
     */
   def collect[T](spark: SparkSession, waitSecs: Int = 10)(body: => T): (T, Map[String, Map[String, Any]]) = {
     val seen = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
@@ -76,8 +80,15 @@ object GraftMetrics {
     spark.listenerManager.register(capture)
     try {
       val result = body
-      val deadline = System.nanoTime() + waitSecs * 1000L * 1000L * 1000L
-      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val drained =
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark, waitSecs * 1000L)
+      if (!drained) {
+        // Bus still busy at the deadline (shared-session contention):
+        // fall back to a short bounded poll so an in-flight batch that
+        // was about to land still gets captured.
+        val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+        while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      }
       import scala.jdk.CollectionConverters._
       (result, seen.asScala.toMap)
     } finally spark.listenerManager.unregister(capture)

@@ -717,6 +717,145 @@ object DedupCatalog extends QueryModule {
              |      FROM pr a JOIN assigned b ON a.pb=b.bucket AND a.cell=b.cell AND a.vec_id<b.vec_id)
              |SELECT vec_id, cell, MIN(id_a) AS keeper, COUNT(*)::BIGINT AS n_near
              |FROM p WHERE cosine >= 0.95 GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin)
+    ),
+    Q(
+      "dedup_bloom_incremental",
+      // Incremental-ingestion dedup: "is this new document already in
+      // the corpus?" answered by a Bloom filter of the SEEN corpus
+      // (here: even doc_ids) probed by the new batch (odd doc_ids) —
+      // the shape a daily 100 TB crawl-append uses, because the
+      // alternative is re-joining every new batch against the full
+      // historical corpus. m=4096 bits (64 BIGINT words), k=3
+      // md5-derived hashes over the content digest, shared with the
+      // oracle so both engines build the bit-identical filter.
+      //
+      // Scale posture: the filter build is a map-side-combined bit_or
+      // over 64 words — constant bytes no matter how large the seen
+      // corpus — and the probe broadcasts those 64 rows; the new batch
+      // never shuffles. The exact-membership join exists only to
+      // EXHIBIT the FP trade (n_false_pos as data); production keeps
+      // the bloom verdict and exact-joins only the bloom-positive
+      // slice (here ~all true dups + FP%). n_false_neg is structurally
+      // zero — a Bloom filter cannot false-negative — and emitting it
+      // makes the oracle assert that property cross-engine.
+      (s, dir) => {
+        def h(j: Column, k: Column): Column =
+          conv(substring(md5(concat(lit("ib"), j.cast("string"), lit(":"), k)), 1, 8), 16, 10)
+            .cast("long") % 4096
+        val docs = Tables(s, dir).documents.select(col("doc_id"), md5(col("text")).as("key"))
+        val seenKeys = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("key").distinct()
+        // The corpus halves share no exact text, so the new batch gets
+        // deterministic re-crawls of every 10th seen doc (+100001 keeps
+        // the id odd) — the bloom must flag ALL of them (n_false_neg=0).
+        val recrawls = docs
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100001).as("doc_id"), col("key"))
+        val bloom = seenKeys
+          .withColumn("j", explode(expr("sequence(0, 2)")))
+          .withColumn("h", h(col("j"), col("key")))
+          .select(expr("h div 64").as("word"), expr("shiftleft(1L, int(h % 64))").as("mask"))
+          .groupBy("word")
+          .agg(expr("bit_or(mask)").as("bits"))
+        val newDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1).unionByName(recrawls)
+        val probed = newDocs
+          .withColumn("j", explode(expr("sequence(0, 2)")))
+          .withColumn("h", h(col("j"), col("key")))
+          .withColumn("word", expr("h div 64"))
+          .withColumn("mask", expr("shiftleft(1L, int(h % 64))"))
+          .join(broadcast(bloom), Seq("word"), "left")
+          .withColumn("hit", (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L).cast("long"))
+          .groupBy("doc_id", "key")
+          .agg((sum(col("hit")) === 3).cast("long").as("pass"))
+          .join(broadcast(seenKeys.withColumn("dup", lit(1L))), Seq("key"), "left")
+          .withColumn("dup", coalesce(col("dup"), lit(0L)))
+        probed.agg(
+          count(lit(1)).as("n_new"),
+          sum(col("pass")).as("n_bloom_pass"),
+          sum(col("dup")).as("n_true_dup"),
+          sum(col("pass") * (lit(1L) - col("dup"))).as("n_false_pos"),
+          sum(col("dup") * (lit(1L) - col("pass"))).as("n_false_neg"))
+      },
+      Some("""WITH skeys AS (SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+             |hb AS (SELECT key, j,
+             |       CAST('0x'||substr(md5('ib'||j::VARCHAR||':'||key),1,8) AS BIGINT)%4096 AS h
+             |       FROM skeys, UNNEST(range(3)) AS t(j)),
+             |bloom AS (SELECT h//64 AS word, bit_or(1::HUGEINT << CAST(h%64 AS INTEGER)) AS bits FROM hb GROUP BY 1),
+             |newd AS (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 1
+             |         UNION ALL SELECT doc_id + 100001, md5(text) FROM documents WHERE doc_id % 10 = 0),
+             |np AS (SELECT doc_id, key, j,
+             |       CAST('0x'||substr(md5('ib'||j::VARCHAR||':'||key),1,8) AS BIGINT)%4096 AS h
+             |       FROM newd, UNNEST(range(3)) AS t(j)),
+             |hits AS (SELECT doc_id, key,
+             |         SUM(CASE WHEN (COALESCE(b.bits, 0) & (1::HUGEINT << CAST(np.h%64 AS INTEGER))) <> 0
+             |                  THEN 1 ELSE 0 END) AS nh
+             |         FROM np LEFT JOIN bloom b ON np.h//64 = b.word GROUP BY 1, 2),
+             |p AS (SELECT h.doc_id, CASE WHEN nh = 3 THEN 1 ELSE 0 END AS pass,
+             |      CASE WHEN sk.key IS NULL THEN 0 ELSE 1 END AS dup
+             |      FROM hits h LEFT JOIN skeys sk ON h.key = sk.key)
+             |SELECT COUNT(*)::BIGINT AS n_new, SUM(pass)::BIGINT AS n_bloom_pass,
+             |SUM(dup)::BIGINT AS n_true_dup, SUM(pass*(1-dup))::BIGINT AS n_false_pos,
+             |SUM(dup*(1-pass))::BIGINT AS n_false_neg
+             |FROM p""".stripMargin)
+    ),
+    Q(
+      "dedup_url",
+      // URL canonicalization dedup — the pre-content dedup layer of a
+      // web-crawl pipeline (CommonCrawl-style): the same page arrives
+      // under scheme/host-case, default-port, trailing-slash, tracking-
+      // query and fragment variants; canonicalizing collapses them
+      // WITHOUT touching content. URLs are synthesized deterministically
+      // from doc_id — each run of 4 consecutive docs shares a path
+      // (doc_id div 4), decorated per-doc: upper-case host every 7th,
+      // :443 every 3rd, trailing slash every 2nd, utm query every 5th,
+      // fragment every 11th — and the oracle builds the identical
+      // strings, so canonicalization must collapse each 4-doc group to
+      // one URL. Canonical form: strip query+fragment, strip the
+      // default port, strip the trailing slash, lowercase.
+      //
+      // Scale posture: per-row string rewriting is narrow (no shuffle,
+      // stays in the scan's codegen span); the only exchange is the
+      // groupBy on the canonical key — the same single-hash-shuffle
+      // shape as dedup_exact, which is why URL dedup is the CHEAPEST
+      // dedup pass and always runs first in a layered pipeline.
+      (s, dir) => {
+        val raw = Tables(s, dir).documents.select(
+          col("doc_id"),
+          concat(
+            lit("https://"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("WWW")).otherwise(lit("www")),
+            lit(".example.com"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+            lit("/docs/"),
+            expr("CAST(doc_id div 4 AS STRING)"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit("?utm_source=feed&utm_id="), col("doc_id").cast("string"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0, lit("#sec")).otherwise(lit("")))
+            .as("url"))
+        raw
+          .withColumn("canon",
+            lower(regexp_replace(
+              regexp_replace(regexp_replace(col("url"), lit("[?#].*$"), lit("")), lit(":443"), lit("")),
+              lit("/$"), lit(""))))
+          .groupBy("canon")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("url")).as("n_variants"),
+            min(col("doc_id")).as("keeper"))
+          .orderBy("canon")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  'https://' || CASE WHEN doc_id%7=0 THEN 'WWW' ELSE 'www' END || '.example.com' ||
+             |  CASE WHEN doc_id%3=0 THEN ':443' ELSE '' END || '/docs/' || CAST(doc_id//4 AS VARCHAR) ||
+             |  CASE WHEN doc_id%2=0 THEN '/' ELSE '' END ||
+             |  CASE WHEN doc_id%5=0 THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+             |  CASE WHEN doc_id%11=0 THEN '#sec' ELSE '' END AS url FROM documents),
+             |c AS (SELECT doc_id, url,
+             |      lower(regexp_replace(regexp_replace(regexp_replace(url, '[?#].*$', ''), ':443', ''), '/$', '')) AS canon
+             |      FROM u)
+             |SELECT canon, COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT url)::BIGINT AS n_variants,
+             |MIN(doc_id) AS keeper
+             |FROM c GROUP BY canon ORDER BY canon""".stripMargin)
     )
   )
 }

@@ -142,7 +142,14 @@ object RelCatalog extends QueryModule {
       // contract is the ERROR BOUND, not the estimate: each engine
       // emits its exact count plus a flag that its own sketch landed
       // within 10% — deterministically 1 on both sides (rsd=0.02 here,
-      // ~1.6% observed in DuckDB, vs the 10% gate).
+      // ~1.6% observed in DuckDB, vs the 10% gate). The flag pins a
+      // PROBABILISTIC estimator property: a sketch-implementation
+      // change in either engine could flip it with nothing wrong.
+      // Deliberate — the 5x headroom (≤2% observed vs 10% gate) makes
+      // a flip a real accuracy regression worth investigating, and
+      // RelSpec's raw-estimate assertion (relative error, not the
+      // flag) is the diagnosable channel when it does: the estimate
+      // itself never crosses the hashed oracle boundary.
       (s, dir) =>
         Tables(s, dir).orders
           .groupBy(col("o_orderpriority"))
@@ -229,7 +236,11 @@ object RelCatalog extends QueryModule {
       // hashes are md5-derived and shared with the oracle, both
       // engines build the bit-identical filter and the comparison is
       // exact — including n_false_pos, the keys the bloom passes that
-      // the join would discard. m=1024 is deliberately small so the
+      // the join would discard. (The oracle holds its mask/words as
+      // HUGEINT: DuckDB range-checks `1::BIGINT << 63` as signed
+      // overflow, while Spark's shiftleft wraps to the sign bit. The
+      // bit patterns are identical; only the compared COUNTS leave
+      // the query, so the representation difference is invisible.) m=1024 is deliberately small so the
       // trade is visible across scale factors (near-0 FP at sf0.001,
       // saturating as the build set outgrows the bits — the sizing
       // decision a 100 TB deployment makes explicitly).
@@ -280,13 +291,13 @@ object RelCatalog extends QueryModule {
              |hb AS (SELECT k, j,
              |       CAST('0x'||substr(md5('bf'||j::VARCHAR||':'||k::VARCHAR),1,8) AS BIGINT)%1024 AS h
              |       FROM build, UNNEST(range(4)) AS t(j)),
-             |bloom AS (SELECT h//64 AS word, bit_or(1::BIGINT << CAST(h%64 AS INTEGER)) AS bits FROM hb GROUP BY 1),
+             |bloom AS (SELECT h//64 AS word, bit_or(1::HUGEINT << CAST(h%64 AS INTEGER)) AS bits FROM hb GROUP BY 1),
              |probe AS (SELECT DISTINCT o_custkey::BIGINT AS k FROM orders),
              |hp AS (SELECT k, j,
              |       CAST('0x'||substr(md5('bf'||j::VARCHAR||':'||k::VARCHAR),1,8) AS BIGINT)%1024 AS h
              |       FROM probe, UNNEST(range(4)) AS t(j)),
              |hits AS (SELECT hp.k,
-             |         SUM(CASE WHEN (COALESCE(b.bits, 0) & (1::BIGINT << CAST(hp.h%64 AS INTEGER))) <> 0
+             |         SUM(CASE WHEN (COALESCE(b.bits, 0) & (1::HUGEINT << CAST(hp.h%64 AS INTEGER))) <> 0
              |                  THEN 1 ELSE 0 END) AS hits
              |         FROM hp LEFT JOIN bloom b ON hp.h//64 = b.word GROUP BY 1),
              |p AS (SELECT hits.k, CASE WHEN hits = 4 THEN 1 ELSE 0 END AS pass,
@@ -1088,6 +1099,148 @@ object RelCatalog extends QueryModule {
              |(VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS v(rk, tag)
              |JOIN region r ON r.r_regionkey = v.rk
              |ORDER BY v.tag""".stripMargin)
+    ),
+    // ---- reshaping / profiling (round 5) -----------------------------
+    Q(
+      "rel_unpivot",
+      // Wide→long reshape (the inverse of rel_pivot): four measure
+      // columns melt into (measure, value) rows via Dataset.unpivot —
+      // Spark's Expand node, a NARROW 4x row fan-out with no shuffle;
+      // the only exchange is the final presentation sort. Values pass
+      // through untouched (no arithmetic), so doubles cross the engine
+      // boundary bit-exactly.
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "measure",
+            "value")
+          .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, value
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+             |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
+    ),
+    Q(
+      "rel_percentile",
+      // Exact percentiles (type R-7 linear interpolation in BOTH
+      // engines). Cross-engine float discipline: l_quantity is
+      // integer-valued and the requested fractions are dyadic
+      // (1/4, 1/2, 3/4), so every interpolation term — frac*(hi-lo)
+      // and the sum — is exactly representable; the two engines'
+      // different association orders cannot diverge. The exact
+      // percentile buffers each group's values (Spark aggregates a
+      // value→count map, so duplicates collapse — fine for a bounded
+      // domain like quantity 1..50); an unbounded-domain 100 TB run
+      // uses approx_percentile (t-digest, mergeable partials) instead,
+      // which is engine-specific and therefore not oracle-comparable.
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            percentile(col("l_quantity"), lit(0.25)).as("q1"),
+            percentile(col("l_quantity"), lit(0.5)).as("med"),
+            percentile(col("l_quantity"), lit(0.75)).as("q3"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |quantile_cont(l_quantity, 0.25) AS q1,
+             |quantile_cont(l_quantity, 0.5) AS med,
+             |quantile_cont(l_quantity, 0.75) AS q3
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "rel_window_ntile",
+      // NTILE quartiles per group, then per-quartile stats. The window
+      // order key is made TOTAL (quantity, then unique (orderkey,
+      // linenumber)) — ntile over a non-total order is
+      // nondeterministic in any engine and could never be oracled.
+      // Both engines size buckets the SQL-standard way (first n%k
+      // buckets get the extra row), so assignments match exactly.
+      (s, dir) => {
+        val w = Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        Tables(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy("l_returnflag", "quartile")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_quantity")).as("qty_lo"),
+            max(col("l_quantity")).as("qty_hi"))
+          .orderBy("l_returnflag", "quartile")
+      },
+      Some("""WITH t AS (SELECT l_returnflag, l_quantity,
+             |  NTILE(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS quartile
+             |  FROM lineitem)
+             |SELECT l_returnflag, quartile, COUNT(*) AS n,
+             |MIN(l_quantity) AS qty_lo, MAX(l_quantity) AS qty_hi
+             |FROM t GROUP BY l_returnflag, quartile
+             |ORDER BY l_returnflag, quartile""".stripMargin)
+    ),
+    Q(
+      "rel_histogram",
+      // Equi-width histogram: two-pass profiling — a 1-row global
+      // min/max aggregate broadcast back over the scan, then a
+      // map-side-combined groupBy on the bucket id. Each row's bucket
+      // is computed INDEPENDENTLY with the identical IEEE expression
+      // tree in both engines ((hi-lo)/20, then (x-lo)/width, floor,
+      // clamp) — single-value double arithmetic is exactly rounded and
+      // order-free, unlike double SUMs, so no decimal detour is
+      // needed. The clamp puts x=hi in the last bucket.
+      (s, dir) => {
+        val t = Tables(s, dir).orders.select(col("o_totalprice").as("x"))
+        val stats = t.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        t.crossJoin(broadcast(stats))
+          .withColumn("bucket",
+            least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0))), lit(19.0))
+              .cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min(col("x")).as("x_lo"), max(col("x")).as("x_hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+             |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bucket,
+             |COUNT(*) AS n, MIN(o_totalprice) AS x_lo, MAX(o_totalprice) AS x_hi
+             |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "rel_profile_stats",
+      // Table profiling (count / nulls / distinct / min / max per
+      // column) — the first query any pipeline runs against a new
+      // 100 TB table. One scan: stack() melts the audited columns to
+      // (col_name, value) rows (narrow Expand, like rel_unpivot), then
+      // one aggregation. Numeric columns are profiled through their
+      // VARCHAR rendering (bigint→string is identical cross-engine;
+      // double→string is NOT, so doubles stay out of profile strings).
+      (s, dir) =>
+        Tables(s, dir).orders
+          .select(expr(
+            """stack(4,
+              |'o_orderstatus', o_orderstatus,
+              |'o_orderpriority', o_orderpriority,
+              |'o_custkey', CAST(o_custkey AS STRING),
+              |'o_orderkey', CAST(o_orderkey AS STRING)) AS (col_name, v)""".stripMargin))
+          .groupBy("col_name")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("v_min"),
+            max(col("v")).as("v_max"))
+          .orderBy("col_name"),
+      Some("""WITH st AS (
+             |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+             |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+             |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders)
+             |SELECT col_name, COUNT(*) AS n_rows,
+             |SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             |COUNT(DISTINCT v) AS n_distinct, MIN(v) AS v_min, MAX(v) AS v_max
+             |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin)
     )
   )
 }

@@ -35,14 +35,24 @@ object StreamingCatalog extends QueryModule {
     * start, which is exactly why it must be chosen deliberately: size
     * `spark.graft.stream.statePartitions` (default 8) to expected state
     * volume ÷ per-partition budget — thousands on a 1000-executor
-    * 100 TB deployment, a handful for local harness state. The knob is
-    * applied around plan time and restored after the run. */
-  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, s.conf.get("spark.graft.stream.statePartitions", "8"))
-    try body
-    finally s.conf.set(key, old)
+    * 100 TB deployment, a handful for local harness state.
+    *
+    * The knob is applied to a CLONED session (`newSession()`: same
+    * SparkContext and catalog, isolated SQLConf), never to the
+    * caller's: mutating the shared `spark.sql.shuffle.partitions` for
+    * the duration of a stream run would silently re-plan any batch
+    * query a concurrent thread submits in the same session with 8
+    * shuffle partitions. The body receives the scoped session and must
+    * do ALL its work through it (source, sink view, drain) so the
+    * memory-sink temp view lands in the scoped catalog. Builder-time
+    * options propagate to clones via initialSessionOptions; dynamic
+    * conf (nanosAsLong) is re-set per body on the scoped session. */
+  private def withStatePartitions[T](s: SparkSession)(body: SparkSession => T): T = {
+    val scoped = s.newSession()
+    scoped.conf.set(
+      "spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.stream.statePartitions", "8"))
+    body(scoped)
   }
 
   /** Tumbling-window agg as a genuine streaming query, run to completion
@@ -62,10 +72,10 @@ object StreamingCatalog extends QueryModule {
   /** [[windowAgg]] with a caller-chosen time window (tumbling or
     * sliding — stream_window_sliding passes `window(ts, 2h, 1h)`, so
     * each event lands in slide-count windows). */
-  private def windowAggBy(s: SparkSession, dir: String, win: org.apache.spark.sql.Column): DataFrame = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(s, dir).eventsRaw.schema
-    val stream = s.readStream
+  private def windowAggBy(s: SparkSession, dir: String, win: org.apache.spark.sql.Column): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(ss, dir).eventsRaw.schema
+    val stream = ss.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -90,7 +100,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    MemoryResult.drain(s, name)(_.orderBy("window_start", "event_type"))
+    MemoryResult.drain(ss, name)(_.orderBy("window_start", "event_type"))
   }
 
   /** PRODUCTION sink shape of the windowed aggregation: watermarked
@@ -106,10 +116,10 @@ object StreamingCatalog extends QueryModule {
     * watermark); windows the final watermark has NOT passed stay in
     * state by design — a caller wanting them flushed feeds a later
     * event to push the watermark (StreamingSpec stages a sentinel). */
-  def windowAggAppendToFiles(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(srcDir).schema
-    val agg = s.readStream
+  def windowAggAppendToFiles(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ss.read.parquet(srcDir).schema
+    val agg = ss.readStream
       .schema(schema)
       .parquet(srcDir)
       .withColumnRenamed("ts", "ts_ns")
@@ -149,10 +159,10 @@ object StreamingCatalog extends QueryModule {
     * foreachBatch is where MERGE/upsert logic goes when the target has
     * no streaming writer. Spec: StreamingSpec replays the whole stream
     * from a wiped checkpoint and asserts the sink is unchanged. */
-  def foreachBatchDeltaUpsert(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(srcDir).schema
-    val query = s.readStream
+  def foreachBatchDeltaUpsert(s: SparkSession, srcDir: String, sinkDir: String, ckptDir: String): Unit = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ss.read.parquet(srcDir).schema
+    val query = ss.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1") // several micro-batches, not one
       .parquet(srcDir)
@@ -182,11 +192,11 @@ object StreamingCatalog extends QueryModule {
     * watermark needed for an inner stream-static join); at scale the
     * dim stays broadcast-sized or becomes a slowly-changing table the
     * planner shuffles once. Batch-equivalent, so fully oracle-checked. */
-  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(s, dir).eventsRaw.schema
-    val cust = Tables(s, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
-    val joined = s.readStream
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(ss, dir).eventsRaw.schema
+    val cust = Tables(ss, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ss.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -205,7 +215,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    MemoryResult.drain(s, name)(_.orderBy("c_mktsegment"))
+    MemoryResult.drain(ss, name)(_.orderBy("c_mktsegment"))
   }
 
   /** Stream-stream interval join: clicks joined to purchases of the
@@ -220,10 +230,10 @@ object StreamingCatalog extends QueryModule {
     * sides shuffle on user_id so matches co-locate. Batch-equivalent
     * (AvailableNow over a static file), hence fully oracle-checked;
     * gap_us is an exact integer difference of truncated-ns micros. */
-  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(s, dir).eventsRaw.schema
-    def side(tpe: String, pfx: String) = s.readStream
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(ss, dir).eventsRaw.schema
+    def side(tpe: String, pfx: String) = ss.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -252,7 +262,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    MemoryResult.drain(s, name)(_.orderBy("click_id", "buy_id"))
+    MemoryResult.drain(ss, name)(_.orderBy("click_id", "buy_id"))
   }
 
   /** Streaming dedup: duplicate the stream (self-union) then
@@ -263,10 +273,10 @@ object StreamingCatalog extends QueryModule {
     * scale-killer; duplicates in real pipelines arrive close together,
     * which is exactly the within-watermark contract). Counts per type
     * must equal the distinct-id counts of one copy. */
-  private def streamDedup(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(s, dir).eventsRaw.schema
-    def src = s.readStream
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(ss, dir).eventsRaw.schema
+    def src = ss.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -287,7 +297,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    MemoryResult.drain(s, name)(_.orderBy("event_type"))
+    MemoryResult.drain(ss, name)(_.orderBy("event_type"))
   }
 
   /** Real flatMapGroupsWithState over the file stream: per-user running
@@ -296,11 +306,11 @@ object StreamingCatalog extends QueryModule {
     * FINAL state per user (the row with max n — updates are cumulative)
     * equals the batch aggregation, independent of how the source split
     * into micro-batches. */
-  private def stateRunning(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(s, dir).eventsRaw.schema
-    import s.implicits._
-    val src = s.readStream
+  private def stateRunning(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(ss, dir).eventsRaw.schema
+    import ss.implicits._
+    val src = ss.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -317,7 +327,7 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    MemoryResult.drain(s, name)(
+    MemoryResult.drain(ss, name)(
       _.groupBy("user_id")
         .agg(
           max(col("n")).as("n_events"),

@@ -41,15 +41,23 @@ object IngestStress {
     val spark = GraftSession.builder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tmp = System.getProperty("java.io.tmpdir")
-    val base = "/root/testdata/sf0.1"
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val stress = s"$tmp/graft_stress_sf1"
     val stressOrders = new java.io.File(s"$stress/orders.parquet")
+    // The replicated input is cached across runs, but only a COMPLETE
+    // write may be reused: build into a scratch path and atomically
+    // rename into place, so an interrupted first run can never leave a
+    // partial orders.parquet that later runs silently bench against.
     if (!stressOrders.exists()) {
+      val scratch = new java.io.File(s"$stress/_building_orders.parquet")
+      if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
       val o = spark.read.parquet(s"$base/orders.parquet")
       (0 until 10)
         .map(i => o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)))
         .reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(stressOrders.getAbsolutePath)
+        .write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      if (!scratch.renameTo(stressOrders))
+        sys.error(s"rename $scratch -> $stressOrders failed")
     }
 
     def pipelineAll6(dir: String): Unit = {

@@ -33,4 +33,16 @@ object Bridge {
     * holds localCheckpoint blocks — freeing them needs the RDD itself. */
   def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect { case l: execution.LogicalRDD => l.rdd }
+
+  /** Block until the async listener bus has delivered everything posted
+    * so far (bounded). QueryExecutionListener callbacks ride this bus,
+    * so "bus empty" == "every completed action's observed metrics have
+    * reached their listeners" — the deterministic way to wait for
+    * metrics instead of polling with a fixed grace period. Returns true
+    * if the bus drained inside the timeout. `listenerBus` is
+    * private[spark]; this shim lives under org.apache.spark so the
+    * access is legal. */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMillis: Long): Boolean =
+    try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

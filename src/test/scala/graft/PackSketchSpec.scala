@@ -34,6 +34,27 @@ class PackSketchSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(bucket"), s"per-bucket window lost its parallel partitioning:\n$plan")
   }
 
+  test("rel_sketch_distinct: raw HLL estimate stays well inside the 10% oracle gate") {
+    // The driver oracle pins only the within_10pct FLAG (the raw
+    // estimate is engine-specific, so it cannot cross the hashed
+    // boundary). This is the diagnosable channel the catalog comment
+    // points at: if a sketch-implementation change ever flips the
+    // flag, this test names the actual relative error per group.
+    import org.apache.spark.sql.functions._
+    val rows = Tables(spark, sf).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (grp, exact, approx) =>
+      val relErr = math.abs(approx - exact).toDouble / exact.max(1L)
+      assert(relErr <= 0.10, f"group $grp: HLL++ estimate $approx vs exact $exact (relErr=$relErr%.4f) breached the oracle gate")
+    }
+  }
+
   test("rel_sketch_topk: count-min never underestimates, sketch probe is broadcast") {
     val df = SparkEntry.queries("rel_sketch_topk")(spark, sf)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

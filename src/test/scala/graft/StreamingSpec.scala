@@ -152,4 +152,16 @@ class StreamingSpec extends AnyFunSuite {
     // bounded state: ids 1/2 (and 3) aged out of the store — NOT 4 rows forever
     assert(stateRows < 4, s"state not evicted: $stateRows rows")
   }
+
+  test("drained memory-sink results die at GraftCache.clear (MemoryResult contract)") {
+    // A drained frame is a localCheckpoint: lineage truncated, blocks
+    // freed by GraftCache.clear. Reusing it after clear would fail with
+    // missing-block errors, so the liveness flag is the guard callers
+    // (and this harness) assert on instead of discovering at runtime.
+    val df = SparkEntry.queries("stream_window_agg")(spark, sf)
+    assert(graft.streaming.MemoryResult.isLive(df), "fresh drain must be live")
+    assert(df.count() > 0) // force while live — the supported window
+    GraftCache.clear()
+    assert(!graft.streaming.MemoryResult.isLive(df), "clear() must invalidate the drained frame")
+  }
 }
