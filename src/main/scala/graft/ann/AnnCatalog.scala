@@ -330,6 +330,83 @@ object AnnCatalog extends QueryModule {
              |ranked AS (SELECT q_id, vec_id, cosine,
              |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
+      "ann_recall_report",
+      // Recall@k of the LSH index vs the exact baseline AS DATA — the
+      // observability query an ANN deployment runs on a sampled slice
+      // before trusting the index (AnnSpec asserts a floor in CI; this
+      // emits the per-query numbers a dashboard tracks). Joins the
+      // brute-force top-k with the LSH top-k per query: n_hit / n_brute
+      // is recall@5, kept as exact integers so the oracle comparison
+      // never touches a ratio.
+      //
+      // Scale posture: this is the one place brute force is FINE — it
+      // runs over a small query SAMPLE (10 here), so the exact side is
+      // a broadcast-queries scan, not an all-pairs join; the index side
+      // is the production probe path unchanged. At 100 TB the sample
+      // stays fixed-size while the corpus grows — the report costs one
+      // corpus scan regardless of index size.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val brute = graft.plans.GraftOps
+          .topKPerGroup(scoredPairs(c), Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+          .select("q_id", "vec_id")
+        val sig = c.withColumn("bucket", hyperBucket(col("qv"), bits = 6))
+        val q = sig
+          .filter(col("vec_id") < 10)
+          .select(
+            col("vec_id").as("q_id"),
+            col("qv").as("qe"),
+            col("nsq").as("qn"),
+            explode(
+              array(
+                col("bucket") +:
+                  (0 until 6).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+              .as("bucket"))
+        val cand = sig
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+        val lsh = graft.plans.GraftOps
+          .topKPerGroup(cand, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        brute
+          .join(lsh, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(
+            count(lit(1)).as("n_brute"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH n AS (SELECT vec_id,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq,
+             |      ${hyperBucketSql("qv", bits = 6)} AS bucket FROM n),
+             |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+             |bscored AS (SELECT q.q_id, m.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM m CROSS JOIN q WHERE m.vec_id <> q.q_id),
+             |brank AS (SELECT q_id, vec_id,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM bscored),
+             |brute AS (SELECT q_id, vec_id FROM brank WHERE rank <= $K),
+             |qp AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn, pb FROM m,
+             |      UNNEST([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8),
+             |              xor(bucket,16), xor(bucket,32)]) AS t(pb)
+             |      WHERE vec_id < 10),
+             |lscored AS (SELECT qp.q_id, m.vec_id,
+             |  CAST((SELECT SUM(qp.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(qp.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(qp.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM qp JOIN m ON qp.pb = m.bucket WHERE m.vec_id <> qp.q_id),
+             |lrank AS (SELECT q_id, vec_id,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM lscored),
+             |lsh AS (SELECT q_id, vec_id FROM lrank WHERE rank <= $K)
+             |SELECT b.q_id, COUNT(*) AS n_brute,
+             |SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+             |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+             |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)
     )
   )
 }

@@ -104,6 +104,87 @@ object MultimodalCatalog extends QueryModule {
              |       md5(substr(text, (i*stride + 1)::INTEGER, stride::INTEGER)) AS frame_md5
              |FROM st, UNNEST(range(4)) AS t(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+    Q(
+      "mm_phash_dedup",
+      // Perceptual-hash near-dup detection over binary payloads — the
+      // image-dedup layer of a multimodal pipeline (a re-encoded or
+      // lightly-edited image survives exact-digest dedup; its pHash
+      // differs by a few bits). The hash here is the codec-free
+      // stand-in: 64 bits from a length-proportional byte sample of
+      // the payload (bit i = sampled byte >= 96), where a real
+      // deployment computes DCT-pHash from the StubDecoder seam's
+      // pixels — the signature WIDTH, the 4x16-bit chunk layout, the
+      // pigeonhole candidate join and the hamming verify are exactly
+      // what the real hash plugs into. Near-dup inputs are injected:
+      // every 20th doc gets a "re-encode" (+400000) with its first
+      // byte rewritten, so its sample differs in at most the low bits.
+      //
+      // Scale posture: signature build is narrow per-row work; the
+      // candidate join is chunk-equality pigeonhole (hamming<=3 pairs
+      // MUST share one of 4 exact 16-bit chunks) — equality shuffles
+      // only, never all-pairs, same guarantee as dedup_simhash. 16-bit
+      // chunk values keep every engine away from BIGINT sign bits.
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val copies = d
+          .filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2, length(text) - 1)")).as("text"))
+        val sig = d
+          .union(copies)
+          .withColumn("n", length(col("text")).cast("long"))
+          .select(
+            col("doc_id") +: (0 until 4).map { c =>
+              (0 until 16).map { k =>
+                val i = c * 16 + k
+                when(
+                  ascii(expr(s"substring(text, CAST(($i * n) DIV 64 AS INT) + 1, 1)")) >= 96,
+                  lit(1L << k)).otherwise(lit(0L))
+              }.reduce(_ + _).as(s"c$c")
+            }: _*)
+        val chunks = sig.select(
+          col("doc_id"),
+          col("c0"), col("c1"), col("c2"), col("c3"),
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+        chunks
+          .as("a")
+          .join(
+            chunks.as("b"),
+            col("a.pos") === col("b.pos") && col("a.col") === col("b.col") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            (bit_count(col("a.c0").bitwiseXOR(col("b.c0"))) +
+              bit_count(col("a.c1").bitwiseXOR(col("b.c1"))) +
+              bit_count(col("a.c2").bitwiseXOR(col("b.c2"))) +
+              bit_count(col("a.c3").bitwiseXOR(col("b.c3")))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |           UNION ALL SELECT doc_id+400000, 'Z' || substr(text, 2, length(text)-1)
+             |           FROM documents WHERE doc_id%20=0),
+             |nn AS (SELECT doc_id, text, length(text)::BIGINT AS n FROM d),
+             |bits AS (SELECT doc_id, i,
+             |       CASE WHEN ascii(substr(text, ((i*n)//64 + 1)::INTEGER, 1)) >= 96 THEN 1 ELSE 0 END AS b
+             |       FROM nn, UNNEST(range(64)) AS t(i)),
+             |ch AS (SELECT doc_id, i//16 AS c,
+             |       SUM(CASE WHEN b = 1 THEN (1::BIGINT << (i % 16)::INTEGER) ELSE 0 END)::BIGINT AS chunk
+             |       FROM bits GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |       MAX(CASE WHEN c=0 THEN chunk END) AS c0, MAX(CASE WHEN c=1 THEN chunk END) AS c1,
+             |       MAX(CASE WHEN c=2 THEN chunk END) AS c2, MAX(CASE WHEN c=3 THEN chunk END) AS c3
+             |       FROM ch GROUP BY 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       bit_count(xor(a.c0,b.c0)) + bit_count(xor(a.c1,b.c1)) +
+             |       bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)) AS hamming
+             |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |         AND (a.c0=b.c0 OR a.c1=b.c1 OR a.c2=b.c2 OR a.c3=b.c3))
+             |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)
     )
   )
 }

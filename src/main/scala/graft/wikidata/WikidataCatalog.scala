@@ -250,6 +250,66 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY id""".stripMargin)
     ),
     Q(
+      "wd_dump_diff",
+      // Snapshot CDC: what changed between yesterday's shred and
+      // today's — added / removed / changed rows with both labels, the
+      // incremental-refresh primitive for consumers who must not
+      // re-read a full dump (the reference's users re-shred from
+      // scratch; at 100 TB the diff IS the product). The v2 snapshot is
+      // derived deterministically from v1 (every 5th nation entity
+      // removed, every 4th remaining relabeled, the region "new"
+      // entities added) so the oracle reconstructs both sides
+      // relationally. The diff itself is ONE full-outer join on the
+      // entity id — a single co-partitioned shuffle, no driver-side
+      // comparison; a production deployment buckets both snapshots by
+      // id so even that shuffle drops away on refresh N+1.
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val v1 = WikidataShredder
+          .vertex(SyntheticDump.entities(s, dir))
+          .select(col("id"), col("label"))
+        val isNation = col("id") < 1000 // nation vertex ids are 10..34
+        val v2 = v1
+          .filter(!(isNation && pmod(col("id") - 10, lit(5)) === 0))
+          .withColumn(
+            "label",
+            when(isNation && pmod(col("id") - 10, lit(4)) === 0, concat(col("label"), lit(" v2")))
+              .otherwise(col("label")))
+          .union(t.region.select(
+            (col("r_regionkey").cast("long") + 500).as("id"),
+            concat(col("r_name"), lit(" new")).as("label")))
+        v1.as("a")
+          .join(v2.as("b"), Seq("id"), "full_outer")
+          .withColumn(
+            "change",
+            when(col("a.label").isNull, "added")
+              .when(col("b.label").isNull, "removed")
+              .when(col("a.label") =!= col("b.label"), "changed"))
+          .filter(col("change").isNotNull)
+          .select(col("id"), col("change"), col("a.label").as("old_label"), col("b.label").as("new_label"))
+          .orderBy("id")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT CAST(10+n_nationkey AS BIGINT) AS id, n_name AS label FROM nation
+             |  UNION ALL SELECT 1000000040+r_regionkey, r_name FROM region
+             |  UNION ALL SELECT 2000000007, 'lex'
+             |  UNION ALL SELECT 5000000, 'solo'),
+             |v2 AS (
+             |  SELECT id, CASE WHEN id < 1000 AND (id-10)%4=0 THEN label||' v2' ELSE label END AS label
+             |  FROM v1 WHERE NOT (id < 1000 AND (id-10)%5=0)
+             |  UNION ALL SELECT 500+r_regionkey, r_name||' new' FROM region)
+             |SELECT COALESCE(a.id, b.id) AS id,
+             |  CASE WHEN a.label IS NULL THEN 'added'
+             |       WHEN b.label IS NULL THEN 'removed'
+             |       WHEN a.label <> b.label THEN 'changed' END AS change,
+             |  a.label AS old_label, b.label AS new_label
+             |FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id
+             |WHERE (CASE WHEN a.label IS NULL THEN 'added'
+             |            WHEN b.label IS NULL THEN 'removed'
+             |            WHEN a.label <> b.label THEN 'changed' END) IS NOT NULL
+             |ORDER BY id""".stripMargin)
+    ),
+    Q(
       "wd_query_labels",
       // Consumer-side graph query: resolve edge targets to their labels
       // (edge JOIN vertex ON dst_id=id) — the reference's users do this

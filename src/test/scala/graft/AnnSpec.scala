@@ -29,6 +29,16 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.1, s"IVF recall collapsed: $recall")
   }
 
+  test("ann_recall_report matches the set-level recall computation") {
+    val rep = SparkEntry.queries("ann_recall_report")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.length === 10) // one row per sampled query vector
+    assert(rep.forall(_._2 === 5L), "n_brute must be exactly k for every query")
+    // the report's n_hit must agree with computing recall the long way
+    val lsh = pairs(SparkEntry.queries("ann_lsh")(spark, sf))
+    assert(rep.map(_._3).sum === (lsh & brute).size.toLong)
+  }
+
   test("ann_ivf assignment is a partial aggregation, not a window") {
     // The centroid-assignment argmax must shuffle N rows (min_by with
     // map-side partial combine), not N*k window input. The only Window

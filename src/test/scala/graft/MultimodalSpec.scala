@@ -17,6 +17,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("mm_phash_dedup finds every injected re-encode, pigeonhole join only") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("mm_phash_dedup")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every injected copy (doc_id%20==0 -> +400000) must surface as a
+    // near-dup of its original, within the pigeonhole guarantee bound
+    val expected = Tables(spark, sf).documents
+      .filter(col("doc_id") % 20 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val found = rows.collect { case (a, b, _) if b - a == 400000 => a }.toSet
+    assert(expected.subsetOf(found), s"missing re-encodes: ${expected -- found}")
+    assert(rows.forall(_._3 <= 3))
+    // candidate generation must be equality joins (chunk pigeonhole),
+    // never a cartesian pairing
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("synthetic corpus is pure ASCII — mm oracle byte/char equivalence holds") {
     import org.apache.spark.sql.functions.{col, length, octet_length}
     val nonAscii = Tables(spark, sf).documents

@@ -34,6 +34,17 @@ class PackSketchSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(bucket"), s"per-bucket window lost its parallel partitioning:\n$plan")
   }
 
+  test("dedup_bloom_incremental: never false-negative, catches every re-crawl, broadcast probe") {
+    val df = SparkEntry.queries("dedup_bloom_incremental")(spark, sf)
+    val r = df.collect().head
+    // (n_new, n_bloom_pass, n_true_dup, n_false_pos, n_false_neg)
+    assert(r.getLong(4) === 0L, "a Bloom filter can never false-negative")
+    assert(r.getLong(2) > 0L, "injected re-crawls missing from the new batch")
+    assert(r.getLong(1) >= r.getLong(2), "every true dup must bloom-pass")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bloom probe should broadcast the 64-word filter:\n$plan")
+  }
+
   test("rel_sketch_distinct: raw HLL estimate stays well inside the 10% oracle gate") {
     // The driver oracle pins only the within_10pct FLAG (the raw
     // estimate is engine-specific, so it cannot cross the hashed
