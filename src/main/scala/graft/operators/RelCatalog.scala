@@ -1208,6 +1208,38 @@ object RelCatalog extends QueryModule {
              |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "rel_recursive_cte",
+      // Genuine WITH RECURSIVE (Spark 4 UnionLoop): every nation node
+      // walks a synthetic binary-tree hierarchy (parent = (id-1) div 2)
+      // to the root, then aggregates depth and ancestor counts.
+      // Anchor/step types are pinned to BIGINT explicitly — Spark
+      // refuses to widen the anchor's INT to the step's DIV-produced
+      // BIGINT across iterations (CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE).
+      //
+      // Scale posture: the recursive operator iterates driver-
+      // coordinated rounds, one distributed step-union per level —
+      // right for bounded-depth hierarchies (log n here). For
+      // frontier-explosion graph closure over the shredded edge table,
+      // wd_query_path_closure's unrolled BFS with per-level DISTINCT
+      // is the production shape; this entry is the SQL-surface
+      // completeness point.
+      (s, dir) => {
+        Tables(s, dir).views("nation")
+        s.sql("""WITH RECURSIVE anc(node, a, depth) AS (
+                |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT) FROM nation
+                |  UNION ALL
+                |  SELECT node, (a - 1) DIV 2, depth + 1 FROM anc WHERE a > 0)
+                |SELECT node, MAX(depth) AS depth_to_root, COUNT(*) AS n_ancestors
+                |FROM anc GROUP BY node ORDER BY node""".stripMargin)
+      },
+      Some("""WITH RECURSIVE anc(node, a, depth) AS (
+             |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT) FROM nation
+             |  UNION ALL
+             |  SELECT node, (a - 1) // 2, depth + 1 FROM anc WHERE a > 0)
+             |SELECT node, MAX(depth) AS depth_to_root, COUNT(*)::BIGINT AS n_ancestors
+             |FROM anc GROUP BY node ORDER BY node""".stripMargin)
+    ),
+    Q(
       "rel_profile_stats",
       // Table profiling (count / nulls / distinct / min / max per
       // column) — the first query any pipeline runs against a new
