@@ -89,6 +89,56 @@ object AnnCatalog extends QueryModule {
              |SELECT q_id, vec_id, cosine FROM scored WHERE cosine >= 0.35 ORDER BY q_id, vec_id""".stripMargin)
     ),
     Q(
+      "ann_filtered",
+      // FILTERED vector search — the hybrid-retrieval shape every
+      // production vector store needs (metadata predicate AND nearest
+      // neighbors): top-k per query restricted to corpus vectors
+      // sharing the query's label. The filter is applied as a JOIN KEY
+      // (pre-filtering), so non-matching vectors are eliminated before
+      // any distance is computed — never score-then-discard
+      // (post-filtering), which wastes the entire scan when the
+      // predicate is selective and can return < k rows.
+      //
+      // Scale posture: identical to ann_bruteforce (broadcast queries x
+      // streaming corpus, bounded-heap top-k) with the label equality
+      // folded into the broadcast hash join's key. With an IVF index
+      // the same pre-filter becomes "intersect the probe's posting list
+      // with the metadata index before ADC scoring".
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val q = c
+          .filter(col("vec_id") < 10)
+          .select(
+            col("vec_id").as("q_id"),
+            col("label").as("q_label"),
+            col("qv").as("qe"),
+            col("nsq").as("qn"))
+        val scored = c
+          .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+          .select("q_id", "vec_id", "cosine")
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "cosine")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |q AS (SELECT vec_id AS q_id, label AS q_label, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+             |scored AS (SELECT q.q_id, m.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM m JOIN q ON m.label = q.q_label AND m.vec_id <> q.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
       "ann_lsh",
       (s, dir) => {
         // 6-bit random-hyperplane signature over the quantized vector —

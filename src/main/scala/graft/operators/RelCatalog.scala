@@ -1273,6 +1273,128 @@ object RelCatalog extends QueryModule {
              |SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
              |COUNT(DISTINCT v) AS n_distinct, MIN(v) AS v_min, MAX(v) AS v_max
              |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin)
+    ),
+    Q(
+      "rel_gaps_islands",
+      // The gaps-and-islands idiom: per customer, maximal runs of order
+      // dates at most 30 days apart. Composes three window passes —
+      // lag to flag run breaks, a running sum to number the islands,
+      // then per-island and per-customer rollups. All three windows
+      // share the (o_custkey, date) partitioning/ordering, so Catalyst
+      // plans ONE shuffle + ONE sort and the island numbering rides it.
+      //
+      // Scale posture: ONE hash-shuffle on o_custkey for the whole
+      // query — the explicit repartition's custkey partitioning
+      // satisfies the clustering required by the (custkey, d) dedup,
+      // both windows, AND both rollups (partition keys ⊆ clustering
+      // keys), so Catalyst inserts no further exchange (spec-asserted).
+      // Windows evaluate per-partition with no global sort; skewed
+      // customers are bounded by their own order count.
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+          .repartition(col("o_custkey"))
+          .dropDuplicates("o_custkey", "d")
+        val w = Window.partitionBy("o_custkey").orderBy("d")
+        val islands = o
+          .withColumn("prev_d", lag(col("d"), 1).over(w))
+          .withColumn(
+            "brk",
+            when(col("prev_d").isNull || datediff(col("d"), col("prev_d")) > 30, 1L).otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(w))
+          .groupBy("o_custkey", "island")
+          .agg(
+            min(col("d")).as("start_d"),
+            max(col("d")).as("end_d"),
+            count(lit(1)).as("n_orders"))
+        islands
+          .groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("n_islands"),
+            max(col("n_orders")).as("longest_island"),
+            max(datediff(col("end_d"), col("start_d")).cast("long")).as("longest_span_days"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH o AS (SELECT DISTINCT o_custkey, o_orderdate::DATE AS d FROM orders),
+             |f AS (SELECT o_custkey, d,
+             |      CASE WHEN lag(d) OVER w IS NULL
+             |                OR date_diff('day', lag(d) OVER w, d) > 30 THEN 1 ELSE 0 END AS brk
+             |      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d)),
+             |i AS (SELECT o_custkey, d,
+             |      SUM(brk) OVER (PARTITION BY o_custkey ORDER BY d
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |      FROM f),
+             |g AS (SELECT o_custkey, island, MIN(d) AS start_d, MAX(d) AS end_d, COUNT(*)::BIGINT AS n_orders
+             |      FROM i GROUP BY 1, 2)
+             |SELECT o_custkey, COUNT(*)::BIGINT AS n_islands, MAX(n_orders)::BIGINT AS longest_island,
+             |MAX(date_diff('day', start_d, end_d))::BIGINT AS longest_span_days
+             |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
+      "rel_triangle_count",
+      // Triangle counting on the supplier co-occurrence graph (suppliers
+      // sharing an order). The count uses the standard oriented-edge
+      // decomposition: every undirected edge is stored once as u < v, a
+      // wedge join pairs out-edges of the same source, and a second join
+      // closes the wedge — each triangle is produced exactly once.
+      //
+      // Scale posture: the classic trick is to orient edges by DEGREE
+      // (low-degree endpoint first, ties by id), which bounds the wedge
+      // fan-out by the arboricity (O(m^1.5) total work, Chiba-Nishizeki)
+      // instead of the max raw degree; implemented here via one degree
+      // aggregation + a total (degree, id) key. Both joins are
+      // equi-joins on vertex keys — hash-shuffled, partial-first
+      // aggregated, no cartesian anywhere. The oracle counts the same
+      // triangles from the orientation-free u<v<w formulation (the
+      // count is orientation-invariant).
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val pairs = li
+          .as("a")
+          .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("u"), col("b.sk").as("v"))
+          .distinct()
+        val und = graft.GraftCache.register(pairs.persist())
+        val deg = und
+          .select(col("u").as("x"))
+          .unionByName(und.select(col("v").as("x")))
+          .groupBy("x")
+          .agg(count(lit(1)).as("dg"))
+        // total orientation key: degree first, id breaks ties — dg fits
+        // well under 2^20 here; at 100 TB widen the shift, same idea.
+        // Every edge is stored low-key -> high-key and CARRIES the
+        // endpoint keys, so the wedge pair (a, b) below is already in
+        // key order and the closing edge is findable by one two-column
+        // equi-join (no OR-condition join, which would degrade to a
+        // nested loop).
+        val ku = col("du") * 2097152 + col("u")
+        val kv = col("dv") * 2097152 + col("v")
+        val oriented = graft.GraftCache.register(
+          und
+            .join(broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du")), "u")
+            .join(broadcast(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv")), "v")
+            .select(
+              when(ku <= kv, col("u")).otherwise(col("v")).as("s"),
+              when(ku <= kv, col("v")).otherwise(col("u")).as("t"),
+              greatest(ku, kv).as("kt"))
+            .persist())
+        val wedges = oriented
+          .as("e1")
+          .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
+          .select(col("e1.t").as("a"), col("e2.t").as("b"))
+        val triangles =
+          wedges.join(oriented.as("e3"), col("a") === col("e3.s") && col("b") === col("e3.t"))
+        triangles
+          .agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+          .select(col("n_triangles"), col("n_edges"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+             |          FROM lineitem a JOIN lineitem b
+             |          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+             |SELECT (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)::BIGINT AS n_triangles,
+             |(SELECT COUNT(*) FROM e)::BIGINT AS n_edges""".stripMargin)
     )
   )
 }

@@ -470,6 +470,127 @@ object TextCatalog extends QueryModule {
              |start_tok//64 AS first_chunk, (start_tok+n_tok-1)//64 AS last_chunk,
              |((start_tok+n_tok-1)//64 - start_tok//64 + 1) AS n_chunks
              |FROM p ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_dedup_lines",
+      // CCNet-style LINE-level dedup (Wenzek et al. 2020 drop duplicated
+      // lines across the whole corpus before document scoring): documents
+      // are segmented into fixed 10-word lines, a line occurring in more
+      // than one document is dropped everywhere, and each document is
+      // REASSEMBLED from its surviving lines in order — a transformation
+      // pass, not just a signal. Injected fixtures prove both shapes: doc
+      // 700000 copies the first 20 words (= first two lines) of doc 1
+      // ahead of unique filler (partial overlap — only the shared lines
+      // go), doc 700001 is a verbatim copy of doc 2 (every line goes).
+      //
+      // Scale posture: lines travel as md5 digests through the frequency
+      // pass (constant-width shuffle key regardless of line length, the
+      // same trick CCNet uses with SHA-1); the df table is line-keyed and
+      // partial-first aggregated; reassembly is one per-doc shuffle whose
+      // payload is the document itself. No pairwise work anywhere.
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        val partial = docs
+          .filter(col("doc_id") === 1)
+          .select(
+            lit(700000L).as("doc_id"),
+            concat(
+              array_join(slice(ws(col("text")), 1, 20), " "),
+              lit(" unua dua tria kvara kvina sesa sepa oka naua deka")).as("text"))
+        val copy = docs
+          .filter(col("doc_id") === 2)
+          .select(lit(700001L).as("doc_id"), col("text"))
+        val aug = docs.unionByName(partial).unionByName(copy)
+        val w = ws(col("text"))
+        val segs = transform(
+          sequence(lit(0), floor((size(w) - 1) / 10).cast("int")),
+          i => array_join(slice(w, i * 10 + 1, lit(10)), " "))
+        val lines = graft.GraftCache.register(
+          Fan
+            .out(aug)
+            .select(col("doc_id"), posexplode(segs).as(Seq("idx", "line")))
+            .withColumn("h", md5(col("line").cast("binary")))
+            .persist())
+        val freq = lines.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+        lines
+          .join(freq, "h")
+          .withColumn("keep", col("nd") <= 1)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+            array_join(
+              transform(
+                filter(
+                  array_sort(collect_list(struct(col("idx"), col("keep"), col("line")))),
+                  x => x.getField("keep")),
+                x => x.getField("line")),
+              " ").as("text_dedup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 700000, array_to_string(string_split(text,' ')[1:20],' ')
+             |    || ' unua dua tria kvara kvina sesa sepa oka naua deka' FROM documents WHERE doc_id = 1
+             |  UNION ALL SELECT 700001, text FROM documents WHERE doc_id = 2),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM aug),
+             |l AS (SELECT doc_id, i AS idx, array_to_string(ws[i*10+1:i*10+10],' ') AS line
+             |      FROM w, UNNEST(range(0, (len(ws)-1)//10 + 1)) AS t(i)),
+             |f AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1),
+             |j AS (SELECT l.doc_id, l.idx, l.line, f.nd <= 1 AS keep FROM l JOIN f ON md5(l.line) = f.h)
+             |SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+             |SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+             |COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY idx), '') AS text_dedup
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_domain_balance",
+      // Domain reweighting — the source-mix control every pretraining
+      // corpus build runs after filtering (equal-contribution variant:
+      // downsample every source to the smallest source's quality-passing
+      // count). The sampling decision is a pure function of
+      // (source, doc_id) via md5, so the kept set is reproducible across
+      // runs, machines, and engines, and the per-source rate is an exact
+      // integer in ppm — no float rate ever touches the data path.
+      //
+      // Scale posture: the rate table is one row per source (broadcast);
+      // the quality gate + hash keep are narrow per-row work, so the only
+      // shuffles are the two source-keyed count aggregations (both
+      // map-side combined). At 100 TB the same plan holds with the rate
+      // table still tiny.
+      (s, dir) => {
+        val d = Fan
+          .out(Tables(s, dir).documents.select("doc_id", "source", "text"))
+          .filter(size(ws(col("text"))) >= 40)
+        val counts = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+        val tgt = counts.agg(min("cnt").as("tgt"))
+        val rates = counts
+          .crossJoin(broadcast(tgt))
+          .select(col("source"), expr("(tgt * 1000000) div cnt").as("keep_ppm"))
+        d.withColumn(
+          "u",
+          pmod(
+            conv(
+              substring(
+                md5(concat(col("source"), lit(":"), col("doc_id").cast("string")).cast("binary")),
+                1,
+                12),
+              16,
+              10).cast("long"),
+            lit(1000000L)))
+          .join(broadcast(rates), "source")
+          .filter(col("u") < col("keep_ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), max("keep_ppm").as("keep_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH q AS (SELECT doc_id, source FROM documents WHERE len(string_split(text,' ')) >= 40),
+             |c AS (SELECT source, COUNT(*)::BIGINT AS cnt FROM q GROUP BY 1),
+             |t AS (SELECT MIN(cnt) AS tgt FROM c),
+             |r AS (SELECT source, ((t.tgt * 1000000) // c.cnt)::BIGINT AS keep_ppm FROM c CROSS JOIN t),
+             |k AS (SELECT q.doc_id, q.source, r.keep_ppm FROM q JOIN r USING (source)
+             |      WHERE ('0x'||substr(md5(q.source||':'||q.doc_id::VARCHAR),1,12))::BIGINT % 1000000 < r.keep_ppm)
+             |SELECT source, COUNT(*)::BIGINT AS n_kept, MAX(keep_ppm)::BIGINT AS keep_ppm
+             |FROM k GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -16,6 +16,19 @@ object WikidataCatalog extends QueryModule {
 
   /** Shared by wd_quantity (batch shred) and wd_stream_ingest (the same
     * shred run incrementally) — both must produce this exact relation. */
+  /** Relational reconstruction of the shredded edge table (the same
+    * union wd_edge's oracle checks) — shared with wd_pagerank, whose
+    * oracle iterates over it. */
+  private lazy val edgeUnionSql =
+    s"""SELECT $nIsBig AS src_id, CAST(1000000031 AS BIGINT) AS property_id, CAST(100+n_regionkey AS BIGINT) AS dst_id FROM nation
+       |UNION ALL SELECT 10+n_nationkey, 1000000007, 200+n_nationkey FROM nation
+       |UNION ALL SELECT 10+n_nationkey, 1000000005, 10+n_nationkey FROM nation
+       |UNION ALL SELECT 10+n_nationkey, 1000000006, 10+n_nationkey FROM nation
+       |UNION ALL SELECT 1000000040+r_regionkey, 1000000031, 300+r_regionkey FROM region
+       |UNION ALL SELECT 2000000007, 1000000008, 705032713
+       |UNION ALL SELECT 2000000007, 1000000009, 1205032714
+       |UNION ALL SELECT 2000000007, 1000000012, 2000000007""".stripMargin
+
   private lazy val quantityOracle =
     s"""SELECT $nIsBig AS src_id, CAST(1000001082 AS BIGINT) AS property_id, $nIsBig AS dst_id,
        |CAST(n_nationkey*1000 + 500.25 AS DOUBLE) AS amount,
@@ -90,14 +103,7 @@ object WikidataCatalog extends QueryModule {
           .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
           .orderBy("src_id", "property_id", "dst_id"),
       Some(s"""SELECT * FROM (
-             |SELECT $nIsBig AS src_id, CAST(1000000031 AS BIGINT) AS property_id, CAST(100+n_regionkey AS BIGINT) AS dst_id FROM nation
-             |UNION ALL SELECT 10+n_nationkey, 1000000007, 200+n_nationkey FROM nation
-             |UNION ALL SELECT 10+n_nationkey, 1000000005, 10+n_nationkey FROM nation
-             |UNION ALL SELECT 10+n_nationkey, 1000000006, 10+n_nationkey FROM nation
-             |UNION ALL SELECT 1000000040+r_regionkey, 1000000031, 300+r_regionkey FROM region
-             |UNION ALL SELECT 2000000007, 1000000008, 705032713
-             |UNION ALL SELECT 2000000007, 1000000009, 1205032714
-             |UNION ALL SELECT 2000000007, 1000000012, 2000000007
+             |$edgeUnionSql
              |) ORDER BY src_id, property_id, dst_id""".stripMargin)
     ),
     Q(
@@ -163,6 +169,48 @@ object WikidataCatalog extends QueryModule {
              |CAST(0.01 AS DOUBLE) AS "precision",
              |CAST(2 AS BIGINT) AS globe_id
              |FROM nation ORDER BY src_id""".stripMargin)
+    ),
+    Q(
+      "wd_coord_zorder",
+      // Z-order (Morton) clustering key for the coordinates table — the
+      // layout that makes geo BOX queries prunable: sorting by the
+      // interleaved-bit code co-locates spatially-near points, so a
+      // lat/lon range predicate touches O(few) parquet row groups via
+      // min/max stats instead of the whole table. Codes are pure
+      // integer bit-twiddling over the half-degree grid (the synthetic
+      // coordinates are exact multiples of 0.5), identical in both
+      // engines. At 100 TB the write path is repartitionByRange(morton)
+      // + sortWithinPartitions(morton) into parquet — same recipe
+      // ShreddedLayout uses for src_id, keyed by the curve instead.
+      (s, dir) => {
+        val spread = (c: String) =>
+          s"""(((($c | shiftleft($c, 8)) & 16711935)
+             |  | shiftleft((($c | shiftleft($c, 8)) & 16711935), 4)) & 252645135)""".stripMargin
+        // two spread rounds inline (8,4) then (2,1) on the result
+        def full(c: String): String = {
+          val s1 = spread(c)
+          val s2 = s"((($s1 | shiftleft($s1, 2)) & 858993459))"
+          s"((($s2 | shiftleft($s2, 1)) & 1431655765))"
+        }
+        WikidataShredder
+          .coordinates(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .withColumn("lat_g", expr("CAST(latitude * 2 + 180 AS BIGINT)"))
+          .withColumn("lon_g", expr("CAST(longitude * 2 + 360 AS BIGINT)"))
+          .withColumn("morton", expr(s"${full("lat_g")} | shiftleft(${full("lon_g")}, 1)"))
+          .select("morton", "src_id", "latitude", "longitude")
+          .orderBy("morton", "src_id")
+      },
+      Some(s"""WITH c AS (SELECT $nIsBig AS src_id,
+             |  CAST(n_nationkey*2.5 - 25.0 AS DOUBLE) AS latitude,
+             |  CAST(n_regionkey*10.0 - 20.0 AS DOUBLE) AS longitude FROM nation),
+             |g AS (SELECT src_id, latitude, longitude,
+             |  CAST(latitude * 2 + 180 AS BIGINT) AS a0, CAST(longitude * 2 + 360 AS BIGINT) AS b0 FROM c),
+             |s1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1, (b0 | (b0 << 8)) & 16711935 AS b1 FROM g),
+             |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+             |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+             |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+             |SELECT (a4 | (b4 << 1)) AS morton, src_id, latitude, longitude
+             |FROM s4 ORDER BY morton, src_id""".stripMargin)
     ),
     Q(
       "wd_time",
@@ -492,6 +540,77 @@ object WikidataCatalog extends QueryModule {
              |UNION ALL SELECT 'time', (SELECT COUNT(*) FROM nation)
              |UNION ALL SELECT 'vertex', (SELECT COUNT(*) FROM nation)+(SELECT COUNT(*) FROM region)+2
              |) ORDER BY table_name""".stripMargin)
+    ),
+    Q(
+      "wd_pagerank",
+      // PageRank over the shredded entity graph — the canonical "what
+      // matters in this knowledge graph" consumer query. Three damped
+      // iterations (d=0.85) UNROLLED into one Catalyst DAG; every rank
+      // is a BIGINT in 1e-12 units and every division is integral
+      // (floor), so the result is bit-exact across engines — no float
+      // ever enters the recurrence. Dangling mass is dropped (pure
+      // push model), identically on both sides.
+      //
+      // Scale posture: per iteration the contribution pass is one join
+      // of edges against the rank vector on src_id (both co-partitioned
+      // on the same key across iterations — on a cluster the edge table
+      // is hash-bucketed once and every hop reuses it) followed by a
+      // partial-first SUM on dst_id. Rank and degree vectors are
+      // vertex-sized. With more iterations you would checkpoint the
+      // rank vector every few hops to cap lineage growth; at 3 unrolled
+      // hops the DAG is shallow enough not to need it.
+      (s, dir) => {
+        val edge = graft.GraftCache.register(
+          WikidataShredder
+            .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+            .select("src_id", "dst_id")
+            .persist())
+        val deg = edge.groupBy("src_id").agg(count(lit(1)).as("d")).withColumnRenamed("src_id", "id")
+        val verts = edge
+          .select(col("src_id").as("id"))
+          .unionByName(edge.select(col("dst_id").as("id")))
+          .distinct()
+        val n1 = verts.agg(count(lit(1)).as("n"))
+        val r0 = verts
+          .crossJoin(broadcast(n1))
+          .select(col("id"), expr("1000000000000 div n").as("r"))
+        val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
+          val inc = edge
+            .join(r.withColumnRenamed("id", "src_id"), "src_id")
+            .join(deg.withColumnRenamed("id", "src_id"), "src_id")
+            .select(col("dst_id").as("id"), expr("r div d").as("c"))
+            .groupBy("id")
+            .agg(sum(col("c")).as("inc"))
+          verts
+            .crossJoin(broadcast(n1))
+            .join(inc, Seq("id"), "left")
+            .select(
+              col("id"),
+              expr("(15 * (1000000000000 div n)) div 100 + (85 * coalesce(inc, 0)) div 100").as("r"))
+        }
+        rFinal
+          .select(col("id").as("vertex_id"), col("r").as("rank_units"))
+          .orderBy(col("rank_units").desc, col("vertex_id"))
+      },
+      Some {
+        val iters = (1 to 3)
+          .map { i =>
+            val prev = if (i == 1) "r0" else s"r${i - 1}"
+            s"""s$i AS (SELECT e.dst_id AS id, SUM($prev.r // deg.d)::BIGINT AS inc
+               |      FROM edge e JOIN $prev ON e.src_id = $prev.id JOIN deg ON e.src_id = deg.id GROUP BY 1),
+               |r$i AS (SELECT v.id, ((15 * (1000000000000 // p.n)) // 100 + (85 * COALESCE(s$i.inc, 0)) // 100)::BIGINT AS r
+               |      FROM v CROSS JOIN p LEFT JOIN s$i ON v.id = s$i.id)"""
+          }
+          .mkString(",\n")
+        s"""WITH edge AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+           |deg AS (SELECT src_id AS id, COUNT(*)::BIGINT AS d FROM edge GROUP BY 1),
+           |v AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edge UNION ALL SELECT dst_id FROM edge)),
+           |p AS (SELECT COUNT(*)::BIGINT AS n FROM v),
+           |r0 AS (SELECT v.id, (1000000000000 // p.n)::BIGINT AS r FROM v CROSS JOIN p),
+           |$iters
+           |SELECT id AS vertex_id, r AS rank_units FROM r3
+           |ORDER BY rank_units DESC, vertex_id""".stripMargin
+      }
     )
   )
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value/plan properties of the round-5 graph and corpus-transform
+  * operators that the DuckDB oracle cannot express: PageRank mass
+  * conservation, triangle-join plan shape (no nested loop), the
+  * single-shuffle gaps-and-islands plan, and line-dedup reassembly
+  * fixtures.
+  */
+class GraphLineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_dedup_lines drops every line of a verbatim copy and reassembles the rest") {
+    val rows = SparkEntry
+      .queries("text_dedup_lines")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val (n1, d1, t1) = rows(700001L)
+    assert(n1 === d1, "verbatim copy must lose every line")
+    assert(t1 === "", "verbatim copy must reassemble to the empty document")
+    val (n0, d0, t0) = rows(700000L)
+    assert(d0 >= 1, "partial copy must lose at least its first shared line")
+    assert(d0 < n0 && t0.endsWith("deka"), "unique filler lines must survive")
+    // the shared lines are dropped from the ORIGINAL doc too (corpus-wide
+    // dedup, not pairwise)
+    assert(rows(1L)._2 >= 1, "doc 1 must also lose the lines doc 700000 copied")
+    // untouched docs keep everything
+    assert(rows.count { case (id, (n, d, _)) => id < 700000 && d == 0 && n > 0 } > 0)
+  }
+
+  test("text_domain_balance: smallest source keeps all, rates are exact ppm") {
+    val rows = SparkEntry
+      .queries("text_domain_balance")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, kept, ppm) => kept >= 0 && ppm >= 1 && ppm <= 1000000 })
+    assert(rows.exists(_._3 == 1000000L), "the smallest quality-passing source keeps everything")
+  }
+
+  test("wd_pagerank conserves bounded mass and floors at the teleport term") {
+    val rows = SparkEntry
+      .queries("wd_pagerank")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rows.length.toLong
+    val teleportFloor = (15L * (1000000000000L / n)) / 100L
+    assert(rows.forall(_._2 >= teleportFloor), "every vertex gets at least the teleport mass")
+    // total mass never exceeds the unit budget (dangling + floor loss only shrink it)
+    assert(rows.map(_._2).sum <= 1000000000000L)
+    assert(rows.map(_._2).max > teleportFloor, "linked vertices must accumulate rank")
+  }
+
+  test("rel_triangle_count closes wedges with equi-joins only and matches the naive count") {
+    val df = SparkEntry.queries("rel_triangle_count")(spark, sf)
+    // the only permissible nested-loop join is the deliberate 1-row x
+    // 1-row scalar stitch attaching n_edges to n_triangles
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+    val Array(nTri, nEdges) = df.collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    // independent recomputation: orientation-free u<v<w three-way join
+    val li = Tables(spark, sf).lineitem.select(
+      org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+      org.apache.spark.sql.functions.col("l_suppkey").as("sk"))
+    li.createOrReplaceTempView("li_tri")
+    val expected = spark
+      .sql("""WITH e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+             |          FROM li_tri a JOIN li_tri b ON a.ok = b.ok AND a.sk < b.sk)
+             |SELECT (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS t,
+             |       (SELECT COUNT(*) FROM e) AS m""".stripMargin)
+      .collect()
+      .head
+    assert(nTri === expected.getLong(0) && nEdges === expected.getLong(1))
+    GraftCache.clear()
+  }
+
+  test("ann_filtered only ever returns neighbors matching the query's label") {
+    val labels = Tables(spark, sf).embeddings
+      .select("vec_id", "label")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val rows = SparkEntry
+      .queries("ann_filtered")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, v) =>
+      assert(labels(v) === labels(q), s"neighbor $v of query $q escaped the label filter")
+    }
+    GraftCache.clear()
+  }
+
+  test("wd_coord_zorder: codes match a reference bit-interleave and sort the output") {
+    def spread(x0: Long): Long = {
+      val x1 = (x0 | (x0 << 8)) & 0x00FF00FFL
+      val x2 = (x1 | (x1 << 4)) & 0x0F0F0F0FL
+      val x3 = (x2 | (x2 << 2)) & 0x33333333L
+      (x3 | (x3 << 1)) & 0x55555555L
+    }
+    val rows = SparkEntry
+      .queries("wd_coord_zorder")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, lat, lon) =>
+      val expect = spread((lat * 2 + 180).toLong) | (spread((lon * 2 + 360).toLong) << 1)
+      assert(m === expect, s"morton code off for ($lat, $lon)")
+    }
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq, "output must be curve-ordered")
+    GraftCache.clear()
+  }
+
+  test("rel_gaps_islands runs on a single customer-keyed shuffle") {
+    val df = SparkEntry.queries("rel_gaps_islands")(spark, sf)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // exchanges in the FINAL plan only (the rangepartitioning exchange
+    // of the presentation ORDER BY is expected and not counted here)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(
+      exchanges === 1,
+      s"dedup + 2 windows + 2 rollups must all reuse the custkey partitioning:\n$plan")
+  }
+}
