@@ -856,6 +856,72 @@ object DedupCatalog extends QueryModule {
              |SELECT canon, COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT url)::BIGINT AS n_variants,
              |MIN(doc_id) AS keeper
              |FROM c GROUP BY canon ORDER BY canon""".stripMargin)
+    ),
+    Q(
+      "dedup_cdc_chunks",
+      // Content-defined chunking dedup (the rsync/LBFS/storage-dedup
+      // primitive): chunk boundaries are placed where a rolling hash of
+      // the local 8 bytes hits 0 mod 64, so boundaries RESYNC after an
+      // insertion — a doc that copies another with leading extra text
+      // still shares almost all its chunks, which fixed-offset blocking
+      // would misalign. Injected fixture: doc 800000 = 'xyzzy ' + doc 3;
+      // everything after the first boundary re-aligns and dedups.
+      //
+      // Scale posture: chunking is narrow per-row work (the per-position
+      // hash here is an interpreted higher-order function — at 100 TB
+      // this inner loop graduates to a codegen Expression like ShingleK,
+      // same plan shape); chunks travel as md5 digests into a
+      // partial-first frequency aggregate and one digest-keyed join
+      // back. No pairwise comparisons anywhere.
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        val ins = docs
+          .filter(col("doc_id") === 3)
+          .select(lit(800000L).as("doc_id"), concat(lit("xyzzy "), col("text")).as("text"))
+        val aug = docs.unionByName(ins)
+        val chunked = graft.GraftCache.register(
+          Fan
+            .out(aug)
+            .withColumn(
+              "bs",
+              expr("""CASE WHEN length(text) - 7 >= 2 THEN
+                     |  filter(transform(sequence(2, length(text) - 7),
+                     |    i -> CASE WHEN pmod(cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 8), 16, 10) as bigint), 64) = 0 THEN i END),
+                     |    x -> x is not null)
+                     |ELSE cast(array() as array<int>) END""".stripMargin))
+            .withColumn("ss", expr("concat(array(1), bs)"))
+            .withColumn("es", expr("concat(bs, array(length(text) + 1))"))
+            .select(
+              col("doc_id"),
+              explode(
+                expr("""transform(sequence(1, size(ss)),
+                       |  j -> substring(text, element_at(ss, j), element_at(es, j) - element_at(ss, j)))""".stripMargin))
+                .as("chunk"))
+            .withColumn("h", md5(col("chunk").cast("binary")))
+            .select("doc_id", "h")
+            .persist())
+        val freq = chunked.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+        chunked
+          .join(freq, "h")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 800000, 'xyzzy ' || text FROM documents WHERE doc_id = 3),
+             |b AS (SELECT doc_id, text,
+             |      [i for i in range(2, greatest(len(text)-7, 1)+1)
+             |         if ('0x'||substr(md5(text[i:i+7]),1,8))::BIGINT % 64 = 0] AS bs FROM aug),
+             |c AS (SELECT doc_id, text, list_prepend(1, bs) AS ss, list_append(bs, len(text)+1) AS es FROM b),
+             |ch AS (SELECT doc_id, md5(text[ss[j]:es[j]-1]) AS h
+             |       FROM c, UNNEST(range(1, len(ss)+1)) AS t(j)),
+             |f AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+             |SELECT ch.doc_id, COUNT(*)::BIGINT AS n_chunks,
+             |SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+             |FROM ch JOIN f USING (h)
+             |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)
     )
   )
 }

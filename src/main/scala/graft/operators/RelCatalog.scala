@@ -1332,11 +1332,17 @@ object RelCatalog extends QueryModule {
     ),
     Q(
       "rel_triangle_count",
-      // Triangle counting on the supplier co-occurrence graph (suppliers
-      // sharing an order). The count uses the standard oriented-edge
-      // decomposition: every undirected edge is stored once as u < v, a
-      // wedge join pairs out-edges of the same source, and a second join
-      // closes the wedge — each triangle is produced exactly once.
+      // Triangle counting on the part co-purchase graph (parts sharing
+      // an order in >= 2 DISTINCT orders — the support threshold turns
+      // the near-complete raw co-occurrence graph into the sparse
+      // "systematically bought together" graph, which is both the
+      // meaningful market-basket structure and what keeps the wedge
+      // join bounded; the unthresholded supplier graph is ~91% dense at
+      // sf0.1 and makes any triangle algorithm cubic). The count uses
+      // the standard oriented-edge decomposition: every undirected edge
+      // is stored once, a wedge join pairs out-edges of the same
+      // source, and a second join closes the wedge — each triangle is
+      // produced exactly once.
       //
       // Scale posture: the classic trick is to orient edges by DEGREE
       // (low-degree endpoint first, ties by id), which bounds the wedge
@@ -1348,13 +1354,15 @@ object RelCatalog extends QueryModule {
       // triangles from the orientation-free u<v<w formulation (the
       // count is orientation-invariant).
       (s, dir) => {
-        val li = Tables(s, dir).lineitem.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        val pairs = li
-          .as("a")
-          .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("u"), col("b.sk").as("v"))
-          .distinct()
-        val und = graft.GraftCache.register(pairs.persist())
+        val li = Tables(s, dir).lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val und = graft.GraftCache.register(
+          li.as("a")
+            .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+            .agg(count(lit(1)).as("w"))
+            .filter(col("w") >= 2)
+            .select("u", "v")
+            .persist())
         val deg = und
           .select(col("u").as("x"))
           .unionByName(und.select(col("v").as("x")))
@@ -1389,12 +1397,118 @@ object RelCatalog extends QueryModule {
           .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
           .select(col("n_triangles"), col("n_edges"))
       },
-      Some("""WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-             |          FROM lineitem a JOIN lineitem b
-             |          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+      Some("""WITH e AS (SELECT u, v FROM (
+             |            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+             |            FROM lineitem a JOIN lineitem b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |            GROUP BY 1, 2) WHERE w >= 2)
              |SELECT (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
              |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)::BIGINT AS n_triangles,
              |(SELECT COUNT(*) FROM e)::BIGINT AS n_edges""".stripMargin)
+    ),
+    Q(
+      "rel_funnel",
+      // Ordered funnel analysis over the events stream: first view ->
+      // first click AFTER that view -> first purchase AFTER that click,
+      // per user; reported as stage conversion counts plus the worst
+      // stage-transition latency. The ORDER requirement (a click before
+      // the user's first view doesn't convert) is what separates this
+      // from three independent filters. All timestamps compared as
+      // BIGINT micros (ts_ns div 1000 == DuckDB epoch_ns//1000), so the
+      // stage cuts are bit-exact cross-engine.
+      //
+      // Scale posture: three user-keyed partial-first aggregations
+      // chained by user-keyed joins — every stage shuffles once on
+      // user_id and AQE reuses/broadcasts the shrinking stage tables
+      // (each stage is a strict subset of the previous). No windows, no
+      // per-user sort: min() is enough because each stage only needs
+      // the EARLIEST qualifying event.
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+        val v = e
+          .filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(min(col("us")).as("t_view"))
+        val c = e
+          .filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("us") > col("t_view"))
+          .groupBy("user_id")
+          .agg(min(col("us")).as("t_click"), min(col("t_view")).as("t_view"))
+        val p = e
+          .filter(col("event_type") === "purchase")
+          .join(c.select("user_id", "t_click"), "user_id")
+          .filter(col("us") > col("t_click"))
+          .groupBy("user_id")
+          .agg(min(col("us")).as("t_purchase"), min(col("t_click")).as("t_click"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(c.agg(
+            count(lit(1)).as("n_click"),
+            max(col("t_click") - col("t_view")).as("max_click_delay_us"))))
+          .crossJoin(broadcast(p.agg(
+            count(lit(1)).as("n_purchase"),
+            max(col("t_purchase") - col("t_click")).as("max_purchase_delay_us"))))
+          .select("n_view", "n_click", "n_purchase", "max_click_delay_us", "max_purchase_delay_us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+             |v AS (SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.us) AS t_click, MIN(v.t_view) AS t_view
+             |      FROM e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.us > v.t_view GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.us) AS t_purchase, MIN(c.t_click) AS t_click
+             |      FROM e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.us > c.t_click GROUP BY 1)
+             |SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+             |(SELECT COUNT(*) FROM c)::BIGINT AS n_click,
+             |(SELECT COUNT(*) FROM p)::BIGINT AS n_purchase,
+             |(SELECT MAX(t_click - t_view) FROM c)::BIGINT AS max_click_delay_us,
+             |(SELECT MAX(t_purchase - t_click) FROM p)::BIGINT AS max_purchase_delay_us""".stripMargin)
+    ),
+    Q(
+      "rel_retention_cohorts",
+      // Cohort retention: users grouped by signup week, counted in
+      // every later week they were active — the triangular retention
+      // matrix behind any "day/week/month-N retention" dashboard
+      // (week granularity keeps the matrix non-degenerate at every
+      // testdata scale factor; the events table spans ~a month).
+      // Weeks are emitted as epoch SECONDS of the ISO week start (exact
+      // integers both engines; no timestamp rendering in the hash).
+      //
+      // Scale posture: the activity table is distinct-on (user, week)
+      // — one user-keyed shuffle partial-aggregated map-side; the
+      // cohort table is users-sized and joins on user_id (AQE
+      // broadcasts it when it fits); the final matrix is tiny
+      // (weeks x weeks) via a map-side-combined count-distinct.
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+        val weekS = (c: String) =>
+          s"unix_micros(date_trunc('WEEK', timestamp_micros($c))) div 1000000"
+        val cohort = e
+          .filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(col("us")).as("first_us"))
+          .select(col("user_id"), expr(weekS("first_us")).as("cohort_week"))
+        val activity = e
+          .select(col("user_id"), expr(weekS("us")).as("act_week"))
+          .distinct()
+        cohort
+          .join(activity, "user_id")
+          .filter(col("act_week") >= col("cohort_week"))
+          .groupBy("cohort_week", "act_week")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "act_week")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+             |co AS (SELECT user_id,
+             |       epoch_us(date_trunc('week', make_timestamp(MIN(us))))//1000000 AS cohort_week
+             |       FROM e WHERE event_type = 'signup' GROUP BY user_id),
+             |ac AS (SELECT DISTINCT user_id,
+             |       epoch_us(date_trunc('week', make_timestamp(us)))//1000000 AS act_week FROM e)
+             |SELECT cohort_week, act_week, COUNT(DISTINCT user_id)::BIGINT AS n_users
+             |FROM co JOIN ac USING (user_id) WHERE act_week >= cohort_week
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

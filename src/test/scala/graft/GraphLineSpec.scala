@@ -64,11 +64,13 @@ class GraphLineSpec extends AnyFunSuite {
     // independent recomputation: orientation-free u<v<w three-way join
     val li = Tables(spark, sf).lineitem.select(
       org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
-      org.apache.spark.sql.functions.col("l_suppkey").as("sk"))
+      org.apache.spark.sql.functions.col("l_partkey").as("pk"))
     li.createOrReplaceTempView("li_tri")
     val expected = spark
-      .sql("""WITH e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-             |          FROM li_tri a JOIN li_tri b ON a.ok = b.ok AND a.sk < b.sk)
+      .sql("""WITH e AS (SELECT u, v FROM (
+             |            SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+             |            FROM li_tri a JOIN li_tri b ON a.ok = b.ok AND a.pk < b.pk
+             |            GROUP BY 1, 2) WHERE w >= 2)
              |SELECT (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
              |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS t,
              |       (SELECT COUNT(*) FROM e) AS m""".stripMargin)
@@ -112,6 +114,28 @@ class GraphLineSpec extends AnyFunSuite {
       assert(m === expect, s"morton code off for ($lat, $lon)")
     }
     assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq, "output must be curve-ordered")
+    GraftCache.clear()
+  }
+
+  test("rel_funnel stages are monotone (ordered funnel, not independent filters)") {
+    val r = SparkEntry.queries("rel_funnel")(spark, sf).collect().head
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np, s"funnel must narrow: $nv >= $nc >= $np")
+    assert(np > 0, "synthetic events are dense enough that some users fully convert")
+    GraftCache.clear()
+  }
+
+  test("dedup_cdc_chunks: boundaries resync after an insertion") {
+    val rows = SparkEntry
+      .queries("dedup_cdc_chunks")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (n3, d3) = rows(3L)
+    val (n8, d8) = rows(800000L)
+    // the shifted copy shares every chunk after the first resync point
+    assert(d8 >= n8 - 1, s"shifted copy must dedup all but its head chunk ($d8 of $n8)")
+    assert(d3 >= n3 - 1, s"original must dedup symmetrically ($d3 of $n3)")
     GraftCache.clear()
   }
 
