@@ -26,7 +26,12 @@ object DocStress {
     "dedup_url",
     "dedup_bloom_incremental",
     "mm_phash_dedup",
-    "ann_recall_report")
+    "ann_recall_report",
+    // round-5 wave 2/3 document ops (documents-only inputs, so they
+    // run unchanged against the replicated stress dir)
+    "text_dedup_lines",
+    "text_domain_balance",
+    "dedup_cdc_chunks")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
