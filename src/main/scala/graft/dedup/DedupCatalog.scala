@@ -867,12 +867,13 @@ object DedupCatalog extends QueryModule {
       // would misalign. Injected fixture: doc 800000 = 'xyzzy ' + doc 3;
       // everything after the first boundary re-aligns and dedups.
       //
-      // Scale posture: chunking is narrow per-row work (the per-position
-      // hash here is an interpreted higher-order function — at 100 TB
-      // this inner loop graduates to a codegen Expression like ShingleK,
-      // same plan shape); chunks travel as md5 digests into a
-      // partial-first frequency aggregate and one digest-keyed join
-      // back. No pairwise comparisons anywhere.
+      // Scale posture: chunking is narrow per-row work; the
+      // per-position boundary hash is the NATIVE CdcBoundaries codegen
+      // expression (one flat loop, one reused MessageDigest — the
+      // interpreted HOF chain it replaced allocated a lambda frame, a
+      // hex string and a decimal conv per character). Chunks travel as
+      // md5 digests into a partial-first frequency aggregate and one
+      // digest-keyed join back. No pairwise comparisons anywhere.
       (s, dir) => {
         val docs = Tables(s, dir).documents.select("doc_id", "text")
         val ins = docs
@@ -882,13 +883,7 @@ object DedupCatalog extends QueryModule {
         val chunked = graft.GraftCache.register(
           Fan
             .out(aug)
-            .withColumn(
-              "bs",
-              expr("""CASE WHEN length(text) - 7 >= 2 THEN
-                     |  filter(transform(sequence(2, length(text) - 7),
-                     |    i -> CASE WHEN pmod(cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 8), 16, 10) as bigint), 64) = 0 THEN i END),
-                     |    x -> x is not null)
-                     |ELSE cast(array() as array<int>) END""".stripMargin))
+            .withColumn("bs", cdcBoundaries(col("text"), window = 8, mod = 64))
             .withColumn("ss", expr("concat(array(1), bs)"))
             .withColumn("es", expr("concat(bs, array(length(text) + 1))"))
             .select(

@@ -43,6 +43,10 @@ object GraftExtensions {
       FunctionIdentifier("graft_dotq"),
       new ExpressionInfo(classOf[DotQ].getName, "graft_dotq"),
       (exprs: Seq[Expression]) => DotQ(exprs(0), exprs(1))),
+    (
+      FunctionIdentifier("graft_cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head, window = 8, mod = 64)),
     fromColumnFn("graft_id_to_u32", 1)(cols => IdCodec.idToU32(cols.head)),
     fromColumnFn("graft_qid_from_uri", 1)(cols => IdCodec.qidFromUri(cols.head)),
     // proleptic-Gregorian epoch micros from civil parts — BIGINT-exact,

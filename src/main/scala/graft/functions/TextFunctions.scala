@@ -52,6 +52,17 @@ object TextFunctions {
         k,
         distinct = true))
 
+  /** Content-defined-chunking boundary positions (native codegen — see
+    * graft.expressions.CdcBoundaries). Oracle mirror:
+    *   [i for i in range(2, greatest(len(text)-window+1,1)+1)
+    *      if ('0x'||substr(md5(text[i:i+window-1]),1,8))::BIGINT % mod = 0] */
+  def cdcBoundaries(text: Column, window: Int = 8, mod: Int = 64): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CdcBoundaries(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text),
+        window,
+        mod))
+
   def stopHits(words: Column): Column =
     size(filter(words, w => w.isin(Stopwords: _*)))
 

@@ -85,6 +85,35 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("graft_shingle") && l.trim.startsWith("*(")), plan)
   }
 
+  test("native CdcBoundaries matches the interpreted md5 formulation") {
+    import graft.functions.TextFunctions._
+    val d = Tables(spark, sf).documents
+    val interp = expr(
+      """CASE WHEN length(text) - 7 >= 2 THEN
+        |  filter(transform(sequence(2, length(text) - 7),
+        |    i -> CASE WHEN pmod(cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 8), 16, 10) as bigint), 64) = 0 THEN i END),
+        |    x -> x is not null)
+        |ELSE cast(array() as array<int>) END""".stripMargin)
+    val both = d.select(cdcBoundaries(col("text")).as("nat"), interp.as("it"))
+    assert(both.filter(col("nat") =!= col("it")).count() === 0)
+    // short-text edge: no position can host a boundary -> empty, not null
+    import spark.implicits._
+    val short = Seq("tiny", "exactly8!", "").toDF("text")
+      .select(cdcBoundaries(col("text")).as("b"))
+    assert(short.collect().forall(_.getSeq[Int](0).isEmpty))
+    // codegen-resident in a plain projection + SQL surface registered
+    val plan = d
+      .select(cdcBoundaries(col("text")).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(
+      plan.linesIterator.exists(l => l.contains("graft_cdc_boundaries") && l.trim.startsWith("*(")),
+      plan)
+    GraftExtensions.register(spark)
+    Tables(spark, sf).views("documents")
+    assert(
+      spark.sql("SELECT graft_cdc_boundaries(text) AS b FROM documents WHERE doc_id = 1").count() === 1)
+  }
+
   test("WinnowFingerprint short arrays and empty results") {
     import graft.functions.TextFunctions._
     import spark.implicits._

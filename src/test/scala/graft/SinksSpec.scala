@@ -27,6 +27,23 @@ class SinksSpec extends AnyFunSuite {
         li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("compaction merges a fragmented table without losing a row") {
+    val docs = Tables(spark, sf).documents
+    val path = tmp("graft_compact")
+    docs.repartition(64).write.mode("overwrite").parquet(path)
+    val expected = docs.count()
+    val (before, after) = GraftSinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(before === 64, "fixture should start fragmented")
+    assert(after === 1, "everything fits one target-sized file")
+    val back = spark.read.parquet(path)
+    assert(back.count() === expected)
+    assert(back.columns.sorted === docs.columns.sorted)
+    // scratch/backup dirs must not survive the swap
+    val parent = new java.io.File(path).getParentFile
+    assert(!new java.io.File(path + ".compact_tmp").exists(), parent.list().mkString(","))
+    assert(!new java.io.File(path + ".compact_old").exists(), parent.list().mkString(","))
+  }
+
   test("csv and json writer roundtrips") {
     val n = Tables(spark, sf).nation
     val cPath = tmp("graft_csv")
