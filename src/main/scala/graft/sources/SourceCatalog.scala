@@ -70,6 +70,29 @@ object SourceCatalog extends QueryModule {
           .orderBy("n_nationkey")
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
+    ),
+    Q(
+      "src_orc",
+      // ORC write + read round trip — the second columnar format next
+      // to parquet (warehouse interchange: Hive/Trino-managed tables
+      // are routinely ORC). The query exercises the FULL path: write
+      // the table as zstd ORC, reopen through spark.read.orc with
+      // predicate pushdown, and reproduce the source relation; the
+      // oracle is the original parquet table, so any round-trip loss
+      // (types, nulls, ordering) breaks the hash.
+      (s, dir) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Tables(s, dir).customer
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .write.mode("overwrite").option("compression", "zstd").orc(path)
+        s.read
+          .orc(path)
+          .filter(col("c_acctbal") > 0)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+             |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin)
     )
   )
 }

@@ -335,7 +335,91 @@ object StreamingCatalog extends QueryModule {
         .orderBy("user_id"))
   }
 
+  /** Watermark LATE-DATA semantics as oracle-checked data. Empirically
+    * calibrated (spark-shell progress traces, numRowsDroppedByWatermark):
+    * Spark drops a late row only when its window's state was EVICTED in
+    * a PRIOR batch — a watermark advanced in the same batch merges the
+    * row first and evicts at batch end. So the staging uses THREE files
+    * (fixed mtimes order the micro-batches under maxFilesPerTrigger=1):
+    * b0 = even event_ids spanning the whole range (advances the
+    * watermark to max(even ts) − 1 h), b1 = ids ≡ 1 mod 4 (merged — their
+    * windows are still live during batch 1; eviction happens at its
+    * end), b2 = ids ≡ 3 mod 4 (rows whose window closed below the
+    * batch-1 eviction watermark are now DROPPED). Append mode then emits
+    * exactly the windows the final watermark passed. Every effect is a
+    * deterministic function of the id-mod-4 split, so the DuckDB oracle
+    * reproduces the result exactly (watermarks are never hour-aligned
+    * here, so `<` vs `<=` boundaries cannot matter).
+    *
+    * This is the semantic contract a 100 TB streaming deployment lives
+    * by: state is bounded BECAUSE late data is dropped; this query makes
+    * the trade observable instead of asserted. */
+  private def lateData(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_late_${java.lang.Integer.toHexString(dir.hashCode)}")
+    if (!new java.io.File(stage, "b2.parquet").exists()) {
+      val scratch = new java.io.File(stage.getPath + "_building")
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      scratch.mkdirs()
+      val e = Tables(ss, dir).events
+        .select(col("event_id"), expr("ts_ns div 1000").as("us"), col("event_type"))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(scratch, name + "_dir")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp
+          .listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get
+        val dst = new java.io.File(scratch, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        dst.setLastModified(mtime)
+        ()
+      }
+      // fixed mtimes, a minute apart: FileStreamSource orders batches by
+      // modification time, so the split is reproducible run to run
+      writeOne(e.filter(pmod(col("event_id"), lit(2)) === 0), "b0.parquet", 1700000000000L)
+      writeOne(e.filter(pmod(col("event_id"), lit(4)) === 1), "b1.parquet", 1700000060000L)
+      writeOne(e.filter(pmod(col("event_id"), lit(4)) === 3), "b2.parquet", 1700000120000L)
+      if (!scratch.renameTo(stage)) sys.error(s"rename $scratch -> $stage failed")
+    }
+    val stream = ss.readStream
+      .schema("event_id BIGINT, us BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getPath)
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"), col("n"))
+    val name = s"graft_slate_${System.nanoTime()}"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(ss, name)(_.orderBy("window_start"))
+  }
+
   def queries: Seq[Q] = Seq(
+    Q(
+      "stream_late_data",
+      (s, dir) => lateData(s, dir),
+      Some("""WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events),
+             |w1 AS (SELECT MAX(us) - 3600000000 AS w FROM e WHERE event_id % 2 = 0),
+             |w2 AS (SELECT MAX(us) - 3600000000 AS w FROM e),
+             |kept AS (SELECT us FROM e WHERE event_id % 2 = 0 OR event_id % 4 = 1
+             |  UNION ALL SELECT us FROM e, w1
+             |  WHERE event_id % 4 = 3 AND ((us//3600000000)+1)*3600000000 > w1.w)
+             |SELECT (us//3600000000)*3600 AS window_start, COUNT(*)::BIGINT AS n
+             |FROM kept, w2 WHERE ((us//3600000000)+1)*3600000000 <= w2.w
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
     Q(
       "stream_state_running",
       (s, dir) => stateRunning(s, dir),

@@ -472,6 +472,55 @@ object TextCatalog extends QueryModule {
              |FROM p ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_gopher_rules",
+      // The Gopher quality rule-set (Rae et al. 2021, Appendix A) as an
+      // auditable per-document report: each rule is its own boolean
+      // column and `keep` is their conjunction, so a corpus builder can
+      // see WHICH rule rejected a document (the practical difference
+      // from a single opaque score like text_quality). Thresholds are
+      // adapted to the synthetic corpus' 10-99-word range so every rule
+      // actually fires on some documents. All ratio comparisons divide
+      // exact integers in IEEE doubles — bit-identical cross-engine.
+      //
+      // Scale posture: pure narrow per-row work, no shuffle before the
+      // presentation sort; the word split is computed once per rule
+      // chain via a shared projection.
+      (s, dir) => {
+        val d = Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        d.withColumn("wc", size(ws(col("text"))).cast("long"))
+          .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("mean_wlen", col("alpha_chars").cast("double") / col("wc"))
+          .withColumn("n_stop", stopHits(ws(col("text"))).cast("long"))
+          .withColumn("rule_wc", col("wc") >= 30 && col("wc") <= 100000)
+          .withColumn("rule_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+          .withColumn(
+            "rule_alpha",
+            col("alpha_chars").cast("double") / length(col("text")) > 0.6)
+          .withColumn("rule_stop", col("n_stop") >= 2)
+          .withColumn(
+            "keep",
+            col("rule_wc") && col("rule_wlen") && col("rule_alpha") && col("rule_stop"))
+          .select(
+            "doc_id", "wc", "mean_wlen", "rule_wc", "rule_wlen", "rule_alpha", "rule_stop", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+             |  len(string_split(text,' '))::BIGINT AS wc,
+             |  length(regexp_replace(text,'[^a-z]','','g'))::BIGINT AS alpha_chars,
+             |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS n_stop
+             |  FROM documents),
+             |r AS (SELECT doc_id, wc,
+             |  alpha_chars::DOUBLE / wc AS mean_wlen,
+             |  (wc >= 30 AND wc <= 100000) AS rule_wc,
+             |  (alpha_chars::DOUBLE / wc >= 3.0 AND alpha_chars::DOUBLE / wc <= 10.0) AS rule_wlen,
+             |  (alpha_chars::DOUBLE / length(text) > 0.6) AS rule_alpha,
+             |  (n_stop >= 2) AS rule_stop
+             |  FROM t)
+             |SELECT doc_id, wc, mean_wlen, rule_wc, rule_wlen, rule_alpha, rule_stop,
+             |(rule_wc AND rule_wlen AND rule_alpha AND rule_stop) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_dedup_lines",
       // CCNet-style LINE-level dedup (Wenzek et al. 2020 drop duplicated
       // lines across the whole corpus before document scoring): documents

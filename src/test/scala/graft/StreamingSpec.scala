@@ -153,6 +153,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows < 4, s"state not evicted: $stateRows rows")
   }
 
+  test("stream_late_data really drops late rows (emitted counts < batch ground truth)") {
+    import org.apache.spark.sql.functions._
+    val result = SparkEntry.queries("stream_late_data")(spark, sf)
+    val emitted = result.agg(sum(col("n"))).collect().head.getLong(0)
+    val windows = result.count()
+    // batch ground truth over the SAME emitted windows: every event whose
+    // window was emitted, with no watermark dropping
+    val e = Tables(spark, sf).events.select(expr("ts_ns div 1000").as("us"))
+    val starts = result.select(col("window_start")).collect().map(_.getLong(0)).toSet
+    val full = e
+      .withColumn("ws", expr("(us div 3600000000) * 3600"))
+      .filter(col("ws").isin(starts.toSeq: _*))
+      .count()
+    assert(windows > 0 && emitted < full, s"watermark must have dropped rows: $emitted vs $full")
+    GraftCache.clear()
+  }
+
   test("drained memory-sink results die at GraftCache.clear (MemoryResult contract)") {
     // A drained frame is a localCheckpoint: lineage truncated, blocks
     // freed by GraftCache.clear. Reusing it after clear would fail with
