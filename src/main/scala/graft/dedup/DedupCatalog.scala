@@ -858,6 +858,87 @@ object DedupCatalog extends QueryModule {
              |FROM c GROUP BY canon ORDER BY canon""".stripMargin)
     ),
     Q(
+      "dedup_containment",
+      // ASYMMETRIC containment dedup: |S(a) ∩ S(b)| / |S(a)| ≥ 0.8 —
+      // catches a document that is a SUBSET of another (a snippet, an
+      // excerpt, a quoted copy), which symmetric Jaccard misses when
+      // sizes differ (a 20-word excerpt of a 200-word doc has Jaccard
+      // ~0.1 but containment 1.0). Fixtures: doc 900000 = the first 40%
+      // of doc 5's words (excerpt — flagged against doc 5 only in the
+      // a→b direction), doc 900001 = doc 6 plus unrelated padding
+      // (superset — doc 6 is contained in it, not vice versa).
+      //
+      // Scale posture: candidate pairs come from a shared-shingle join
+      // with a document-frequency cap (df ≤ 50 — the cap is part of the
+      // operator contract and mirrored in the oracle, like the LSH
+      // band caps); exact set intersection runs on candidates only.
+      // No all-pairs work: the join key is the shingle, partial-first
+      // aggregated, and the verify join is pair-keyed.
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        val excerpt = docs
+          .filter(col("doc_id") === 5)
+          .select(
+            lit(900000L).as("doc_id"),
+            array_join(
+              slice(
+                ws(col("text")),
+                lit(1),
+                greatest((size(ws(col("text"))) * 2) / 5, lit(5)).cast("int")),
+              " ").as("text"))
+        val superset = docs
+          .filter(col("doc_id") === 6)
+          .select(
+            lit(900001L).as("doc_id"),
+            concat(col("text"), lit(" zig zag zoom quux corge grault garply waldo fred plugh")).as("text"))
+        val aug = docs.unionByName(excerpt).unionByName(superset)
+        val sh = graft.GraftCache.register(
+          Fan
+            .out(aug)
+            .select(col("doc_id"), shingleSet(col("text"), 3).as("s"))
+            .withColumn("n", size(col("s")).cast("long"))
+            .filter(col("n") > 0)
+            .persist())
+        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+        val keep = ex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+        val exk = ex.join(keep.select("g"), "g")
+        val cand = exk
+          .as("a")
+          .join(exk.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("src"), col("s").as("sa"), col("n").as("na")), "src")
+          .join(sh.select(col("doc_id").as("dst"), col("s").as("sb")), "dst")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("containment", col("inter").cast("double") / col("na"))
+          .filter(col("containment") >= 0.8)
+          .select("src", "dst", "inter", "na", "containment")
+          .orderBy("src", "dst")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 900000, array_to_string(
+             |    string_split(text,' ')[1:greatest((len(string_split(text,' '))*2)//5, 5)],' ')
+             |    FROM documents WHERE doc_id = 5
+             |  UNION ALL SELECT 900001, text || ' zig zag zoom quux corge grault garply waldo fred plugh'
+             |    FROM documents WHERE doc_id = 6),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM aug),
+             |sh AS (SELECT doc_id,
+             |       list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+             |       FROM w WHERE len(ws) >= 3),
+             |sn AS (SELECT doc_id, s, len(s)::BIGINT AS n FROM sh WHERE len(s) > 0),
+             |ex AS (SELECT doc_id, gg AS g FROM sn, UNNEST(s) AS t(gg)),
+             |keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 50),
+             |exk AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+             |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             |         FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id <> b.doc_id)
+             |SELECT c.src, c.dst, len(list_intersect(sa.s, sb.s))::BIGINT AS inter,
+             |sa.n AS na, len(list_intersect(sa.s, sb.s))::DOUBLE / sa.n AS containment
+             |FROM cand c JOIN sn sa ON c.src = sa.doc_id JOIN sn sb ON c.dst = sb.doc_id
+             |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / sa.n >= 0.8
+             |ORDER BY src, dst""".stripMargin)
+    ),
+    Q(
       "dedup_cdc_chunks",
       // Content-defined chunking dedup (the rsync/LBFS/storage-dedup
       // primitive): chunk boundaries are placed where a rolling hash of

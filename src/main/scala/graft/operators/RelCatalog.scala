@@ -1407,6 +1407,49 @@ object RelCatalog extends QueryModule {
              |(SELECT COUNT(*) FROM e)::BIGINT AS n_edges""".stripMargin)
     ),
     Q(
+      "rel_incremental_agg",
+      // Incremental materialized-view maintenance: yesterday's
+      // materialized aggregate state (count + exact decimal sum per
+      // group) is MERGED with today's delta instead of recomputing over
+      // the full history — the only viable shape when the base table is
+      // 100 TB and the delta is 0.1%. Works because count/sum are
+      // mergeable partial states (avg et al. derive from them). The
+      // oracle is the FULL recompute, so the hash proves merge ≡
+      // recompute exactly (decimal sums — no float accumulation order
+      // anywhere).
+      //
+      // Scale posture: the state table is group-cardinality-sized; the
+      // delta aggregate is partial-first over the small delta only; the
+      // merge is one group-keyed union-aggregate. The full history is
+      // never rescanned.
+      (s, dir) => {
+        val o = Tables(s, dir).orders.select(
+          col("o_orderstatus"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+        def aggOf(df: DataFrame) =
+          df.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("price").cast(DecimalType(38, 4))).as("total"))
+        val state = aggOf(o.filter(pmod(col("price") * 100, lit(10)) < 8)) // "yesterday"
+        val delta = aggOf(o.filter(pmod(col("price") * 100, lit(10)) >= 8)) // "today"
+        state
+          .unionByName(delta)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+          .select(
+            col("o_orderstatus"),
+            col("o_orderpriority"),
+            col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+             |CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
       "rel_funnel",
       // Ordered funnel analysis over the events stream: first view ->
       // first click AFTER that view -> first purchase AFTER that click,

@@ -139,6 +139,19 @@ class GraphLineSpec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("dedup_containment flags excerpts and supersets in the right DIRECTION") {
+    val rows = SparkEntry
+      .queries("dedup_containment")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    // the excerpt (900000 = prefix of doc 5) is fully contained in doc 5
+    assert(rows.get((900000L, 5L)).contains(1.0), s"excerpt direction missing: ${rows.keys.toSeq.sorted}")
+    // doc 6 is fully contained in its padded superset 900001
+    assert(rows.get((6L, 900001L)).contains(1.0), "superset direction missing")
+    GraftCache.clear()
+  }
+
   test("rel_gaps_islands runs on a single customer-keyed shuffle") {
     val df = SparkEntry.queries("rel_gaps_islands")(spark, sf)
     df.collect()
