@@ -85,6 +85,123 @@ object PipelineCatalog extends QueryModule {
            |  FROM kept)
            |SELECT split, lang, COUNT(*) AS n_docs, SUM(nw)::BIGINT AS n_tokens
            |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin)
+    ),
+    Q(
+      "pipe_incremental_refresh",
+      // Day-2 operations pipeline: a NEW CRAWL BATCH lands against a
+      // 100 TB seen corpus and must be triaged, not recomputed —
+      //   exact dedup vs seen (digest anti-join; production prefilters
+      //   with the dedup_bloom_incremental filter so the join touches
+      //   only bloom-positives) -> quality gate -> CONTAINMENT near-dup
+      //   vs seen (df-capped shared-shingle candidates + exact
+      //   intersect, the dedup_containment operator) -> triage report:
+      //   exact re-crawls, quality drops, UPDATES of seen documents,
+      //   genuinely new documents.
+      // The batch is built deterministically from the corpus so every
+      // category is populated: ids %5 re-crawled verbatim (exact), ids
+      // %7 with three appended words (near-dup updates), ids %11
+      // word-REVERSED (3-grams destroyed -> genuinely new).
+      //
+      // Scale posture: everything is keyed by digest or shingle —
+      // seen-side work is one digest set + one capped shingle explode
+      // (both reusable across daily batches as materialized state);
+      // batch-side work scales with the batch, not the corpus. The
+      // containment verify touches candidates only.
+      (s, dir) => {
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        val recrawl = docs
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        val update = docs
+          .filter(pmod(col("doc_id"), lit(5)) =!= 0 && pmod(col("doc_id"), lit(7)) === 0)
+          .select(
+            (col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" version two revised")).as("text"))
+        val fresh = docs
+          .filter(pmod(col("doc_id"), lit(5)) =!= 0 && pmod(col("doc_id"), lit(7)) =!= 0 &&
+            pmod(col("doc_id"), lit(11)) === 0)
+          .select(
+            (col("doc_id") + 2000000L).as("doc_id"),
+            array_join(reverse(ws(col("text"))), " ").as("text"))
+        val batch = recrawl.unionByName(update).unionByName(fresh)
+        val seenKeys = docs.select(md5(col("text").cast("binary")).as("key")).distinct()
+        val flagged = graft.GraftCache.register(
+          batch
+            .withColumn("key", md5(col("text").cast("binary")))
+            .join(seenKeys.withColumn("seen", lit(1L)), Seq("key"), "left")
+            .withColumn("is_exact", col("seen").isNotNull)
+            .withColumn("quality_ok", size(ws(col("text"))) >= 30)
+            .persist())
+        val candDocs = flagged.filter(!col("is_exact") && col("quality_ok")).select("doc_id", "text")
+        val bsh = candDocs
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("s"))
+          .withColumn("na", size(col("s")).cast("long"))
+          .filter(col("na") > 0)
+        val ssh = graft.GraftCache.register(
+          Fan
+            .out(docs)
+            .select(col("doc_id").as("sid"), shingleSet(col("text"), 3).as("ss"))
+            .filter(size(col("ss")) > 0)
+            .persist())
+        val sex = ssh.select(col("sid"), explode(col("ss")).as("g"))
+        val keepG = sex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+        val cand = bsh
+          .select(col("doc_id"), explode(col("s")).as("g"))
+          .join(sex.join(keepG.select("g"), "g"), "g")
+          .select("doc_id", "sid")
+          .distinct()
+        val upd = cand
+          .join(bsh.select("doc_id", "s", "na"), "doc_id")
+          .join(ssh, "sid")
+          .filter(size(array_intersect(col("s"), col("ss"))).cast("double") / col("na") >= 0.8)
+          .select("doc_id")
+          .distinct()
+          .withColumn("is_update", lit(1L))
+        flagged
+          .join(broadcast(upd), Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_batch"),
+            sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+            sum(when(!col("is_exact") && !col("quality_ok"), 1L).otherwise(0L)).as("n_quality_drop"),
+            sum(when(!col("is_exact") && col("quality_ok") && col("is_update").isNotNull, 1L)
+              .otherwise(0L)).as("n_update"),
+            sum(when(!col("is_exact") && col("quality_ok") && col("is_update").isNull, 1L)
+              .otherwise(0L)).as("n_new"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+             |batch AS (
+             |  SELECT doc_id + 2000000 AS doc_id, text FROM docs WHERE doc_id % 5 = 0
+             |  UNION ALL SELECT doc_id + 2000000, text || ' version two revised' FROM docs
+             |    WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+             |  UNION ALL SELECT doc_id + 2000000, array_to_string(list_reverse(string_split(text,' ')),' ')
+             |    FROM docs WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 = 0),
+             |sk AS (SELECT DISTINCT md5(text) AS key FROM docs),
+             |fl AS (SELECT b.doc_id, b.text, (sk.key IS NOT NULL) AS is_exact,
+             |       len(string_split(b.text,' ')) >= 30 AS quality_ok
+             |       FROM batch b LEFT JOIN sk ON md5(b.text) = sk.key),
+             |cd AS (SELECT doc_id, text FROM fl WHERE NOT is_exact AND quality_ok),
+             |bsh AS (SELECT doc_id,
+             |        list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS s
+             |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM cd) WHERE len(ws) >= 3),
+             |bsn AS (SELECT doc_id, s, len(s)::BIGINT AS na FROM bsh WHERE len(s) > 0),
+             |ssh AS (SELECT doc_id AS sid,
+             |        list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS ss
+             |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM docs) WHERE len(ws) >= 3),
+             |ssn AS (SELECT sid, ss FROM ssh WHERE len(ss) > 0),
+             |sex AS (SELECT sid, gg AS g FROM ssn, UNNEST(ss) AS t(gg)),
+             |keepg AS (SELECT g FROM sex GROUP BY g HAVING COUNT(*) <= 50),
+             |sexk AS (SELECT sex.sid, sex.g FROM sex JOIN keepg USING (g)),
+             |bex AS (SELECT doc_id, gg AS g FROM bsn, UNNEST(s) AS t(gg)),
+             |cand AS (SELECT DISTINCT b.doc_id, s.sid FROM bex b JOIN sexk s USING (g)),
+             |upd AS (SELECT DISTINCT c.doc_id FROM cand c
+             |        JOIN bsn ON c.doc_id = bsn.doc_id JOIN ssn ON c.sid = ssn.sid
+             |        WHERE len(list_intersect(bsn.s, ssn.ss))::DOUBLE / bsn.na >= 0.8)
+             |SELECT COUNT(*)::BIGINT AS n_batch,
+             |SUM(CASE WHEN is_exact THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+             |SUM(CASE WHEN NOT is_exact AND NOT quality_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_drop,
+             |SUM(CASE WHEN NOT is_exact AND quality_ok AND u.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_update,
+             |SUM(CASE WHEN NOT is_exact AND quality_ok AND u.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new
+             |FROM fl LEFT JOIN upd u ON fl.doc_id = u.doc_id""".stripMargin)
     )
   )
 }

@@ -152,6 +152,14 @@ class GraphLineSpec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("pipe_incremental_refresh triages every batch doc into exactly one category") {
+    val r = SparkEntry.queries("pipe_incremental_refresh")(spark, sf).collect().head
+    val Seq(batch, exact, quality, update, fresh) = (0 to 4).map(r.getLong)
+    assert(batch === exact + quality + update + fresh, "categories must partition the batch")
+    assert(exact > 0 && update > 0 && fresh > 0, s"fixture must populate the triage: $r")
+    GraftCache.clear()
+  }
+
   test("rel_gaps_islands runs on a single customer-keyed shuffle") {
     val df = SparkEntry.queries("rel_gaps_islands")(spark, sf)
     df.collect()
