@@ -901,12 +901,26 @@ object DedupCatalog extends QueryModule {
             .persist())
         val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
         val keep = ex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-        val exk = ex.join(keep.select("g"), "g")
+        val exk = graft.GraftCache.register(ex.join(keep.select("g"), "g").persist())
+        // count-based prefilter, LOSSLESS for the final predicate: the
+        // exact intersection is bounded by shared-capped-count +
+        // (na - na_kept), so containment >= 0.8 requires
+        //   shk >= ceil(0.8*na) - (na - nak).
+        // This turns ~all of the quadratic one-shared-shingle candidate
+        // mass away BEFORE any array is carried through a join (the
+        // array intersect per pair was the operator's dominant cost at
+        // sf0.1); the oracle is unchanged because no qualifying pair
+        // can be dropped.
+        val nak = exk.groupBy("doc_id").agg(count(lit(1)).as("nak"))
         val cand = exk
           .as("a")
           .join(exk.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-          .distinct()
+          .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .agg(count(lit(1)).as("shk"))
+          .join(sh.select(col("doc_id").as("src"), col("n").as("na")), "src")
+          .join(nak.select(col("doc_id").as("src"), col("nak")), "src")
+          .filter(col("shk") >= expr("(4*na+4) div 5") - (col("na") - col("nak")))
+          .select("src", "dst")
         cand
           .join(sh.select(col("doc_id").as("src"), col("s").as("sa"), col("n").as("na")), "src")
           .join(sh.select(col("doc_id").as("dst"), col("s").as("sb")), "dst")
