@@ -185,6 +185,69 @@ object MultimodalCatalog extends QueryModule {
              |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |         AND (a.c0=b.c0 OR a.c1=b.c1 OR a.c2=b.c2 OR a.c3=b.c3))
              |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)
+    ),
+    Q(
+      "mm_embed_retrieval",
+      // The multimodal RETRIEVAL pipeline end-to-end: binary payload ->
+      // encoder -> embedding -> top-k nearest neighbors. The encoder is
+      // the deterministic stub seam (8 int dims carved from the
+      // payload's md5 — a real deployment swaps in a CLIP-style model
+      // via mapInPandas, same schema: binary -> array<bigint>); the
+      // retrieval side is entirely real — integer-exact dot products
+      // (DotQ codegen), broadcast queries x streaming corpus, bounded
+      // -heap top-k — identical machinery to ann_bruteforce, proving
+      // the mm seam plugs into the production ANN path unchanged.
+      //
+      // Scale posture: encode is narrow per-row; retrieval is the
+      // broadcast-queries / streaming-corpus decomposition; at 100 TB
+      // the corpus side would carry an LSH/IVF index exactly as the
+      // ann_* family does.
+      (s, dir) => {
+        val embed = expr(
+          """transform(sequence(0, 7),
+            |  j -> cast(conv(substring(md5(cast(text as binary)), j*4+1, 4), 16, 10) as bigint)
+            |       % 2001 - 1000)""".stripMargin)
+        val c = graft.Fan
+          .out(Tables(s, dir).documents.select("doc_id", "text"))
+          .withColumn("qv", embed)
+          .withColumn("nsq", graft.functions.VectorFunctions.normSqQ(col("qv")))
+          .select("doc_id", "qv", "nsq")
+        val q = c
+          .filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
+        val scored = c
+          .join(broadcast(q), col("doc_id") =!= col("q_id"))
+          .withColumn(
+            "cosine",
+            graft.functions.VectorFunctions
+              .cosineFrom(
+                graft.functions.VectorFunctions.dotQ(col("qe"), col("qv")),
+                col("qn"),
+                col("nsq")))
+          .select(col("q_id"), col("doc_id"), col("cosine"))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), 3, col("cosine").desc, col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("doc_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "doc_id", "cosine")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH n AS (SELECT doc_id,
+             |      [('0x'||substr(md5(text), j*4+1, 4))::BIGINT % 2001 - 1000 for j in range(0, 8)] AS qv
+             |      FROM documents),
+             |m AS (SELECT doc_id, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |q AS (SELECT doc_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE doc_id < 5),
+             |scored AS (SELECT q.q_id, m.doc_id,
+             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM m CROSS JOIN q WHERE m.doc_id <> q.q_id),
+             |ranked AS (SELECT q_id, doc_id, cosine,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank FROM scored)
+             |SELECT q_id, rank, doc_id, cosine FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
     )
   )
 }
