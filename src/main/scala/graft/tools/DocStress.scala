@@ -31,7 +31,9 @@ object DocStress {
     // run unchanged against the replicated stress dir)
     "text_dedup_lines",
     "text_domain_balance",
-    "dedup_cdc_chunks")
+    "dedup_cdc_chunks",
+    "dedup_containment",
+    "pipe_incremental_refresh")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
