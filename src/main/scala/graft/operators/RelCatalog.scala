@@ -191,12 +191,19 @@ object RelCatalog extends QueryModule {
           conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k.cast("string"))), 1, 8), 16, 10)
             .cast("long") % 64
         val li = Tables(s, dir).lineitem.select(col("l_suppkey").cast("long").as("k"))
-        val sketch = li
+        // the demo needs exact counts anyway (to exhibit the overcount),
+        // so the sketch builds from the key-count table with WEIGHTED
+        // increments — identical cells to per-row increments (sum over
+        // rows grouped by key == weighted sum over keys) at 1/600th the
+        // hashing. A production stream with no exact table builds from
+        // raw rows map-side; both shapes are one pass.
+        val exact = graft.GraftCache.register(
+          li.groupBy("k").agg(count(lit(1)).as("n_exact")).persist())
+        val sketch = exact
           .withColumn("j", explode(expr("sequence(0, 3)")))
           .withColumn("bucket", bucket(col("j"), col("k")))
           .groupBy("j", "bucket")
-          .agg(count(lit(1)).as("c"))
-        val exact = li.groupBy("k").agg(count(lit(1)).as("n_exact"))
+          .agg(sum(col("n_exact")).as("c"))
         exact
           .withColumn("j", explode(expr("sequence(0, 3)")))
           .withColumn("bucket", bucket(col("j"), col("k")))
