@@ -153,10 +153,27 @@ class GraphLineSpec extends AnyFunSuite {
   }
 
   test("pipe_incremental_refresh triages every batch doc into exactly one category") {
-    val r = SparkEntry.queries("pipe_incremental_refresh")(spark, sf).collect().head
+    val df = SparkEntry.queries("pipe_incremental_refresh")(spark, sf)
+    val r = df.collect().head
     val Seq(batch, exact, quality, update, fresh) = (0 to 4).map(r.getLong)
     assert(batch === exact + quality + update + fresh, "categories must partition the batch")
     assert(exact > 0 && update > 0 && fresh > 0, s"fixture must populate the triage: $r")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    GraftCache.clear()
+  }
+
+  test("ann_filtered pre-filters: the label predicate is a hash-join key, no nested loop") {
+    val df = SparkEntry.queries("ann_filtered")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the broadcast hash join must key on the label equality (pre-filter),
+    // not post-filter scored rows
+    assert(
+      plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("label") && l.contains("q_label")),
+      plan)
     GraftCache.clear()
   }
 
