@@ -169,6 +169,43 @@ object RelCatalog extends QueryModule {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "rel_sketch_quantile",
+      // Sketch-based quantiles — the one-pass fixed-memory companion to
+      // rel_percentile's exact R-7 (which needs a per-group sort). Same
+      // oracle contract as rel_sketch_distinct: estimates are
+      // engine-specific (GK/KLL-family here, t-digest in DuckDB), so
+      // each engine asserts its OWN estimate within 10% of its exact
+      // quantile; the exact values (R-7 over integers — .0/.5 fractions,
+      // bit-exact cross-engine) are the hashed ground truth.
+      (s, dir) =>
+        Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+            expr("percentile(l_quantity, 0.9)").as("p90_exact"),
+            expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+            expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"))
+          .select(
+            col("l_returnflag"),
+            col("p50_exact"),
+            col("p90_exact"),
+            (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * 0.1)
+              .cast("long")
+              .as("p50_within_10pct"),
+            (abs(col("p90_approx") - col("p90_exact")) <= col("p90_exact") * 0.1)
+              .cast("long")
+              .as("p90_within_10pct"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.5) AS p50_exact,
+             |quantile_cont(l_quantity, 0.9) AS p90_exact,
+             |CASE WHEN abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+             |     <= quantile_cont(l_quantity, 0.5) * 0.1 THEN 1 ELSE 0 END AS p50_within_10pct,
+             |CASE WHEN abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9))
+             |     <= quantile_cont(l_quantity, 0.9) * 0.1 THEN 1 ELSE 0 END AS p90_within_10pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "rel_sketch_topk",
       // Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
       // d=4 hash rows x w=64 buckets of exact BIGINT counters estimate

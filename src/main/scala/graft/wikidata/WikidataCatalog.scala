@@ -542,6 +542,50 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY table_name""".stripMargin)
     ),
     Q(
+      "wd_property_stats",
+      // Property-usage dashboard — the first query every Wikidata
+      // consumer runs against the shredded store ("which properties
+      // carry how many claims of which value kind"), mirroring
+      // Wikidata's own property-statistics page. One shred pass, one
+      // property-keyed count per typed table, one union.
+      //
+      // Scale posture: per-table counts are map-side-combined on the
+      // property key (property cardinality is tiny vs claims); the
+      // union is of aggregate-sized frames.
+      (s, dir) => {
+        val sh = WikidataShredder.shred(SyntheticDump.entities(s, dir))
+        sh.all
+          .filter(_._1 != "vertex")
+          .map { case (nm, df) =>
+            df.groupBy("property_id")
+              .agg(count(lit(1)).as("n_claims"))
+              .withColumn("kind", lit(nm))
+              .select("kind", "property_id", "n_claims")
+          }
+          .reduce(_.unionByName(_))
+          .orderBy("kind", "property_id")
+      },
+      Some("""WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM nation),
+             |rr AS (SELECT COUNT(*)::BIGINT AS r FROM region)
+             |SELECT * FROM (
+             |  SELECT 'coordinates' AS kind, CAST(1000000625 AS BIGINT) AS property_id, n AS n_claims FROM nn
+             |  UNION ALL SELECT 'edge', 1000000005, n FROM nn
+             |  UNION ALL SELECT 'edge', 1000000006, n FROM nn
+             |  UNION ALL SELECT 'edge', 1000000007, n FROM nn
+             |  UNION ALL SELECT 'edge', 1000000008, 1
+             |  UNION ALL SELECT 'edge', 1000000009, 1
+             |  UNION ALL SELECT 'edge', 1000000012, 1
+             |  UNION ALL SELECT 'edge', 1000000031, nn.n + rr.r FROM nn, rr
+             |  UNION ALL SELECT 'quantity', 1000001082, n FROM nn
+             |  UNION ALL SELECT 'string', 1000000002, n FROM nn
+             |  UNION ALL SELECT 'string', 1000000003, n FROM nn
+             |  UNION ALL SELECT 'string', 1000000011, 1
+             |  UNION ALL SELECT 'string', 1000000856, n FROM nn
+             |  UNION ALL SELECT 'string', 1000001448, n FROM nn
+             |  UNION ALL SELECT 'time', 1000000571, n FROM nn
+             |) ORDER BY kind, property_id""".stripMargin)
+    ),
+    Q(
       "wd_pagerank",
       // PageRank over the shredded entity graph — the canonical "what
       // matters in this knowledge graph" consumer query. Three damped
