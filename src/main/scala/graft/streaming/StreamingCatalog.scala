@@ -356,9 +356,14 @@ object StreamingCatalog extends QueryModule {
     * the trade observable instead of asserted. */
   private def lateData(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stage dir name includes the source file's (size, mtime): a
+    // regenerated events.parquet at the same path invalidates the cache
+    // instead of silently streaming stale batches
+    val srcFile = new java.io.File(dir, "events.parquet")
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_late_${java.lang.Integer.toHexString(dir.hashCode)}")
+      "graft_late_" + java.lang.Integer.toHexString(
+        (dir, srcFile.length(), srcFile.lastModified()).hashCode()))
     if (!new java.io.File(stage, "b2.parquet").exists()) {
       val scratch = new java.io.File(stage.getPath + "_building")
       org.apache.commons.io.FileUtils.deleteDirectory(scratch)
