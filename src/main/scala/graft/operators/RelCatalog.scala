@@ -1451,6 +1451,38 @@ object RelCatalog extends QueryModule {
              |(SELECT COUNT(*) FROM e)::BIGINT AS n_edges""".stripMargin)
     ),
     Q(
+      "rel_join_null_safe",
+      // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): ordinary
+      // equi-joins silently drop null keys on both sides; dimension
+      // backfills and CDC reconciliation need null to MATCH null.
+      // Nulls are synthesized deterministically (every 7th nation key)
+      // so both the null-null matches and the dropped-by-ordinary-join
+      // rows are visible in the counts.
+      //
+      // Scale posture: Spark plans <=> as a hash join on the
+      // null-wrapped key (no nested loop) — same shuffle class as a
+      // plain equi-join.
+      (s, dir) => {
+        val c = Tables(s, dir).customer
+          .select(col("c_custkey"), when(pmod(col("c_nationkey"), lit(7)) === 0, null).otherwise(col("c_nationkey")).as("nk"))
+        val n = Tables(s, dir).nation
+          .select(when(pmod(col("n_nationkey"), lit(7)) === 0, null).otherwise(col("n_nationkey")).as("nk"), col("n_name"))
+        c.join(n, c("nk") <=> n("nk"))
+          // null-keyed customers match EVERY null-keyed nation (the
+          // null-null cross group), visible as inflated counts on the
+          // %7 nations; an ordinary equi-join would return zero rows
+          // for them
+          .groupBy(n("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_matches"))
+          .orderBy("nation")
+      },
+      Some("""WITH c AS (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer),
+             |n AS (SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS nk, n_name FROM nation)
+             |SELECT n.n_name AS nation, COUNT(*)::BIGINT AS n_matches
+             |FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "rel_incremental_agg",
       // Incremental materialized-view maintenance: yesterday's
       // materialized aggregate state (count + exact decimal sum per
