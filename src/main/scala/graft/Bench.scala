@@ -77,7 +77,10 @@ object Bench {
     //    the start of the line was cut off -> BENCH_r4 "parsed": null.
     //    ~111 queries x ~20 bytes keeps this well inside the window.
     //  - bench.json: FULL precision + per-run detail for spread audits.
-    def ms(x: Double): String = if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // 2 decimals (10 ms) keeps the 142-query line at ~3.3 KB — the size
+    // the driver's round-3 capture window provably handled; full
+    // precision still lands in bench.json
+    def ms(x: Double): String = if (x < 0) "-1" else BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
     val detail = results.map { case (k, med, mn, runs) =>
       "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn +
