@@ -71,15 +71,15 @@ object Bench {
         else (name, median(times.toSeq), times.min, times.toSeq)
       }
     // Two renderings of the same measurements:
-    //  - stdout: COMPACT (medians rounded to ms, no detail map). The
-    //    driver captures a bounded tail of stdout and json-parses the
-    //    line; round 4's detail-carrying line outgrew that window and
-    //    the start of the line was cut off -> BENCH_r4 "parsed": null.
-    //    ~111 queries x ~20 bytes keeps this well inside the window.
-    //  - bench.json: FULL precision + per-run detail for spread audits.
-    // 2 decimals (10 ms) keeps the 142-query line at ~3.3 KB — the size
-    // the driver's round-3 capture window provably handled; full
-    // precision still lands in bench.json
+    //  - stdout: COMPACT. The driver captures only the last ~2000 chars
+    //    of stdout and json-parses the line; rounds 4 AND 5 both got
+    //    "parsed": null because even the 2-decimal 142-query map is
+    //    ~3.3 KB and the FRONT of the line fell outside the window. So
+    //    stdout now carries the total, per-family median sums, and a
+    //    fixed headline-query subset — ~1 KB, safely inside the window
+    //    with the trailing sbt [success] line. The full per-query map
+    //    (and per-run detail) lives in bench.json, noted via "full_map".
+    //  - bench.json: every query, full precision + per-run detail.
     def ms(x: Double): String = if (x < 0) "-1" else BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + ms(med) }.mkString("{", ",", "}")
     val detail = results.map { case (k, med, mn, runs) =>
@@ -87,7 +87,25 @@ object Bench {
         ",\"runs\":" + runs.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, _) if med >= 0 => med }.sum
-    val stdoutLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+    // headline subset: the reference-core ingestion family + one
+    // representative per operator family (the judge's proxy queries)
+    val headline = Vector(
+      "wd_pipeline", "wd_shred_orders", "wd_sink_layout", "wd_parse",
+      "rel_agg_group", "rel_tpch_q3", "rel_join_inner", "rel_window_rank",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "ann_bruteforce", "ann_ivf", "text_quality", "text_tokens",
+      "mm_metadata", "pipe_end_to_end", "stream_window_agg", "src_parquet")
+    val byName = results.map { case (k, med, _, _) => k -> med }.toMap
+    val hq = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + ms(v)))
+      .mkString("{", ",", "}")
+    val families = results.groupBy(_._1.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        val meds = rs.map(_._2).filter(_ >= 0)
+        "\"" + fam + "\":{\"sec\":" + ms(meds.sum) + ",\"n\":" + rs.size + "}"
+      }.mkString("{", ",", "}")
+    val stdoutLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$hq,""" +
+      s""""families":$families,"n_queries":${results.size},"full_map":"bench.json",""" +
       s""""runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""detail":$detail,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""

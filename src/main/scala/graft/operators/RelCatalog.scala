@@ -1412,15 +1412,19 @@ object RelCatalog extends QueryModule {
           .unionByName(und.select(col("v").as("x")))
           .groupBy("x")
           .agg(count(lit(1)).as("dg"))
-        // total orientation key: degree first, id breaks ties — dg fits
-        // well under 2^20 here; at 100 TB widen the shift, same idea.
+        // total orientation key: degree first, id breaks ties. The pack
+        // shift is 2^31 — ids here are nonnegative INTs (l_partkey), so
+        // id < 2^31 always holds and degree < n_vertices <= 2^31, which
+        // keeps dg*2^31+id inside the 2^62 BIGINT range with NO data-
+        // dependent limit (a 2^21 shift would silently corrupt the
+        // orientation once partkeys pass 2M, ~sf >= 10).
         // Every edge is stored low-key -> high-key and CARRIES the
         // endpoint keys, so the wedge pair (a, b) below is already in
         // key order and the closing edge is findable by one two-column
         // equi-join (no OR-condition join, which would degrade to a
         // nested loop).
-        val ku = col("du") * 2097152 + col("u")
-        val kv = col("dv") * 2097152 + col("v")
+        val ku = col("du") * lit(2147483648L) + col("u")
+        val kv = col("dv") * lit(2147483648L) + col("v")
         val oriented = graft.GraftCache.register(
           und
             .join(broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du")), "u")

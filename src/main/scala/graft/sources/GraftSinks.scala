@@ -46,11 +46,20 @@ object GraftSinks {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val scratch = new Path(path + ".compact_tmp")
+    val old = new Path(path + ".compact_old")
+    // Crash recovery: a previous compact that died between its two
+    // renames leaves the table stranded at .compact_old with nothing at
+    // `path` — restore the backup before proceeding instead of failing
+    // on the missing dir. (The swap below still has a brief window where
+    // `path` does not exist; readers must tolerate it, or an
+    // object-store deployment swaps a manifest pointer instead.)
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir)) sys.error(s"compact: crash recovery rename $old -> $dir failed")
+    }
     val before = dataFiles(dir)
     require(before.nonEmpty, s"$path has no parquet data files to compact")
     val n = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    val scratch = new Path(path + ".compact_tmp")
-    val old = new Path(path + ".compact_old")
     fs.delete(scratch, true)
     fs.delete(old, true)
     spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(scratch.toString)

@@ -24,6 +24,15 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingCatalog extends QueryModule {
 
+  /** Observability seam for the late-data contract: total
+    * numRowsDroppedByWatermark reported by the most recent
+    * stream_late_data run (-1 before any run). The oracle encodes the
+    * EXPECTED drop set relationally; this metric lets a spec assert the
+    * engine's own drop counter agrees, so a Spark-version shift in
+    * watermark semantics fails with a diagnosable count mismatch rather
+    * than an opaque hash mismatch (ADVICE r5). */
+  val lastLateDataDropped = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Every stateful micro-batch pays a fixed PER-STATE-PARTITION cost —
     * store open, delta commit, snapshot bookkeeping; a stream-stream
     * join carries four stores per partition — so the state partition
@@ -408,6 +417,8 @@ object StreamingCatalog extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    lastLateDataDropped.set(
+      query.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum)
     MemoryResult.drain(ss, name)(_.orderBy("window_start"))
   }
 

@@ -184,9 +184,14 @@ class GraphLineSpec extends AnyFunSuite {
     // exchanges in the FINAL plan only (the rangepartitioning exchange
     // of the presentation ORDER BY is expected and not counted here)
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // Upper bound, not exact-count (ADVICE r5): exchange REUSE can
+    // legitimately drop the count to 0 on a future Spark, and ReusedExchange
+    // lines echo the original exchange's description — count only lines
+    // that ARE a hash exchange, and assert no extra shuffle appeared.
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
     assert(
-      exchanges === 1,
+      exchanges <= 1,
       s"dedup + 2 windows + 2 rollups must all reuse the custkey partitioning:\n$plan")
   }
 }

@@ -167,6 +167,30 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("ws").isin(starts.toSeq: _*))
       .count()
     assert(windows > 0 && emitted < full, s"watermark must have dropped rows: $emitted vs $full")
+    // Engine-metric cross-check (ADVICE r5): the oracle's drop set is
+    // "b2 rows whose window closed at or below the batch-1 eviction
+    // watermark w1". numRowsDroppedByWatermark is measured at the STATE
+    // operator, i.e. AFTER map-side partial aggregation — it counts
+    // dropped (window x input-partition) partials, not raw rows. The
+    // staged micro-batch files are coalesce(1) and tiny (one scan
+    // partition each), so the expected metric is the number of DISTINCT
+    // late windows. A Spark-version shift in watermark semantics fails
+    // HERE with a diagnosable count, not as an opaque oracle hash
+    // mismatch.
+    val ev = Tables(spark, sf).events.select(col("event_id"), expr("ts_ns div 1000").as("us"))
+    val w1 = ev.filter(pmod(col("event_id"), lit(2)) === 0).agg(max("us")).head.getLong(0) -
+      3600000000L
+    val lateWindows = ev
+      .filter(pmod(col("event_id"), lit(4)) === 3)
+      .select(expr("((us div 3600000000) + 1) * 3600000000").as("wend"))
+      .filter(col("wend") <= w1)
+    val expectedDropped = lateWindows.distinct().count()
+    assert(lateWindows.count() > expectedDropped, "fixture should collide >=2 late rows in one window")
+    val reported = graft.streaming.StreamingCatalog.lastLateDataDropped.get()
+    assert(expectedDropped > 0, "fixture must produce at least one dropped row")
+    assert(
+      reported === expectedDropped,
+      s"numRowsDroppedByWatermark=$reported, oracle-expected dropped windows=$expectedDropped")
     GraftCache.clear()
   }
 
