@@ -1632,6 +1632,106 @@ object RelCatalog extends QueryModule {
              |SELECT cohort_week, act_week, COUNT(DISTINCT user_id)::BIGINT AS n_users
              |FROM co JOIN ac USING (user_id) WHERE act_week >= cohort_week
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "rel_merge_scd2",
+      // Slowly-changing-dimension TYPE 2 build: collapse a change log
+      // (orders as per-customer priority observations over time) into
+      // versioned dimension rows with [valid_from, valid_to) intervals —
+      // the standard warehouse dimension-maintenance operator. A row
+      // starts a new version iff its attribute differs from the previous
+      // observation; valid_to = the next version's valid_from (null for
+      // the current version). Timestamps travel as epoch-seconds BIGINT
+      // (exact cross-engine, no rendering in the hash).
+      //
+      // Scale posture: ONE customer-keyed hash shuffle — the change-
+      // detection lag, the version row_number, and the valid_to lead all
+      // sort on the same (custkey | epoch, orderkey) key, so Catalyst
+      // plans a single exchange + sort reused by all three windows.
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_epoch"), col("o_orderkey"))
+        Tables(s, dir).orders
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"),
+            col("o_orderpriority"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to", lead(col("o_epoch"), 1).over(w))
+          .select(
+            col("o_custkey"),
+            col("version"),
+            col("o_orderpriority").as("priority"),
+            col("o_epoch").as("valid_from"),
+            col("valid_to"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |            epoch_us(CAST(o_orderdate AS TIMESTAMP))//1000000 AS o_epoch,
+             |            o_orderpriority FROM orders),
+             |ch AS (SELECT *, LAG(o_orderpriority) OVER w AS prev FROM o
+             |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)),
+             |seg AS (SELECT o_custkey, o_orderkey, o_epoch, o_orderpriority FROM ch
+             |        WHERE prev IS NULL OR prev <> o_orderpriority)
+             |SELECT o_custkey, ROW_NUMBER() OVER w AS version, o_orderpriority AS priority,
+             |       o_epoch AS valid_from, LEAD(o_epoch) OVER w AS valid_to
+             |FROM seg WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin)
+    ),
+    Q(
+      "rel_skyline",
+      // Skyline / Pareto frontier: the distinct (p_size, p_retailprice)
+      // points not dominated by any other point (dominate = <= on both
+      // dims, < on at least one) — "cheapest part at every size class or
+      // better". The naive formulation is an O(n^2) dominance anti-join;
+      // this plan is the distributed two-phase skyline:
+      //   1. bucket points by x-range; LOCAL skyline per bucket via a
+      //      running min-y window over (x, y) order — linear post-sort,
+      //      partitioned by bucket so no global single-partition window;
+      //   2. cross-bucket prune with the CUMULATIVE min-y of all EARLIER
+      //      buckets (every point there has strictly smaller x, so
+      //      cum_min <= y is dominance). The per-bucket minima table is
+      //      #buckets rows — its running min is driver-trivial and the
+      //      join back is a broadcast.
+      // Correctness: a same-bucket dominator is seen by the running min
+      // (it ranges over ALL earlier rows, pruned or not); an earlier-
+      // bucket dominator is seen by cum_min over raw bucket minima —
+      // transitivity never loses a dominance witness. DISTINCT input
+      // makes equal points (which do not dominate each other) a non-case.
+      (s, dir) => {
+        val pts = Tables(s, dir).part
+          .select(col("p_size").as("x"), col("p_retailprice").as("y"))
+          .distinct()
+          .withColumn("b", expr("x div 8"))
+        val lw = Window
+          .partitionBy("b")
+          .orderBy(col("x").asc, col("y").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = pts
+          .withColumn("pm", min(col("y")).over(lw))
+          .filter(col("pm").isNull || col("y") < col("pm"))
+        // bucket-minima frame is <= ceil(max_size/8) rows: the
+        // unpartitioned window is deliberate (tiny), mirrored by the
+        // broadcast of its result
+        val cw = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+        val cum = pts
+          .groupBy("b")
+          .agg(min(col("y")).as("bm"))
+          .withColumn("cm", min(col("bm")).over(cw))
+          .select("b", "cm")
+        local
+          .join(broadcast(cum), Seq("b"))
+          .filter(col("cm").isNull || col("y") < col("cm"))
+          .select("x", "y")
+          .orderBy("x", "y")
+      },
+      Some("""WITH p AS (SELECT DISTINCT p_size AS x, p_retailprice AS y FROM part)
+             |SELECT x, y FROM p a WHERE NOT EXISTS (
+             |  SELECT 1 FROM p b
+             |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+             |ORDER BY x, y""".stripMargin)
     )
   )
 }

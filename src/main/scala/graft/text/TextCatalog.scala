@@ -640,6 +640,39 @@ object TextCatalog extends QueryModule {
              |      WHERE ('0x'||substr(md5(q.source||':'||q.doc_id::VARCHAR),1,12))::BIGINT % 1000000 < r.keep_ppm)
              |SELECT source, COUNT(*)::BIGINT AS n_kept, MAX(keep_ppm)::BIGINT AS keep_ppm
              |FROM k GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    Q(
+      "text_keyword_search",
+      // Keyword search over the corpus through the inverted-index shape:
+      // tokenize -> postings (term, doc_id, tf) restricted to the query
+      // terms -> per-doc relevance (distinct terms matched, then total
+      // term frequency, then doc_id as the total tiebreak), top 20.
+      // Integer-only scoring — no IDF floats in the hash.
+      //
+      // Scale posture: the query-term IN filter applies DURING the
+      // explode's narrow stage, so only postings for the queried terms
+      // ever reach the shuffle (at 100 TB a standing index would
+      // materialize the same postings table partitioned by term; the
+      // query-time plan is identical from the filter onward). The
+      // per-doc aggregation is map-side combined; top-20 is a
+      // TakeOrdered, never a global sort.
+      (s, dir) => {
+        val terms = Seq("spark", "window", "hash")
+        Fan
+          .out(Tables(s, dir).documents.select("doc_id", "text"))
+          .select(col("doc_id"), explode(ws(col("text"))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("tf_total"))
+          .orderBy(col("n_terms").desc, col("tf_total").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id, g AS term
+             |  FROM documents, UNNEST(string_split(text, ' ')) AS t(g)
+             |  WHERE g IN ('spark', 'window', 'hash'))
+             |SELECT doc_id, COUNT(DISTINCT term)::BIGINT AS n_terms, COUNT(*)::BIGINT AS tf_total
+             |FROM tok GROUP BY doc_id
+             |ORDER BY n_terms DESC, tf_total DESC, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value/plan properties of the round-6 operators beyond what the
+  * DuckDB oracle hash asserts: SCD2 interval algebra, the two-phase
+  * skyline vs the naive dominance anti-join, and keyword-search scoring
+  * vs a direct per-document recount.
+  */
+class Round6Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("rel_merge_scd2 intervals are dense, contiguous, and change-only") {
+    val rows = SparkEntry
+      .queries("rel_merge_scd2")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions dense from 1
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"cust $cust versions")
+      sorted.sliding(2).foreach {
+        case Array((_, _, p1, _, to1), (_, _, p2, from2, _)) =>
+          // contiguous: this version closes exactly where the next opens
+          assert(to1.contains(from2), s"cust $cust gap: $to1 vs $from2")
+          // change-only: consecutive versions differ in the tracked attribute
+          assert(p1 !== p2, s"cust $cust redundant version with priority $p1")
+        case _ => ()
+      }
+      // exactly one open (current) version, and it is the last
+      assert(sorted.count(_._5.isEmpty) === 1)
+      assert(sorted.last._5.isEmpty)
+    }
+  }
+
+  test("rel_skyline two-phase plan equals the naive dominance anti-join") {
+    val fast = SparkEntry
+      .queries("rel_skyline")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .toSet
+    val pts = Tables(spark, sf).part
+      .select(col("p_size").as("x"), col("p_retailprice").as("y"))
+      .distinct()
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val naive = pts.filter { case (x, y) =>
+      !pts.exists { case (x2, y2) => x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.toSet
+    assert(fast === naive)
+    // no point dominates another within the result
+    for ((x, y) <- fast; (x2, y2) <- fast if (x, y) != (x2, y2))
+      assert(!(x2 <= x && y2 <= y), s"($x2,$y2) dominates ($x,$y) inside the skyline")
+  }
+
+  test("rel_skyline plan broadcasts the bucket-minima side (no cartesian)") {
+    val df = SparkEntry.queries("rel_skyline")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("text_keyword_search scores match a direct per-document recount") {
+    val terms = Set("spark", "window", "hash")
+    val got = SparkEntry
+      .queries("text_keyword_search")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 20)
+    val byDoc = Tables(spark, sf).documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(terms))
+      .toMap
+    for ((docId, nTerms, tfTotal) <- got) {
+      val hits = byDoc(docId)
+      assert(hits.distinct.length.toLong === nTerms, s"doc $docId n_terms")
+      assert(hits.length.toLong === tfTotal, s"doc $docId tf_total")
+    }
+    // ranking: non-increasing (n_terms, tf_total) with doc_id tiebreak
+    got.sliding(2).foreach {
+      case Array((d1, n1, t1), (d2, n2, t2)) =>
+        assert(
+          n1 > n2 || (n1 == n2 && (t1 > t2 || (t1 == t2 && d1 < d2))),
+          s"ranking order violated between $d1 and $d2")
+      case _ => ()
+    }
+    GraftCache.clear()
+  }
+}
