@@ -33,7 +33,9 @@ object DocStress {
     "text_domain_balance",
     "dedup_cdc_chunks",
     "dedup_containment",
-    "pipe_incremental_refresh")
+    "pipe_incremental_refresh",
+    // round-6: inverted-index keyword search (documents-only input)
+    "text_keyword_search")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -59,6 +59,24 @@ object IngestStress {
       if (!scratch.renameTo(stressOrders))
         sys.error(s"rename $scratch -> $stressOrders failed")
     }
+    // part, for the r6 orders/part-based relational ops: shifted keys,
+    // price perturbed per replica so the distinct point set (and the
+    // skyline candidate work) actually grows 10x instead of collapsing
+    // to the 1x distinct() set
+    val stressPart = new java.io.File(s"$stress/part.parquet")
+    if (!stressPart.exists()) {
+      val scratch = new java.io.File(s"$stress/_building_part.parquet")
+      if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      val p = spark.read.parquet(s"$base/part.parquet")
+      (0 until 10)
+        .map(i =>
+          p.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
+            .withColumn("p_retailprice", col("p_retailprice") + lit(i) * lit(0.001)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      if (!scratch.renameTo(stressPart))
+        sys.error(s"rename $scratch -> $stressPart failed")
+    }
 
     def pipelineAll6(dir: String): Unit = {
       val sh = WikidataShredder.shred(SyntheticDump.ordersEntities(spark, dir))
@@ -75,6 +93,11 @@ object IngestStress {
           WikidataShredder.shred(SyntheticDump.ordersEntities(spark, dir)),
           s"$tmp/graft_stress_layout_$tag")
       }
+      GraftCache.clear()
+      // r6 relational ops over the replicated orders/part
+      time(s"merge_scd2_$tag") { force(SparkEntry.queries("rel_merge_scd2")(spark, dir)) }
+      GraftCache.clear()
+      time(s"skyline_$tag") { force(SparkEntry.queries("rel_skyline")(spark, dir)) }
       GraftCache.clear()
     }
 

@@ -655,6 +655,85 @@ object WikidataCatalog extends QueryModule {
            |SELECT id AS vertex_id, r AS rank_units FROM r3
            |ORDER BY rank_units DESC, vertex_id""".stripMargin
       }
+    ),
+    Q(
+      "wd_connected_components",
+      // Connected components over the shredded entity graph, iterated
+      // to a CONVERGENCE-CHECKED fixpoint (unlike dedup_cluster_assign's
+      // deliberately fixed two rounds): min-label propagation, loop
+      // while any label changed. The fixpoint (every vertex labeled with
+      // its component's minimum id) is unique, so the result is
+      // deterministic regardless of round count — which is what lets a
+      // data-dependent driver loop coexist with the oracle hash.
+      //
+      // Scale posture: each round is ONE hash join of the symmetric
+      // adjacency list against the vertex-sized label vector plus a
+      // map-side-combined min aggregation; the adjacency list is
+      // persisted once and co-partitions across rounds. The convergence
+      // probe is a scalar SUM to the driver — never a data collect. The
+      // label vector is re-persisted per round and the predecessor freed,
+      // so state is 2 vertex-sized caches regardless of rounds. Round
+      // count is bounded by graph diameter; for a high-diameter graph at
+      // 100 TB you would switch the recurrence to large-star/small-star
+      // (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+      // which converges in O(log n) rounds with the same per-round join
+      // shape — the harness loop, convergence probe, and cache rotation
+      // here carry over unchanged.
+      (s, dir) => {
+        val raw = WikidataShredder
+          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .select("src_id", "dst_id")
+        val und = raw.filter(col("src_id") =!= col("dst_id"))
+        val adj = graft.GraftCache.register(
+          und
+            .select(col("src_id").as("a"), col("dst_id").as("b"))
+            .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
+            .distinct()
+            .persist())
+        val verts = raw
+          .select(col("src_id").as("id"))
+          .unionByName(raw.select(col("dst_id").as("id")))
+          .distinct()
+        var labels = graft.GraftCache.register(
+          verts.select(col("id"), col("id").as("comp")).persist())
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 64) {
+          val nbr = adj
+            .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+            .groupBy(col("a"))
+            .agg(min(col("nc")).as("nbr_min"))
+            .select(col("a").as("id"), col("nbr_min"))
+          val next = graft.GraftCache.register(
+            labels
+              .join(nbr, Seq("id"), "left")
+              .select(
+                col("id"),
+                least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+                (col("comp") > coalesce(col("nbr_min"), col("comp")))
+                  .cast("long")
+                  .as("delta"))
+              .persist())
+          changed = next.agg(sum(col("delta"))).head().getLong(0)
+          labels.unpersist(blocking = false)
+          labels = next.select("id", "comp")
+          rounds += 1
+        }
+        labels
+          .select(col("id").as("vertex_id"), col("comp").as("component_id"))
+          .orderBy("vertex_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |v AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e)),
+             |reach(x, y) AS (
+             |  SELECT id, id FROM v
+             |  UNION
+             |  SELECT r.x, u.b FROM reach r JOIN u ON r.y = u.a
+             |)
+             |SELECT x AS vertex_id, MIN(y)::BIGINT AS component_id
+             |FROM reach GROUP BY x ORDER BY x""".stripMargin)
     )
   )
 }

@@ -65,6 +65,30 @@ class Round6Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("wd_connected_components labels are component minima and no edge crosses") {
+    import graft.wikidata.{SyntheticDump, WikidataShredder}
+    val comp = SparkEntry
+      .queries("wd_connected_components")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // every component's label IS its minimum member
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c labeled above its minimum")
+    }
+    // no edge connects two different components (the fixpoint property)
+    val edges = WikidataShredder
+      .edge(WikidataShredder.claims(SyntheticDump.entities(spark, sf)))
+      .select("src_id", "dst_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((u, v) <- edges if u != v)
+      assert(comp(u) === comp(v), s"edge ($u,$v) crosses components ${comp(u)}/${comp(v)}")
+    // non-degenerate: the synthetic graph has more than one component
+    assert(comp.values.toSet.size > 1)
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
