@@ -1732,6 +1732,71 @@ object RelCatalog extends QueryModule {
              |  SELECT 1 FROM p b
              |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
              |ORDER BY x, y""".stripMargin)
+    ),
+    Q(
+      "rel_join_temporal",
+      // Point-in-time (temporal) join — the consumption side of
+      // rel_merge_scd2: probe each order at t = order date + 1 day
+      // against the versioned priority dimension and return the version
+      // valid AS OF t. Decomposed scalably as union-tag + last(ignore
+      // nulls) over one customer-ordered window (dim rows sort before
+      // probes at equal t via the kind column, so an exactly-at-
+      // valid_from probe sees its version; sk makes the order total) —
+      // ONE shuffle on the key, no per-row interval scan, the same
+      // merge-sorted shape as rel_asof_join but against SCD2 intervals.
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_epoch"), col("o_orderkey"))
+        val base = Tables(s, dir).orders
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"),
+            col("o_orderpriority"))
+        val dim = base
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+          .select(
+            col("o_custkey"),
+            col("o_epoch").as("t"),
+            col("o_orderkey").as("sk"),
+            col("o_orderpriority").as("p"),
+            lit(0).as("kind"))
+        val probes = base.select(
+          col("o_custkey"),
+          (col("o_epoch") + 86400L).as("t"),
+          col("o_orderkey").as("sk"),
+          lit(null).cast("string").as("p"),
+          lit(1).as("kind"))
+        val mw = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("t"), col("kind"), col("sk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dim
+          .unionByName(probes)
+          .withColumn("p_asof", last(col("p"), ignoreNulls = true).over(mw))
+          .filter(col("kind") === 1)
+          .select(
+            col("sk").as("o_orderkey"),
+            col("o_custkey"),
+            col("t").as("asof_epoch"),
+            col("p_asof").as("priority_asof"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |            epoch_us(CAST(o_orderdate AS TIMESTAMP))//1000000 AS o_epoch,
+             |            o_orderpriority FROM orders),
+             |ch AS (SELECT *, LAG(o_orderpriority) OVER w AS prev FROM o
+             |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)),
+             |dim AS (SELECT o_custkey, o_epoch AS t, o_orderkey AS sk, o_orderpriority AS p, 0 AS kind
+             |        FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+             |pr AS (SELECT o_custkey, o_epoch + 86400 AS t, o_orderkey AS sk, NULL AS p, 1 AS kind
+             |       FROM o),
+             |m AS (SELECT *, last_value(p IGNORE NULLS) OVER
+             |        (PARTITION BY o_custkey ORDER BY t, kind, sk
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_asof
+             |      FROM (SELECT * FROM dim UNION ALL SELECT * FROM pr))
+             |SELECT sk AS o_orderkey, o_custkey, t AS asof_epoch, p_asof AS priority_asof
+             |FROM m WHERE kind = 1 ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

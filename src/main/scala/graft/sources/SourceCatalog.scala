@@ -93,6 +93,38 @@ object SourceCatalog extends QueryModule {
       },
       Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
              |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "src_jdbc",
+      // JDBC SOURCE round trip, closing the loop the sink opened: write
+      // the table through GraftJdbcSink into an embedded Derby database,
+      // then read it back through spark.read.jdbc as a PARTITIONED scan
+      // (partitionColumn + bounds → one SELECT per split, the shape that
+      // parallelizes a warehouse ingest across executors at 100 TB).
+      // The oracle is the original table, so any round-trip loss (types,
+      // nulls, identifier folding) breaks the hash. A fresh database per
+      // invocation keeps append-mode reruns from double-loading.
+      (s, dir) => {
+        val db = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_src_jdbc_${System.nanoTime()}/db").getPath
+        val url = s"jdbc:derby:$db;create=true"
+        GraftJdbcSink.write(Tables(s, dir).nation, url, "nation_rt")
+        val rt = s.read
+          .format("jdbc")
+          .option("url", url)
+          .option("dbtable", "nation_rt")
+          .option("partitionColumn", "n_nationkey")
+          .option("lowerBound", "0")
+          .option("upperBound", "1000")
+          .option("numPartitions", "4")
+          .load()
+        // Derby folds unquoted identifiers to UPPER CASE (standard SQL);
+        // fold back so the round trip is name-identical to the source
+        rt.select(rt.columns.map(c => col(c).as(c.toLowerCase)): _*)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
     )
   )
 }

@@ -65,6 +65,39 @@ class Round6Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rel_join_temporal agrees with interval containment against rel_merge_scd2") {
+    val dim = SparkEntry
+      .queries("rel_merge_scd2")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    val byCust = dim.groupBy(_._1)
+    val probes = SparkEntry.queries("rel_join_temporal")(spark, sf).collect()
+    assert(probes.nonEmpty)
+    for (r <- probes.take(2000)) {
+      val (cust, t, got) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val want = byCust(cust).filter { case (_, _, from, to) => from <= t && t < to }
+      assert(want.length === 1, s"cust $cust t $t matched ${want.length} intervals")
+      assert(want.head._2 === got, s"cust $cust t $t")
+    }
+  }
+
+  test("src_jdbc reads back through a genuinely partitioned JDBC scan") {
+    val df = SparkEntry.queries("src_jdbc")(spark, sf)
+    val src = Tables(spark, sf).nation
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect()
+      .map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Int])
+    val rt = df.collect().map(_.toSeq)
+    assert(rt.toSeq === src.toSeq, "JDBC round trip must be lossless")
+    // the scan itself (pre-sort) must carry the 4 requested splits
+    val scan = df.queryExecution.analyzed.collectLeaves().head
+    val scanDf = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, scan)
+    assert(scanDf.rdd.getNumPartitions === 4, "partitionColumn options must split the read")
+  }
+
   test("wd_connected_components labels are component minima and no edge crosses") {
     import graft.wikidata.{SyntheticDump, WikidataShredder}
     val comp = SparkEntry
