@@ -1741,9 +1741,12 @@ object RelCatalog extends QueryModule {
       // valid AS OF t. Decomposed scalably as union-tag + last(ignore
       // nulls) over one customer-ordered window (dim rows sort before
       // probes at equal t via the kind column, so an exactly-at-
-      // valid_from probe sees its version; sk makes the order total) —
-      // ONE shuffle on the key, no per-row interval scan, the same
-      // merge-sorted shape as rel_asof_join but against SCD2 intervals.
+      // valid_from probe sees its version; sk makes the order total).
+      // Plan: TWO key shuffles — the change-detection window over the
+      // dim branch (dimension-sized) and the merge window over the
+      // union — and no per-row interval scan; the same merge-sorted
+      // shape as rel_asof_join but against SCD2 intervals. (With the
+      // dim pre-bucketed by the key, only the merge shuffle remains.)
       (s, dir) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_epoch"), col("o_orderkey"))
         val base = Tables(s, dir).orders

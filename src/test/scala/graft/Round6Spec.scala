@@ -65,6 +65,17 @@ class Round6Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rel_merge_scd2 runs all three windows on a single custkey shuffle") {
+    val df = SparkEntry.queries("rel_merge_scd2")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(
+      exchanges <= 1,
+      s"change-detect lag + version row_number + valid_to lead must share one shuffle:\n$plan")
+  }
+
   test("rel_join_temporal agrees with interval containment against rel_merge_scd2") {
     val dim = SparkEntry
       .queries("rel_merge_scd2")(spark, sf)
