@@ -666,58 +666,79 @@ object WikidataCatalog extends QueryModule {
       // deterministic regardless of round count — which is what lets a
       // data-dependent driver loop coexist with the oracle hash.
       //
-      // Scale posture: each round is ONE hash join of the symmetric
-      // adjacency list against the vertex-sized label vector plus a
-      // map-side-combined min aggregation; the adjacency list is
-      // persisted once and co-partitions across rounds. The convergence
-      // probe is a scalar SUM to the driver — never a data collect. The
-      // label vector is re-persisted per round and the predecessor freed,
-      // so state is 2 vertex-sized caches regardless of rounds. Round
-      // count is bounded by graph diameter; for a high-diameter graph at
-      // 100 TB you would switch the recurrence to large-star/small-star
-      // (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-      // which converges in O(log n) rounds with the same per-round join
-      // shape — the harness loop, convergence probe, and cache rotation
-      // here carry over unchanged.
-      (s, dir) => {
+      // Scale posture: the symmetric adjacency (self-edges added, so a
+      // vertex's own label rides the same aggregate and no second
+      // join is needed) is REPARTITIONED BY THE JOIN KEY once and
+      // persisted — every round's join reuses that cached partitioning
+      // and only ships the vertex-sized label vector; the min is
+      // map-side combined. The convergence probe is monotone: labels
+      // only decrease, so the DECIMAL label sum is strictly smaller
+      // iff any label changed — one scalar aggregate per round to the
+      // driver, never a data collect, no compare-join. The label
+      // vector is re-persisted per round and the predecessor freed, so
+      // state is the adjacency plus 2 vertex-sized caches regardless
+      // of rounds. Round count is bounded by graph diameter; for a
+      // high-diameter graph at 100 TB you would switch the recurrence
+      // to large-star/small-star (Kiveris et al., "Connected Components
+      // in MapReduce and Beyond"), which converges in O(log n) rounds
+      // with the same per-round join shape — the harness loop,
+      // convergence probe, and cache rotation carry over unchanged.
+      (s0, dir) => {
+        // Scoped session (same pattern as the streaming state knob):
+        // the per-round frames are vertex/edge-vector-sized, so the
+        // loop runs at `spark.graft.graph.partitions` (default 8)
+        // shuffle width instead of the session-wide count — at 68
+        // vertices the 32-partition default is pure task-scheduling
+        // overhead multiplied by rounds; on a cluster set the knob to
+        // ~2x cores like any shuffle width.
+        val s = s0.newSession()
+        s.conf.set(
+          "spark.sql.shuffle.partitions",
+          s0.conf.get("spark.graft.graph.partitions", "8"))
         val raw = WikidataShredder
           .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
           .select("src_id", "dst_id")
         val und = raw.filter(col("src_id") =!= col("dst_id"))
-        val adj = graft.GraftCache.register(
-          und
-            .select(col("src_id").as("a"), col("dst_id").as("b"))
-            .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
-            .distinct()
-            .persist())
         val verts = raw
           .select(col("src_id").as("id"))
           .unionByName(raw.select(col("dst_id").as("id")))
           .distinct()
+        val adj = graft.GraftCache.register(
+          und
+            .select(col("src_id").as("a"), col("dst_id").as("b"))
+            .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
+            .unionByName(verts.select(col("id").as("a"), col("id").as("b")))
+            .distinct()
+            .repartition(col("b"))
+            .persist())
+        val dsum = (df: org.apache.spark.sql.DataFrame) =>
+          df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+            .head()
+            .getDecimal(0)
+        // round 0 fused into initialization: with self-edges in adj,
+        // min(neighbor id) IS the first propagation round over identity
+        // labels — one fewer materialized round and no identity pass
         var labels = graft.GraftCache.register(
-          verts.select(col("id"), col("id").as("comp")).persist())
-        var changed = 1L
+          adj.groupBy(col("a")).agg(min(col("b")).as("comp"))
+            .select(col("a").as("id"), col("comp"))
+            .persist())
+        var curSum = dsum(labels)
+        var done = false
         var rounds = 0
-        while (changed > 0 && rounds < 64) {
-          val nbr = adj
-            .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
-            .groupBy(col("a"))
-            .agg(min(col("nc")).as("nbr_min"))
-            .select(col("a").as("id"), col("nbr_min"))
+        while (!done && rounds < 64) {
           val next = graft.GraftCache.register(
-            labels
-              .join(nbr, Seq("id"), "left")
-              .select(
-                col("id"),
-                least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-                (col("comp") > coalesce(col("nbr_min"), col("comp")))
-                  .cast("long")
-                  .as("delta"))
+            adj
+              .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+              .groupBy(col("a"))
+              .agg(min(col("nc")).as("comp"))
+              .select(col("a").as("id"), col("comp"))
               .persist())
-          changed = next.agg(sum(col("delta"))).head().getLong(0)
+          val nextSum = dsum(next)
           labels.unpersist(blocking = false)
-          labels = next.select("id", "comp")
+          labels = next
           rounds += 1
+          done = nextSum.compareTo(curSum) == 0
+          curSum = nextSum
         }
         labels
           .select(col("id").as("vertex_id"), col("comp").as("component_id"))
