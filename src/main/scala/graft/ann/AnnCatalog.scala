@@ -457,6 +457,77 @@ object AnnCatalog extends QueryModule {
              |SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
              |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
              |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)
+    ),
+    Q(
+      "ann_hybrid_rrf",
+      // Hybrid retrieval: fuse a KEYWORD ranking (inverted-index shape
+      // over documents, as text_keyword_search) with a VECTOR ranking
+      // (exact cosine of the corpus against query vector 0) by
+      // reciprocal-rank fusion — score = Σ 1/(60+rank), the standard
+      // RRF with k=60, computed in EXACT fixed point
+      // (1e12 div (60+rank), BIGINT) so no float ever enters the
+      // fusion. The shared id domain of documents and embeddings plays
+      // the doc ↔ embedding linkage a production corpus carries.
+      //
+      // Scale posture: each branch reduces to a top-50 candidate list
+      // before fusion — the keyword branch filters postings to the
+      // query terms inside the narrow explode stage and takes top-50
+      // via TakeOrdered (never a global sort); the vector branch is the
+      // production broadcast-query scored path. Fusion is a full-outer
+      // join of two ≤50-row frames and the final top-20 another
+      // TakeOrdered; the per-branch rank windows run on 50-row frames
+      // (deliberately unpartitioned — candidate lists, not the corpus).
+      (s, dir) => {
+        import graft.functions.TextFunctions.ws
+        val terms = Seq("spark", "window", "hash")
+        val kwOrder: Seq[org.apache.spark.sql.Column] =
+          Seq(col("n_terms").desc, col("tf").desc, col("doc_id").asc)
+        val kw = Fan
+          .out(Tables(s, dir).documents.select("doc_id", "text"))
+          .select(col("doc_id"), explode(ws(col("text"))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("tf"))
+          .orderBy(kwOrder: _*)
+          .limit(50)
+          .withColumn("r_kw", row_number().over(Window.orderBy(kwOrder: _*)).cast("long"))
+          .select(col("doc_id").as("id"), col("r_kw"))
+        val vecOrder: Seq[org.apache.spark.sql.Column] =
+          Seq(col("cosine").desc, col("vec_id").asc)
+        val vec = scoredPairs(corpus(s, dir))
+          .filter(col("q_id") === 0)
+          .orderBy(vecOrder: _*)
+          .limit(50)
+          .withColumn("r_vec", row_number().over(Window.orderBy(vecOrder: _*)).cast("long"))
+          .select(col("vec_id").as("id"), col("r_vec"))
+        kw.join(vec, Seq("id"), "full_outer")
+          .select(
+            col("id"),
+            (coalesce(expr("1000000000000 div (60 + r_kw)"), lit(0L)) +
+              coalesce(expr("1000000000000 div (60 + r_vec)"), lit(0L))).as("rrf"),
+            col("r_kw"),
+            col("r_vec"))
+          .orderBy(col("rrf").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""$scoredSql,
+             |ktok AS (SELECT doc_id, g AS term
+             |  FROM documents, UNNEST(string_split(text, ' ')) AS t(g)
+             |  WHERE g IN ('spark', 'window', 'hash')),
+             |kagg AS (SELECT doc_id, COUNT(DISTINCT term) AS n_terms, COUNT(*) AS tf
+             |         FROM ktok GROUP BY doc_id),
+             |kr AS (SELECT doc_id AS id,
+             |         ROW_NUMBER() OVER (ORDER BY n_terms DESC, tf DESC, doc_id) AS r_kw
+             |       FROM kagg QUALIFY r_kw <= 50),
+             |vr AS (SELECT vec_id AS id,
+             |         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_vec
+             |       FROM scored WHERE q_id = 0 QUALIFY r_vec <= 50)
+             |SELECT COALESCE(kr.id, vr.id) AS id,
+             |  (COALESCE(1000000000000 // (60 + r_kw), 0)
+             |   + COALESCE(1000000000000 // (60 + r_vec), 0))::BIGINT AS rrf,
+             |  CAST(r_kw AS BIGINT) AS r_kw, CAST(r_vec AS BIGINT) AS r_vec
+             |FROM kr FULL OUTER JOIN vr ON kr.id = vr.id
+             |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -133,6 +133,31 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("ann_hybrid_rrf fuses exact fixed-point reciprocal ranks") {
+    val rows = SparkEntry
+      .queries("ann_hybrid_rrf")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.length === 20)
+    assert(rows.map(_._1).distinct.length === 20, "fused ids must be distinct")
+    for ((id, rrf, rk, rv) <- rows) {
+      val want = rk.map(r => 1000000000000L / (60 + r)).getOrElse(0L) +
+        rv.map(r => 1000000000000L / (60 + r)).getOrElse(0L)
+      assert(rrf === want, s"id $id rrf")
+      for (r <- rk ++ rv) assert(r >= 1 && r <= 50)
+      assert(rk.isDefined || rv.isDefined)
+    }
+    rows.sliding(2).foreach {
+      case Array((i1, s1, _, _), (i2, s2, _, _)) =>
+        assert(s1 > s2 || (s1 == s2 && i1 < i2), "fusion ranking order")
+      case _ => ()
+    }
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
