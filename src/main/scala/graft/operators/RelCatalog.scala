@@ -354,6 +354,61 @@ object RelCatalog extends QueryModule {
              |FROM p""".stripMargin)
     ),
     Q(
+      "rel_join_bucketed",
+      // Bucketed co-located join — the shuffle-free fact⋈fact plan
+      // SURVEY §5 names for repeated big-table joins at 100 TB: both
+      // sides are written ONCE as bucketed tables (8 buckets on the
+      // join key, Spark's Murmur3 bucket hash) and every subsequent
+      // join on that key reads bucket i against bucket i with ZERO
+      // exchange. The pre-write repartitions by the bucket expression
+      // so each task owns exactly one bucket → one file per bucket
+      // (sortBy additionally tightens per-file min/max pruning; Spark
+      // 3.1+ no longer derives scan output ordering from it by
+      // default, so the merge join re-sorts each bucket LOCALLY — a
+      // per-partition sort, not a shuffle). The downstream
+      // per-order rollup rides the same co-location (hash(o_orderkey)
+      // clusters the group keys), so the WHOLE query plans without a
+      // single hash exchange — spec-asserted. The SHUFFLE_MERGE hint
+      // pins the sort-merge path (at toy scale AQE would broadcast
+      // and hide the property under test; at 100 TB neither fact side
+      // fits a broadcast).
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.repartition(8, col(key))
+            .write
+            .mode("overwrite")
+            .option("path", s"$base/$name")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+          s.table(name)
+        }
+        val t = Tables(s, dir)
+        val li = bucketed(
+          t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+          "g_bkt_lineitem",
+          "l_orderkey")
+        val ord = bucketed(
+          t.orders.select("o_orderkey", "o_orderstatus"),
+          "g_bkt_orders",
+          "o_orderkey")
+        li.hint("SHUFFLE_MERGE")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec(discPrice)).cast("double").as("revenue"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus, COUNT(*)::BIGINT AS n_lines,
+             |CAST(SUM(CAST($discPriceSql AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "rel_having",
       (s, dir) =>
         Tables(s, dir).orders
@@ -1528,6 +1583,67 @@ object RelCatalog extends QueryModule {
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
              |CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS DOUBLE) AS total
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "rel_sessionize_batch",
+      // Batch sessionization of the events table: a user's events are
+      // cut into sessions wherever the inter-event gap exceeds 30
+      // minutes, then each session is summarized (event count, span,
+      // exact value sum). The batch twin of stream_sessionize's
+      // session_window — the shape every clickstream/engagement report
+      // starts from. All time arithmetic is BIGINT micros
+      // (ts_ns div 1000 == DuckDB epoch_ns//1000), so the gap cuts are
+      // bit-exact cross-engine; ties broken by event_id.
+      //
+      // Scale posture: ONE user-keyed shuffle serves the whole query
+      // (spec-asserted). The gap lag and the running boundary sum are
+      // chained Window execs sharing one partitioning + sort (no
+      // re-exchange, no re-sort between them), and the (user_id, sess)
+      // rollup rides the SAME shuffle — hash(user_id) already
+      // co-locates every session group, and Catalyst recognizes the
+      // subset-key clustering, planning partial+final aggregation with
+      // no exchange. No global sort until the final ORDER BY of the
+      // (sessions-sized) result.
+      (s, dir) => {
+        val gapUs = 30L * 60 * 1000000 // 30 min in micros
+        val ev = Tables(s, dir).events
+          .select(
+            col("user_id"),
+            col("event_id"),
+            expr("ts_ns div 1000").as("us"),
+            col("value"))
+        val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+        ev
+          .withColumn(
+            "new_sess",
+            when(col("us") - lag(col("us"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+          .withColumn(
+            "sess",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"),
+            dsum(col("value")).as("sum_value"))
+          .withColumn("duration_us", col("end_us") - col("start_us"))
+          .select("user_id", "sess", "n_events", "start_us", "end_us", "duration_us", "sum_value")
+          .orderBy("user_id", "sess")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
+             |flagged AS (SELECT user_id, event_id, us, value,
+             |  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |       <= ${30L * 60 * 1000000} THEN 0 ELSE 1 END AS new_sess
+             |  FROM ev),
+             |sessed AS (SELECT user_id, us, value,
+             |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM flagged)
+             |SELECT user_id, sess::BIGINT AS sess, COUNT(*)::BIGINT AS n_events,
+             |MIN(us)::BIGINT AS start_us, MAX(us)::BIGINT AS end_us,
+             |(MAX(us) - MIN(us))::BIGINT AS duration_us,
+             |${S("value")} AS sum_value
+             |FROM sessed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
     Q(
       "rel_funnel",

@@ -158,6 +158,64 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("rel_sessionize_batch matches a naive per-user gap-cut recount") {
+    val gapUs = 30L * 60 * 1000000
+    val got = SparkEntry
+      .queries("rel_sessionize_batch")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val events = Tables(spark, sf).events
+      .selectExpr("user_id", "event_id", "ts_ns div 1000 as us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = events.groupBy(_._1).flatMap { case (user, evs) =>
+      val ts = evs.sortBy(e => (e._3, e._2)).map(_._3)
+      // naive cut: walk the sorted timestamps, splitting on gap > 30min
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (ss, i) =>
+        ((user, i + 1L), (ss.length.toLong, ss.head, ss.last))
+      }
+    }
+    assert(got === want)
+    GraftCache.clear()
+  }
+
+  test("rel_sessionize_batch fuses both windows into one user-keyed exec") {
+    val df = SparkEntry.queries("rel_sessionize_batch")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows === 2, s"gap lag + running boundary sum as two chained Window execs:\n$plan")
+    // local (non-global) sorts only — the final ORDER BY is a global Sort
+    val sorts = plan.linesIterator.count(l => l.contains(" Sort [") && l.contains("], false, 0"))
+    assert(sorts === 1, s"both windows must share one user-keyed sort:\n$plan")
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(
+      exchanges === 1,
+      s"windows AND the (user, sess) rollup must all ride one user shuffle:\n$plan")
+    GraftCache.clear()
+  }
+
+  test("rel_join_bucketed plans the join AND the rollup with zero hash exchange") {
+    val df = SparkEntry.queries("rel_join_bucketed")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$plan")
+    // the merge join may re-sort each bucket locally (Spark 3.1+ keeps
+    // sortBy ordering behind a legacy flag) — but only the two
+    // per-bucket sorts, never more, and never a shuffle
+    val sorts = plan.linesIterator.count(l => l.contains(" Sort [") && l.contains("], false, 0"))
+    assert(sorts <= 2, s"at most the two local per-bucket merge sorts:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
