@@ -409,6 +409,58 @@ object RelCatalog extends QueryModule {
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "rel_join_skew_salted",
+      // Salted skew join — the manual decomposition for a join key
+      // whose distribution is pathological (events.event_type: a
+      // handful of values, each holding a large fraction of the
+      // table). A plain shuffle join sends every 'click' row to ONE
+      // task; salting spreads each hot key over 16 sub-keys — the
+      // fact side derives salt = hash(row) % 16, the (small) build
+      // side replicates once per salt, and the join runs on
+      // (event_type, salt) so the hot key occupies 16 tasks. When the
+      // build side fits a broadcast you broadcast instead
+      // (rel_join_broadcast); this is the path for when it does NOT —
+      // fact⋈fact shuffle joins and streaming state joins, where
+      // AQE's skew splitting (sort-merge only, post-shuffle) cannot
+      // reach. SHUFFLE_HASH pins that plan at toy scale
+      // (spec-asserted, along with the ×16 task spread of the hot
+      // keys and value-equality with the unsalted join).
+      //
+      // Scale posture: the replicated build side costs 16× a
+      // 5-row dim; the fact side shuffles ONCE on the salted key,
+      // already balanced, and the post-join rollup partial-aggregates
+      // each salted partition to one row per event_type before the
+      // final (tiny) merge shuffle.
+      (s, dir) => {
+        val nSalt = 16
+        val dim = s.sql(
+          """SELECT event_type, weight FROM VALUES
+            |('view', 1), ('click', 5), ('purchase', 20), ('signup', 10), ('error', 0)
+            |AS t(event_type, weight)""".stripMargin)
+        val salted = dim.withColumn("salt", explode(expr(s"sequence(0, ${nSalt - 1})")))
+        val fact = Tables(s, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(nSalt)).cast("int"))
+        fact
+          .hint("SHUFFLE_HASH")
+          .join(salted, Seq("event_type", "salt"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum((col("value").cast(DecimalType(18, 4)) *
+              col("weight").cast(DecimalType(4, 0))).cast(D))
+              .cast("double")
+              .as("weighted_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (SELECT event_type, weight FROM (VALUES
+             |  ('view', 1), ('click', 5), ('purchase', 20), ('signup', 10), ('error', 0))
+             |  AS t(event_type, weight))
+             |SELECT e.event_type, COUNT(*)::BIGINT AS n_events,
+             |CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(weight AS DECIMAL(4,0)) AS DECIMAL(38,4))) AS DOUBLE) AS weighted_value
+             |FROM events e JOIN dim USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "rel_having",
       (s, dir) =>
         Tables(s, dir).orders

@@ -755,6 +755,96 @@ object WikidataCatalog extends QueryModule {
              |)
              |SELECT x AS vertex_id, MIN(y)::BIGINT AS component_id
              |FROM reach GROUP BY x ORDER BY x""".stripMargin)
+    ),
+    Q(
+      "wd_shortest_path",
+      // Single-source weighted shortest paths over the shredded entity
+      // graph (undirected, deterministic per-edge weight
+      // 1 + (a+b) mod 5): distributed Bellman-Ford — min-plus
+      // relaxation iterated to a convergence-checked fixpoint, the
+      // same harness shape as wd_connected_components. Only REACHED
+      // vertices carry state (the frontier starts as the one source
+      // row), so unreachable components never enter the loop.
+      //
+      // Scale posture: the weighted adjacency (plus weight-0
+      // self-edges, so a vertex's current distance rides the same
+      // min aggregate — no union with the previous state) is
+      // repartitioned by the join key once and persisted; each round
+      // ships only the reached-vertex distance vector, min is
+      // map-side combined, and the convergence probe is one scalar
+      // (count, exact-decimal sum) pair per round — distances only
+      // decrease and the reached set only grows, so the pair repeats
+      // iff the fixpoint (unique, data-independent) is hit. Rounds ~
+      // weighted diameter; the caches rotate so state is adjacency +
+      // 2 vectors regardless of round count. The oracle walks the
+      // same graph as a bounded recursive CTE (path enumeration —
+      // fine at oracle scale, what Bellman-Ford exists to avoid).
+      (s0, dir) => {
+        val s = s0.newSession()
+        s.conf.set(
+          "spark.sql.shuffle.partitions",
+          s0.conf.get("spark.graft.graph.partitions", "8"))
+        val raw = WikidataShredder
+          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .select("src_id", "dst_id")
+        val und = raw.filter(col("src_id") =!= col("dst_id"))
+        val verts = raw
+          .select(col("src_id").as("id"))
+          .unionByName(raw.select(col("dst_id").as("id")))
+          .distinct()
+        val adj = graft.GraftCache.register(
+          und
+            .select(col("src_id").as("a"), col("dst_id").as("b"))
+            .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
+            .distinct()
+            .withColumn("w", lit(1L) + pmod(col("a") + col("b"), lit(5L)))
+            .unionByName(verts.select(col("id").as("a"), col("id").as("b"), lit(0L).as("w")))
+            .repartition(col("b"))
+            .persist())
+        val probe = (df: org.apache.spark.sql.DataFrame) => {
+          val r = df
+            .agg(
+              count(lit(1)),
+              sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+            .head()
+          (r.getLong(0), r.getDecimal(1))
+        }
+        var dist = graft.GraftCache.register(
+          s.range(1).select(lit(10L).as("id"), lit(0L).as("dist")).persist())
+        var cur = probe(dist)
+        var done = false
+        var rounds = 0
+        while (!done && rounds < 256) {
+          val next = graft.GraftCache.register(
+            adj
+              .join(dist.select(col("id").as("b"), col("dist").as("db")), "b")
+              .groupBy(col("a"))
+              .agg(min(col("db") + col("w")).as("dist"))
+              .select(col("a").as("id"), col("dist"))
+              .persist())
+          val nextProbe = probe(next)
+          dist.unpersist(blocking = false)
+          dist = next
+          rounds += 1
+          done = nextProbe == cur
+          cur = nextProbe
+        }
+        dist
+          .select(col("id").as("vertex_id"), col("dist"))
+          .orderBy("vertex_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |wadj AS (SELECT a, b, 1 + (a+b)%5 AS w FROM u),
+             |walk(node, total) AS (
+             |  SELECT CAST(10 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION
+             |  SELECT wadj.b, walk.total + wadj.w FROM walk
+             |  JOIN wadj ON walk.node = wadj.a WHERE walk.total + wadj.w < 400
+             |)
+             |SELECT node AS vertex_id, MIN(total)::BIGINT AS dist
+             |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

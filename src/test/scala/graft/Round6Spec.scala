@@ -216,6 +216,89 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("rel_join_skew_salted pins the shuffle-hash path and equals the broadcast join") {
+    val df = SparkEntry.queries("rel_join_skew_salted")(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin [event_type"), plan)
+    assert(plan.contains(", salt"), s"join keys must include the salt:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // same answer as the plan you'd use when the build side IS broadcastable
+    val dim = Seq(("view", 1), ("click", 5), ("purchase", 20), ("signup", 10), ("error", 0))
+    val want = Tables(spark, sf).events
+      .collect()
+      .map(r => (r.getString(3), r.getDouble(4)))
+      .groupBy(_._1)
+      .map { case (t, vs) =>
+        val w = dim.find(_._1 == t).get._2
+        val sum = vs.map(v => BigDecimal(v._2).setScale(4) * w).sum
+        (t, vs.length.toLong, sum.toDouble)
+      }
+      .toSeq
+      .sortBy(_._1)
+    assert(got.toSeq === want)
+    GraftCache.clear()
+  }
+
+  test("rel_join_skew_salted spreads each hot key across the salt domain") {
+    val fact = Tables(spark, sf).events
+      .select(col("event_id"), col("event_type"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)).cast("int"))
+    // under the salted shuffle key the hot 'click' key occupies many
+    // partitions; under the raw key it is ONE task however big it is
+    def spread(keys: org.apache.spark.sql.Column*): Long = fact
+      .repartition(32, keys: _*)
+      .select(col("event_type"), spark_partition_id().as("p"))
+      .filter(col("event_type") === "click")
+      .distinct()
+      .count()
+    assert(spread(col("event_type"), col("salt")) >= 8)
+    assert(spread(col("event_type")) === 1)
+    // and every hot key genuinely populates all 16 sub-keys
+    val perType = fact
+      .groupBy("event_type")
+      .agg(countDistinct(col("salt")).as("n_salts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(perType.values.forall(_ === 16L), perType.toString)
+    GraftCache.clear()
+  }
+
+  test("wd_shortest_path matches an in-memory Dijkstra over the same graph") {
+    val got = SparkEntry
+      .queries("wd_shortest_path")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val raw = wikidata.WikidataShredder
+      .edge(wikidata.WikidataShredder.claims(wikidata.SyntheticDump.entities(spark, sf)))
+      .select("src_id", "dst_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = raw
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct
+      .map { case (a, b) => (a, b, 1L + (a + b) % 5) }
+      .groupBy(_._1)
+    // textbook Dijkstra from the same source
+    val dist = scala.collection.mutable.Map(10L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 10L))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (d == dist(v))
+        for ((_, b, w) <- adj.getOrElse(v, Array.empty[(Long, Long, Long)]))
+          if (dist.get(b).forall(_ > d + w)) { dist(b) = d + w; pq.enqueue((d + w, b)) }
+    }
+    assert(got === dist.toMap)
+    assert(got(10L) === 0L)
+    // relaxed fixpoint: no edge can still improve any distance
+    for ((a, es) <- adj; (_, b, w) <- es if got.contains(a))
+      assert(got(b) <= got(a) + w, s"edge $a->$b weight $w not relaxed")
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
