@@ -1426,6 +1426,104 @@ object RelCatalog extends QueryModule {
              |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin)
     ),
     Q(
+      "rel_stats_corr",
+      // Distributed second-moment statistics per group: Pearson
+      // correlation, sample covariance, both stddevs, and the OLS
+      // slope/intercept of price on quantity — computed from the five
+      // EXACT decimal power sums (Σx Σy Σxy Σx² Σy²), which are
+      // map-side-combinable partials (one shuffle of 5 numbers per
+      // group — the textbook one-pass parallel moments). The quantity
+      // and money inputs are exact decimals, so every sum is exact;
+      // the float math happens ONCE at the end, with the identical
+      // IEEE expression tree in both engines (sum→double casts, then
+      // the same * - / sqrt order), so even corr's doubles hash-match.
+      // Spark's own corr()/covar_samp() stream doubles in engine-
+      // specific order and could not cross-check exactly.
+      (s, dir) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        val mom = Tables(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x.cast(D)).cast("double").as("sx"),
+            sum(y.cast(D)).cast("double").as("sy"),
+            sum((x * y).cast(D)).cast("double").as("sxy"),
+            sum((x * x).cast(D)).cast("double").as("sxx"),
+            sum((y * y).cast(D)).cast("double").as("syy"))
+        mom
+          .select(
+            col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            (expr("n*sxy - sx*sy") / sqrt(expr("n*sxx - sx*sx")) / sqrt(expr("n*syy - sy*sy")))
+              .as("corr_qty_price"),
+            expr("(n*sxy - sx*sy) / (n*(n-1))").as("covar_samp"),
+            sqrt(expr("(n*sxx - sx*sx) / (n*(n-1))")).as("stddev_qty"),
+            sqrt(expr("(n*syy - sy*sy) / (n*(n-1))")).as("stddev_price"),
+            expr("(n*sxy - sx*sy) / (n*sxx - sx*sx)").as("slope"),
+            expr("(sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n").as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mom AS (SELECT l_returnflag,
+             |  CAST(COUNT(*) AS DOUBLE) AS n,
+             |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |(n*sxy - sx*sy) / SQRT(n*sxx - sx*sx) / SQRT(n*syy - sy*sy) AS corr_qty_price,
+             |(n*sxy - sx*sy) / (n*(n-1)) AS covar_samp,
+             |SQRT((n*sxx - sx*sx) / (n*(n-1))) AS stddev_qty,
+             |SQRT((n*syy - sy*sy) / (n*(n-1))) AS stddev_price,
+             |(n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+             |(sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+             |FROM mom ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "rel_surrogate_key",
+      // Dense sequential surrogate-key assignment — the warehouse-load
+      // primitive (every dimension load mints 1..N) done WITHOUT the
+      // naive row_number() OVER (ORDER BY …) whose unpartitioned
+      // window drags the whole table through ONE task. Distributed
+      // two-phase prefix sum instead (same decomposition as
+      // text_pack_chunks): range-bucket the key space off a broadcast
+      // 1-row min/max, number rows INSIDE each bucket (partitioned
+      // window), and add each bucket's broadcast cumulative offset —
+      // the only unpartitioned window runs over the 32-row bucket
+      // counts. Spec asserts the main window is bucket-partitioned.
+      (s, dir) => {
+        val nB = 32
+        val docs = Tables(s, dir).documents.select("doc_id", "lang", "source")
+        val stats = docs.agg(
+          min(col("doc_id")).as("mn"),
+          (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+        val bucketed = docs
+          .crossJoin(broadcast(stats))
+          .withColumn("bucket", expr(s"(doc_id - mn) * $nB div span"))
+        val local = bucketed.withColumn(
+          "rn",
+          row_number().over(Window.partitionBy("bucket").orderBy("doc_id")).cast("long"))
+        val offsets = bucketed
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn(
+            "offset",
+            coalesce(
+              sum(col("cnt")).over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("bucket", "offset")
+        local
+          .join(broadcast(offsets), "bucket")
+          .select(col("doc_id"), (col("offset") + col("rn")).as("sk"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS sk, lang, source
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "rel_gaps_islands",
       // The gaps-and-islands idiom: per customer, maximal runs of order
       // dates at most 30 days apart. Composes three window passes —

@@ -299,6 +299,48 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("rel_stats_corr agrees with Spark's own streaming-moment aggregates") {
+    val got = SparkEntry
+      .queries("rel_stats_corr")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val ref = Tables(spark, sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sq"),
+        stddev_samp(col("l_extendedprice")).as("sp"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("sl"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("ic"))
+      .collect()
+    assert(ref.nonEmpty)
+    for (r <- ref) {
+      val g = got(r.getString(0))
+      val pairs = Seq(
+        (g.getDouble(2), r.getDouble(1)), (g.getDouble(3), r.getDouble(2)),
+        (g.getDouble(4), r.getDouble(3)), (g.getDouble(5), r.getDouble(4)),
+        (g.getDouble(6), r.getDouble(5)), (g.getDouble(7), r.getDouble(6)))
+      for ((a, b) <- pairs)
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"${r.getString(0)}: $a vs $b")
+    }
+    GraftCache.clear()
+  }
+
+  test("rel_surrogate_key mints exactly 1..N in key order without a global window") {
+    val df = SparkEntry.queries("rel_surrogate_key")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq === (1L to rows.length).toSeq, "dense sequential keys")
+    assert(rows.sortBy(_._1).map(_._2).toSeq === (1L to rows.length).toSeq, "key order = id order")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val rnLine = plan.linesIterator.find(_.contains("row_number()")).get
+    assert(
+      rnLine.contains("windowspecdefinition(bucket"),
+      s"the data-sized window must be bucket-partitioned:\n$rnLine")
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
