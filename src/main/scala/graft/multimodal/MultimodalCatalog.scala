@@ -106,6 +106,49 @@ object MultimodalCatalog extends QueryModule {
              |ORDER BY doc_id, frame_idx""".stripMargin)
     ),
     Q(
+      "mm_audio_energy",
+      // Audio loudness contour — the silence-trim / voice-activity
+      // primitive of an audio curation pipeline: treat the payload as
+      // 8-bit PCM (one byte = one sample; pure-ASCII corpus makes the
+      // byte values computable in BOTH engines via character codes),
+      // frame it into 8 equal windows, and emit each window's exact
+      // integer energy Σ(sample−64)². A real deployment swaps the
+      // byte→sample read for the StubDecoder seam's PCM; the framing
+      // arithmetic, the codegen'd higher-order aggregate (no UDF), and
+      // the narrow per-row shape are the real Spark side. The trailing
+      // sub-frame remainder (< 8 samples) is dropped — standard frame
+      // alignment. No shuffle: posexplode + per-row fold, the only
+      // exchange is the presentation sort.
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .withColumn("n", length(col("text")).cast("long"))
+          .withColumn("stride", greatest(expr("n div 8"), lit(1L)))
+        d.select(col("doc_id"), col("text"), col("n"), col("stride"),
+            posexplode(sequence(lit(0), lit(7))))
+          .withColumn("off", col("pos") * col("stride"))
+          .filter(col("off") < col("n")) // docs shorter than 8 samples
+          .select(
+            col("doc_id"),
+            col("pos").cast("long").as("window_idx"),
+            col("stride").as("n_samples"),
+            expr(
+              """aggregate(sequence(off + 1, off + stride), 0L, (acc, i) ->
+                |  acc + CAST(ascii(substring(text, CAST(i AS INT), 1)) - 64 AS BIGINT)
+                |      * CAST(ascii(substring(text, CAST(i AS INT), 1)) - 64 AS BIGINT))"""
+                .stripMargin).as("energy"))
+          .orderBy("doc_id", "window_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+             |            greatest(length(text)//8, 1)::BIGINT AS stride FROM documents),
+             |w AS (SELECT doc_id, text, stride, k AS window_idx, k*stride AS off
+             |      FROM d, UNNEST(range(8)) AS t(k) WHERE k*stride < n)
+             |SELECT doc_id, window_idx, stride AS n_samples,
+             |  list_sum([(unicode(substr(text, (off + i + 1)::INTEGER, 1)) - 64)
+             |            * (unicode(substr(text, (off + i + 1)::INTEGER, 1)) - 64)
+             |            for i in range(0, stride)])::BIGINT AS energy
+             |FROM w ORDER BY doc_id, window_idx""".stripMargin)
+    ),
+    Q(
       "mm_phash_dedup",
       // Perceptual-hash near-dup detection over binary payloads — the
       // image-dedup layer of a multimodal pipeline (a re-encoded or

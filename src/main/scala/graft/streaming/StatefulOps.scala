@@ -42,6 +42,47 @@ object StatefulOps {
         })
   }
 
+  final case class EventZ(user_id: Long, event_id: Long, us: Long, v: Long)
+  final case class StateZ(n: Long, s: Long, q: Long)
+  final case class AnomalyZ(user_id: Long, event_id: Long, v: Long, n_prior: Long)
+
+  /** Streaming z-score anomaly detection: per-user prefix moments
+    * (count, Σv, Σv²) in exact centi-unit integers carried in
+    * GroupState; an event is anomalous when its squared deviation from
+    * the PRIOR running mean exceeds k²σ² (population), i.e.
+    * (v·n − S)² > k²·(n·Q − S²) — the float-free cross-multiplied form,
+    * so both engines decide every boundary identically. Events are
+    * processed in (event-time, id) order inside each group batch
+    * (prefix stats are then split-invariant given time-ordered
+    * arrival); the comparison products run in BigInt — n·Q outgrows
+    * BIGINT around sf≥10 while the STATE stays comfortably Long.
+    * Warm-up: the first `minN` events of a user are never flagged. */
+  def zscoreAnomalies(
+      events: Dataset[EventZ],
+      minN: Long = 30L,
+      k2: Long = 9L): Dataset[AnomalyZ] = {
+    implicit val stateEnc = Encoders.product[StateZ]
+    implicit val outEnc = Encoders.product[AnomalyZ]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, batch: Iterator[EventZ], state: GroupState[StateZ]) => {
+          var st = state.getOption.getOrElse(StateZ(0L, 0L, 0L))
+          val out = Vector.newBuilder[AnomalyZ]
+          for (e <- batch.toArray.sortBy(e => (e.us, e.event_id))) {
+            if (st.n >= minN) {
+              val lhs = (BigInt(e.v) * st.n - st.s).pow(2)
+              val rhs = k2 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+              if (lhs > rhs) out += AnomalyZ(user, e.event_id, e.v, st.n)
+            }
+            st = StateZ(st.n + 1, st.s + e.v, st.q + e.v * e.v)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   def runningTotals(events: Dataset[Event]): Dataset[UserUpdate] = {
     implicit val stateEnc = Encoders.product[UserState]
     implicit val outEnc = Encoders.product[UserUpdate]

@@ -344,6 +344,39 @@ object StreamingCatalog extends QueryModule {
         .orderBy("user_id"))
   }
 
+  /** Real-stream scaffold for [[StatefulOps.zscoreAnomalies]]: file
+    * source → stateful anomaly stream → append-mode memory sink (each
+    * anomaly is emitted exactly once, so append is the natural mode —
+    * no per-key dedup on drain). The production sink is the same
+    * foreachBatch/file path every append stream here uses. */
+  private def anomalyZscore(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(ss, dir).eventsRaw.schema
+    import ss.implicits._
+    val src = ss.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("v"))
+      .as[StatefulOps.EventZ]
+    val name = s"graft_szscore_${System.nanoTime()}"
+    val query = StatefulOps
+      .zscoreAnomalies(src)
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(ss, name)(_.orderBy("user_id", "event_id"))
+  }
+
   /** Watermark LATE-DATA semantics as oracle-checked data. Empirically
     * calibrated (spark-shell progress traces, numRowsDroppedByWatermark):
     * Spark drops a late row only when its window's state was EVICTED in
@@ -442,6 +475,27 @@ object StreamingCatalog extends QueryModule {
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |SUM(CAST(round(value*1000000) AS BIGINT))::BIGINT AS total_micros
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_anomaly_zscore",
+      // Streaming anomaly alerting: per-user running z-score against
+      // the user's own history (see StatefulOps.zscoreAnomalies — the
+      // monitoring/alerting state machine every event pipeline ends
+      // in). Exact-integer prefix moments make every flag decision
+      // bit-identical to the oracle's window recomputation; the
+      // oracle's HUGEINT casts mirror the handler's BigInt products.
+      (s, dir) => anomalyZscore(s, dir),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+             |            CAST(round(value*100) AS BIGINT) AS v FROM events),
+             |p AS (SELECT user_id, event_id, v,
+             |  COUNT(*) OVER w - 1 AS n, SUM(v) OVER w - v AS s, SUM(v*v) OVER w - v*v AS q
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, v, n AS n_prior FROM p
+             |WHERE n >= 30 AND
+             |  CAST(v*n - s AS HUGEINT)*CAST(v*n - s AS HUGEINT)
+             |    > 9*(CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
+             |ORDER BY user_id, event_id""".stripMargin)
     ),
     Q(
       "stream_dedup",

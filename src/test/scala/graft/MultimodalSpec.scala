@@ -52,4 +52,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).n_bytes === 11 && out(0).mean_byte > 0)
     assert(out(1).n_bytes === 0 && out(1).mean_byte === 0.0)
   }
+
+  test("mm_audio_energy windows recompute from the raw bytes, narrow plan") {
+    val df = SparkEntry.queries("mm_audio_energy")(spark, sf)
+    val got = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val texts = Tables(spark, sf).documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    for ((id, text) <- texts) {
+      val stride = math.max(text.length / 8, 1)
+      val wins = (0 until 8).filter(_ * stride < text.length)
+      for (k <- wins) {
+        val bytes = text.slice(k * stride, k * stride + stride).map(_.toLong - 64)
+        assert(got((id, k.toLong)) === ((stride.toLong, bytes.map(b => b * b).sum)), s"doc $id win $k")
+      }
+      // dropped trailing sub-frame: no 9th window, no out-of-range window
+      assert(!got.contains((id, 8L)))
+    }
+    // narrow per-row fold: the only exchange is the presentation sort
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    GraftCache.clear()
+  }
 }

@@ -205,4 +205,47 @@ class StreamingSpec extends AnyFunSuite {
     GraftCache.clear()
     assert(!graft.streaming.MemoryResult.isLive(df), "clear() must invalidate the drained frame")
   }
+
+  test("zscore anomaly flags are invariant to the micro-batch split") {
+    import graft.streaming.StatefulOps.{AnomalyZ, EventZ}
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[EventZ]
+    // deterministic heavy-tailed series per user: mostly small values,
+    // a few large spikes that must be flagged once history warms up
+    val events = for {
+      u <- 1L to 3L
+      i <- 0L until 120L
+    } yield EventZ(u, i, i * 1000L, if (i % 37 == 36) 5000L + u else 100L + (i * 7) % 13)
+    def run(chunks: Seq[Seq[EventZ]]): Seq[AnomalyZ] = {
+      val input = MemoryStream[EventZ]
+      val name = s"graft_z_${System.nanoTime()}"
+      val query = StatefulOps
+        .zscoreAnomalies(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      query.stop()
+      val rows = spark
+        .table(name)
+        .collect()
+        .map(r => AnomalyZ(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(a => (a.user_id, a.event_id))
+        .toSeq
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    // single batch vs three time-ordered batches: prefix moments carry
+    // across the split, so the flag set must be identical
+    val whole = run(Seq(events))
+    val split = run(Seq(events.filter(_.event_id < 40), events.filter(e => e.event_id >= 40 && e.event_id < 80), events.filter(_.event_id >= 80)))
+    assert(whole === split)
+    assert(whole.nonEmpty, "the spike series must trip the detector")
+    // never flags inside the warm-up window
+    assert(whole.forall(_.n_prior >= 30))
+    // every flagged event is one of the planted spikes
+    assert(whole.forall(a => a.v >= 5000L), whole.take(5).toString)
+  }
 }
