@@ -1012,6 +1012,49 @@ object DedupCatalog extends QueryModule {
              |SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
              |FROM ch JOIN f USING (h)
              |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)
+    ),
+    Q(
+      "dedup_cross_source",
+      // Cross-source duplication matrix — the provenance dashboard
+      // behind every corpus-mixing decision (which sources mirror
+      // which, how much of a new crawl is already held elsewhere).
+      // Cells are exact-digest overlaps between source pairs. The raw
+      // corpus has no cross-source copies, so deterministic mirrors
+      // are injected (every 7th doc — 7 is coprime to the
+      // source count, so every source participates — re-attributed to
+      // source (n+3) mod 20) — same fixture pattern as mm_phash_dedup.
+      //
+      // Scale posture: the pair join runs on the DISTINCT
+      // (digest, source) projection — corpus-sized only before the
+      // map-side-combined distinct; per-digest groups are bounded by
+      // the source count (≤20), so the self-join can never explode,
+      // and the matrix rollup is ≤ sources² cells. The same shape at
+      // 100 TB: digest-keyed shuffle, tiny output.
+      (s, dir) => {
+        val base = Tables(s, dir).documents.select(col("doc_id"), col("source"), col("text"))
+        val mirrors = base
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn(
+            "source",
+            concat(lit("src"), pmod(expr("CAST(substr(source, 4) AS INT)") + 3, lit(20))))
+        val d = base
+          .unionByName(mirrors)
+          .select(md5(col("text")).as("h"), col("source"))
+          .distinct()
+        d.as("a")
+          .join(d.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, text FROM documents),
+             |cp AS (SELECT doc_id, 'src'||((CAST(substr(source, 4) AS INTEGER)+3)%20) AS source, text
+             |       FROM base WHERE doc_id%7 = 0),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM cp),
+             |d AS (SELECT DISTINCT md5(text) AS h, source FROM u)
+             |SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_shared
+             |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -125,6 +125,63 @@ object SourceCatalog extends QueryModule {
           .orderBy("n_nationkey")
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")
+    ),
+    Q(
+      "src_binaryfile",
+      // binaryFile source — how a multimodal pipeline ingests raw
+      // image/audio blobs from object storage: one row per file with
+      // (path, mtime, length, content BINARY). The fixture stage
+      // materializes each document as its own .bin file — written
+      // DISTRIBUTED (foreachPartition, one NIO write per blob, scratch
+      // dir + atomic rename, keyed by the source parquet's
+      // size+mtime) — then the operator is the real spark.read
+      // binaryFile scan: filename-derived key + byte length + content
+      // digest. Path and mtime are machine-local, so only
+      // content-derived columns cross the engine boundary; the oracle
+      // recomputes them from the text the bytes came from (pure-ASCII
+      // corpus — see MultimodalCatalog).
+      //
+      // Scale posture: binaryFile splits by FILE (a blob is one row),
+      // so parallelism = file count and maxPartitionBytes packs small
+      // blobs per task; the digest/length projection is narrow. The
+      // pathGlobFilter prunes at listing time, before any read.
+      (s, dir) => {
+        val srcFile = new java.io.File(dir, "documents.parquet")
+        val stage = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_binf_" + java.lang.Integer.toHexString(
+            (dir, srcFile.length(), srcFile.lastModified()).hashCode()))
+        if (!new java.io.File(stage, "_DONE").exists()) {
+          val scratch = new java.io.File(stage.getPath + "_building")
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+          scratch.mkdirs()
+          val scratchPath = scratch.getPath
+          Tables(s, dir).documents
+            .select("doc_id", "text")
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(scratchPath, s"${r.getLong(0)}.bin"),
+                  r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }
+          new java.io.File(scratch, "_DONE").createNewFile()
+          if (!scratch.renameTo(stage))
+            org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        }
+        s.read
+          .format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(stage.getPath)
+          .select(
+            regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+             |md5(text) AS checksum FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

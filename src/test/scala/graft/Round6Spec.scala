@@ -341,6 +341,32 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("dedup_cross_source matrix matches a direct mirror recount") {
+    val got = SparkEntry
+      .queries("dedup_cross_source")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every 7th doc is mirrored into source (n+3) mod 20; texts are
+    // otherwise unique, so each cell counts exactly those mirrors
+    val want = docs
+      .filter(_._1 % 7 == 0)
+      .map { case (_, src) =>
+        val n = src.drop(3).toInt
+        val m = s"src${(n + 3) % 20}"
+        if (src < m) (src, m) else (m, src)
+      }
+      .groupBy(identity)
+      .map { case (k, vs) => k -> vs.length.toLong }
+    assert(got === want)
+    assert(got.keys.forall { case (a, b) => a < b }, "ordered pairs only")
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
