@@ -35,7 +35,13 @@ object DocStress {
     "dedup_containment",
     "pipe_incremental_refresh",
     // round-6: inverted-index keyword search (documents-only input)
-    "text_keyword_search")
+    "text_keyword_search",
+    // round-6 wave 2: documents/embeddings-only ops
+    "ann_hybrid_rrf",
+    "rel_surrogate_key",
+    "dedup_cross_source",
+    "mm_audio_energy",
+    "src_binaryfile") // 10x = 50k small files: listing + stage cost is the measurement
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -78,6 +78,48 @@ object IngestStress {
         sys.error(s"rename $scratch -> $stressPart failed")
     }
 
+    // lineitem, for the r6 stats/bucketed-join ops: orderkeys shifted
+    // in lockstep with the orders replicas so the fact⋈fact join keys
+    // still land
+    val stressLineitem = new java.io.File(s"$stress/lineitem.parquet")
+    if (!stressLineitem.exists()) {
+      val scratch = new java.io.File(s"$stress/_building_lineitem.parquet")
+      if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      val l = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until 10)
+        .map(i => l.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      if (!scratch.renameTo(stressLineitem))
+        sys.error(s"rename $scratch -> $stressLineitem failed")
+    }
+    // events, for the r6 sessionize/anomaly/salted-join ops: user and
+    // event ids shifted per replica (10x the user population, same
+    // per-user behavior — the direction event volume actually grows),
+    // timestamps untouched so session/window density per user holds
+    // The stream ops locate events via pathGlobFilter over a BARE
+    // events.parquet file (the testdata layout), so the replica must
+    // be a single file, not a Spark-written directory: coalesce(1)
+    // into scratch, then move the lone part file into place.
+    val stressEvents = new java.io.File(s"$stress/events.parquet")
+    if (!stressEvents.isFile) {
+      if (stressEvents.exists()) org.apache.commons.io.FileUtils.deleteDirectory(stressEvents)
+      val scratch = new java.io.File(s"$stress/_building_events_dir")
+      if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = spark.read.parquet(s"$base/events.parquet")
+      (0 until 10)
+        .map(i =>
+          e.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, stressEvents.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+
     def pipelineAll6(dir: String): Unit = {
       val sh = WikidataShredder.shred(SyntheticDump.ordersEntities(spark, dir))
       sh.all.foreach { case (_, df) => force(df) }
@@ -99,6 +141,16 @@ object IngestStress {
       GraftCache.clear()
       time(s"skyline_$tag") { force(SparkEntry.queries("rel_skyline")(spark, dir)) }
       GraftCache.clear()
+      // r6 wave-2 ops over the replicated lineitem/events
+      for (op <- Seq(
+          "rel_stats_corr",
+          "rel_join_bucketed",
+          "rel_sessionize_batch",
+          "rel_join_skew_salted",
+          "stream_anomaly_zscore")) {
+        time(s"${op}_$tag") { force(SparkEntry.queries(op)(spark, dir)) }
+        GraftCache.clear()
+      }
     }
 
     // warmup (JIT/classloading) on the tiny sf
