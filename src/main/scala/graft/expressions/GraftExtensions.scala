@@ -16,6 +16,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * graft_id_to_u32(id)     Wikidata id string -> dense u32 (IdCodec)
   * graft_qid_from_uri(u)   entity URI / "1" -> Qid or null
   * graft_time_micros(y,m,d,h,mi,s)  proleptic epoch micros, BC-capable
+  * graft_frame_energy(payload)  native framed-energy kernel (FrameEnergy)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -47,6 +48,10 @@ object GraftExtensions {
       FunctionIdentifier("graft_cdc_boundaries"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
       (exprs: Seq[Expression]) => CdcBoundaries(exprs.head, window = 8, mod = 64)),
+    (
+      FunctionIdentifier("graft_frame_energy"),
+      new ExpressionInfo(classOf[FrameEnergy].getName, "graft_frame_energy"),
+      (exprs: Seq[Expression]) => FrameEnergy(exprs.head, frames = 8, center = 64)),
     fromColumnFn("graft_id_to_u32", 1)(cols => IdCodec.idToU32(cols.head)),
     fromColumnFn("graft_qid_from_uri", 1)(cols => IdCodec.qidFromUri(cols.head)),
     // proleptic-Gregorian epoch micros from civil parts — BIGINT-exact,

@@ -117,31 +117,35 @@ object MultimodalCatalog extends QueryModule {
       // arithmetic, the codegen'd higher-order aggregate (no UDF), and
       // the narrow per-row shape are the real Spark side. The trailing
       // sub-frame remainder (< 8 samples) is dropped — standard frame
-      // alignment. The per-sample fold is the one genuinely
-      // CPU-heavy narrow stage in this family, so the scan is
-      // Fan.out-spread across cores first (single-row-group local
-      // parquet yields ONE partition — measured 7.1 s single-threaded
-      // vs ~1 s spread at sf0.1); after that no shuffle: posexplode +
-      // per-row fold, the only exchanges are the spread and the
-      // presentation sort.
+      // alignment. The per-sample work runs in the NATIVE FrameEnergy
+      // kernel (graft's 5th codegen Expression — one flat loop over
+      // the payload bytes, no per-sample lambda frames or 1-char
+      // slices; measured ~2.7x the interpreted higher-order fold warm
+      // at sf0.1 (0.2 s vs 0.6 s, tools.ABFrameEnergy), equivalence +
+      // codegen residency spec-asserted, SQL-registered as
+      // graft_frame_energy). The scan is Fan.out-spread
+      // across cores first (a single-row-group local parquet scan
+      // yields ONE partition); after that the plan is narrow —
+      // kernel + posexplode — and the only exchanges are the spread
+      // and the presentation sort.
       (s, dir) => {
         val d = graft.Fan
           .out(Tables(s, dir).documents)
           .withColumn("n", length(col("text")).cast("long"))
           .withColumn("stride", greatest(expr("n div 8"), lit(1L)))
-        d.select(col("doc_id"), col("text"), col("n"), col("stride"),
-            posexplode(sequence(lit(0), lit(7))))
-          .withColumn("off", col("pos") * col("stride"))
-          .filter(col("off") < col("n")) // docs shorter than 8 samples
+        d.select(
+            col("doc_id"),
+            col("stride"),
+            posexplode(org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.expressions.FrameEnergy(
+                org.apache.spark.sql.graftbridge.Bridge.expression(col("text")),
+                frames = 8,
+                center = 64))))
           .select(
             col("doc_id"),
             col("pos").cast("long").as("window_idx"),
             col("stride").as("n_samples"),
-            expr(
-              """aggregate(sequence(off + 1, off + stride), 0L, (acc, i) ->
-                |  acc + CAST(ascii(substring(text, CAST(i AS INT), 1)) - 64 AS BIGINT)
-                |      * CAST(ascii(substring(text, CAST(i AS INT), 1)) - 64 AS BIGINT))"""
-                .stripMargin).as("energy"))
+            col("col").as("energy"))
           .orderBy("doc_id", "window_idx")
       },
       Some("""WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n,

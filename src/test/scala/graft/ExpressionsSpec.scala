@@ -114,6 +114,46 @@ class ExpressionsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_cdc_boundaries(text) AS b FROM documents WHERE doc_id = 1").count() === 1)
   }
 
+  test("native FrameEnergy matches the interpreted higher-order fold") {
+    val d = Tables(spark, sf).documents
+    def native = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.FrameEnergy(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("text")),
+        frames = 8,
+        center = 64))
+    // the HOF formulation mm_audio_energy shipped with before the
+    // kernel: per-window aggregate over 1-char slices
+    val interp = expr(
+      """transform(
+        |  filter(sequence(0, 7), k -> k * greatest(length(text) div 8, 1) < length(text)),
+        |  k -> aggregate(
+        |    sequence(k * greatest(length(text) div 8, 1) + 1,
+        |             k * greatest(length(text) div 8, 1) + greatest(length(text) div 8, 1)),
+        |    0L, (acc, i) ->
+        |      acc + CAST(ascii(substring(text, CAST(i AS INT), 1)) - 64 AS BIGINT)
+        |          * CAST(ascii(substring(text, CAST(i AS INT), 1)) - 64 AS BIGINT)))""".stripMargin)
+    val both = d.select(native.as("nat"), interp.as("it"))
+    assert(both.filter(col("nat") =!= col("it")).count() === 0)
+    // short-payload edges: fewer samples than frames -> one 1-sample
+    // window per sample; empty payload -> empty array, not null
+    import spark.implicits._
+    val short = Seq("abc", "", "x").toDF("text").select(native.as("e"))
+    val es = short.collect().map(_.getSeq[Long](0))
+    assert(es(0).length === 3 && es(1).isEmpty && es(2).length === 1)
+    assert(es(0) === "abc".map { c => val v = c.toLong - 64; v * v })
+    // codegen-resident in a plain projection + SQL surface registered
+    val plan = d
+      .select(native.as("e"))
+      .queryExecution.executedPlan.toString
+    assert(
+      plan.linesIterator.exists(l => l.contains("graft_frame_energy") && l.trim.startsWith("*(")),
+      plan)
+    GraftExtensions.register(spark)
+    Tables(spark, sf).views("documents")
+    assert(
+      spark.sql("SELECT graft_frame_energy(text) AS e FROM documents WHERE doc_id = 1").count() === 1)
+  }
+
   test("WinnowFingerprint short arrays and empty results") {
     import graft.functions.TextFunctions._
     import spark.implicits._
