@@ -1426,6 +1426,36 @@ object RelCatalog extends QueryModule {
              |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin)
     ),
     Q(
+      "rel_setops_all",
+      // Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+      // DUPLICITY (bag semantics), which the plain EXCEPT/INTERSECT
+      // ops (rel_except / rel_intersect) erase. Spark plans both via
+      // per-key count aggregation + Generate replication (no sort, no
+      // pairwise work — one shuffle per input), which is exactly the
+      // 100 TB shape; the result is reported as per-key multiplicities
+      // so the bag arithmetic (count_a - count_b, min(count_a,
+      // count_b)) is what the oracle hashes.
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val a = o.filter(col("o_orderstatus") =!= "F").select("o_custkey")
+        val b = o.filter(col("o_orderpriority").startsWith("1")).select("o_custkey")
+        val ea = a.exceptAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        val ia = a.intersectAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        ea.select(lit("except_all").as("op"), col("o_custkey"), col("n"))
+          .unionByName(ia.select(lit("intersect_all").as("op"), col("o_custkey"), col("n")))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'),
+             |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'),
+             |ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+             |ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+             |SELECT * FROM (
+             |  SELECT 'except_all' AS op, o_custkey, COUNT(*)::BIGINT AS n FROM ea GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'intersect_all', o_custkey, COUNT(*)::BIGINT FROM ia GROUP BY 2)
+             |ORDER BY op, o_custkey""".stripMargin)
+    ),
+    Q(
       "rel_stats_corr",
       // Distributed second-moment statistics per group: Pearson
       // correlation, sample covariance, both stddevs, and the OLS

@@ -38,7 +38,7 @@ object PipelineCatalog extends QueryModule {
     * boundary can flip a document between engines (round-1 driver hash
     * fail was exactly such a boundary).
     */
-  private val qualityGateSql =
+  private[graft] val qualityGateSql =
     "LEAST(nw,100)*len*nw + 60*alpha*nw + 40*(nw-stop)*len >= 160*len*nw"
 
   def queries: Seq[Q] = Seq(

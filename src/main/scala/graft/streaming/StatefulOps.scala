@@ -83,6 +83,37 @@ object StatefulOps {
         })
   }
 
+  final case class DocIn(digest: String, doc_id: Long, lang: String, nw: Long)
+  final case class KeptDoc(doc_id: Long, lang: String, nw: Long)
+
+  /** Online corpus admission gate — the stateful half of
+    * stream_curation_gate: documents arrive digest-keyed (quality
+    * filtering already applied upstream as stateless column exprs);
+    * the FIRST document to claim a digest is admitted, every later
+    * copy — same batch or any later one — is dropped. State per
+    * digest is a single boolean, the streaming twin of the batch
+    * keep-min-doc_id rule: within a batch the group iterator is
+    * reduced by min(doc_id), across batches first-arrival wins (the
+    * catalog query stages one batch, so the two rules coincide and
+    * the DuckDB oracle is exact; the cross-batch drop is
+    * spec-asserted with a MemoryStream). */
+  def curationGate(docs: Dataset[DocIn]): Dataset[KeptDoc] = {
+    implicit val stateEnc = Encoders.scalaBoolean
+    implicit val outEnc = Encoders.product[KeptDoc]
+    implicit val keyEnc = Encoders.STRING
+    docs
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, batch: Iterator[DocIn], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            val first = batch.minBy(_.doc_id)
+            state.update(true)
+            Iterator.single(KeptDoc(first.doc_id, first.lang, first.nw))
+          }
+        })
+  }
+
   def runningTotals(events: Dataset[Event]): Dataset[UserUpdate] = {
     implicit val stateEnc = Encoders.product[UserState]
     implicit val outEnc = Encoders.product[UserUpdate]

@@ -377,6 +377,53 @@ object StreamingCatalog extends QueryModule {
     MemoryResult.drain(ss, name)(_.orderBy("user_id", "event_id"))
   }
 
+  /** Real-stream scaffold for [[StatefulOps.curationGate]]: the online
+    * training-data admission pipeline. The augmented corpus (documents
+    * plus a 60-copy boilerplate clique of doc 7, the pipe_end_to_end
+    * fixture) is staged once (size+mtime-keyed like the late-data
+    * stage), then streamed: the exact-integer quality gate runs as
+    * STATELESS column expressions on the stream, and only passing
+    * docs reach the digest-keyed stateful gate. */
+  private def curationGate(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    import ss.implicits._
+    val srcFile = new java.io.File(dir, "documents.parquet")
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_curate_" + java.lang.Integer.toHexString(
+        (dir, srcFile.length(), srcFile.lastModified()).hashCode()))
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      val docs = Tables(ss, dir).documents.select("doc_id", "lang", "text")
+      val clique = docs
+        .filter(col("doc_id") === 7)
+        .crossJoin(ss.range(60).select((col("id") + 400000L).as("copy_id")))
+        .select(col("copy_id").as("doc_id"), col("lang"), col("text"))
+      docs.unionByName(clique).write.mode("overwrite").parquet(stage.getPath)
+    }
+    val src = ss.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .parquet(stage.getPath)
+    val gated = graft.pipeline.Pipeline
+      .qualityFilter(src)
+      .select(
+        md5(col("text").cast("binary")).as("digest"),
+        col("doc_id"),
+        col("lang"),
+        col("nw"))
+      .as[StatefulOps.DocIn]
+    val name = s"graft_scurate_${System.nanoTime()}"
+    val query = StatefulOps
+      .curationGate(gated)
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(ss, name)(_.orderBy("doc_id"))
+  }
+
   /** Watermark LATE-DATA semantics as oracle-checked data. Empirically
     * calibrated (spark-shell progress traces, numRowsDroppedByWatermark):
     * Spark drops a late row only when its window's state was EVICTED in
@@ -496,6 +543,30 @@ object StreamingCatalog extends QueryModule {
              |  CAST(v*n - s AS HUGEINT)*CAST(v*n - s AS HUGEINT)
              |    > 9*(CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
              |ORDER BY user_id, event_id""".stripMargin)
+    ),
+    Q(
+      "stream_curation_gate",
+      // Online training-data admission: quality gate + exact-dedup
+      // first-claim, both INSIDE the stream (see curationGate above /
+      // StatefulOps.curationGate) — the day-0 streaming twin of
+      // pipe_end_to_end's batch quality+exact stages, sharing their
+      // exact-integer quality rule and the 60-copy clique fixture
+      // (the clique passes quality once: only original doc 7
+      // survives the digest gate).
+      (s, dir) => curationGate(s, dir),
+      Some(s"""WITH aug AS (SELECT doc_id, lang, text FROM documents
+             |  UNION ALL SELECT 400000+i, lang, text FROM documents, UNNEST(range(60)) AS t(i) WHERE doc_id=7),
+             |qm AS (SELECT doc_id, lang, text,
+             |  len(string_split(text,' '))::BIGINT AS nw,
+             |  length(text)::BIGINT AS len,
+             |  (length(text)-length(regexp_replace(text,'[a-z]','','g')))::BIGINT AS alpha,
+             |  len([w for w in string_split(text,' ') if w IN ${graft.functions.TextFunctions.StopwordsSql}])::BIGINT AS stop
+             |  FROM aug),
+             |q AS (SELECT doc_id, lang, nw, md5(text) AS h FROM qm
+             |      WHERE ${graft.pipeline.PipelineCatalog.qualityGateSql})
+             |SELECT doc_id, lang, nw
+             |FROM (SELECT q.*, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM q)
+             |WHERE doc_id = keep ORDER BY doc_id""".stripMargin)
     ),
     Q(
       "stream_dedup",

@@ -367,6 +367,28 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("rel_setops_all multiplicities follow the bag arithmetic") {
+    val got = SparkEntry
+      .queries("rel_setops_all")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val o = Tables(spark, sf).orders
+      .select("o_custkey", "o_orderstatus", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ca = o.filter(_._2 != "F").groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cb = o.filter(_._3.startsWith("1")).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val keys = (ca.keySet ++ cb.keySet).toSeq
+    val want = keys.flatMap { k =>
+      val (na, nb) = (ca.getOrElse(k, 0L), cb.getOrElse(k, 0L))
+      Seq(("except_all", k) -> (na - nb), ("intersect_all", k) -> math.min(na, nb))
+        .filter(_._2 > 0)
+    }.toMap
+    assert(got === want)
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry

@@ -206,6 +206,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(!graft.streaming.MemoryResult.isLive(df), "clear() must invalidate the drained frame")
   }
 
+  test("curation gate admits a digest once, across batches and within one") {
+    import graft.streaming.StatefulOps.{DocIn, KeptDoc}
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[DocIn]
+    val input = MemoryStream[DocIn]
+    val name = s"graft_cg_${System.nanoTime()}"
+    val query = StatefulOps
+      .curationGate(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // batch 1: digest A claimed by min doc_id among 3 same-batch copies
+    input.addData(DocIn("A", 12, "en", 5), DocIn("A", 3, "en", 5), DocIn("A", 7, "en", 5), DocIn("B", 9, "de", 4))
+    query.processAllAvailable()
+    // batch 2: late A copy (even with a SMALLER id) must be dropped —
+    // first-arrival-wins is the streaming contract; C is new
+    input.addData(DocIn("A", 1, "en", 5), DocIn("C", 20, "fr", 6))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark
+      .table(name)
+      .collect()
+      .map(r => KeptDoc(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_.doc_id)
+      .toSeq
+    spark.catalog.dropTempView(name)
+    assert(kept === Seq(KeptDoc(3, "en", 5), KeptDoc(9, "de", 4), KeptDoc(20, "fr", 6)))
+  }
+
   test("zscore anomaly flags are invariant to the micro-batch split") {
     import graft.streaming.StatefulOps.{AnomalyZ, EventZ}
     implicit val sq = spark.sqlContext
