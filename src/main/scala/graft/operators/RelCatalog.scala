@@ -1426,6 +1426,65 @@ object RelCatalog extends QueryModule {
              |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin)
     ),
     Q(
+      "rel_resample_ffill",
+      // Time-series resampling with forward fill — the gap-filling
+      // primitive behind every dashboard and feature-store export: a
+      // sparse event series becomes a dense per-user hourly grid where
+      // empty hours carry the last observation forward. Values travel
+      // as exact centi-unit BIGINTs (like stream_state_running), so
+      // the fill is bit-identical cross-engine; per-hour "last" is
+      // max_by over (us, event_id) — a total tiebreak.
+      //
+      // Scale posture: everything is keyed by user_id — the hourly
+      // downsample is a map-side-combined aggregate, the grid comes
+      // from a per-user sequence() explode of the span row (grid size
+      // = span hours, NOT events), the grid⋈hourly join and the
+      // forward-fill window all cluster on user_id, and AQE picks a
+      // broadcast for the span side when it fits. No global
+      // structures; a user's fill never leaves its partition.
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .filter(col("user_id") < 5) // bounded demo slice of the series
+          .select(
+            col("user_id"),
+            col("event_id"),
+            expr("ts_ns div 1000").as("us"),
+            round(col("value") * 100).cast("long").as("v"))
+          .withColumn("hr", expr("us div 3600000000"))
+        val hourly = e
+          .groupBy("user_id", "hr")
+          .agg(max_by(col("v"), struct(col("us"), col("event_id"))).as("v_last"))
+        val grid = e
+          .groupBy("user_id")
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hr"))
+        grid
+          .join(hourly, Seq("user_id", "hr"), "left")
+          .withColumn(
+            "v_fill",
+            last(col("v_last"), ignoreNulls = true).over(
+              Window
+                .partitionBy("user_id")
+                .orderBy("hr")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("user_id", "hr", "v_fill")
+          .orderBy("user_id", "hr")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+             |            CAST(round(value*100) AS BIGINT) AS v FROM events WHERE user_id < 5),
+             |h AS (SELECT user_id, us//3600000000 AS hr, v, us, event_id FROM e),
+             |hourly AS (SELECT DISTINCT user_id, hr,
+             |           FIRST_VALUE(v) OVER (PARTITION BY user_id, hr ORDER BY us DESC, event_id DESC) AS v_last
+             |           FROM h),
+             |span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM h GROUP BY 1),
+             |grid AS (SELECT user_id, h0 + k AS hr FROM span, UNNEST(range(h1 - h0 + 1)) AS t(k)),
+             |j AS (SELECT g.user_id, g.hr, hourly.v_last FROM grid g LEFT JOIN hourly USING (user_id, hr))
+             |SELECT user_id, hr, LAST_VALUE(v_fill_src IGNORE NULLS) OVER
+             |  (PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+             |FROM (SELECT user_id, hr, v_last AS v_fill_src FROM j)
+             |ORDER BY user_id, hr""".stripMargin)
+    ),
+    Q(
       "rel_setops_all",
       // Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
       // DUPLICITY (bag semantics), which the plain EXCEPT/INTERSECT

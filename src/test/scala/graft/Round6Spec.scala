@@ -389,6 +389,34 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("rel_resample_ffill produces a dense grid with correct carries") {
+    val got = SparkEntry
+      .queries("rel_resample_ffill")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = Tables(spark, sf).events
+      .filter(col("user_id") < 5)
+      .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "CAST(round(value*100) AS LONG) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(events.nonEmpty)
+    for ((user, rows) <- got.groupBy(_._1)) {
+      val hrs = rows.map(_._2).sorted
+      // dense: every hour between first and last observation present
+      assert(hrs.toSeq === (hrs.head to hrs.last).toSeq, s"user $user grid gaps")
+      val byHr = events
+        .filter(_._1 == user)
+        .groupBy(_._3 / 3600000000L)
+        .map { case (hr, es) => hr -> es.maxBy(e => (e._3, e._2))._4 }
+      var carry = Long.MinValue
+      for (hr <- hrs) {
+        carry = byHr.getOrElse(hr, carry)
+        assert(rows.find(_._2 == hr).get._3 === carry, s"user $user hr $hr")
+      }
+    }
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
