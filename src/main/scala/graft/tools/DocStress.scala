@@ -41,7 +41,8 @@ object DocStress {
     "rel_surrogate_key",
     "dedup_cross_source",
     "mm_audio_energy",
-    "src_binaryfile") // 10x = 50k small files: listing + stage cost is the measurement
+    "src_binaryfile", // 10x = 50k small files: listing + stage cost is the measurement
+    "stream_curation_gate")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

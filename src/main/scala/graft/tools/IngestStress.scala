@@ -147,7 +147,9 @@ object IngestStress {
           "rel_join_bucketed",
           "rel_sessionize_batch",
           "rel_join_skew_salted",
-          "stream_anomaly_zscore")) {
+          "stream_anomaly_zscore",
+          "rel_setops_all",
+          "rel_resample_ffill")) {
         time(s"${op}_$tag") { force(SparkEntry.queries(op)(spark, dir)) }
         GraftCache.clear()
       }
