@@ -98,15 +98,22 @@ object Bench {
     val byName = results.map { case (k, med, _, _) => k -> med }.toMap
     val hq = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + ms(v)))
       .mkString("{", ",", "}")
+    // n counts only queries whose seconds are IN the sum — a failed
+    // query (median -1) must not inflate n while being absent from sec,
+    // or the line reads self-consistent while hiding the failure; the
+    // explicit failed counter is the diagnosable signal
     val families = results.groupBy(_._1.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
       .map { case (fam, rs) =>
         val meds = rs.map(_._2).filter(_ >= 0)
-        "\"" + fam + "\":{\"sec\":" + ms(meds.sum) + ",\"n\":" + rs.size + "}"
+        val failed = rs.size - meds.size
+        "\"" + fam + "\":{\"sec\":" + ms(meds.sum) + ",\"n\":" + meds.size +
+          (if (failed > 0) ",\"failed\":" + failed else "") + "}"
       }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2 < 0)
     val stdoutLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$hq,""" +
-      s""""families":$families,"n_queries":${results.size},"full_map":"bench.json",""" +
-      s""""runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
+      s""""families":$families,"n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""full_map":"bench.json","runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""detail":$detail,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
     println(stdoutLine)

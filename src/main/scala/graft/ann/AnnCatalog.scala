@@ -478,19 +478,14 @@ object AnnCatalog extends QueryModule {
       // TakeOrdered; the per-branch rank windows run on 50-row frames
       // (deliberately unpartitioned — candidate lists, not the corpus).
       (s, dir) => {
-        import graft.functions.TextFunctions.ws
+        import graft.functions.TextFunctions.{keywordOrder, keywordScores}
         val terms = Seq("spark", "window", "hash")
-        val kwOrder: Seq[org.apache.spark.sql.Column] =
-          Seq(col("n_terms").desc, col("tf").desc, col("doc_id").asc)
-        val kw = Fan
-          .out(Tables(s, dir).documents.select("doc_id", "text"))
-          .select(col("doc_id"), explode(ws(col("text"))).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("tf"))
-          .orderBy(kwOrder: _*)
+        // scoring + order shared with text_keyword_search
+        // (TextFunctions.keywordScores — one definition of "relevance")
+        val kw = keywordScores(Tables(s, dir).documents, terms)
+          .orderBy(keywordOrder: _*)
           .limit(50)
-          .withColumn("r_kw", row_number().over(Window.orderBy(kwOrder: _*)).cast("long"))
+          .withColumn("r_kw", row_number().over(Window.orderBy(keywordOrder: _*)).cast("long"))
           .select(col("doc_id").as("id"), col("r_kw"))
         val vecOrder: Seq[org.apache.spark.sql.Column] =
           Seq(col("cosine").desc, col("vec_id").asc)
@@ -511,11 +506,7 @@ object AnnCatalog extends QueryModule {
           .limit(20)
       },
       Some(s"""$scoredSql,
-             |ktok AS (SELECT doc_id, g AS term
-             |  FROM documents, UNNEST(string_split(text, ' ')) AS t(g)
-             |  WHERE g IN ('spark', 'window', 'hash')),
-             |kagg AS (SELECT doc_id, COUNT(DISTINCT term) AS n_terms, COUNT(*) AS tf
-             |         FROM ktok GROUP BY doc_id),
+             |${graft.functions.TextFunctions.keywordScoresSql("documents", Seq("spark", "window", "hash"))},
              |kr AS (SELECT doc_id AS id,
              |         ROW_NUMBER() OVER (ORDER BY n_terms DESC, tf DESC, doc_id) AS r_kw
              |       FROM kagg QUALIFY r_kw <= 50),

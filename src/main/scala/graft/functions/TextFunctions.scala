@@ -63,6 +63,34 @@ object TextFunctions {
         window,
         mod))
 
+  /** Keyword relevance scoring over the inverted-index shape, shared by
+    * text_keyword_search and ann_hybrid_rrf's keyword branch (one
+    * definition, so the two "same keyword ranking" claims cannot
+    * silently diverge): postings restricted to the query terms INSIDE
+    * the narrow explode stage, per-doc (distinct terms, total tf)
+    * integer scoring. Callers order by [[keywordOrder]] and cut their
+    * own top-k (TakeOrdered, never a global sort). */
+  def keywordScores(docs: org.apache.spark.sql.DataFrame, terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    graft.Fan
+      .out(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(ws(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("tf"))
+
+  /** The relevance order both consumers share: distinct terms matched,
+    * then total term frequency, then doc_id as the total tiebreak. */
+  def keywordOrder: Seq[Column] = Seq(col("n_terms").desc, col("tf").desc, col("doc_id").asc)
+
+  /** Oracle mirror of [[keywordScores]]: CTE fragment (no WITH prefix)
+    * ending in `kagg(doc_id, n_terms, tf)`. */
+  def keywordScoresSql(src: String, terms: Seq[String]): String =
+    s"""ktok AS (SELECT doc_id, g AS term
+       |  FROM $src, UNNEST(string_split(text, ' ')) AS t(g)
+       |  WHERE g IN (${terms.map(t => s"'$t'").mkString(", ")})),
+       |kagg AS (SELECT doc_id, COUNT(DISTINCT term)::BIGINT AS n_terms, COUNT(*)::BIGINT AS tf
+       |         FROM ktok GROUP BY doc_id)""".stripMargin
+
   def stopHits(words: Column): Column =
     size(filter(words, w => w.isin(Stopwords: _*)))
 

@@ -50,6 +50,39 @@ object RelCatalog extends QueryModule {
   private val chargeSql =
     s"CAST($discPriceSql AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2))"
 
+  /** Change-log base for the SCD2 family — orders as per-customer
+    * priority observations at exact epoch seconds. ONE definition
+    * feeds both rel_merge_scd2 (dimension build) and rel_join_temporal
+    * (point-in-time consumption), so the probed dimension can never
+    * silently diverge from the built one. */
+  private def scd2Base(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"),
+      col("o_orderpriority"))
+
+  private def scd2Win =
+    Window.partitionBy("o_custkey").orderBy(col("o_epoch"), col("o_orderkey"))
+
+  /** Version-start rows: observations whose attribute differs from the
+    * customer's previous observation (lag change-detect). */
+  private def scd2Changes(base: DataFrame): DataFrame =
+    base
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(scd2Win))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+
+  /** Oracle mirror of [[scd2Base]]+[[scd2Changes]]: CTE fragment (no
+    * WITH prefix) ending in `seg`, with `o` (the base) also visible. */
+  private val scd2ChangesSql =
+    """o AS (SELECT o_custkey, o_orderkey,
+      |            epoch_us(CAST(o_orderdate AS TIMESTAMP))//1000000 AS o_epoch,
+      |            o_orderpriority FROM orders),
+      |ch AS (SELECT *, LAG(o_orderpriority) OVER w AS prev FROM o
+      |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)),
+      |seg AS (SELECT o_custkey, o_orderkey, o_epoch, o_orderpriority FROM ch
+      |        WHERE prev IS NULL OR prev <> o_orderpriority)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     // ---- scans / filters / projections -------------------------------
     Q(
@@ -373,28 +406,44 @@ object RelCatalog extends QueryModule {
       // and hide the property under test; at 100 TB neither fact side
       // fits a broadcast).
       (s, dir) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
+        // "written ONCE" literally: the bucketed files are staged per
+        // corpus identity (size+mtime-keyed like the other fixtures)
+        // and only the catalog re-points on later invocations — so a
+        // bench rep measures the ZERO-EXCHANGE JOIN the operator
+        // showcases, not a re-write of both tables every run.
+        val srcFile = new java.io.File(dir, "lineitem.parquet")
+        val base = graft.Stage.dir("graft_bkt_", dir, srcFile.length(), srcFile.lastModified())
+        def bucketed(df: => DataFrame, name: String, key: String, ddlCols: String): DataFrame = {
+          val path = new java.io.File(base, name)
           s.sql(s"DROP TABLE IF EXISTS $name")
-          df.repartition(8, col(key))
-            .write
-            .mode("overwrite")
-            .option("path", s"$base/$name")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(name)
+          if (!new java.io.File(path, "_SUCCESS").exists()) {
+            df.repartition(8, col(key))
+              .write
+              .mode("overwrite")
+              .option("path", path.getPath)
+              .bucketBy(8, key)
+              .sortBy(key)
+              .saveAsTable(name)
+          } else {
+            // staged files exist: recreate the table shell over them
+            s.sql(
+              s"""CREATE TABLE $name ($ddlCols) USING PARQUET
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                 |LOCATION '${path.getPath}'""".stripMargin)
+          }
           s.table(name)
         }
         val t = Tables(s, dir)
         val li = bucketed(
           t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
           "g_bkt_lineitem",
-          "l_orderkey")
+          "l_orderkey",
+          "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE")
         val ord = bucketed(
           t.orders.select("o_orderkey", "o_orderstatus"),
           "g_bkt_orders",
-          "o_orderkey")
+          "o_orderkey",
+          "o_orderkey BIGINT, o_orderstatus STRING")
         li.hint("SHUFFLE_MERGE")
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey", "o_orderstatus")
@@ -2003,33 +2052,18 @@ object RelCatalog extends QueryModule {
       // detection lag, the version row_number, and the valid_to lead all
       // sort on the same (custkey | epoch, orderkey) key, so Catalyst
       // plans a single exchange + sort reused by all three windows.
-      (s, dir) => {
-        val w = Window.partitionBy("o_custkey").orderBy(col("o_epoch"), col("o_orderkey"))
-        Tables(s, dir).orders
-          .select(
-            col("o_custkey"),
-            col("o_orderkey"),
-            col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"),
-            col("o_orderpriority"))
-          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-          .withColumn("version", row_number().over(w).cast("long"))
-          .withColumn("valid_to", lead(col("o_epoch"), 1).over(w))
+      (s, dir) =>
+        scd2Changes(scd2Base(s, dir))
+          .withColumn("version", row_number().over(scd2Win).cast("long"))
+          .withColumn("valid_to", lead(col("o_epoch"), 1).over(scd2Win))
           .select(
             col("o_custkey"),
             col("version"),
             col("o_orderpriority").as("priority"),
             col("o_epoch").as("valid_from"),
             col("valid_to"))
-          .orderBy("o_custkey", "version")
-      },
-      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
-             |            epoch_us(CAST(o_orderdate AS TIMESTAMP))//1000000 AS o_epoch,
-             |            o_orderpriority FROM orders),
-             |ch AS (SELECT *, LAG(o_orderpriority) OVER w AS prev FROM o
-             |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)),
-             |seg AS (SELECT o_custkey, o_orderkey, o_epoch, o_orderpriority FROM ch
-             |        WHERE prev IS NULL OR prev <> o_orderpriority)
+          .orderBy("o_custkey", "version"),
+      Some(s"""WITH $scd2ChangesSql
              |SELECT o_custkey, ROW_NUMBER() OVER w AS version, o_orderpriority AS priority,
              |       o_epoch AS valid_from, LEAD(o_epoch) OVER w AS valid_to
              |FROM seg WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)
@@ -2103,16 +2137,8 @@ object RelCatalog extends QueryModule {
       // shape as rel_asof_join but against SCD2 intervals. (With the
       // dim pre-bucketed by the key, only the merge shuffle remains.)
       (s, dir) => {
-        val w = Window.partitionBy("o_custkey").orderBy(col("o_epoch"), col("o_orderkey"))
-        val base = Tables(s, dir).orders
-          .select(
-            col("o_custkey"),
-            col("o_orderkey"),
-            col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"),
-            col("o_orderpriority"))
-        val dim = base
-          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        val base = scd2Base(s, dir)
+        val dim = scd2Changes(base)
           .select(
             col("o_custkey"),
             col("o_epoch").as("t"),
@@ -2140,13 +2166,9 @@ object RelCatalog extends QueryModule {
             col("p_asof").as("priority_asof"))
           .orderBy("o_orderkey")
       },
-      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
-             |            epoch_us(CAST(o_orderdate AS TIMESTAMP))//1000000 AS o_epoch,
-             |            o_orderpriority FROM orders),
-             |ch AS (SELECT *, LAG(o_orderpriority) OVER w AS prev FROM o
-             |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch, o_orderkey)),
+      Some(s"""WITH $scd2ChangesSql,
              |dim AS (SELECT o_custkey, o_epoch AS t, o_orderkey AS sk, o_orderpriority AS p, 0 AS kind
-             |        FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+             |        FROM seg),
              |pr AS (SELECT o_custkey, o_epoch + 86400 AS t, o_orderkey AS sk, NULL AS p, 1 AS kind
              |       FROM o),
              |m AS (SELECT *, last_value(p IGNORE NULLS) OVER

@@ -81,8 +81,7 @@ object SourceCatalog extends QueryModule {
       // oracle is the original parquet table, so any round-trip loss
       // (types, nulls, ordering) breaks the hash.
       (s, dir) => {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+        val path = graft.Stage.dir("graft_orc_", dir).getPath
         Tables(s, dir).customer
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
           .write.mode("overwrite").option("compression", "zstd").orc(path)
@@ -102,13 +101,25 @@ object SourceCatalog extends QueryModule {
       // (partitionColumn + bounds → one SELECT per split, the shape that
       // parallelizes a warehouse ingest across executors at 100 TB).
       // The oracle is the original table, so any round-trip loss (types,
-      // nulls, identifier folding) breaks the hash. A fresh database per
-      // invocation keeps append-mode reruns from double-loading.
+      // nulls, identifier folding) breaks the hash. ONE database per
+      // corpus identity (size+mtime-keyed like the other fixtures) with
+      // a drop-and-reload per invocation: a nanoTime-fresh db per run
+      // leaked a tmp directory AND a booted embedded-Derby page cache
+      // per bench rep, unbounded over a long session.
       (s, dir) => {
+        val srcFile = new java.io.File(dir, "nation.parquet")
         val db = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_src_jdbc_${System.nanoTime()}/db").getPath
+          graft.Stage.dir("graft_src_jdbc_", dir, srcFile.length(), srcFile.lastModified()),
+          "db").getPath
         val url = s"jdbc:derby:$db;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          // Derby has no DROP TABLE IF EXISTS; absence is the common case
+          try st.executeUpdate("DROP TABLE nation_rt")
+          catch { case _: java.sql.SQLException => () }
+          finally st.close()
+        } finally conn.close()
         GraftJdbcSink.write(Tables(s, dir).nation, url, "nation_rt")
         val rt = s.read
           .format("jdbc")
@@ -147,10 +158,8 @@ object SourceCatalog extends QueryModule {
       // pathGlobFilter prunes at listing time, before any read.
       (s, dir) => {
         val srcFile = new java.io.File(dir, "documents.parquet")
-        val stage = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          "graft_binf_" + java.lang.Integer.toHexString(
-            (dir, srcFile.length(), srcFile.lastModified()).hashCode()))
+        val stage =
+          graft.Stage.dir("graft_binf_", dir, srcFile.length(), srcFile.lastModified())
         if (!new java.io.File(stage, "_DONE").exists()) {
           val scratch = new java.io.File(stage.getPath + "_building")
           org.apache.commons.io.FileUtils.deleteDirectory(scratch)

@@ -387,10 +387,7 @@ object StreamingCatalog extends QueryModule {
   private def curationGate(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
     import ss.implicits._
     val srcFile = new java.io.File(dir, "documents.parquet")
-    val stage = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_curate_" + java.lang.Integer.toHexString(
-        (dir, srcFile.length(), srcFile.lastModified()).hashCode()))
+    val stage = graft.Stage.dir("graft_curate_", dir, srcFile.length(), srcFile.lastModified())
     if (!new java.io.File(stage, "_SUCCESS").exists()) {
       val docs = Tables(ss, dir).documents.select("doc_id", "lang", "text")
       val clique = docs
@@ -449,10 +446,7 @@ object StreamingCatalog extends QueryModule {
     // regenerated events.parquet at the same path invalidates the cache
     // instead of silently streaming stale batches
     val srcFile = new java.io.File(dir, "events.parquet")
-    val stage = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_late_" + java.lang.Integer.toHexString(
-        (dir, srcFile.length(), srcFile.lastModified()).hashCode()))
+    val stage = graft.Stage.dir("graft_late_", dir, srcFile.length(), srcFile.lastModified())
     if (!new java.io.File(stage, "b2.parquet").exists()) {
       val scratch = new java.io.File(stage.getPath + "_building")
       org.apache.commons.io.FileUtils.deleteDirectory(scratch)

@@ -657,21 +657,15 @@ object TextCatalog extends QueryModule {
       // per-doc aggregation is map-side combined; top-20 is a
       // TakeOrdered, never a global sort.
       (s, dir) => {
-        val terms = Seq("spark", "window", "hash")
-        Fan
-          .out(Tables(s, dir).documents.select("doc_id", "text"))
-          .select(col("doc_id"), explode(ws(col("text"))).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("tf_total"))
+        // scoring + order shared with ann_hybrid_rrf's keyword branch
+        // (TextFunctions.keywordScores — one definition of "relevance")
+        keywordScores(Tables(s, dir).documents, Seq("spark", "window", "hash"))
+          .withColumnRenamed("tf", "tf_total")
           .orderBy(col("n_terms").desc, col("tf_total").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""WITH tok AS (SELECT doc_id, g AS term
-             |  FROM documents, UNNEST(string_split(text, ' ')) AS t(g)
-             |  WHERE g IN ('spark', 'window', 'hash'))
-             |SELECT doc_id, COUNT(DISTINCT term)::BIGINT AS n_terms, COUNT(*)::BIGINT AS tf_total
-             |FROM tok GROUP BY doc_id
+      Some(s"""WITH ${keywordScoresSql("documents", Seq("spark", "window", "hash"))}
+             |SELECT doc_id, n_terms, tf AS tf_total FROM kagg
              |ORDER BY n_terms DESC, tf_total DESC, doc_id LIMIT 20""".stripMargin)
     )
   )

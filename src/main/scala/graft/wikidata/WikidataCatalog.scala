@@ -37,6 +37,73 @@ object WikidataCatalog extends QueryModule {
        |CASE WHEN n_nationkey%3=0 THEN NULL ELSE CAST(4917 AS BIGINT) END AS unit_id
        |FROM nation ORDER BY src_id""".stripMargin
 
+  /** Scoped session for the iterative graph operators: per-round frames
+    * are vertex/edge-vector-sized, so the loop runs at
+    * `spark.graft.graph.partitions` (default 8) shuffle width instead
+    * of the session-wide count — at toy vertex counts the 32-partition
+    * default is pure task-scheduling overhead multiplied by rounds; on
+    * a cluster set the knob to ~2x cores like any shuffle width. */
+  private def graphSession(s0: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val s = s0.newSession()
+    s.conf.set(
+      "spark.sql.shuffle.partitions",
+      s0.conf.get("spark.graft.graph.partitions", "8"))
+    s
+  }
+
+  /** Undirected view of the shredded entity graph: (a, b) edge pairs in
+    * BOTH directions (self-loops removed) plus the distinct vertex set.
+    * Each consumer appends its own self-edges (label/distance
+    * carry-forward) and weights before persisting. */
+  private def symmetricGraph(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val raw = WikidataShredder
+      .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+      .select("src_id", "dst_id")
+    val und = raw.filter(col("src_id") =!= col("dst_id"))
+    val sym = und
+      .select(col("src_id").as("a"), col("dst_id").as("b"))
+      .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
+      .distinct()
+    val verts = raw
+      .select(col("src_id").as("id"))
+      .unionByName(raw.select(col("dst_id").as("id")))
+      .distinct()
+    (sym, verts)
+  }
+
+  /** Convergence-probed cache-rotating fixpoint loop shared by the
+    * iterative graph operators: persist each round's frame, compare a
+    * cheap scalar probe against the previous round's, free the
+    * predecessor, and FAIL LOUDLY if the cap is hit — the cap is a
+    * runaway backstop, not an accepted outcome; returning non-fixpoint
+    * state would die later as an opaque oracle hash mismatch. State is
+    * the caller's persisted inputs plus 2 rotating frames regardless of
+    * round count. */
+  private def fixpoint(
+      init: org.apache.spark.sql.DataFrame,
+      step: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame => Any,
+      maxRounds: Int,
+      what: String): org.apache.spark.sql.DataFrame = {
+    var cur = graft.GraftCache.register(init.persist())
+    var curProbe = probe(cur)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      val next = graft.GraftCache.register(step(cur).persist())
+      val nextProbe = probe(next)
+      cur.unpersist(blocking = false)
+      cur = next
+      rounds += 1
+      done = nextProbe == curProbe
+      curProbe = nextProbe
+    }
+    require(done, s"$what did not converge within $rounds rounds")
+    cur
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "wd_parse",
@@ -661,10 +728,13 @@ object WikidataCatalog extends QueryModule {
       // Connected components over the shredded entity graph, iterated
       // to a CONVERGENCE-CHECKED fixpoint (unlike dedup_cluster_assign's
       // deliberately fixed two rounds): min-label propagation, loop
-      // while any label changed. The fixpoint (every vertex labeled with
-      // its component's minimum id) is unique, so the result is
-      // deterministic regardless of round count — which is what lets a
-      // data-dependent driver loop coexist with the oracle hash.
+      // while any label changed — driven by the shared
+      // [[graphSession]]/[[symmetricGraph]]/[[fixpoint]] harness it
+      // shares with wd_shortest_path. The fixpoint (every vertex
+      // labeled with its component's minimum id) is unique, so the
+      // result is deterministic regardless of round count — which is
+      // what lets a data-dependent driver loop coexist with the
+      // oracle hash.
       //
       // Scale posture: the symmetric adjacency (self-edges added, so a
       // vertex's own label rides the same aggregate and no second
@@ -684,33 +754,19 @@ object WikidataCatalog extends QueryModule {
       // with the same per-round join shape — the harness loop,
       // convergence probe, and cache rotation carry over unchanged.
       (s0, dir) => {
-        // Scoped session (same pattern as the streaming state knob):
-        // the per-round frames are vertex/edge-vector-sized, so the
-        // loop runs at `spark.graft.graph.partitions` (default 8)
-        // shuffle width instead of the session-wide count — at 68
-        // vertices the 32-partition default is pure task-scheduling
-        // overhead multiplied by rounds; on a cluster set the knob to
-        // ~2x cores like any shuffle width.
-        val s = s0.newSession()
-        s.conf.set(
-          "spark.sql.shuffle.partitions",
-          s0.conf.get("spark.graft.graph.partitions", "8"))
-        val raw = WikidataShredder
-          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
-          .select("src_id", "dst_id")
-        val und = raw.filter(col("src_id") =!= col("dst_id"))
-        val verts = raw
-          .select(col("src_id").as("id"))
-          .unionByName(raw.select(col("dst_id").as("id")))
-          .distinct()
+        val s = graphSession(s0)
+        val (sym, verts) = symmetricGraph(s, dir)
+        // self-edges added so a vertex's own label rides the same min
+        // aggregate (no second join); repartitioned by the join key
+        // once and persisted — every round reuses the cached
+        // partitioning and only ships the vertex-sized label vector
         val adj = graft.GraftCache.register(
-          und
-            .select(col("src_id").as("a"), col("dst_id").as("b"))
-            .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
+          sym
             .unionByName(verts.select(col("id").as("a"), col("id").as("b")))
-            .distinct()
             .repartition(col("b"))
             .persist())
+        // monotone probe: labels only decrease, so the exact DECIMAL
+        // label sum is strictly smaller iff any label changed
         val dsum = (df: org.apache.spark.sql.DataFrame) =>
           df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
             .head()
@@ -718,28 +774,20 @@ object WikidataCatalog extends QueryModule {
         // round 0 fused into initialization: with self-edges in adj,
         // min(neighbor id) IS the first propagation round over identity
         // labels — one fewer materialized round and no identity pass
-        var labels = graft.GraftCache.register(
-          adj.groupBy(col("a")).agg(min(col("b")).as("comp"))
-            .select(col("a").as("id"), col("comp"))
-            .persist())
-        var curSum = dsum(labels)
-        var done = false
-        var rounds = 0
-        while (!done && rounds < 64) {
-          val next = graft.GraftCache.register(
+        val labels = fixpoint(
+          init = adj
+            .groupBy(col("a"))
+            .agg(min(col("b")).as("comp"))
+            .select(col("a").as("id"), col("comp")),
+          step = prev =>
             adj
-              .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+              .join(prev.select(col("id").as("b"), col("comp").as("nc")), "b")
               .groupBy(col("a"))
               .agg(min(col("nc")).as("comp"))
-              .select(col("a").as("id"), col("comp"))
-              .persist())
-          val nextSum = dsum(next)
-          labels.unpersist(blocking = false)
-          labels = next
-          rounds += 1
-          done = nextSum.compareTo(curSum) == 0
-          curSum = nextSum
-        }
+              .select(col("a").as("id"), col("comp")),
+          probe = dsum,
+          maxRounds = 64,
+          what = "connected components")
         labels
           .select(col("id").as("vertex_id"), col("comp").as("component_id"))
           .orderBy("vertex_id")
@@ -780,27 +828,16 @@ object WikidataCatalog extends QueryModule {
       // same graph as a bounded recursive CTE (path enumeration —
       // fine at oracle scale, what Bellman-Ford exists to avoid).
       (s0, dir) => {
-        val s = s0.newSession()
-        s.conf.set(
-          "spark.sql.shuffle.partitions",
-          s0.conf.get("spark.graft.graph.partitions", "8"))
-        val raw = WikidataShredder
-          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
-          .select("src_id", "dst_id")
-        val und = raw.filter(col("src_id") =!= col("dst_id"))
-        val verts = raw
-          .select(col("src_id").as("id"))
-          .unionByName(raw.select(col("dst_id").as("id")))
-          .distinct()
+        val s = graphSession(s0)
+        val (sym, verts) = symmetricGraph(s, dir)
         val adj = graft.GraftCache.register(
-          und
-            .select(col("src_id").as("a"), col("dst_id").as("b"))
-            .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
-            .distinct()
+          sym
             .withColumn("w", lit(1L) + pmod(col("a") + col("b"), lit(5L)))
             .unionByName(verts.select(col("id").as("a"), col("id").as("b"), lit(0L).as("w")))
             .repartition(col("b"))
             .persist())
+        // (count, exact sum) pair: distances only decrease and the
+        // reached set only grows, so the pair repeats iff at fixpoint
         val probe = (df: org.apache.spark.sql.DataFrame) => {
           val r = df
             .agg(
@@ -809,26 +846,23 @@ object WikidataCatalog extends QueryModule {
             .head()
           (r.getLong(0), r.getDecimal(1))
         }
-        var dist = graft.GraftCache.register(
-          s.range(1).select(lit(10L).as("id"), lit(0L).as("dist")).persist())
-        var cur = probe(dist)
-        var done = false
-        var rounds = 0
-        while (!done && rounds < 256) {
-          val next = graft.GraftCache.register(
+        // guard the hardcoded source: the oracle seeds (10, 0)
+        // unconditionally, so a dump without vertex 10 must fail HERE
+        // with a clear message, not as an empty-vs-one-row hash diff
+        require(
+          adj.filter(col("a") === 10L).limit(1).count() == 1,
+          "source vertex 10 is absent from the shredded graph")
+        val dist = fixpoint(
+          init = s.range(1).select(lit(10L).as("id"), lit(0L).as("dist")),
+          step = prev =>
             adj
-              .join(dist.select(col("id").as("b"), col("dist").as("db")), "b")
+              .join(prev.select(col("id").as("b"), col("dist").as("db")), "b")
               .groupBy(col("a"))
               .agg(min(col("db") + col("w")).as("dist"))
-              .select(col("a").as("id"), col("dist"))
-              .persist())
-          val nextProbe = probe(next)
-          dist.unpersist(blocking = false)
-          dist = next
-          rounds += 1
-          done = nextProbe == cur
-          cur = nextProbe
-        }
+              .select(col("a").as("id"), col("dist")),
+          probe = probe,
+          maxRounds = 256,
+          what = "shortest paths")
         dist
           .select(col("id").as("vertex_id"), col("dist"))
           .orderBy("vertex_id")
