@@ -1475,6 +1475,58 @@ object RelCatalog extends QueryModule {
              |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin)
     ),
     Q(
+      "rel_join_range_bucketed",
+      // Interval-overlap join decomposed into an EQUI-join — the grid
+      // trick behind every scalable range join (and Databricks' range
+      // join optimization): both interval sets explode into the fixed-
+      // width grid cells they touch (<= 2 cells each here), the join
+      // runs on cell equality (hash-shuffleable, AQE-skew-splittable),
+      // and the true overlap predicate filters the candidates. Each
+      // qualifying pair is emitted EXACTLY once — only in the cell
+      // containing max(start_a, start_b), the overlap start — so no
+      // distinct pass is needed. Contrast rel_join_range, which plans
+      // the band predicate as a broadcast nested loop: correct for a
+      // tiny band dim, quadratic death for fact⋈fact — this is the
+      // fact⋈fact path (spec asserts no BNLJ/cartesian). Days travel
+      // as epoch-day BIGINTs; revenue in exact decimal.
+      (s, dir) => {
+        val W = 100 // grid width >= every interval span => <= 2 cells each
+        val epoch0 = lit("1970-01-01").cast("date")
+        val a = Tables(s, dir).nation
+          .select(
+            col("n_nationkey").cast("long").as("window_id"),
+            (lit(9131L) + col("n_nationkey") * 100L).as("s_day"))
+          .withColumn("e_day", col("s_day") + 30L)
+          .withColumn("cell", explode(expr(s"sequence(s_day div $W, e_day div $W)")))
+        val b = Tables(s, dir).orders
+          .select(
+            col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), epoch0).cast("long").as("d0"),
+            col("o_totalprice"))
+          .withColumn("d1", col("d0") + 7L)
+          .withColumn("cell", explode(expr(s"sequence(d0 div $W, d1 div $W)")))
+        a.join(b, "cell")
+          .filter(col("s_day") <= col("d1") && col("d0") <= col("e_day"))
+          .filter(col("cell") === expr(s"greatest(s_day, d0) div $W"))
+          .groupBy("window_id", "s_day")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(12, 2)).cast(D))
+              .cast("double")
+              .as("revenue"))
+          .orderBy("window_id")
+      },
+      Some("""WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+             |            CAST(9131 + n_nationkey*100 AS BIGINT) AS s_day FROM nation),
+             |b AS (SELECT o_orderkey,
+             |      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0,
+             |      o_totalprice FROM orders)
+             |SELECT window_id, s_day, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+             |FROM a JOIN b ON s_day <= b.d0 + 7 AND b.d0 <= s_day + 30
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "rel_resample_ffill",
       // Time-series resampling with forward fill — the gap-filling
       // primitive behind every dashboard and feature-store export: a

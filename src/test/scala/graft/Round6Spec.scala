@@ -421,6 +421,24 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("rel_join_range_bucketed equals the naive overlap join, no nested loop") {
+    val df = SparkEntry.queries("rel_join_range_bucketed")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // naive O(A*B) recount: every qualifying (window, order) pair once
+    val orders = Tables(spark, sf).orders
+      .selectExpr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS LONG) AS d0")
+      .collect()
+      .map(_.getLong(0))
+    val want = (0L until 25L).map { nk =>
+      val s = 9131L + nk * 100
+      (nk, s, orders.count(d0 => s <= d0 + 7 && d0 <= s + 30).toLong)
+    }.filter(_._3 > 0).toSet
+    assert(got === want)
+    GraftCache.clear()
+  }
+
   test("text_keyword_search scores match a direct per-document recount") {
     val terms = Set("spark", "window", "hash")
     val got = SparkEntry
