@@ -805,6 +805,34 @@ object WikidataCatalog extends QueryModule {
              |FROM reach GROUP BY x ORDER BY x""".stripMargin)
     ),
     Q(
+      "wd_degree_stats",
+      // Degree distribution of the shredded entity graph (undirected,
+      // self-loops excluded) — the first structural dashboard run on
+      // any new graph, and the input to the skew decisions the other
+      // graph operators document (hub detection, large-star/small-star
+      // switch-over, salting thresholds).
+      //
+      // Scale posture: two map-side-combined aggregations (per-vertex
+      // degree, then vertices per degree) over the same symmetric
+      // edge view the fixpoint operators use — no joins, no windows;
+      // the distribution is at most max-degree rows.
+      (s0, dir) => {
+        val (sym, _) = symmetricGraph(s0, dir)
+        sym
+          .groupBy(col("a").as("id"))
+          .agg(count(lit(1)).as("degree"))
+          .groupBy("degree")
+          .agg(count(lit(1)).as("n_vertices"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |deg AS (SELECT a AS id, COUNT(*) AS degree FROM u GROUP BY 1)
+             |SELECT degree, COUNT(*)::BIGINT AS n_vertices
+             |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "wd_shortest_path",
       // Single-source weighted shortest paths over the shredded entity
       // graph (undirected, deterministic per-edge weight

@@ -265,6 +265,32 @@ class Round6Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("wd_degree_stats is a complete distribution (handshake identity)") {
+    val got = SparkEntry
+      .queries("wd_degree_stats")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val raw = wikidata.WikidataShredder
+      .edge(wikidata.WikidataShredder.claims(wikidata.SyntheticDump.entities(spark, sf)))
+      .select("src_id", "dst_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val undirected = raw
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct
+    // Σ degree · count = directed edge count (each undirected edge twice)
+    assert(got.map { case (d, n) => d * n }.sum === undirected.length)
+    // and the distribution equals a direct recount
+    val want = undirected
+      .groupBy(_._1)
+      .map(_._2.length.toLong)
+      .groupBy(identity)
+      .map { case (d, vs) => d -> vs.size.toLong }
+    assert(got.toMap === want)
+    GraftCache.clear()
+  }
+
   test("wd_shortest_path matches an in-memory Dijkstra over the same graph") {
     val got = SparkEntry
       .queries("wd_shortest_path")(spark, sf)
