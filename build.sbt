@@ -31,6 +31,13 @@ Runtime / unmanagedJars ++= duckdbDriverJar.value
 Test / unmanagedJars ++= duckdbDriverJar.value
 Test / fork := true
 run / fork := true
+// The driver json-parses Bench's one-line metric from the tail of sbt's
+// stdout. sbt's default forked-output strategy prefixes every line with
+// "[info] "/"[error] ", which breaks that parse (BENCH_r04..r06 all
+// recorded parsed:null with the complete line in-window). StdoutOutput
+// inherits the forked JVM's stdout/stderr directly — the metric line
+// reaches the driver byte-identical to what Bench printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,7 +116,6 @@ object Bench {
       s""""full_map":"bench.json","runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""detail":$detail,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
-    println(stdoutLine)
     // stdout capture can truncate the per-query tail; the same line goes
     // to a file (cwd-relative — the harness runs from the repo root, and
     // SPARK_GRAFT_BENCH_OUT overrides) so the full map survives. A
@@ -129,6 +128,12 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     } else System.err.println("[bench] filtered run: skipping bench.json write (set SPARK_GRAFT_BENCH_OUT to force)")
+    // The metric line prints LAST, after spark.stop(), so session
+    // shutdown logging cannot land between it and the end of the
+    // driver's tail capture. With run/outputStrategy=StdoutOutput
+    // (build.sbt) it reaches the driver bare — no sbt "[info] " prefix.
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
   }
 }
