@@ -411,9 +411,21 @@ object RelCatalog extends QueryModule {
         // and only the catalog re-points on later invocations — so a
         // bench rep measures the ZERO-EXCHANGE JOIN the operator
         // showcases, not a re-write of both tables every run.
-        val srcFile = new java.io.File(dir, "lineitem.parquet")
-        val base = graft.Stage.dir("graft_bkt_", dir, srcFile.length(), srcFile.lastModified())
-        def bucketed(df: => DataFrame, name: String, key: String, ddlCols: String): DataFrame = {
+        // The stage key covers BOTH source tables' identities — keying
+        // on lineitem alone would serve stale bucketed orders data
+        // after orders.parquet is regenerated in place. The catalog
+        // table names carry the same corpus hash (the stage dir's
+        // suffix), so concurrent sessions over different corpora get
+        // disjoint table names instead of clobbering a shared
+        // g_bkt_lineitem/g_bkt_orders pointer in the default database.
+        val liFile = new java.io.File(dir, "lineitem.parquet")
+        val ordFile = new java.io.File(dir, "orders.parquet")
+        val base = graft.Stage.dir("graft_bkt_", dir,
+          liFile.length(), liFile.lastModified(),
+          ordFile.length(), ordFile.lastModified())
+        val corpusTag = base.getName.stripPrefix("graft_bkt_").take(12)
+        def bucketed(df: => DataFrame, shortName: String, key: String, ddlCols: String): DataFrame = {
+          val name = s"${shortName}_$corpusTag"
           val path = new java.io.File(base, name)
           s.sql(s"DROP TABLE IF EXISTS $name")
           if (!new java.io.File(path, "_SUCCESS").exists()) {

@@ -891,6 +891,16 @@ object WikidataCatalog extends QueryModule {
           probe = probe,
           maxRounds = 256,
           what = "shortest paths")
+        // The oracle's recursive walk prunes at total + w < 400, so it
+        // silently omits any vertex whose true distance is >= 400; on a
+        // deeper/heavier corpus that would surface as an opaque hash
+        // diff. Guard the horizon HERE with a loud failure while the
+        // true max is still well under the bound (2x margin).
+        val maxDist = dist.agg(max(col("dist"))).head().getLong(0)
+        require(
+          maxDist < 200,
+          s"max shortest-path distance $maxDist approaches the oracle's 400 " +
+            "recursion bound - raise the bound in the oracle SQL and this guard together")
         dist
           .select(col("id").as("vertex_id"), col("dist"))
           .orderBy("vertex_id")

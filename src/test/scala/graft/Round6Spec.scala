@@ -231,7 +231,10 @@ class Round6Spec extends AnyFunSuite {
       .groupBy(_._1)
       .map { case (t, vs) =>
         val w = dim.find(_._1 == t).get._2
-        val sum = vs.map(v => BigDecimal(v._2).setScale(4) * w).sum
+        // HALF_UP mirrors the operator's DECIMAL(18,4) cast; a bare
+        // setScale(4) throws ArithmeticException for any double not
+        // exactly representable at 4 decimal digits
+        val sum = vs.map(v => BigDecimal(v._2).setScale(4, BigDecimal.RoundingMode.HALF_UP) * w).sum
         (t, vs.length.toLong, sum.toDouble)
       }
       .toSeq
