@@ -74,34 +74,131 @@ object WikidataCatalog extends QueryModule {
   }
 
   /** Convergence-probed cache-rotating fixpoint loop shared by the
-    * iterative graph operators: persist each round's frame, compare a
-    * cheap scalar probe against the previous round's, free the
-    * predecessor, and FAIL LOUDLY if the cap is hit — the cap is a
-    * runaway backstop, not an accepted outcome; returning non-fixpoint
-    * state would die later as an opaque oracle hash mismatch. State is
-    * the caller's persisted inputs plus 2 rotating frames regardless of
-    * round count. */
+    * iterative graph operators: materialize each round's frame with its
+    * lineage TRUNCATED ([[roundFrame]]), compare a cheap scalar probe
+    * against the previous round's, free the predecessor, and FAIL
+    * LOUDLY if the cap is hit — the cap is a runaway backstop, not an
+    * accepted outcome; returning non-fixpoint state would die later as
+    * an opaque oracle hash mismatch. State is the caller's persisted
+    * inputs plus 2 rotating frames regardless of round count.
+    *
+    * Lineage truncation per round is LOAD-BEARING at round counts
+    * beyond a handful: Spark builds the physical-plan description
+    * string for the SQL listener on EVERY action, and under AQE each
+    * cached-nesting level prints both its current and initial plan, so
+    * an un-truncated iterative lineage costs O(2^rounds) characters per
+    * action — measured on a 32-vertex path graph: 9.8 KB at round 1
+    * doubling every round to 496 MB at round 16, then driver OOM,
+    * independent of data size. localCheckpoint collapses each round to
+    * its materialized RDD so every round's plan is constant-size; on a
+    * real cluster swap in reliable checkpoint() every few rounds for
+    * executor-loss tolerance (the GraphX practice). */
   private def fixpoint(
       init: org.apache.spark.sql.DataFrame,
       step: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       probe: org.apache.spark.sql.DataFrame => Any,
       maxRounds: Int,
-      what: String): org.apache.spark.sql.DataFrame = {
-    var cur = graft.GraftCache.register(init.persist())
+      what: String): org.apache.spark.sql.DataFrame =
+    fixpointCounted(init, step, probe, maxRounds, what)._1
+
+  /** [[fixpoint]] plus the number of step() rounds it took — package-
+    * visible so specs (and the scaling-curve harness) can assert round
+    * counts, e.g. that large-star/small-star beats min-label
+    * propagation on a path graph. */
+  private[graft] def fixpointCounted(
+      init: org.apache.spark.sql.DataFrame,
+      step: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame => Any,
+      maxRounds: Int,
+      what: String): (org.apache.spark.sql.DataFrame, Int) = {
+    var cur = roundFrame(init)
     var curProbe = probe(cur)
     var done = false
     var rounds = 0
     while (!done && rounds < maxRounds) {
-      val next = graft.GraftCache.register(step(cur).persist())
+      val next = roundFrame(step(cur))
       val nextProbe = probe(next)
-      cur.unpersist(blocking = false)
+      freeRoundFrame(cur)
       cur = next
       rounds += 1
       done = nextProbe == curProbe
       curProbe = nextProbe
     }
     require(done, s"$what did not converge within $rounds rounds")
-    cur
+    val last = cur
+    graft.GraftCache.registerCleanup(() => freeRoundFrame(last))
+    (cur, rounds)
+  }
+
+  /** Materialize one fixpoint round and truncate its lineage (see the
+    * [[fixpoint]] scaladoc for why truncation, not just persist(), is
+    * required). */
+  private def roundFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** Free a rotated-out round frame. localCheckpoint blocks live
+    * outside the CacheManager, so Dataset.unpersist cannot reach them —
+    * drop the underlying RDD's blocks directly. */
+  private def freeRoundFrame(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" — the reference engine has no graph ops;
+    * cf. main.rs:1 scope): every vertex u attaches its LARGER
+    * neighbors to m = min(Γ(u) ∪ {u}). Input/output edge sets are
+    * canonical (a < b, distinct, no self-loops). Each emitted edge
+    * (m, v) satisfies m <= old partner, so the exact sum of a+b over
+    * the set strictly decreases on any change — the monotone
+    * convergence probe [[lssProbe]] relies on this.
+    */
+  private[graft] def largeStar(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nbrs = e
+      .select("a", "b")
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = nbrs
+      .groupBy("a")
+      .agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("mb"), col("a")).as("m"))
+    nbrs
+      .filter(col("b") > col("a"))
+      .join(mins, "a")
+      .select(col("m").as("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** One small-star round: orient each canonical edge at its larger
+    * endpoint u, compute m = min(Γ⁻(u) ∪ {u}) = min of the smaller
+    * neighbors, and re-attach u and every smaller neighbor to m.
+    * Preserves the canonical a < b invariant (m < v and m < u by
+    * construction) and is per-edge non-increasing like [[largeStar]].
+    */
+  private[graft] def smallStar(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mins = e
+      .groupBy(col("b").as("u"))
+      .agg(min(col("a")).as("m"))
+    e.join(mins, e("b") === mins("u"))
+      .filter(col("a") =!= col("m"))
+      .select(col("m").as("a"), col("a").as("b"))
+      .unionByName(mins.select(col("m").as("a"), col("u").as("b")))
+      .distinct()
+  }
+
+  /** Monotone probe for the alternating large-star/small-star loop:
+    * both phases only shrink the per-edge sum and the distinct-set
+    * size, so (count, exact DECIMAL sum of a+b) repeats across a
+    * combined round iff the edge set is unchanged — i.e. both phases
+    * were the identity, the paper's termination condition. */
+  private[graft] val lssProbe: org.apache.spark.sql.DataFrame => Any = df => {
+    val r = df
+      .agg(
+        count(lit(1)),
+        sum((col("a") + col("b")).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head()
+    (r.getLong(0), r.getDecimal(1))
   }
 
   def queries: Seq[Q] = Seq(
@@ -790,6 +887,70 @@ object WikidataCatalog extends QueryModule {
           what = "connected components")
         labels
           .select(col("id").as("vertex_id"), col("comp").as("component_id"))
+          .orderBy("vertex_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |v AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e)),
+             |reach(x, y) AS (
+             |  SELECT id, id FROM v
+             |  UNION
+             |  SELECT r.x, u.b FROM reach r JOIN u ON r.y = u.a
+             |)
+             |SELECT x AS vertex_id, MIN(y)::BIGINT AS component_id
+             |FROM reach GROUP BY x ORDER BY x""".stripMargin)
+    ),
+    Q(
+      "wd_connected_components_lss",
+      // Connected components via alternating large-star/small-star
+      // rounds (Kiveris et al., "Connected Components in MapReduce and
+      // Beyond") — the HIGH-DIAMETER path wd_connected_components'
+      // scaladoc names: min-label propagation needs O(diameter)
+      // rounds, LSS contracts the graph itself and converges in
+      // O(log n) rounds with the same per-round join shape. Same
+      // oracle, same unique fixpoint (every vertex labeled with its
+      // component minimum), so the two operators are
+      // interchangeable; a spec asserts LSS takes FEWER rounds than
+      // min-label on a path graph, where the gap is the whole point.
+      //
+      // Scale posture: state is the edge SET itself (canonical a < b,
+      // distinct), rewritten each round by one groupBy-min + one
+      // equi-join per phase — both map-side combinable, no windows,
+      // no driver collect. Each phase only shrinks the per-edge sum
+      // and the set size, so the convergence probe is one scalar
+      // (count, exact DECIMAL sum) pair per combined round
+      // ([[lssProbe]]); probes equal iff both phases were the
+      // identity — the paper's termination condition. The rotating
+      // caches keep state at 2 edge-set frames regardless of round
+      // count; the final set is a star forest (every non-minimum
+      // vertex holds exactly one edge to its component minimum), so
+      // labels fall out of one left join against the vertex set —
+      // isolated/self-loop-only vertices label themselves via
+      // coalesce, matching the oracle's reflexive reach seed.
+      (s0, dir) => {
+        val s = graphSession(s0)
+        val (sym, verts) = symmetricGraph(s, dir)
+        val vertsCached = graft.GraftCache.register(verts.persist())
+        val init = sym.filter(col("a") < col("b")).select("a", "b")
+        val (stars, _) = fixpointCounted(
+          init = init,
+          step = prev => smallStar(largeStar(prev)),
+          probe = lssProbe,
+          maxRounds = 64,
+          what = "large-star/small-star components")
+        // defensive min: at a true fixpoint each b-side vertex holds
+        // exactly one parent edge, so the min is a no-op — but a
+        // probe collision would otherwise surface as duplicate rows
+        // instead of a diagnosable wrong-label hash diff
+        val parents = stars
+          .groupBy(col("b").as("id"))
+          .agg(min(col("a")).as("parent"))
+        vertsCached
+          .join(parents, Seq("id"), "left")
+          .select(
+            col("id").as("vertex_id"),
+            coalesce(col("parent"), col("id")).as("component_id"))
           .orderBy("vertex_id")
       },
       Some(s"""WITH RECURSIVE e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),

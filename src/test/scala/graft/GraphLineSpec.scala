@@ -194,4 +194,47 @@ class GraphLineSpec extends AnyFunSuite {
       exchanges <= 1,
       s"dedup + 2 windows + 2 rollups must all reuse the custkey partitioning:\n$plan")
   }
+
+  test("large-star/small-star beats min-label propagation on a path graph") {
+    import org.apache.spark.sql.functions._
+    import graft.wikidata.WikidataCatalog
+    // a 32-vertex path is the adversarial case for min-label (label 0
+    // crawls one hop per round, so rounds ~ diameter); LSS contracts
+    // the graph itself and should land in O(log n) rounds
+    val n = 32
+    val edges = spark.range(n - 1L).select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val adj = sym
+      .unionByName(spark.range(n.toLong).select(col("id").as("a"), col("id").as("b")))
+      .persist()
+    val dsum = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(col("comp"))).head().getLong(0)
+    val (mlLabels, mlRounds) = WikidataCatalog.fixpointCounted(
+      init = adj.groupBy("a").agg(min("b").as("comp")).select(col("a").as("id"), col("comp")),
+      step = prev =>
+        adj
+          .join(prev.select(col("id").as("b"), col("comp").as("nc")), "b")
+          .groupBy("a")
+          .agg(min("nc").as("comp"))
+          .select(col("a").as("id"), col("comp")),
+      probe = dsum,
+      maxRounds = 128,
+      what = "min-label path")
+    val (stars, lssRounds) = WikidataCatalog.fixpointCounted(
+      init = edges,
+      step = prev => WikidataCatalog.smallStar(WikidataCatalog.largeStar(prev)),
+      probe = WikidataCatalog.lssProbe,
+      maxRounds = 64,
+      what = "large-star/small-star path")
+    assert(mlLabels.collect().forall(_.getLong(1) == 0L), "min-label must find component 0")
+    val parents = stars.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(
+      (1 until n).forall(v => parents(v.toLong) == 0L),
+      s"the LSS fixpoint must be a star centered at 0: $parents")
+    assert(
+      lssRounds < mlRounds,
+      s"LSS took $lssRounds rounds vs min-label's $mlRounds on a $n-path")
+    adj.unpersist()
+    GraftCache.clear()
+  }
 }
