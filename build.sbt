@@ -38,6 +38,10 @@ run / fork := true
 // inherits the forked JVM's stdout/stderr directly — the metric line
 // reaches the driver byte-identical to what Bench printed.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own trailing "[success] Total time" line so the
+// metric line is the LAST line of stdout even for a parser that only
+// looks at the final line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
