@@ -42,6 +42,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // metric line is the LAST line of stdout even for a parser that only
 // looks at the final line.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

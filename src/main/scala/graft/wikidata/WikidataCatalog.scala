@@ -92,19 +92,12 @@ object WikidataCatalog extends QueryModule {
     * independent of data size. localCheckpoint collapses each round to
     * its materialized RDD so every round's plan is constant-size; on a
     * real cluster swap in reliable checkpoint() every few rounds for
-    * executor-loss tolerance (the GraphX practice). */
-  private def fixpoint(
-      init: org.apache.spark.sql.DataFrame,
-      step: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      probe: org.apache.spark.sql.DataFrame => Any,
-      maxRounds: Int,
-      what: String): org.apache.spark.sql.DataFrame =
-    fixpointCounted(init, step, probe, maxRounds, what)._1
-
-  /** [[fixpoint]] plus the number of step() rounds it took — package-
-    * visible so specs (and the scaling-curve harness) can assert round
-    * counts, e.g. that large-star/small-star beats min-label
-    * propagation on a path graph. */
+    * executor-loss tolerance (the GraphX practice).
+    *
+    * Returns the fixpoint frame plus the number of step() rounds it
+    * took — package-visible so specs (and the scaling-curve harness)
+    * can assert round counts, e.g. that large-star/small-star beats
+    * min-label propagation on a path graph. */
   private[graft] def fixpointCounted(
       init: org.apache.spark.sql.DataFrame,
       step: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
@@ -199,6 +192,155 @@ object WikidataCatalog extends QueryModule {
         sum((col("a") + col("b")).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
       .head()
     (r.getLong(0), r.getDecimal(1))
+  }
+
+  /** PageRank recurrence over a directed edge frame (src_id, dst_id):
+    * three damped iterations unrolled into one Catalyst DAG, every
+    * rank a BIGINT in 1e-12 units, every division integral — bit-exact
+    * across engines. Package-visible so the scaling harness
+    * (tools/GraphStress) can run the same kernel over synthetic
+    * 10x/100x edge frames; wd_pagerank's scale-posture scaladoc is the
+    * contract. Returns (id, r). */
+  private[graft] def pagerankKernel(edgeIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val edge = graft.GraftCache.register(edgeIn.persist())
+    val deg = edge.groupBy("src_id").agg(count(lit(1)).as("d")).withColumnRenamed("src_id", "id")
+    val verts = edge
+      .select(col("src_id").as("id"))
+      .unionByName(edge.select(col("dst_id").as("id")))
+      .distinct()
+    val n1 = verts.agg(count(lit(1)).as("n"))
+    val r0 = verts
+      .crossJoin(broadcast(n1))
+      .select(col("id"), expr("1000000000000 div n").as("r"))
+    (1 to 3).foldLeft(r0) { (r, _) =>
+      val inc = edge
+        .join(r.withColumnRenamed("id", "src_id"), "src_id")
+        .join(deg.withColumnRenamed("id", "src_id"), "src_id")
+        .select(col("dst_id").as("id"), expr("r div d").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("inc"))
+      verts
+        .crossJoin(broadcast(n1))
+        .join(inc, Seq("id"), "left")
+        .select(
+          col("id"),
+          expr("(15 * (1000000000000 div n)) div 100 + (85 * coalesce(inc, 0)) div 100").as("r"))
+    }
+  }
+
+  /** Min-label-propagation connected components over a symmetric edge
+    * frame (a, b) + vertex frame (id) — the wd_connected_components
+    * kernel (see that query's scale-posture scaladoc). Returns the
+    * label frame (id, comp) and the round count. */
+  private[graft] def ccMinLabelKernel(
+      sym: org.apache.spark.sql.DataFrame,
+      verts: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 64): (org.apache.spark.sql.DataFrame, Int) = {
+    // self-edges added so a vertex's own label rides the same min
+    // aggregate (no second join); repartitioned by the join key
+    // once and persisted — every round reuses the cached
+    // partitioning and only ships the vertex-sized label vector
+    val adj = graft.GraftCache.register(
+      sym
+        .unionByName(verts.select(col("id").as("a"), col("id").as("b")))
+        .repartition(col("b"))
+        .persist())
+    // monotone probe: labels only decrease, so the exact DECIMAL
+    // label sum is strictly smaller iff any label changed
+    val dsum = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head()
+        .getDecimal(0)
+    // round 0 fused into initialization: with self-edges in adj,
+    // min(neighbor id) IS the first propagation round over identity
+    // labels — one fewer materialized round and no identity pass
+    fixpointCounted(
+      init = adj
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("comp"))
+        .select(col("a").as("id"), col("comp")),
+      step = prev =>
+        adj
+          .join(prev.select(col("id").as("b"), col("comp").as("nc")), "b")
+          .groupBy(col("a"))
+          .agg(min(col("nc")).as("comp"))
+          .select(col("a").as("id"), col("comp")),
+      probe = dsum,
+      maxRounds = maxRounds,
+      what = "connected components")
+  }
+
+  /** Large-star/small-star connected components over a symmetric edge
+    * frame + vertex frame — the wd_connected_components_lss kernel
+    * (see that query's scale-posture scaladoc). Returns the label
+    * frame (id, comp) and the combined-round count. */
+  private[graft] def ccLssKernel(
+      sym: org.apache.spark.sql.DataFrame,
+      verts: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 64): (org.apache.spark.sql.DataFrame, Int) = {
+    val vertsCached = graft.GraftCache.register(verts.persist())
+    val init = sym.filter(col("a") < col("b")).select("a", "b")
+    val (stars, rounds) = fixpointCounted(
+      init = init,
+      step = prev => smallStar(largeStar(prev)),
+      probe = lssProbe,
+      maxRounds = maxRounds,
+      what = "large-star/small-star components")
+    // defensive min: at a true fixpoint each b-side vertex holds
+    // exactly one parent edge, so the min is a no-op — but a
+    // probe collision would otherwise surface as duplicate rows
+    // instead of a diagnosable wrong-label hash diff
+    val parents = stars
+      .groupBy(col("b").as("id"))
+      .agg(min(col("a")).as("parent"))
+    val labels = vertsCached
+      .join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("parent"), col("id")).as("comp"))
+    (labels, rounds)
+  }
+
+  /** Single-source Bellman-Ford over a symmetric edge frame + vertex
+    * frame with the deterministic 1 + (a+b) mod 5 edge weight — the
+    * wd_shortest_path kernel (see that query's scale-posture
+    * scaladoc). Only reached vertices carry state. Returns the
+    * distance frame (id, dist) and the round count. */
+  private[graft] def shortestPathKernel(
+      sym: org.apache.spark.sql.DataFrame,
+      verts: org.apache.spark.sql.DataFrame,
+      source: Long,
+      maxRounds: Int = 256): (org.apache.spark.sql.DataFrame, Int) = {
+    val adj = graft.GraftCache.register(
+      sym
+        .withColumn("w", lit(1L) + pmod(col("a") + col("b"), lit(5L)))
+        .unionByName(verts.select(col("id").as("a"), col("id").as("b"), lit(0L).as("w")))
+        .repartition(col("b"))
+        .persist())
+    // (count, exact sum) pair: distances only decrease and the
+    // reached set only grows, so the pair repeats iff at fixpoint
+    val probe = (df: org.apache.spark.sql.DataFrame) => {
+      val r = df
+        .agg(
+          count(lit(1)),
+          sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // guard the source: a graph without it must fail HERE with a clear
+    // message, not as an empty-vs-one-row hash diff downstream
+    require(
+      adj.filter(col("a") === source).limit(1).count() == 1,
+      s"source vertex $source is absent from the graph")
+    fixpointCounted(
+      init = adj.sparkSession.range(1).select(lit(source).as("id"), lit(0L).as("dist")),
+      step = prev =>
+        adj
+          .join(prev.select(col("id").as("b"), col("dist").as("db")), "b")
+          .groupBy(col("a"))
+          .agg(min(col("db") + col("w")).as("dist"))
+          .select(col("a").as("id"), col("dist")),
+      probe = probe,
+      maxRounds = maxRounds,
+      what = "shortest paths")
   }
 
   def queries: Seq[Q] = Seq(
@@ -768,35 +910,10 @@ object WikidataCatalog extends QueryModule {
       // rank vector every few hops to cap lineage growth; at 3 unrolled
       // hops the DAG is shallow enough not to need it.
       (s, dir) => {
-        val edge = graft.GraftCache.register(
-          WikidataShredder
-            .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
-            .select("src_id", "dst_id")
-            .persist())
-        val deg = edge.groupBy("src_id").agg(count(lit(1)).as("d")).withColumnRenamed("src_id", "id")
-        val verts = edge
-          .select(col("src_id").as("id"))
-          .unionByName(edge.select(col("dst_id").as("id")))
-          .distinct()
-        val n1 = verts.agg(count(lit(1)).as("n"))
-        val r0 = verts
-          .crossJoin(broadcast(n1))
-          .select(col("id"), expr("1000000000000 div n").as("r"))
-        val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
-          val inc = edge
-            .join(r.withColumnRenamed("id", "src_id"), "src_id")
-            .join(deg.withColumnRenamed("id", "src_id"), "src_id")
-            .select(col("dst_id").as("id"), expr("r div d").as("c"))
-            .groupBy("id")
-            .agg(sum(col("c")).as("inc"))
-          verts
-            .crossJoin(broadcast(n1))
-            .join(inc, Seq("id"), "left")
-            .select(
-              col("id"),
-              expr("(15 * (1000000000000 div n)) div 100 + (85 * coalesce(inc, 0)) div 100").as("r"))
-        }
-        rFinal
+        val edge = WikidataShredder
+          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .select("src_id", "dst_id")
+        pagerankKernel(edge)
           .select(col("id").as("vertex_id"), col("r").as("rank_units"))
           .orderBy(col("rank_units").desc, col("vertex_id"))
       },
@@ -853,38 +970,7 @@ object WikidataCatalog extends QueryModule {
       (s0, dir) => {
         val s = graphSession(s0)
         val (sym, verts) = symmetricGraph(s, dir)
-        // self-edges added so a vertex's own label rides the same min
-        // aggregate (no second join); repartitioned by the join key
-        // once and persisted — every round reuses the cached
-        // partitioning and only ships the vertex-sized label vector
-        val adj = graft.GraftCache.register(
-          sym
-            .unionByName(verts.select(col("id").as("a"), col("id").as("b")))
-            .repartition(col("b"))
-            .persist())
-        // monotone probe: labels only decrease, so the exact DECIMAL
-        // label sum is strictly smaller iff any label changed
-        val dsum = (df: org.apache.spark.sql.DataFrame) =>
-          df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-            .head()
-            .getDecimal(0)
-        // round 0 fused into initialization: with self-edges in adj,
-        // min(neighbor id) IS the first propagation round over identity
-        // labels — one fewer materialized round and no identity pass
-        val labels = fixpoint(
-          init = adj
-            .groupBy(col("a"))
-            .agg(min(col("b")).as("comp"))
-            .select(col("a").as("id"), col("comp")),
-          step = prev =>
-            adj
-              .join(prev.select(col("id").as("b"), col("comp").as("nc")), "b")
-              .groupBy(col("a"))
-              .agg(min(col("nc")).as("comp"))
-              .select(col("a").as("id"), col("comp")),
-          probe = dsum,
-          maxRounds = 64,
-          what = "connected components")
+        val (labels, _) = ccMinLabelKernel(sym, verts)
         labels
           .select(col("id").as("vertex_id"), col("comp").as("component_id"))
           .orderBy("vertex_id")
@@ -931,26 +1017,9 @@ object WikidataCatalog extends QueryModule {
       (s0, dir) => {
         val s = graphSession(s0)
         val (sym, verts) = symmetricGraph(s, dir)
-        val vertsCached = graft.GraftCache.register(verts.persist())
-        val init = sym.filter(col("a") < col("b")).select("a", "b")
-        val (stars, _) = fixpointCounted(
-          init = init,
-          step = prev => smallStar(largeStar(prev)),
-          probe = lssProbe,
-          maxRounds = 64,
-          what = "large-star/small-star components")
-        // defensive min: at a true fixpoint each b-side vertex holds
-        // exactly one parent edge, so the min is a no-op — but a
-        // probe collision would otherwise surface as duplicate rows
-        // instead of a diagnosable wrong-label hash diff
-        val parents = stars
-          .groupBy(col("b").as("id"))
-          .agg(min(col("a")).as("parent"))
-        vertsCached
-          .join(parents, Seq("id"), "left")
-          .select(
-            col("id").as("vertex_id"),
-            coalesce(col("parent"), col("id")).as("component_id"))
+        val (labels, _) = ccLssKernel(sym, verts)
+        labels
+          .select(col("id").as("vertex_id"), col("comp").as("component_id"))
           .orderBy("vertex_id")
       },
       Some(s"""WITH RECURSIVE e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
@@ -1019,39 +1088,9 @@ object WikidataCatalog extends QueryModule {
       (s0, dir) => {
         val s = graphSession(s0)
         val (sym, verts) = symmetricGraph(s, dir)
-        val adj = graft.GraftCache.register(
-          sym
-            .withColumn("w", lit(1L) + pmod(col("a") + col("b"), lit(5L)))
-            .unionByName(verts.select(col("id").as("a"), col("id").as("b"), lit(0L).as("w")))
-            .repartition(col("b"))
-            .persist())
-        // (count, exact sum) pair: distances only decrease and the
-        // reached set only grows, so the pair repeats iff at fixpoint
-        val probe = (df: org.apache.spark.sql.DataFrame) => {
-          val r = df
-            .agg(
-              count(lit(1)),
-              sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-            .head()
-          (r.getLong(0), r.getDecimal(1))
-        }
-        // guard the hardcoded source: the oracle seeds (10, 0)
-        // unconditionally, so a dump without vertex 10 must fail HERE
-        // with a clear message, not as an empty-vs-one-row hash diff
-        require(
-          adj.filter(col("a") === 10L).limit(1).count() == 1,
-          "source vertex 10 is absent from the shredded graph")
-        val dist = fixpoint(
-          init = s.range(1).select(lit(10L).as("id"), lit(0L).as("dist")),
-          step = prev =>
-            adj
-              .join(prev.select(col("id").as("b"), col("dist").as("db")), "b")
-              .groupBy(col("a"))
-              .agg(min(col("db") + col("w")).as("dist"))
-              .select(col("a").as("id"), col("dist")),
-          probe = probe,
-          maxRounds = 256,
-          what = "shortest paths")
+        // the oracle seeds (10, 0) unconditionally; the kernel guards
+        // the source's presence with a loud failure
+        val (dist, _) = shortestPathKernel(sym, verts, source = 10L)
         // The oracle's recursive walk prunes at total + w < 400, so it
         // silently omits any vertex whose true distance is >= 400; on a
         // deeper/heavier corpus that would surface as an opaque hash
