@@ -53,11 +53,16 @@ object GraphStress {
   }
 
   /** Shift every vertex id in (a, b) by replica index i * 10^7 — far
-    * above any shredded id — so replicas are disjoint by construction. */
-  private def replicate(sym: DataFrame, k: Int): DataFrame =
-    (0 until k)
-      .map(i => sym.select((col("a") + lit(i * 10000000L)).as("a"), (col("b") + lit(i * 10000000L)).as("b")))
-      .reduce(_.unionByName(_))
+    * above any shredded id — so replicas are disjoint by construction.
+    * Built as ONE crossJoin against range(k), not a k-way union: the
+    * plan stays constant-size at any k (10000x is a 2-node DAG, not a
+    * 10000-leaf union tree). */
+  private def replicate(sym: DataFrame, k: Int): DataFrame = {
+    val reps = sym.sparkSession.range(k).select((col("id") * 10000000L).as("shift"))
+    sym
+      .crossJoin(reps)
+      .select((col("a") + col("shift")).as("a"), (col("b") + col("shift")).as("b"))
+  }
 
   /** One bridge edge (both directions — the frame is symmetric) from
     * replica i's minimum vertex to replica i+1's: the replicas become
@@ -95,9 +100,13 @@ object GraphStress {
       .localCheckpoint(true) // freeze the base set; replicas re-scan it, not the JSON parse
     val minVertex = sym0.agg(min(least(col("a"), col("b")))).head().getLong(0)
 
+    // <k>x args select explicit scales; "big" adds the 1000x/10000x
+    // disjoint-only arms where per-round WORK (not scheduling) is the
+    // measured quantity (~57k/570k edges from the 57-edge base).
+    val asked = args.flatMap(a => "^(\\d+)x$".r.findFirstMatchIn(a).map(_.group(1).toInt))
     val scales: Seq[Int] =
-      if (args.contains("100x")) Seq(100)
-      else if (args.contains("10x")) Seq(10)
+      if (asked.nonEmpty) asked.toSeq
+      else if (args.contains("big")) Seq(1, 10, 100, 1000, 10000)
       else Seq(1, 10, 100)
 
     // warmup (JIT/classloading)
@@ -105,6 +114,9 @@ object GraphStress {
 
     for (k <- scales; wiring <- Seq("disjoint", "chained")) {
       if (k == 1 && wiring == "chained") () // 1x has nothing to chain
+      else if (k >= 1000 && wiring == "chained") ()
+      // >=1000x chains measure only round-scheduling (rounds ~ k); the
+      // 10x/100x chains cover diameter growth, >=1000x covers work
       else {
         val tag = s"${k}x_$wiring"
         val sym = (if (wiring == "chained") chain(sym0, k, minVertex) else replicate(sym0, k))
