@@ -240,6 +240,56 @@ object MultimodalCatalog extends QueryModule {
              |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)
     ),
     Q(
+      "mm_decode_real",
+      // A REAL binary format across the decoder seam (RealCodecs): the
+      // fixture side builds honest-to-spec BMP (54-byte header,
+      // little-endian fields, bottom-up rows padded to 4 bytes) and
+      // 8-bit-PCM WAV (RIFF/fmt/data chunk framing) files from each
+      // document's bytes; the decode side walks the headers with a
+      // pure-JVM parser that trusts ONLY the bytes (pixel offset,
+      // stride, dims, data-chunk location all read from the file).
+      // The oracle recomputes the constructed fields relationally, so
+      // an endianness/offset/stride/chunk-walk mistake on either side
+      // is a hash mismatch — this is the proof the mm_* seam carries a
+      // genuine format, not just deterministic fakes.
+      //
+      // Scale posture: blob build + parse are narrow per-row work in
+      // one mapPartitions (the exact shape a native codec call takes);
+      // Fan.out spreads the single-row-group scan first; the only
+      // exchange after that is the presentation sort.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) =>
+            StubDecoder.Blob(
+              id,
+              if (id % 2 == 0) RealCodecs.bmpBytes(id, text)
+              else RealCodecs.wavBytes(id, text))
+          }(org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decode(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'bmp' AS fmt,
+             |  (doc_id % 16 + 1)::INTEGER AS width,
+             |  (doc_id % 12 + 1)::INTEGER AS height,
+             |  0 AS sample_rate,
+             |  ((doc_id % 16 + 1) * 3 * (doc_id % 12 + 1))::BIGINT AS n_payload,
+             |  list_sum([unicode(substr(text, (p % length(text) + 1)::INTEGER, 1))
+             |            for p in range(0, (doc_id % 16 + 1) * 3 * (doc_id % 12 + 1))])::BIGINT
+             |    AS payload_sum
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id, 'wav', 0, 0, (8000 + (doc_id % 8) * 1000)::INTEGER,
+             |  length(text)::BIGINT,
+             |  list_sum([(unicode(substr(text, (i + 1)::INTEGER, 1)) - 64)
+             |            * (unicode(substr(text, (i + 1)::INTEGER, 1)) - 64)
+             |            for i in range(0, length(text))])::BIGINT
+             |FROM documents WHERE doc_id % 2 = 1
+             |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_embed_retrieval",
       // The multimodal RETRIEVAL pipeline end-to-end: binary payload ->
       // encoder -> embedding -> top-k nearest neighbors. The encoder is

@@ -1,0 +1,177 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, Encoders}
+
+/** REAL binary-format codecs across the StubDecoder seam.
+  *
+  * StubDecoder documents the decode seam (typed Dataset[Blob] in,
+  * mapPartitions, typed features out) but derives fake features from
+  * raw bytes. This module proves a GENUINE binary format crosses that
+  * seam: it builds honest-to-spec BMP and WAV files (little-endian
+  * multi-byte fields, 4-byte-aligned bottom-up BMP pixel rows, RIFF
+  * chunk framing) and parses them back with a real pure-JVM header
+  * parser — no native deps, so it runs in this container, and the same
+  * `decode` shape is where an ffmpeg/ImageIO call would slot per
+  * partition.
+  *
+  * The parser trusts ONLY the bytes: pixel offset, stride, dimensions
+  * and sample counts are read from the headers it walks, so any
+  * endianness/offset/framing mistake on either side surfaces as a
+  * payload_sum mismatch against the relational oracle (which recomputes
+  * the constructed values straight from the documents table).
+  *
+  * Reference context: wd2duckdb treats all payloads as opaque values
+  * (value.rs); binary decode is beyond its surface — this is part of
+  * the LLM-pipeline extension the brief asks for.
+  */
+object RealCodecs {
+
+  import StubDecoder.Blob
+
+  /** One parsed multimodal asset. width/height are 0 for audio,
+    * sample_rate is 0 for images; n_payload counts the payload bytes
+    * that payload_sum aggregates (BMP: unpadded pixel bytes, summed;
+    * WAV: 8-bit PCM samples, energy-summed around center 64). */
+  final case class Parsed(
+      doc_id: Long,
+      fmt: String,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_payload: Long,
+      payload_sum: Long)
+
+  // ---- builders (fixture side: text bytes -> real file bytes) ----
+
+  private def putLe16(a: Array[Byte], i: Int, v: Int): Unit = {
+    a(i) = (v & 0xff).toByte; a(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putLe32(a: Array[Byte], i: Int, v: Long): Unit = {
+    a(i) = (v & 0xff).toByte
+    a(i + 1) = ((v >> 8) & 0xff).toByte
+    a(i + 2) = ((v >> 16) & 0xff).toByte
+    a(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** A real 24-bpp BITMAPINFOHEADER BMP: w = doc_id%16+1, h =
+    * doc_id%12+1, pixel byte p (row-major over unpadded w*3-byte rows)
+    * = text charAt(p mod len) — rows written bottom-up with 4-byte
+    * stride padding, as the format requires. */
+  def bmpBytes(docId: Long, text: String): Array[Byte] = {
+    val w = (docId % 16 + 1).toInt
+    val h = (docId % 12 + 1).toInt
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    val off = 54
+    val a = new Array[Byte](off + stride * h)
+    a(0) = 'B'; a(1) = 'M'
+    putLe32(a, 2, a.length.toLong)
+    putLe32(a, 10, off.toLong)
+    putLe32(a, 14, 40L) // BITMAPINFOHEADER
+    putLe32(a, 18, w.toLong)
+    putLe32(a, 22, h.toLong)
+    putLe16(a, 26, 1) // planes
+    putLe16(a, 28, 24) // bpp
+    putLe32(a, 34, (stride * h).toLong)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < rowBytes) {
+        val p = r * rowBytes + c
+        a(off + r * stride + c) = text.charAt((p % text.length).toInt).toByte
+        c += 1
+      }
+      r += 1
+    }
+    a
+  }
+
+  /** A real mono 8-bit PCM WAV: sample_rate = 8000 + (doc_id%8)*1000,
+    * one sample per text byte. RIFF/fmt/data chunk framing per spec. */
+  def wavBytes(docId: Long, text: String): Array[Byte] = {
+    val rate = 8000 + (docId % 8).toInt * 1000
+    val n = text.length
+    val a = new Array[Byte](44 + n)
+    a(0) = 'R'; a(1) = 'I'; a(2) = 'F'; a(3) = 'F'
+    putLe32(a, 4, (36 + n).toLong)
+    a(8) = 'W'; a(9) = 'A'; a(10) = 'V'; a(11) = 'E'
+    a(12) = 'f'; a(13) = 'm'; a(14) = 't'; a(15) = ' '
+    putLe32(a, 16, 16L)
+    putLe16(a, 20, 1) // PCM
+    putLe16(a, 22, 1) // mono
+    putLe32(a, 24, rate.toLong)
+    putLe32(a, 28, rate.toLong) // byte rate = rate * 1 channel * 1 byte
+    putLe16(a, 32, 1) // block align
+    putLe16(a, 34, 8) // bits per sample
+    a(36) = 'd'; a(37) = 'a'; a(38) = 't'; a(39) = 'a'
+    putLe32(a, 40, n.toLong)
+    var i = 0
+    while (i < n) { a(44 + i) = text.charAt(i).toByte; i += 1 }
+    a
+  }
+
+  // ---- parser (decode side: file bytes -> features) ----
+
+  private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  private def le16(a: Array[Byte], i: Int): Int = u8(a, i) | (u8(a, i + 1) << 8)
+  private def le32(a: Array[Byte], i: Int): Long =
+    u8(a, i).toLong | (u8(a, i + 1).toLong << 8) | (u8(a, i + 2).toLong << 16) |
+      (u8(a, i + 3).toLong << 24)
+
+  /** Parse one blob by its magic. Every field the feature math needs
+    * (pixel offset, stride, dims, data-chunk location) comes from the
+    * header bytes, not from knowledge of the builder. */
+  def parseOne(b: Blob): Parsed = {
+    val a = b.bytes
+    if (a.length >= 2 && a(0) == 'B' && a(1) == 'M') {
+      val off = le32(a, 10).toInt
+      require(le32(a, 14) == 40L, s"doc ${b.doc_id}: unsupported DIB header")
+      val w = le32(a, 18).toInt
+      val h = le32(a, 22).toInt
+      val bpp = le16(a, 28)
+      val rowBytes = w * (bpp / 8)
+      val stride = (rowBytes + 3) / 4 * 4
+      var sum = 0L
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < rowBytes) { sum += u8(a, off + r * stride + c); c += 1 }
+        r += 1
+      }
+      Parsed(b.doc_id, "bmp", w, h, 0, rowBytes.toLong * h, sum)
+    } else if (a.length >= 12 && a(0) == 'R' && a(1) == 'I' && a(2) == 'F' && a(3) == 'F' &&
+      a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E') {
+      // generic RIFF chunk walk — fmt may precede or follow other chunks
+      var pos = 12
+      var rate = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0L
+      while (pos + 8 <= a.length) {
+        val id = new String(a, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(a, pos + 4)
+        if (id == "fmt ") {
+          rate = le32(a, pos + 8 + 4).toInt
+          bits = le16(a, pos + 8 + 14)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+        pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are 2-byte aligned
+      }
+      require(dataOff >= 0 && bits == 8, s"doc ${b.doc_id}: malformed WAV")
+      var sum = 0L
+      var i = 0
+      while (i < dataLen) {
+        val d = u8(a, dataOff + i) - 64
+        sum += d.toLong * d
+        i += 1
+      }
+      Parsed(b.doc_id, "wav", 0, 0, rate, dataLen, sum)
+    } else throw new IllegalArgumentException(s"doc ${b.doc_id}: unknown magic")
+  }
+
+  /** The seam, same shape as StubDecoder.decode: typed in, typed out,
+    * per-partition batch — swap parseOne for a native codec call. */
+  def decode(blobs: Dataset[Blob]): Dataset[Parsed] = {
+    implicit val enc = Encoders.product[Parsed]
+    blobs.mapPartitions(_.map(parseOne))
+  }
+}

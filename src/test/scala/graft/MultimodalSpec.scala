@@ -31,8 +31,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_._3 <= 3))
     // candidate generation must be equality joins (chunk pigeonhole),
     // never a cartesian pairing
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
+    assert(
+      !PlanCheck.has[org.apache.spark.sql.execution.joins.CartesianProductExec](df),
+      PlanCheck.render(df))
   }
 
   test("synthetic corpus is pure ASCII — mm oracle byte/char equivalence holds") {
@@ -51,6 +52,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length === 2)
     assert(out(0).n_bytes === 11 && out(0).mean_byte > 0)
     assert(out(1).n_bytes === 0 && out(1).mean_byte === 0.0)
+  }
+
+  test("RealCodecs: BMP round trip reads header fields, not builder knowledge") {
+    import graft.multimodal.RealCodecs
+    // doc_id 4 -> w=5, h=5: rowBytes=15, stride=16 — padding byte is real
+    val text = "abcdefghijklmnopqrstuvwxyz"
+    val p = RealCodecs.parseOne(Blob(4, RealCodecs.bmpBytes(4, text)))
+    assert(p.fmt === "bmp" && p.width === 5 && p.height === 5)
+    assert(p.n_payload === 75L)
+    val expected = (0 until 75).map(i => text(i % text.length).toInt.toLong).sum
+    assert(p.payload_sum === expected)
+    // padding bytes must NOT leak into the sum: corrupt a pad byte and
+    // the parsed sum is unchanged (a stride mistake would shift it)
+    val bytes = RealCodecs.bmpBytes(4, text)
+    bytes(54 + 15) = 99 // first row's pad byte (stride 16, rowBytes 15)
+    assert(RealCodecs.parseOne(Blob(4, bytes)).payload_sum === expected)
+  }
+
+  test("RealCodecs: multi-byte little-endian fields round-trip above one byte") {
+    import graft.multimodal.RealCodecs
+    // sample_rate 15000 = 0x3A98 needs both LE bytes; n > 255 exercises
+    // the data-chunk size's second byte too
+    val text = "x" * 300
+    val p = RealCodecs.parseOne(Blob(7, RealCodecs.wavBytes(7, text)))
+    assert(p.fmt === "wav" && p.sample_rate === 15000)
+    assert(p.n_payload === 300L)
+    assert(p.payload_sum === 300L * (('x' - 64).toLong * ('x' - 64)))
+  }
+
+  test("RealCodecs: RIFF chunk walk skips foreign chunks before data") {
+    import graft.multimodal.RealCodecs
+    // splice a LIST chunk (odd size -> exercises 2-byte alignment)
+    // between fmt and data; a parser that assumes data at offset 36
+    // would read garbage
+    val base = RealCodecs.wavBytes(1, "hello")
+    val foreign = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'a', 'b', 'c', 0)
+    val spliced = base.slice(0, 36) ++ foreign ++ base.slice(36, base.length)
+    // RIFF size field must cover the spliced chunk for the walk to end cleanly
+    spliced(4) = ((36 + foreign.length + 5) & 0xff).toByte
+    val p = RealCodecs.parseOne(Blob(1, spliced))
+    assert(p.n_payload === 5L)
+    assert(p.payload_sum === "hello".map(c => (c - 64).toLong * (c - 64)).sum)
+  }
+
+  test("RealCodecs: unknown magic fails loudly") {
+    import graft.multimodal.RealCodecs
+    intercept[IllegalArgumentException] {
+      RealCodecs.parseOne(Blob(9, "GIF89a....".getBytes))
+    }
   }
 
   test("mm_audio_energy windows recompute from the raw bytes, narrow plan") {
@@ -75,8 +125,8 @@ class MultimodalSpec extends AnyFunSuite {
       assert(!got.contains((id, 8L)))
     }
     // narrow per-row fold: the only exchange is the presentation sort
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // (rangepartitioning — not a hash exchange)
+    assert(PlanCheck.hashExchanges(df).isEmpty, PlanCheck.render(df))
     GraftCache.clear()
   }
 }
