@@ -44,16 +44,22 @@ class AnnSpec extends AnyFunSuite {
     // map-side partial combine), not N*k window input. The only Window
     // left in the whole query is the rank over the already-k-bounded
     // top rows.
-    val plan = SparkEntry.queries("ann_ivf")(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("partial_min_by"), s"assignment lost partial combine:\n$plan")
-    val windows = "Window".r.findAllIn(plan).size
-    assert(windows <= 1, s"expected at most the final rank Window, got $windows:\n$plan")
+    val df = SparkEntry.queries("ann_ivf")(spark, sf)
+    assert(
+      PlanCheck.hasPartialAgg(df, classOf[org.apache.spark.sql.catalyst.expressions.aggregate.MinBy]),
+      s"assignment lost partial combine:\n${PlanCheck.render(df)}")
+    val windows = PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](df)
+    assert(windows <= 1, s"expected at most the final rank Window, got $windows:\n${PlanCheck.render(df)}")
   }
 
   test("ann_lsh candidate ranking goes through the bounded-heap operator") {
-    val plan = SparkEntry.queries("ann_lsh")(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroup"), s"bucket candidates not heap-bounded:\n$plan")
-    assert("Window".r.findAllIn(plan).size <= 1, s"full-sort window crept back:\n$plan")
+    val df = SparkEntry.queries("ann_lsh")(spark, sf)
+    assert(
+      PlanCheck.has[graft.plans.TopKPerGroupExec](df),
+      s"bucket candidates not heap-bounded:\n${PlanCheck.render(df)}")
+    assert(
+      PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](df) <= 1,
+      s"full-sort window crept back:\n${PlanCheck.render(df)}")
   }
 
   test("ann_pq recall vs brute force, assignment partial, ADC integer-typed") {
@@ -64,9 +70,12 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.05, s"PQ recall collapsed: $recall")
     // ADC must be the order-independent BIGINT fixed-point sum
     assert(pq.schema("adc").dataType === org.apache.spark.sql.types.LongType)
-    val plan = pq.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_min_by"), s"code assignment lost partial combine:\n$plan")
-    assert("Window".r.findAllIn(plan).size <= 1, s"full-sort window crept back:\n$plan")
+    assert(
+      PlanCheck.hasPartialAgg(pq, classOf[org.apache.spark.sql.catalyst.expressions.aggregate.MinBy]),
+      s"code assignment lost partial combine:\n${PlanCheck.render(pq)}")
+    assert(
+      PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](pq) <= 1,
+      s"full-sort window crept back:\n${PlanCheck.render(pq)}")
   }
 
   test("dedup_span flags embedded and verbatim span copies") {
@@ -106,8 +115,9 @@ class AnnSpec extends AnyFunSuite {
       assert(dropped.contains(v + 100000), s"copy of $v not dropped")
       assert(dropped(v + 100000) <= v, s"keeper for copy of $v is ${dropped(v + 100000)}")
     }
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_min_by"), s"cell assignment lost partial combine:\n$plan")
+    assert(
+      PlanCheck.hasPartialAgg(df, classOf[org.apache.spark.sql.catalyst.expressions.aggregate.MinBy]),
+      s"cell assignment lost partial combine:\n${PlanCheck.render(df)}")
   }
 
   test("dedup_simhash finds exact copies at hamming 0") {

@@ -19,9 +19,11 @@ class ExpressionsSpec extends AnyFunSuite {
     // whole-stage codegen must cover the native expression when it is
     // not co-located with interpreted higher-order functions
     val nativeOnly = e.select(VectorFunctions.dotQ(col("qv"), col("qv")).as("native"))
-    val plan = nativeOnly.queryExecution.executedPlan.toString
-    // "*(n) Project [graft_dotq..." marks the WholeStageCodegen stage
-    assert(plan.linesIterator.exists(l => l.contains("graft_dotq") && l.trim.startsWith("*(")), plan)
+    // the native expression must be evaluated INSIDE a WholeStageCodegen
+    // stage (structural form of the old "*(n) Project [graft_dotq" check)
+    assert(
+      PlanCheck.codegenCovers(nativeOnly, _.isInstanceOf[graft.expressions.DotQ]),
+      PlanCheck.render(nativeOnly))
   }
 
   test("native WinnowFingerprint matches the interpreted HOF formulation") {
@@ -60,8 +62,9 @@ class ExpressionsSpec extends AnyFunSuite {
           struct(lit(0).as("pos"), md5((col("id") + 1).cast("string").cast("binary")).as("h")))
           .as("ph"))
       .select(winnowFp(col("ph"), 2).as("fp"))
-    val plan = proj.queryExecution.executedPlan.toString
-    assert(plan.linesIterator.exists(l => l.contains("graft_winnow") && l.trim.startsWith("*(")), plan)
+    assert(
+      PlanCheck.codegenCovers(proj, _.isInstanceOf[graft.expressions.WinnowFingerprint]),
+      PlanCheck.render(proj))
   }
 
   test("native ShingleK matches the interpreted formulation") {
@@ -79,10 +82,10 @@ class ExpressionsSpec extends AnyFunSuite {
     val short = Seq("one two", "a").toDF("text").select(shingles(ws(col("text")), 3).as("s"))
     assert(short.collect().forall(_.getSeq[String](0).isEmpty))
     // codegen-resident in a plain projection
-    val plan = d
-      .select(shingles(ws(col("text")), 3).as("s"))
-      .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.exists(l => l.contains("graft_shingle") && l.trim.startsWith("*(")), plan)
+    val proj3 = d.select(shingles(ws(col("text")), 3).as("s"))
+    assert(
+      PlanCheck.codegenCovers(proj3, _.isInstanceOf[graft.expressions.ShingleK]),
+      PlanCheck.render(proj3))
   }
 
   test("native CdcBoundaries matches the interpreted md5 formulation") {
@@ -102,12 +105,10 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(cdcBoundaries(col("text")).as("b"))
     assert(short.collect().forall(_.getSeq[Int](0).isEmpty))
     // codegen-resident in a plain projection + SQL surface registered
-    val plan = d
-      .select(cdcBoundaries(col("text")).as("b"))
-      .queryExecution.executedPlan.toString
+    val proj4 = d.select(cdcBoundaries(col("text")).as("b"))
     assert(
-      plan.linesIterator.exists(l => l.contains("graft_cdc_boundaries") && l.trim.startsWith("*(")),
-      plan)
+      PlanCheck.codegenCovers(proj4, _.isInstanceOf[graft.expressions.CdcBoundaries]),
+      PlanCheck.render(proj4))
     GraftExtensions.register(spark)
     Tables(spark, sf).views("documents")
     assert(
@@ -142,12 +143,10 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(es(0).length === 3 && es(1).isEmpty && es(2).length === 1)
     assert(es(0) === "abc".map { c => val v = c.toLong - 64; v * v })
     // codegen-resident in a plain projection + SQL surface registered
-    val plan = d
-      .select(native.as("e"))
-      .queryExecution.executedPlan.toString
+    val proj5 = d.select(native.as("e"))
     assert(
-      plan.linesIterator.exists(l => l.contains("graft_frame_energy") && l.trim.startsWith("*(")),
-      plan)
+      PlanCheck.codegenCovers(proj5, _.isInstanceOf[graft.expressions.FrameEnergy]),
+      PlanCheck.render(proj5))
     GraftExtensions.register(spark)
     Tables(spark, sf).views("documents")
     assert(

@@ -57,9 +57,13 @@ class GraphLineSpec extends AnyFunSuite {
     val df = SparkEntry.queries("rel_triangle_count")(spark, sf)
     // the only permissible nested-loop join is the deliberate 1-row x
     // 1-row scalar stitch attaching n_edges to n_triangles
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+    df.collect()
+    assert(
+      !PlanCheck.has[org.apache.spark.sql.execution.joins.CartesianProductExec](df),
+      PlanCheck.render(df))
+    assert(
+      PlanCheck.countNodes[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec](df) <= 1,
+      PlanCheck.render(df))
     val Array(nTri, nEdges) = df.collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     // independent recomputation: orientation-free u<v<w three-way join
     val li = Tables(spark, sf).lineitem.select(
@@ -158,41 +162,43 @@ class GraphLineSpec extends AnyFunSuite {
     val Seq(batch, exact, quality, update, fresh) = (0 to 4).map(r.getLong)
     assert(batch === exact + quality + update + fresh, "categories must partition the batch")
     assert(exact > 0 && update > 0 && fresh > 0, s"fixture must populate the triage: $r")
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("CartesianProduct"), plan)
+    assert(
+      !PlanCheck.has[org.apache.spark.sql.execution.joins.CartesianProductExec](df),
+      PlanCheck.render(df))
     GraftCache.clear()
   }
 
   test("ann_filtered pre-filters: the label predicate is a hash-join key, no nested loop") {
+    import org.apache.spark.sql.execution.joins._
     val df = SparkEntry.queries("ann_filtered")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!PlanCheck.has[CartesianProductExec](df), PlanCheck.render(df))
+    assert(!PlanCheck.has[BroadcastNestedLoopJoinExec](df), PlanCheck.render(df))
     // the broadcast hash join must key on the label equality (pre-filter),
     // not post-filter scored rows
+    val joinKeyNames = PlanCheck
+      .collectNodes[BroadcastHashJoinExec](df)
+      .map(j =>
+        (j.leftKeys ++ j.rightKeys)
+          .flatMap(_.collect { case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name })
+          .toSet)
     assert(
-      plan.linesIterator.exists(l =>
-        l.contains("BroadcastHashJoin") && l.contains("label") && l.contains("q_label")),
-      plan)
+      joinKeyNames.exists(ks => ks.contains("label") && ks.contains("q_label")),
+      s"label equality must be a join key, keys were $joinKeyNames:\n${PlanCheck.render(df)}")
     GraftCache.clear()
   }
 
   test("rel_gaps_islands runs on a single customer-keyed shuffle") {
     val df = SparkEntry.queries("rel_gaps_islands")(spark, sf)
     df.collect()
-    // AQE's toString appends the pre-adaptive "Initial Plan" — count
-    // exchanges in the FINAL plan only (the rangepartitioning exchange
-    // of the presentation ORDER BY is expected and not counted here)
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // Upper bound, not exact-count (ADVICE r5): exchange REUSE can
-    // legitimately drop the count to 0 on a future Spark, and ReusedExchange
-    // lines echo the original exchange's description — count only lines
-    // that ARE a hash exchange, and assert no extra shuffle appeared.
-    val exchanges = plan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    // legitimately drop the count to 0 on a future Spark. PlanCheck
+    // counts distinct hash exchanges in the post-AQE plan (reused
+    // exchanges excluded by construction); the rangepartitioning
+    // exchange of the presentation ORDER BY is not a hash exchange.
     assert(
-      exchanges <= 1,
-      s"dedup + 2 windows + 2 rollups must all reuse the custkey partitioning:\n$plan")
+      PlanCheck.hashExchanges(df).size <= 1,
+      s"dedup + 2 windows + 2 rollups must all reuse the custkey partitioning:\n${PlanCheck.render(df)}")
   }
 
   test("large-star/small-star beats min-label propagation on a path graph") {

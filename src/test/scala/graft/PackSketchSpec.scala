@@ -30,8 +30,9 @@ class PackSketchSpec extends AnyFunSuite {
     // the full-table window must be partitioned BY BUCKET (parallel),
     // not a single global sort — only the tiny bucket-offset window may
     // run single-partition
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(bucket"), s"per-bucket window lost its parallel partitioning:\n$plan")
+    assert(
+      PlanCheck.hashExchangeKeyed(df, "bucket"),
+      s"per-bucket window lost its parallel partitioning:\n${PlanCheck.render(df)}")
   }
 
   test("dedup_bloom_incremental: never false-negative, catches every re-crawl, broadcast probe") {
@@ -41,8 +42,9 @@ class PackSketchSpec extends AnyFunSuite {
     assert(r.getLong(4) === 0L, "a Bloom filter can never false-negative")
     assert(r.getLong(2) > 0L, "injected re-crawls missing from the new batch")
     assert(r.getLong(1) >= r.getLong(2), "every true dup must bloom-pass")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"bloom probe should broadcast the 64-word filter:\n$plan")
+    assert(
+      PlanCheck.has[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec](df),
+      s"bloom probe should broadcast the 64-word filter:\n${PlanCheck.render(df)}")
   }
 
   test("rel_sketch_distinct: raw HLL estimate stays well inside the 10% oracle gate") {
@@ -76,7 +78,8 @@ class PackSketchSpec extends AnyFunSuite {
     }
     // descending by exact count (keys ascending within ties)
     assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"sketch probe should broadcast the 256-cell sketch:\n$plan")
+    assert(
+      PlanCheck.has[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec](df),
+      s"sketch probe should broadcast the 256-cell sketch:\n${PlanCheck.render(df)}")
   }
 }

@@ -25,10 +25,11 @@ class PlansSpec extends AnyFunSuite {
     assert(
       custom.orderBy(sortKeys: _*).collect() === viaWindow.orderBy(sortKeys: _*).collect())
 
-    val plan = custom.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroup"), plan)
-    assert(!plan.contains("Window"), plan)
-    assert(!plan.toLowerCase.contains("sortexec"), plan)
+    assert(PlanCheck.has[graft.plans.TopKPerGroupExec](custom), PlanCheck.render(custom))
+    assert(
+      !PlanCheck.has[org.apache.spark.sql.execution.window.WindowExec](custom),
+      PlanCheck.render(custom))
+    assert(!PlanCheck.has[org.apache.spark.sql.execution.SortExec](custom), PlanCheck.render(custom))
   }
 
   test("TopKRewriteRule turns window+filter+drop(rn) into the custom operator") {
@@ -46,22 +47,29 @@ class PlansSpec extends AnyFunSuite {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey") // rn projected away -> rewrite fires
-      val plan = topk.queryExecution.executedPlan.toString
-      assert(plan.contains("TopKPerGroup"), plan)
-      assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["), plan)
-      assert(!plan.toLowerCase.contains("sortexec"), plan)
+      val on = topk
+      assert(PlanCheck.has[graft.plans.TopKPerGroupExec](on), PlanCheck.render(on))
+      assert(
+        !PlanCheck.has[org.apache.spark.sql.execution.window.WindowGroupLimitExec](on) &&
+          !PlanCheck.has[org.apache.spark.sql.execution.window.WindowExec](on),
+        PlanCheck.render(on))
+      assert(!PlanCheck.has[org.apache.spark.sql.execution.SortExec](on), PlanCheck.render(on))
       // opt-out switch: disabling the conf keeps Spark's window plan
       spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "false")
       try {
-        val off = topk.queryExecution.executedPlan.toString
-        assert(!off.contains("TopKPerGroup"), off)
-        assert(off.contains("Window"), off)
+        val off = topk
+        assert(!PlanCheck.has[graft.plans.TopKPerGroupExec](off), PlanCheck.render(off))
+        assert(
+          PlanCheck.has[org.apache.spark.sql.execution.window.WindowExec](off),
+          PlanCheck.render(off))
       } finally spark.conf.unset(graft.plans.TopKRewriteRule.EnabledKey)
       // keeping rn blocks the rewrite (conservative)
       val keepRn = orders
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-      assert(keepRn.queryExecution.executedPlan.toString.contains("Window"))
+      assert(
+        PlanCheck.has[org.apache.spark.sql.execution.window.WindowExec](keepRn),
+        PlanCheck.render(keepRn))
       // values identical to the un-rewritten plan
       val expected = keepRn.select("o_custkey", "o_orderkey")
       assert(

@@ -60,20 +60,18 @@ class Round6Spec extends AnyFunSuite {
   test("rel_skyline plan broadcasts the bucket-minima side (no cartesian)") {
     val df = SparkEntry.queries("rel_skyline")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    import org.apache.spark.sql.execution.joins._
+    assert(!PlanCheck.has[CartesianProductExec](df), PlanCheck.render(df))
+    assert(!PlanCheck.has[BroadcastNestedLoopJoinExec](df), PlanCheck.render(df))
+    assert(PlanCheck.has[BroadcastHashJoinExec](df), PlanCheck.render(df))
   }
 
   test("rel_merge_scd2 runs all three windows on a single custkey shuffle") {
     val df = SparkEntry.queries("rel_merge_scd2")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val exchanges = plan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
     assert(
-      exchanges <= 1,
-      s"change-detect lag + version row_number + valid_to lead must share one shuffle:\n$plan")
+      PlanCheck.hashExchanges(df).size <= 1,
+      s"change-detect lag + version row_number + valid_to lead must share one shuffle:\n${PlanCheck.render(df)}")
   }
 
   test("rel_join_temporal agrees with interval containment against rel_merge_scd2") {
@@ -187,42 +185,51 @@ class Round6Spec extends AnyFunSuite {
   test("rel_sessionize_batch fuses both windows into one user-keyed exec") {
     val df = SparkEntry.queries("rel_sessionize_batch")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val windows = plan.linesIterator.count(_.contains("Window ["))
-    assert(windows === 2, s"gap lag + running boundary sum as two chained Window execs:\n$plan")
+    val windows = PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](df)
+    assert(windows === 2, s"gap lag + running boundary sum as two chained Window execs:\n${PlanCheck.render(df)}")
     // local (non-global) sorts only — the final ORDER BY is a global Sort
-    val sorts = plan.linesIterator.count(l => l.contains(" Sort [") && l.contains("], false, 0"))
-    assert(sorts === 1, s"both windows must share one user-keyed sort:\n$plan")
-    val exchanges = plan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    val sorts = PlanCheck.collectNodes[org.apache.spark.sql.execution.SortExec](df).count(!_.global)
+    assert(sorts === 1, s"both windows must share one user-keyed sort:\n${PlanCheck.render(df)}")
     assert(
-      exchanges === 1,
-      s"windows AND the (user, sess) rollup must all ride one user shuffle:\n$plan")
+      PlanCheck.hashExchanges(df).size === 1,
+      s"windows AND the (user, sess) rollup must all ride one user shuffle:\n${PlanCheck.render(df)}")
     GraftCache.clear()
   }
 
   test("rel_join_bucketed plans the join AND the rollup with zero hash exchange") {
     val df = SparkEntry.queries("rel_join_bucketed")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$plan")
+    assert(
+      PlanCheck.has[org.apache.spark.sql.execution.joins.SortMergeJoinExec](df),
+      PlanCheck.render(df))
+    assert(
+      PlanCheck.hashExchanges(df).isEmpty,
+      s"bucketed join must not shuffle:\n${PlanCheck.render(df)}")
     // the merge join may re-sort each bucket locally (Spark 3.1+ keeps
     // sortBy ordering behind a legacy flag) — but only the two
     // per-bucket sorts, never more, and never a shuffle
-    val sorts = plan.linesIterator.count(l => l.contains(" Sort [") && l.contains("], false, 0"))
-    assert(sorts <= 2, s"at most the two local per-bucket merge sorts:\n$plan")
-    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    val sorts = PlanCheck.collectNodes[org.apache.spark.sql.execution.SortExec](df).count(!_.global)
+    assert(sorts <= 2, s"at most the two local per-bucket merge sorts:\n${PlanCheck.render(df)}")
+    // both scans must select every bucket of the 8-bucket layout
+    val bucketed = PlanCheck.fileScans(df).flatMap(_.optionalBucketSet)
+    assert(bucketed.forall(_.cardinality() === 8), PlanCheck.render(df))
     GraftCache.clear()
   }
 
   test("rel_join_skew_salted pins the shuffle-hash path and equals the broadcast join") {
     val df = SparkEntry.queries("rel_join_skew_salted")(spark, sf)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("ShuffledHashJoin [event_type"), plan)
-    assert(plan.contains(", salt"), s"join keys must include the salt:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"), plan)
+    val shj = PlanCheck.collectNodes[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec](df)
+    assert(shj.nonEmpty, PlanCheck.render(df))
+    val keyNames = shj.map(_.leftKeys.flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+    }))
+    assert(
+      keyNames.exists(ks => ks.headOption.contains("event_type") && ks.exists(_.startsWith("salt"))),
+      s"join keys must lead with event_type and include the salt, got $keyNames:\n${PlanCheck.render(df)}")
+    assert(
+      !PlanCheck.has[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec](df),
+      PlanCheck.render(df))
     // same answer as the plan you'd use when the build side IS broadcastable
     val dim = Seq(("view", 1), ("click", 5), ("purchase", 20), ("signup", 10), ("error", 0))
     val want = Tables(spark, sf).events
@@ -366,11 +373,19 @@ class Round6Spec extends AnyFunSuite {
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.map(_._2).toSeq === (1L to rows.length).toSeq, "dense sequential keys")
     assert(rows.sortBy(_._1).map(_._2).toSeq === (1L to rows.length).toSeq, "key order = id order")
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val rnLine = plan.linesIterator.find(_.contains("row_number()")).get
+    // the row_number window (the data-sized one) must be partitioned by
+    // the range bucket, never a single global partition
+    val rnWindows = PlanCheck
+      .collectNodes[org.apache.spark.sql.execution.window.WindowExec](df)
+      .filter(_.windowExpression.exists(_.collect {
+        case _: org.apache.spark.sql.catalyst.expressions.RowNumber => true
+      }.nonEmpty))
+    assert(rnWindows.nonEmpty, PlanCheck.render(df))
     assert(
-      rnLine.contains("windowspecdefinition(bucket"),
-      s"the data-sized window must be bucket-partitioned:\n$rnLine")
+      rnWindows.forall(_.partitionSpec.exists(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      }.contains("bucket"))),
+      s"the data-sized window must be bucket-partitioned:\n${PlanCheck.render(df)}")
     GraftCache.clear()
   }
 
@@ -453,8 +468,10 @@ class Round6Spec extends AnyFunSuite {
   test("rel_join_range_bucketed equals the naive overlap join, no nested loop") {
     val df = SparkEntry.queries("rel_join_range_bucketed")(spark, sf)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(
+      !PlanCheck.has[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec](df) &&
+        !PlanCheck.has[org.apache.spark.sql.execution.joins.CartesianProductExec](df),
+      PlanCheck.render(df))
     // naive O(A*B) recount: every qualifying (window, order) pair once
     val orders = Tables(spark, sf).orders
       .selectExpr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS LONG) AS d0")

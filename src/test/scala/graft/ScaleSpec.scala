@@ -32,9 +32,8 @@ class ScaleSpec extends AnyFunSuite {
       val joined = spark
         .table("g_orders_b")
         .join(spark.table("g_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
       // co-located: the bucket layout replaces both hash exchanges
-      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(PlanCheck.hashExchanges(joined).isEmpty, PlanCheck.render(joined))
       assert(joined.count() === t.lineitem.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
@@ -107,12 +106,26 @@ class ScaleSpec extends AnyFunSuite {
     val q = Tables(spark, sf).lineitem
       .filter(col("l_orderkey") > 1000L)
       .select("l_orderkey", "l_quantity")
-    val plan = q.queryExecution.executedPlan.toString
-    // the predicate must reach the scan...
-    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)"), plan)
+    val scans = PlanCheck.fileScans(q)
+    assert(scans.nonEmpty, PlanCheck.render(q))
+    // the predicate must reach the scan: dataFilters is the set of
+    // catalyst predicates the scan node evaluates at the source (the
+    // field the "PushedFilters:" metadata is derived from)
+    val pushed = scans.flatMap(_.dataFilters)
+    assert(
+      pushed.exists(_.collectFirst {
+        case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+              a: org.apache.spark.sql.catalyst.expressions.Attribute,
+              org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+            if a.name == "l_orderkey" && v == 1000L =>
+          ()
+      }.nonEmpty),
+      s"filter not pushed, got $pushed:\n${PlanCheck.render(q)}")
     // ...and the scan must read ONLY the projected columns
-    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(plan).map(_.group(1))
-    assert(readSchema.exists(s => s.split(",").length == 2 && s.contains("l_orderkey") && s.contains("l_quantity")), plan)
+    val readCols = scans.map(_.requiredSchema.fieldNames.toSet)
+    assert(
+      readCols.exists(_ == Set("l_orderkey", "l_quantity")),
+      s"column pruning lost, read $readCols:\n${PlanCheck.render(q)}")
   }
 
   test("AQE splits a skewed join partition at runtime") {
@@ -135,9 +148,15 @@ class ScaleSpec extends AnyFunSuite {
       // a separate aggregate query and leave this one un-finalized)
       assert(joined.collect().length === 300000)
       // AQE's FINAL plan (post-execution) must have split the hot partition
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("isFinalPlan=true"), plan)
-      assert(plan.contains("skew=true"), plan)
+      val root = PlanCheck.adaptiveRoot(joined)
+      assert(root.exists(_.isFinalPlan), PlanCheck.render(joined))
+      val skewed = PlanCheck
+        .collectNodes[org.apache.spark.sql.execution.joins.SortMergeJoinExec](joined)
+        .exists(_.isSkewJoin) ||
+        PlanCheck
+          .collectNodes[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec](joined)
+          .exists(_.isSkewJoin)
+      assert(skewed, s"no skew-split join in final plan:\n${PlanCheck.render(joined)}")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

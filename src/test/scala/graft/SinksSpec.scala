@@ -18,10 +18,14 @@ class SinksSpec extends AnyFunSuite {
     val back = spark.read.parquet(path)
     assert(back.count() === li.count())
     // a partition-key predicate must prune to the matching directory
-    val plan = back
-      .filter(col("l_returnflag") === "R")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    val pruned = back.filter(col("l_returnflag") === "R")
+    val partFilters = PlanCheck
+      .fileScans(pruned)
+      .flatMap(_.partitionFilters)
+      .flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+    assert(partFilters.contains("l_returnflag"), PlanCheck.render(pruned))
     assert(
       back.filter(col("l_returnflag") === "R").count() ===
         li.filter(col("l_returnflag") === "R").count())
