@@ -302,6 +302,113 @@ object RelCatalog extends QueryModule {
              |ORDER BY ex.n_exact DESC, l_suppkey LIMIT 10""".stripMargin)
     ),
     Q(
+      "rel_sketch_kmv_setops",
+      // KMV (k-minimum-values) distinct sketches WITH SET ALGEBRA
+      // (Beyer et al. 2007) — the sketch family where union and
+      // intersection estimates compose from the sketches alone, which
+      // HLL cannot do for intersections. Like rel_sketch_topk, the
+      // hashes are md5-derived and shared with the oracle, so BOTH
+      // engines build the bit-identical k=64 sketch over a 2^44 hash
+      // space and every output column (estimates included) compares
+      // exactly. Estimator: D ≈ (k-1)·SPACE div h_(k); segments
+      // smaller than k degenerate to their exact count (the sketch IS
+      // the set). Intersection via the Jaccard of the merged sketch:
+      // |A∩B| ≈ ρ_k · D_union with ρ_k = |union-sketch ∩ A ∩ B| / k —
+      // all in BIGINT arithmetic ((k−1)·2^44 ≈ 2^50, no overflow).
+      //
+      // Scale posture: one pass per segment, k-bounded memory,
+      // mergeable (the union sketch is computed FROM the two segment
+      // sketches, never from data); the k-smallest selection runs
+      // through the bounded-heap TopKPerGroupExec (O(n log k),
+      // sort-free, spec-asserted), and the final stitch joins
+      // 64-row frames. The exact columns exist to exhibit the error
+      // and would be dropped at 100 TB — the sketch path never
+      // shuffles distinct keys.
+      (s, dir) => {
+        val space = 17592186044416L // 2^44: 11 md5 hex chars
+        val k = 64
+        val d = Tables(s, dir).orders
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .select(col("o_orderstatus").as("st"), col("o_custkey").as("c"))
+          .distinct()
+          .select(
+            col("st"),
+            conv(substring(md5(concat(lit("kmv"), col("c").cast("string"))), 1, 11), 16, 10)
+              .cast("long")
+              .as("h"))
+          .distinct() // collisions folded identically in both engines
+        val hashed = graft.GraftCache.register(d.persist())
+        // (k-1)*SPACE div h_(k) — SQL `div` is exact integral division
+        // (BIGINT) in both engines; segments below k are exact
+        def kmvEst(n: String, kth: String): String =
+          s"CASE WHEN $n < $k THEN $n ELSE ${(k - 1).toLong * space} div $kth END"
+        // per-segment k smallest hashes via the bounded-heap operator
+        val sk = graft.plans.GraftOps
+          .topKPerGroup(hashed, Seq(col("st")), k, col("h").asc)
+        val sketches = graft.GraftCache.register(sk.persist())
+        val stats = sketches.groupBy("st").agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+        val a = stats.filter(col("st") === "O").select(col("n_sk").as("na"), col("kth").as("ka"))
+        val b = stats.filter(col("st") === "F").select(col("n_sk").as("nb"), col("kth").as("kb"))
+        // union sketch: k smallest of the MERGED sketches (sketch-only)
+        val uk = graft.plans.GraftOps
+          .topKPerGroup(sketches.select("h").distinct(), Nil, k, col("h").asc)
+        val ukc = graft.GraftCache.register(uk.persist())
+        val uStats = ukc.agg(count(lit(1)).as("nu"), max(col("h")).as("ku"))
+        val interK = ukc
+          .join(sketches.filter(col("st") === "O").select("h"), "h", "leftsemi")
+          .join(sketches.filter(col("st") === "F").select("h"), "h", "leftsemi")
+          .agg(count(lit(1)).as("n_inter_sk"))
+        // exact audit columns (dropped in a production deployment)
+        val exact = hashed
+          .groupBy("h")
+          .agg(count(lit(1)).as("nst"))
+          .agg(
+            count(lit(1)).as("n_union_exact"),
+            sum(when(col("nst") === 2, 1L).otherwise(0L)).as("n_inter_exact"))
+        a.crossJoin(broadcast(b))
+          .crossJoin(broadcast(uStats))
+          .crossJoin(broadcast(interK))
+          .crossJoin(broadcast(exact))
+          .selectExpr(
+            s"CAST($k AS BIGINT) AS k",
+            s"${kmvEst("na", "ka")} AS est_a",
+            s"${kmvEst("nb", "kb")} AS est_b",
+            s"${kmvEst("nu", "ku")} AS est_union",
+            "n_inter_sk",
+            s"CAST(n_inter_sk * (${kmvEst("nu", "ku")}) div nu AS BIGINT) AS est_inter",
+            "n_union_exact",
+            "n_inter_exact")
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders
+             |           WHERE o_orderstatus IN ('O', 'F')),
+             |h AS (SELECT DISTINCT st,
+             |      CAST('0x' || substr(md5('kmv' || c::VARCHAR), 1, 11) AS BIGINT) AS h FROM d),
+             |rk AS (SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS r FROM h),
+             |sk AS (SELECT st, h FROM rk WHERE r <= 64),
+             |stats AS (SELECT st, COUNT(*) AS n_sk, MAX(h) AS kth FROM sk GROUP BY st),
+             |uh AS (SELECT DISTINCT h FROM sk),
+             |uk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM uh)
+             |       WHERE r <= 64),
+             |ustats AS (SELECT COUNT(*) AS nu, MAX(h) AS ku FROM uk),
+             |ik AS (SELECT COUNT(*) AS n_inter_sk FROM uk
+             |       WHERE h IN (SELECT h FROM sk WHERE st = 'O')
+             |         AND h IN (SELECT h FROM sk WHERE st = 'F')),
+             |ex AS (SELECT COUNT(*) AS n_union_exact,
+             |              SUM(CASE WHEN nst = 2 THEN 1 ELSE 0 END)::BIGINT AS n_inter_exact
+             |       FROM (SELECT h, COUNT(*) AS nst FROM h GROUP BY h)),
+             |est AS (SELECT
+             |  (SELECT CASE WHEN n_sk < 64 THEN n_sk
+             |     ELSE 63 * 17592186044416 // kth END FROM stats WHERE st = 'O') AS est_a,
+             |  (SELECT CASE WHEN n_sk < 64 THEN n_sk
+             |     ELSE 63 * 17592186044416 // kth END FROM stats WHERE st = 'F') AS est_b,
+             |  (SELECT CASE WHEN nu < 64 THEN nu
+             |     ELSE 63 * 17592186044416 // ku END FROM ustats) AS est_union)
+             |SELECT 64::BIGINT AS k, est_a, est_b, est_union,
+             |  ik.n_inter_sk, (ik.n_inter_sk * est_union // ustats.nu)::BIGINT AS est_inter,
+             |  ex.n_union_exact, ex.n_inter_exact
+             |FROM est, ustats, ik, ex""".stripMargin)
+    ),
+    Q(
       "rel_join_bloom_prune",
       // Bloom-filter join pruning — the runtime-filter trick behind
       // Spark's own InjectRuntimeFilter, built by hand so the
@@ -424,24 +531,56 @@ object RelCatalog extends QueryModule {
           liFile.length(), liFile.lastModified(),
           ordFile.length(), ordFile.lastModified())
         val corpusTag = base.getName.stripPrefix("graft_bkt_").take(12)
+        // Concurrency contract (spec-asserted in Round7Spec): two
+        // sessions racing the same corpus stage are safe — each writer
+        // stages into its own scratch dir (a unique temp table name, so
+        // the shared metastore never sees a clash) and PUBLISHES with
+        // one atomic directory rename. Exactly one rename wins; losers
+        // delete their scratch. Readers only ever see the published dir
+        // complete-with-_SUCCESS or absent, never half-written. The
+        // table name is a pure function of the corpus identity, so the
+        // shell CREATE is idempotent (IF NOT EXISTS + a tableExists
+        // re-check for the create-create race in the shared catalog).
         def bucketed(df: => DataFrame, shortName: String, key: String, ddlCols: String): DataFrame = {
           val name = s"${shortName}_$corpusTag"
           val path = new java.io.File(base, name)
-          s.sql(s"DROP TABLE IF EXISTS $name")
           if (!new java.io.File(path, "_SUCCESS").exists()) {
+            val attempt = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+            val scratch = new java.io.File(base, s"${name}_stage_$attempt")
+            val tmpTable = s"${name}_stage_$attempt"
             df.repartition(8, col(key))
               .write
               .mode("overwrite")
-              .option("path", path.getPath)
+              .option("path", scratch.getPath)
               .bucketBy(8, key)
               .sortBy(key)
-              .saveAsTable(name)
-          } else {
-            // staged files exist: recreate the table shell over them
-            s.sql(
-              s"""CREATE TABLE $name ($ddlCols) USING PARQUET
-                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-                 |LOCATION '${path.getPath}'""".stripMargin)
+              .saveAsTable(tmpTable)
+            // external table: dropping the shell keeps the staged files
+            s.sql(s"DROP TABLE IF EXISTS $tmpTable")
+            try
+              java.nio.file.Files.move(
+                scratch.toPath,
+                path.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException =>
+                // another writer published first; ours is redundant
+                def rm(f: java.io.File): Unit = {
+                  Option(f.listFiles()).foreach(_.foreach(rm))
+                  f.delete(): Unit
+                }
+                rm(scratch)
+            }
+          }
+          if (!s.catalog.tableExists(name)) {
+            try
+              s.sql(
+                s"""CREATE TABLE IF NOT EXISTS $name ($ddlCols) USING PARQUET
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '${path.getPath}'""".stripMargin)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException if s.catalog.tableExists(name) => ()
+            }
           }
           s.table(name)
         }

@@ -27,6 +27,10 @@ object PlanCheck {
       case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
       case q: QueryStageExec => expand(q.plan)
       case _: ReusedExchangeExec => Seq.empty
+      // a persisted frame hides its producing plan behind the cache
+      // scan — descend so operators inside cached subtrees stay visible
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        c +: expand(c.relation.cachedPlan)
       case other => other +: other.children.flatMap(expand)
     }
     expand(df.queryExecution.executedPlan)
