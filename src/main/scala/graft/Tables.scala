@@ -21,14 +21,25 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot represent;
-    * with nanosAsLong the raw column is bigint nanos. `events` exposes
-    * both the raw nanos (`ts_ns`) and a microsecond-truncated timestamp
-    * (`ts`) — truncation (floor) matches DuckDB's ns->us cast.
+  /** events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-7) and as
+    * plain micros TIMESTAMP_NTZ (round-8 regeneration); eventsRaw
+    * normalizes either to a BIGINT epoch-nanos `ts`, so every consumer
+    * (and every `ts_ns div 1000` derivation) is encoding-independent.
+    * `events` exposes both the raw nanos (`ts_ns`) and a
+    * microsecond-truncated timestamp (`ts`) — truncation (floor)
+    * matches DuckDB's ns->us cast.
     */
   def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
+    Tables.normalizeEventTs(t("events"))
+  }
+
+  /** On-disk schema of events.parquet exactly as Spark reads the file —
+    * what readStream.schema needs (the normalized [[eventsRaw]] schema
+    * would make the parquet reader misinterpret a micros file). */
+  def eventsFileSchema: org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").schema
   }
 
   def events: DataFrame =
@@ -47,4 +58,25 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize the events `ts` column to BIGINT epoch NANOS whatever
+    * the on-disk encoding: TIMESTAMP(NANOS) arrives as long under
+    * nanosAsLong (identity); micros TIMESTAMP / TIMESTAMP_NTZ is
+    * widened with an exact integer multiply. The UTC session timezone
+    * (GraftSession) makes the NTZ->TZ cast the identity, so the value
+    * equals DuckDB's epoch_ns(ts) over the same file in every case —
+    * the oracle contract all events queries are written against.
+    * Works on batch and streaming frames alike. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
 }

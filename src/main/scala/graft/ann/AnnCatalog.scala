@@ -41,6 +41,66 @@ object AnnCatalog extends QueryModule {
       .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
       .select("q_id", "vec_id", "cosine")
 
+  /** Coarse quantizer shared by ann_ivf and ann_ivf_pq: k-means-lite
+    * centroids in EXACT integer space — per-label element sums (BIGINT)
+    * + counts, so "nearest cell" divides an exact integer dot by the
+    * count (one IEEE division, bit-identical in DuckDB). Returns
+    * (cell, csum[64], cnt). */
+  private def coarseCentroids(c: DataFrame): DataFrame =
+    c.select(col("label"), posexplode(col("qv")))
+      .groupBy("label", "pos")
+      .agg(sum(col("col")).as("sv"))
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
+          .as("csum"))
+      .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
+      .select(col("label").as("cell"), col("csum"), col("cnt"))
+
+  /** Assign every vector to its nearest centroid (max mean dot).
+    * Argmax by AGGREGATION, not a row_number window: min_by keyed on
+    * struct(-score, cell) — same total order as (score DESC, cell ASC)
+    * — gets map-side partial combine, so the shuffle carries N rows
+    * instead of the window's N*k. Ties are broken inside the key (cell
+    * is part of it), so equal-key rows carry identical payloads and the
+    * result is deterministic. Returns (vec_id, qv, nsq, cell). */
+  private def coarseAssign(c: DataFrame, cents: DataFrame): DataFrame =
+    c.join(broadcast(cents))
+      .withColumn("score", dotQ(col("qv"), col("csum")).cast("double") / col("cnt"))
+      .groupBy("vec_id")
+      .agg(min_by(
+        struct(col("qv"), col("nsq"), col("cell")),
+        struct(negate(col("score")), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"), col("best.cell").as("cell"))
+
+  /** Unscaled squared distance between a residual subvector (scaled by
+    * the cell count: sv = v*cnt - csum slice) and a sub-codebook
+    * centroid held exactly as (ssum = Σ scaled residuals, scnt):
+    * Σ_i (sv[i]/cnt - ssum[i]/(scnt·cnt))². Every division is an exact
+    * BIGINT numerator over an exact BIGINT denominator — one IEEE op,
+    * bit-identical cross-engine — and the 8-term sum is emitted as an
+    * explicit LEFT-ASSOCIATIVE chain so Spark and DuckDB add in the
+    * same order (float addition is order-sensitive; [[residDistSql]]
+    * mirrors the exact shape). Unscaled (÷cnt) so ADC sums are
+    * comparable ACROSS cells with different counts — the nprobe union
+    * ranks candidates from different cells against each other. */
+  private def residDist(sv: org.apache.spark.sql.Column, ssum: org.apache.spark.sql.Column,
+      scnt: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to 8).map { i =>
+      val t = element_at(sv, i).cast("double") / cnt.cast("double") -
+        element_at(ssum, i).cast("double") / (scnt * cnt).cast("double")
+      t * t
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of [[residDist]] — same divisions, same squares,
+    * same left-associative add chain. */
+  private def residDistSql(sv: String, ssum: String, scnt: String, cnt: String): String =
+    (1 to 8).map { i =>
+      val t = s"(CAST($sv[$i] AS DOUBLE)/CAST($cnt AS DOUBLE) - " +
+        s"CAST($ssum[$i] AS DOUBLE)/CAST(($scnt*$cnt) AS DOUBLE))"
+      s"($t*$t)"
+    }.mkString("(", " + ", ")")
+
   /** Oracle mirror of scoredPairs, ending in the scored CTE. */
   private val scoredSql =
     """WITH n AS (SELECT vec_id,

@@ -57,7 +57,17 @@ object RealCodecs {
     * doc_id%12+1, pixel byte p (row-major over unpadded w*3-byte rows)
     * = text charAt(p mod len) — rows written bottom-up with 4-byte
     * stride padding, as the format requires. */
+  /** Builder/oracle equivalence needs non-empty pure-ASCII text: empty
+    * text would divide by zero below, and chars > 127 are truncated by
+    * .toByte while the oracle sums unicode() codepoints — fail loudly
+    * at the seam instead of as an opaque oracle hash diff (ADVICE r7). */
+  private def requireAscii(docId: Long, text: String): Unit =
+    require(
+      text.nonEmpty && text.forall(_ < 128),
+      s"doc $docId: mm corpus must be non-empty ASCII")
+
   def bmpBytes(docId: Long, text: String): Array[Byte] = {
+    requireAscii(docId, text)
     val w = (docId % 16 + 1).toInt
     val h = (docId % 12 + 1).toInt
     val rowBytes = w * 3
@@ -89,6 +99,7 @@ object RealCodecs {
   /** A real mono 8-bit PCM WAV: sample_rate = 8000 + (doc_id%8)*1000,
     * one sample per text byte. RIFF/fmt/data chunk framing per spec. */
   def wavBytes(docId: Long, text: String): Array[Byte] = {
+    requireAscii(docId, text)
     val rate = 8000 + (docId % 8).toInt * 1000
     val n = text.length
     val a = new Array[Byte](44 + n)

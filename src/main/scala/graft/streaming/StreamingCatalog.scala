@@ -64,6 +64,20 @@ object StreamingCatalog extends QueryModule {
     body(scoped)
   }
 
+  /** File stream over events.parquet with `ts` normalized to BIGINT
+    * epoch nanos regardless of the on-disk encoding (TIMESTAMP(NANOS)
+    * or micros — Tables.normalizeEventTs). readStream is given the
+    * FILE's schema; normalization happens as a projection on top, so
+    * the parquet reader never misinterprets the physical column. */
+  private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.normalizeEventTs(
+      ss.readStream
+        .schema(Tables(ss, dir).eventsFileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
   /** Tumbling-window agg as a genuine streaming query, run to completion
     * with Trigger.AvailableNow and returned from the memory sink.
     *
@@ -82,12 +96,7 @@ object StreamingCatalog extends QueryModule {
     * sliding — stream_window_sliding passes `window(ts, 2h, 1h)`, so
     * each event lands in slide-count windows). */
   private def windowAggBy(s: SparkSession, dir: String, win: org.apache.spark.sql.Column): DataFrame = withStatePartitions(s) { ss =>
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(ss, dir).eventsRaw.schema
-    val stream = ss.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(ss, dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .groupBy(win, col("event_type"))
@@ -202,13 +211,8 @@ object StreamingCatalog extends QueryModule {
     * dim stays broadcast-sized or becomes a slowly-changing table the
     * planner shuffles once. Batch-equivalent, so fully oracle-checked. */
   private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(ss, dir).eventsRaw.schema
     val cust = Tables(ss, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
-    val joined = ss.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val joined = eventsStream(ss, dir)
       .join(cust, col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
@@ -240,12 +244,7 @@ object StreamingCatalog extends QueryModule {
     * (AvailableNow over a static file), hence fully oracle-checked;
     * gap_us is an exact integer difference of truncated-ns micros. */
   private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(ss, dir).eventsRaw.schema
-    def side(tpe: String, pfx: String) = ss.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(tpe: String, pfx: String) = eventsStream(ss, dir)
       .filter(col("event_type") === tpe)
       .select(
         col("event_id").as(s"${pfx}_id"),
@@ -283,12 +282,7 @@ object StreamingCatalog extends QueryModule {
     * which is exactly the within-watermark contract). Counts per type
     * must equal the distinct-id counts of one copy. */
   private def streamDedup(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(ss, dir).eventsRaw.schema
-    def src = ss.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = eventsStream(ss, dir)
     val doubled = src
       .union(src)
       .withColumnRenamed("ts", "ts_ns")
@@ -316,13 +310,8 @@ object StreamingCatalog extends QueryModule {
     * equals the batch aggregation, independent of how the source split
     * into micro-batches. */
   private def stateRunning(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(ss, dir).eventsRaw.schema
     import ss.implicits._
-    val src = ss.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(ss, dir)
       .select(
         col("user_id"),
         round(col("value") * 1000000).cast("long").as("v_micros"))
@@ -350,13 +339,8 @@ object StreamingCatalog extends QueryModule {
     * no per-key dedup on drain). The production sink is the same
     * foreachBatch/file path every append stream here uses. */
   private def anomalyZscore(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables(ss, dir).eventsRaw.schema
     import ss.implicits._
-    val src = ss.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(ss, dir)
       .select(
         col("user_id"),
         col("event_id"),
