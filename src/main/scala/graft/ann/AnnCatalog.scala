@@ -41,21 +41,25 @@ object AnnCatalog extends QueryModule {
       .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
       .select("q_id", "vec_id", "cosine")
 
-  /** Coarse quantizer shared by ann_ivf and ann_ivf_pq: k-means-lite
-    * centroids in EXACT integer space — per-label element sums (BIGINT)
-    * + counts, so "nearest cell" divides an exact integer dot by the
-    * count (one IEEE division, bit-identical in DuckDB). Returns
-    * (cell, csum[64], cnt). */
-  private def coarseCentroids(c: DataFrame): DataFrame =
-    c.select(col("label"), posexplode(col("qv")))
-      .groupBy("label", "pos")
+  /** Exact-integer centroids of `v` keyed by `key`: per-key elementwise
+    * sums (BIGINT) + counts, so any "distance to centroid" divides an
+    * exact integer by the count — one IEEE division, bit-identical in
+    * DuckDB. Returns (cell, csum[64], cnt). */
+  private def centroidsOf(v: DataFrame, key: String): DataFrame =
+    v.select(col(key).as("cell"), posexplode(col("qv")))
+      .groupBy("cell", "pos")
       .agg(sum(col("col")).as("sv"))
-      .groupBy("label")
+      .groupBy("cell")
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
           .as("csum"))
-      .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
-      .select(col("label").as("cell"), col("csum"), col("cnt"))
+      .join(v.groupBy(col(key).as("cell")).agg(count(lit(1)).as("cnt")), "cell")
+      .select(col("cell"), col("csum"), col("cnt"))
+
+  /** Coarse quantizer shared by ann_ivf and ann_ivf_pq: k-means-lite —
+    * the label partition seeds the cells (one training pass; the
+    * Lloyd-refined variant is [[lloydTrain]]). */
+  private def coarseCentroids(c: DataFrame): DataFrame = centroidsOf(c, "label")
 
   /** Assign every vector to its nearest centroid (max mean dot).
     * Argmax by AGGREGATION, not a row_number window: min_by keyed on
@@ -63,15 +67,90 @@ object AnnCatalog extends QueryModule {
     * — gets map-side partial combine, so the shuffle carries N rows
     * instead of the window's N*k. Ties are broken inside the key (cell
     * is part of it), so equal-key rows carry identical payloads and the
-    * result is deterministic. Returns (vec_id, qv, nsq, cell). */
+    * result is deterministic. Returns (vec_id, label, qv, nsq, cell). */
   private def coarseAssign(c: DataFrame, cents: DataFrame): DataFrame =
     c.join(broadcast(cents))
       .withColumn("score", dotQ(col("qv"), col("csum")).cast("double") / col("cnt"))
       .groupBy("vec_id")
       .agg(min_by(
-        struct(col("qv"), col("nsq"), col("cell")),
+        struct(col("label"), col("qv"), col("nsq"), col("cell")),
         struct(negate(col("score")), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"), col("best.cell").as("cell"))
+      .select(
+        col("vec_id"), col("best.label").as("label"), col("best.qv").as("qv"),
+        col("best.nsq").as("nsq"), col("best.cell").as("cell"))
+
+  /** One Lloyd assignment step: nearest centroid by EUCLIDEAN distance
+    * ||v - csum/cnt||² = nsq - 2·(v·csum)/cnt + (csum·csum)/cnt² —
+    * the metric whose update step (the mean) is the argmin, so the
+    * k-means objective is provably non-increasing per iteration (the
+    * property LloydSpec asserts). v·csum stays an exact BIGINT dot;
+    * csum·csum runs in doubles (its exact square can exceed BIGINT at
+    * large cell counts, and this path is engine-internal — no oracle).
+    * Centroids are broadcast; argmin is the same map-side-combined
+    * min_by as [[coarseAssign]]. */
+  private[graft] def lloydAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.drop("cell") // re-assignment input may carry the previous round's cell
+      .join(broadcast(cents))
+      .withColumn(
+        "d",
+        col("nsq").cast("double")
+          - lit(2.0) * dotQ(col("qv"), col("csum")).cast("double") / col("cnt")
+          + dot(col("csum"), col("csum")) / (col("cnt") * col("cnt")).cast("double"))
+      .groupBy("vec_id")
+      .agg(min_by(
+        struct(col("qv"), col("nsq"), col("cell")),
+        struct(col("d"), col("cell"))).as("best"))
+      .select(
+        col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"),
+        col("best.cell").as("cell"))
+
+  /** The k-means objective Σ ||v - mean(cell(v))||² of an assignment —
+    * one broadcast join + global agg; the driver-side scalar is the
+    * convergence-probe pattern the graph fixpoints use. */
+  private[graft] def lloydObjective(assigned: DataFrame): Double =
+    assigned
+      .join(broadcast(centroidsOf(assigned, "cell")), "cell")
+      .select(
+        sum(
+          col("nsq").cast("double")
+            - lit(2.0) * dotQ(col("qv"), col("csum")).cast("double") / col("cnt")
+            + dot(col("csum"), col("csum")) / (col("cnt") * col("cnt")).cast("double"))
+          .as("obj"))
+      .head()
+      .getDouble(0)
+
+  /** Distributed Lloyd training, convergence-probed: start from the
+    * k-means-lite label seeding (the one-pass training ann_ivf/ann_pq
+    * deploy — their oracle contract is UNCHANGED by this path), then
+    * iterate update (exact-integer centroid sums over the current
+    * assignment) + assignment (broadcast centroids, min_by argmin)
+    * until no vector moves. Per-round work is one broadcast join and
+    * two aggregations — no all-pairs, no driver-side data. Returns
+    * (final assignment, rounds run, objective after each round,
+    * including round 0 = the seed). */
+  private[graft] def lloydTrain(
+      s: SparkSession,
+      dir: String,
+      maxRounds: Int): (DataFrame, Int, Seq[Double]) = {
+    val c = corpus(s, dir)
+    val seed = coarseAssign(c, coarseCentroids(c)).select("vec_id", "qv", "nsq", "cell")
+    val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // the shared fixpoint driver: per-round localCheckpoint truncates
+    // the lineage (an unbounded iterative plan OOMs the planner), and
+    // round frames are freed on every exit path. The probe is a
+    // deterministic assignment fingerprint — equal fingerprints mean no
+    // vector moved; the per-round objective rides along for the spec.
+    val (fin, rounds) = graft.wikidata.WikidataCatalog.fixpointCounted(
+      seed,
+      df => lloydAssign(df, centroidsOf(df, "cell")),
+      df => {
+        objectives += lloydObjective(df)
+        df.select(sum(hash(col("vec_id"), col("cell")).cast("long")).as("fp")).head().getLong(0)
+      },
+      maxRounds,
+      "lloyd refinement")
+    (fin, rounds, objectives.toSeq)
+  }
 
   /** Unscaled squared distance between a residual subvector (scaled by
     * the cell count: sv = v*cnt - csum slice) and a sub-codebook
@@ -363,36 +442,11 @@ object AnnCatalog extends QueryModule {
       "ann_ivf",
       (s, dir) => {
         val c = corpus(s, dir)
-        // k-means-lite centroids in EXACT integer space: per-label
-        // element sums (BIGINT) + counts. Scores divide the exact
-        // integer dot by the count — one IEEE division, bit-identical
-        // in DuckDB, so cell assignment (and therefore the whole query)
-        // is oracle-checkable.
-        val cents = c
-          .select(col("label"), posexplode(col("qv")))
-          .groupBy("label", "pos")
-          .agg(sum(col("col")).as("sv"))
-          .groupBy("label")
-          .agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
-              .as("csum"))
-          .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
-          .select(col("label").as("cell"), col("csum"), col("cnt"))
-        // assign every vector to its nearest centroid (max mean dot).
-        // Argmax by AGGREGATION, not a row_number window: min_by keyed
-        // on struct(-score, cell) — same total order as (score DESC,
-        // cell ASC) — gets map-side partial combine, so the shuffle
-        // carries N rows instead of the window's N*k. Ties are broken
-        // inside the key (cell is part of it), so equal-key rows carry
-        // identical payloads and the result is deterministic.
-        val assigned = c
-          .join(broadcast(cents))
-          .withColumn("score", dotQ(col("qv"), col("csum")).cast("double") / col("cnt"))
-          .groupBy("vec_id")
-          .agg(min_by(
-            struct(col("qv"), col("nsq"), col("cell")),
-            struct(negate(col("score")), col("cell"))).as("best"))
-          .select(col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"), col("best.cell").as("cell"))
+        // k-means-lite centroids in EXACT integer space + aggregation-
+        // argmax assignment — see centroidsOf/coarseAssign for the
+        // oracle-portability and shuffle-shape rationale.
+        val cents = coarseCentroids(c)
+        val assigned = coarseAssign(c, cents)
         val q = assigned.filter(col("vec_id") < 10)
         // probe the 2 nearest cells per query — genuine k>1, so the
         // bounded-heap operator, not a full-sort window
@@ -440,6 +494,159 @@ object AnnCatalog extends QueryModule {
              |ranked AS (SELECT q_id, vec_id, cosine,
              |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
+      "ann_ivf_pq",
+      // The production vector-index composition (Jégou et al. IVF-ADC;
+      // the shape FAISS deploys as IndexIVFPQ): coarse quantizer
+      // assigns each vector to a cell, the RESIDUAL v - centroid(cell)
+      // is product-quantized per cell, and a query scans only its
+      // nprobe nearest cells, scoring candidates from a per-(cell,
+      // subspace) lookup table over the 8 codes — never touching raw
+      // vectors. Everything stays in the exact-integer discipline so
+      // the full composition is oracle-checkable: residuals are held
+      // SCALED by the cell count (rv = v·cnt − csum, exact BIGINT),
+      // sub-codebook centroids as (Σ scaled residuals, count), and
+      // every distance is residDist's fixed shape — exact-integer
+      // divisions and a left-associative double chain mirrored
+      // operator-for-operator in SQL. LUT entries round to BIGINT so
+      // the 8-way ADC sum is an integer aggregate (order-independent).
+      //
+      // Scale posture: codebooks are per-(cell, subspace, code) — tiny
+      // (cells×8×codes rows), broadcast. Code assignment and the ADC
+      // sum are map-side-combined aggregations; candidate generation is
+      // nprobe-bounded by the (cell) equi-join — a query scores only
+      // its probed cells' posting lists, never the corpus. At 100 TB
+      // the raw vectors are read ONCE at index build; queries touch
+      // 1-byte-ish codes, the memory-bound regime PQ exists for.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = coarseCentroids(c)
+        val assigned = coarseAssign(c, cents)
+        // scaled residual rv = v·cnt − csum: exact BIGINT elementwise
+        val resid = assigned
+          .join(broadcast(cents), Seq("cell"))
+          .withColumn("rv", zip_with(col("qv"), col("csum"), (v, cs) => v * col("cnt") - cs))
+          .select("vec_id", "cell", "cnt", "rv")
+        val sub = resid
+          .select(
+            col("vec_id"), col("cell"), col("cnt"), col("rv"),
+            explode(expr("sequence(0, 7)")).as("j"))
+          .withColumn("sv", expr("slice(rv, j*8+1, 8)"))
+          // k-means-lite seed for the sub-codebooks: a 4-bit random-
+          // hyperplane bucket of the residual subvector (content-
+          // derived — the label seed collapses here, because a coarse
+          // cell is dominated by one label and the codebook degenerates
+          // to a single code). The plane dot's SIGN is invariant under
+          // the positive per-cell scaling of rv, and the same constant
+          // planes are computable in DuckDB (hyperBucketSql).
+          .withColumn("seed", hyperBucket(col("sv"), bits = 4, dim = 8))
+          .select("vec_id", "cell", "cnt", "j", "sv", "seed")
+        // per-(cell, subspace) residual sub-codebooks over the seed
+        val cb = sub
+          .select(col("cell"), col("j"), col("seed"), posexplode(col("sv")))
+          .groupBy("cell", "j", "seed", "pos")
+          .agg(sum(col("col")).as("s"))
+          .groupBy("cell", "j", "seed")
+          .agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("s")))), x => x.getField("s"))
+              .as("ssum"))
+          .join(sub.groupBy("cell", "j", "seed").agg(count(lit(1)).as("scnt")), Seq("cell", "j", "seed"))
+          .select(col("cell"), col("j"), col("seed").as("code"), col("ssum"), col("scnt"))
+        // codes: argmin residual distance per (vector, subspace) within
+        // its cell — aggregation-argmin (map-side combine), not a window
+        val codes = sub
+          .join(broadcast(cb), Seq("cell", "j"))
+          .withColumn("d", residDist(col("sv"), col("ssum"), col("scnt"), col("cnt")))
+          .groupBy("vec_id", "j")
+          .agg(min_by(struct(col("cell"), col("code")), struct(col("d"), col("code"))).as("best"))
+          .select(col("vec_id"), col("j"), col("best.cell").as("cell"), col("best.code").as("code"))
+        // nprobe=2 nearest cells per query, by the same coarse score as
+        // ann_ivf (max mean dot)
+        val probeScored = assigned
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"))
+          .join(broadcast(cents))
+          .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
+        val probes = graft.plans.GraftOps
+          .topKPerGroup(probeScored, Seq(col("q_id")), 2, col("score").desc, col("cell"))
+          .select("q_id", "qe", "cell", "csum", "cnt")
+        // per-probe query residual → fixed-point LUT per (subspace, code)
+        val qsub = probes
+          .withColumn("qrv", zip_with(col("qe"), col("csum"), (v, cs) => v * col("cnt") - cs))
+          .select(
+            col("q_id"), col("cell"), col("cnt"), col("qrv"),
+            explode(expr("sequence(0, 7)")).as("j"))
+          .withColumn("qsv", expr("slice(qrv, j*8+1, 8)"))
+        val lut = qsub
+          .join(broadcast(cb), Seq("cell", "j"))
+          .select(
+            col("q_id"), col("cell"), col("j"), col("code"),
+            round(residDist(col("qsv"), col("ssum"), col("scnt"), col("cnt"))).cast("long").as("fp"))
+        // ADC: integer sum of the 8 LUT entries selected by the codes,
+        // nprobe-bounded by the (cell) join key
+        val adc = codes
+          .join(broadcast(lut), Seq("cell", "j", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("fp")).as("adc"))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(adc, Seq(col("q_id")), K, col("adc").asc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "adc")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+             |cntc AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
+             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cntc USING (cell)),
+             |sc AS (SELECT m.vec_id, m.label, m.qv, cc.cell,
+             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+             |       FROM m CROSS JOIN cc),
+             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+             |assigned AS (SELECT vec_id, label, qv, cell FROM asg WHERE rn = 1),
+             |ar AS (SELECT a.vec_id, a.cell, cc.cnt,
+             |       [a.qv[i]*cc.cnt - cc.csum[i] for i in range(1, 65)] AS rv
+             |       FROM assigned a JOIN cc USING (cell)),
+             |subr AS (SELECT vec_id, cell, cnt, j, rv[j*8+1 : j*8+8] AS sv
+             |        FROM ar, UNNEST(range(8)) AS t(j)),
+             |sub AS (SELECT *, ${hyperBucketSql("sv", bits = 4, dim = 8)} AS seed FROM subr),
+             |cbs AS (SELECT cell, j, seed AS code, i, SUM(sv[i])::BIGINT AS s
+             |        FROM sub, UNNEST(range(1, 9)) AS t(i) GROUP BY 1, 2, 3, 4),
+             |cbl AS (SELECT cell, j, code, list(s ORDER BY i) AS ssum FROM cbs GROUP BY 1, 2, 3),
+             |sct AS (SELECT cell, j, seed AS code, COUNT(*) AS scnt FROM sub GROUP BY 1, 2, 3),
+             |cb AS (SELECT cell, j, code, ssum, scnt FROM cbl JOIN sct USING (cell, j, code)),
+             |cd AS (SELECT s.vec_id, s.j, s.cell, c.code,
+             |       ${residDistSql("s.sv", "c.ssum", "c.scnt", "s.cnt")} AS d
+             |       FROM sub s JOIN cb c ON s.cell = c.cell AND s.j = c.j),
+             |codes AS (SELECT vec_id, j, cell, code FROM
+             |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM cd)
+             |          WHERE rn = 1),
+             |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.cell,
+             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+             |       FROM sc WHERE sc.vec_id < 10),
+             |probes AS (SELECT q_id, qe, cell FROM qp WHERE rn <= 2),
+             |qr AS (SELECT p.q_id, p.cell, cc.cnt,
+             |       [p.qe[i]*cc.cnt - cc.csum[i] for i in range(1, 65)] AS qrv
+             |       FROM probes p JOIN cc USING (cell)),
+             |qsub AS (SELECT q_id, cell, cnt, j, qrv[j*8+1 : j*8+8] AS qsv
+             |         FROM qr, UNNEST(range(8)) AS t(j)),
+             |lut AS (SELECT q.q_id, q.cell, q.j, c.code,
+             |        CAST(round(${residDistSql("q.qsv", "c.ssum", "c.scnt", "q.cnt")}) AS BIGINT) AS fp
+             |        FROM qsub q JOIN cb c ON q.cell = c.cell AND q.j = c.j),
+             |adc AS (SELECT l.q_id, k.vec_id, SUM(l.fp)::BIGINT AS adc
+             |        FROM codes k JOIN lut l ON k.cell = l.cell AND k.j = l.j AND k.code = l.code
+             |        WHERE k.vec_id <> l.q_id GROUP BY 1, 2),
+             |ranked AS (SELECT q_id, vec_id, adc,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc)
+             |SELECT q_id, rank, vec_id, adc FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     ),
     Q(
       "ann_recall_report",

@@ -29,6 +29,33 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.1, s"IVF recall collapsed: $recall")
   }
 
+  test("ann_ivf_pq recall vs brute force") {
+    val ivfpq = pairs(SparkEntry.queries("ann_ivf_pq")(spark, sf))
+    assert(ivfpq.size === brute.size, "composed index must return full top-k lists")
+    val recall = (ivfpq & brute).size.toDouble / brute.size
+    info(f"ann_ivf_pq recall@5 = $recall%.3f")
+    // the composed index approximates twice (nprobe pruning + residual
+    // codes), so its floor sits between ann_ivf's and random
+    assert(recall > 0.1, s"IVF-PQ recall collapsed: $recall")
+  }
+
+  test("Lloyd refinement: objective non-increasing, converges, improves on the seed") {
+    GraftCache.clear()
+    val (assigned, rounds, objs) = ann.AnnCatalog.lloydTrain(spark, sf, 30)
+    info(s"lloyd: $rounds rounds, objective ${objs.map(o => f"$o%.3e").mkString(" -> ")}")
+    assert(rounds >= 1 && rounds < 30, s"expected convergence inside the cap, got $rounds")
+    assert(objs.size === rounds + 1)
+    objs.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + math.abs(a) * 1e-12, s"objective rose: $objs")
+      case _ =>
+    }
+    // the label seeding is not a Lloyd fixpoint on this corpus: the
+    // refinement must genuinely move vectors and lower the objective
+    assert(objs.last < objs.head, s"no improvement over the k-means-lite seed: $objs")
+    assert(assigned.select("vec_id").distinct().count() === 500L)
+    GraftCache.clear()
+  }
+
   test("ann_recall_report matches the set-level recall computation") {
     val rep = SparkEntry.queries("ann_recall_report")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
