@@ -61,6 +61,15 @@ object StreamingCatalog extends QueryModule {
     scoped.conf.set(
       "spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.stream.statePartitions", "8"))
+    // state-store provider pass-through: at 100 TB stateful state must
+    // spill to disk, so every stateful query here also runs under the
+    // RocksDB provider (StreamingStateStoreSpec pins output equality
+    // across providers). Default stays Spark's HDFS-backed in-memory
+    // store; the production deployment sets this to
+    // ...state.RocksDBStateStoreProvider.
+    s.conf.getOption("spark.graft.stream.stateStoreProvider").foreach { p =>
+      scoped.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+    }
     body(scoped)
   }
 
