@@ -57,7 +57,7 @@ object GraphStress {
     * Built as ONE crossJoin against range(k), not a k-way union: the
     * plan stays constant-size at any k (10000x is a 2-node DAG, not a
     * 10000-leaf union tree). */
-  private def replicate(sym: DataFrame, k: Int): DataFrame = {
+  private[graft] def replicate(sym: DataFrame, k: Int): DataFrame = {
     val reps = sym.sparkSession.range(k).select((col("id") * 10000000L).as("shift"))
     sym
       .crossJoin(reps)
@@ -67,7 +67,7 @@ object GraphStress {
   /** One bridge edge (both directions — the frame is symmetric) from
     * replica i's minimum vertex to replica i+1's: the replicas become
     * one component whose diameter grows with k. */
-  private def chain(sym: DataFrame, k: Int, minVertex: Long): DataFrame = {
+  private[graft] def chain(sym: DataFrame, k: Int, minVertex: Long): DataFrame = {
     val bridges = (0 until k - 1).map { i =>
       (minVertex + i * 10000000L, minVertex + (i + 1) * 10000000L)
     }
@@ -77,6 +77,26 @@ object GraphStress {
     replicate(sym, k)
       .unionByName(b)
       .unionByName(b.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  /** The shredded symmetric edge set of the synthetic dump (frozen via
+    * localCheckpoint so replicas re-scan it, not the JSON parse) + its
+    * minimum vertex id. Package-visible so GraphStressSmokeSpec runs
+    * the SAME construction the manual harness measures. */
+  private[graft] def baseSymmetric(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val raw = WikidataShredder
+      .edge(WikidataShredder.claims(SyntheticDump.entities(spark, dir)))
+      .select("src_id", "dst_id")
+    val und = raw.filter(col("src_id") =!= col("dst_id"))
+    val sym0 = und
+      .select(col("src_id").as("a"), col("dst_id").as("b"))
+      .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    val minVertex = sym0.agg(min(least(col("a"), col("b")))).head().getLong(0)
+    (sym0, minVertex)
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,16 +109,7 @@ object GraphStress {
     // 100x edge set rather than the toy dump
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
-    val raw = WikidataShredder
-      .edge(WikidataShredder.claims(SyntheticDump.entities(spark, base)))
-      .select("src_id", "dst_id")
-    val und = raw.filter(col("src_id") =!= col("dst_id"))
-    val sym0 = und
-      .select(col("src_id").as("a"), col("dst_id").as("b"))
-      .unionByName(und.select(col("dst_id").as("a"), col("src_id").as("b")))
-      .distinct()
-      .localCheckpoint(true) // freeze the base set; replicas re-scan it, not the JSON parse
-    val minVertex = sym0.agg(min(least(col("a"), col("b")))).head().getLong(0)
+    val (sym0, minVertex) = baseSymmetric(spark, base)
 
     // <k>x args select explicit scales; "big" adds the 1000x/10000x
     // disjoint-only arms where per-round WORK (not scheduling) is the
