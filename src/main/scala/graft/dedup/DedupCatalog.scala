@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
 object DedupCatalog extends QueryModule {
 
   /** LSH buckets wider than this are dropped from candidate generation
-    * (degenerate-bucket guard; see minhashPairs). */
-  private val MaxBucketWidth = 50
+    * (degenerate-bucket guard; see minhashPairs). Package-visible so
+    * tools.DocStress computes the same capped candidate mass. */
+  private[graft] val MaxBucketWidth = 50
 
   /** Shingles occurring in more than this many documents per language
     * are excluded from n-gram candidate GENERATION (not verification) —
@@ -423,8 +424,14 @@ object DedupCatalog extends QueryModule {
               .as("capped_shingles"))
         // shuffle key (lang, g) matches the candidate join key — one
         // partitioning reused, no extra shuffle class
+        // every join side below is CORPUS-derived (df table, prefix
+        // postings, shingle sets) — none may ever be planned as a
+        // broadcast, which is exactly what Spark's size estimator did
+        // at the 100x stress scale (driver OOM building the broadcast).
+        // Explicit shuffle hints make the scale-safe plan structural
+        // instead of estimator-dependent; semantics unchanged.
         val prefix = tok
-          .join(dfs, Seq("lang", "g"))
+          .join(dfs.hint("shuffle_merge"), Seq("lang", "g"))
           .withColumn(
             "rn",
             row_number().over(
@@ -440,6 +447,7 @@ object DedupCatalog extends QueryModule {
         // the expensive distinct+verify.
         val cand = prefix
           .as("a")
+          .hint("shuffle_merge")
           .join(
             prefix.as("b"),
             col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
@@ -448,8 +456,8 @@ object DedupCatalog extends QueryModule {
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
         cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")).hint("shuffle_hash"), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")).hint("shuffle_hash"), "id_b")
           .withColumn(
             "jaccard",
             size(array_intersect(col("sa"), col("sb"))).cast("double") /
@@ -901,7 +909,10 @@ object DedupCatalog extends QueryModule {
             .persist())
         val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
         val keep = ex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-        val exk = graft.GraftCache.register(ex.join(keep.select("g"), "g").persist())
+        // corpus-derived join sides: structurally shuffle-planned, never
+        // estimator-chosen broadcasts (same rationale as ngram_jaccard)
+        val exk = graft.GraftCache.register(
+          ex.join(keep.select("g").hint("shuffle_merge"), "g").persist())
         // count-based prefilter, LOSSLESS for the final predicate: the
         // exact intersection is bounded by shared-capped-count +
         // (na - na_kept), so containment >= 0.8 requires
@@ -914,16 +925,17 @@ object DedupCatalog extends QueryModule {
         val nak = exk.groupBy("doc_id").agg(count(lit(1)).as("nak"))
         val cand = exk
           .as("a")
+          .hint("shuffle_merge")
           .join(exk.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
           .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
           .agg(count(lit(1)).as("shk"))
-          .join(sh.select(col("doc_id").as("src"), col("n").as("na")), "src")
-          .join(nak.select(col("doc_id").as("src"), col("nak")), "src")
+          .join(sh.select(col("doc_id").as("src"), col("n").as("na")).hint("shuffle_hash"), "src")
+          .join(nak.select(col("doc_id").as("src"), col("nak")).hint("shuffle_hash"), "src")
           .filter(col("shk") >= expr("(4*na+4) div 5") - (col("na") - col("nak")))
           .select("src", "dst")
         cand
-          .join(sh.select(col("doc_id").as("src"), col("s").as("sa"), col("n").as("na")), "src")
-          .join(sh.select(col("doc_id").as("dst"), col("s").as("sb")), "dst")
+          .join(sh.select(col("doc_id").as("src"), col("s").as("sa"), col("n").as("na")).hint("shuffle_hash"), "src")
+          .join(sh.select(col("doc_id").as("dst"), col("s").as("sb")).hint("shuffle_hash"), "dst")
           .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
           .withColumn("containment", col("inter").cast("double") / col("na"))
           .filter(col("containment") >= 0.8)

@@ -44,6 +44,17 @@ object DocStress {
     "src_binaryfile", // 10x = 50k small files: listing + stage cost is the measurement
     "stream_curation_gate")
 
+  /** The r7 verdict's 100x arm: the dedup flagships whose candidate-
+    * generation machinery (LSH banding, PPJoin prefix filter, shared-
+    * shingle df cap) is the 100 TB load-bearing part — measured on a
+    * curve, not a point, so super-linear candidate blowup is visible. */
+  private val Flagship = Seq(
+    "dedup_exact", // single-shuffle baseline: the linear reference line
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "pipe_end_to_end")
+
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -53,6 +64,66 @@ object DocStress {
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"DOC_STRESS $label%-34s $dt%8.2f s")
     dt
+  }
+
+  /** Constant-plan k-times replication (crossJoin against range(k),
+    * like GraphStress — NOT a k-leaf union tree): replica i appends
+    * " r<i>" to the text (replica 0 untouched) and offsets doc_ids /
+    * vec_ids by i*10^6, so exact digests and shingle tails differ and
+    * duplication density stays proportional, never quadratic. */
+  private def buildScaled(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String,
+      k: Int,
+      name: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out = new java.io.File(s"$tmp/$name")
+    if (!new java.io.File(out, "documents.parquet").exists()) {
+      val scratch = new java.io.File(s"$tmp/${name}_building")
+      if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      if (out.exists()) org.apache.commons.io.FileUtils.deleteDirectory(out)
+      val reps = spark.range(k).select(col("id").as("rep"))
+      val d = spark.read.parquet(s"$base/documents.parquet").crossJoin(reps)
+      val text = when(col("rep") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" r"), col("rep")))
+      d.select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        text.as("text"),
+        col("lang"),
+        col("source"),
+        length(text).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + col("rep").cast("float") / lit(1000f)).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+      if (!scratch.renameTo(out)) sys.error(s"rename $scratch -> $out failed")
+    }
+    out.getAbsolutePath
+  }
+
+  /** The LSH candidate-mass curve at a scale: pairs generated inside
+    * capped band buckets (Σ bw·(bw−1)/2 over bw ≤ cap) + the dropped
+    * hot-bucket mass — the same arithmetic dedup_lsh_cap_report oracles
+    * over the SAME bandsFrom plan the operator runs. */
+  private def lshCandidateMass(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long, Long) = {
+    import graft.dedup.DedupCatalog
+    val cap = DedupCatalog.MaxBucketWidth
+    val row = DedupCatalog
+      .bandsFrom(DedupCatalog.shingleDfFrom(graft.Tables(spark, dir).documents))
+      .groupBy("lang", "band", "bucket")
+      .agg(count(lit(1)).as("bw"))
+      .select(
+        sum(when(col("bw") <= cap, expr("bw * (bw - 1) div 2")).otherwise(0L)).as("cand"),
+        sum(when(col("bw") > cap, 1L).otherwise(0L)).as("hot"),
+        sum(when(col("bw") > cap, col("bw")).otherwise(0L)).as("dropped"))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,8 +168,34 @@ object DocStress {
 
     force(SparkEntry.entry(spark)) // JIT/classloading warmup
 
-    if (!args.contains("10x")) runAll(base, "1x")
-    runAll(stress.getAbsolutePath, "10x")
+    if (args.contains("100x")) {
+      // flagship curve: 1x -> 10x -> 100x (500k docs), with the LSH
+      // candidate mass recorded per scale alongside wall time
+      var d100: String = null
+      time("build_100x_dir") { d100 = buildScaled(spark, base, 100, "graft_stress_docs100") }
+      // extra args select specific ops and/or scales for resumed runs
+      val picked = args.filter(a => Flagship.contains(a)).toSet
+      val ops = if (picked.isEmpty) Flagship else Flagship.filter(picked)
+      val tags = args.filter(Set("1x", "10x", "100x")).toSet
+      // full curve (no op picked) runs all scales; a resumed run with
+      // picked ops runs only the explicitly listed scale tags
+      val dirs = Seq((base, "1x"), (stress.getAbsolutePath, "10x"), (d100, "100x"))
+        .filter { case (_, t) => picked.isEmpty || tags(t) }
+      for ((dir, tag) <- dirs) {
+        if (picked.isEmpty) {
+          val (cand, hot, dropped) = lshCandidateMass(spark, dir)
+          println(s"DOC_STRESS lsh_cand_mass_$tag pairs=$cand hot_buckets=$hot dropped_rows=$dropped")
+          GraftCache.clear()
+        }
+        ops.foreach { op =>
+          time(s"${op}_$tag") { force(SparkEntry.queries(op)(spark, dir)) }
+          GraftCache.clear()
+        }
+      }
+    } else {
+      if (!args.contains("10x")) runAll(base, "1x")
+      runAll(stress.getAbsolutePath, "10x")
+    }
     spark.stop()
   }
 }
