@@ -115,6 +115,26 @@ class Round8Spec extends AnyFunSuite {
       s"round frames leaked after step threw")
   }
 
+  test("set-similarity operators: corpus-derived join sides are shuffle-planned, never broadcast") {
+    // the 100x stress run showed Spark's size estimator picking a
+    // BROADCAST for a corpus-derived verification side (driver OOM at
+    // scale); the operators now hint every such side explicitly — this
+    // pins the executed (post-AQE) plan so an estimator or hint
+    // regression fails here instead of at 100x
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_containment")) {
+      GraftCache.clear()
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val bhj = PlanCheck.countNodes[BroadcastHashJoinExec](df)
+      val bnlj = PlanCheck.countNodes[BroadcastNestedLoopJoinExec](df)
+      assert(
+        bhj == 0 && bnlj == 0,
+        s"$name planned broadcast joins (bhj=$bhj bnlj=$bnlj):\n${PlanCheck.render(df)}")
+      GraftCache.clear()
+    }
+  }
+
   test("RealCodecs builders reject text outside the builder/oracle equivalence domain") {
     import multimodal.RealCodecs
     for (bad <- Seq("", "café", "ÿ")) {
