@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful stream processing — the Structured Streaming
   * equivalent of a keyed state machine: per-user running count and
@@ -40,6 +40,41 @@ object StatefulOps {
           state.update(StateM(n, total))
           Iterator.single(UpdateM(user, n, total))
         })
+  }
+
+  /** [[runningMicros]] re-expressed on `transformWithState` — Spark 4's
+    * production arbitrary-state API (named typed state handles from a
+    * processor handle, per-state TTL config, timer support) and the one
+    * that REQUIRES the RocksDB state store provider — the disk-spilling
+    * store 100 TB keyed state deploys on. Semantics identical to the
+    * GroupState twin: one exact-integer running (n, total) per user,
+    * one update emitted per key per batch; stream_state_tws pins
+    * output equality against stream_state_running's oracle. */
+  final class RunningMicrosProcessor extends StatefulProcessor[Long, EventM, UpdateM] {
+    @transient private var st: ValueState[StateM] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[StateM]("running", Encoders.product[StateM], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[EventM],
+        timerValues: TimerValues): Iterator[UpdateM] = {
+      val prev = if (st.exists()) st.get() else StateM(0L, 0L)
+      val (n, total) = rows.foldLeft((prev.n, prev.total_micros)) {
+        case ((c, t), e) => (c + 1, t + e.v_micros)
+      }
+      st.update(StateM(n, total))
+      Iterator.single(UpdateM(user, n, total))
+    }
+  }
+
+  def runningMicrosTws(events: Dataset[EventM]): Dataset[UpdateM] = {
+    implicit val outEnc = Encoders.product[UpdateM]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningMicrosProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   final case class EventZ(user_id: Long, event_id: Long, us: Long, v: Long)

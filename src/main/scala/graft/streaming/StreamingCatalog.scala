@@ -342,6 +342,37 @@ object StreamingCatalog extends QueryModule {
         .orderBy("user_id"))
   }
 
+  /** [[stateRunning]] on the transformWithState API — the scoped
+    * session pins the RocksDB provider, which transformWithState
+    * REQUIRES (the v2 state layout lives in RocksDB column families);
+    * drain contract identical to the GroupState twin. */
+  private def stateRunningTws(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val src = eventsStream(ss, dir)
+      .select(
+        col("user_id"),
+        round(col("value") * 1000000).cast("long").as("v_micros"))
+      .as[StatefulOps.EventM]
+    val updates = StatefulOps.runningMicrosTws(src)
+    val name = s"graft_tws_${System.nanoTime()}"
+    val query = updates.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(ss, name)(
+      _.groupBy("user_id")
+        .agg(
+          max(col("n")).as("n_events"),
+          max_by(col("total_micros"), col("n")).as("total_micros"))
+        .orderBy("user_id"))
+  }
+
   /** Real-stream scaffold for [[StatefulOps.zscoreAnomalies]]: file
     * source → stateful anomaly stream → append-mode memory sink (each
     * anomaly is emitted exactly once, so append is the natural mode —
@@ -506,6 +537,19 @@ object StreamingCatalog extends QueryModule {
     Q(
       "stream_state_running",
       (s, dir) => stateRunning(s, dir),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |SUM(CAST(round(value*1000000) AS BIGINT))::BIGINT AS total_micros
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_state_tws",
+      // The SAME running-state machine on Spark 4's transformWithState
+      // (StatefulOps.RunningMicrosProcessor): named ValueState handle,
+      // TTL config, RocksDB-backed v2 state layout — the production
+      // arbitrary-state API. Oracle identical to stream_state_running:
+      // the final per-user state must equal the batch aggregation on
+      // either state API and either state store.
+      (s, dir) => stateRunningTws(s, dir),
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |SUM(CAST(round(value*1000000) AS BIGINT))::BIGINT AS total_micros
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)

@@ -135,6 +135,15 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("stream_state_tws (transformWithState) equals the GroupState twin") {
+    GraftCache.clear()
+    val tws = SparkEntry.queries("stream_state_tws")(spark, sf).collect().map(_.toString).sorted
+    val gs = SparkEntry.queries("stream_state_running")(spark, sf).collect().map(_.toString).sorted
+    assert(tws.nonEmpty)
+    assert(tws === gs, "the two state APIs must produce identical final state")
+    GraftCache.clear()
+  }
+
   test("RealCodecs builders reject text outside the builder/oracle equivalence domain") {
     import multimodal.RealCodecs
     for (bad <- Seq("", "café", "ÿ")) {
