@@ -42,7 +42,12 @@ object DocStress {
     "dedup_cross_source",
     "mm_audio_energy",
     "src_binaryfile", // 10x = 50k small files: listing + stage cost is the measurement
-    "stream_curation_gate")
+    "stream_curation_gate",
+    // round-8: the composed IVF-PQ index — per run it builds the whole
+    // index (centroids, residuals, codebooks, codes) over the replicated
+    // embeddings and then queries it, so the 10x row measures index
+    // BUILD scaling, the production-relevant axis
+    "ann_ivf_pq")
 
   /** The r7 verdict's 100x arm: the dedup flagships whose candidate-
     * generation machinery (LSH banding, PPJoin prefix filter, shared-
