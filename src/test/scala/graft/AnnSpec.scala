@@ -56,6 +56,51 @@ class AnnSpec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("Lloyd-refined cells: IVF retrieval recall measured against the label seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{cosineFrom, dotQ}
+    GraftCache.clear()
+    val (assigned, _, _) = ann.AnnCatalog.lloydTrain(spark, sf, 30)
+    // spec-side IVF search over the trained cells: mean centroids from
+    // the assignment, nprobe=2, exact cosine on the probed cells only —
+    // the same search shape ann_ivf deploys over label-seeded cells
+    val cents = assigned
+      .select(col("cell"), posexplode(col("qv")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("col")).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), x => x.getField("m"))
+        .as("cmean"))
+    val q = assigned
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("score").desc, col("cell"))
+    val probes = q
+      .join(broadcast(cents))
+      .withColumn("score", aggregate(
+        zip_with(col("qe"), col("cmean"), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= 2)
+      .select("q_id", "qe", "qn", "cell")
+    val topW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val lloydPairs = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallLloyd = (lloydPairs & brute).size.toDouble / brute.size
+    val ivf = pairs(SparkEntry.queries("ann_ivf")(spark, sf))
+    val recallLabel = (ivf & brute).size.toDouble / brute.size
+    info(f"IVF recall@5: lloyd-refined cells $recallLloyd%.3f vs label seed $recallLabel%.3f")
+    assert(recallLloyd > 0.1, s"lloyd-cell retrieval collapsed: $recallLloyd")
+    GraftCache.clear()
+  }
+
   test("ann_recall_report matches the set-level recall computation") {
     val rep = SparkEntry.queries("ann_recall_report")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
