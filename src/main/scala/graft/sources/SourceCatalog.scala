@@ -94,6 +94,56 @@ object SourceCatalog extends QueryModule {
              |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "src_avro",
+      // Avro write + read round trip — the ROW-oriented interchange
+      // format next to the columnar pair above (Kafka/schema-registry
+      // pipelines ship Avro; Spark 4 bundles the connector in
+      // spark-sql). Full path: write supplier as Avro, reopen through
+      // the avro reader, reproduce the source relation — any
+      // round-trip loss (types via Avro logical types, nulls as
+      // unions) breaks the hash against the original parquet table.
+      // The provider is addressed by class: Spark 4 ships the complete
+      // Avro FileFormat inside spark-sql (the state store's Avro serde
+      // pulls it in) but does not service-register the "avro" shortname
+      // without the spark-avro module jar.
+      (s, dir) => {
+        val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+        val path = graft.Stage.dir("graft_avro_", dir).getPath
+        Tables(s, dir).supplier
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").format(avro).save(path)
+        s.read
+          .format(avro)
+          .load(path)
+          .filter(col("s_acctbal") > 0)
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+             |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin)
+    ),
+    Q(
+      "src_xml",
+      // XML round trip through Spark 4's built-in xml source (the
+      // spark-xml lineage) — the format family the reference's domain
+      // actually ships as (MediaWiki XML dumps are the other Wikidata
+      // distribution next to JSON). Explicit schema (no inference
+      // scan) + rowTag element framing, the splittable-record shape
+      // the multiline XML reader parallelizes over.
+      (s, dir) => {
+        val path = graft.Stage.dir("graft_xml_", dir).getPath
+        Tables(s, dir).region
+          .select("r_regionkey", "r_name")
+          .write.mode("overwrite").option("rowTag", "region").format("xml").save(path)
+        s.read
+          .schema("r_regionkey INT, r_name STRING")
+          .option("rowTag", "region")
+          .format("xml")
+          .load(path)
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")
+    ),
+    Q(
       "src_jdbc",
       // JDBC SOURCE round trip, closing the loop the sink opened: write
       // the table through GraftJdbcSink into an embedded Derby database,
