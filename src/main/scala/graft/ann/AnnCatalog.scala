@@ -786,6 +786,87 @@ object AnnCatalog extends QueryModule {
              |  CAST(r_kw AS BIGINT) AS r_kw, CAST(r_vec AS BIGINT) AS r_vec
              |FROM kr FULL OUTER JOIN vr ON kr.id = vr.id
              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "ann_sq8",
+      // Scalar quantization (FAISS SQ8): each dimension is trained to
+      // its corpus [min, max] range and every component stored as ONE
+      // 8-bit code — 4x the memory compression of raw floats with
+      // near-exact recall (vs PQ's lossier 8-codes-per-vector). Search
+      // is asymmetric ADC: the query stays exact, corpus vectors are
+      // scored from their codes via a per-(dim, code) lookup table.
+      // Exact-integer discipline throughout: codes are integer
+      // divisions of quantized BIGINTs, the reconstruction is held as
+      // an exact numerator over the common denominator 255
+      // (recon = mn*255 + code*(mx-mn)), and the squared-distance sum
+      // runs in DECIMAL(38,0) (64 terms of up to ~6e17 can exceed
+      // BIGINT) — order-independent, bit-identical in DuckDB.
+      //
+      // Scale posture: training is ONE map-side-combined min/max
+      // aggregation (64 rows out, broadcast); encoding is a narrow
+      // per-row projection; the LUT is structural-size (queries x 64
+      // dims x 256 codes — never corpus-derived), built by exploding a
+      // constant sequence and broadcast; the only wide shuffle is the
+      // (q_id, vec_id) ADC sum, map-side combined from 64 rows per
+      // pair. Same deployment shape as ann_pq with the codebook
+      // replaced by the trained ranges.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        // train: per-dimension corpus min/max (64 rows, broadcast)
+        val stats = c
+          .select(posexplode(col("qv")))
+          .groupBy("pos")
+          .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+        // encode: one 0..255 code per (vector, dimension)
+        val codes = c
+          .select(col("vec_id"), posexplode(col("qv")))
+          .join(broadcast(stats), "pos")
+          .select(
+            col("vec_id"),
+            col("pos"),
+            when(col("mx") > col("mn"), expr("((col - mn) * 255) div (mx - mn)"))
+              .otherwise(lit(0L)).as("code"))
+        // per-query LUT over the FULL code domain (constant size):
+        // d = qe*255 - recon_num, fp = d^2 (<= ~6e17, BIGINT-safe)
+        val lut = c
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), posexplode(col("qv")).as(Seq("pos", "qe")))
+          .join(broadcast(stats), "pos")
+          .select(col("q_id"), col("pos"), col("qe"), col("mn"), col("mx"),
+            explode(expr("sequence(CAST(0 AS BIGINT), CAST(255 AS BIGINT))")).as("code"))
+          .withColumn("d", col("qe") * 255 - (col("mn") * 255 + col("code") * (col("mx") - col("mn"))))
+          .select(col("q_id"), col("pos"), col("code"), (col("d") * col("d")).as("fp"))
+        val adc = codes
+          .join(broadcast(lut), Seq("pos", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("fp").cast("decimal(38,0)")).as("dist"))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(adc, Seq(col("q_id")), K, col("dist").asc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "dist")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |e AS (SELECT vec_id, i-1 AS pos, qv[i] AS v FROM n, UNNEST(range(1, len(qv)+1)) AS t(i)),
+             |st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY pos),
+             |codes AS (SELECT vec_id, e.pos,
+             |          CASE WHEN mx > mn THEN ((v - mn) * 255) // (mx - mn) ELSE 0 END AS code
+             |          FROM e JOIN st ON e.pos = st.pos),
+             |lut AS (SELECT e.vec_id AS q_id, e.pos, cd AS code,
+             |        (e.v*255 - (st.mn*255 + cd*(st.mx - st.mn)))
+             |          * (e.v*255 - (st.mn*255 + cd*(st.mx - st.mn))) AS fp
+             |        FROM e JOIN st ON e.pos = st.pos, UNNEST(range(0, 256)) AS t(cd)
+             |        WHERE e.vec_id < 10),
+             |adc AS (SELECT l.q_id, k.vec_id, SUM(CAST(l.fp AS DECIMAL(38,0))) AS dist
+             |        FROM codes k JOIN lut l ON k.pos = l.pos AND k.code = l.code
+             |        WHERE k.vec_id <> l.q_id GROUP BY 1, 2),
+             |ranked AS (SELECT q_id, vec_id, dist,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM adc)
+             |SELECT q_id, rank, vec_id, dist FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     )
   )
 }

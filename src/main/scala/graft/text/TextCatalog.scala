@@ -667,6 +667,143 @@ object TextCatalog extends QueryModule {
       Some(s"""WITH ${keywordScoresSql("documents", Seq("spark", "window", "hash"))}
              |SELECT doc_id, n_terms, tf AS tf_total FROM kagg
              |ORDER BY n_terms DESC, tf_total DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "text_bm25",
+      // BM25 ranking (Robertson & Walker) over the inverted-index shape
+      // text_keyword_search uses, with INTEGER-QUANTIZED scoring — the
+      // trick production indexes ship anyway (Lucene stores quantized
+      // per-term impacts): idf is quantized to its bit width
+      // (length(bin(N div df)) = floor(log2(N/df)) + 1 — exact integers
+      // both engines), k1 = 1.2 / b = 0.75 live in milli-units, and the
+      // tf-saturation fraction is one mirrored integer-division chain,
+      // so the per-term impact and the summed document score are exact
+      // BIGINTs — no log or float ever enters the hash.
+      //
+      // Scale posture: dl/avgdl come from one map-side-combined
+      // aggregation pair (the global (N, total-tokens) row is ONE row,
+      // broadcast); postings are filtered to the query terms INSIDE the
+      // narrow explode (as text_keyword_search); df is term-keyed
+      // (bounded by query size after the filter); the doc-keyed score
+      // sum is map-side combined and the top-20 a TakeOrdered.
+      (s, dir) => {
+        val terms = Seq("spark", "window", "hash")
+        val base = graft.GraftCache.register(
+          Fan
+            .out(Tables(s, dir).documents.select("doc_id", "text"))
+            .select(col("doc_id"), ws(col("text")).as("w"))
+            .persist())
+        val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        val g = base
+          .agg(count(lit(1)).as("n_docs"), sum(size(col("w")).cast("long")).as("tot"))
+          .select(col("n_docs"), expr("(tot * 1000) div n_docs").as("avgdl_milli"))
+        val tf = base
+          .select(col("doc_id"), explode(col("w")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(g))
+          .withColumn("idf_q", length(bin(expr("n_docs div df"))).cast("long"))
+          .withColumn("dl_ratio_milli", expr("(dl * 1000000) div avgdl_milli"))
+          .withColumn("inner_milli", expr("250 + (750 * dl_ratio_milli) div 1000"))
+          .withColumn("denom_micro", expr("tf * 1000000 + 1200 * inner_milli"))
+          .withColumn("s_milli", expr("idf_q * ((tf * 2200000000) div denom_micro)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("s_milli")).as("score_milli"))
+          .orderBy(col("score_milli").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+             |g AS (SELECT COUNT(*)::BIGINT AS n_docs,
+             |      ((SUM(dl) * 1000) // COUNT(*))::BIGINT AS avgdl_milli FROM dl),
+             |tok AS (SELECT doc_id, t.g AS term FROM w, UNNEST(ws) AS t(g)
+             |        WHERE t.g IN ('spark', 'window', 'hash')),
+             |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |       length(bin(g.n_docs // df.df))::BIGINT
+             |         * ((tf.tf * 2200000000) //
+             |            (tf.tf * 1000000
+             |             + 1200 * (250 + (750 * ((dl.dl * 1000000) // g.avgdl_milli)) // 1000)))
+             |         AS s_milli
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+             |SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(s_milli)::BIGINT AS score_milli
+             |FROM sc GROUP BY doc_id ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "text_dsir",
+      // DSIR-shaped data selection (Xie et al. 2023, "Data Selection
+      // for Language Models via Importance Resampling"): estimate a
+      // target-domain and a raw-pool distribution over HASHED n-gram
+      // features, score every raw document by how target-like its
+      // features are, and gate on the score. Docs 0-49 stand in for the
+      // target-domain sample; features are unigrams hashed to 128
+      // buckets (md5-derived, portable); both distributions are
+      // add-one-smoothed exact ppm integers. The paper's log-ratio
+      // Σ log(p_tgt/p_raw) is replaced by the ppm DIFFERENCE
+      // Σ (p_tgt - p_raw) so the score is an exact BIGINT (same sign
+      // semantics: positive = more target-like than the pool; the
+      // ranking differs only in weighting, and the plan — the part that
+      // matters at scale — is identical).
+      //
+      // Scale posture: both distributions are 128-row broadcast tables
+      // built by one map-side-combined aggregation each over the same
+      // narrow tokenize; scoring is a broadcast join + one doc-keyed
+      // map-side-combined sum. Linear in corpus size, no pairwise work.
+      (s, dir) => {
+        val bucketOf = (t: org.apache.spark.sql.Column) =>
+          pmod(conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"), lit(128L))
+        val tok = graft.GraftCache.register(
+          Fan
+            .out(Tables(s, dir).documents.select("doc_id", "text"))
+            .select(col("doc_id"), explode(ws(col("text"))).as("term"))
+            .select(col("doc_id"), bucketOf(col("term")).as("b"))
+            .persist())
+        val rawC = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+        val rawN = tok.agg(count(lit(1)).as("rn"))
+        val tgtC = tok.filter(col("doc_id") < 50).groupBy("b").agg(count(lit(1)).as("tc"))
+        val tgtN = tok.filter(col("doc_id") < 50).agg(count(lit(1)).as("tn"))
+        // bucket table over the raw-side bucket universe (every token's
+        // bucket is present there by construction); absent target
+        // buckets smooth to (0+1)/(tn+128)
+        val bs = rawC
+          .join(tgtC, Seq("b"), "left_outer")
+          .crossJoin(broadcast(rawN))
+          .crossJoin(broadcast(tgtN))
+          .select(
+            col("b"),
+            expr("((coalesce(tc, CAST(0 AS BIGINT)) + 1) * 1000000) div (tn + 128)").as("tgt_ppm"),
+            expr("((rc + 1) * 1000000) div (rn + 128)").as("raw_ppm"))
+        tok
+          .filter(col("doc_id") >= 50)
+          .join(broadcast(bs), "b")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            sum(col("tgt_ppm") - col("raw_ppm")).as("imp_score"))
+          .withColumn("keep", col("imp_score") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, ('0x'||substr(md5(t.g),1,8))::BIGINT % 128 AS b
+             |        FROM w, UNNEST(ws) AS t(g)),
+             |rc AS (SELECT b, COUNT(*)::BIGINT AS rc FROM tok GROUP BY 1),
+             |rn AS (SELECT COUNT(*)::BIGINT AS rn FROM tok),
+             |tc AS (SELECT b, COUNT(*)::BIGINT AS tc FROM tok WHERE doc_id < 50 GROUP BY 1),
+             |tn AS (SELECT COUNT(*)::BIGINT AS tn FROM tok WHERE doc_id < 50),
+             |bs AS (SELECT rc.b,
+             |       ((COALESCE(tc.tc, 0) + 1) * 1000000) // (tn.tn + 128) AS tgt_ppm,
+             |       ((rc.rc + 1) * 1000000) // (rn.rn + 128) AS raw_ppm
+             |       FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN rn CROSS JOIN tn)
+             |SELECT doc_id, COUNT(*)::BIGINT AS n_tok,
+             |SUM(tgt_ppm - raw_ppm)::BIGINT AS imp_score,
+             |(SUM(tgt_ppm - raw_ppm) > 0) AS keep
+             |FROM tok JOIN bs USING (b) WHERE doc_id >= 50
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }
