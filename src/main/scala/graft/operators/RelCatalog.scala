@@ -2380,6 +2380,88 @@ object RelCatalog extends QueryModule {
              |      FROM (SELECT * FROM dim UNION ALL SELECT * FROM pr))
              |SELECT sk AS o_orderkey, o_custkey, t AS asof_epoch, p_asof AS priority_asof
              |FROM m WHERE kind = 1 ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "rel_k_core",
+      // 2-core of the part co-purchase graph (same support-≥2 edge set
+      // as rel_triangle_count): iteratively peel vertices of degree < 2
+      // until no vertex changes — the standard density filter run
+      // before community/motif analysis (a vertex outside the 2-core
+      // cannot be on any cycle). Output is each surviving vertex with
+      // its degree INSIDE the core.
+      //
+      // Scale posture: driven by the shared convergence-probed fixpoint
+      // harness (per-round lineage truncation, rotating frames): each
+      // peel round is one map-side-combined degree aggregation plus two
+      // semi-join-shaped equi-joins against the degree-filtered vertex
+      // set — no windows, no driver-side data; the probe is the edge
+      // COUNT, which peeling only decreases, so equal counts mean the
+      // round was the identity. Round count is bounded by the longest
+      // peel chain (measured 4 at sf0.01, 7 at sf0.1); the oracle
+      // unrolls 12 rounds and the guard below fails LOUDLY before the
+      // unroll depth is outgrown (further unrolled rounds past the
+      // fixpoint are the identity, so oracle depth > round count is
+      // exact, never approximate).
+      (s0, dir) => {
+        val s = graft.wikidata.WikidataCatalog.graphSession(s0)
+        val li = Tables(s, dir).lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val base = li.as("a")
+          .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("u", "v")
+        def peel(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val keep = e
+            .select(col("u").as("x"))
+            .unionByName(e.select(col("v").as("x")))
+            .groupBy("x")
+            .agg(count(lit(1)).as("d"))
+            .filter(col("d") >= 2)
+            .select("x")
+          e.join(keep.withColumnRenamed("x", "u"), "u")
+            .join(keep.withColumnRenamed("x", "v"), "v")
+            .select("u", "v")
+        }
+        val (core, rounds) = graft.wikidata.WikidataCatalog.fixpointCounted(
+          base,
+          peel,
+          _.count(),
+          maxRounds = 20,
+          "2-core peel")
+        require(
+          rounds <= 10,
+          s"2-core peel took $rounds rounds - raise the oracle's 12-round unroll and this guard together")
+        core
+          .select(col("u").as("x"))
+          .unionByName(core.select(col("v").as("x")))
+          .groupBy("x")
+          .agg(count(lit(1)).as("core_degree"))
+          .select(col("x").as("vertex_id"), col("core_degree"))
+          .orderBy("vertex_id")
+      },
+      Some {
+        // every CTE is MATERIALIZED: each round references its
+        // predecessor 3x, so default inlining re-expands the whole
+        // prefix 3^12 times (observed as a "too many open files"
+        // parquet-scan explosion in DuckDB)
+        val rounds = (1 to 12).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT x, COUNT(*) AS d FROM
+             |        (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+             |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+             |        JOIN d$i a ON e${i - 1}.u = a.x JOIN d$i b ON e${i - 1}.v = b.x
+             |        WHERE a.d >= 2 AND b.d >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (SELECT u, v FROM (
+           |            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+           |            FROM lineitem a JOIN lineitem b
+           |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |            GROUP BY 1, 2) WHERE w >= 2),
+           |$rounds
+           |SELECT x AS vertex_id, COUNT(*)::BIGINT AS core_degree
+           |FROM (SELECT u AS x FROM e12 UNION ALL SELECT v FROM e12)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     )
   )
 }

@@ -43,7 +43,7 @@ object WikidataCatalog extends QueryModule {
     * of the session-wide count — at toy vertex counts the 32-partition
     * default is pure task-scheduling overhead multiplied by rounds; on
     * a cluster set the knob to ~2x cores like any shuffle width. */
-  private def graphSession(s0: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+  private[graft] def graphSession(s0: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val s = s0.newSession()
     s.conf.set(
       "spark.sql.shuffle.partitions",
@@ -1192,6 +1192,66 @@ object WikidataCatalog extends QueryModule {
              |)
              |SELECT node AS vertex_id, MIN(total)::BIGINT AS dist
              |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "wd_label_propagation",
+      // Community detection by synchronous label propagation (Raghavan
+      // et al. 2007) over the shredded entity graph: every vertex
+      // starts labeled with its own id and, for a FIXED 3 rounds,
+      // adopts the most frequent label among its neighbors (ties broken
+      // by the smallest label; isolated vertices keep their own). The
+      // round count is fixed, not convergence-driven, because
+      // synchronous LPA can oscillate on bipartite structures — a fixed
+      // unrolled schedule is deterministic on BOTH engines, which is
+      // what lets the oracle state the identical rounds (the
+      // convergence-checked community op for this graph is
+      // wd_connected_components).
+      //
+      // Scale posture: each round is one label-vector join against the
+      // symmetric adjacency plus two map-side-combined aggregations
+      // (per-(vertex, label) counts, then the argmax via min_by on
+      // struct(-count, label) — partial-combinable, no window over
+      // neighbor lists). Per-round shipped state is the vertex-sized
+      // label vector; 3 rounds = 3 such joins, no lineage checkpoint
+      // needed at fixed depth.
+      (s0, dir) => {
+        val s = graphSession(s0)
+        val (sym, verts) = symmetricGraph(s, dir)
+        var lab = verts.withColumn("lbl", col("id"))
+        for (_ <- 1 to 3) {
+          val md = sym
+            .join(lab, sym("b") === lab("id"))
+            .select(sym("a").as("nid"), col("lbl").as("nlbl"))
+            .groupBy("nid", "nlbl")
+            .agg(count(lit(1)).as("c"))
+            .groupBy("nid")
+            .agg(min_by(col("nlbl"), struct(negate(col("c")), col("nlbl"))).as("mlbl"))
+          lab = lab
+            .join(md, lab("id") === md("nid"), "left_outer")
+            .select(lab("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
+        }
+        lab
+          .select(col("id").as("vertex_id"), col("lbl").as("community_id"))
+          .orderBy("vertex_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""n$i AS (SELECT u.a AS id, l.lbl FROM u JOIN l${i - 1} l ON u.b = l.id),
+             |c$i AS (SELECT id, lbl, COUNT(*) AS c FROM n$i GROUP BY 1, 2),
+             |m$i AS (SELECT id, lbl FROM (SELECT id, lbl,
+             |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c$i)
+             |        WHERE rn = 1),
+             |l$i AS (SELECT p.id, COALESCE(m.lbl, p.lbl) AS lbl
+             |        FROM l${i - 1} p LEFT JOIN m$i m ON p.id = m.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+           |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+           |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+           |v AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e)),
+           |l0 AS (SELECT id, id AS lbl FROM v),
+           |$rounds
+           |SELECT id AS vertex_id, lbl::BIGINT AS community_id FROM l3 ORDER BY id""".stripMargin
+      }
     )
   )
 }

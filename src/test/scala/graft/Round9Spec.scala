@@ -123,4 +123,49 @@ class Round9Spec extends AnyFunSuite {
     info(f"mean ppm-diff per token: target sample $selfMean%.2f vs raw pool $poolMean%.2f")
     assert(selfMean > poolMean, "target sample must score more target-like than the pool")
   }
+
+  test("rel_k_core equals the naive in-memory peel, all core degrees >= 2") {
+    GraftCache.clear()
+    val out = SparkEntry.queries("rel_k_core")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ >= 2), "a 2-core vertex must keep degree >= 2 inside the core")
+    // naive reference peel on the same support->=2 co-purchase edges
+    val li = Tables(spark, sf).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.toSeq.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+      val next = edges.filter(e => deg(e._1) >= 2 && deg(e._2) >= 2)
+      changed = next != edges
+      edges = next
+    }
+    val expect = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out === expect, "distributed peel diverged from the naive peel")
+    GraftCache.clear()
+  }
+
+  test("wd_label_propagation: deterministic, communities refine connected components") {
+    val a = SparkEntry.queries("wd_label_propagation")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val b = SparkEntry.queries("wd_label_propagation")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.sameElements(b), "fixed-round synchronous LPA must be deterministic")
+    // labels can only travel along edges, so every vertex's community
+    // label must sit inside the vertex's own connected component
+    val comp = SparkEntry.queries("wd_connected_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (v, lbl) =>
+      assert(comp(lbl) === comp(v), s"vertex $v adopted label $lbl from another component")
+    }
+    // the fixed 3 rounds must genuinely propagate: some vertex ends up
+    // with a neighbor-derived label, and more than one community survives
+    assert(a.exists { case (v, lbl) => lbl != v }, "no label moved in 3 rounds")
+    assert(a.map(_._2).distinct.length > 1, "everything collapsed to one community")
+  }
 }
