@@ -106,6 +106,53 @@ object MultimodalCatalog extends QueryModule {
              |ORDER BY doc_id, frame_idx""".stripMargin)
     ),
     Q(
+      "mm_scene_cut",
+      // Scene-boundary detection — the shot-segmentation primitive of a
+      // video curation pipeline: frame the payload into 8 strides (as
+      // mm_framesample), reduce each frame to a scalar feature (here
+      // the first 16 bits of the frame digest — a real deployment swaps
+      // in a decoded luminance/histogram via the StubDecoder seam; the
+      // framing, feature plumbing, and boundary rule are the real Spark
+      // side), and flag a CUT wherever consecutive frames' features
+      // jump by >= 49152 (3/4 of the 16-bit range — rare by
+      // construction, so boundaries are sparse like real shot cuts).
+      //
+      // Scale posture: narrow frame explode, then ONE per-asset window
+      // (lag over <= 8 rows per doc_id — bounded by the frame count,
+      // never by data size) and the presentation sort. Trailing
+      // sub-stride frames are dropped as in mm_audio_energy.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("frame_idx")
+        val d = Tables(s, dir).documents
+          .withColumn("blob", col("text").cast("binary"))
+          .withColumn("n", length(col("blob")).cast("long"))
+          .withColumn("stride", greatest(expr("n div 8"), lit(1L)))
+        d.select(col("doc_id"), col("blob"), col("n"), col("stride"),
+            posexplode(sequence(lit(0), lit(7))))
+          .filter(col("pos") * col("stride") < col("n"))
+          .select(
+            col("doc_id"),
+            col("pos").cast("long").as("frame_idx"),
+            conv(
+              substring(md5(expr("substring(blob, CAST(pos*stride + 1 AS INT), CAST(stride AS INT))")), 1, 4),
+              16, 10).cast("long").as("feat"))
+          .withColumn("diff", abs(col("feat") - lag(col("feat"), 1).over(w)))
+          .withColumn("is_cut", coalesce(col("diff") >= 49152, lit(false)))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+             |            greatest(length(text)//8, 1)::BIGINT AS stride FROM documents),
+             |f AS (SELECT doc_id, k::BIGINT AS frame_idx,
+             |      ('0x'||substr(md5(substr(text, (k*stride + 1)::INTEGER, stride::INTEGER)), 1, 4))::BIGINT AS feat
+             |      FROM d, UNNEST(range(8)) AS t(k) WHERE k*stride < n),
+             |l AS (SELECT doc_id, frame_idx, feat,
+             |      abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx))::BIGINT AS diff
+             |      FROM f)
+             |SELECT doc_id, frame_idx, feat, diff, COALESCE(diff >= 49152, FALSE) AS is_cut
+             |FROM l ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+    Q(
       "mm_audio_energy",
       // Audio loudness contour — the silence-trim / voice-activity
       // primitive of an audio curation pipeline: treat the payload as

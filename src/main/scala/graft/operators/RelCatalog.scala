@@ -2382,6 +2382,57 @@ object RelCatalog extends QueryModule {
              |FROM m WHERE kind = 1 ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "rel_event_pattern",
+      // MATCH_RECOGNIZE-style event-sequence pattern detection: per
+      // user, the event stream (ordered by timestamp, event_id as the
+      // total tiebreak) is rendered as a compact symbol string (one
+      // initial per event type) and the pattern "view, then any number
+      // of clicks, then purchase" counted as non-overlapping regex
+      // matches `vc*p` — the row-pattern engine SQL:2016's
+      // MATCH_RECOGNIZE standardizes, decomposed to operators both
+      // engines share (ordered aggregation + regexp count). rel_funnel
+      // answers the FIRST-conversion question; this counts EVERY
+      // occurrence, which is what regex-over-sequence adds.
+      //
+      // Scale posture: one user-keyed shuffle carries the events; the
+      // per-user sort happens inside collect_list + array_sort over
+      // THAT user's events only (bounded by per-user activity, never a
+      // global window); the regex runs once per user on the compact
+      // symbol string. Sequences are emitted as md5 digests so the
+      // result width stays constant regardless of user activity.
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(
+            col("user_id"),
+            col("ts_ns"),
+            col("event_id"),
+            substring(col("event_type"), 1, 1).as("c"))
+        e.groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("c")))),
+                x => x.getField("c")),
+              "").as("seq"))
+          .select(
+            col("user_id"),
+            col("n_events"),
+            regexp_count(col("seq"), lit("vc*p")).cast("long").as("n_matches"),
+            md5(col("seq").cast("binary")).as("seq_md5"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+             |           substr(event_type, 1, 1) AS c FROM events),
+             |a AS (SELECT user_id, COUNT(*)::BIGINT AS n_events,
+             |      string_agg(c, '' ORDER BY ts_ns, event_id) AS seq
+             |      FROM e GROUP BY 1)
+             |SELECT user_id, n_events,
+             |len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches,
+             |md5(seq) AS seq_md5
+             |FROM a ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "rel_k_core",
       // 2-core of the part co-purchase graph (same support-≥2 edge set
       // as rel_triangle_count): iteratively peel vertices of degree < 2

@@ -144,6 +144,42 @@ object SourceCatalog extends QueryModule {
       Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")
     ),
     Q(
+      "src_partitioned",
+      // Hive-style partitioned table layout + PARTITION PRUNING — the
+      // single most important scan optimization at 100 TB: orders is
+      // written partitioned by derived o_year (one directory per
+      // year), and the year-filtered read must touch ONLY the matching
+      // partition's files — the filter is satisfied by the directory
+      // LISTING, before any parquet footer is opened. Round9Spec
+      // asserts the physical scan's partitionFilters carry the
+      // predicate and that the selected file set is the 1995 directory
+      // only; the oracle pins the aggregation over the same rows.
+      //
+      // Scale posture: the written layout is what a production table
+      // IS (date-partitioned fact); the pruned scan reads 1/7th of the
+      // data here and 1/N on a real table — the plan shape (listing-
+      // driven pruning + map-side-combined agg) is scale-free. The
+      // exact-decimal sum follows the determinism contract.
+      (s, dir) => {
+        val path = graft.Stage.dir("graft_hivepart_", dir).getPath
+        Tables(s, dir).orders
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+        s.read
+          .parquet(path)
+          .filter(col("o_year") === 1995)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "src_jdbc",
       // JDBC SOURCE round trip, closing the loop the sink opened: write
       // the table through GraftJdbcSink into an embedded Derby database,

@@ -168,4 +168,66 @@ class Round9Spec extends AnyFunSuite {
     assert(a.exists { case (v, lbl) => lbl != v }, "no label moved in 3 rounds")
     assert(a.map(_._2).distinct.length > 1, "everything collapsed to one community")
   }
+
+  test("src_partitioned: the year filter prunes at the partition listing, not the scan") {
+    val df = SparkEntry.queries("src_partitioned")(spark, sf)
+    df.collect() // force AQE so the final plan is the executed one
+    val scans = PlanCheck.fileScans(df)
+    assert(scans.nonEmpty, s"no file scan found:\n${PlanCheck.render(df)}")
+    val scan = scans.head
+    assert(
+      scan.partitionFilters.exists(_.references.exists(_.name == "o_year")),
+      s"o_year predicate not a partition filter:\n${PlanCheck.render(df)}")
+    // pruning must reduce the scan to exactly the 1995 directory
+    val parts = scan.selectedPartitions
+    assert(parts.partitionCount === 1,
+      s"expected 1 surviving partition, got ${parts.partitionCount}")
+    assert(parts.toPartitionArray.forall(_.filePath.toString.contains("o_year=1995")))
+    // and the data filter must NOT re-appear as a post-scan filter on o_year
+    assert(scan.dataFilters.forall(!_.references.exists(_.name == "o_year")))
+  }
+
+  test("rel_event_pattern: regex match count equals a hand walk of one user's stream") {
+    val out = SparkEntry.queries("rel_event_pattern")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables(spark, sf).events
+      .select("user_id", "ts_ns", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    assert(out.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
+      val expect = "vc*p".r.findAllIn(seq).size.toLong
+      assert(out(u) === ((rows.length.toLong, expect)), s"user $u: seq=$seq")
+    }
+    // the pattern must actually fire somewhere
+    assert(out.values.map(_._2).sum > 0, "no vc*p match in the whole stream")
+  }
+
+  test("mm_scene_cut: cuts are sparse, diff only null on frame 0, one-doc recount") {
+    val out = SparkEntry.queries("mm_scene_cut")(spark, sf).collect()
+    val cuts = out.count(_.getBoolean(4))
+    info(s"${out.length} frames, $cuts cuts (${100.0 * cuts / out.length}%)")
+    // threshold 49152 of a uniform 16-bit feature: ~6% cut rate expected
+    assert(cuts > 0 && cuts < out.length / 5, "cut rate implausible for the threshold")
+    out.foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.isNullAt(3), "frame 0 has no predecessor")
+      else assert(!r.isNullAt(3))
+    }
+    // recount one document end-to-end from its text
+    val (docId, text) = Tables(spark, sf).documents
+      .select("doc_id", "text").orderBy("doc_id").limit(1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).head
+    val stride = math.max(text.length / 8, 1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val feats = (0 until 8)
+      .filter(_ * stride < text.length)
+      .map { k =>
+        val f = text.slice(k * stride, math.min(k * stride + stride, text.length))
+        java.lang.Long.parseLong(md5hex(f).take(4), 16)
+      }
+    val got = out.filter(_.getLong(0) == docId).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(got === feats, s"doc $docId feature mismatch")
+  }
 }
