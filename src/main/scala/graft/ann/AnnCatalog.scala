@@ -192,6 +192,66 @@ object AnnCatalog extends QueryModule {
       |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
       |  FROM m CROSS JOIN q WHERE m.vec_id <> q.q_id)""".stripMargin
 
+  /** The nprobe=2 IVF query path shared by ann_ivf (in-memory build)
+    * and ann_index_persist (reopened-from-parquet artifacts): probe the
+    * 2 best cells per query vector by mean-dot centroid score, exact
+    * cosine over the probed cells' posting lists, top-K through the
+    * bounded-heap operator. `assigned` must carry (vec_id, qv, nsq,
+    * cell); `cents` (cell, csum, cnt). */
+  private def ivfSearch(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val q = assigned.filter(col("vec_id") < 10)
+    // probe the 2 nearest cells per query — genuine k>1, so the
+    // bounded-heap operator, not a full-sort window
+    val probeScored = q
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
+      .join(broadcast(cents))
+      .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
+    val probes = graft.plans.GraftOps
+      .topKPerGroup(probeScored, Seq(col("q_id")), 2, col("score").desc, col("cell"))
+      .select("q_id", "qe", "qn", "cell")
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+    val top = graft.plans.GraftOps
+      .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    top
+      .withColumn("rank", row_number().over(wRank))
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle of the [[ivfSearch]] consumers — recomputes build + search
+    * relationally; shared verbatim by ann_ivf and ann_index_persist
+    * (the round trip must be lossless, so the SQL is identical). */
+  private val ivfSql =
+    s"""WITH n AS (SELECT vec_id, label,
+       |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+       |m AS (SELECT vec_id, label, qv,
+       |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+       |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+       |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+       |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+       |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
+       |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+       |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
+       |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+       |       FROM m CROSS JOIN cc),
+       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+       |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
+       |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
+       |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+       |       FROM sc WHERE sc.vec_id < 10),
+       |probes AS (SELECT q_id, qe, qn, cell FROM qp WHERE rn <= 2),
+       |scored AS (SELECT p.q_id, s.vec_id,
+       |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
+       |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
+       |   FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
+       |ranked AS (SELECT q_id, vec_id, cosine,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q(
       "ann_bruteforce",
@@ -447,53 +507,40 @@ object AnnCatalog extends QueryModule {
         // oracle-portability and shuffle-shape rationale.
         val cents = coarseCentroids(c)
         val assigned = coarseAssign(c, cents)
-        val q = assigned.filter(col("vec_id") < 10)
-        // probe the 2 nearest cells per query — genuine k>1, so the
-        // bounded-heap operator, not a full-sort window
-        val probeScored = q
-          .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
-          .join(broadcast(cents))
-          .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
-        val probes = graft.plans.GraftOps
-          .topKPerGroup(probeScored, Seq(col("q_id")), 2, col("score").desc, col("cell"))
-          .select("q_id", "qe", "qn", "cell")
-        val scored = assigned
-          .join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
-        val top = graft.plans.GraftOps
-          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
-        val wRank = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-        top
-          .withColumn("rank", row_number().over(wRank))
-          .select("q_id", "rank", "vec_id", "cosine")
-          .orderBy("q_id", "rank")
+        ivfSearch(assigned, cents)
       },
-      Some(s"""WITH n AS (SELECT vec_id, label,
-             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
-             |m AS (SELECT vec_id, label, qv,
-             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
-             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
-             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
-             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
-             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
-             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
-             |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
-             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
-             |       FROM m CROSS JOIN cc),
-             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
-             |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
-             |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
-             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
-             |       FROM sc WHERE sc.vec_id < 10),
-             |probes AS (SELECT q_id, qe, qn, cell FROM qp WHERE rn <= 2),
-             |scored AS (SELECT p.q_id, s.vec_id,
-             |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
-             |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
-             |   FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
-             |ranked AS (SELECT q_id, vec_id, cosine,
-             |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+      Some(ivfSql)
+    ),
+    Q(
+      "ann_index_persist",
+      // The SERVING shape of the IVF index: build-time and query-time
+      // are separate processes in production — the index artifacts
+      // (centroid table + cell-assigned vector table) are built once,
+      // written to storage, and query nodes open THOSE, never the
+      // builder's in-memory frames. This query proves the round trip:
+      // the same artifacts ann_ivf computes are persisted to parquet
+      // (assignments partitioned BY CELL — so a query's nprobe cell
+      // list prunes to 2 directories at the file listing, the layout
+      // that makes a 100 TB index serveable), reopened cold, and
+      // searched with the shared nprobe=2 path. The oracle is
+      // ann_ivf's: persistence must be lossless, so any array/decimal
+      // round-trip corruption or partition mix-up breaks the hash.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = coarseCentroids(c)
+        val assigned = coarseAssign(c, cents)
+        val base = graft.Stage.dir("graft_ivf_idx_", dir).getPath
+        cents.write.mode("overwrite").parquet(s"$base/centroids")
+        assigned
+          .write.mode("overwrite")
+          .partitionBy("cell")
+          .parquet(s"$base/assigned")
+        val s2 = c.sparkSession
+        ivfSearch(
+          s2.read.parquet(s"$base/assigned"),
+          s2.read.parquet(s"$base/centroids"))
+      },
+      Some(ivfSql)
     ),
     Q(
       "ann_ivf_pq",

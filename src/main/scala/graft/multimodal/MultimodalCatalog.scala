@@ -337,6 +337,44 @@ object MultimodalCatalog extends QueryModule {
              |ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_channel_stats",
+      // The decode CONSUMER: per-channel image statistics
+      // (count/sum/min/max of each BGR channel) straight off the real
+      // BMP decoder — the screen a multimodal curation pipeline applies
+      // right after decode (constant or clipped channels flag broken
+      // encodes; per-channel brightness feeds exposure filters). Every
+      // BMP here is parsed header-first (pixel offset, stride, dims
+      // from the bytes, RealCodecs.channelStats), so the oracle —
+      // which recomputes the stats straight from the text bytes the
+      // builder embedded, channel = payload index mod 3 — breaks on
+      // any stride/offset/channel-interleave mistake.
+      //
+      // Scale posture: identical to mm_decode_real — narrow per-row
+      // build+parse in one mapPartitions (3 output rows per asset),
+      // Fan.out first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.bmpBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeChannels(blobs).toDF().orderBy("doc_id", "channel")
+      },
+      Some("""WITH px AS (SELECT doc_id, text,
+             |         ((doc_id % 16 + 1) * 3 * (doc_id % 12 + 1))::INTEGER AS n_total
+             |       FROM documents),
+             |ch AS (SELECT doc_id, c,
+             |       [unicode(substr(text, (p % length(text) + 1)::INTEGER, 1))
+             |        for p in range(c, n_total, 3)] AS vals
+             |       FROM px, UNNEST([0, 1, 2]) AS t(c))
+             |SELECT doc_id, c AS channel, len(vals)::BIGINT AS n_px,
+             |list_sum(vals)::BIGINT AS sum_px,
+             |list_min(vals)::INTEGER AS min_px, list_max(vals)::INTEGER AS max_px
+             |FROM ch ORDER BY doc_id, channel""".stripMargin)
+    ),
+    Q(
       "mm_embed_retrieval",
       // The multimodal RETRIEVAL pipeline end-to-end: binary payload ->
       // encoder -> embedding -> top-k nearest neighbors. The encoder is

@@ -185,4 +185,55 @@ object RealCodecs {
     implicit val enc = Encoders.product[Parsed]
     blobs.mapPartitions(_.map(parseOne))
   }
+
+  /** Per-channel statistics of one decoded image — the standard image
+    * feature-extract a multimodal curation pipeline runs right after
+    * decode (per-channel brightness/range screens out broken or
+    * constant frames). One row per BGR channel. */
+  final case class ChannelStat(
+      doc_id: Long,
+      channel: Int,
+      n_px: Long,
+      sum_px: Long,
+      min_px: Int,
+      max_px: Int)
+
+  /** Walk a BMP's pixels (headers only — offset, stride, dims all read
+    * from the bytes, like parseOne) and fold per-channel stats. 24-bpp
+    * rows are B,G,R triplets, so channel = unpadded byte index mod 3. */
+  def channelStats(b: Blob): Seq[ChannelStat] = {
+    val a = b.bytes
+    require(a.length >= 2 && a(0) == 'B' && a(1) == 'M', s"doc ${b.doc_id}: not a BMP")
+    val off = le32(a, 10).toInt
+    require(le32(a, 14) == 40L, s"doc ${b.doc_id}: unsupported DIB header")
+    val w = le32(a, 18).toInt
+    val h = le32(a, 22).toInt
+    val bpp = le16(a, 28)
+    val rowBytes = w * (bpp / 8)
+    val stride = (rowBytes + 3) / 4 * 4
+    val n = new Array[Long](3)
+    val sum = new Array[Long](3)
+    val mn = Array(256, 256, 256)
+    val mx = Array(-1, -1, -1)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < rowBytes) {
+        val ch = (r * rowBytes + c) % 3
+        val v = u8(a, off + r * stride + c)
+        n(ch) += 1; sum(ch) += v
+        if (v < mn(ch)) mn(ch) = v
+        if (v > mx(ch)) mx(ch) = v
+        c += 1
+      }
+      r += 1
+    }
+    (0 until 3).map(ch => ChannelStat(b.doc_id, ch, n(ch), sum(ch), mn(ch), mx(ch)))
+  }
+
+  /** Same seam shape as [[decode]], emitting the per-channel rows. */
+  def decodeChannels(blobs: Dataset[Blob]): Dataset[ChannelStat] = {
+    implicit val enc = Encoders.product[ChannelStat]
+    blobs.mapPartitions(_.flatMap(channelStats))
+  }
 }

@@ -2076,6 +2076,68 @@ object RelCatalog extends QueryModule {
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
     Q(
+      "rel_incremental_sketch",
+      // Incremental SKETCH-state maintenance — rel_incremental_agg's
+      // twin for the approximate world: yesterday's per-group KMV
+      // sketch STATE (the k=64 smallest distinct hashes, a
+      // group-cardinality × k table) is merged with a sketch built from
+      // today's delta only, and the merged k-smallest IS the sketch of
+      // the full history — KMV's merge is lossless by construction
+      // (every one of the k globally-smallest hashes is among the k
+      // smallest of whichever slice it arrived in). The oracle is the
+      // FULL recompute over all of orders, so the hash proves
+      // merge ≡ recompute EXACTLY — estimates included, since the
+      // md5-derived 2^44 hash space is shared with DuckDB
+      // (rel_sketch_kmv_setops' discipline) and the estimator
+      // (k−1)·SPACE div h_(k) is pure BIGINT arithmetic.
+      //
+      // Scale posture: the full history is never rescanned — the delta
+      // pass touches delta rows only, both k-smallest selections run
+      // through the bounded-heap TopKPerGroupExec (O(n log k),
+      // sort-free), and the merge operates on two k-row-per-group
+      // frames. This is how a 100 TB corpus keeps living cardinality
+      // dashboards: store k hashes per group, fold each day's delta in.
+      (s, dir) => {
+        val space = 17592186044416L // 2^44: 11 md5 hex chars
+        val k = 64
+        def sketchOf(df: org.apache.spark.sql.DataFrame) = {
+          val hashed = df
+            .select(col("g"), col("c"))
+            .distinct()
+            .select(
+              col("g"),
+              conv(substring(md5(concat(lit("ikm"), col("c").cast("string"))), 1, 11), 16, 10)
+                .cast("long")
+                .as("h"))
+            .distinct()
+          graft.plans.GraftOps.topKPerGroup(hashed, Seq(col("g")), k, col("h").asc)
+        }
+        val o = Tables(s, dir).orders
+          .select(col("o_orderpriority").as("g"), col("o_custkey").as("c"), col("o_orderdate"))
+        val state = sketchOf(o.filter(col("o_orderdate") < "1995-01-01")) // "yesterday"
+        val delta = sketchOf(o.filter(col("o_orderdate") >= "1995-01-01")) // "today"
+        val merged = graft.plans.GraftOps
+          .topKPerGroup(state.unionByName(delta).distinct(), Seq(col("g")), k, col("h").asc)
+        merged
+          .groupBy("g")
+          .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+          .selectExpr(
+            "g AS o_orderpriority",
+            "n_sk",
+            "kth",
+            s"CASE WHEN n_sk < $k THEN n_sk ELSE ${(k - 1).toLong * space} div kth END AS est")
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH d AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS c FROM orders),
+             |h AS (SELECT DISTINCT g,
+             |      CAST('0x' || substr(md5('ikm' || c::VARCHAR), 1, 11) AS BIGINT) AS h FROM d),
+             |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM h),
+             |sk AS (SELECT g, h FROM rk WHERE r <= 64)
+             |SELECT g AS o_orderpriority, COUNT(*)::BIGINT AS n_sk, MAX(h) AS kth,
+             |(CASE WHEN COUNT(*) < 64 THEN COUNT(*) ELSE 63 * 17592186044416 // MAX(h) END)::BIGINT AS est
+             |FROM sk GROUP BY g ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "rel_sessionize_batch",
       // Batch sessionization of the events table: a user's events are
       // cut into sessions wherever the inter-event gap exceeds 30

@@ -130,6 +130,52 @@ object StreamingCatalog extends QueryModule {
     MemoryResult.drain(ss, name)(_.orderBy("window_start", "event_type"))
   }
 
+  /** Streaming cardinality: per-window approx_count_distinct (HLL++
+    * partials in the window state). Structured Streaming REJECTS exact
+    * COUNT(DISTINCT) outright — distinct keys can't be held per window
+    * incrementally — so the sketch is not an optimization here, it is
+    * the ONLY way to count window cardinality in a stream, which is
+    * exactly the 100 TB posture (mergeable fixed-size partials in
+    * state). The exact side comes from a BATCH pass over the same
+    * source (the offline audit a deployment runs), and the emitted
+    * row carries rel_sketch_distinct's error-bound contract: each
+    * engine checks its OWN estimate within 10% of its exact count. */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    val stream = eventsStream(ss, dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(unix_timestamp(col("window.start")).as("window_start"), col("n_approx"))
+    val name = s"graft_stream_${System.nanoTime()}"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val est = MemoryResult.drain(ss, name)(identity)
+    val exact = Tables(ss, dir).events
+      .select(expr("(ts_ns div 1000 div 86400000000) * 86400").as("window_start"), col("user_id"))
+      .groupBy("window_start")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    // 10% relative gate with an absolute floor of 5: a ±2 wobble on a
+    // 12-user window is estimator-normal, not an accuracy regression —
+    // the floor keeps the flag meaningful at every scale factor while
+    // the 10% arm does the work once windows carry real cardinality
+    exact
+      .join(est, Seq("window_start"))
+      .select(
+        col("window_start"),
+        col("n_exact"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= greatest(expr("n_exact div 10"), lit(5L)))
+          .cast("long")
+          .as("within_bound"))
+      .orderBy("window_start")
+  }
+
   /** PRODUCTION sink shape of the windowed aggregation: watermarked
     * APPEND-mode stream into a parquet file sink with a checkpoint.
     * Append mode emits each window exactly once, when the watermark
@@ -611,6 +657,24 @@ object StreamingCatalog extends QueryModule {
       Some("""SELECT (epoch_ns(ts)//3600000000000)*3600 AS window_start, event_type,
              |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_approx_distinct",
+      // Streaming per-window cardinality via HLL++ state — see
+      // approxDistinct: exact COUNT(DISTINCT) is structurally
+      // impossible in a stream, so the sketch IS the operator; the
+      // batch exact pass supplies the audit column and both engines
+      // assert their own estimate within 10% (rel_sketch_distinct's
+      // error-bound oracle contract, here across the streaming seam).
+      (s, dir) => approxDistinct(s, dir),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+             |w AS (SELECT (us//86400000000)*86400 AS window_start,
+             |      COUNT(DISTINCT user_id) AS n_exact,
+             |      approx_count_distinct(user_id) AS n_app
+             |      FROM e GROUP BY 1)
+             |SELECT window_start, n_exact,
+             |CASE WHEN abs(n_app - n_exact) <= greatest(n_exact // 10, 5) THEN 1 ELSE 0 END AS within_bound
+             |FROM w ORDER BY window_start""".stripMargin)
     ),
     Q(
       "stream_window_sliding",

@@ -804,6 +804,86 @@ object TextCatalog extends QueryModule {
              |(SUM(tgt_ppm - raw_ppm) > 0) AS keep
              |FROM tok JOIN bs USING (b) WHERE doc_id >= 50
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_perplexity_bigram",
+      // CCNet-style language-model quality filter (Wenzek et al. 2020):
+      // train an n-gram LM on a CURATED reference corpus (CCNet uses a
+      // KenLM 5-gram over Wikipedia; docs 0-49 stand in here, the same
+      // reference slice text_dsir uses), score every candidate document
+      // by its average per-token surprisal under that model, and keep
+      // the low-perplexity (reference-like) documents. The bigram model
+      // is add-one smoothed: p(w2|w1) = (c2(w1 w2)+1)/(c1(w1)+V) with
+      // c1 the PREFIX count (both counts from the same bigram relation,
+      // so Σ_w2 c2 = c1 exactly) and V the training vocabulary.
+      // Surprisal stays integer-exact via the text_bm25 bit-width
+      // idiom: bits = length(bin((c1+V) div (c2+1))) ≈ log2(1/p), so
+      // the per-doc score (milli-bits per bigram) is a BIGINT division
+      // chain both engines compute identically — no log/float anywhere
+      // in the hash. Like CCNet, documents are then binned into
+      // head/middle/tail perplexity buckets (CCNet trains on head,
+      // experiments on middle, drops tail); the cut points are fixed
+      // constants chosen between the observed tertiles at sf0.01 and
+      // sf0.1 so the column genuinely varies at gate and bench scales.
+      //
+      // Scale posture: the LM's size scales with the REFERENCE corpus
+      // (fixed, curated — Wikipedia-sized), NOT with the 100 TB pool
+      // being scored, so the model tables are BROADCAST — exactly how
+      // a production deployment ships its KenLM binary to every
+      // executor. Scoring is a narrow bigram explode + two broadcast
+      // joins + one doc-keyed map-side-combined aggregation; linear in
+      // corpus size, no shuffle wider than the per-doc rollup.
+      (s, dir) => {
+        val docs = graft.GraftCache.register(
+          Fan
+            .out(Tables(s, dir).documents.select("doc_id", "text"))
+            .select(col("doc_id"), explode(shingles(ws(col("text")), 2)).as("g"))
+            .select(col("doc_id"), col("g"), substring_index(col("g"), " ", 1).as("w1"))
+            .persist())
+        val train = docs.filter(col("doc_id") < 50)
+        val c2 = train.groupBy("g").agg(count(lit(1)).as("c2"))
+        val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+        // V counts distinct TOKENS of the training slice (standard
+        // smoothing vocab), not distinct bigram prefixes
+        val v = Tables(s, dir).documents
+          .filter(col("doc_id") < 50)
+          .select(explode(ws(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        docs
+          .filter(col("doc_id") >= 50)
+          .join(broadcast(c2), Seq("g"), "left_outer")
+          .join(broadcast(c1), Seq("w1"), "left_outer")
+          .crossJoin(broadcast(v))
+          .withColumn(
+            "bits",
+            expr("CAST(length(bin((coalesce(c1, CAST(0 AS BIGINT)) + v) div (coalesce(c2, CAST(0 AS BIGINT)) + 1))) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_sum"))
+          .withColumn("ppx_milli", expr("bits_sum * 1000 div n_bigrams"))
+          .withColumn(
+            "bucket",
+            when(col("ppx_milli") < 5480L, "head")
+              .when(col("ppx_milli") < 5570L, "middle")
+              .otherwise("tail"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS g, ws[i] AS w1
+             |       FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+             |c2 AS (SELECT g, COUNT(*)::BIGINT AS c2 FROM bg WHERE doc_id < 50 GROUP BY 1),
+             |c1 AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM bg WHERE doc_id < 50 GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT t.g)::BIGINT AS v
+             |      FROM w, UNNEST(ws) AS t(g) WHERE doc_id < 50),
+             |sc AS (SELECT bg.doc_id,
+             |       length(bin((COALESCE(c1.c1, 0) + v.v) // (COALESCE(c2.c2, 0) + 1)))::BIGINT AS bits
+             |       FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v
+             |       WHERE bg.doc_id >= 50)
+             |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(bits)::BIGINT AS bits_sum,
+             |(SUM(bits) * 1000) // COUNT(*) AS ppx_milli,
+             |CASE WHEN (SUM(bits) * 1000) // COUNT(*) < 5480 THEN 'head'
+             |     WHEN (SUM(bits) * 1000) // COUNT(*) < 5570 THEN 'middle'
+             |     ELSE 'tail' END AS bucket
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

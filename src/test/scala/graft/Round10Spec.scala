@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 wave: CCNet-style bigram-LM perplexity buckets, incremental
+  * KMV sketch-state maintenance, the persisted IVF index serving shape,
+  * streaming approximate cardinality, and per-channel image stats off
+  * the real BMP decoder.
+  */
+class Round10Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_perplexity_bigram: scores in the plausible band, LM broadcast, deterministic") {
+    val df = SparkEntry.queries("text_perplexity_bigram")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every score is milli-bits-per-bigram of an add-one-smoothed
+    // bigram LM over a ~tiny-vocab corpus: the band is structural
+    // (log2 of counts near the vocab size), so a unit slip (forgot the
+    // *1000, counted tokens not bigrams) lands far outside it
+    val ppx = rows.map(_.getAs[Long]("ppx_milli"))
+    assert(ppx.forall(p => p > 2000 && p < 12000), s"score band broken: ${ppx.min}..${ppx.max}")
+    // the model tables ride broadcast joins (the CCNet deployment
+    // shape: LM size scales with the reference corpus, not the pool)
+    assert(
+      PlanCheck.countNodes[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec](df) >= 2,
+      s"LM not broadcast:\n${PlanCheck.render(df)}")
+    val again = SparkEntry.queries("text_perplexity_bigram")(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("text_perplexity_bigram: unseen-bigram surprisal is the add-one ceiling") {
+    // a document whose bigrams never occur in the training slice but
+    // whose WORDS do must score exactly length(bin(c1+V)) per bigram >=
+    // any seen bigram's length(bin((c1+V) div (c2+1))) with the same
+    // prefix — the smoothing's monotonicity, checked end-to-end by
+    // recomputing one scored doc's bits by hand
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    import graft.functions.TextFunctions._
+    val bg = docs
+      .select(col("doc_id"), explode(shingles(ws(col("text")), 2)).as("g"))
+      .select(col("doc_id"), col("g"), substring_index(col("g"), " ", 1).as("w1"))
+    val train = bg.filter(col("doc_id") < 50)
+    val c2 = train.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs
+      .filter(col("doc_id") < 50)
+      .select(explode(ws(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+      .collect()(0).getLong(0)
+    val target = docs.select(max("doc_id")).collect()(0).getLong(0)
+    val handBits = bg
+      .filter(col("doc_id") === target)
+      .join(c2, Seq("g"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .selectExpr(
+        s"CAST(length(bin((coalesce(c1, CAST(0 AS BIGINT)) + $v) div (coalesce(c2, CAST(0 AS BIGINT)) + 1))) AS BIGINT) AS bits")
+      .agg(sum("bits"), count(lit(1)))
+      .collect()(0)
+    val fromQuery = SparkEntry.queries("text_perplexity_bigram")(spark, sf)
+      .filter(col("doc_id") === target)
+      .select("bits_sum", "n_bigrams")
+      .collect()(0)
+    assert(handBits.getLong(0) === fromQuery.getLong(0))
+    assert(handBits.getLong(1) === fromQuery.getLong(1))
+  }
+
+  test("rel_incremental_sketch: merge of state+delta sketches equals the full recompute") {
+    val merged = SparkEntry.queries("rel_incremental_sketch")(spark, sf)
+    // full recompute IN SPARK (the oracle proves it against DuckDB;
+    // this pins the lossless-merge property within the engine, on the
+    // exact same k-smallest operator)
+    val o = Tables(spark, sf).orders
+      .select(col("o_orderpriority").as("g"), col("o_custkey").as("c"))
+      .distinct()
+      .select(
+        col("g"),
+        conv(substring(md5(concat(lit("ikm"), col("c").cast("string"))), 1, 11), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val full = graft.plans.GraftOps
+      .topKPerGroup(o, Seq(col("g")), 64, col("h").asc)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      .selectExpr("g AS o_orderpriority", "n_sk", "kth",
+        s"CASE WHEN n_sk < 64 THEN n_sk ELSE ${63L * 17592186044416L} div kth END AS est")
+      .orderBy("o_orderpriority")
+    assert(merged.collect().map(_.toString).sameElements(full.collect().map(_.toString)))
+    // all three k-smallest selections run through the bounded heap;
+    // no full-sort window anywhere
+    assert(PlanCheck.countNodes[graft.plans.TopKPerGroupExec](merged) === 3,
+      s"expected 3 bounded-heap selections:\n${PlanCheck.render(merged)}")
+    assert(PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](merged) === 0)
+  }
+
+  test("ann_index_persist: the reopened index serves the exact ann_ivf result, partitioned by cell") {
+    val fromDisk = SparkEntry.queries("ann_index_persist")(spark, sf).collect()
+    val inMem = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+    assert(fromDisk.map(_.toString).sameElements(inMem.map(_.toString)),
+      "persistence round trip changed the search result")
+    // the on-disk layout really is cell-partitioned (the directory
+    // shape that lets a query's nprobe list prune at the file listing)
+    val base = graft.Stage.dir("graft_ivf_idx_", sf)
+    val cells = new java.io.File(base, "assigned")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cells.length >= 2, s"expected cell= partition dirs under $base/assigned")
+  }
+
+  test("stream_approx_distinct: every daily window lands inside the error bound") {
+    val rows = SparkEntry.queries("stream_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("within_bound") == 1L),
+      "HLL estimate fell outside greatest(10%, 5) of exact")
+    // windows partition the event span: daily starts, strictly rising
+    val starts = rows.map(_.getAs[Long]("window_start"))
+    assert(starts.forall(_ % 86400 == 0))
+    assert(starts.sorted.sameElements(starts))
+  }
+
+  test("mm_channel_stats: hand recount of one decoded BMP's channels") {
+    val df = SparkEntry.queries("mm_channel_stats")(spark, sf)
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+      .filter(col("doc_id") === 7).collect()
+    val (id, text) = (docs(0).getLong(0), docs(0).getString(1))
+    val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+    val n = w * 3 * h
+    val byCh = (0 until n).groupBy(_ % 3)
+    val rows = df.filter(col("doc_id") === id).orderBy("channel").collect()
+    assert(rows.length === 3)
+    for (ch <- 0 until 3) {
+      val vals = byCh(ch).map(p => text.charAt(p % text.length).toInt)
+      val r = rows(ch)
+      assert(r.getAs[Long]("n_px") === vals.size.toLong)
+      assert(r.getAs[Long]("sum_px") === vals.map(_.toLong).sum)
+      assert(r.getAs[Int]("min_px") === vals.min)
+      assert(r.getAs[Int]("max_px") === vals.max)
+    }
+    // every asset emits exactly its 3 channels
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(perDoc.forall(_.getAs[Long]("n") == 3L))
+  }
+}
