@@ -222,24 +222,31 @@ object AnnCatalog extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
+  /** Oracle fragment recomputing the IVF BUILD relationally (quantize →
+    * centroids → argmax assignment), ending in `assigned(vec_id, qv,
+    * nsq, cell)` — shared by the search oracle [[ivfSql]] and the
+    * index-health oracle of ann_cell_stats. */
+  private val ivfBuildSql =
+    """WITH n AS (SELECT vec_id, label,
+      |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+      |m AS (SELECT vec_id, label, qv,
+      |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+      |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+      |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+      |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
+      |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+      |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
+      |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+      |       FROM m CROSS JOIN cc),
+      |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+      |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1)""".stripMargin
+
   /** Oracle of the [[ivfSearch]] consumers — recomputes build + search
     * relationally; shared verbatim by ann_ivf and ann_index_persist
     * (the round trip must be lossless, so the SQL is identical). */
   private val ivfSql =
-    s"""WITH n AS (SELECT vec_id, label,
-       |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
-       |m AS (SELECT vec_id, label, qv,
-       |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
-       |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
-       |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
-       |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
-       |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
-       |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
-       |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
-       |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
-       |       FROM m CROSS JOIN cc),
-       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
-       |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
+    s"""$ivfBuildSql,
        |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
        |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
        |       FROM sc WHERE sc.vec_id < 10),
@@ -541,6 +548,44 @@ object AnnCatalog extends QueryModule {
           s2.read.parquet(s"$base/centroids"))
       },
       Some(ivfSql)
+    ),
+    Q(
+      "ann_cell_stats",
+      // IVF index-health report — the pre-deployment check next to
+      // ann_recall_report: per-cell posting-list sizes plus each cell's
+      // share (exact ppm) and balance factor (cell size ÷ perfectly-
+      // balanced size, in milli — 1000 = ideal). Cell imbalance is THE
+      // operational hazard of an IVF index at 100 TB: a hot cell turns
+      // every probe that hits it into a scan of a disproportionate
+      // posting list (the skew problem, inside the index), and the fix
+      // — re-train centroids, split hot cells, or salt — starts from
+      // exactly this table. All ratio columns are exact BIGINT
+      // divisions, so the report hashes cross-engine.
+      //
+      // Scale posture: one map-side-combined count per cell over the
+      // assignment (cells-sized result), then a 1-row broadcast of the
+      // totals — never a second pass over the vectors.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = coarseCentroids(c)
+        val assigned = coarseAssign(c, cents)
+        val per = assigned.groupBy("cell").agg(count(lit(1)).as("n_vec"))
+        val tot = per.agg(sum(col("n_vec")).as("total"), count(lit(1)).as("n_cells"))
+        per
+          .crossJoin(broadcast(tot))
+          .selectExpr(
+            "cell",
+            "n_vec",
+            "n_vec * 1000000 div total AS ppm",
+            "n_vec * n_cells * 1000 div total AS balance_milli")
+          .orderBy("cell")
+      },
+      Some(s"""$ivfBuildSql,
+             |per AS (SELECT cell, COUNT(*)::BIGINT AS n_vec FROM assigned GROUP BY 1),
+             |tot AS (SELECT SUM(n_vec)::BIGINT AS total, COUNT(*)::BIGINT AS n_cells FROM per)
+             |SELECT cell, n_vec, (n_vec * 1000000) // total AS ppm,
+             |(n_vec * n_cells * 1000) // total AS balance_milli
+             |FROM per, tot ORDER BY cell""".stripMargin)
     ),
     Q(
       "ann_ivf_pq",

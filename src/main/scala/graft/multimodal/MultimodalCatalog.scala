@@ -375,6 +375,52 @@ object MultimodalCatalog extends QueryModule {
              |FROM ch ORDER BY doc_id, channel""".stripMargin)
     ),
     Q(
+      "mm_silence_trim",
+      // Silence trim (VAD primitive) on REAL WAVs: every speech
+      // pipeline trims leading/trailing digital silence before the
+      // model sees the clip. The fixture pads each document's samples
+      // with doc_id%5 leading and doc_id%7 trailing silence bytes
+      // ('@' = 64, the 8-bit-PCM center), the decoder walks the RIFF
+      // chunks and scans for the first/last non-silent sample, and the
+      // oracle recomputes every trim index GENERICALLY from the padded
+      // string (ltrim/rtrim of '@'), so the seam cannot pass by
+      // construction knowledge — if the text itself started or ended
+      // silent, both sides would trim into it identically. Interior
+      // silence is kept (a trim never cuts mid-clip pauses), which the
+      // kept-energy audit column pins.
+      //
+      // Scale posture: same as every decoder-seam op — narrow build +
+      // parse in one mapPartitions, Fan.out first, presentation sort
+      // as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) =>
+            val padded = "@" * (id % 5).toInt + text + "@" * (id % 7).toInt
+            StubDecoder.Blob(id, RealCodecs.wavBytes(id, padded))
+          }(org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeTrim(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |         repeat('@', (doc_id % 5)::INTEGER) || text ||
+             |         repeat('@', (doc_id % 7)::INTEGER) AS p
+             |       FROM documents),
+             |t AS (SELECT doc_id, p, ltrim(p, '@') AS lt,
+             |             rtrim(ltrim(p, '@'), '@') AS core FROM w)
+             |SELECT doc_id, (8000 + (doc_id % 8) * 1000)::INTEGER AS sample_rate,
+             |length(p)::BIGINT AS n_samples,
+             |(length(p) - length(lt))::BIGINT AS lead_silence,
+             |(length(lt) - length(core))::BIGINT AS trail_silence,
+             |length(core)::BIGINT AS n_kept,
+             |COALESCE(list_sum([(unicode(substr(core, (i + 1)::INTEGER, 1)) - 64)
+             |          * (unicode(substr(core, (i + 1)::INTEGER, 1)) - 64)
+             |          for i in range(0, length(core))]), 0)::BIGINT AS kept_energy
+             |FROM t ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_embed_retrieval",
       // The multimodal RETRIEVAL pipeline end-to-end: binary payload ->
       // encoder -> embedding -> top-k nearest neighbors. The encoder is

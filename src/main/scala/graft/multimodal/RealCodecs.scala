@@ -129,6 +129,32 @@ object RealCodecs {
     u8(a, i).toLong | (u8(a, i + 1).toLong << 8) | (u8(a, i + 2).toLong << 16) |
       (u8(a, i + 3).toLong << 24)
 
+  private def isRiffWave(a: Array[Byte]): Boolean =
+    a.length >= 12 && a(0) == 'R' && a(1) == 'I' && a(2) == 'F' && a(3) == 'F' &&
+      a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E'
+
+  /** Generic RIFF chunk walk (fmt may precede or follow other chunks):
+    * returns (sample_rate, data offset, data length) for an 8-bit-PCM
+    * WAV, trusting only the bytes. */
+  private def wavInfo(a: Array[Byte], docId: Long): (Int, Int, Long) = {
+    var pos = 12
+    var rate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0L
+    while (pos + 8 <= a.length) {
+      val id = new String(a, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(a, pos + 4)
+      if (id == "fmt ") {
+        rate = le32(a, pos + 8 + 4).toInt
+        bits = le16(a, pos + 8 + 14)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(dataOff >= 0 && bits == 8, s"doc $docId: malformed WAV")
+    (rate, dataOff, dataLen)
+  }
+
   /** Parse one blob by its magic. Every field the feature math needs
     * (pixel offset, stride, dims, data-chunk location) comes from the
     * header bytes, not from knowledge of the builder. */
@@ -150,24 +176,8 @@ object RealCodecs {
         r += 1
       }
       Parsed(b.doc_id, "bmp", w, h, 0, rowBytes.toLong * h, sum)
-    } else if (a.length >= 12 && a(0) == 'R' && a(1) == 'I' && a(2) == 'F' && a(3) == 'F' &&
-      a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E') {
-      // generic RIFF chunk walk — fmt may precede or follow other chunks
-      var pos = 12
-      var rate = 0
-      var bits = 0
-      var dataOff = -1
-      var dataLen = 0L
-      while (pos + 8 <= a.length) {
-        val id = new String(a, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val size = le32(a, pos + 4)
-        if (id == "fmt ") {
-          rate = le32(a, pos + 8 + 4).toInt
-          bits = le16(a, pos + 8 + 14)
-        } else if (id == "data") { dataOff = pos + 8; dataLen = size }
-        pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are 2-byte aligned
-      }
-      require(dataOff >= 0 && bits == 8, s"doc ${b.doc_id}: malformed WAV")
+    } else if (isRiffWave(a)) {
+      val (rate, dataOff, dataLen) = wavInfo(a, b.doc_id)
       var sum = 0L
       var i = 0
       while (i < dataLen) {
@@ -235,5 +245,56 @@ object RealCodecs {
   def decodeChannels(blobs: Dataset[Blob]): Dataset[ChannelStat] = {
     implicit val enc = Encoders.product[ChannelStat]
     blobs.mapPartitions(_.flatMap(channelStats))
+  }
+
+  /** Silence-trim result for one audio asset: the VAD primitive that
+    * prepends every speech pipeline (whisper-style prep trims leading/
+    * trailing digital silence before the model sees the clip).
+    * kept_energy is the decode-consumer audit: Σ(s−64)² over the kept
+    * [first, last] non-silent span, interior silence INCLUDED (a trim
+    * never cuts mid-clip pauses). */
+  final case class TrimStat(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      lead_silence: Long,
+      trail_silence: Long,
+      n_kept: Long,
+      kept_energy: Long)
+
+  /** Trim one WAV's digital silence (8-bit PCM center = 64): chunk walk
+    * from the bytes, then one scan for the first/last sample != 64. An
+    * all-silent clip keeps nothing (lead = n, trail = 0). */
+  def silenceTrim(b: Blob): TrimStat = {
+    val a = b.bytes
+    require(isRiffWave(a), s"doc ${b.doc_id}: not a WAV")
+    val (rate, dataOff, dataLen) = wavInfo(a, b.doc_id)
+    var first = -1L
+    var last = -1L
+    var i = 0L
+    while (i < dataLen) {
+      if (u8(a, (dataOff + i).toInt) != 64) {
+        if (first < 0) first = i
+        last = i
+      }
+      i += 1
+    }
+    if (first < 0) TrimStat(b.doc_id, rate, dataLen, dataLen, 0L, 0L, 0L)
+    else {
+      var sum = 0L
+      var j = first
+      while (j <= last) {
+        val d = u8(a, (dataOff + j).toInt) - 64
+        sum += d.toLong * d
+        j += 1
+      }
+      TrimStat(b.doc_id, rate, dataLen, first, dataLen - 1 - last, last - first + 1, sum)
+    }
+  }
+
+  /** Same seam shape as [[decode]], emitting one trim row per asset. */
+  def decodeTrim(blobs: Dataset[Blob]): Dataset[TrimStat] = {
+    implicit val enc = Encoders.product[TrimStat]
+    blobs.mapPartitions(_.map(silenceTrim))
   }
 }

@@ -47,7 +47,17 @@ object DocStress {
     // index (centroids, residuals, codebooks, codes) over the replicated
     // embeddings and then queries it, so the 10x row measures index
     // BUILD scaling, the production-relevant axis
-    "ann_ivf_pq")
+    "ann_ivf_pq",
+    // round-10 wave: documents/embeddings-only ops — text_bm25 and
+    // text_perplexity_bigram scale the inverted-index / LM-scoring
+    // shapes, ann_index_persist measures index build+write+reopen+serve
+    // (the serving round trip), mm_silence_trim the decoder-seam scan
+    "text_bm25",
+    "text_perplexity_bigram",
+    "text_dsir",
+    "ann_index_persist",
+    "ann_cell_stats",
+    "mm_silence_trim")
 
   /** The r7 verdict's 100x arm: the dedup flagships whose candidate-
     * generation machinery (LSH banding, PPJoin prefix filter, shared-

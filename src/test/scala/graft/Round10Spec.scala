@@ -140,4 +140,47 @@ class Round10Spec extends AnyFunSuite {
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
     assert(perDoc.forall(_.getAs[Long]("n") == 3L))
   }
+
+  test("mm_silence_trim: pad arithmetic, energy invariant vs mm_decode_real, all-silent clip") {
+    val trim = SparkEntry.queries("mm_silence_trim")(spark, sf)
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- trim.collect()) {
+      val id = r.getAs[Long]("doc_id")
+      val text = docs(id)
+      // the corpus never starts/ends with '@', so the trim must be
+      // exactly the injected padding and the kept span exactly the text
+      assert(r.getAs[Long]("lead_silence") === id % 5)
+      assert(r.getAs[Long]("trail_silence") === id % 7)
+      assert(r.getAs[Long]("n_kept") === text.length.toLong)
+      assert(r.getAs[Long]("n_samples") === (id % 5) + text.length + (id % 7))
+    }
+    // kept_energy over the kept span == mm_decode_real's WAV energy
+    // over the unpadded text (the decode-consumer audit ties the two
+    // real-codec ops together); mm_decode_real builds WAVs for odd ids
+    val wavEnergy = SparkEntry.queries("mm_decode_real")(spark, sf)
+      .filter(col("fmt") === "wav")
+      .select("doc_id", "payload_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trimEnergy = trim.select("doc_id", "kept_energy").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wavEnergy.nonEmpty)
+    wavEnergy.foreach { case (id, e) => assert(trimEnergy(id) === e, s"doc $id energy") }
+    // an all-silent clip keeps nothing — decoder-level contract
+    val silent = graft.multimodal.RealCodecs.silenceTrim(
+      graft.multimodal.StubDecoder.Blob(99L, graft.multimodal.RealCodecs.wavBytes(99L, "@@@@")))
+    assert(silent.lead_silence === 4L && silent.n_kept === 0L && silent.kept_energy === 0L)
+  }
+
+  test("ann_cell_stats: recount against the assignment, shares sum to ~1e6") {
+    val stats = SparkEntry.queries("ann_cell_stats")(spark, sf).collect()
+    val nVec = Tables(spark, sf).embeddings.count()
+    assert(stats.map(_.getAs[Long]("n_vec")).sum === nVec)
+    val ppmSum = stats.map(_.getAs[Long]("ppm")).sum
+    // exact integer divisions round down: Σ ppm within n_cells of 1e6
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - stats.length)
+    // balance is cell-share × n_cells: mean must straddle 1000
+    val bal = stats.map(_.getAs[Long]("balance_milli"))
+    assert(bal.min <= 1000L && bal.max >= 1000L)
+  }
 }
