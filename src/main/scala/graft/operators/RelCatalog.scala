@@ -2303,6 +2303,54 @@ object RelCatalog extends QueryModule {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
     Q(
+      "rel_cdc_apply",
+      // Changelog apply — the generic MERGE a lakehouse table runs
+      // against a Debezium/CDC feed: a log of (key, op, seq, payload)
+      // rows with op ∈ {I, U, D} collapses to the table's final state —
+      // last op per key wins, and a final D means the row is GONE
+      // (the delete handling `wd_upsert_vertex`'s latest-wins merge
+      // deliberately lacks). The log here derives deterministically
+      // from orders: every key inserts at seq 1, every 3rd updates at
+      // seq 2 (price bump), every 9th deletes at seq 3.
+      //
+      // Scale posture: ONE key shuffle total — last-op-wins is a
+      // map-side-combinable max_by aggregation (argmax by seq), never a
+      // data-sized row_number window; the delete filter is a post-agg
+      // narrow op. In the incremental deployment the same plan runs
+      // over the delta only and merges with the stored state, exactly
+      // like rel_incremental_agg's shape.
+      (s, dir) => {
+        val base = Tables(s, dir).orders.select(
+          col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+        val log = base
+          .select(col("k"), lit("I").as("op"), lit(1L).as("seq"), col("p"))
+          .unionByName(base.filter(col("k") % 3 === 0)
+            .select(col("k"), lit("U").as("op"), lit(2L).as("seq"), (col("p") + 1).as("p")))
+          .unionByName(base.filter(col("k") % 9 === 0)
+            .select(col("k"), lit("D").as("op"), lit(3L).as("seq"), col("p")))
+        log
+          .groupBy("k")
+          .agg(
+            max_by(col("op"), col("seq")).as("last_op"),
+            max_by(col("p"), col("seq")).as("p"))
+          .filter(col("last_op") =!= "D")
+          .select(
+            col("k").as("o_orderkey"),
+            col("last_op"),
+            col("p").cast("double").as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+             |log AS (SELECT k, 'I' AS op, 1 AS seq, p FROM base
+             |  UNION ALL SELECT k, 'U', 2, p + 1 FROM base WHERE k % 3 = 0
+             |  UNION ALL SELECT k, 'D', 3, p FROM base WHERE k % 9 = 0),
+             |fin AS (SELECT k, arg_max(op, seq) AS last_op, arg_max(p, seq) AS p
+             |        FROM log GROUP BY k)
+             |SELECT k AS o_orderkey, last_op, CAST(p AS DOUBLE) AS price
+             |FROM fin WHERE last_op <> 'D' ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "rel_merge_scd2",
       // Slowly-changing-dimension TYPE 2 build: collapse a change log
       // (orders as per-customer priority observations over time) into

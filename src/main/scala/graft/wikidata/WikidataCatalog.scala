@@ -855,6 +855,54 @@ object WikidataCatalog extends QueryModule {
              |FROM nation WHERE n_nationkey*1000 + 500.25 > 12000.0 ORDER BY src_id""".stripMargin)
     ),
     Q(
+      "wd_entity_search",
+      // Consumer entity lookup — "find the entity by words in its label
+      // or description", the query every reference user types before
+      // anything else (the DuckDB file answers it with ILIKE scans).
+      // Graft answers through the inverted-index shape the text family
+      // uses: lowercase-tokenize label+description, restrict postings
+      // to the query terms DURING the narrow explode (never a full
+      // posting build), rank by distinct terms matched then total tf
+      // then id. Search hits span labels ("lex", "solo", region names)
+      // and description-only matches ("nation ..." descriptions), so
+      // both fields provably participate.
+      //
+      // Scale posture: tokenize+filter is narrow map work; the only
+      // shuffles are the entity-keyed rollup and the label-resolve join
+      // of a result-sized frame back to vertex (both tiny next to a
+      // dump-sized scan). At 100 TB the same plan persists the postings
+      // once and every search reuses them.
+      (s, dir) => {
+        val ents = graft.GraftCache.register(SyntheticDump.entities(s, dir).persist())
+        val v = WikidataShredder.vertex(ents)
+        val terms = Seq("nation", "lex", "solo", "asia")
+        val hits = v
+          .select(
+            col("id"),
+            explode(split(lower(concat_ws(" ", col("label"), col("description"))), " ")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("id")
+          .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("tf"))
+        hits
+          .join(v.select("id", "label"), "id")
+          .select(col("id"), col("label"), col("n_terms"), col("tf"))
+          .orderBy(col("n_terms").desc, col("tf").desc, col("id"))
+      },
+      Some(s"""WITH v AS (
+             |SELECT $nIsBig AS id, n_name AS label,
+             |  CASE WHEN n_nationkey%5=0 THEN NULL ELSE 'nation '||n_name END AS description FROM nation
+             |UNION ALL SELECT 1000000040+r_regionkey, r_name, NULL FROM region
+             |UNION ALL SELECT 2000000007, 'lex', 'a lexeme'
+             |UNION ALL SELECT 5000000, 'solo', NULL),
+             |tok AS (SELECT id, g AS term
+             |  FROM v, UNNEST(string_split(lower(concat_ws(' ', label, description)), ' ')) AS t(g)
+             |  WHERE g IN ('nation', 'lex', 'solo', 'asia')),
+             |agg AS (SELECT id, COUNT(DISTINCT term)::BIGINT AS n_terms, COUNT(*)::BIGINT AS tf
+             |        FROM tok GROUP BY id)
+             |SELECT agg.id, v.label, n_terms, tf FROM agg JOIN v USING (id)
+             |ORDER BY n_terms DESC, tf DESC, id""".stripMargin)
+    ),
+    Q(
       "wd_shred_orders",
       // Scale-proportional ingestion: build + parse + shred one entity
       // per orders row (~150k at sf0.1); output the quantity table.

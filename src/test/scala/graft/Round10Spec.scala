@@ -172,6 +172,54 @@ class Round10Spec extends AnyFunSuite {
     assert(silent.lead_silence === 4L && silent.n_kept === 0L && silent.kept_energy === 0L)
   }
 
+  test("wd_entity_search: label-only, description-only, and miss cases all behave") {
+    val res = SparkEntry.queries("wd_entity_search")(spark, sf)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("id") -> r).toMap
+    // 'lex' matches L7 via its LABEL (and nothing else in L7's text)
+    assert(byId.contains(2000000007L) && byId(2000000007L).getAs[Long]("n_terms") >= 1L)
+    // 'solo' matches Q5000000, which has NO description — label-only path
+    assert(byId.contains(5000000L))
+    // description-only path: nation entities match 'nation' through the
+    // description; their labels are uppercase country names, so any
+    // nation id in the results proves the description participates
+    assert(rows.exists(r => { val id = r.getAs[Long]("id"); id >= 10L && id < 1000L }))
+    // entities matching NO term are absent: property vertices P40+
+    // (labels are region names, but 'asia' matches region ITEMS only
+    // via the label — properties share those labels, so they DO match;
+    // instead assert the no-description %5 nations with non-matching
+    // labels are absent)
+    val missing = Tables(spark, sf).nation
+      .filter(col("n_nationkey") % 5 === 0 && !lower(col("n_name")).isin("nation", "lex", "solo", "asia"))
+      .select((col("n_nationkey").cast("long") + 10L).as("id")).collect().map(_.getLong(0))
+    assert(missing.nonEmpty && missing.forall(!byId.contains(_)))
+    // ranking: n_terms desc, tf desc, id — verify the sort is total
+    val key = rows.map(r => (-r.getAs[Long]("n_terms"), -r.getAs[Long]("tf"), r.getAs[Long]("id")))
+    assert(key.sorted.sameElements(key))
+  }
+
+  test("rel_cdc_apply: delete wins, update wins, plain insert survives; argmax agg not window") {
+    val df = SparkEntry.queries("rel_cdc_apply")(spark, sf)
+    val rows = df.collect()
+    val byKey = rows.map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    val keys = Tables(spark, sf).orders.select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    for (k <- keys) {
+      if (k % 9 == 0) assert(!byKey.contains(k), s"deleted key $k survived")
+      else if (k % 3 == 0) assert(byKey(k).getAs[String]("last_op") === "U", s"key $k")
+      else assert(byKey(k).getAs[String]("last_op") === "I", s"key $k")
+    }
+    // updated rows carry the bumped price
+    val prices = Tables(spark, sf).orders
+      .select(col("o_orderkey").cast("long"), col("o_totalprice").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val upd = keys.find(k => k % 3 == 0 && k % 9 != 0).get
+    assert(math.abs(byKey(upd).getAs[Double]("price") - (prices(upd) + 1.0)) < 1e-6)
+    // last-op-wins is an aggregation, never a data-sized window
+    assert(PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](df) === 0,
+      s"window crept into the CDC apply:\n${PlanCheck.render(df)}")
+  }
+
   test("ann_cell_stats: recount against the assignment, shares sum to ~1e6") {
     val stats = SparkEntry.queries("ann_cell_stats")(spark, sf).collect()
     val nVec = Tables(spark, sf).embeddings.count()
