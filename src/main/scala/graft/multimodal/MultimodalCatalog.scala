@@ -375,6 +375,48 @@ object MultimodalCatalog extends QueryModule {
              |FROM ch ORDER BY doc_id, channel""".stripMargin)
     ),
     Q(
+      "mm_tile_means",
+      // ViT-style patch prep: per-quadrant pixel statistics off the real
+      // BMP decoder — vision models consume images as patch grids, and
+      // per-patch brightness is both the cheapest patch feature and the
+      // first broken-crop/black-border screen a multimodal pipeline
+      // applies. The 2D arithmetic is the test: BMP rows are stored
+      // BOTTOM-UP, so vertical tiling must flip storage row r to image
+      // row h-1-r — the oracle recomputes the flip + ceil-half tile
+      // boundaries straight from the text bytes, so a flip or rounding
+      // slip on either side is a hash mismatch. mean_milli is an exact
+      // integer division both engines share.
+      //
+      // Scale posture: identical to the other decoder-seam ops —
+      // narrow build+parse in one mapPartitions (≤4 rows per asset),
+      // Fan.out first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.bmpBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeTiles(blobs).toDF()
+          .withColumn("mean_milli", expr("sum_px * 1000 div n_px"))
+          .orderBy("doc_id", "ty", "tx")
+      },
+      Some("""WITH px AS (SELECT doc_id, text,
+             |         (doc_id % 16 + 1)::INTEGER AS w, (doc_id % 12 + 1)::INTEGER AS h
+             |       FROM documents),
+             |b AS (SELECT doc_id,
+             |        ((p % (w*3)) // 3 < (w+1)//2)::INTEGER AS lx,
+             |        ((h - 1 - (p // (w*3))) < (h+1)//2)::INTEGER AS ty0,
+             |        unicode(substr(text, (p % length(text) + 1)::INTEGER, 1)) AS v
+             |      FROM px, UNNEST(range(0, w*3*h)) AS t(p)),
+             |g AS (SELECT doc_id, 1 - lx AS tx, 1 - ty0 AS ty,
+             |             COUNT(*)::BIGINT AS n_px, SUM(v)::BIGINT AS sum_px
+             |      FROM b GROUP BY 1, 2, 3)
+             |SELECT doc_id, tx, ty, n_px, sum_px, (sum_px * 1000) // n_px AS mean_milli
+             |FROM g ORDER BY doc_id, ty, tx""".stripMargin)
+    ),
+    Q(
       "mm_silence_trim",
       // Silence trim (VAD primitive) on REAL WAVs: every speech
       // pipeline trims leading/trailing digital silence before the

@@ -247,6 +247,63 @@ object RealCodecs {
     blobs.mapPartitions(_.flatMap(channelStats))
   }
 
+  /** One 2×2-grid tile's pixel statistics — the ViT-style patch-prep
+    * step (models consume images as patch grids; per-patch brightness
+    * is the cheapest patch feature and the first broken-crop screen).
+    * Tiles are IMAGE-space quadrants: BMP rows are stored bottom-up, so
+    * the parser flips storage row r to image row h-1-r before binning —
+    * a flip mistake lands every pixel in the wrong vertical tile and
+    * the oracle (which recomputes the flip from the text bytes) breaks
+    * the hash. */
+  final case class TileStat(
+      doc_id: Long,
+      tx: Int,
+      ty: Int,
+      n_px: Long,
+      sum_px: Long)
+
+  /** Per-quadrant byte stats of one BMP (headers from the bytes, like
+    * parseOne): left/top tiles take the ceil half of odd dimensions. */
+  def tileStats(b: Blob): Seq[TileStat] = {
+    val a = b.bytes
+    require(a.length >= 2 && a(0) == 'B' && a(1) == 'M', s"doc ${b.doc_id}: not a BMP")
+    val off = le32(a, 10).toInt
+    require(le32(a, 14) == 40L, s"doc ${b.doc_id}: unsupported DIB header")
+    val w = le32(a, 18).toInt
+    val h = le32(a, 22).toInt
+    val bpp = le16(a, 28)
+    val rowBytes = w * (bpp / 8)
+    val stride = (rowBytes + 3) / 4 * 4
+    val n = new Array[Long](4)
+    val sum = new Array[Long](4)
+    var r = 0
+    while (r < h) {
+      val yImg = h - 1 - r // bottom-up storage -> image row
+      val ty = if (yImg < (h + 1) / 2) 0 else 1
+      var c = 0
+      while (c < rowBytes) {
+        val x = c / 3
+        val tx = if (x < (w + 1) / 2) 0 else 1
+        val t = ty * 2 + tx
+        n(t) += 1; sum(t) += u8(a, off + r * stride + c)
+        c += 1
+      }
+      r += 1
+    }
+    // 1-pixel-wide/tall images have empty right/bottom tiles — emit
+    // only populated tiles, matching the oracle's natural group-by
+    for {
+      ty <- 0 until 2; tx <- 0 until 2
+      if n(ty * 2 + tx) > 0
+    } yield TileStat(b.doc_id, tx, ty, n(ty * 2 + tx), sum(ty * 2 + tx))
+  }
+
+  /** Same seam shape as [[decode]], emitting the four tile rows. */
+  def decodeTiles(blobs: Dataset[Blob]): Dataset[TileStat] = {
+    implicit val enc = Encoders.product[TileStat]
+    blobs.mapPartitions(_.flatMap(tileStats))
+  }
+
   /** Silence-trim result for one audio asset: the VAD primitive that
     * prepends every speech pipeline (whisper-style prep trims leading/
     * trailing digital silence before the model sees the clip).

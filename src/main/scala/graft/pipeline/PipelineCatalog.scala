@@ -202,6 +202,72 @@ object PipelineCatalog extends QueryModule {
              |SUM(CASE WHEN NOT is_exact AND quality_ok AND u.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_update,
              |SUM(CASE WHEN NOT is_exact AND quality_ok AND u.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new
              |FROM fl LEFT JOIN upd u ON fl.doc_id = u.doc_id""".stripMargin)
+    ),
+    Q(
+      "pipe_data_card",
+      // The corpus DATASHEET ("Datasheets for Datasets", Gebru et al.
+      // 2021): the per-source one-pager every training-data release
+      // ships — volume (docs, tokens, languages), duplication rate, and
+      // quality-pass rate, all as exact integer ppm/milli so the card
+      // itself is hash-verifiable. Reuses the production stages
+      // verbatim (Pipeline.qualityFilter's exact-integer gate,
+      // Pipeline.exactDropIds' digest keep-list), so the card reports
+      // what the pipeline would actually do, not a parallel estimate.
+      //
+      // Scale posture: one digest-keyed shuffle (the exact-dup
+      // keep-list), narrow quality signals, then a source-keyed rollup
+      // of flags — the card costs one corpus pass plus a
+      // sources-sized aggregate, and every column is map-side
+      // combinable.
+      (s, dir) => {
+        val docs = Fan.out(
+          Tables(s, dir).documents.select("doc_id", "source", "lang", "text"))
+        val qIds = Pipeline.qualityFilter(docs).select(col("doc_id"), lit(1L).as("is_q"))
+        val dupIds = Pipeline.exactDropIds(docs).select(col("doc_id"), lit(1L).as("is_dup"))
+        docs
+          .withColumn("nw", size(ws(col("text"))).cast("long"))
+          .join(qIds, Seq("doc_id"), "left_outer")
+          .join(dupIds, Seq("doc_id"), "left_outer")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+            sum(coalesce(col("is_q"), lit(0L))).as("n_quality"))
+          .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_dup * 1000000 div n_docs AS dup_ppm",
+            "n_quality * 1000000 div n_docs AS quality_pass_ppm",
+            "n_tokens * 1000 div n_docs AS mean_tokens_milli")
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, lang, text FROM documents),
+             |qm AS (SELECT doc_id,
+             |  len(string_split(text,' '))::BIGINT AS nw,
+             |  length(text)::BIGINT AS len,
+             |  (length(text)-length(regexp_replace(text,'[a-z]','','g')))::BIGINT AS alpha,
+             |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS stop
+             |  FROM d),
+             |q AS (SELECT doc_id FROM qm WHERE $qualityGateSql),
+             |ex AS (SELECT doc_id FROM
+             |       (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM d)
+             |       WHERE doc_id <> keep_id),
+             |fl AS (SELECT d.doc_id, d.source, d.lang, qm.nw,
+             |       CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+             |       CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_q
+             |       FROM d JOIN qm USING (doc_id)
+             |       LEFT JOIN ex ON d.doc_id = ex.doc_id
+             |       LEFT JOIN q ON d.doc_id = q.doc_id)
+             |SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(nw)::BIGINT AS n_tokens,
+             |COUNT(DISTINCT lang)::BIGINT AS n_langs,
+             |(SUM(is_dup) * 1000000) // COUNT(*) AS dup_ppm,
+             |(SUM(is_q) * 1000000) // COUNT(*) AS quality_pass_ppm,
+             |(SUM(nw) * 1000) // COUNT(*) AS mean_tokens_milli
+             |FROM fl GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -188,9 +188,11 @@ object DocStress {
       // candidate mass recorded per scale alongside wall time
       var d100: String = null
       time("build_100x_dir") { d100 = buildScaled(spark, base, 100, "graft_stress_docs100") }
-      // extra args select specific ops and/or scales for resumed runs
-      val picked = args.filter(a => Flagship.contains(a)).toSet
-      val ops = if (picked.isEmpty) Flagship else Flagship.filter(picked)
+      // extra args select specific ops and/or scales for resumed runs —
+      // any registered documents/embeddings query can ride the 100x dir,
+      // not just the dedup flagships
+      val picked = args.filter(a => Flagship.contains(a) || Ops.contains(a)).toSet
+      val ops = if (picked.isEmpty) Flagship else (Flagship ++ Ops).distinct.filter(picked)
       val tags = args.filter(Set("1x", "10x", "100x")).toSet
       // full curve (no op picked) runs all scales; a resumed run with
       // picked ops runs only the explicitly listed scale tags

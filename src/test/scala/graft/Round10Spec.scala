@@ -220,6 +220,63 @@ class Round10Spec extends AnyFunSuite {
       s"window crept into the CDC apply:\n${PlanCheck.render(df)}")
   }
 
+  test("mm_tile_means: quadrants partition the image; hand recount with the bottom-up flip") {
+    val df = SparkEntry.queries("mm_tile_means")(spark, sf)
+    val rows = df.collect()
+    // per-doc tile n_px sums to the full payload
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nByDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.map(_.getAs[Long]("n_px")).sum)
+    for ((id, n) <- nByDoc) {
+      val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+      assert(n === (w * 3 * h).toLong, s"doc $id tiles don't cover the image")
+    }
+    // hand recount one doc with even dims (doc 13: w=14, h=2) — the
+    // flip matters: image row 0 is the LAST stored row
+    val id = 13L
+    val w = 14; val h = 2; val text = docs(id)
+    val expect = scala.collection.mutable.Map.empty[(Int, Int), (Long, Long)].withDefaultValue((0L, 0L))
+    for (r <- 0 until h; c <- 0 until w * 3) {
+      val yImg = h - 1 - r
+      val ty = if (yImg < (h + 1) / 2) 0 else 1
+      val tx = if (c / 3 < (w + 1) / 2) 0 else 1
+      val v = text.charAt((r * w * 3 + c) % text.length).toLong
+      val (n0, s0) = expect((tx, ty)); expect((tx, ty)) = (n0 + 1, s0 + v)
+    }
+    for (row <- rows.filter(_.getAs[Long]("doc_id") == id)) {
+      val key = (row.getAs[Int]("tx"), row.getAs[Int]("ty"))
+      assert((row.getAs[Long]("n_px"), row.getAs[Long]("sum_px")) === expect(key), s"tile $key")
+    }
+    // a 1-tall image (doc 12: h=1) has no bottom tiles
+    assert(rows.filter(_.getAs[Long]("doc_id") == 12L).forall(_.getAs[Int]("ty") == 0))
+  }
+
+  test("pipe_data_card: flags recount against the production stages") {
+    val card = SparkEntry.queries("pipe_data_card")(spark, sf).collect()
+    assert(card.nonEmpty)
+    val docs = Tables(spark, sf).documents
+    // volumes recount directly
+    val vol = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (r <- card) {
+      val (n, tok) = vol(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_tokens") === tok)
+      assert(r.getAs[Long]("mean_tokens_milli") === tok * 1000 / n)
+      // rates are ppm of the source's own docs
+      assert(r.getAs[Long]("quality_pass_ppm") <= 1000000L)
+      assert(r.getAs[Long]("dup_ppm") <= 1000000L)
+    }
+    // total dup count across sources equals the pipeline's drop list
+    val dropTotal = graft.pipeline.Pipeline
+      .exactDropIds(docs.select("doc_id", "text")).count()
+    val cardDups = card.map(r =>
+      r.getAs[Long]("dup_ppm") * r.getAs[Long]("n_docs")).map(_ / 1000000.0)
+    // ppm rounding loses <1 doc per source
+    assert(math.abs(cardDups.sum - dropTotal) <= card.length.toDouble)
+  }
+
   test("ann_cell_stats: recount against the assignment, shares sum to ~1e6") {
     val stats = SparkEntry.queries("ann_cell_stats")(spark, sf).collect()
     val nVec = Tables(spark, sf).embeddings.count()
