@@ -550,6 +550,86 @@ object AnnCatalog extends QueryModule {
       Some(ivfSql)
     ),
     Q(
+      "ann_nprobe_curve",
+      // The IVF TUNING curve — recall@K as a function of nprobe (1, 2,
+      // 4), the plot every vector-search deployment draws before
+      // picking its latency/recall operating point. The exact top-K
+      // baseline and the cell assignment are each computed ONCE
+      // (persisted); the three probe widths share them, so the query is
+      // one index build + one brute pass + three nprobe-bounded scans —
+      // the marginal cost of a curve point is just its probe scan.
+      // recall_ppm is an exact integer (hits·1e6 div (n_queries·K)), so
+      // the curve itself is hash-verified cross-engine, and it must be
+      // monotone in nprobe by construction (probing more cells only
+      // adds candidates) — spec-asserted.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = coarseCentroids(c)
+        val assigned = graft.GraftCache.register(coarseAssign(c, cents).persist())
+        val brute = graft.GraftCache.register(
+          graft.plans.GraftOps
+            .topKPerGroup(scoredPairs(c), Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+            .select("q_id", "vec_id")
+            .persist())
+        val probeScored = graft.GraftCache.register(
+          assigned
+            .filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
+            .join(broadcast(cents))
+            .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
+            .persist())
+        val nqDf = c.filter(col("vec_id") < 10).agg(count(lit(1)).as("nq"))
+        val curve = Seq(1, 2, 4)
+          .map { np =>
+            val probes = graft.plans.GraftOps
+              .topKPerGroup(probeScored, Seq(col("q_id")), np, col("score").desc, col("cell"))
+              .select("q_id", "qe", "qn", "cell")
+            val scored = assigned
+              .join(broadcast(probes), Seq("cell"))
+              .filter(col("vec_id") =!= col("q_id"))
+              .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+            graft.plans.GraftOps
+              .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+              .join(brute, Seq("q_id", "vec_id"), "leftsemi")
+              .agg(count(lit(1)).as("n_hits"))
+              .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+          }
+          .reduce(_.unionByName(_))
+        curve
+          .crossJoin(broadcast(nqDf))
+          .selectExpr("nprobe", "n_hits", s"n_hits * 1000000 div (nq * $K) AS recall_ppm")
+          .orderBy("nprobe")
+      },
+      Some(s"""$ivfBuildSql,
+             |bq AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+             |bscored AS (SELECT bq.q_id, m.vec_id,
+             |  CAST((SELECT SUM(bq.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(bq.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(bq.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM m CROSS JOIN bq WHERE m.vec_id <> bq.q_id),
+             |brute AS (SELECT q_id, vec_id FROM
+             |  (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+             |   FROM bscored) WHERE rn <= $K),
+             |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
+             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+             |       FROM sc WHERE sc.vec_id < 10),
+             |nps AS (SELECT np FROM UNNEST([1, 2, 4]) AS t(np)),
+             |probes AS (SELECT nps.np, qp.q_id, qp.qe, qp.qn, qp.cell
+             |           FROM qp, nps WHERE qp.rn <= nps.np),
+             |iscored AS (SELECT p.np, p.q_id, s.vec_id,
+             |  CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
+             |  FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
+             |ivtop AS (SELECT np, q_id, vec_id FROM
+             |  (SELECT np, q_id, vec_id,
+             |          row_number() OVER (PARTITION BY np, q_id ORDER BY cosine DESC, vec_id) AS rn
+             |   FROM iscored) WHERE rn <= $K),
+             |nq AS (SELECT COUNT(*)::BIGINT AS nq FROM bq),
+             |hits AS (SELECT np, COUNT(*)::BIGINT AS n_hits
+             |         FROM ivtop JOIN brute USING (q_id, vec_id) GROUP BY np)
+             |SELECT np::BIGINT AS nprobe, n_hits, (n_hits * 1000000) // (nq.nq * $K) AS recall_ppm
+             |FROM hits, nq ORDER BY nprobe""".stripMargin)
+    ),
+    Q(
       "ann_cell_stats",
       // IVF index-health report — the pre-deployment check next to
       // ann_recall_report: per-cell posting-list sizes plus each cell's

@@ -149,6 +149,35 @@ object StatefulOps {
         })
   }
 
+  final case class CdcRow(k: Long, op: String, seq: Long, p_cents: Long)
+  final case class CdcState(op: String, seq: Long, p_cents: Long)
+  final case class CdcOut(k: Long, last_op: String, seq: Long, p_cents: Long)
+
+  /** Streaming CDC apply — rel_cdc_apply's state machine: per-key
+    * GroupState holds the max-seq (op, payload) seen so far; each batch
+    * folds its rows in and emits the key's current final state. The
+    * fold is max-by-seq, so the result is independent of how the log
+    * splits into micro-batches (the split-invariance a replayed/
+    * re-partitioned CDC feed demands) — the stream twin's spec feeds
+    * inserts, updates, and deletes as THREE ordered micro-batches and
+    * the final states must still equal the batch operator's. Keys whose
+    * final op is D are filtered by the consumer (a delete is state too:
+    * it must survive in state to suppress late lower-seq rows). */
+  def cdcApply(log: Dataset[CdcRow]): Dataset[CdcOut] = {
+    implicit val stateEnc = Encoders.product[CdcState]
+    implicit val outEnc = Encoders.product[CdcOut]
+    implicit val keyEnc = Encoders.scalaLong
+    log
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (k: Long, batch: Iterator[CdcRow], state: GroupState[CdcState]) => {
+          val prev = state.getOption.map(s => CdcRow(k, s.op, s.seq, s.p_cents))
+          val best = (prev.iterator ++ batch).maxBy(_.seq)
+          state.update(CdcState(best.op, best.seq, best.p_cents))
+          Iterator.single(CdcOut(k, best.op, best.seq, best.p_cents))
+        })
+  }
+
   def runningTotals(events: Dataset[Event]): Dataset[UserUpdate] = {
     implicit val stateEnc = Encoders.product[UserState]
     implicit val outEnc = Encoders.product[UserUpdate]

@@ -491,6 +491,78 @@ object StreamingCatalog extends QueryModule {
     MemoryResult.drain(ss, name)(_.orderBy("doc_id"))
   }
 
+  /** Real-stream scaffold for [[StatefulOps.cdcApply]]: the changelog
+    * (same derivation as rel_cdc_apply — every orders key inserts at
+    * seq 1, every 3rd updates at seq 2, every 9th deletes at seq 3) is
+    * staged as THREE mtime-ordered parquet files so
+    * maxFilesPerTrigger=1 delivers a day of CDC traffic as genuine
+    * micro-batches: all inserts, then all updates, then all deletes —
+    * the state machine must carry each key's max-seq state across
+    * batches. Final states equal the batch operator's table exactly
+    * (max-by-seq is split-invariant); keys whose final op is D are
+    * dropped post-drain, like rel_cdc_apply's delete filter. */
+  private def streamCdcApply(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    import ss.implicits._
+    val srcFile = new java.io.File(dir, "orders.parquet")
+    val stage = graft.Stage.dir("graft_scdc_", dir, srcFile.length(), srcFile.lastModified())
+    if (!new java.io.File(stage, "b2.parquet").exists()) {
+      val scratch = new java.io.File(stage.getPath + "_building")
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      scratch.mkdirs()
+      val base = Tables(ss, dir).orders.select(
+        col("o_orderkey").cast("long").as("k"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("p_cents"))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(scratch, name + "_dir")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp
+          .listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get
+        val dst = new java.io.File(scratch, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        dst.setLastModified(mtime)
+        ()
+      }
+      writeOne(
+        base.select(col("k"), lit("I").as("op"), lit(1L).as("seq"), col("p_cents")),
+        "b0.parquet", 1700000000000L)
+      writeOne(
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), lit("U").as("op"), lit(2L).as("seq"), (col("p_cents") + 100).as("p_cents")),
+        "b1.parquet", 1700000060000L)
+      writeOne(
+        base.filter(col("k") % 9 === 0)
+          .select(col("k"), lit("D").as("op"), lit(3L).as("seq"), col("p_cents")),
+        "b2.parquet", 1700000120000L)
+      if (!scratch.renameTo(stage)) sys.error(s"rename $scratch -> $stage failed")
+    }
+    val log = ss.readStream
+      .schema("k BIGINT, op STRING, seq BIGINT, p_cents BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getPath)
+      .as[StatefulOps.CdcRow]
+    val name = s"graft_scdc_${System.nanoTime()}"
+    val query = StatefulOps.cdcApply(log).toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    MemoryResult.drain(ss, name)(
+      _.groupBy("k")
+        .agg(
+          max_by(col("last_op"), col("seq")).as("last_op"),
+          max_by(col("p_cents"), col("seq")).as("p_cents"))
+        .filter(col("last_op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("last_op"), col("p_cents"))
+        .orderBy("o_orderkey"))
+  }
+
   /** Watermark LATE-DATA semantics as oracle-checked data. Empirically
     * calibrated (spark-shell progress traces, numRowsDroppedByWatermark):
     * Spark drops a late row only when its window's state was EVICTED in
@@ -644,6 +716,24 @@ object StreamingCatalog extends QueryModule {
              |SELECT doc_id, lang, nw
              |FROM (SELECT q.*, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM q)
              |WHERE doc_id = keep ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "stream_cdc_apply",
+      // Streaming changelog apply — rel_cdc_apply's state machine fed
+      // by three mtime-ordered micro-batches (inserts, updates,
+      // deletes); per-key max-seq state in GroupState, final D
+      // suppresses the row. Oracle = the batch operator's table in
+      // exact integer cents.
+      (s, dir) => streamCdcApply(s, dir),
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |  (CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT AS p_cents FROM orders),
+             |log AS (SELECT k, 'I' AS op, 1 AS seq, p_cents FROM base
+             |  UNION ALL SELECT k, 'U', 2, p_cents + 100 FROM base WHERE k % 3 = 0
+             |  UNION ALL SELECT k, 'D', 3, p_cents FROM base WHERE k % 9 = 0),
+             |fin AS (SELECT k, arg_max(op, seq) AS last_op, arg_max(p_cents, seq) AS p_cents
+             |        FROM log GROUP BY k)
+             |SELECT k AS o_orderkey, last_op, p_cents
+             |FROM fin WHERE last_op <> 'D' ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
       "stream_dedup",

@@ -277,6 +277,35 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(cardDups.sum - dropTotal) <= card.length.toDouble)
   }
 
+  test("stream_cdc_apply: three micro-batches of I/U/D land on the batch operator's table") {
+    val stream = SparkEntry.queries("stream_cdc_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = SparkEntry.queries("rel_cdc_apply")(spark, sf)
+      .select(col("o_orderkey"), col("last_op"),
+        round(col("price") * 100).cast("long").as("p_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(stream.nonEmpty)
+    assert(stream.sorted.sameElements(batch.sorted),
+      "stream state machine diverged from the batch changelog apply")
+    // the fixture genuinely exercises deletes and updates
+    assert(batch.exists(_._2 == "U") && batch.forall(_._2 != "D"))
+  }
+
+  test("ann_nprobe_curve: recall is monotone in nprobe and the nprobe=2 point matches ann_ivf") {
+    val curve = SparkEntry.queries("ann_nprobe_curve")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(curve.keySet === Set(1L, 2L, 4L))
+    // probing more cells only adds candidates: hits monotone
+    assert(curve(1L)._1 <= curve(2L)._1 && curve(2L)._1 <= curve(4L)._1)
+    assert(curve.values.forall { case (_, ppm) => ppm >= 0 && ppm <= 1000000L })
+    // the nprobe=2 point IS ann_ivf: recount its hits against brute
+    val brute = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(curve(2L)._1 === (ivf & brute).size.toLong)
+  }
+
   test("ann_cell_stats: recount against the assignment, shares sum to ~1e6") {
     val stats = SparkEntry.queries("ann_cell_stats")(spark, sf).collect()
     val nVec = Tables(spark, sf).embeddings.count()
