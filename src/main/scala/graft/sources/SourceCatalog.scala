@@ -180,6 +180,94 @@ object SourceCatalog extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "src_schema_evolution",
+      // Schema DRIFT across files of one table — the lakehouse reality
+      // every long-lived ingestion hits: early batches wrote (o_orderkey,
+      // o_totalprice), later batches added o_orderpriority. The read must
+      // reconcile per-file schemas (mergeSchema=true pays a footer scan
+      // per file — exactly why production tables checkpoint their
+      // schema; the capability matters for backfills over drifted
+      // history) and surface the missing column as NULL for old rows.
+      // The oracle reproduces the union-with-nulls relationally, so a
+      // dropped column, misaligned field, or non-null default breaks
+      // the hash.
+      (s, dir) => {
+        val path = graft.Stage.dir("graft_evolve_", dir).getPath
+        val o = Tables(s, dir).orders
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$path/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$path/v2")
+        s.read
+          .option("mergeSchema", "true")
+          .parquet(s"$path/v1", s"$path/v2")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "rel_join_dpp",
+      // DYNAMIC partition pruning — the optimizer feature that makes
+      // star-schema joins over date-partitioned facts viable at 100 TB:
+      // the dim side's filter (busy years = above-average order count)
+      // is only knowable at RUNTIME, so no static partition filter can
+      // exist — Spark must inject the dim's join-key values as a
+      // runtime partition filter into the fact scan (a
+      // DynamicPruningExpression over the reused broadcast), and the
+      // pruned fact scan then skips the quiet years' directories
+      // without opening a footer. Round10Spec asserts the executed
+      // plan's scan really carries the dynamicpruning filter — that
+      // this query's speed comes from pruning, not luck.
+      //
+      // Scale posture: the fact is the partitioned layout a production
+      // table IS; the dim aggregate is years-sized and broadcast; DPP
+      // turns the fact scan from full-table into selected-partitions.
+      (s, dir) => {
+        val path = graft.Stage.dir("graft_dpp_", dir).getPath
+        Tables(s, dir).orders
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+        // the dim is a genuinely SMALL table (the star-schema shape DPP
+        // exists for): one row per year carrying its volume AND the
+        // corpus totals, so "busy = above average" is per-row dim
+        // arithmetic — runtime-only (no static filter can reach the
+        // fact), selective, and the dim scan is bytes-tiny, which is
+        // exactly what Spark's pruning-benefit heuristic requires (a
+        // dim derived inline from the same-sized fact is estimated as
+        // fact-sized and the rule correctly declines)
+        val dimPath = graft.Stage.dir("graft_dppdim_", dir).getPath
+        val yc = Tables(s, dir).orders
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_year"))
+        yc.crossJoin(
+          yc.agg(sum(col("n_year")).as("n_total"), count(lit(1)).as("n_years")))
+          .write.mode("overwrite").parquet(dimPath)
+        val busy = s.read.parquet(dimPath)
+          .filter(col("n_year") * col("n_years") > col("n_total"))
+          .select("o_year")
+        s.read
+          .parquet(path)
+          .join(broadcast(busy), Seq("o_year"))
+          .groupBy("o_year")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).as("sum_price"))
+          .orderBy("o_year")
+      },
+      Some("""WITH yc AS (SELECT year(o_orderdate) AS y, COUNT(*)::BIGINT AS n FROM orders GROUP BY 1),
+             |busy AS (SELECT y FROM yc
+             |         WHERE n * (SELECT COUNT(*) FROM yc) > (SELECT SUM(n) FROM yc))
+             |SELECT year(o_orderdate) AS o_year, COUNT(*)::BIGINT AS n_orders,
+             |SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |FROM orders JOIN busy ON year(o_orderdate) = busy.y
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "src_jdbc",
       // JDBC SOURCE round trip, closing the loop the sink opened: write
       // the table through GraftJdbcSink into an embedded Derby database,

@@ -806,6 +806,53 @@ object TextCatalog extends QueryModule {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_classifier_gate",
+      // MODEL-BASED quality filtering — the classifier stage modern
+      // pipelines run after rule filters (FineWeb-Edu's educational
+      // scorer, CCNet's fastText quality head): a trained linear model
+      // over cheap document features, applied as pure columnar math.
+      // The weights are a FIXED broadcast artifact (trained offline —
+      // here a lexical-diversity classifier: reward distinct
+      // vocabulary, penalize stopword-heavy and long-but-repetitive
+      // docs) and the sigmoid gate needs no float at all:
+      // σ(score) > 0.5 ⟺ score > 0, so the entire inference is one
+      // exact-BIGINT dot product per document and the decision
+      // hash-verifies cross-engine.
+      //
+      // Scale posture: inference is embarrassingly parallel narrow
+      // work inside the scan's codegen span — the model ships as
+      // literals, there is no shuffle until the presentation sort.
+      // This is what "run the classifier over 100 TB" should compile
+      // to; anything routed through a Python UDF loses codegen AND
+      // pays serialization per row.
+      (s, dir) => {
+        val d = Fan.out(Tables(s, dir).documents.select("doc_id", "lang", "text"))
+        d.withColumn("nw", size(ws(col("text"))).cast("long"))
+          .withColumn("stop", stopHits(ws(col("text"))).cast("long"))
+          .withColumn("dw", size(array_distinct(ws(col("text")))).cast("long"))
+          .withColumn(
+            "score",
+            lit(60L) * col("dw") - lit(50L) * col("stop") - lit(10L) * col("nw") - lit(600L))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("nw"),
+            col("dw"),
+            col("score"),
+            (col("score") > 0L).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, lang,
+             |  len(string_split(text,' '))::BIGINT AS nw,
+             |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS stop,
+             |  len(list_distinct(string_split(text,' ')))::BIGINT AS dw
+             |  FROM documents)
+             |SELECT doc_id, lang, nw, dw,
+             |60*dw - 50*stop - 10*nw - 600 AS score,
+             |(60*dw - 50*stop - 10*nw - 600 > 0) AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_perplexity_bigram",
       // CCNet-style language-model quality filter (Wenzek et al. 2020):
       // train an n-gram LM on a CURATED reference corpus (CCNet uses a

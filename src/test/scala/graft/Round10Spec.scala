@@ -306,6 +306,53 @@ class Round10Spec extends AnyFunSuite {
     assert(curve(2L)._1 === (ivf & brute).size.toLong)
   }
 
+  test("rel_join_dpp: the fact scan carries a dynamic pruning filter and the result recounts") {
+    val df = SparkEntry.queries("rel_join_dpp")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the partitioned fact scan must be pruned by a RUNTIME filter —
+    // a static partition filter cannot exist (the busy-year set is a
+    // runtime aggregate)
+    val plan = PlanCheck.render(df).toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n${PlanCheck.render(df)}")
+    // busy years = above-average yearly order counts, recomputed flat
+    val yc = Tables(spark, sf).orders
+      .groupBy(year(col("o_orderdate")).as("y")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (total, nYears) = (yc.values.sum, yc.size.toLong)
+    val busy = yc.filter { case (_, n) => n * nYears > total }.keys.toSet
+    assert(rows.map(_.getAs[Int]("o_year")).toSet === busy)
+    for (r <- rows) assert(r.getAs[Long]("n_orders") === yc(r.getAs[Int]("o_year")))
+  }
+
+  test("src_schema_evolution: merged read surfaces the late column as NULL for old files") {
+    val df = SparkEntry.queries("src_schema_evolution")(spark, sf)
+    assert(df.columns.toSet === Set("o_orderkey", "o_totalprice", "o_orderpriority"))
+    val rows = df.collect()
+    val (old, newer) = rows.partition(_.getAs[Long]("o_orderkey") % 2 == 0)
+    assert(old.nonEmpty && newer.nonEmpty)
+    assert(old.forall(_.isNullAt(df.columns.indexOf("o_orderpriority"))))
+    assert(newer.forall(!_.isNullAt(df.columns.indexOf("o_orderpriority"))))
+    assert(rows.length.toLong === Tables(spark, sf).orders.count())
+  }
+
+  test("text_classifier_gate: integer inference recounts; the gate genuinely separates") {
+    val rows = SparkEntry.queries("text_classifier_gate")(spark, sf).collect()
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length, s"vacuous gate: $kept/${rows.length}")
+    // σ(score) > 0.5 ⟺ score > 0 — the flag must be exactly the sign
+    assert(rows.forall(r => r.getAs[Boolean]("keep") == (r.getAs[Long]("score") > 0)))
+    // one-doc hand recount of the dot product
+    val doc = Tables(spark, sf).documents.filter(col("doc_id") === 11).select("text")
+      .collect()(0).getString(0)
+    val wsArr = doc.split(" ")
+    val expect = 60L * wsArr.distinct.length -
+      50L * wsArr.count(graft.functions.TextFunctions.Stopwords.contains) -
+      10L * wsArr.length - 600L
+    assert(rows.find(_.getAs[Long]("doc_id") == 11L).get.getAs[Long]("score") === expect)
+  }
+
   test("ann_cell_stats: recount against the assignment, shares sum to ~1e6") {
     val stats = SparkEntry.queries("ann_cell_stats")(spark, sf).collect()
     val nVec = Tables(spark, sf).embeddings.count()
