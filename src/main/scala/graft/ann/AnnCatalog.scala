@@ -242,6 +242,89 @@ object AnnCatalog extends QueryModule {
       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
       |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1)""".stripMargin
 
+  /** PQ ADC distances (q_id, vec_id, adc) — the full product-
+    * quantization pipeline (subspaces → sub-codebooks → codes →
+    * per-query LUT → integer ADC sum), shared by ann_pq (ranked top-K
+    * directly off the ADC) and ann_rerank_exact (ADC shortlist → exact
+    * re-rank). See ann_pq's Q comment for the method and the
+    * exact-integer rationale. */
+  private def pqAdc(c: DataFrame): DataFrame = {
+    // m=8 subspaces × 8 dims over the 64-dim quantized vector
+    val sub = c
+      .select(col("vec_id"), col("label"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))
+      .withColumn("sv", expr("slice(qv, j*8+1, 8)"))
+      .select("vec_id", "label", "j", "sv")
+    // sub-codebooks: per (subspace, label) exact elementwise sums +
+    // count + squared norm of the sum vector
+    val cb = sub
+      .select(col("j"), col("label"), posexplode(col("sv")))
+      .groupBy("j", "label", "pos")
+      .agg(sum(col("col")).as("sv_sum"))
+      .groupBy("j", "label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sv_sum")))), x => x.getField("sv_sum"))
+          .as("csum"))
+      .join(sub.groupBy("j", "label").agg(count(lit(1)).as("cnt")), Seq("j", "label"))
+      .withColumn("ssq", dotQ(col("csum"), col("csum")))
+      .select(col("j"), col("label").as("cell"), col("csum"), col("cnt"), col("ssq"))
+    // ||v - s/c||² ranking ≡ (-2·v·s·c + ssq)/c² + const: exact
+    // integer numerator, one portable IEEE division
+    def score(sv: org.apache.spark.sql.Column) =
+      (lit(-2L) * dotQ(sv, col("csum")) * col("cnt") + col("ssq")).cast("double") /
+        (col("cnt") * col("cnt"))
+    // per-vector code per subspace: argmin by AGGREGATION (map-side
+    // partial min_by), not a row_number window — same rationale as
+    // ann_ivf's assignment
+    val codes = sub
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("sc", score(col("sv")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("cell"), struct(col("sc"), col("cell"))).as("cell"))
+    // per-query LUT: fixed-point BIGINT distance per (j, cell)
+    val lut = sub
+      .filter(col("vec_id") < 10)
+      .join(broadcast(cb), Seq("j"))
+      .select(
+        col("vec_id").as("q_id"),
+        col("j"),
+        col("cell"),
+        round(lit(1e6) * score(col("sv"))).cast("long").as("fp"))
+    // ADC: integer sum of the m LUT entries selected by the codes
+    codes
+      .join(broadcast(lut), Seq("j", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("fp")).as("adc"))
+  }
+
+  /** Oracle mirror of [[pqAdc]] — CTE chain from the raw embeddings to
+    * adc(q_id, vec_id, adc), shared by ann_pq and ann_rerank_exact. */
+  private val pqAdcSql =
+    """WITH n AS (SELECT vec_id, label,
+      |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+      |sub AS (SELECT vec_id, label, j, qv[j*8+1 : j*8+8] AS sv FROM n, UNNEST(range(8)) AS t(j)),
+      |cbs AS (SELECT j, label AS cell, i, SUM(sv[i])::BIGINT AS s
+      |        FROM sub, UNNEST(range(1, 9)) AS t(i) GROUP BY 1, 2, 3),
+      |cbl AS (SELECT j, cell, list(s ORDER BY i) AS csum FROM cbs GROUP BY 1, 2),
+      |cnt AS (SELECT j, label AS cell, COUNT(*) AS cnt FROM sub GROUP BY 1, 2),
+      |cb AS (SELECT cbl.j, cbl.cell, csum, cnt,
+      |       (SELECT SUM(csum[i]*csum[i]) FROM UNNEST(range(1, 9)) AS t(i))::BIGINT AS ssq
+      |       FROM cbl JOIN cnt USING (j, cell)),
+      |sc AS (SELECT s.vec_id, s.j, c.cell,
+      |       CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
+      |            AS DOUBLE)/(c.cnt*c.cnt) AS score
+      |       FROM sub s JOIN cb c ON s.j = c.j),
+      |codes AS (SELECT vec_id, j, cell FROM
+      |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cell) AS rn FROM sc)
+      |          WHERE rn = 1),
+      |lut AS (SELECT s.vec_id AS q_id, s.j, c.cell,
+      |        CAST(round(1e6 * (CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
+      |                               AS DOUBLE)/(c.cnt*c.cnt))) AS BIGINT) AS fp
+      |        FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
+      |adc AS (SELECT l.q_id, k.vec_id, SUM(l.fp)::BIGINT AS adc
+      |        FROM codes k JOIN lut l ON k.j = l.j AND k.cell = l.cell
+      |        WHERE k.vec_id <> l.q_id GROUP BY 1, 2)""".stripMargin
+
   /** Oracle of the [[ivfSearch]] consumers — recomputes build + search
     * relationally; shared verbatim by ann_ivf and ann_index_persist
     * (the round trip must be lossless, so the SQL is identical). */
@@ -422,53 +505,7 @@ object AnnCatalog extends QueryModule {
       // the LUT in a single projection (no per-j rows at all); the
       // exploded shape here keeps every stage oracle-expressible.
       (s, dir) => {
-        val c = corpus(s, dir)
-        // m=8 subspaces × 8 dims over the 64-dim quantized vector
-        val sub = c
-          .select(col("vec_id"), col("label"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))
-          .withColumn("sv", expr("slice(qv, j*8+1, 8)"))
-          .select("vec_id", "label", "j", "sv")
-        // sub-codebooks: per (subspace, label) exact elementwise sums +
-        // count + squared norm of the sum vector
-        val cb = sub
-          .select(col("j"), col("label"), posexplode(col("sv")))
-          .groupBy("j", "label", "pos")
-          .agg(sum(col("col")).as("sv_sum"))
-          .groupBy("j", "label")
-          .agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("sv_sum")))), x => x.getField("sv_sum"))
-              .as("csum"))
-          .join(sub.groupBy("j", "label").agg(count(lit(1)).as("cnt")), Seq("j", "label"))
-          .withColumn("ssq", dotQ(col("csum"), col("csum")))
-          .select(col("j"), col("label").as("cell"), col("csum"), col("cnt"), col("ssq"))
-        // ||v - s/c||² ranking ≡ (-2·v·s·c + ssq)/c² + const: exact
-        // integer numerator, one portable IEEE division
-        def score(sv: org.apache.spark.sql.Column) =
-          (lit(-2L) * dotQ(sv, col("csum")) * col("cnt") + col("ssq")).cast("double") /
-            (col("cnt") * col("cnt"))
-        // per-vector code per subspace: argmin by AGGREGATION (map-side
-        // partial min_by), not a row_number window — same rationale as
-        // ann_ivf's assignment
-        val codes = sub
-          .join(broadcast(cb), Seq("j"))
-          .withColumn("sc", score(col("sv")))
-          .groupBy("vec_id", "j")
-          .agg(min_by(col("cell"), struct(col("sc"), col("cell"))).as("cell"))
-        // per-query LUT: fixed-point BIGINT distance per (j, cell)
-        val lut = sub
-          .filter(col("vec_id") < 10)
-          .join(broadcast(cb), Seq("j"))
-          .select(
-            col("vec_id").as("q_id"),
-            col("j"),
-            col("cell"),
-            round(lit(1e6) * score(col("sv"))).cast("long").as("fp"))
-        // ADC: integer sum of the m LUT entries selected by the codes
-        val adc = codes
-          .join(broadcast(lut), Seq("j", "cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id")
-          .agg(sum(col("fp")).as("adc"))
+        val adc = pqAdc(corpus(s, dir))
         val top = graft.plans.GraftOps
           .topKPerGroup(adc, Seq(col("q_id")), K, col("adc").asc, col("vec_id"))
         val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
@@ -477,33 +514,64 @@ object AnnCatalog extends QueryModule {
           .select("q_id", "rank", "vec_id", "adc")
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH n AS (SELECT vec_id, label,
-             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
-             |sub AS (SELECT vec_id, label, j, qv[j*8+1 : j*8+8] AS sv FROM n, UNNEST(range(8)) AS t(j)),
-             |cbs AS (SELECT j, label AS cell, i, SUM(sv[i])::BIGINT AS s
-             |        FROM sub, UNNEST(range(1, 9)) AS t(i) GROUP BY 1, 2, 3),
-             |cbl AS (SELECT j, cell, list(s ORDER BY i) AS csum FROM cbs GROUP BY 1, 2),
-             |cnt AS (SELECT j, label AS cell, COUNT(*) AS cnt FROM sub GROUP BY 1, 2),
-             |cb AS (SELECT cbl.j, cbl.cell, csum, cnt,
-             |       (SELECT SUM(csum[i]*csum[i]) FROM UNNEST(range(1, 9)) AS t(i))::BIGINT AS ssq
-             |       FROM cbl JOIN cnt USING (j, cell)),
-             |sc AS (SELECT s.vec_id, s.j, c.cell,
-             |       CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
-             |            AS DOUBLE)/(c.cnt*c.cnt) AS score
-             |       FROM sub s JOIN cb c ON s.j = c.j),
-             |codes AS (SELECT vec_id, j, cell FROM
-             |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cell) AS rn FROM sc)
-             |          WHERE rn = 1),
-             |lut AS (SELECT s.vec_id AS q_id, s.j, c.cell,
-             |        CAST(round(1e6 * (CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
-             |                               AS DOUBLE)/(c.cnt*c.cnt))) AS BIGINT) AS fp
-             |        FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
-             |adc AS (SELECT l.q_id, k.vec_id, SUM(l.fp)::BIGINT AS adc
-             |        FROM codes k JOIN lut l ON k.j = l.j AND k.cell = l.cell
-             |        WHERE k.vec_id <> l.q_id GROUP BY 1, 2),
+      Some(s"""$pqAdcSql,
              |ranked AS (SELECT q_id, vec_id, adc,
              |        row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc)
              |SELECT q_id, rank, vec_id, adc FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
+      "ann_rerank_exact",
+      // Two-stage retrieval — THE production serving shape (FAISS
+      // search(..., k') + refine; every deployed PQ index runs this):
+      // stage 1 generates a C=20 shortlist per query from the
+      // compressed codes alone (pqAdc — the corpus' raw floats are
+      // never touched), stage 2 re-ranks ONLY the shortlist with the
+      // exact cosine and keeps top-K. PQ's lossy codes misORDER near
+      // neighbors far more often than they DROP them from a 4K-deep
+      // shortlist, so the cheap exact pass over C rows per query
+      // recovers most of the recall the codes lose (AnnSpec measures
+      // shortlist recall@5 vs raw-PQ top-5 recall@5 against brute).
+      //
+      // Scale posture: stage 1 is ann_pq's memory-bound regime (codes
+      // + broadcast LUTs, map-side-combined ADC sum); stage 2 touches
+      // C·|queries| raw vectors via an equi-join of the tiny shortlist
+      // against the corpus — fixed-size work per query, independent of
+      // corpus size. The exact stage's join is keyed on vec_id, so at
+      // 100 TB it is a point-lookup pattern (shortlist broadcast
+      // against the vector store), never a scan.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val C = 20
+        val shortlist = graft.plans.GraftOps
+          .topKPerGroup(pqAdc(c), Seq(col("q_id")), C, col("adc").asc, col("vec_id"))
+          .select("q_id", "vec_id")
+        // exact re-rank: raw vectors are read for shortlist members only
+        val scored = broadcast(shortlist)
+          .join(c.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+          .join(broadcast(queriesDf(c)), "q_id")
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "cosine")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""$pqAdcSql,
+             |mq AS (SELECT vec_id, qv,
+             |       (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |shortlist AS (SELECT q_id, vec_id FROM
+             |   (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
+             |   WHERE rn <= 20),
+             |qs AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM mq WHERE vec_id < 10),
+             |scored AS (SELECT sl.q_id, sl.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*v.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(v.nsq AS DOUBLE))) AS cosine
+             |  FROM shortlist sl JOIN mq v ON v.vec_id = sl.vec_id JOIN qs q ON q.q_id = sl.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     ),
     Q(
       "ann_ivf",

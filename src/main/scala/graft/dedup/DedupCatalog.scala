@@ -75,10 +75,10 @@ object DedupCatalog extends QueryModule {
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(shingleDf(s, dir))
 
-  /** Banded LSH buckets (doc_id, lang, band, bucket): k=64 minhashes
-    * sliced into b=16 bands of r=4, each band md5-bucketed. Shared by
-    * the pair pipeline and dedup_lsh_cap_report. */
-  private[graft] def bandsFrom(sh: DataFrame): DataFrame = {
+  /** k=64 Carter-Wegman minhash vectors (doc_id, lang, mh[64]) — the
+    * signature stage shared by every band geometry (see minhashPairs
+    * for the hashing scheme and its oracle portability). */
+  private[graft] def minhashVectors(sh: DataFrame): DataFrame = {
     val M = 2147483647L
     val tok = sh
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
@@ -87,27 +87,39 @@ object DedupCatalog extends QueryModule {
       .withColumn("h2", pmod(conv(substring(col("hx"), 17, 15), 16, 10).cast("long"), lit(M)))
     val minAggs = (0 until 64).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(M))).as(s"m$i"))
-    val mh = tok
+    tok
       .groupBy("doc_id", "lang")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(
         col("doc_id"),
         col("lang"),
         array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
+  }
+
+  /** Band buckets of a minhash frame under a given geometry: `b` bands
+    * of `r` rows (b·r ≤ 64), each band md5-bucketed. The (b, r) choice
+    * IS the LSH operating point — collision probability 1−(1−s^r)^b —
+    * and dedup_lsh_tuning measures the trade across geometries. */
+  private[graft] def bandsOf(mh: DataFrame, b: Int, r: Int): DataFrame =
     mh.select(
       col("doc_id"),
       col("lang"),
       posexplode(
         transform(
-          sequence(lit(0), lit(15)),
-          b =>
+          sequence(lit(0), lit(b - 1)),
+          bb =>
             md5(concat_ws(
               ",",
-              transform(slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))
+              transform(slice(col("mh"), bb * r + 1, lit(r)), x => x.cast("string")))
               .cast("binary")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-  }
+
+  /** Banded LSH buckets (doc_id, lang, band, bucket): the deployed
+    * b=16 × r=4 geometry. Shared by the pair pipeline and
+    * dedup_lsh_cap_report. */
+  private[graft] def bandsFrom(sh: DataFrame): DataFrame =
+    bandsOf(minhashVectors(sh), 16, 4)
 
   private[graft] def minhashPairsFrom(shRaw: DataFrame): DataFrame = {
     // persisted: consumed by the minhash explode AND both verification
@@ -208,9 +220,9 @@ object DedupCatalog extends QueryModule {
   /** Oracle mirror of minhashPairs over an arbitrary source relation,
     * ending in the out_pairs CTE (no WITH prefix) so consumers prepend
     * their own CTEs and append their own SELECT. */
-  /** Oracle mirror of bandsFrom over an arbitrary source relation,
-    * ending in the bands CTE (no WITH prefix). */
-  private[graft] def bandsCtesFrom(src: String): String =
+  /** Oracle mirror of minhashVectors over an arbitrary source relation,
+    * ending in the mh CTE (no WITH prefix). */
+  private[graft] def minhashCtesFrom(src: String): String =
     s"""${shingleSqlFrom(src)},
        |tok AS (SELECT doc_id, lang, g FROM sh, UNNEST(s) AS t(g)),
        |hh AS (SELECT doc_id, lang,
@@ -218,9 +230,32 @@ object DedupCatalog extends QueryModule {
        |       ('0x'||substr(md5(g),17,15))::BIGINT % 2147483647 AS h2 FROM tok),
        |mhi AS (SELECT doc_id, lang, i, MIN((h1 + i*h2) % 2147483647) AS mv
        |        FROM hh, UNNEST(range(64)) AS t(i) GROUP BY 1, 2, 3),
-       |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2),
+       |mh AS (SELECT doc_id, lang, list(mv ORDER BY i) AS m FROM mhi GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle mirror of bandsFrom over an arbitrary source relation,
+    * ending in the bands CTE (no WITH prefix). */
+  private[graft] def bandsCtesFrom(src: String): String =
+    s"""${minhashCtesFrom(src)},
        |bands AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*4+1:b*4+4], ',')) AS bucket
        |          FROM mh, UNNEST(range(16)) AS t(b))""".stripMargin
+
+  /** Per-geometry oracle CTE chain (suffix `_$b_$r`): bands → cap →
+    * candidates → verified pairs, appended after [[minhashCtesFrom]]. */
+  private def tuningCfgSql(b: Int, r: Int): String = {
+    val x = s"_${b}_$r"
+    s"""bands$x AS (SELECT doc_id, lang, b, md5(array_to_string(m[b*$r+1:b*$r+$r], ',')) AS bucket
+       |          FROM mh, UNNEST(range($b)) AS t(b)),
+       |hot$x AS (SELECT lang, b, bucket FROM bands$x GROUP BY 1, 2, 3 HAVING COUNT(*) > $MaxBucketWidth),
+       |capped$x AS (SELECT bands$x.* FROM bands$x ANTI JOIN hot$x USING (lang, b, bucket)),
+       |cand$x AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM capped$x a JOIN capped$x b
+       |         ON a.lang=b.lang AND a.b=b.b AND a.bucket=b.bucket AND a.doc_id<b.doc_id),
+       |pairs$x AS (SELECT id_a, id_b FROM
+       |      (SELECT id_a, id_b,
+       |       len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
+       |       FROM cand$x JOIN sh x ON x.doc_id=id_a JOIN sh y ON y.doc_id=id_b)
+       |      WHERE jaccard >= 0.7)""".stripMargin
+  }
 
   private[graft] def minhashPairsCtesFrom(src: String): String =
     s"""${bandsCtesFrom(src)},
@@ -377,6 +412,99 @@ object DedupCatalog extends QueryModule {
            |       GROUP BY 1, 2, 3 HAVING COUNT(*) > $MaxBucketWidth)
            |SELECT lang, COUNT(*) AS n_hot_buckets, SUM(bw)::BIGINT AS n_dropped_rows
            |FROM hb GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "dedup_lsh_tuning",
+      // The LSH BAND-GEOMETRY tuning curve — the dedup twin of
+      // ann_nprobe_curve: with k=64 minhashes fixed, the (bands b ×
+      // rows r) split IS the operating point (collision probability
+      // 1−(1−s^r)^b: fewer/longer bands → steeper threshold, fewer
+      // candidates, lower recall; more/shorter bands → the opposite),
+      // and every deployment picks (b, r) from exactly this table.
+      // For b×r ∈ {8×8, 16×4, 32×2}: candidate mass after the
+      // MaxBucketWidth cap, verified pairs (exact Jaccard ≥ 0.7), and
+      // RELATIVE recall vs the union of all geometries' verified pairs
+      // (ground truth by pooling — the standard estimate when the
+      // all-pairs truth is infeasible, which at 100 TB it always is;
+      // verification is shared, so each geometry's pairs ⊆ the pool and
+      // recall_ppm is an exact integer).
+      //
+      // Scale posture: the expensive stage — shingle explode + 64
+      // min-aggregates — runs ONCE (mh persisted, as the production
+      // signature store would be); each geometry adds one narrow band
+      // explode, one capped bucket self-join, and a pairs-sized verify.
+      // The curve costs 3 candidate joins, never 3 corpus passes.
+      (s, dir) => {
+        val sh = GraftCache.register(shingleDf(s, dir).persist())
+        val mh = GraftCache.register(minhashVectors(sh).persist())
+        val geometries = Seq((8, 8), (16, 4), (32, 2))
+        val perCfg = geometries.map { case (b, r) =>
+          val bands = bandsOf(mh, b, r)
+          val hot = bands
+            .groupBy("lang", "band", "bucket")
+            .agg(count(lit(1)).as("bw"))
+            .filter(col("bw") > MaxBucketWidth)
+            .select("lang", "band", "bucket")
+          val capped = bands.join(broadcast(hot), Seq("lang", "band", "bucket"), "left_anti")
+          val cand = capped
+            .as("a")
+            .join(
+              capped.as("b"),
+              col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .distinct()
+          val candP = GraftCache.register(cand.persist())
+          val pairs = candP
+            .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+            .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+            .withColumn(
+              "jaccard",
+              size(array_intersect(col("sa"), col("sb"))).cast("double") /
+                size(array_union(col("sa"), col("sb"))))
+            .filter(col("jaccard") >= 0.7)
+            .select("id_a", "id_b")
+          (b, r, candP, GraftCache.register(pairs.persist()))
+        }
+        val pool = perCfg.map(_._4).reduce(_.unionByName(_)).distinct()
+        val gt = pool.agg(count(lit(1)).as("n_pool"))
+        perCfg
+          .map { case (b, r, cand, pairs) =>
+            cand
+              .agg(count(lit(1)).as("n_cand"))
+              .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+              .crossJoin(broadcast(gt))
+              .select(
+                lit(b.toLong).as("bands"),
+                lit(r.toLong).as("rows_per_band"),
+                col("n_cand"),
+                col("n_pairs"),
+                expr("n_pairs * 1000000 div greatest(n_pool, 1)").as("recall_ppm"))
+          }
+          .reduce(_.unionByName(_))
+          .orderBy("bands")
+      },
+      Some {
+        val cfgs = Seq((8, 8), (16, 4), (32, 2))
+        val rows = cfgs
+          .map { case (b, r) =>
+            val x = s"_${b}_$r"
+            s"""SELECT ${b}::BIGINT AS bands, ${r}::BIGINT AS rows_per_band,
+               |  (SELECT COUNT(*) FROM cand$x)::BIGINT AS n_cand,
+               |  (SELECT COUNT(*) FROM pairs$x)::BIGINT AS n_pairs,
+               |  ((SELECT COUNT(*) FROM pairs$x) * 1000000)
+               |    // greatest((SELECT n_pool FROM gt), 1) AS recall_ppm""".stripMargin
+          }
+          .mkString("", "\nUNION ALL\n", "")
+        s"""WITH ${minhashCtesFrom("documents")},
+           |${cfgs.map { case (b, r) => tuningCfgSql(b, r) }.mkString(",\n")},
+           |pool AS (${cfgs
+            .map { case (b, r) => s"SELECT id_a, id_b FROM pairs_${b}_$r" }
+            .mkString(" UNION ")}),
+           |gt AS (SELECT COUNT(*)::BIGINT AS n_pool FROM pool)
+           |$rows
+           |ORDER BY bands""".stripMargin
+      }
     ),
     Q(
       "dedup_cluster_assign",

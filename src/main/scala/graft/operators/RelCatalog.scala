@@ -964,6 +964,42 @@ object RelCatalog extends QueryModule {
              |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     ),
+    Q(
+      "rel_tpch_q18",
+      // TPC-H Q18 large-volume-customer shape: the AGGREGATE-AS-FILTER
+      // join — lineitem rolls up to per-order quantity, the HAVING
+      // threshold keeps the big orders, and only then do the orders /
+      // customer dims join in. The aggregation runs FIRST so the join
+      // input shrinks from line items to qualifying orders (at TPC-H
+      // selectivity ~1e-4 of them) — the order that joins first and
+      // aggregates later would shuffle the full fact twice. Quantity
+      // sums go through DECIMAL(38,4) (l_quantity is a double in the
+      // testdata; decimal partials are exact and order-independent,
+      // then one cast back to double for the output).
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.lineitem
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).as("qty"))
+          .filter(col("qty") > 250)
+          .select(col("l_orderkey"), col("qty").cast("double").as("sum_qty"))
+        t.orders
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select(
+            col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+             |      FROM lineitem GROUP BY 1
+             |      HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 250) big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+    ),
     // ---- ordering / set ops ------------------------------------------
     Q(
       "rel_sort_limit",

@@ -39,6 +39,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.1, s"IVF-PQ recall collapsed: $recall")
   }
 
+  test("ann_rerank_exact: exact re-rank of the PQ shortlist recovers recall over raw PQ") {
+    val pq = pairs(SparkEntry.queries("ann_pq")(spark, sf))
+    val rr = pairs(SparkEntry.queries("ann_rerank_exact")(spark, sf))
+    assert(rr.size === brute.size, "rerank must return full top-k lists")
+    val rPq = (pq & brute).size.toDouble / brute.size
+    val rRr = (rr & brute).size.toDouble / brute.size
+    info(f"raw-PQ recall@5 = $rPq%.3f, rerank recall@5 = $rRr%.3f")
+    // structural: PQ's top-5 is a subset of its top-20 shortlist, and
+    // brute members of the shortlist always survive an exact re-rank —
+    // so the two-stage recall can never fall below raw PQ's
+    assert(rRr >= rPq, s"re-rank lost recall: $rRr < $rPq")
+    // and it must genuinely pay: the codes misorder near neighbors far
+    // more often than they drop them from a 4x-deep shortlist
+    assert(rRr > rPq, s"re-rank bought nothing over raw PQ ($rRr)")
+  }
+
   test("Lloyd refinement: objective non-increasing, converges, improves on the seed") {
     GraftCache.clear()
     val (assigned, rounds, objs) = ann.AnnCatalog.lloydTrain(spark, sf, 30)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 wave: the LSH band-geometry tuning curve, the PQ
+  * shortlist → exact re-rank serving stage, and TPC-H Q18's
+  * aggregate-as-filter join.
+  */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_lsh_tuning: nested geometries order candidate mass; 16x4 row equals the deployed pipeline") {
+    GraftCache.clear()
+    val rows = SparkEntry.queries("dedup_lsh_tuning")(spark, sf).collect()
+    assert(rows.length === 3, s"one row per geometry, got ${rows.length}")
+    val byB = rows
+      .map(r =>
+        (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"), r.getAs[Long]("n_cand"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    assert(byB.map(t => (t._1, t._2)).sameElements(Seq((8L, 8L), (16L, 4L), (32L, 2L))))
+    // band geometries nest by halving: colliding on an 8-row band
+    // implies colliding on both of its 4-row halves, so (uncapped)
+    // candidate sets are subsets as bands shorten — candidate mass and
+    // relative recall must be non-decreasing in band count (no bucket
+    // exceeds the width cap at this sf, so the subset order is exact)
+    assert(byB(0)._3 <= byB(1)._3 && byB(1)._3 <= byB(2)._3, s"candidate mass not monotone: $byB")
+    assert(byB(0)._5 <= byB(1)._5 && byB(1)._5 <= byB(2)._5, s"recall not monotone: $byB")
+    byB.foreach { case (b, r, cand, prs, ppm) =>
+      assert(prs <= cand, s"verified pairs exceed candidates at ${b}x$r")
+      assert(ppm >= 0 && ppm <= 1000000, s"recall_ppm out of range at ${b}x$r: $ppm")
+    }
+    // the 16x4 row IS the deployed geometry: its verified-pair count
+    // must equal dedup_minhash_lsh's output exactly
+    GraftCache.clear()
+    val deployed = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(byB(1)._4 === deployed, s"16x4 row ${byB(1)._4} != deployed pipeline $deployed")
+    GraftCache.clear()
+  }
+
+  test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
+    val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 250.0), "HAVING threshold violated")
+    // recount the first row's quantity sum straight off lineitem
+    val ok = rows.head.getAs[Long]("o_orderkey")
+    val direct = Tables(spark, sf).lineitem
+      .filter(col("l_orderkey") === ok)
+      .agg(sum(col("l_quantity").cast("decimal(38,4)")).cast("double"))
+      .collect()(0)
+      .getDouble(0)
+    assert(direct === rows.head.getAs[Double]("sum_qty"), s"recount mismatch for order $ok")
+    // presentation order: totalprice non-increasing, orderkey breaks ties
+    val tp = rows.map(r => (r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))
+    tp.sliding(2).foreach {
+      case Array((a, ka), (b, kb)) =>
+        assert(a > b || (a == b && ka < kb), s"ordering broken at ($a,$ka) -> ($b,$kb)")
+      case _ =>
+    }
+    // the aggregate runs BEFORE the dim joins: the plan's first join
+    // input is the aggregated big-orders frame, not raw lineitem — the
+    // qualifying-order count bounds the join width
+    val qualifying = Tables(spark, sf).lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(38,4)")).as("q"))
+      .filter(col("q") > 250)
+      .count()
+    assert(rows.length === math.min(qualifying, 100L).toInt)
+  }
+}
