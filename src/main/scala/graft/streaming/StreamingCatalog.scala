@@ -328,6 +328,56 @@ object StreamingCatalog extends QueryModule {
     MemoryResult.drain(ss, name)(_.orderBy("click_id", "buy_id"))
   }
 
+  /** LEFT-OUTER stream-stream join — the semantics milestone past the
+    * inner join: matched pairs emit as they match, but an UNMATCHED
+    * click may only emit (with a null purchase side) once the
+    * watermark PROVES no qualifying purchase can still arrive — i.e.
+    * when wm has passed click_ts + the 1 h join bound. Clicks younger
+    * than that stay in state, unemitted: the null side of an outer
+    * stream join is inherently watermark-gated, which is exactly what
+    * bounds its state at 100 TB (no forever-held left rows).
+    *
+    * With AvailableNow over the static file the final watermark is
+    * deterministic — min(max click_ts, max purchase_ts) − 2 h delay
+    * (each side's watermark tracks its own post-filter max; the query
+    * watermark is their min) — and the trailing no-data micro-batch
+    * flushes the eligible unmatched clicks. The oracle reproduces both
+    * populations relationally: the inner matches, plus the anti-join
+    * clicks whose click_us + 1 h lies strictly below that watermark;
+    * later unmatched clicks are the UNEMITTED tail (same contract as
+    * stream_late_data: watermark semantics surfaced as data). */
+  private def streamStreamJoinOuter(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s) { ss =>
+      def side(tpe: String, pfx: String) = eventsStream(ss, dir)
+        .filter(col("event_type") === tpe)
+        .select(
+          col("event_id").as(s"${pfx}_id"),
+          col("user_id").as(s"${pfx}_user"),
+          expr("ts div 1000").as(s"${pfx}_us"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "2 hours")
+      val joined = side("click", "click")
+        .join(
+          side("purchase", "buy"),
+          expr("""click_user = buy_user AND
+                  buy_ts >= click_ts AND buy_ts <= click_ts + interval 1 hour"""),
+          "left_outer")
+        .select(
+          col("click_id"),
+          col("buy_id"),
+          col("click_user").as("user_id"),
+          (col("buy_us") - col("click_us")).as("gap_us"))
+      val name = s"graft_ssjo_${System.nanoTime()}"
+      val query = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      MemoryResult.drain(ss, name)(_.orderBy("click_id", "buy_id"))
+    }
+
   /** Streaming dedup: duplicate the stream (self-union) then
     * dropDuplicatesWithinWatermark on the id — the streaming analog of
     * exact dedup with BOUNDED state: an id is only held until the
@@ -797,6 +847,26 @@ object StreamingCatalog extends QueryModule {
              |FROM e a JOIN e b ON a.user_id = b.user_id
              |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
              |  AND b.us >= a.us AND b.us <= a.us + 3600000000
+             |ORDER BY click_id, buy_id""".stripMargin)
+    ),
+    Q(
+      "stream_stream_join_outer",
+      (s, dir) => streamStreamJoinOuter(s, dir),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+             |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+             |b AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+             |wm AS (SELECT least((SELECT MAX(us) FROM c), (SELECT MAX(us) FROM b))
+             |              - 7200000000 AS w),
+             |matched AS (SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id,
+             |            b.us - c.us AS gap_us
+             |            FROM c JOIN b ON c.user_id = b.user_id
+             |            AND b.us >= c.us AND b.us <= c.us + 3600000000),
+             |unmatched AS (SELECT c.event_id AS click_id, NULL::BIGINT AS buy_id, c.user_id,
+             |              NULL::BIGINT AS gap_us
+             |              FROM c, wm WHERE c.us + 3600000000 < wm.w
+             |              AND NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = c.user_id
+             |                              AND b.us >= c.us AND b.us <= c.us + 3600000000))
+             |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
              |ORDER BY click_id, buy_id""".stripMargin)
     ),
     Q(

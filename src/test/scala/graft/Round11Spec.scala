@@ -39,6 +39,44 @@ class Round11Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("stream_stream_join_outer: nulls are exactly the watermark-proven unmatched clicks") {
+    val rows = SparkEntry.queries("stream_stream_join_outer")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(!_.isNullAt(1))
+    val nulls = rows.filter(_.isNullAt(1))
+    assert(nulls.forall(_.isNullAt(3)), "null purchase side must null gap_us too")
+    // matched rows are the inner join's rows exactly
+    val inner = SparkEntry.queries("stream_stream_join")(spark, sf).collect()
+    assert(matched.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      inner.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // recount the two click populations from the batch table: clicks
+    // whose 1 h join bound fell below the final watermark emit (matched
+    // or null), YOUNGER unmatched clicks are the held-in-state tail —
+    // they must NOT appear
+    val e = Tables(spark, sf).events
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+    val c = e.filter(col("event_type") === "click")
+    val b = e.filter(col("event_type") === "purchase")
+    val wm = math.min(
+      c.agg(max("us")).collect()(0).getLong(0),
+      b.agg(max("us")).collect()(0).getLong(0)) - 7200000000L
+    val unmatchedAll = c
+      .as("c")
+      .join(
+        b.as("b"),
+        expr("c.user_id = b.user_id AND b.us >= c.us AND b.us <= c.us + 3600000000"),
+        "left_anti")
+    val eligible = unmatchedAll.filter(col("us") + 3600000000L < wm).count()
+    val tail = unmatchedAll.filter(col("us") + 3600000000L >= wm).count()
+    assert(nulls.length.toLong === eligible, s"null rows ${nulls.length} != eligible $eligible")
+    assert(tail > 0, "fixture degenerate: no clicks held in state — the gate is untested")
+    val nullIds = nulls.map(_.getLong(0)).toSet
+    val tailIds = unmatchedAll
+      .filter(col("us") + 3600000000L >= wm)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds.intersect(tailIds).isEmpty, "a state-held click leaked a null row")
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)

@@ -21,13 +21,16 @@ class StreamingStateStoreSpec extends AnyFunSuite {
 
   /** The driver queries whose plans carry streaming state: the three
     * GroupState ops (running aggregate, anomaly z-score, curation
-    * gate), watermarked dedup, and session windows. */
+    * gate), watermarked dedup, session windows, and the outer
+    * stream-stream join (whose null emission is DRIVEN by state
+    * eviction — the sharpest provider-equality probe here). */
   private val stateful = Seq(
     "stream_state_running",
     "stream_anomaly_zscore",
     "stream_curation_gate",
     "stream_dedup",
-    "stream_sessionize")
+    "stream_sessionize",
+    "stream_stream_join_outer")
 
   private def runWith(provider: Option[String], name: String): Seq[String] = {
     val sess = spark.newSession()
