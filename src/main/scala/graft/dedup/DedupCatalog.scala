@@ -507,6 +507,70 @@ object DedupCatalog extends QueryModule {
       }
     ),
     Q(
+      "dedup_lsh_incremental",
+      // Day-2 MinHash dedup — the INDEX-PROBE shape (the LSH analog of
+      // dedup_bloom_incremental, and the dedup analog of
+      // ann_index_persist): the seen corpus' band buckets are a stored
+      // INDEX — here genuinely written to parquet and reopened cold,
+      // as the serving process would — and a new crawl batch is
+      // deduped against it by computing ONLY the batch's signatures
+      // and probing the index with a bucket equi-join. Nothing
+      // re-touches the seen corpus' text: day-2 work scales with the
+      // batch, which is the whole point of incremental ingestion at
+      // 100 TB. The index side is width-capped exactly like the batch
+      // pipeline (a hot bucket is an index-maintenance artifact);
+      // batch-internal near-dups run the standard dedup_minhash_lsh
+      // over the batch alone — this operator is the cross-generation
+      // probe. Emits verified (id_new, id_seen, jaccard) pairs; a
+      // minhash is a pure per-doc function of its own shingles, so
+      // bands computed per-subset equal the full corpus' bands and the
+      // oracle splits one shared band relation by the id boundary.
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val seenSh = GraftCache.register(
+          shingleDfFrom(docs.filter(col("doc_id") < 300)).persist())
+        val batchSh = GraftCache.register(
+          shingleDfFrom(docs.filter(col("doc_id") >= 300)).persist())
+        val base = graft.Stage.dir("graft_lsh_idx_", dir).getPath
+        bandsFrom(seenSh).write.mode("overwrite").partitionBy("lang").parquet(base)
+        val index = docs.sparkSession.read.parquet(base)
+        val hot = index
+          .groupBy("lang", "band", "bucket")
+          .agg(count(lit(1)).as("bw"))
+          .filter(col("bw") > MaxBucketWidth)
+          .select("lang", "band", "bucket")
+        val idx = index.join(broadcast(hot), Seq("lang", "band", "bucket"), "left_anti")
+        val cand = bandsFrom(batchSh)
+          .as("n")
+          .join(idx.as("o"), Seq("lang", "band", "bucket"))
+          .select(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_seen"))
+          .distinct()
+        cand
+          .join(batchSh.select(col("doc_id").as("id_new"), col("sh").as("sa")), "id_new")
+          .join(seenSh.select(col("doc_id").as("id_seen"), col("sh").as("sb")), "id_seen")
+          .withColumn(
+            "jaccard",
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))))
+          .filter(col("jaccard") >= 0.7)
+          .select("id_new", "id_seen", "jaccard")
+          .orderBy("id_new", "id_seen")
+      },
+      Some(s"""WITH ${bandsCtesFrom("documents")},
+             |idx AS (SELECT * FROM bands WHERE doc_id < 300),
+             |hot AS (SELECT lang, b, bucket FROM idx GROUP BY 1, 2, 3 HAVING COUNT(*) > $MaxBucketWidth),
+             |idc AS (SELECT idx.* FROM idx ANTI JOIN hot USING (lang, b, bucket)),
+             |probe AS (SELECT * FROM bands WHERE doc_id >= 300),
+             |cand AS (SELECT DISTINCT p.doc_id AS id_new, o.doc_id AS id_seen
+             |         FROM probe p JOIN idc o
+             |         ON p.lang = o.lang AND p.b = o.b AND p.bucket = o.bucket),
+             |j AS (SELECT id_new, id_seen,
+             |      len(list_intersect(x.s, y.s))::DOUBLE/len(list_distinct(x.s||y.s)) AS jaccard
+             |      FROM cand JOIN sh x ON x.doc_id = id_new JOIN sh y ON y.doc_id = id_seen)
+             |SELECT id_new, id_seen, jaccard FROM j WHERE jaccard >= 0.7
+             |ORDER BY id_new, id_seen""".stripMargin)
+    ),
+    Q(
       "dedup_cluster_assign",
       // near-dup pairs -> duplicate clusters: symmetric closure +
       // self-loops, then two rounds of min-label propagation (fixed

@@ -268,6 +268,71 @@ object PipelineCatalog extends QueryModule {
              |(SUM(is_q) * 1000000) // COUNT(*) AS quality_pass_ppm,
              |(SUM(nw) * 1000) // COUNT(*) AS mean_tokens_milli
              |FROM fl GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    Q(
+      "pipe_dedup_cascade",
+      // Onion-dedup ATTRIBUTION — per-document, the FIRST stage of the
+      // ordered cascade (exact digest → near-dup cluster → quality
+      // gate) that would drop it, or `kept`. The data card reports
+      // aggregate rates per source; this is the row-level provenance a
+      // curation team audits ("why did doc X disappear?") and the
+      // ordering matters: an exact duplicate that is ALSO low-quality
+      // is attributed to the dedup stage that actually fires first, so
+      // stage-level drop counts sum to the true pipeline loss instead
+      // of double-counting. Every stage reuses the production
+      // operators verbatim (Pipeline.exactDropIds / nearDupDropIds /
+      // qualityFilter), so `kept` here IS Pipeline.curate's keep set —
+      // spec-asserted.
+      //
+      // Scale posture: three id-list left joins onto the corpus — the
+      // exact list shuffles on doc_id (can be a large fraction), the
+      // near-dup list is broadcast (clusters are rare), the quality
+      // flags ride the same scan; verdict is pure columnar CASE.
+      (s, dir) => {
+        val docs = Fan
+          .out(Tables(s, dir).documents)
+          .select("doc_id", "source", "lang", "text")
+        val ex = Pipeline.exactDropIds(docs).select(col("doc_id"), lit(1L).as("is_ex"))
+        val nd = Pipeline.nearDupDropIds(docs).select(col("doc_id"), lit(1L).as("is_nd"))
+        val q = Pipeline.qualityFilter(docs).select(col("doc_id"), lit(1L).as("is_q"))
+        docs
+          .select("doc_id", "source")
+          .join(ex, Seq("doc_id"), "left")
+          .join(broadcast(nd), Seq("doc_id"), "left")
+          .join(q, Seq("doc_id"), "left")
+          .withColumn(
+            "verdict",
+            when(col("is_ex") === 1L, "exact_dup")
+              .when(col("is_nd") === 1L, "near_dup")
+              .when(col("is_q").isNull, "low_quality")
+              .otherwise("kept"))
+          .select("doc_id", "source", "verdict")
+          .orderBy("doc_id")
+      },
+      Some("WITH " + DedupCatalog.minhashPairsCtesFrom("documents") +
+        DedupCatalog.clusterAssignSqlTail +
+        s""",
+           |d AS (SELECT doc_id, source, text FROM documents),
+           |qm AS (SELECT doc_id,
+           |  len(string_split(text,' '))::BIGINT AS nw,
+           |  length(text)::BIGINT AS len,
+           |  (length(text)-length(regexp_replace(text,'[a-z]','','g')))::BIGINT AS alpha,
+           |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS stop
+           |  FROM d),
+           |q AS (SELECT doc_id FROM qm WHERE $qualityGateSql),
+           |ex AS (SELECT doc_id FROM
+           |       (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM d)
+           |       WHERE doc_id <> keep_id),
+           |nd AS (SELECT x AS doc_id FROM r2 WHERE rep_id <> x)
+           |SELECT d.doc_id, d.source,
+           |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+           |       WHEN q.doc_id IS NULL THEN 'low_quality'
+           |       ELSE 'kept' END AS verdict
+           |FROM d LEFT JOIN ex ON d.doc_id = ex.doc_id
+           |LEFT JOIN nd ON d.doc_id = nd.doc_id
+           |LEFT JOIN q ON d.doc_id = q.doc_id
+           |ORDER BY d.doc_id""".stripMargin)
     )
   )
 }

@@ -77,6 +77,45 @@ class Round11Spec extends AnyFunSuite {
     assert(nullIds.intersect(tailIds).isEmpty, "a state-held click leaked a null row")
   }
 
+  test("dedup_lsh_incremental: probe pairs are exactly the full pipeline's cross-generation pairs") {
+    GraftCache.clear()
+    val inc = SparkEntry.queries("dedup_lsh_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (seen, new)
+    GraftCache.clear()
+    val full = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // id_a < id_b
+    // no bucket exceeds the width cap at this sf, so the incremental
+    // probe must find EXACTLY the full pipeline's pairs that cross the
+    // generation boundary — and none of the batch-internal ones
+    val cross = full.filter { case (a, b) => a < 300 && b >= 300 }
+    val internal = full.filter { case (a, b) => a >= 300 && b >= 300 }
+    assert(inc === cross, s"probe pairs $inc != full-pipeline cross pairs $cross")
+    assert(internal.nonEmpty, "fixture degenerate: no batch-internal pair to exclude")
+    assert(inc.intersect(internal).isEmpty)
+    GraftCache.clear()
+  }
+
+  test("pipe_dedup_cascade: kept is Pipeline.curate's keep set; exact_dup wins the ordering") {
+    GraftCache.clear()
+    val rows = SparkEntry.queries("pipe_dedup_cascade")(spark, sf).collect()
+    assert(rows.length === 500)
+    val byVerdict = rows.groupBy(_.getString(2)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byVerdict.keySet.subsetOf(Set("kept", "exact_dup", "near_dup", "low_quality")))
+    // kept == the production pipeline's keep set (same operators, so
+    // the cascade is attribution, not a different pipeline)
+    GraftCache.clear()
+    val docs = Fan.out(Tables(spark, sf).documents).select("doc_id", "source", "lang", "text")
+    val curated = pipeline.Pipeline.curate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(byVerdict.getOrElse("kept", Set.empty) === curated)
+    // ordering: every near_dup doc passed the exact stage (else it
+    // would carry exact_dup), and the three drop sets are disjoint by
+    // construction — their sizes sum to the pipeline's total loss
+    val dropped = byVerdict.filterKeys(_ != "kept").values.map(_.size).sum
+    assert(dropped === 500 - curated.size)
+    GraftCache.clear()
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
