@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.{Fan, Q, QueryModule, Tables}
+import graft.{Fan, GraftCache, Q, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -232,6 +232,94 @@ object TextCatalog extends QueryModule {
              |tok AS (SELECT g AS bigram FROM sh, UNNEST(s) AS t(g))
              |SELECT bigram, COUNT(*) AS n FROM tok GROUP BY bigram
              |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "text_bpe_train",
+      // BPE tokenizer TRAINING (Sennrich et al. 2016) — the merge-table
+      // learner every LLM data pipeline runs before anything is token-
+      // counted: start from characters, repeatedly merge the most
+      // frequent adjacent token pair. 5 merge rounds unrolled into ONE
+      // DAG; each round is one pair-count aggregation (explode bigrams
+      // → map-side-combined count), a 1-row argmax (freq DESC, pair ASC
+      // — deterministic ties), and a narrow per-word apply. The merge
+      // applies via plain replace() on a DOUBLE-SPACED token form
+      // (' a  b  c '): the pattern ' A  B ' consumes one space of each
+      // neighboring gap, so all non-overlapping occurrences merge in a
+      // single left-to-right pass and overlap chains ('aaa') merge
+      // greedily L2R — exactly reference BPE batch-apply, and
+      // Spark/DuckDB replace() share the non-overlapping L2R contract,
+      // so the learned table is hash-identical cross-engine.
+      //
+      // Scale posture: training runs over the word-frequency DICTIONARY
+      // (the textbook BPE state), not word instances — one count
+      // shuffle up front collapses the corpus to (word, cnt) types and
+      // every round's state is dictionary-sized, with pair counts
+      // SUM(cnt)-weighted so the learned table is identical to
+      // instance-level training. Each round's frame is persisted (the
+      // unrolled lineage would otherwise replay round r-1 twice per
+      // round — the wd_pagerank lesson); per round the wide work is ONE
+      // pair-count shuffle over dictionary rows, the chosen pair rides
+      // a 1-row broadcast. A production run raises rounds, not widths —
+      // the per-round cost is flat in corpus size once the dictionary
+      // is built.
+      (s, dir) => {
+        val words = Fan
+          .out(Tables(s, dir).documents)
+          .select(explode(ws(lower(col("text")))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("cnt"))
+        var w = GraftCache.register(
+          words
+            .select(
+              concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+              col("cnt"))
+            .persist())
+        val rows = (1 to 5).map { r =>
+          val m = GraftCache.register(
+            w.select(explode(shingles(split(trim(col("s")), "  "), 2)).as("pair"), col("cnt"))
+              .groupBy("pair")
+              .agg(sum(col("cnt")).as("freq"))
+              .orderBy(col("freq").desc, col("pair"))
+              .limit(1)
+              .persist())
+          w = GraftCache.register(
+            w.crossJoin(broadcast(m))
+              .select(
+                expr("replace(s, concat(' ', replace(pair, ' ', '  '), ' '), " +
+                  "concat(' ', replace(pair, ' ', ''), ' '))").as("s"),
+                col("cnt"))
+              .persist())
+          m.crossJoin(
+            w.select(sum(size(split(trim(col("s")), "  ")) * col("cnt")).as("n_tokens")))
+            .select(lit(r.toLong).as("round"), col("pair"), col("freq"), col("n_tokens"))
+        }
+        rows.reduce(_.unionByName(_)).orderBy("round")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          val p = r - 1
+          s"""tk$r AS (SELECT string_split(trim(s, ' '), '  ') AS t, cnt FROM w$p),
+             |pc$r AS (SELECT g AS pair, SUM(cnt)::BIGINT AS freq FROM
+             |         (SELECT [array_to_string(t[i:i+1],' ') for i in range(1, len(t))] AS bs, cnt
+             |          FROM tk$r WHERE len(t) >= 2), UNNEST(bs) AS u(g) GROUP BY 1),
+             |m$r AS (SELECT pair, freq FROM pc$r ORDER BY freq DESC, pair LIMIT 1),
+             |w$r AS (SELECT replace(s, ' '||replace(pair,' ','  ')||' ', ' '||replace(pair,' ','')||' ') AS s, cnt
+             |        FROM w$p, m$r),
+             |nt$r AS (SELECT SUM(len(string_split(trim(s,' '),'  ')) * cnt)::BIGINT AS n_tokens FROM w$r)""".stripMargin
+        }
+        val out = (1 to 5)
+          .map(r =>
+            s"SELECT $r::BIGINT AS round, pair, freq, (SELECT n_tokens FROM nt$r) AS n_tokens FROM m$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH words AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM
+           |  (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+           |w0 AS (SELECT ' '||array_to_string(string_split(w,''),'  ')||' ' AS s, cnt FROM words),
+           |${rounds.mkString(",\n")}
+           |$out
+           |ORDER BY round""".stripMargin
+      }
     ),
     Q(
       "text_fingerprint",

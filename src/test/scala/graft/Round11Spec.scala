@@ -116,6 +116,37 @@ class Round11Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("text_bpe_train: merge conservation — each round removes exactly freq tokens") {
+    GraftCache.clear()
+    val rows = SparkEntry.queries("text_bpe_train")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1L to 5L))
+    // merging one pair occurrence collapses two tokens into one, so
+    // after round r the corpus holds exactly freq_r fewer tokens —
+    // round 0's count is the corpus' total character mass
+    val chars = Tables(spark, sf).documents
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .agg(sum(length(col("w"))))
+      .collect()(0).getLong(0)
+    rows.foldLeft(chars) { case (prev, (r, pair, freq, nt)) =>
+      assert(nt === prev - freq, s"round $r: $prev - $freq != $nt — a merge leaked or double-fired")
+      nt
+    }
+    // round 1 merges two single characters; later pairs are tokens
+    // drawn from {chars + earlier merges}
+    val vocab = scala.collection.mutable.Set(('a' to 'z').map(_.toString): _*)
+    rows.foreach { case (r, pair, _, _) =>
+      val Array(a, b) = pair.split(" ")
+      assert(vocab(a) && vocab(b), s"round $r merged unknown tokens: $pair")
+      vocab += (a + b)
+    }
+    assert(rows.head._2.length === 3, "round 1 must merge two single chars")
+    GraftCache.clear()
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
