@@ -12,6 +12,77 @@ import org.apache.spark.sql.functions._
   */
 object TextCatalog extends QueryModule {
 
+  /** BPE training state (see text_bpe_train): from a documents
+    * relation, the word-frequency dictionary in double-spaced char
+    * form, and `rounds` iterations of (1-row merge frame, post-merge
+    * dictionary frame) — every frame persisted and GraftCache-
+    * registered. Shared by text_bpe_train (emits the merge table) and
+    * text_bpe_apply (applies a slice-trained table to the corpus). */
+  private[graft] def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): (Seq[org.apache.spark.sql.DataFrame], Seq[org.apache.spark.sql.DataFrame]) = {
+    val words = docs
+      .select(explode(ws(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+    var w = GraftCache.register(
+      words
+        .select(
+          concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+          col("cnt"))
+        .persist())
+    val frames = (1 to rounds).map { _ =>
+      val m = GraftCache.register(
+        w.select(explode(shingles(split(trim(col("s")), "  "), 2)).as("pair"), col("cnt"))
+          .groupBy("pair")
+          .agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(1)
+          .persist())
+      w = GraftCache.register(
+        w.crossJoin(broadcast(m))
+          .select(bpeApplyCol(col("s"), col("pair")).as("s"), col("cnt"))
+          .persist())
+      (m, w)
+    }
+    (frames.map(_._1), frames.map(_._2))
+  }
+
+  /** One BPE merge application on the double-spaced form: pattern
+    * ' A  B ' → ' AB ' via plain replace() (L2R non-overlap — the
+    * contract Spark and DuckDB share; see text_bpe_train). */
+  private def bpeApplyCol(
+      s: org.apache.spark.sql.Column,
+      pair: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function(
+      "replace",
+      s,
+      concat(lit(" "), call_function("replace", pair, lit(" "), lit("  ")), lit(" ")),
+      concat(lit(" "), call_function("replace", pair, lit(" "), lit("")), lit(" ")))
+
+  /** Oracle CTE chain for BPE training: words (with `pred` restricting
+    * the training slice) → w0 → tk/pc/m/w/nt per round. Ends after
+    * nt$rounds; consumers append their own SELECT. */
+  private def bpeCtes(pred: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""tk$r AS (SELECT string_split(trim(s, ' '), '  ') AS t, cnt FROM w$p),
+         |pc$r AS (SELECT g AS pair, SUM(cnt)::BIGINT AS freq FROM
+         |         (SELECT [array_to_string(t[i:i+1],' ') for i in range(1, len(t))] AS bs, cnt
+         |          FROM tk$r WHERE len(t) >= 2), UNNEST(bs) AS u(g) GROUP BY 1),
+         |m$r AS (SELECT pair, freq FROM pc$r ORDER BY freq DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(s, ' '||replace(pair,' ','  ')||' ', ' '||replace(pair,' ','')||' ') AS s, cnt
+         |        FROM w$p, m$r),
+         |nt$r AS (SELECT SUM(len(string_split(trim(s,' '),'  ')) * cnt)::BIGINT AS n_tokens FROM w$r)""".stripMargin
+    }
+    s"""words AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM
+       |  (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
+       |  WHERE $pred AND regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |w0 AS (SELECT ' '||array_to_string(string_split(w,''),'  ')||' ' AS s, cnt FROM words),
+       |${rs.mkString(",\n")}""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "text_decontaminate",
@@ -263,62 +334,90 @@ object TextCatalog extends QueryModule {
       // the per-round cost is flat in corpus size once the dictionary
       // is built.
       (s, dir) => {
-        val words = Fan
-          .out(Tables(s, dir).documents)
-          .select(explode(ws(lower(col("text")))).as("w"))
-          .filter(col("w").rlike("^[a-z]+$"))
-          .groupBy("w")
-          .agg(count(lit(1)).as("cnt"))
-        var w = GraftCache.register(
-          words
-            .select(
-              concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
-              col("cnt"))
-            .persist())
-        val rows = (1 to 5).map { r =>
-          val m = GraftCache.register(
-            w.select(explode(shingles(split(trim(col("s")), "  "), 2)).as("pair"), col("cnt"))
-              .groupBy("pair")
-              .agg(sum(col("cnt")).as("freq"))
-              .orderBy(col("freq").desc, col("pair"))
-              .limit(1)
-              .persist())
-          w = GraftCache.register(
-            w.crossJoin(broadcast(m))
-              .select(
-                expr("replace(s, concat(' ', replace(pair, ' ', '  '), ' '), " +
-                  "concat(' ', replace(pair, ' ', ''), ' '))").as("s"),
-                col("cnt"))
-              .persist())
-          m.crossJoin(
-            w.select(sum(size(split(trim(col("s")), "  ")) * col("cnt")).as("n_tokens")))
-            .select(lit(r.toLong).as("round"), col("pair"), col("freq"), col("n_tokens"))
-        }
-        rows.reduce(_.unionByName(_)).orderBy("round")
+        val (ms, wsF) = bpeTrain(Fan.out(Tables(s, dir).documents), 5)
+        ms.zip(wsF).zipWithIndex
+          .map { case ((m, w), i) =>
+            m.crossJoin(
+              w.select(sum(size(split(trim(col("s")), "  ")) * col("cnt")).as("n_tokens")))
+              .select(lit((i + 1).toLong).as("round"), col("pair"), col("freq"), col("n_tokens"))
+          }
+          .reduce(_.unionByName(_))
+          .orderBy("round")
       },
       Some {
-        val rounds = (1 to 5).map { r =>
-          val p = r - 1
-          s"""tk$r AS (SELECT string_split(trim(s, ' '), '  ') AS t, cnt FROM w$p),
-             |pc$r AS (SELECT g AS pair, SUM(cnt)::BIGINT AS freq FROM
-             |         (SELECT [array_to_string(t[i:i+1],' ') for i in range(1, len(t))] AS bs, cnt
-             |          FROM tk$r WHERE len(t) >= 2), UNNEST(bs) AS u(g) GROUP BY 1),
-             |m$r AS (SELECT pair, freq FROM pc$r ORDER BY freq DESC, pair LIMIT 1),
-             |w$r AS (SELECT replace(s, ' '||replace(pair,' ','  ')||' ', ' '||replace(pair,' ','')||' ') AS s, cnt
-             |        FROM w$p, m$r),
-             |nt$r AS (SELECT SUM(len(string_split(trim(s,' '),'  ')) * cnt)::BIGINT AS n_tokens FROM w$r)""".stripMargin
-        }
         val out = (1 to 5)
           .map(r =>
             s"SELECT $r::BIGINT AS round, pair, freq, (SELECT n_tokens FROM nt$r) AS n_tokens FROM m$r")
           .mkString("\nUNION ALL\n")
-        s"""WITH words AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM
-           |  (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents)
-           |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
-           |w0 AS (SELECT ' '||array_to_string(string_split(w,''),'  ')||' ' AS s, cnt FROM words),
-           |${rounds.mkString(",\n")}
+        s"""WITH ${bpeCtes("TRUE", 5)}
            |$out
            |ORDER BY round""".stripMargin
+      }
+    ),
+    Q(
+      "text_bpe_apply",
+      // The tokenizer's PRODUCTION split: merges are trained on a
+      // curated reference SLICE (doc_id < 250 — the pool must never
+      // shape its own tokenizer) and applied to the whole corpus,
+      // including documents the trainer never saw — BPE's open-
+      // vocabulary property means unseen words still tokenize (down to
+      // characters at worst), which the spec asserts on the held-out
+      // half. Application is the train-time merge chain replayed in
+      // learned order: 5 one-row broadcast joins and 5 narrow
+      // replace()s per word, then one doc-keyed rollup — per-doc BPE
+      // token counts next to whitespace word counts, the number every
+      // token-budgeted pipeline actually bills by.
+      //
+      // Scale posture: training cost is dictionary-sized (see
+      // text_bpe_train); application is embarrassingly parallel per
+      // word instance with the merge table riding 1-row broadcasts —
+      // the 100 TB pool is touched once, in one narrow pass.
+      (s, dir) => {
+        val docs = Fan.out(Tables(s, dir).documents)
+        val (ms, _) = bpeTrain(docs.filter(col("doc_id") < 250), 5)
+        val docWords = docs
+          .select(col("doc_id"), explode(ws(lower(col("text")))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .select(
+            col("doc_id"),
+            concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"))
+        val applied = ms.zipWithIndex
+          .foldLeft(docWords) { case (df, (m, i)) =>
+            df.crossJoin(broadcast(m.select(col("pair").as(s"p${i + 1}"))))
+              .withColumn("s", bpeApplyCol(col("s"), col(s"p${i + 1}")))
+          }
+        val agg = applied
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(size(split(trim(col("s")), "  "))).as("n_tokens_bpe"))
+        docs
+          .select("doc_id")
+          .join(agg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val nested = (1 to 5).foldLeft("s") { (acc, r) =>
+          s"replace($acc, ' '||replace((SELECT pair FROM m$r),' ','  ')||' ', " +
+            s"' '||replace((SELECT pair FROM m$r),' ','')||' ')"
+        }
+        s"""WITH ${bpeCtes("doc_id < 250", 5)},
+           |dw AS (SELECT doc_id, w FROM
+           |  (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[a-z]+$$')),
+           |ds AS (SELECT doc_id, ' '||array_to_string(string_split(w,''),'  ')||' ' AS s FROM dw),
+           |ap AS (SELECT doc_id, $nested AS s FROM ds),
+           |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+           |        SUM(len(string_split(trim(s,' '),'  ')))::BIGINT AS n_tokens_bpe
+           |        FROM ap GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+           |COALESCE(agg.n_tokens_bpe, 0) AS n_tokens_bpe
+           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+           |ORDER BY d.doc_id""".stripMargin
       }
     ),
     Q(

@@ -147,6 +147,40 @@ class Round11Spec extends AnyFunSuite {
     GraftCache.clear()
   }
 
+  test("text_bpe_apply: held-out docs tokenize; one doc replays by hand") {
+    GraftCache.clear()
+    val rows = SparkEntry.queries("text_bpe_apply")(spark, sf).collect()
+    assert(rows.length === 500)
+    // open vocabulary: every held-out doc with words still tokenizes,
+    // and merging can only shrink token counts down to one per word
+    rows.foreach { r =>
+      val (nw, nt) = (r.getLong(1), r.getLong(2))
+      assert(nt >= nw, s"doc ${r.getLong(0)}: fewer tokens than words ($nt < $nw)")
+      assert(nw > 0 || nt == 0)
+    }
+    assert(rows.count(r => r.getLong(0) >= 250 && r.getLong(2) > 0) > 0,
+      "no held-out doc tokenized — the train/apply split is vacuous")
+    // hand replay: re-apply the learned merges with plain JVM
+    // String.replace (the same L2R non-overlap contract) to one
+    // held-out doc and match the operator's count
+    GraftCache.clear()
+    val (ms, _) = text.TextCatalog.bpeTrain(
+      Fan.out(Tables(spark, sf).documents).filter(col("doc_id") < 250), 5)
+    val pairs = ms.map(_.collect()(0).getString(0))
+    GraftCache.clear()
+    val docText = Tables(spark, sf).documents
+      .filter(col("doc_id") === 400).select("text").collect()(0).getString(0)
+    val handCount = docText.toLowerCase.split(" ").filter(_.matches("[a-z]+")).map { w =>
+      var s = " " + w.map(_.toString).mkString("  ") + " "
+      pairs.foreach { p =>
+        s = s.replace(" " + p.replace(" ", "  ") + " ", " " + p.replace(" ", "") + " ")
+      }
+      s.trim.split("  ").length.toLong
+    }.sum
+    assert(handCount === rows.find(_.getLong(0) == 400).get.getLong(2),
+      "hand replay diverged from the operator")
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
