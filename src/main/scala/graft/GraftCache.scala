@@ -31,10 +31,16 @@ object GraftCache {
     cleanups += f
   }
 
-  /** Unpersist every registered dataset (non-blocking), run every
-    * cleanup thunk, and forget them all. */
+  /** Unpersist every registered dataset, run every cleanup thunk, and
+    * forget them all. The unpersist BLOCKS: with blocking=false the
+    * block-removal storm of one query's caches runs concurrently with
+    * whatever executes next, and the harnesses charge that eviction to
+    * the NEXT query's timed window — measured as a 4-6x slowdown of the
+    * successor after a cache-heavy predecessor (DocStress r11: a 13 s
+    * query timed at 51 s). Blocking pins the cost to the clear() call
+    * itself, which every harness runs between timings. */
   def clear(): Unit = synchronized {
-    registered.foreach(_.unpersist(blocking = false))
+    registered.foreach(_.unpersist(blocking = true))
     registered.clear()
     cleanups.foreach(f => f())
     cleanups.clear()

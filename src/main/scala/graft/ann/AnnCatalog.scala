@@ -265,13 +265,22 @@ object AnnCatalog extends QueryModule {
         transform(array_sort(collect_list(struct(col("pos"), col("sv_sum")))), x => x.getField("sv_sum"))
           .as("csum"))
       .join(sub.groupBy("j", "label").agg(count(lit(1)).as("cnt")), Seq("j", "label"))
-      .withColumn("ssq", dotQ(col("csum"), col("csum")))
+      // Σ csum² outgrows BIGINT once a cell holds ~10k 1e6-quantized
+      // vectors (csum_i ~ n·1e6, its square ~ n²·1e12) — found by the
+      // 100x DocStress arm, so the square runs in DECIMAL(38,0)
+      // (HUGEINT in the oracle); values are identical where both fit
+      .withColumn(
+        "ssq",
+        expr("aggregate(csum, CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"))
       .select(col("j"), col("label").as("cell"), col("csum"), col("cnt"), col("ssq"))
     // ||v - s/c||² ranking ≡ (-2·v·s·c + ssq)/c² + const: exact
-    // integer numerator, one portable IEEE division
+    // integer numerator, one portable IEEE division. The inner dot
+    // stays a Long (safe to ~1e6-vector cells: 8·1e6·(n·1e6) < 2^63);
+    // the -2·dot·cnt product crosses BIGINT around n~10k, so the outer
+    // arithmetic runs in DECIMAL(38,0) — same 100x lesson as ssq.
     def score(sv: org.apache.spark.sql.Column) =
-      (lit(-2L) * dotQ(sv, col("csum")) * col("cnt") + col("ssq")).cast("double") /
-        (col("cnt") * col("cnt"))
+      (lit(-2L) * dotQ(sv, col("csum")).cast("decimal(38,0)") * col("cnt") + col("ssq"))
+        .cast("double") / (col("cnt") * col("cnt"))
     // per-vector code per subspace: argmin by AGGREGATION (map-side
     // partial min_by), not a row_number window — same rationale as
     // ann_ivf's assignment
@@ -308,17 +317,17 @@ object AnnCatalog extends QueryModule {
       |cbl AS (SELECT j, cell, list(s ORDER BY i) AS csum FROM cbs GROUP BY 1, 2),
       |cnt AS (SELECT j, label AS cell, COUNT(*) AS cnt FROM sub GROUP BY 1, 2),
       |cb AS (SELECT cbl.j, cbl.cell, csum, cnt,
-      |       (SELECT SUM(csum[i]*csum[i]) FROM UNNEST(range(1, 9)) AS t(i))::BIGINT AS ssq
+      |       (SELECT SUM(csum[i]::HUGEINT*csum[i]) FROM UNNEST(range(1, 9)) AS t(i))::HUGEINT AS ssq
       |       FROM cbl JOIN cnt USING (j, cell)),
       |sc AS (SELECT s.vec_id, s.j, c.cell,
-      |       CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
+      |       CAST(-2::HUGEINT*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
       |            AS DOUBLE)/(c.cnt*c.cnt) AS score
       |       FROM sub s JOIN cb c ON s.j = c.j),
       |codes AS (SELECT vec_id, j, cell FROM
       |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cell) AS rn FROM sc)
       |          WHERE rn = 1),
       |lut AS (SELECT s.vec_id AS q_id, s.j, c.cell,
-      |        CAST(round(1e6 * (CAST(-2*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
+      |        CAST(round(1e6 * (CAST(-2::HUGEINT*(SELECT SUM(s.sv[i]*c.csum[i]) FROM UNNEST(range(1, 9)) AS t(i))*c.cnt + c.ssq
       |                               AS DOUBLE)/(c.cnt*c.cnt))) AS BIGINT) AS fp
       |        FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
       |adc AS (SELECT l.q_id, k.vec_id, SUM(l.fp)::BIGINT AS adc

@@ -178,6 +178,57 @@ object StatefulOps {
         })
   }
 
+  // event_ts rides along because event-time timeout requires the
+  // WATERMARKED column to survive into the stateful operator's input —
+  // projecting it away silently detaches the watermark
+  final case class EventW(wstart_us: Long, user_id: Long, event_ts: java.sql.Timestamp)
+  final case class TopkRow(wstart_s: Long, rank: Long, user_id: Long, n: Long)
+
+  /** Windowed top-k heavy hitters with WINDOW-CLOSE emission: state is
+    * keyed by the hour window and holds the per-user counts (the same
+    * state any windowed groupBy(user) count carries — the stateful fold
+    * merely saves the second shuffle); NOTHING is emitted while the
+    * window can still receive events. Each group registers an
+    * event-time timeout at its window end — when the watermark passes
+    * it, the timeout invocation emits the final top-k (count DESC,
+    * user ASC — deterministic ties) and FREES the state. Append-mode
+    * semantics done right: results are final on emission, windows the
+    * watermark has not yet closed are the unemitted tail (same
+    * contract as stream_stream_join_outer), and state is bounded by
+    * open windows × active users, never by stream length. */
+  def topkWindow(events: Dataset[EventW], k: Int): Dataset[TopkRow] = {
+    implicit val stateEnc = Encoders.kryo[Map[Long, Long]]
+    implicit val outEnc = Encoders.product[TopkRow]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.wstart_us)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (wstart: Long, batch: Iterator[EventW], state: GroupState[Map[Long, Long]]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq
+              .sortBy { case (user, n) => (-n, user) }
+              .take(k)
+              .zipWithIndex
+              .map { case ((user, n), i) =>
+                TopkRow(wstart / 1000000L, (i + 1).toLong, user, n)
+              }
+              .iterator
+          } else {
+            val counts = batch.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+              (m, e) => m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
+            }
+            state.update(counts)
+            // window end in ms — the timeout clock is the event-time
+            // watermark, so emission happens exactly when no more
+            // events can legally join this window
+            state.setTimeoutTimestamp((wstart + 3600000000L) / 1000L)
+            Iterator.empty
+          }
+        })
+  }
+
   def runningTotals(events: Dataset[Event]): Dataset[UserUpdate] = {
     implicit val stateEnc = Encoders.product[UserState]
     implicit val outEnc = Encoders.product[UserUpdate]

@@ -378,6 +378,37 @@ object StreamingCatalog extends QueryModule {
       MemoryResult.drain(ss, name)(_.orderBy("click_id", "buy_id"))
     }
 
+  /** Windowed top-k heavy hitters with window-close emission — see
+    * StatefulOps.topkWindow for the state machine. The watermark both
+    * bounds the state (closed windows are freed on their timeout) and
+    * DEFINES emission: a window's top-3 appears exactly once, when no
+    * more events can legally join it; windows the final watermark has
+    * not closed are the unemitted tail (same data contract as
+    * stream_stream_join_outer). */
+  private def topkWindowStream(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s) { ss =>
+      import ss.implicits._
+      val src = eventsStream(ss, dir)
+        .select(expr("ts div 1000").as("us"), col("user_id"))
+        .withColumn("event_ts", timestamp_micros(col("us")))
+        .withWatermark("event_ts", "2 hours")
+        .select(
+          expr("(us div 3600000000) * 3600000000").as("wstart_us"),
+          col("user_id"),
+          col("event_ts"))
+        .as[StatefulOps.EventW]
+      val out = StatefulOps.topkWindow(src, 3)
+      val name = s"graft_stopk_${System.nanoTime()}"
+      val query = out.toDF().writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      MemoryResult.drain(ss, name)(_.orderBy("wstart_s", "rank"))
+    }
+
   /** Streaming dedup: duplicate the stream (self-union) then
     * dropDuplicatesWithinWatermark on the id — the streaming analog of
     * exact dedup with BOUNDED state: an id is only held until the
@@ -868,6 +899,19 @@ object StreamingCatalog extends QueryModule {
              |                              AND b.us >= c.us AND b.us <= c.us + 3600000000))
              |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
              |ORDER BY click_id, buy_id""".stripMargin)
+    ),
+    Q(
+      "stream_topk_window",
+      (s, dir) => topkWindowStream(s, dir),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+             |wm AS (SELECT MAX(us) - 7200000000 AS w FROM e),
+             |win AS (SELECT user_id, (us // 3600000000) * 3600000000 AS ws FROM e),
+             |cnt AS (SELECT ws, user_id, COUNT(*)::BIGINT AS n FROM win GROUP BY 1, 2),
+             |closed AS (SELECT c.* FROM cnt c, wm WHERE c.ws + 3600000000 <= wm.w),
+             |ranked AS (SELECT ws//1000000 AS wstart_s, user_id, n,
+             |  row_number() OVER (PARTITION BY ws ORDER BY n DESC, user_id) AS rank FROM closed)
+             |SELECT wstart_s, CAST(rank AS BIGINT) AS rank, user_id, n
+             |FROM ranked WHERE rank <= 3 ORDER BY wstart_s, rank""".stripMargin)
     ),
     Q(
       "stream_sessionize",

@@ -57,7 +57,18 @@ object DocStress {
     "text_dsir",
     "ann_index_persist",
     "ann_cell_stats",
-    "mm_silence_trim")
+    "mm_silence_trim",
+    // round-11 wave: the incremental index probe (the seen index stays
+    // replica-0-sized while the batch replicates — the realistic day-2
+    // shape), the cascade attribution, dictionary-sized BPE training +
+    // slice-trained application, the 3-geometry LSH tuning curve, and
+    // the PQ-shortlist exact re-rank
+    "dedup_lsh_incremental",
+    "pipe_dedup_cascade",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "dedup_lsh_tuning",
+    "ann_rerank_exact")
 
   /** The r7 verdict's 100x arm: the dedup flagships whose candidate-
     * generation machinery (LSH banding, PPJoin prefix filter, shared-

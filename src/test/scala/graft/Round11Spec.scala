@@ -181,6 +181,42 @@ class Round11Spec extends AnyFunSuite {
       "hand replay diverged from the operator")
   }
 
+  test("stream_topk_window: closed windows carry a final top-3, open windows stay silent") {
+    val rows = SparkEntry.queries("stream_topk_window")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per window: ranks are 1..min(3, users), counts non-increasing
+    rows.groupBy(_._1).foreach { case (w, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length.toLong), s"ranks broken in window $w")
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"tie-break broken in window $w")
+        case _ =>
+      }
+    }
+    // the final watermark must leave at least one window unemitted —
+    // otherwise the window-close gate is untested
+    val e = Tables(spark, sf).events.selectExpr("unix_micros(ts) AS us", "user_id")
+    val maxUs = e.agg(max("us")).collect()(0).getLong(0)
+    val allWindows = e.selectExpr("(us div 3600000000) * 3600000000 AS ws")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val emitted = rows.map(_._1 * 1000000L).toSet
+    assert(emitted.subsetOf(allWindows))
+    val tail = allWindows.filter(_ + 3600000000L > maxUs - 7200000000L)
+    assert(tail.nonEmpty && tail.forall(w => !emitted.contains(w)),
+      "a watermark-open window emitted (or the fixture has no tail)")
+    // recount one emitted window's top-3 from the batch table
+    val w0 = rows.map(_._1).min * 1000000L
+    val expect = e.filter(expr(s"(us div 3600000000) * 3600000000 = $w0"))
+      .groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = rows.filter(_._1 === w0 / 1000000L).sortBy(_._2).map(r => (r._3, r._4))
+    assert(got.sameElements(expect), s"window $w0 recount: got ${got.toSeq}, expected ${expect.toSeq}")
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)

@@ -30,7 +30,8 @@ class StreamingStateStoreSpec extends AnyFunSuite {
     "stream_curation_gate",
     "stream_dedup",
     "stream_sessionize",
-    "stream_stream_join_outer")
+    "stream_stream_join_outer",
+    "stream_topk_window")
 
   private def runWith(provider: Option[String], name: String): Seq[String] = {
     val sess = spark.newSession()
