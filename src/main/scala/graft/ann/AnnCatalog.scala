@@ -627,6 +627,48 @@ object AnnCatalog extends QueryModule {
       Some(ivfSql)
     ),
     Q(
+      "ann_index_append",
+      // Day-2 INDEX APPEND — the ANN twin of dedup_lsh_incremental: a
+      // new vector batch (vec_id ≥ 400) joins the index by ASSIGNMENT
+      // against the FROZEN centroids trained on the seen corpus alone
+      // (vec_id < 400) — no retrain, which is exactly how a production
+      // IVF index absorbs daily embeddings until drift forces a
+      // rebuild (ann_cell_stats is the dashboard that calls it).
+      // Queries then serve from the merged assignment through the
+      // shared nprobe=2 path; day-2 work = one broadcast-centroid
+      // argmax over the batch.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
+        ivfSearch(coarseAssign(c, cents), cents)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) WHERE vec_id < 400 GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m WHERE vec_id < 400 GROUP BY 1),
+             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+             |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
+             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+             |       FROM m CROSS JOIN cc),
+             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+             |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
+             |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
+             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+             |       FROM sc WHERE sc.vec_id < 10),
+             |probes AS (SELECT q_id, qe, qn, cell FROM qp WHERE rn <= 2),
+             |scored AS (SELECT p.q_id, s.vec_id,
+             |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
+             |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
+             |   FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
       "ann_nprobe_curve",
       // The IVF TUNING curve — recall@K as a function of nprobe (1, 2,
       // 4), the plot every vector-search deployment draws before

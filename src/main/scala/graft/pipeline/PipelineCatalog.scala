@@ -333,6 +333,78 @@ object PipelineCatalog extends QueryModule {
            |LEFT JOIN nd ON d.doc_id = nd.doc_id
            |LEFT JOIN q ON d.doc_id = q.doc_id
            |ORDER BY d.doc_id""".stripMargin)
+    ),
+    Q(
+      "pipe_drift_monitor",
+      // Ingestion DRIFT detection — the data-quality alarm between a
+      // reference batch (doc_id < 250) and the incoming one: word-count
+      // distributions as 10 equal-width histograms over the REFERENCE's
+      // [min,max] (new-batch outliers clamp into the edge buckets —
+      // mass migrating to bucket 0/9 is itself the drift signal), and
+      // the L1 distance between the two ppm profiles (2e6 × total
+      // variation) as the alert number a monitor thresholds. All exact
+      // integers, so the whole report hash-verifies.
+      //
+      // Scale posture: two map-side-combined histogram aggregations
+      // (one per batch) against a broadcast 1-row min/max; the spine,
+      // totals and L1 all ride structural-size broadcasts. One scan of
+      // each batch, no shuffle wider than 10 buckets.
+      (s, dir) => {
+        val docs = Fan
+          .out(Tables(s, dir).documents)
+          .select(col("doc_id"), size(ws(col("text"))).cast("long").as("nw"))
+        val ref = docs.filter(col("doc_id") < 250)
+        val neu = docs.filter(col("doc_id") >= 250)
+        val stats = ref.agg(min(col("nw")).as("mn"), max(col("nw")).as("mx"))
+        def counted(df: org.apache.spark.sql.DataFrame, out: String) = df
+          .crossJoin(broadcast(stats))
+          .select(
+            greatest(
+              lit(0L),
+              least(lit(9L), expr("(nw - mn) * 10 div (mx - mn + 1)"))).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as(out))
+        val spine = s.range(10).select(col("id").as("bucket"))
+        val joined = spine
+          .join(counted(ref, "n_ref"), Seq("bucket"), "left")
+          .join(counted(neu, "n_new"), Seq("bucket"), "left")
+          .select(
+            col("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val tot = joined.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_new")).as("t_new"))
+        val ppm = joined
+          .crossJoin(broadcast(tot))
+          .selectExpr(
+            "bucket",
+            "n_ref",
+            "n_new",
+            "n_ref * 1000000 div greatest(t_ref, 1) AS ref_ppm",
+            "n_new * 1000000 div greatest(t_new, 1) AS new_ppm")
+        val l1 = ppm.agg(sum(abs(col("ref_ppm") - col("new_ppm"))).as("l1_ppm"))
+        ppm.crossJoin(broadcast(l1)).orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS nw FROM documents),
+             |ref AS (SELECT * FROM d WHERE doc_id < 250),
+             |neu AS (SELECT * FROM d WHERE doc_id >= 250),
+             |st AS (SELECT MIN(nw) AS mn, MAX(nw) AS mx FROM ref),
+             |rb AS (SELECT greatest(0, least(9, ((nw - mn) * 10) // (mx - mn + 1))) AS bucket
+             |       FROM ref, st),
+             |nb AS (SELECT greatest(0, least(9, ((nw - mn) * 10) // (mx - mn + 1))) AS bucket
+             |       FROM neu, st),
+             |rc AS (SELECT bucket, COUNT(*)::BIGINT AS n_ref FROM rb GROUP BY 1),
+             |nc AS (SELECT bucket, COUNT(*)::BIGINT AS n_new FROM nb GROUP BY 1),
+             |sp AS (SELECT b AS bucket FROM UNNEST(range(10)) AS t(b)),
+             |j AS (SELECT sp.bucket, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_new, 0) AS n_new
+             |      FROM sp LEFT JOIN rc ON sp.bucket = rc.bucket
+             |      LEFT JOIN nc ON sp.bucket = nc.bucket),
+             |tt AS (SELECT SUM(n_ref)::BIGINT AS t_ref, SUM(n_new)::BIGINT AS t_new FROM j),
+             |pp AS (SELECT bucket, n_ref, n_new,
+             |       (n_ref * 1000000) // greatest(t_ref, 1) AS ref_ppm,
+             |       (n_new * 1000000) // greatest(t_new, 1) AS new_ppm FROM j, tt),
+             |l1 AS (SELECT SUM(abs(ref_ppm - new_ppm))::BIGINT AS l1_ppm FROM pp)
+             |SELECT bucket, n_ref, n_new, ref_ppm, new_ppm, l1_ppm FROM pp, l1
+             |ORDER BY bucket""".stripMargin)
     )
   )
 }

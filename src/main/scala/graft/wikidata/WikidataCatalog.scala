@@ -644,6 +644,48 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY property_id""".stripMargin)
     ),
     Q(
+      "wd_best_rank",
+      // BEST-RANK (truthy, wdt:-namespace) statement selection — the
+      // Wikidata semantics one level above wd_rank_filter's
+      // deprecated-drop: within each (entity, property), a PREFERRED
+      // statement suppresses the normal ones; absent any preferred,
+      // all normals are best. The fixture's P7 carries only
+      // preferred(+dropped deprecated), so a normal P7 competitor is
+      // INJECTED per nation (dst Q(300+n)) — its suppression is the
+      // oracle's test: the injected rows must NOT appear.
+      //
+      // Scale posture: best-rank is a per-(src, property) max of a
+      // 2-valued weight — one map-side-combined aggregation producing
+      // a keys-sized frame, joined back on the same key (one shuffle
+      // pair, no data-sized window). At 100 TB this is the standard
+      // aggregate-then-semi-join shape.
+      (s, dir) => {
+        val base = WikidataShredder.entityEdgesWithRank(SyntheticDump.entities(s, dir))
+        val injected = Tables(s, dir).nation.select(
+          (col("n_nationkey").cast("long") + 10L).as("src_id"),
+          lit(1000000007L).as("property_id"),
+          lit("normal").as("rank"),
+          (col("n_nationkey").cast("long") + 300L).as("dst_id"))
+        val all = base.unionByName(injected)
+        def w = when(col("rank") === "preferred", 2L).otherwise(1L)
+        val best = all
+          .groupBy("src_id", "property_id")
+          .agg(max(w).as("best_w"))
+        all
+          .join(best, Seq("src_id", "property_id"))
+          .filter(w === col("best_w"))
+          .select("src_id", "property_id", "dst_id", "rank")
+          .orderBy("src_id", "property_id", "dst_id")
+      },
+      Some(s"""SELECT * FROM (
+             |SELECT $nIsBig AS src_id, CAST(1000000031 AS BIGINT) AS property_id, CAST(100+n_regionkey AS BIGINT) AS dst_id, 'normal' AS "rank" FROM nation
+             |UNION ALL SELECT 10+n_nationkey, 1000000007, 200+n_nationkey, 'preferred' FROM nation
+             |UNION ALL SELECT 1000000040+r_regionkey, 1000000031, 300+r_regionkey, 'normal' FROM region
+             |UNION ALL SELECT 2000000007, 1000000008, 705032713, 'normal'
+             |UNION ALL SELECT 2000000007, 1000000009, 1205032714, 'normal'
+             |) ORDER BY src_id, property_id, dst_id""".stripMargin)
+    ),
+    Q(
       "wd_upsert_vertex",
       // dump-refresh merge: a newer partial dump (changed labels + new
       // entities) upserts into the existing vertex table, latest wins —

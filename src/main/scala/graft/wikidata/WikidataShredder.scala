@@ -116,7 +116,11 @@ object WikidataShredder {
   /** One row per non-deprecated claim: (src_id, property_id, snaktype,
     * datatype, vtype, raw-JSON value). The routing base for every edge
     * table. */
-  def claims(entities: DataFrame): DataFrame =
+  /** [[claims]] with the statement rank RETAINED — the input of
+    * best-rank (truthy) selection, where a preferred statement
+    * suppresses its property's normal ones. Deprecated statements are
+    * still dropped here (main.rs:203 — they are never served). */
+  def claimsWithRank(entities: DataFrame): DataFrame =
     entities
       .select(IdCodec.idToU32(col("id")).as("src_id"), explode(col("claims")))
       .withColumnRenamed("key", "prop")
@@ -125,10 +129,27 @@ object WikidataShredder {
       .select(
         col("src_id"),
         col("property_id"),
+        col("claim.rank").as("rank"),
         col("claim.mainsnak.snaktype").as("snaktype"),
         col("claim.mainsnak.datatype").as("datatype"),
         col("claim.mainsnak.datavalue.type").as("vtype"),
         col("claim.mainsnak.datavalue.value").as("raw"))
+
+  def claims(entities: DataFrame): DataFrame =
+    claimsWithRank(entities).drop("rank")
+
+  /** Entity-valued value-snak edges with the rank retained — the
+    * best-rank selection input (no NoValue/Unknown self-loops here;
+    * those carry no rank competition). */
+  def entityEdgesWithRank(entities: DataFrame): DataFrame =
+    claimsWithRank(entities)
+      .filter(col("snaktype") === "value" && col("vtype") === "wikibase-entityid")
+      .withColumn("ev", from_json(col("raw"), entityIdValue))
+      .select(
+        col("src_id"),
+        col("property_id"),
+        col("rank"),
+        IdCodec.idToU32(col("ev.id")).as("dst_id"))
 
   private def keys = Seq(col("src_id"), col("property_id"))
 

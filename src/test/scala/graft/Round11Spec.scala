@@ -217,6 +217,46 @@ class Round11Spec extends AnyFunSuite {
     assert(got.sameElements(expect), s"window $w0 recount: got ${got.toSeq}, expected ${expect.toSeq}")
   }
 
+  test("wd_best_rank: preferred suppresses the injected normal; normals without competition survive") {
+    val rows = SparkEntry.queries("wd_best_rank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val p7 = rows.filter(_._2 == 1000000007L)
+    // every served P7 statement is the preferred one; the injected
+    // normal competitor (dst 300+n) must be fully suppressed
+    assert(p7.nonEmpty && p7.forall(_._4 == "preferred"), s"non-preferred P7 leaked: ${p7.take(3).toSeq}")
+    assert(p7.forall(r => r._3 >= 200 && r._3 < 300), "injected normal P7 dst leaked past best-rank")
+    // P31 has no preferred statement, so its normals are best
+    val p31 = rows.filter(_._2 == 1000000031L)
+    assert(p31.nonEmpty && p31.forall(_._4 == "normal"))
+    // deprecated never appears at all (dropped before ranking)
+    assert(rows.forall(_._4 != "deprecated"))
+  }
+
+  test("pipe_drift_monitor: ppm profiles sum to ~1e6 and l1 recounts") {
+    val rows = SparkEntry.queries("pipe_drift_monitor")(spark, sf).collect()
+    assert(rows.length === 10)
+    val refPpm = rows.map(_.getAs[Long]("ref_ppm")).sum
+    val newPpm = rows.map(_.getAs[Long]("new_ppm")).sum
+    // integer-div shares undercount by at most 1 ppm per bucket
+    assert(refPpm > 1000000L - 10 && refPpm <= 1000000L, s"ref profile sums to $refPpm")
+    assert(newPpm > 1000000L - 10 && newPpm <= 1000000L, s"new profile sums to $newPpm")
+    val l1 = rows.map(r => math.abs(r.getAs[Long]("ref_ppm") - r.getAs[Long]("new_ppm"))).sum
+    assert(rows.forall(_.getAs[Long]("l1_ppm") === l1), "l1_ppm column diverges from the recount")
+    assert(rows.map(_.getAs[Long]("n_ref")).sum === 250L)
+    assert(rows.map(_.getAs[Long]("n_new")).sum === 250L)
+  }
+
+  test("ann_index_append: appended vectors are searchable from the frozen-centroid index") {
+    val rows = SparkEntry.queries("ann_index_append")(spark, sf).collect()
+    assert(rows.length === 50, "full top-5 lists for all 10 queries")
+    // the day-2 batch (vec_id >= 400) must actually surface in served
+    // results — an append that silently drops the batch would still
+    // return 50 rows
+    assert(rows.exists(_.getAs[Long]("vec_id") >= 400L),
+      "no appended vector reachable — the batch never joined the index")
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
