@@ -257,6 +257,32 @@ class Round11Spec extends AnyFunSuite {
       "no appended vector reachable — the batch never joined the index")
   }
 
+  test("plan shapes: best-rank is window-free, cascade broadcasts the near-dup list, bpe joins stay broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+    GraftCache.clear()
+    // best-rank: per-key max + join back — never a data-sized window
+    val br = SparkEntry.queries("wd_best_rank")(spark, sf)
+    br.collect()
+    assert(PlanCheck.countNodes[WindowExec](br) === 0,
+      s"best-rank picked a window plan:\n${PlanCheck.render(br)}")
+    // cascade: the near-dup drop list rides a broadcast join
+    val cas = SparkEntry.queries("pipe_dedup_cascade")(spark, sf)
+    cas.collect()
+    assert(PlanCheck.countNodes[BroadcastHashJoinExec](cas) >= 1,
+      s"cascade near-dup list not broadcast:\n${PlanCheck.render(cas)}")
+    GraftCache.clear()
+    // bpe_apply: the learned merges ride 1-row broadcasts; no
+    // sort-merge join may appear anywhere in the chain
+    val ap = SparkEntry.queries("text_bpe_apply")(spark, sf)
+    ap.collect()
+    assert(PlanCheck.countNodes[SortMergeJoinExec](ap) === 0,
+      s"a merge join crept into bpe apply:\n${PlanCheck.render(ap)}")
+    assert(PlanCheck.countNodes[BroadcastNestedLoopJoinExec](ap) >= 1,
+      "merge-table broadcasts missing")
+    GraftCache.clear()
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
