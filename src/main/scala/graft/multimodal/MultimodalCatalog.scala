@@ -375,6 +375,49 @@ object MultimodalCatalog extends QueryModule {
              |FROM ch ORDER BY doc_id, channel""".stripMargin)
     ),
     Q(
+      "mm_blur_metric",
+      // Sharpness / blur SCREEN off the real BMP decoder — the
+      // variance-of-Laplacian filter every image-curation pipeline
+      // runs to drop out-of-focus frames: Σ lap² of the horizontal
+      // second difference over the green channel, per asset. The
+      // pixel addressing is the test: green = unpadded payload index
+      // ≡ 1 (mod 3), rows walked through the byte-derived stride —
+      // the oracle recomputes the identical arithmetic from the text
+      // bytes, so a channel-interleave or stride slip breaks the
+      // hash. Images narrower than 3 px have no interior columns and
+      // legitimately report n_lap = 0 (kept via the left join).
+      //
+      // Scale posture: identical to the other decoder-seam ops —
+      // narrow per-asset build+parse in one mapPartitions, Fan.out
+      // first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.bmpBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeBlur(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id, text,
+             |         (doc_id % 16 + 1)::INTEGER AS w, (doc_id % 12 + 1)::INTEGER AS h
+             |       FROM documents),
+             |g AS (SELECT doc_id, r, c,
+             |      unicode(substr(text, ((r*w*3 + c*3 + 1) % length(text) + 1)::INTEGER, 1)) AS v
+             |      FROM px, UNNEST(range(h)) AS t1(r), UNNEST(range(w)) AS t2(c)),
+             |l AS (SELECT doc_id,
+             |      2*v - lag(v) OVER win - lead(v) OVER win AS lap
+             |      FROM g WINDOW win AS (PARTITION BY doc_id, r ORDER BY c)
+             |      QUALIFY lap IS NOT NULL),
+             |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lap, SUM(lap*lap)::BIGINT AS lap_sq_sum
+             |        FROM l GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(agg.n_lap, 0) AS n_lap,
+             |COALESCE(agg.lap_sq_sum, 0) AS lap_sq_sum
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+    Q(
       "mm_tile_means",
       // ViT-style patch prep: per-quadrant pixel statistics off the real
       // BMP decoder — vision models consume images as patch grids, and

@@ -354,4 +354,49 @@ object RealCodecs {
     implicit val enc = Encoders.product[TrimStat]
     blobs.mapPartitions(_.map(silenceTrim))
   }
+
+  /** Sharpness metric for one image asset: Σ lap² of the horizontal
+    * 1-D Laplacian (2·g(c) − g(c−1) − g(c+1)) over the GREEN channel
+    * along each row — the variance-of-Laplacian blur screen a
+    * multimodal curation pipeline runs right after decode (a blurred
+    * frame has small second differences; a sharp one large). Exact
+    * integers, so the whole metric hash-verifies. */
+  final case class BlurStat(doc_id: Long, n_lap: Long, lap_sq_sum: Long)
+
+  /** Walk a BMP's green channel (unpadded payload index p with
+    * p mod 3 == 1) row by row and fold the horizontal Laplacian.
+    * Headers only — offset, stride, dims all read from the bytes.
+    * Images narrower than 3 px have no interior columns: n_lap = 0. */
+  def blurStats(b: Blob): BlurStat = {
+    val a = b.bytes
+    require(a.length >= 2 && a(0) == 'B' && a(1) == 'M', s"doc ${b.doc_id}: not a BMP")
+    val off = le32(a, 10).toInt
+    require(le32(a, 14) == 40L, s"doc ${b.doc_id}: unsupported DIB header")
+    val w = le32(a, 18).toInt
+    val h = le32(a, 22).toInt
+    val bpp = le16(a, 28)
+    val rowBytes = w * (bpp / 8)
+    val stride = (rowBytes + 3) / 4 * 4
+    var n = 0L
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      var c = 1
+      while (c < w - 1) {
+        def g(cc: Int) = u8(a, off + r * stride + cc * 3 + 1)
+        val lap = 2 * g(c) - g(c - 1) - g(c + 1)
+        n += 1
+        sum += lap.toLong * lap
+        c += 1
+      }
+      r += 1
+    }
+    BlurStat(b.doc_id, n, sum)
+  }
+
+  /** Same seam shape as [[decode]], emitting one blur row per asset. */
+  def decodeBlur(blobs: Dataset[Blob]): Dataset[BlurStat] = {
+    implicit val enc = Encoders.product[BlurStat]
+    blobs.mapPartitions(_.map(blurStats))
+  }
 }

@@ -180,6 +180,44 @@ object SourceCatalog extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "src_parquet_bloom",
+      // Parquet BLOOM FILTERS on a point-lookup key — the row-group
+      // skipping a 100 TB fact table needs for selective equality
+      // predicates on NON-sorted, NON-partition columns (min/max stats
+      // are useless on a shuffled key; the bloom answers "definitely
+      // not here" per row group before any page is read). orders is
+      // written with a bloom on o_custkey (ndv-sized) and the lookup
+      // reads it back through a pushed equality filter. Round11Spec
+      // opens the parquet FOOTER and asserts the bloom is physically
+      // present for o_custkey (offset >= 0), absent on an option-less
+      // control write, and that the filter genuinely reaches the scan.
+      //
+      // Scale posture: blooms cost ~bits-per-ndv at write; at read a
+      // selective lookup touches only the row groups whose bloom
+      // admits the key — with 1e6 row groups the elision is the query.
+      (s, dir) => {
+        val path = graft.Stage.dir("graft_pqbloom_", dir).getPath
+        // parquet-mr SKIPS the bloom when a chunk's pages are all
+        // dictionary-encoded (the dictionary is already an exact
+        // membership filter) — true for this key at toy scale, so
+        // dictionary is disabled for the column to exercise the bloom
+        // path; a 100 TB chunk exceeds the dictionary-page limit and
+        // falls back to plain on its own, keeping the bloom naturally.
+        Tables(s, dir).orders.write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_custkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+          .option("parquet.enable.dictionary#o_custkey", "false")
+          .parquet(path)
+        s.read
+          .parquet(path)
+          .filter(col("o_custkey") === 37L)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey = 37 ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "src_schema_evolution",
       // Schema DRIFT across files of one table — the lakehouse reality
       // every long-lived ingestion hits: early batches wrote (o_orderkey,
