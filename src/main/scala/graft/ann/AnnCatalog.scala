@@ -627,6 +627,73 @@ object AnnCatalog extends QueryModule {
       Some(ivfSql)
     ),
     Q(
+      "ann_ivf_filtered",
+      // Pre-filtered search THROUGH THE INDEX — the scale path
+      // ann_filtered's comment promises ("with an IVF index the same
+      // pre-filter becomes: intersect the probe's posting list with
+      // the metadata index before ADC scoring"), now implemented: the
+      // metadata predicate (corpus label = query label) lands on the
+      // probed cells' posting lists BEFORE any distance is computed,
+      // so a selective filter shrinks the scored set instead of
+      // wasting scan on discarded candidates. Cells are probed by the
+      // UNfiltered coarse score (the index is shared across filters);
+      // queries whose label is rare in their probed cells legitimately
+      // return < k rows — the honest filtered-index semantics.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = coarseCentroids(c)
+        val assigned = coarseAssign(c, cents)
+        val q = assigned
+          .filter(col("vec_id") < 10)
+          .select(
+            col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("qv").as("qe"), col("nsq").as("qn"))
+        val probeScored = q
+          .join(broadcast(cents))
+          .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
+        val probes = graft.plans.GraftOps
+          .topKPerGroup(probeScored, Seq(col("q_id")), 2, col("score").desc, col("cell"))
+          .select("q_id", "q_label", "qe", "qn", "cell")
+        val scored = assigned
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "cosine")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m GROUP BY 1),
+             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+             |sc AS (SELECT m.vec_id, m.label, m.qv, m.nsq, cc.cell,
+             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+             |       FROM m CROSS JOIN cc),
+             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+             |assigned AS (SELECT vec_id, label, qv, nsq, cell FROM asg WHERE rn = 1),
+             |qp AS (SELECT sc.vec_id AS q_id, sc.label AS q_label, sc.qv AS qe, sc.nsq AS qn, sc.cell,
+             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+             |       FROM sc WHERE sc.vec_id < 10),
+             |probes AS (SELECT q_id, q_label, qe, qn, cell FROM qp WHERE rn <= 2),
+             |scored AS (SELECT p.q_id, s.vec_id,
+             |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
+             |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
+             |   FROM probes p JOIN assigned s ON s.cell = p.cell
+             |   WHERE s.label = p.q_label AND s.vec_id <> p.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
       "ann_index_append",
       // Day-2 INDEX APPEND — the ANN twin of dedup_lsh_incremental: a
       // new vector batch (vec_id ≥ 400) joins the index by ASSIGNMENT

@@ -202,6 +202,43 @@ object TextCatalog extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_langid_eval",
+      // Classifier EVALUATION as data — the confusion matrix every
+      // deployed filter is judged by: the langid prediction crossed
+      // with the corpus' labeled lang column, counts plus within-truth
+      // shares in exact ppm (the per-class recall diagonal). The same
+      // table drives threshold tuning (move 0.06, watch the off-
+      // diagonal mass move) — model evaluation expressed as one
+      // aggregation, no driver-side scoring loop.
+      //
+      // Scale posture: one narrow scoring pass + a (langs × 2)-sized
+      // count aggregation and a same-key totals join — evaluation
+      // costs one scan regardless of corpus size.
+      (s, dir) => {
+        val scored = Fan
+          .out(Tables(s, dir).documents)
+          .withColumn(
+            "en_score",
+            stopHits(ws(col("text"))).cast("double") / size(ws(col("text"))))
+          .select(
+            col("lang"),
+            when(col("en_score") >= 0.06, "en").otherwise("und").as("pred_lang"))
+        val cm = scored.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        cm.join(cm.groupBy("lang").agg(sum(col("n")).as("n_lang")), "lang")
+          .selectExpr("lang", "pred_lang", "n", "n * 1000000 div n_lang AS row_ppm")
+          .orderBy("lang", "pred_lang")
+      },
+      Some(s"""WITH p AS (SELECT lang,
+             |  CASE WHEN len([w for w in string_split(text,' ') if w IN $StopwordsSql])::DOUBLE/len(string_split(text,' ')) >= 0.06
+             |       THEN 'en' ELSE 'und' END AS pred_lang
+             |  FROM documents),
+             |cm AS (SELECT lang, pred_lang, COUNT(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+             |tot AS (SELECT lang, SUM(n)::BIGINT AS n_lang FROM cm GROUP BY 1)
+             |SELECT cm.lang, pred_lang, n, (n * 1000000) // n_lang AS row_ppm
+             |FROM cm JOIN tot ON cm.lang = tot.lang
+             |ORDER BY cm.lang, pred_lang""".stripMargin)
+    ),
+    Q(
       "text_split_assign",
       // deterministic train/val/test assignment: md5-derived bucket of
       // the doc id — stable across runs, machines, and engines (the

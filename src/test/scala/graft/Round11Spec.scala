@@ -351,6 +351,44 @@ class Round11Spec extends AnyFunSuite {
       s"control write unexpectedly carries a bloom: $without")
   }
 
+  test("ann_ivf_filtered: the predicate binds before scoring and labels recount") {
+    val rows = SparkEntry.queries("ann_ivf_filtered")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    // the filter must genuinely bind: the unfiltered IVF result serves
+    // cross-label neighbors this query may not — the two results
+    // cannot be identical if the predicate restricted anything
+    GraftCache.clear()
+    val unfiltered = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.toSet != unfiltered, "filter never bound — fixture vacuous")
+    // every returned neighbor carries the query's label
+    val labels = Tables(spark, sf).embeddings.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach { case (q, v) =>
+      assert(labels(q) === labels(v), s"query $q (label ${labels(q)}) got cross-label neighbor $v")
+    }
+  }
+
+  test("text_langid_eval: within-truth shares sum to ~1e6 and a cell recounts") {
+    val rows = SparkEntry.queries("text_langid_eval")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === 500L)
+    rows.groupBy(_.getString(0)).foreach { case (lang, g) =>
+      val s = g.map(_.getAs[Long]("row_ppm")).sum
+      assert(s > 1000000L - g.length && s <= 1000000L, s"$lang shares sum to $s")
+    }
+    // recount one cell against the prediction query joined to truth
+    val preds = SparkEntry.queries("text_langid")(spark, sf)
+      .select("doc_id", "pred_lang")
+    val direct = Tables(spark, sf).documents.select("doc_id", "lang")
+      .join(preds, "doc_id")
+      .groupBy("lang", "pred_lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(direct((r.getString(0), r.getString(1))) === r.getAs[Long]("n"))
+    }
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
