@@ -1329,6 +1329,31 @@ object RelCatalog extends QueryModule {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
     ),
     Q(
+      "rel_grouping_id",
+      // GROUPING metadata next to the cube itself: the aggregation
+      // level of each output row as DATA — grouping_id() (the bitmask
+      // a BI layer switches rendering on) plus the per-column
+      // grouping() flags, which is how a consumer tells a genuine NULL
+      // group key from a rollup super-aggregate row (the classic cube
+      // ambiguity). Exact integers; one Expand + one shuffle, the cube
+      // plan unchanged.
+      (s, dir) =>
+        Tables(s, dir).orders
+          .cube("o_orderpriority", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            grouping_id().as("gid"),
+            grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+            grouping(col("o_orderstatus")).cast("long").as("g_st"))
+          .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             |GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+             |GROUPING(o_orderpriority)::BIGINT AS g_pri,
+             |GROUPING(o_orderstatus)::BIGINT AS g_st
+             |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "rel_grouping_sets",
       (s, dir) => {
         Tables(s, dir).views("nation", "region")
