@@ -1101,6 +1101,76 @@ object RelCatalog extends QueryModule {
              |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "rel_asof_nearest",
+      // NEAREST-match as-of join (pandas merge_asof direction='nearest'
+      // with a tolerance): for every click, the purchase by the same
+      // user closest in time within ±30 min — in EITHER direction,
+      // backward winning exact ties. Composed as the same union-tag
+      // decomposition as rel_asof_join run BOTH ways on one user
+      // shuffle (backward last(ignoreNulls), forward first(ignoreNulls)
+      // over the mirrored frame), then a pure-columnar argmin of the
+      // two gap candidates under the tolerance — still one shuffle, no
+      // per-row range scan, and clicks with no candidate inside the
+      // window surface as NULLs (the honest tolerance semantics).
+      (s, dir) => {
+        val tol = 1800000000L // 30 min in micros
+        val e = Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+          .filter(col("event_type").isin("click", "purchase"))
+        val wB = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        e.withColumn("p_ts", when(col("event_type") === "purchase", col("ts_us")))
+          .withColumn("back_us", last(col("p_ts"), ignoreNulls = true).over(wB))
+          .withColumn("fwd_us", first(col("p_ts"), ignoreNulls = true).over(wF))
+          .filter(col("event_type") === "click")
+          .withColumn("bgap", col("ts_us") - col("back_us"))
+          .withColumn("fgap", col("fwd_us") - col("ts_us"))
+          .withColumn("b_ok", col("bgap").isNotNull && col("bgap") <= tol)
+          .withColumn("f_ok", col("fgap").isNotNull && col("fgap") <= tol)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("ts_us"),
+            when(col("b_ok") && (!col("f_ok") || col("bgap") <= col("fgap")), col("back_us"))
+              .when(col("f_ok"), col("fwd_us")).as("near_us"),
+            when(col("b_ok") && (!col("f_ok") || col("bgap") <= col("fgap")), col("bgap"))
+              .when(col("f_ok"), col("fgap")).as("gap_us"),
+            when(col("b_ok") && (!col("f_ok") || col("bgap") <= col("fgap")), "back")
+              .when(col("f_ok"), "fwd").as("direction"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type
+             |           FROM events WHERE event_type IN ('click', 'purchase')),
+             |m AS (SELECT event_id, user_id, ts_us, event_type,
+             |      last_value(CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS)
+             |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+             |      first_value(CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS)
+             |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+             |      FROM e),
+             |c AS (SELECT event_id, user_id, ts_us,
+             |      ts_us - back_us AS bgap, fwd_us - ts_us AS fgap,
+             |      (back_us IS NOT NULL AND ts_us - back_us <= 1800000000) AS b_ok,
+             |      (fwd_us IS NOT NULL AND fwd_us - ts_us <= 1800000000) AS f_ok,
+             |      back_us, fwd_us
+             |      FROM m WHERE event_type = 'click')
+             |SELECT event_id, user_id, ts_us,
+             |  CASE WHEN b_ok AND (NOT f_ok OR bgap <= fgap) THEN back_us
+             |       WHEN f_ok THEN fwd_us END AS near_us,
+             |  CASE WHEN b_ok AND (NOT f_ok OR bgap <= fgap) THEN bgap
+             |       WHEN f_ok THEN fgap END AS gap_us,
+             |  CASE WHEN b_ok AND (NOT f_ok OR bgap <= fgap) THEN 'back'
+             |       WHEN f_ok THEN 'fwd' END AS direction
+             |FROM c ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "rel_join_range",
       // non-equi range join: price-band dimension BETWEEN join (plans as
       // a broadcast nested-loop — correct shape for a tiny band dim)
@@ -1618,6 +1688,48 @@ object RelCatalog extends QueryModule {
              |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bucket,
              |COUNT(*) AS n, MIN(o_totalprice) AS x_lo, MAX(o_totalprice) AS x_hi
              |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "rel_histogram_equidepth",
+      // Equi-DEPTH histogram — the optimizer/BI statistics object next
+      // to rel_histogram's equi-width: 8 buckets holding ~equal row
+      // counts, bounded by the exact k/8 percentiles. The scalable
+      // decomposition is the point: boundaries come from ONE 1-row
+      // percentile aggregate broadcast back over the scan (never an
+      // ntile over a global order — that is a single-partition,
+      // data-sized window), then a map-side-combined count per bucket.
+      // Cross-engine float discipline as rel_percentile: values are
+      // integer cents and the fractions are DYADIC (k/8), so the R-7
+      // interpolation is exact in both engines; bucket(x) counts
+      // boundaries strictly below... (x > b_k), putting boundary-equal
+      // values in the left bucket — both engines compare identical
+      // doubles.
+      (s, dir) => {
+        val t = Tables(s, dir).orders
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val bCols = (1 to 7).map(k => percentile(col("cents"), lit(k / 8.0)).as(s"b$k"))
+        val bs = t.agg(bCols.head, bCols.tail: _*)
+        t.crossJoin(broadcast(bs))
+          .withColumn(
+            "bucket",
+            (1 to 7)
+              .map(k => when(col("cents").cast("double") > col(s"b$k"), 1L).otherwise(0L))
+              .reduce(_ + _))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+          .orderBy("bucket")
+      },
+      Some {
+        val cmp = (1 to 7)
+          .map(k => s"(CASE WHEN CAST(cents AS DOUBLE) > b$k THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val qs = (1 to 7).map(k => s"quantile_cont(cents, ${k / 8.0}) AS b$k").mkString(", ")
+        s"""WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+           |s AS (SELECT $qs FROM t)
+           |SELECT CAST($cmp AS BIGINT) AS bucket,
+           |COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+           |FROM t, s GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     ),
     Q(
       "rel_recursive_cte",

@@ -389,6 +389,55 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("rel_asof_nearest: brute-force recount per click; all directions exercised") {
+    val rows = SparkEntry.queries("rel_asof_nearest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => if (r.isNullAt(5)) "none" else r.getString(5)).toSet
+    assert(dirs.contains("back") && dirs.contains("fwd"),
+      s"fixture must exercise both directions, got $dirs")
+    // brute-force recount: for each click, scan ALL same-user
+    // purchases and pick min |gap| <= tol, backward winning ties —
+    // must match the windowed decomposition exactly
+    val e = Tables(spark, sf).events
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us", "event_type")
+      .filter(col("event_type").isin("click", "purchase")).collect()
+    val purchases = e.filter(_.getString(3) == "purchase")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(r => (r.getLong(2), r.getLong(0)))).toMap
+    val tol = 1800000000L
+    rows.foreach { r =>
+      val (id, user, ts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = purchases.getOrElse(user, Array.empty[(Long, Long)])
+        .filter { case (p, _) => math.abs(p - ts) <= tol }
+      if (cands.isEmpty) assert(r.isNullAt(3), s"click $id: expected null, got ${r.get(3)}")
+      else {
+        // min gap; ties -> backward (p <= ts) wins
+        val best = cands.minBy { case (p, _) => (math.abs(p - ts), if (p <= ts) 0 else 1) }
+        val expGap = math.abs(best._1 - ts)
+        assert(!r.isNullAt(3) && r.getLong(4) === expGap,
+          s"click $id: gap ${if (r.isNullAt(4)) "null" else r.getLong(4)} != $expGap")
+      }
+    }
+  }
+
+  test("rel_histogram_equidepth: buckets hold ~n/8 rows each and partition the domain") {
+    val rows = SparkEntry.queries("rel_histogram_equidepth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(0L to 7L), "all 8 buckets must be populated")
+    val total = rows.map(_._2).sum
+    // equi-depth: every bucket within ~2x of the ideal n/8 (exact
+    // equality is impossible with duplicate boundary values)
+    val ideal = total / 8.0
+    rows.foreach { case (b, n, _, _) =>
+      assert(n > ideal / 2 && n < ideal * 2, s"bucket $b holds $n of ~$ideal — not equi-depth")
+    }
+    // buckets tile the value axis in order without overlap
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+        assert(hi1 <= lo2, s"bucket ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
