@@ -202,6 +202,47 @@ object TextCatalog extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_chunk_sliding",
+      // Sliding-window chunking WITH OVERLAP — the RAG/embedding
+      // chunker (64-token windows, stride 48, so consecutive chunks
+      // share 16 tokens of context): per document, chunk i covers
+      // words [i·48, i·48+64), the last chunk keeps its tail
+      // remainder, and every document emits at least one chunk. The
+      // whole reshape is one narrow sequence-explode + slice per doc —
+      // embarrassingly parallel, no shuffle before the presentation
+      // sort; chunk identity (doc_id, chunk_id) is the key a vector
+      // store indexes. Emits count + boundary words per chunk so the
+      // oracle pins the window arithmetic, not just row counts.
+      (s, dir) =>
+        Fan
+          .out(Tables(s, dir).documents)
+          .select(col("doc_id"), ws(col("text")).as("w"))
+          .withColumn("nw", size(col("w")))
+          // n_chunks = 1 + ceil(max(0, nw-64)/48) = 1 + (max(0,nw-64)+47) div 48
+          .withColumn("nc", expr("1 + (greatest(nw - 64, 0) + 47) div 48"))
+          .select(
+            col("doc_id"),
+            col("w"),
+            col("nw"),
+            explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+          .withColumn("cw", expr("slice(w, chunk_id*48 + 1, 64)"))
+          .select(
+            col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            size(col("cw")).cast("long").as("n_tokens"),
+            element_at(col("cw"), 1).as("first_word"),
+            element_at(col("cw"), -1).as("last_word"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |n AS (SELECT doc_id, w, len(w) AS nw,
+             |      1 + (greatest(nw - 64, 0) + 47) // 48 AS nc FROM d),
+             |c AS (SELECT doc_id, w, i AS chunk_id, w[i*48 + 1 : i*48 + 64] AS cw
+             |      FROM n, UNNEST(range(nc)) AS t(i))
+             |SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(cw)::BIGINT AS n_tokens,
+             |cw[1] AS first_word, cw[len(cw)] AS last_word
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+    Q(
       "text_langid_eval",
       // Classifier EVALUATION as data — the confusion matrix every
       // deployed filter is judged by: the langid prediction crossed

@@ -438,6 +438,31 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("text_chunk_sliding: coverage with 16-token overlap; every doc chunked") {
+    val rows = SparkEntry.queries("text_chunk_sliding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size === 500, "every document must emit at least one chunk")
+    val nw = Tables(spark, sf).documents
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nw")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val n = nw(id)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(0L until sorted.length.toLong))
+      // stride-48 windows of width <=64 tile the doc: chunk i starts at
+      // token i*48, all full chunks carry 64 tokens, the tail carries
+      // the remainder, and the union covers every token exactly
+      sorted.dropRight(1).foreach { case (_, i, nt) =>
+        assert(nt === 64L, s"doc $id chunk $i short before the tail")
+      }
+      val (_, lastI, lastN) = sorted.last
+      assert(lastI * 48 + lastN === n.toLong, s"doc $id: tail ends at ${lastI * 48 + lastN} != $n")
+      // consecutive chunks overlap by 16 tokens (64 - 48)
+      if (sorted.length > 1) assert(sorted.head._3 - 48 === 16L)
+    }
+  }
+
   test("rel_tpch_q18: rows recount, the threshold binds, ordering holds") {
     val rows = SparkEntry.queries("rel_tpch_q18")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
