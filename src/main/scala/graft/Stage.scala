@@ -7,6 +7,18 @@ package graft
   * identities could collide and silently reuse each other's staged
   * files, surfacing as nondeterministic-looking oracle mismatches.
   * This keys by the full 128-bit md5 of the identity parts instead.
+  *
+  * SINGLE-PROCESS ASSUMPTION (deliberate): the key is derived from the
+  * fixture identity alone — no per-process token — so a re-run of the
+  * same harness reuses warm staged fixtures instead of leaking a fresh
+  * tmp tree per JVM (the Derby db and the parquet index fixtures are
+  * expensive to restage, and a nanoTime-keyed variant measurably leaked
+  * both disk and a booted page cache per run; see SourceCatalog's
+  * src_jdbc note). The corollary: two CONCURRENT processes staging the
+  * same identity race overwrite-vs-read on the shared directory. The
+  * driver/bench/test harnesses are strictly sequential single-process,
+  * which is the supported mode; a concurrent deployment would add the
+  * Spark app id to `parts` and accept the restage cost.
   */
 object Stage {
   def dir(prefix: String, parts: Any*): java.io.File = {

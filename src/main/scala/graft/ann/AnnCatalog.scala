@@ -1202,9 +1202,15 @@ object AnnCatalog extends QueryModule {
         val top = graft.plans.GraftOps
           .topKPerGroup(adc, Seq(col("q_id")), K, col("dist").asc, col("vec_id"))
         val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        // the exact DECIMAL(38,0) dist (worst case ~4e19 — past BIGINT,
+        // past float64's 2^53 exactness) never rides the wire: it
+        // splits losslessly into two BIGINTs over the 1e9 radix (hi
+        // <= ~4e10, lo < 1e9), the driver-hashable wire family
         top
           .withColumn("rank", row_number().over(w))
-          .select("q_id", "rank", "vec_id", "dist")
+          .withColumn("dist_hi", expr("dist div 1000000000"))
+          .withColumn("dist_lo", expr("CAST(dist % 1000000000 AS BIGINT)"))
+          .select("q_id", "rank", "vec_id", "dist_hi", "dist_lo")
           .orderBy("q_id", "rank")
       },
       Some(s"""WITH n AS (SELECT vec_id,
@@ -1224,7 +1230,10 @@ object AnnCatalog extends QueryModule {
              |        WHERE k.vec_id <> l.q_id GROUP BY 1, 2),
              |ranked AS (SELECT q_id, vec_id, dist,
              |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM adc)
-             |SELECT q_id, rank, vec_id, dist FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+             |SELECT q_id, rank, vec_id,
+             |  CAST(CAST(dist AS HUGEINT) // 1000000000 AS BIGINT) AS dist_hi,
+             |  CAST(CAST(dist AS HUGEINT) % 1000000000 AS BIGINT) AS dist_lo
+             |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     )
   )
 }

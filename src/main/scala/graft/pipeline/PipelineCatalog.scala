@@ -264,9 +264,9 @@ object PipelineCatalog extends QueryModule {
              |       LEFT JOIN q ON d.doc_id = q.doc_id)
              |SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(nw)::BIGINT AS n_tokens,
              |COUNT(DISTINCT lang)::BIGINT AS n_langs,
-             |(SUM(is_dup) * 1000000) // COUNT(*) AS dup_ppm,
-             |(SUM(is_q) * 1000000) // COUNT(*) AS quality_pass_ppm,
-             |(SUM(nw) * 1000) // COUNT(*) AS mean_tokens_milli
+             |((SUM(is_dup) * 1000000) // COUNT(*))::BIGINT AS dup_ppm,
+             |((SUM(is_q) * 1000000) // COUNT(*))::BIGINT AS quality_pass_ppm,
+             |((SUM(nw) * 1000) // COUNT(*))::BIGINT AS mean_tokens_milli
              |FROM fl GROUP BY source ORDER BY source""".stripMargin)
     ),
     Q(

@@ -171,11 +171,15 @@ object SourceCatalog extends QueryModule {
           .groupBy("o_orderpriority")
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(38,4)")).as("sum_price"))
+            // exact DECIMAL partials; the WIRE column is DOUBLE — the
+            // driver's hash layer only round-trips
+            // {BIGINT,INT,DOUBLE,VARCHAR,BOOLEAN} losslessly (the
+            // repo-wide dsum discipline, RelCatalog.scala:31)
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
-             |SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders WHERE year(o_orderdate) = 1995
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
@@ -294,14 +298,15 @@ object SourceCatalog extends QueryModule {
           .groupBy("o_year")
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(38,4)")).as("sum_price"))
+            // exact DECIMAL partials, DOUBLE on the wire (dsum discipline)
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
           .orderBy("o_year")
       },
       Some("""WITH yc AS (SELECT year(o_orderdate) AS y, COUNT(*)::BIGINT AS n FROM orders GROUP BY 1),
              |busy AS (SELECT y FROM yc
              |         WHERE n * (SELECT COUNT(*) FROM yc) > (SELECT SUM(n) FROM yc))
              |SELECT year(o_orderdate) AS o_year, COUNT(*)::BIGINT AS n_orders,
-             |SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders JOIN busy ON year(o_orderdate) = busy.y
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),

@@ -1191,7 +1191,7 @@ object TextCatalog extends QueryModule {
              |       FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v
              |       WHERE bg.doc_id >= 50)
              |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(bits)::BIGINT AS bits_sum,
-             |(SUM(bits) * 1000) // COUNT(*) AS ppx_milli,
+             |((SUM(bits) * 1000) // COUNT(*))::BIGINT AS ppx_milli,
              |CASE WHEN (SUM(bits) * 1000) // COUNT(*) < 5480 THEN 'head'
              |     WHEN (SUM(bits) * 1000) // COUNT(*) < 5570 THEN 'middle'
              |     ELSE 'tail' END AS bucket

@@ -21,9 +21,14 @@ class Round9Spec extends AnyFunSuite {
     // vectors the metrics themselves disagree on some neighbors, so the
     // floor is "clearly better than the lossier indexes", not ~1.0
     assert(recall > 0.3, s"SQ8 recall collapsed: $recall")
-    // the ADC sum must be the order-independent exact DECIMAL(38,0)
-    assert(sq8.schema("dist").dataType ===
-      org.apache.spark.sql.types.DecimalType(38, 0))
+    // the ADC sum is computed in order-independent exact DECIMAL(38,0)
+    // but rides the wire as a lossless hi/lo BIGINT split over the 1e9
+    // radix (the driver hash layer's exact type family); lo must stay
+    // inside its radix or the split isn't a bijection
+    assert(sq8.schema("dist_hi").dataType === org.apache.spark.sql.types.LongType)
+    assert(sq8.schema("dist_lo").dataType === org.apache.spark.sql.types.LongType)
+    val los = sq8.select("dist_lo").collect().map(_.getLong(0))
+    assert(los.forall(l => l >= 0L && l < 1000000000L), "dist_lo escaped its radix")
     assert(
       PlanCheck.has[graft.plans.TopKPerGroupExec](sq8),
       s"top-k not heap-bounded:\n${PlanCheck.render(sq8)}")
