@@ -178,53 +178,50 @@ object StatefulOps {
         })
   }
 
-  // event_ts rides along because event-time timeout requires the
-  // WATERMARKED column to survive into the stateful operator's input —
-  // projecting it away silently detaches the watermark
-  final case class EventW(wstart_us: Long, user_id: Long, event_ts: java.sql.Timestamp)
+  final case class WinCount(wstart_s: Long, user_id: Long, n: Long)
   final case class TopkRow(wstart_s: Long, rank: Long, user_id: Long, n: Long)
 
-  /** Windowed top-k heavy hitters with WINDOW-CLOSE emission: state is
-    * keyed by the hour window and holds the per-user counts (the same
-    * state any windowed groupBy(user) count carries — the stateful fold
-    * merely saves the second shuffle); NOTHING is emitted while the
-    * window can still receive events. Each group registers an
-    * event-time timeout at its window end — when the watermark passes
-    * it, the timeout invocation emits the final top-k (count DESC,
-    * user ASC — deterministic ties) and FREES the state. Append-mode
-    * semantics done right: results are final on emission, windows the
-    * watermark has not yet closed are the unemitted tail (same
-    * contract as stream_stream_join_outer), and state is bounded by
-    * open windows × active users, never by stream length. */
-  def topkWindow(events: Dataset[EventW], k: Int): Dataset[TopkRow] = {
-    implicit val stateEnc = Encoders.kryo[Map[Long, Long]]
+  /** Window-keyed bounded top-k reduction over per-(window, user)
+    * FINAL counts — stage 2 of the windowed-top-k decomposition (the
+    * r8 verdict's state-shape fix). Stage 1 is the ordinary
+    * distributed append-mode windowed count: its state is keyed by
+    * (window, user) — O(1) per key, partial-aggregated map-side,
+    * spread across all state partitions — and append-mode eviction
+    * emits EVERY final of a window in the single micro-batch whose
+    * watermark passes the window end (WatermarkSupport's eviction
+    * predicate is per-key `window.end <= wm`, so the whole window
+    * evicts atomically). This stage therefore sees one complete group
+    * per closed window and reduces it with a SIZE-k BOUNDED fold —
+    * O(k) transient memory per group, ZERO retained state (no
+    * state.update ever runs; a per-window user map never exists
+    * anywhere). The predecessor kept the whole window's user→count
+    * map as ONE GroupState value on one executor — at 100 TB
+    * (millions of users per hour window) a multi-GB single state
+    * value; after the reshape the same query's largest state object
+    * is one (window, user, count) row.
+    *
+    * Emission contract is unchanged: a window's top-k appears exactly
+    * once, when no more events can legally join it; windows the final
+    * watermark has not closed sit in stage-1 state as the unemitted
+    * tail. */
+  def topkReduce(counts: Dataset[WinCount], k: Int): Dataset[TopkRow] = {
     implicit val outEnc = Encoders.product[TopkRow]
     implicit val keyEnc = Encoders.scalaLong
-    events
-      .groupByKey(_.wstart_us)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (wstart: Long, batch: Iterator[EventW], state: GroupState[Map[Long, Long]]) => {
-          if (state.hasTimedOut) {
-            val counts = state.get
-            state.remove()
-            counts.toSeq
-              .sortBy { case (user, n) => (-n, user) }
-              .take(k)
-              .zipWithIndex
-              .map { case ((user, n), i) =>
-                TopkRow(wstart / 1000000L, (i + 1).toLong, user, n)
-              }
-              .iterator
-          } else {
-            val counts = batch.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
-              (m, e) => m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
-            }
-            state.update(counts)
-            // window end in ms — the timeout clock is the event-time
-            // watermark, so emission happens exactly when no more
-            // events can legally join this window
-            state.setTimeoutTimestamp((wstart + 3600000000L) / 1000L)
-            Iterator.empty
+    counts
+      .groupByKey(_.wstart_s)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (wstart: Long, rows: Iterator[WinCount], state: GroupState[Long]) => {
+          // bounded best-k fold: ordering (n DESC, user ASC), evict the
+          // current worst when past k — the iterator streams through,
+          // memory never exceeds k+1 entries
+          val best = scala.collection.mutable.TreeSet
+            .empty[(Long, Long)](Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
+          rows.foreach { r =>
+            best += ((r.n, r.user_id))
+            if (best.size > k) best -= best.last
+          }
+          best.toSeq.zipWithIndex.iterator.map { case ((n, user), i) =>
+            TopkRow(wstart, (i + 1).toLong, user, n)
           }
         })
   }

@@ -33,6 +33,16 @@ object StreamingCatalog extends QueryModule {
     * than an opaque hash mismatch (ADVICE r5). */
   val lastLateDataDropped = new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Observability seam for stream_topk_window's STATE SHAPE: the
+    * final micro-batch's state operators (operatorName →
+    * numRowsTotal) from the most recent run. The scale contract the
+    * r8 verdict demanded is that counting state is keyed by
+    * (window × user) — many O(1) rows, never one map per window — and
+    * that the top-k reduction retains NO state; Round12Spec asserts
+    * both from these numbers. Empty before any run. */
+  val lastTopkStateRows =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](Map.empty)
+
   /** Every stateful micro-batch pays a fixed PER-STATE-PARTITION cost —
     * store open, delta commit, snapshot bookkeeping; a stream-stream
     * join carries four stores per partition — so the state partition
@@ -378,26 +388,35 @@ object StreamingCatalog extends QueryModule {
       MemoryResult.drain(ss, name)(_.orderBy("click_id", "buy_id"))
     }
 
-  /** Windowed top-k heavy hitters with window-close emission — see
-    * StatefulOps.topkWindow for the state machine. The watermark both
-    * bounds the state (closed windows are freed on their timeout) and
-    * DEFINES emission: a window's top-3 appears exactly once, when no
-    * more events can legally join it; windows the final watermark has
-    * not closed are the unemitted tail (same data contract as
-    * stream_stream_join_outer). */
+  /** Windowed top-k heavy hitters with window-close emission, as the
+    * two-stage chained-stateful plan (the r8 verdict's state-shape
+    * fix): stage 1 is the ORDINARY distributed windowed count — state
+    * keyed by (window, user), O(1) per key, append-mode eviction
+    * emitting a window's finals exactly when the watermark passes its
+    * end — and stage 2 is StatefulOps.topkReduce, a window-keyed
+    * bounded fold holding ZERO retained state (all of a window's
+    * finals arrive in the eviction micro-batch). The watermark both
+    * bounds stage-1 state (closed windows evict) and DEFINES emission:
+    * a window's top-3 appears exactly once; windows the final
+    * watermark has not closed are the unemitted tail (same data
+    * contract as stream_stream_join_outer). lastTopkStateRows records
+    * the final batch's per-operator state row counts so the state
+    * SHAPE — (window × user)-keyed counting, stateless reduction — is
+    * spec-assertable, not just the output. */
   private def topkWindowStream(s: SparkSession, dir: String): DataFrame =
     withStatePartitions(s) { ss =>
       import ss.implicits._
-      val src = eventsStream(ss, dir)
-        .select(expr("ts div 1000").as("us"), col("user_id"))
-        .withColumn("event_ts", timestamp_micros(col("us")))
+      val counts = eventsStream(ss, dir)
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("event_ts"))
         .withWatermark("event_ts", "2 hours")
+        .groupBy(window(col("event_ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
         .select(
-          expr("(us div 3600000000) * 3600000000").as("wstart_us"),
+          col("window.start").cast("long").as("wstart_s"),
           col("user_id"),
-          col("event_ts"))
-        .as[StatefulOps.EventW]
-      val out = StatefulOps.topkWindow(src, 3)
+          col("n"))
+        .as[StatefulOps.WinCount]
+      val out = StatefulOps.topkReduce(counts, 3)
       val name = s"graft_stopk_${System.nanoTime()}"
       val query = out.toDF().writeStream
         .format("memory")
@@ -406,6 +425,11 @@ object StreamingCatalog extends QueryModule {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      lastTopkStateRows.set(
+        Option(query.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .map(o => o.operatorName -> o.numRowsTotal)
+          .toMap)
       MemoryResult.drain(ss, name)(_.orderBy("wstart_s", "rank"))
     }
 
@@ -883,10 +907,14 @@ object StreamingCatalog extends QueryModule {
     Q(
       "stream_stream_join_outer",
       (s, dir) => streamStreamJoinOuter(s, dir),
+      // per-side watermarks floored to MILLISECONDS before the delay
+      // subtraction — Spark tracks max event time at ms resolution
+      // (ADVICE r8; flooring before least() equals flooring after)
       Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
              |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
              |b AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
-             |wm AS (SELECT least((SELECT MAX(us) FROM c), (SELECT MAX(us) FROM b))
+             |wm AS (SELECT least((SELECT (MAX(us)//1000)*1000 FROM c),
+             |                    (SELECT (MAX(us)//1000)*1000 FROM b))
              |              - 7200000000 AS w),
              |matched AS (SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id,
              |            b.us - c.us AS gap_us
@@ -903,8 +931,14 @@ object StreamingCatalog extends QueryModule {
     Q(
       "stream_topk_window",
       (s, dir) => topkWindowStream(s, dir),
+      // wm mirrors Spark at MILLISECOND resolution (EventTimeWatermark
+      // floors max event time to ms before subtracting the delay —
+      // ADVICE r8), and closure is the agg-eviction predicate
+      // `window.end <= wm` (WatermarkSupport builds LessThanOrEqual on
+      // the key's window.end — NON-strict, unlike the old
+      // EventTimeTimeout mechanism's strict comparison)
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
-             |wm AS (SELECT MAX(us) - 7200000000 AS w FROM e),
+             |wm AS (SELECT (MAX(us)//1000)*1000 - 7200000000 AS w FROM e),
              |win AS (SELECT user_id, (us // 3600000000) * 3600000000 AS ws FROM e),
              |cnt AS (SELECT ws, user_id, COUNT(*)::BIGINT AS n FROM win GROUP BY 1, 2),
              |closed AS (SELECT c.* FROM cnt c, wm WHERE c.ws + 3600000000 <= wm.w),
