@@ -37,7 +37,7 @@ object DedupCatalog extends QueryModule {
   /** Shingles occurring in more than this many documents per language
     * are excluded from n-gram candidate GENERATION (not verification) —
     * standard prefix filtering; see dedup_ngram_jaccard. */
-  private val ShingleDfCap = 100
+  private[graft] val ShingleDfCap = 100
 
   /** Distinct 3-gram shingle sets per doc (blocked by lang). */
   private[graft] def shingleDfFrom(docs: DataFrame): DataFrame =

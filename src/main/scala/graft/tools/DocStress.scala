@@ -81,6 +81,17 @@ object DocStress {
     "dedup_containment",
     "pipe_end_to_end")
 
+  /** The widest adversarial near-dup family this harness has measured:
+    * the 100x arm replicates every base doc into a k-member family, so
+    * this IS the flood width the candidate caps were proven against
+    * (NOTES_r8: 24.7M output pairs, candidate mass bounded). The
+    * admitted worst case of the ngram prefix filter is
+    * C(ShingleDfCap, 2) pairs per shared shingle — Round12Spec pins
+    * ShingleDfCap <= this width, so a future cap raise past the
+    * largest measured flood fails a spec instead of silently admitting
+    * an unmeasured quadratic regime. */
+  private[graft] val MaxMeasuredFamilyWidth = 100
+
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -198,7 +209,9 @@ object DocStress {
       // flagship curve: 1x -> 10x -> 100x (500k docs), with the LSH
       // candidate mass recorded per scale alongside wall time
       var d100: String = null
-      time("build_100x_dir") { d100 = buildScaled(spark, base, 100, "graft_stress_docs100") }
+      time("build_100x_dir") {
+        d100 = buildScaled(spark, base, MaxMeasuredFamilyWidth, "graft_stress_docs100")
+      }
       // extra args select specific ops and/or scales for resumed runs —
       // any registered documents/embeddings query can ride the 100x dir,
       // not just the dedup flagships

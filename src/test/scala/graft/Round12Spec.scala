@@ -49,4 +49,15 @@ class Round12Spec extends AnyFunSuite {
     assert(agg.head > 3L,
       "state finer than one row per window is the point of the reshape")
   }
+
+  test("ShingleDfCap never exceeds the widest measured flood family") {
+    // the ngram prefix filter admits up to C(ShingleDfCap, 2) pairs per
+    // shared shingle; the 100x DocStress arm measured exactly
+    // width-MaxMeasuredFamilyWidth families (NOTES_r8). A cap raise
+    // past the largest measured flood would re-open an unmeasured
+    // quadratic regime silently - it must fail here first.
+    assert(
+      graft.dedup.DedupCatalog.ShingleDfCap <= graft.tools.DocStress.MaxMeasuredFamilyWidth,
+      "raise MaxMeasuredFamilyWidth (and re-run the DocStress curve) before raising ShingleDfCap")
+  }
 }
