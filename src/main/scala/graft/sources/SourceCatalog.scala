@@ -408,6 +408,52 @@ object SourceCatalog extends QueryModule {
       },
       Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
              |md5(text) AS checksum FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_table",
+      // SNAPSHOT-MANIFEST table format round trip (SnapshotTable) — the
+      // transactional layer the plain directory layouts lack: commit 1
+      // writes a third of orders, commit 2 APPENDS another third, and
+      // the query reads BOTH the current snapshot and, via time travel,
+      // the previous one — so a broken manifest file list, a
+      // non-atomic commit, or an append that re-reads old data breaks
+      // the hash. The oracle reproduces each snapshot's membership
+      // relationally.
+      //
+      // Scale posture: planning reads one manifest (one line per data
+      // file) instead of listing the table; data files are immutable so
+      // the append costs O(new data); the commit point is one atomic
+      // metadata operation (hard-link create here, rename-no-overwrite
+      // on HDFS, conditional PUT on an object store) regardless of
+      // table size. Round12Spec drives the crash-window and
+      // concurrent-writer arms.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snaptab_", dir).getPath
+        // deterministic rebuild per invocation: the fixture IS the
+        // commit sequence under test
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+        def agg(df: org.apache.spark.sql.DataFrame, snap: Long) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("snap", lit(snap))
+        agg(SnapshotTable.read(s, table, Some(1L)), 1L)
+          .unionByName(agg(SnapshotTable.read(s, table), 2L))
+          .select("snap", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("snap", "o_orderpriority")
+      },
+      Some("""SELECT 1::BIGINT AS snap, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 2
+             |UNION ALL
+             |SELECT 2::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
+             |ORDER BY snap, o_orderpriority""".stripMargin)
     )
   )
 }

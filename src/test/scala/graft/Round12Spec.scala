@@ -50,6 +50,77 @@ class Round12Spec extends AnyFunSuite {
       "state finer than one row per window is the point of the reshape")
   }
 
+  // ---- SnapshotTable (the snapshot-manifest table format) ----------
+
+  private def snapKeys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+  test("SnapshotTable: commits round-trip, time travel survives an overwrite") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.select("o_orderkey", "o_totalprice")
+    val all = snapKeys(o)
+    assert(graft.sources.SnapshotTable.currentVersion(table) === 0L)
+    val v1 = graft.sources.SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    val v2 = graft.sources.SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    assert((v1, v2) === ((1L, 2L)))
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table, Some(1L)))
+      === all.filter(_ % 3 == 0))
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table))
+      === all.filter(k => k % 3 == 0 || k % 3 == 1))
+    // an OVERWRITE commit starts the file list fresh, but every prior
+    // snapshot stays readable - overwrite never deletes data files
+    val v3 = graft.sources.SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 2), table, append = false)
+    assert(v3 === 3L)
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === all.filter(_ % 3 == 2))
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table, Some(2L)))
+      === all.filter(k => k % 3 == 0 || k % 3 == 1))
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table, Some(1L)))
+      === all.filter(_ % 3 == 0))
+  }
+
+  test("SnapshotTable: a crashed attempt (data written, manifest unpublished) is invisible") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.select("o_orderkey", "o_totalprice")
+    graft.sources.SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    val before = snapKeys(graft.sources.SnapshotTable.read(spark, table))
+    // simulate a writer that died between step 1 (data files) and
+    // step 3 (publication): an orphan data dir plus a temp manifest
+    o.filter(col("o_orderkey") % 3 === 1)
+      .write.parquet(s"$table/data/v2_deadcrash")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "manifests", ".tmp_v2_deadcrash"),
+      "version=2\ngarbage".getBytes("UTF-8"))
+    assert(graft.sources.SnapshotTable.currentVersion(table) === 1L)
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === before)
+    // and a later commit claims version 2 cleanly, never referencing
+    // the orphan's files
+    val v2 = graft.sources.SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    assert(v2 === 2L)
+    val m = graft.sources.SnapshotTable.manifest(table, 2L)
+    assert(m.files.nonEmpty && !m.files.exists(_.contains("deadcrash")))
+  }
+
+  test("SnapshotTable: the losing concurrent writer throws and the table is intact") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.select("o_orderkey", "o_totalprice")
+    graft.sources.SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    graft.sources.SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    val before = snapKeys(graft.sources.SnapshotTable.read(spark, table))
+    // a writer that read version 1 and races the already-published v2:
+    // publication is an atomic-exclusive link create, so it LOSES loudly
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === 2), table, append = false,
+        expectedCurrent = Some(1L))
+    }
+    assert(graft.sources.SnapshotTable.currentVersion(table) === 2L)
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === before)
+  }
+
   test("ShingleDfCap never exceeds the widest measured flood family") {
     // the ngram prefix filter admits up to C(ShingleDfCap, 2) pairs per
     // shared shingle; the 100x DocStress arm measured exactly
