@@ -454,6 +454,43 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
              |ORDER BY snap, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_prune",
+      // MANIFEST-level file pruning (the Iceberg headline move): the
+      // commit records per-file [min, max] of the cluster key in the
+      // manifest — one map-side-combined aggregation over the new
+      // files — and a selective read prunes at the MANIFEST, before any
+      // parquet footer (or even the file system) is touched. The data
+      // is range-clustered on o_year at write, so year ranges are
+      // disjoint across files and the 1995 read opens ~1/8 of the
+      // table. src_partitioned gets the same elision from the directory
+      // LAYOUT; here the layout is flat and the pruning power lives
+      // entirely in table METADATA — which is what survives on an
+      // object store where directory renames and listings don't.
+      // Round12Spec asserts the pruned file set is a strict subset and
+      // result-equal to the full-scan filter.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapprune_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.withColumn("o_year", year(col("o_orderdate")))
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("o_year")).sortWithinPartitions("o_year"),
+          table,
+          append = false,
+          statsColumns = Seq("o_year"))
+        SnapshotTable.readPruned(s, table, "o_year", 1995L, 1995L)
+          .filter(col("o_year") === 1995) // residual row filter: stats prune files, not rows
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

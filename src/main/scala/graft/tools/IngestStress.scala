@@ -158,6 +158,44 @@ object IngestStress {
     // warmup (JIT/classloading) on the tiny sf
     force(SparkEntry.entry(spark))
 
+    // The r8 verdict's round-9 item #6: push the shred family to 100x
+    // (15M entities at sf0.1 base) with the same replication harness —
+    // recording whether the claims-explosion cache and the 6-sink
+    // single-scan shape hold. Orders-only (the shred inputs); the
+    // relational ops already carry their own 10x/100x curves. Built as
+    // ONE constant-size crossJoin-with-range plan (like DocStress), not
+    // a 100-leaf union tree.
+    if (args.contains("100x")) {
+      val stress100 = s"$tmp/graft_stress_sf10"
+      val o100 = new java.io.File(s"$stress100/orders.parquet")
+      if (!o100.exists()) {
+        val scratch = new java.io.File(s"$stress100/_building_orders.parquet")
+        if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        val o = spark.read.parquet(s"$base/orders.parquet")
+        val reps = spark.range(100).select(col("id").as("rep"))
+        o.crossJoin(reps)
+          .select(o.columns.map {
+            case "o_orderkey" => (col("o_orderkey") + col("rep") * 10000000L).as("o_orderkey")
+            case c            => col(c)
+          }: _*)
+          .write.mode("overwrite").parquet(scratch.getAbsolutePath)
+        if (!scratch.renameTo(o100))
+          sys.error(s"rename $scratch -> $o100 failed")
+      }
+      time("shred_orders_100x") { force(SparkEntry.queries("wd_shred_orders")(spark, stress100)) }
+      GraftCache.clear()
+      time("pipeline_all6_100x") { pipelineAll6(stress100) }
+      GraftCache.clear()
+      time("sink_layout_100x") {
+        ShreddedLayout.write(
+          WikidataShredder.shred(SyntheticDump.ordersEntities(spark, stress100)),
+          s"$tmp/graft_stress_layout_100x")
+      }
+      GraftCache.clear()
+      spark.stop()
+      return
+    }
+
     if (!args.contains("10x")) runAll(base, "1x")
     runAll(stress, "10x")
 

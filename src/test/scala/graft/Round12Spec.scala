@@ -101,7 +101,7 @@ class Round12Spec extends AnyFunSuite {
       o.filter(col("o_orderkey") % 3 === 2), table, append = true)
     assert(v2 === 2L)
     val m = graft.sources.SnapshotTable.manifest(table, 2L)
-    assert(m.files.nonEmpty && !m.files.exists(_.contains("deadcrash")))
+    assert(m.files.nonEmpty && !m.files.exists(_.path.contains("deadcrash")))
   }
 
   test("SnapshotTable: the losing concurrent writer throws and the table is intact") {
@@ -119,6 +119,77 @@ class Round12Spec extends AnyFunSuite {
     }
     assert(graft.sources.SnapshotTable.currentVersion(table) === 2L)
     assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === before)
+  }
+
+  test("SnapshotTable: manifest stats prune files; pruned read equals full-scan filter") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_year")).sortWithinPartitions("o_year"),
+      table, append = false, statsColumns = Seq("o_year"))
+    val m = graft.sources.SnapshotTable.manifest(table, 1L)
+    assert(m.files.forall(_.stats.contains("o_year")), "every file must carry o_year stats")
+    val hit = m.filesFor("o_year", 1995L, 1995L)
+    assert(hit.nonEmpty && hit.size < m.files.size,
+      s"manifest pruning inert: ${hit.size} of ${m.files.size} files")
+    // pruning may only SKIP provably-absent files - never change rows
+    val pruned = graft.sources.SnapshotTable
+      .readPruned(spark, table, "o_year", 1995L, 1995L)
+      .filter(col("o_year") === 1995).count()
+    val full = graft.sources.SnapshotTable.read(spark, table)
+      .filter(col("o_year") === 1995).count()
+    assert(pruned === full)
+    // a range nothing matches prunes to zero files at the MANIFEST
+    assert(m.filesFor("o_year", 1800L, 1801L).isEmpty)
+  }
+
+  test("SnapshotTable: transactional compaction + vacuum reclaim history safely") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.select("o_orderkey", "o_totalprice")
+    // three fragmented appends: 8 files each
+    for (m <- 0 to 2)
+      graft.sources.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === m).repartition(8), table, append = m > 0)
+    val frag = graft.sources.SnapshotTable.manifest(table, 3L)
+    assert(frag.files.size === 24)
+    val before = snapKeys(graft.sources.SnapshotTable.read(spark, table))
+    val (nBefore, v4) = graft.sources.SnapshotTable.compactSnapshot(spark, table)
+    assert((nBefore, v4) === ((24, 4L)))
+    val compacted = graft.sources.SnapshotTable.manifest(table, 4L)
+    assert(compacted.files.size < 24, "compaction must reduce the file count")
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === before,
+      "compaction changed the table contents")
+    // time travel still reaches the fragmented history...
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table, Some(3L))) === before)
+    // ...until vacuum reclaims it: keep the compacted snapshot only
+    // (plus a simulated IN-FLIGHT writer, which rule (b) must protect)
+    val inflight = java.nio.file.Paths.get(table, "data", "v5_inflight")
+    o.limit(1).write.parquet(inflight.toString)
+    val (mDel, fDel) = graft.sources.SnapshotTable.vacuum(table, retainLast = 1)
+    assert(mDel === 3 && fDel >= 24, s"vacuum deleted ($mDel, $fDel)")
+    assert(java.nio.file.Files.isDirectory(inflight), "vacuum ate an in-flight writer's files")
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === before,
+      "current snapshot must survive vacuum")
+    intercept[IllegalArgumentException] {
+      graft.sources.SnapshotTable.read(spark, table, Some(3L))
+    }
+  }
+
+  test("SnapshotTable: streaming foreachBatch append is exactly-once under replay") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.select("o_orderkey", "o_totalprice")
+    assert(graft.sources.SnapshotTable.appendBatch(o.filter(col("o_orderkey") % 3 === 0), table, 0L))
+    assert(graft.sources.SnapshotTable.appendBatch(o.filter(col("o_orderkey") % 3 === 1), table, 1L))
+    val after = snapKeys(graft.sources.SnapshotTable.read(spark, table))
+    // the at-least-once window: batch 1 replays after a crash between
+    // sink commit and checkpoint advance - it must be a no-op
+    assert(!graft.sources.SnapshotTable.appendBatch(o.filter(col("o_orderkey") % 3 === 1), table, 1L))
+    assert(graft.sources.SnapshotTable.currentVersion(table) === 2L)
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === after,
+      "replayed batch duplicated rows")
+    // and the next genuine batch still lands
+    assert(graft.sources.SnapshotTable.appendBatch(o.filter(col("o_orderkey") % 3 === 2), table, 2L))
+    assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === snapKeys(o))
   }
 
   test("ShingleDfCap never exceeds the widest measured flood family") {
