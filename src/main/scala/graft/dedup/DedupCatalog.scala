@@ -381,6 +381,64 @@ object DedupCatalog extends QueryModule {
       Some(minhashPairsSql + "\nSELECT id_a, id_b, jaccard FROM out_pairs ORDER BY id_a, id_b")
     ),
     Q(
+      "dedup_minhash_estimate",
+      // The MinHash ESTIMATOR itself, audited as data: P[minhash
+      // agrees] = Jaccard (Broder 1997), so matches/64 is the
+      // signature-only similarity estimate a 100 TB pipeline would use
+      // to SKIP the exact verification read (the signatures are 64
+      // longs; the shingle sets are the documents). This query puts
+      // the estimate next to the exact Jaccard for every verified
+      // near-dup pair — est_ppm, jacc_ppm, abs_err_ppm, all exact
+      // integers — which is the calibration table that decides whether
+      // verification can be dropped at a given threshold. Both engines
+      // build bit-identical signatures (the shared Carter-Wegman md5
+      // scheme), so even the estimates hash-match.
+      //
+      // Scale posture: rides the persisted signature + pair stages the
+      // LSH pipeline already computes (the cache manager shares them
+      // within the session); the estimator adds one pair-keyed join
+      // against the 64-long vectors — pair-sized work, corpus never
+      // re-read.
+      (s, dir) => {
+        val sh = GraftCache.register(shingleDf(s, dir).persist())
+        val mh = minhashVectors(sh)
+        val pairs = minhashPairsFrom(sh).select("id_a", "id_b")
+        pairs
+          .join(mh.select(col("doc_id").as("id_a"), col("mh").as("ma")), "id_a")
+          .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mb")), "id_b")
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .withColumn(
+            "matches",
+            aggregate(
+              zip_with(col("ma"), col("mb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L),
+              (acc, v) => acc + v))
+          .select(
+            col("id_a"),
+            col("id_b"),
+            expr("matches * 1000000 div 64").as("est_ppm"),
+            expr(
+              "CAST(size(array_intersect(sa, sb)) AS BIGINT) * 1000000 div size(array_union(sa, sb))")
+              .as("jacc_ppm"))
+          .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jacc_ppm")))
+          .orderBy("id_a", "id_b")
+      },
+      Some(minhashPairsSql + """,
+             |est AS (SELECT id_a, id_b,
+             |        len([i for i in range(64) if x.m[i+1] = y.m[i+1]])::BIGINT AS matches
+             |        FROM out_pairs JOIN mh x ON x.doc_id = id_a JOIN mh y ON y.doc_id = id_b),
+             |jx AS (SELECT id_a, id_b,
+             |       (len(list_intersect(x.s, y.s))::BIGINT * 1000000
+             |          // len(list_distinct(x.s || y.s)))::BIGINT AS jacc_ppm
+             |       FROM out_pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+             |SELECT est.id_a, est.id_b,
+             |  (matches * 1000000 // 64)::BIGINT AS est_ppm, jacc_ppm,
+             |  abs(matches * 1000000 // 64 - jacc_ppm)::BIGINT AS abs_err_ppm
+             |FROM est JOIN jx ON est.id_a = jx.id_a AND est.id_b = jx.id_b
+             |ORDER BY est.id_a, est.id_b""".stripMargin)
+    ),
+    Q(
       "dedup_lsh_cap_report",
       // The bucket-width cap's recall trade as an ORACLE-CHECKED result
       // (the observe() counters surface the same numbers at runtime;

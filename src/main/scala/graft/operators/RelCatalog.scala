@@ -1368,6 +1368,39 @@ object RelCatalog extends QueryModule {
              |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     ),
     Q(
+      "rel_sample_pergroup",
+      // Deterministic per-group k-sample — the eval-set/debug-slice
+      // constructor: exactly min(k, |group|) rows per group, chosen by
+      // smallest md5(key) (md5 of a unique key is uniform over the
+      // group, so this IS a uniform sample), reproducible across runs,
+      // machines, and engines — no RNG, no seed drift, the same
+      // md5-determinism contract as text_split_assign. Computed
+      // through the custom bounded-heap operator (TopKPerGroupExec,
+      // O(n log k), sort-free) rather than a per-group window sort:
+      // sampling 20 rows from a billion-row group must never sort the
+      // group.
+      (s, dir) =>
+        graft.plans.GraftOps
+          .topKPerGroup(
+            Tables(s, dir).orders
+              .select(
+                col("o_orderpriority"),
+                col("o_orderkey"),
+                md5(col("o_orderkey").cast("string").cast("binary")).as("hk")),
+            Seq(col("o_orderpriority")),
+            20,
+            col("hk").asc,
+            col("o_orderkey"))
+          .select("o_orderpriority", "o_orderkey", "hk")
+          .orderBy("o_orderpriority", "hk", "o_orderkey"),
+      Some("""SELECT o_orderpriority, o_orderkey, hk FROM (
+             |SELECT o_orderpriority, o_orderkey, md5(o_orderkey::VARCHAR) AS hk,
+             |row_number() OVER (PARTITION BY o_orderpriority
+             |                   ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 20
+             |ORDER BY o_orderpriority, hk, o_orderkey""".stripMargin)
+    ),
+    Q(
       "rel_rollup",
       (s, dir) => {
         // DataFrame rollup() after a multi-join trips Spark's ambiguous

@@ -1,6 +1,6 @@
 package graft.wikidata
 
-import graft.{Q, QueryModule, Tables}
+import graft.{GraftCache, Q, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1226,6 +1226,51 @@ object WikidataCatalog extends QueryModule {
              |deg AS (SELECT a AS id, COUNT(*) AS degree FROM u GROUP BY 1)
              |SELECT degree, COUNT(*)::BIGINT AS n_vertices
              |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "wd_link_predict",
+      // Common-neighbor link prediction over the shredded entity graph
+      // (the classic structural-similarity baseline, Liben-Nowell &
+      // Kleinberg 2003): for every NON-adjacent vertex pair, score =
+      // |Γ(x) ∩ Γ(y)| — the wedge count through shared neighbors —
+      // and the top-20 candidates are the edges a curator (or a
+      // knowledge-graph completion pass) reviews first. Equi-joins
+      // only: the wedge join is edges⋈edges on the shared endpoint,
+      // the existing-edge exclusion one anti-join on the pair key.
+      //
+      // Scale posture: wedge mass is Σ deg(c)² over shared endpoints —
+      // at 100 TB hubs dominate and get the triangle-count treatment
+      // (degree-ordered orientation / hub cap, rel_triangle_count's
+      // plan); here the exact count is the oracle contract. One
+      // map-side-combined count per pair, TakeOrdered top-20 — never a
+      // global sort; the symmetric edge view is persisted and shared
+      // by the wedge join's both sides.
+      (s0, dir) => {
+        val (sym, _) = symmetricGraph(s0, dir)
+        val symP = GraftCache.register(sym.persist())
+        val wedges = symP
+          .select(col("a").as("x"), col("b").as("c"))
+          .join(symP.select(col("a").as("y"), col("b").as("c")), "c")
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("n_common"))
+        wedges
+          .join(
+            symP.select(col("a").as("x"), col("b").as("y")),
+            Seq("x", "y"),
+            "left_anti")
+          .orderBy(col("n_common").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some(s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |w AS (SELECT xx.a AS x, yy.a AS y, COUNT(*)::BIGINT AS n_common
+             |      FROM u xx JOIN u yy ON xx.b = yy.b AND xx.a < yy.a
+             |      GROUP BY 1, 2),
+             |nc AS (SELECT w.* FROM w ANTI JOIN u ON w.x = u.a AND w.y = u.b)
+             |SELECT x, y, n_common FROM nc
+             |ORDER BY n_common DESC, x, y LIMIT 20""".stripMargin)
     ),
     Q(
       "wd_shortest_path",

@@ -192,6 +192,58 @@ class Round12Spec extends AnyFunSuite {
     assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === snapKeys(o))
   }
 
+  test("dedup_minhash_estimate: the estimator tracks exact Jaccard within binomial error") {
+    val rows = SparkEntry.queries("dedup_minhash_estimate")(spark, sf).collect()
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(rows.length.toLong === pairs, "estimator must cover every verified pair")
+    for (r <- rows) {
+      val (est, jacc, err) = (r.getAs[Long]("est_ppm"), r.getAs[Long]("jacc_ppm"),
+        r.getAs[Long]("abs_err_ppm"))
+      assert(err === math.abs(est - jacc))
+      // verified pairs have jacc >= 0.7; the estimator is binomial with
+      // sigma = sqrt(j(1-j)/64) <= 0.0625, so 4 sigma = 0.25
+      assert(jacc >= 700000L)
+      assert(err <= 250000L, s"estimator off by ${err}ppm on pair ${r.getLong(0)}-${r.getLong(1)}")
+    }
+  }
+
+  test("rel_sample_pergroup: exact sizes, heap-bounded plan, reproducible") {
+    val df = SparkEntry.queries("rel_sample_pergroup")(spark, sf)
+    assert(PlanCheck.has[graft.plans.TopKPerGroupExec](df),
+      s"sample not heap-bounded:\n${PlanCheck.render(df)}")
+    assert(PlanCheck.countNodes[org.apache.spark.sql.execution.window.WindowExec](df) === 0,
+      "a window sort crept into the sampler")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    val sizes = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val groups = Tables(spark, sf).orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === groups.keySet)
+    for ((g, n) <- groups) assert(sizes(g) === math.min(20L, n).toInt, s"group $g")
+    // determinism: the md5 choice is a function of the keys alone
+    val again = SparkEntry.queries("rel_sample_pergroup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(again))
+  }
+
+  test("wd_link_predict: no predicted pair is an existing edge; scores recount") {
+    val rows = SparkEntry.queries("wd_link_predict")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(rows.length === 20)
+    // brute-force recount from the collected symmetric edge set
+    val edges = SparkEntry.queries("wd_edge")(spark, sf)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = sym.toSet
+    for (((x, y), n) <- rows) {
+      assert(!edgeSet((x, y)), s"($x,$y) is already an edge")
+      assert((adj(x) & adj(y)).size.toLong === n, s"($x,$y) common-neighbor recount")
+    }
+    // the candidates genuinely share structure
+    assert(rows.forall(_._2 >= 1L))
+  }
+
   test("ShingleDfCap never exceeds the widest measured flood family") {
     // the ngram prefix filter admits up to C(ShingleDfCap, 2) pairs per
     // shared shingle; the 100x DocStress arm measured exactly
