@@ -268,6 +268,42 @@ object StreamingCatalog extends QueryModule {
     query.awaitTermination()
   }
 
+  /** Exactly-once streaming ingestion into the SNAPSHOT TABLE FORMAT —
+    * the production landing pattern for a 100 TB crawl feed: each
+    * micro-batch commits through SnapshotTable.appendBatch (batch id
+    * in the manifest), and the query DELIBERATELY replays the whole
+    * stream from a fresh checkpoint into the same table — the
+    * at-least-once redelivery every restart can produce. The replayed
+    * batch must be detected by its manifest batch id and skipped, so
+    * the final table holds exactly one copy; the oracle (plain batch
+    * aggregate of the source) fails on any duplication or loss. */
+  private def snapshotSinkStream(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val table = graft.Stage.dir("graft_snapsink_", dir).getPath
+      val ckpt = graft.Stage.dir("graft_snapsinkck_", dir).getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      def run(tag: String): Unit = {
+        val q = eventsStream(ss, dir).writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.sources.SnapshotTable.appendBatch(batch, table, id)
+            ()
+          }
+          .option("checkpointLocation", s"$ckpt/$tag")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run("first")
+      run("replay") // fresh checkpoint, same table: redelivery must no-op
+      graft.sources.SnapshotTable
+        .read(ss, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }
+
   /** Stream-static join: enrich the event stream with the customer
     * dimension (user_id = c_custkey), then aggregate per market
     * segment. The static side is re-broadcast per micro-batch by
@@ -946,6 +982,13 @@ object StreamingCatalog extends QueryModule {
              |  row_number() OVER (PARTITION BY ws ORDER BY n DESC, user_id) AS rank FROM closed)
              |SELECT wstart_s, CAST(rank AS BIGINT) AS rank, user_id, n
              |FROM ranked WHERE rank <= 3 ORDER BY wstart_s, rank""".stripMargin)
+    ),
+    Q(
+      "stream_snapshot_sink",
+      (s, dir) => snapshotSinkStream(s, dir),
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n_events,
+             |COUNT(DISTINCT user_id)::BIGINT AS n_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
       "stream_sessionize",
