@@ -258,6 +258,32 @@ object SnapshotTable {
     else spark.read.schema(m.schema).parquet(files: _*)
   }
 
+  /** INCREMENTAL read — the change-scan between two snapshots (the
+    * Iceberg incremental-read shape): data files are immutable and an
+    * append commit only ADDS files, so the rows added in versions
+    * (from, to] are exactly the files in `to`'s manifest that `from`'s
+    * lacks. This is what makes day-2 pipelines (pipe_incremental_refresh,
+    * dedup_lsh_incremental) cheap against a snapshot table: the delta
+    * is resolved from two manifests — no diff scan of the table, no
+    * modified-time heuristics. Every commit in (from, to] must be an
+    * append; an overwrite breaks new-files == new-rows and fails
+    * loudly here rather than returning a wrong delta. */
+  def readIncremental(
+      spark: SparkSession,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val mode = manifest(table, v).extra.getOrElse("mode", "?")
+      require(mode == "append", s"snapshot $v of $table is mode=$mode, not append — " +
+        "incremental read is only sound across a pure append chain")
+    }
+    val m = manifest(table, toVersion)
+    val old = manifest(table, fromVersion).files.map(_.path).toSet
+    readFiles(spark, m, _.files.filterNot(f => old(f.path)))
+  }
+
   /** TRANSACTIONAL compaction — the maintenance pass incremental
     * writers need, done the snapshot way: rewrite the current
     * snapshot's many small files into ceil(bytes/targetBytes) files and

@@ -491,6 +491,36 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders WHERE year(o_orderdate) = 1995
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_incremental",
+      // INCREMENTAL read off table history (the Iceberg change-scan):
+      // data files are immutable and appends only add files, so the
+      // rows that arrived in (v1, v2] are exactly the manifest
+      // difference — two metadata reads, no table diff, no mtime
+      // heuristics. This is the delta feed the day-2 operators
+      // (pipe_incremental_refresh, dedup_lsh_incremental) want from a
+      // landing table: batch-sized work resolved from metadata alone.
+      // The oracle pins the delta membership (the second commit's
+      // rows, nothing else).
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapincr_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+        SnapshotTable
+          .readIncremental(s, table, fromVersion = 1L, toVersion = 2L)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -192,6 +192,24 @@ class Round12Spec extends AnyFunSuite {
     assert(snapKeys(graft.sources.SnapshotTable.read(spark, table)) === snapKeys(o))
   }
 
+  test("SnapshotTable: incremental read is the manifest difference; overwrite chains refuse") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    val o = Tables(spark, sf).orders.select("o_orderkey", "o_totalprice")
+    val all = snapKeys(o)
+    graft.sources.SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    graft.sources.SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    graft.sources.SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    assert(snapKeys(graft.sources.SnapshotTable.readIncremental(spark, table, 1L, 2L))
+      === all.filter(_ % 3 == 1))
+    assert(snapKeys(graft.sources.SnapshotTable.readIncremental(spark, table, 1L, 3L))
+      === all.filter(k => k % 3 == 1 || k % 3 == 2))
+    // an overwrite in the range breaks new-files == new-rows: refuse loudly
+    graft.sources.SnapshotTable.commit(o.limit(5), table, append = false)
+    intercept[IllegalArgumentException] {
+      graft.sources.SnapshotTable.readIncremental(spark, table, 3L, 4L)
+    }
+  }
+
   test("dedup_minhash_estimate: the estimator tracks exact Jaccard within binomial error") {
     val rows = SparkEntry.queries("dedup_minhash_estimate")(spark, sf).collect()
     val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
