@@ -1146,6 +1146,101 @@ object AnnCatalog extends QueryModule {
              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)
     ),
     Q(
+      "ann_ivf_sq8",
+      // The second composed production index (FAISS IndexIVFScalarQuantizer
+      // shape, completing the quantizer x coarse-index matrix next to
+      // ann_ivf_pq): coarse cells bound WHICH vectors are scored
+      // (nprobe=2 posting lists — scan cost ~ nprobe/ncells of the
+      // corpus), SQ8 bounds WHAT is read per vector (one byte per
+      // component instead of a float — 4x less IO on the posting
+      // lists). Codes are global per-dimension [min,max] quantization
+      // over the RAW vectors (the by_residual=false FAISS variant —
+      // one code table serves every cell, so a cell split/merge never
+      // re-encodes); search is the same asymmetric integer ADC as
+      // ann_sq8, restricted to the probed cells' lists.
+      //
+      // Scale posture: probes come from the broadcast centroid table
+      // through the bounded-heap operator; the ADC join touches only
+      // probed posting lists; the LUT stays structural-size (queries x
+      // 64 dims x 256 codes, broadcast); sums in exact DECIMAL(38,0),
+      // wire format the lossless hi/lo BIGINT split (ann_sq8's
+      // contract).
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = coarseCentroids(c)
+        val assigned = coarseAssign(c, cents)
+        val stats = c
+          .select(posexplode(col("qv")))
+          .groupBy("pos")
+          .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+        val codes = assigned
+          .select(col("vec_id"), col("cell"), posexplode(col("qv")))
+          .join(broadcast(stats), "pos")
+          .select(
+            col("vec_id"),
+            col("cell"),
+            col("pos"),
+            when(col("mx") > col("mn"), expr("((col - mn) * 255) div (mx - mn)"))
+              .otherwise(lit(0L)).as("code"))
+        val probeScored = assigned
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"))
+          .join(broadcast(cents))
+          .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
+        val probes = graft.plans.GraftOps
+          .topKPerGroup(probeScored, Seq(col("q_id")), 2, col("score").desc, col("cell"))
+          .select("q_id", "cell")
+        val lut = c
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), posexplode(col("qv")).as(Seq("pos", "qe")))
+          .join(broadcast(stats), "pos")
+          .select(col("q_id"), col("pos"), col("qe"), col("mn"), col("mx"),
+            explode(expr("sequence(CAST(0 AS BIGINT), CAST(255 AS BIGINT))")).as("code"))
+          .withColumn("d", col("qe") * 255 - (col("mn") * 255 + col("code") * (col("mx") - col("mn"))))
+          .select(col("q_id"), col("pos"), col("code"), (col("d") * col("d")).as("fp"))
+        val adc = codes
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(lut), Seq("q_id", "pos", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("fp").cast("decimal(38,0)")).as("dist"))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(adc, Seq(col("q_id")), K, col("dist").asc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .withColumn("dist_hi", expr("dist div 1000000000"))
+          .withColumn("dist_lo", expr("CAST(dist % 1000000000 AS BIGINT)"))
+          .select("q_id", "rank", "vec_id", "dist_hi", "dist_lo")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""$ivfBuildSql,
+             |e2 AS (SELECT vec_id, i-1 AS pos, qv[i] AS v FROM n, UNNEST(range(1, len(qv)+1)) AS t(i)),
+             |st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM e2 GROUP BY pos),
+             |codes2 AS (SELECT e2.vec_id, a.cell, e2.pos,
+             |           CASE WHEN mx > mn THEN ((v - mn) * 255) // (mx - mn) ELSE 0 END AS code
+             |           FROM e2 JOIN st USING (pos) JOIN assigned a ON a.vec_id = e2.vec_id),
+             |qp2 AS (SELECT sc.vec_id AS q_id, sc.cell,
+             |        row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+             |        FROM sc WHERE sc.vec_id < 10),
+             |probes2 AS (SELECT q_id, cell FROM qp2 WHERE rn <= 2),
+             |lut2 AS (SELECT e2.vec_id AS q_id, e2.pos, cd AS code,
+             |         (e2.v*255 - (st.mn*255 + cd*(st.mx - st.mn)))
+             |           * (e2.v*255 - (st.mn*255 + cd*(st.mx - st.mn))) AS fp
+             |         FROM e2 JOIN st USING (pos), UNNEST(range(0, 256)) AS t(cd)
+             |         WHERE e2.vec_id < 10),
+             |adc2 AS (SELECT p.q_id, k.vec_id, SUM(CAST(l.fp AS DECIMAL(38,0))) AS dist
+             |         FROM codes2 k JOIN probes2 p ON k.cell = p.cell
+             |         JOIN lut2 l ON l.q_id = p.q_id AND l.pos = k.pos AND l.code = k.code
+             |         WHERE k.vec_id <> p.q_id GROUP BY 1, 2),
+             |ranked2 AS (SELECT q_id, vec_id, dist,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM adc2)
+             |SELECT q_id, rank, vec_id,
+             |  CAST(CAST(dist AS HUGEINT) // 1000000000 AS BIGINT) AS dist_hi,
+             |  CAST(CAST(dist AS HUGEINT) % 1000000000 AS BIGINT) AS dist_lo
+             |FROM ranked2 WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
       "ann_sq8",
       // Scalar quantization (FAISS SQ8): each dimension is trained to
       // its corpus [min, max] range and every component stored as ONE
