@@ -506,6 +506,43 @@ object MultimodalCatalog extends QueryModule {
              |FROM t ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_wav_resample",
+      // Sample-rate normalization on REAL WAVs (every audio corpus
+      // standardizes rate before batching): decimate-by-2 through the
+      // RIFF chunk walk — header-true data offset, stride-2 sample
+      // pick, rate halved, count ceil(n/2). The decimated samples
+      // travel as an md5 digest plus their exact energy, so a
+      // one-sample offset error, a stride bug, or an off-by-one at the
+      // odd-length tail breaks the hash. The oracle rebuilds the
+      // decimation generically from the text bytes (1-based odd
+      // positions = 0-based even samples).
+      //
+      // Scale posture: same as every decoder-seam op — build + parse
+      // narrow in one mapPartitions, Fan.out first, presentation sort
+      // the only exchange; a real resampler (polyphase filter) swaps
+      // into resampleHalf without touching the plan.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.wavBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeResample(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |         array_to_string([text[i] for i in range(1, length(text)+1, 2)], '') AS half
+             |       FROM documents)
+             |SELECT doc_id, (8000 + (doc_id % 8) * 1000)::INTEGER AS sr_in,
+             |((8000 + (doc_id % 8) * 1000) // 2)::INTEGER AS sr_out,
+             |length(text)::BIGINT AS n_in, length(half)::BIGINT AS n_out,
+             |md5(half) AS out_digest,
+             |COALESCE(list_sum([(unicode(half[i]) - 64) * (unicode(half[i]) - 64)
+             |          for i in range(1, length(half)+1)]), 0)::BIGINT AS out_energy
+             |FROM d ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_embed_retrieval",
       // The multimodal RETRIEVAL pipeline end-to-end: binary payload ->
       // encoder -> embedding -> top-k nearest neighbors. The encoder is

@@ -355,6 +355,46 @@ object RealCodecs {
     blobs.mapPartitions(_.map(silenceTrim))
   }
 
+  final case class ResampleStat(
+      doc_id: Long,
+      sr_in: Int,
+      sr_out: Int,
+      n_in: Long,
+      n_out: Long,
+      out_digest: String,
+      out_energy: Long)
+
+  /** Decimate-by-2 resample of one 8-bit-PCM WAV — the sample-rate
+    * normalization pass every audio corpus runs before batching
+    * (models want one rate; crawled audio arrives at many). The
+    * simplest correct decimator for a 2:1 ratio keeps every second
+    * sample (a production pipeline low-pass-filters first; the
+    * STRUCTURAL contract — header-true offsets, stride walk, exact
+    * output identity — is what this op pins, via the md5 of the
+    * decimated samples and their exact energy). Rate halves, sample
+    * count is ceil(n/2) (index 0 always kept). */
+  def resampleHalf(b: Blob): ResampleStat = {
+    val a = b.bytes
+    require(isRiffWave(a), s"doc ${b.doc_id}: not a WAV")
+    val (rate, dataOff, dataLen) = wavInfo(a, b.doc_id)
+    val nOut = ((dataLen + 1) / 2).toInt
+    val out = new Array[Byte](nOut)
+    var i = 0
+    while (i < nOut) { out(i) = a(dataOff + 2 * i); i += 1 }
+    var e = 0L
+    var j = 0
+    while (j < nOut) { val d = (out(j) & 0xff) - 64; e += d.toLong * d; j += 1 }
+    val digest = java.security.MessageDigest
+      .getInstance("MD5").digest(out).map("%02x".format(_)).mkString
+    ResampleStat(b.doc_id, rate, rate / 2, dataLen, nOut.toLong, digest, e)
+  }
+
+  /** Same seam shape as [[decode]], one resample row per asset. */
+  def decodeResample(blobs: Dataset[Blob]): Dataset[ResampleStat] = {
+    implicit val enc = Encoders.product[ResampleStat]
+    blobs.mapPartitions(_.map(resampleHalf))
+  }
+
   /** Sharpness metric for one image asset: Σ lap² of the horizontal
     * 1-D Laplacian (2·g(c) − g(c−1) − g(c+1)) over the GREEN channel
     * along each row — the variance-of-Laplacian blur screen a

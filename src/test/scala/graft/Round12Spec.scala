@@ -290,6 +290,30 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.toSet.exists(p => ivf(p) || sq8Full(p)), "composition shares nothing with its parents")
   }
 
+  test("mm_wav_resample: one doc recounts by hand; odd-length tails keep index 0 parity") {
+    val out = SparkEntry.queries("mm_wav_resample")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === docs.keySet)
+    for ((id, r) <- out) {
+      val n = docs(id).length.toLong
+      assert(r.getAs[Long]("n_in") === n)
+      assert(r.getAs[Long]("n_out") === (n + 1) / 2)
+      assert(r.getAs[Int]("sr_out") === r.getAs[Int]("sr_in") / 2)
+    }
+    // full hand recount of one asset: stride-2 pick from the raw text
+    val (id0, text0) = docs.minBy(_._1)
+    val half = text0.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c }.mkString
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(half.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(out(id0).getAs[String]("out_digest") === digest)
+    assert(out(id0).getAs[Long]("out_energy") ===
+      half.map(c => { val d = c.toInt - 64; d.toLong * d }).sum)
+    // the fixture genuinely exercises the odd-length tail
+    assert(docs.values.exists(_.length % 2 == 1), "no odd-length clip in the fixture")
+  }
+
   test("ShingleDfCap never exceeds the widest measured flood family") {
     // the ngram prefix filter admits up to C(ShingleDfCap, 2) pairs per
     // shared shingle; the 100x DocStress arm measured exactly
