@@ -405,6 +405,59 @@ object PipelineCatalog extends QueryModule {
              |l1 AS (SELECT SUM(abs(ref_ppm - new_ppm))::BIGINT AS l1_ppm FROM pp)
              |SELECT bucket, n_ref, n_new, ref_ppm, new_ppm, l1_ppm FROM pp, l1
              |ORDER BY bucket""".stripMargin)
+    ),
+    Q(
+      "pipe_rule_ablation",
+      // The quality-rule TUNING table (the per-rule ablation every
+      // filter-threshold review starts from): for each Gopher rule,
+      // how many documents fail it at all (n_fail), how many it is the
+      // SOLE veto for (n_sole_veto — the documents you would regain by
+      // dropping just this rule), and the corpus keep rate WITHOUT it
+      // (keep_without_ppm — the marginal effect of the rule given all
+      // the others). A rule with high n_fail but near-zero sole vetoes
+      // is redundant; one with high sole vetoes carries real filtering
+      // weight and deserves threshold scrutiny. Reuses
+      // TextCatalog.gopherRuleFrame VERBATIM, so the ablation can
+      // never drift from the rule set it ablates.
+      //
+      // Scale posture: one narrow rule pass, a constant 4x explode
+      // (rules, not data), one map-side-combined rollup to 4 rows.
+      (s, dir) => {
+        val rules = Seq("rule_wc", "rule_wlen", "rule_alpha", "rule_stop")
+        val r = graft.text.TextCatalog.gopherRuleFrame(
+          Fan.out(Tables(s, dir).documents.select("doc_id", "text")))
+        r.select(explode(array(rules.map { rn =>
+            struct(
+              lit(rn).as("rule"),
+              col(rn).as("ok"),
+              rules.filterNot(_ == rn).map(col).reduce(_ && _).as("others_ok"))
+          }: _*)).as("x"))
+          .select(col("x.rule").as("rule"), col("x.ok").as("ok"), col("x.others_ok").as("others_ok"))
+          .groupBy("rule")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(!col("ok"), 1L).otherwise(0L)).as("n_fail"),
+            sum(when(!col("ok") && col("others_ok"), 1L).otherwise(0L)).as("n_sole_veto"),
+            sum(when(col("others_ok"), 1L).otherwise(0L)).as("n_keep_without"))
+          .withColumn("keep_without_ppm", expr("n_keep_without * 1000000 div n_docs"))
+          .select("rule", "n_docs", "n_fail", "n_sole_veto", "keep_without_ppm")
+          .orderBy("rule")
+      },
+      Some(s"""WITH ${graft.text.TextCatalog.gopherRulesSql},
+             |x AS (SELECT 'rule_wc' AS rule, rule_wc AS ok,
+             |             (rule_wlen AND rule_alpha AND rule_stop) AS others_ok FROM r
+             |      UNION ALL SELECT 'rule_wlen', rule_wlen,
+             |             (rule_wc AND rule_alpha AND rule_stop) FROM r
+             |      UNION ALL SELECT 'rule_alpha', rule_alpha,
+             |             (rule_wc AND rule_wlen AND rule_stop) FROM r
+             |      UNION ALL SELECT 'rule_stop', rule_stop,
+             |             (rule_wc AND rule_wlen AND rule_alpha) FROM r)
+             |SELECT rule, COUNT(*)::BIGINT AS n_docs,
+             |SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+             |SUM(CASE WHEN NOT ok AND others_ok THEN 1 ELSE 0 END)::BIGINT AS n_sole_veto,
+             |((SUM(CASE WHEN others_ok THEN 1 ELSE 0 END) * 1000000) // COUNT(*))::BIGINT
+             |  AS keep_without_ppm
+             |FROM x GROUP BY rule ORDER BY rule""".stripMargin)
     )
   )
 }

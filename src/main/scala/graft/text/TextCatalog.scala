@@ -12,6 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object TextCatalog extends QueryModule {
 
+  /** The Gopher rule columns over a (doc_id, text) frame — ONE
+    * definition of the rule set, shared by text_gopher_rules (the
+    * per-document report) and pipe_rule_ablation (the per-rule tuning
+    * table), so the ablation can never drift from the rules it
+    * ablates. Pure narrow per-row work. */
+  private[graft] def gopherRuleFrame(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.withColumn("wc", size(ws(col("text"))).cast("long"))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("mean_wlen", col("alpha_chars").cast("double") / col("wc"))
+      .withColumn("n_stop", stopHits(ws(col("text"))).cast("long"))
+      .withColumn("rule_wc", col("wc") >= 30 && col("wc") <= 100000)
+      .withColumn("rule_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("rule_alpha", col("alpha_chars").cast("double") / length(col("text")) > 0.6)
+      .withColumn("rule_stop", col("n_stop") >= 2)
+
+  /** Oracle mirror of [[gopherRuleFrame]] over the documents table,
+    * CTE chain ending in r (no WITH prefix). */
+  private[graft] val gopherRulesSql: String =
+    s"""t AS (SELECT doc_id, text,
+       |  len(string_split(text,' '))::BIGINT AS wc,
+       |  length(regexp_replace(text,'[^a-z]','','g'))::BIGINT AS alpha_chars,
+       |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS n_stop
+       |  FROM documents),
+       |r AS (SELECT doc_id, wc,
+       |  alpha_chars::DOUBLE / wc AS mean_wlen,
+       |  (wc >= 30 AND wc <= 100000) AS rule_wc,
+       |  (alpha_chars::DOUBLE / wc >= 3.0 AND alpha_chars::DOUBLE / wc <= 10.0) AS rule_wlen,
+       |  (alpha_chars::DOUBLE / length(text) > 0.6) AS rule_alpha,
+       |  (n_stop >= 2) AS rule_stop
+       |  FROM t)""".stripMargin
+
   /** BPE training state (see text_bpe_train): from a documents
     * relation, the word-frequency dictionary in double-spaced char
     * form, and `rounds` iterations of (1-row merge frame, post-merge
@@ -750,40 +782,63 @@ object TextCatalog extends QueryModule {
       // Scale posture: pure narrow per-row work, no shuffle before the
       // presentation sort; the word split is computed once per rule
       // chain via a shared projection.
-      (s, dir) => {
-        val d = Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
-        d.withColumn("wc", size(ws(col("text"))).cast("long"))
-          .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
-          .withColumn("mean_wlen", col("alpha_chars").cast("double") / col("wc"))
-          .withColumn("n_stop", stopHits(ws(col("text"))).cast("long"))
-          .withColumn("rule_wc", col("wc") >= 30 && col("wc") <= 100000)
-          .withColumn("rule_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
-          .withColumn(
-            "rule_alpha",
-            col("alpha_chars").cast("double") / length(col("text")) > 0.6)
-          .withColumn("rule_stop", col("n_stop") >= 2)
+      (s, dir) =>
+        gopherRuleFrame(Fan.out(Tables(s, dir).documents.select("doc_id", "text")))
           .withColumn(
             "keep",
             col("rule_wc") && col("rule_wlen") && col("rule_alpha") && col("rule_stop"))
           .select(
             "doc_id", "wc", "mean_wlen", "rule_wc", "rule_wlen", "rule_alpha", "rule_stop", "keep")
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id, text,
-             |  len(string_split(text,' '))::BIGINT AS wc,
-             |  length(regexp_replace(text,'[^a-z]','','g'))::BIGINT AS alpha_chars,
-             |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS n_stop
-             |  FROM documents),
-             |r AS (SELECT doc_id, wc,
-             |  alpha_chars::DOUBLE / wc AS mean_wlen,
-             |  (wc >= 30 AND wc <= 100000) AS rule_wc,
-             |  (alpha_chars::DOUBLE / wc >= 3.0 AND alpha_chars::DOUBLE / wc <= 10.0) AS rule_wlen,
-             |  (alpha_chars::DOUBLE / length(text) > 0.6) AS rule_alpha,
-             |  (n_stop >= 2) AS rule_stop
-             |  FROM t)
+          .orderBy("doc_id"),
+      Some(s"""WITH $gopherRulesSql
              |SELECT doc_id, wc, mean_wlen, rule_wc, rule_wlen, rule_alpha, rule_stop,
              |(rule_wc AND rule_wlen AND rule_alpha AND rule_stop) AS keep
              |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_char_entropy",
+      // Character-entropy gibberish screen — the information-theoretic
+      // quality signal next to the rule-based ones: repeated-character
+      // floods, base64 blobs, and keyboard mash have character
+      // distributions far from natural text, and per-character entropy
+      // separates them without any language model. Uses the repo's
+      // integer bit-width surrogate (length(bin(x)) = floor(log2 x)+1,
+      // the text_perplexity_bigram / text_bm25 idiom): ent_bits =
+      // Σ_c n_c·(bits(N) − bits(n_c)) ≈ N·H(doc) in bits, exact BIGINT
+      // in both engines, plus the per-character milli rate a filter
+      // thresholds.
+      //
+      // Scale posture: one narrow char explode (rows = characters —
+      // the same cost class as the shingle ops), a (doc, char)
+      // map-side-combined count, a doc rollup. No pairwise anything.
+      (s, dir) => {
+        val d = Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        // (doc, char) histogram — persisted: feeds both the per-doc
+        // totals and the entropy terms (one explode, not two)
+        val h = GraftCache.register(
+          d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+            .filter(length(col("ch")) > 0)
+            .groupBy("doc_id", "ch")
+            .agg(count(lit(1)).as("n"))
+            .persist())
+        val t = h.groupBy("doc_id")
+          .agg(sum(col("n")).as("n_chars"), count(lit(1)).as("n_distinct"))
+        h.join(t, "doc_id")
+          .groupBy(col("doc_id"), col("n_chars"), col("n_distinct"))
+          .agg(sum(expr("n * (length(bin(n_chars)) - length(bin(n)))")).as("ent_bits"))
+          .withColumn("ent_milli_per_char", expr("ent_bits * 1000 div n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, text[i] AS ch
+             |       FROM documents, UNNEST(range(1, length(text)+1)) AS t(i)),
+             |h AS (SELECT doc_id, ch, COUNT(*)::BIGINT AS n FROM c GROUP BY 1, 2),
+             |tt AS (SELECT doc_id, SUM(n)::BIGINT AS n_chars, COUNT(*)::BIGINT AS n_distinct
+             |       FROM h GROUP BY 1)
+             |SELECT h.doc_id, n_chars, n_distinct,
+             |SUM(n * (length(bin(n_chars)) - length(bin(n))))::BIGINT AS ent_bits,
+             |((SUM(n * (length(bin(n_chars)) - length(bin(n)))) * 1000) // n_chars)::BIGINT
+             |  AS ent_milli_per_char
+             |FROM h JOIN tt USING (doc_id) GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin)
     ),
     Q(
       "text_dedup_lines",

@@ -314,6 +314,46 @@ class Round12Spec extends AnyFunSuite {
     assert(docs.values.exists(_.length % 2 == 1), "no odd-length clip in the fixture")
   }
 
+  test("pipe_rule_ablation: identities tie the ablation to the rule report") {
+    val ab = SparkEntry.queries("pipe_rule_ablation")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ab.keySet === Set("rule_wc", "rule_wlen", "rule_alpha", "rule_stop"))
+    val report = SparkEntry.queries("text_gopher_rules")(spark, sf).collect()
+    val n = report.length.toLong
+    val kept = report.count(_.getAs[Boolean]("keep")).toLong
+    for ((rule, (nDocs, nFail, nSole, keepWithoutPpm)) <- ab) {
+      assert(nDocs === n)
+      // recount directly from the per-document report
+      val fails = report.count(!_.getAs[Boolean](rule)).toLong
+      assert(nFail === fails, s"$rule n_fail")
+      val others = Set("rule_wc", "rule_wlen", "rule_alpha", "rule_stop") - rule
+      val sole = report.count(r => !r.getAs[Boolean](rule) && others.forall(r.getAs[Boolean])).toLong
+      assert(nSole === sole, s"$rule sole veto")
+      // dropping a rule can only ADD kept docs, by exactly its sole vetoes
+      assert(keepWithoutPpm === (kept + sole) * 1000000L / n, s"$rule keep-without")
+    }
+  }
+
+  test("text_char_entropy: a flood collapses to ~0 bits, natural text doesn't; one doc recounts") {
+    val out = SparkEntry.queries("text_char_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === docs.keySet)
+    def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    // hand recount of one doc
+    val (id0, t0) = docs.minBy(_._1)
+    val hist = t0.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nt = t0.length.toLong
+    val ent = hist.values.map(c => c * (bits(nt) - bits(c))).sum
+    assert(out(id0).getAs[Long]("ent_bits") === ent)
+    assert(out(id0).getAs[Long]("n_distinct") === hist.size.toLong)
+    // the screen separates: a synthetic single-char flood scores 0
+    // (every n_c == N), natural text clearly above 0 per char
+    assert(docs.keys.forall(id => out(id).getAs[Long]("ent_milli_per_char") > 1000L),
+      "natural text should carry > 1 bit/char under the surrogate")
+  }
+
   test("ShingleDfCap never exceeds the widest measured flood family") {
     // the ngram prefix filter admits up to C(ShingleDfCap, 2) pairs per
     // shared shingle; the 100x DocStress arm measured exactly
