@@ -1251,6 +1251,122 @@ object TextCatalog extends QueryModule {
              |     WHEN (SUM(bits) * 1000) // COUNT(*) < 5570 THEN 'middle'
              |     ELSE 'tail' END AS bucket
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_mixture_weights",
+      // Pretraining MIXTURE WEIGHTS with temperature — the sampling
+      // table every multi-source corpus build publishes next to its
+      // data card (the α=0.5 "square-root temperature" of GPT-3 /
+      // Llama data mixing: w_i ∝ tokens_i^0.5, flattening the source
+      // distribution so giant crawls don't drown curated sources).
+      // Everything is EXACT integer arithmetic: tokens_i^0.5 is a true
+      // integer sqrt — floor(sqrt) from the IEEE double corrected by
+      // ±1 against the exact square, the portable isqrt both engines
+      // agree on bit-for-bit — and the published weight is ppm, the
+      // expected repetition factor (epochs over the source under the
+      // mixture for one total-corpus pass) exact milli.
+      //
+      // Scale posture: one map-side-combined per-source token count
+      // (sources-sized result), a 1-row broadcast of the totals, then
+      // per-source narrow arithmetic. The documents are scanned once;
+      // at 100 TB the same plan holds with the mixture table still
+      // tiny.
+      (s, dir) => {
+        val toks = Fan
+          .out(Tables(s, dir).documents.select(col("source"), ws(col("text")).as("w")))
+          .select(col("source"), size(col("w")).cast("long").as("nw"))
+          .groupBy("source")
+          .agg(sum("nw").as("tok"))
+        val isq = toks
+          .withColumn("r0", floor(sqrt(col("tok").cast("double"))).cast("long"))
+          .withColumn(
+            "isq",
+            col("r0")
+              + when((col("r0") + 1) * (col("r0") + 1) <= col("tok"), 1L).otherwise(0L)
+              - when(col("r0") * col("r0") > col("tok"), 1L).otherwise(0L))
+          .drop("r0")
+        val tot = isq.agg(sum("isq").as("s_isq"), sum("tok").as("tt"))
+        isq
+          .crossJoin(broadcast(tot))
+          .select(
+            col("source"),
+            col("tok").as("n_tokens"),
+            col("isq").as("isqrt_tokens"),
+            expr("(isq * 1000000) div s_isq").as("weight_ppm"),
+            expr("(((isq * 1000000) div s_isq) * tt) div (tok * 1000)").as("epochs_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, len(string_split(text,' '))::BIGINT AS nw FROM documents),
+             |c AS (SELECT source, SUM(nw)::BIGINT AS tok FROM d GROUP BY 1),
+             |r AS (SELECT source, tok, CAST(floor(sqrt(tok)) AS BIGINT) AS r0 FROM c),
+             |i AS (SELECT source, tok,
+             |      r0 + CASE WHEN (r0+1)*(r0+1) <= tok THEN 1 ELSE 0 END
+             |         - CASE WHEN r0*r0 > tok THEN 1 ELSE 0 END AS isq FROM r),
+             |t AS (SELECT SUM(isq) AS s_isq, SUM(tok) AS tt FROM i)
+             |SELECT source, tok AS n_tokens, isq AS isqrt_tokens,
+             |((isq * 1000000) // t.s_isq)::BIGINT AS weight_ppm,
+             |((((isq * 1000000) // t.s_isq) * t.tt) // (tok * 1000))::BIGINT AS epochs_milli
+             |FROM i, t ORDER BY source""".stripMargin)
+    ),
+    Q(
+      "text_pmi_collocations",
+      // Collocation extraction — the corpus-linguistics PMI table
+      // (Church & Hanks 1990) every tokenizer/vocab review reads: the
+      // top bigrams whose observed frequency most exceeds the
+      // independence expectation. The PMI ratio p(ab)/(p(a)p(b)) =
+      // n_ab·N²/(B·n_a·n_b) is computed EXACTLY as a ppm lift in
+      // DECIMAL(38,0)/HUGEINT intermediates (N² crosses BIGINT at the
+      // bench scale factor — the ann_ivf_pq 100× lesson applied at
+      // design time), cast to BIGINT only on the wire. min-count 5
+      // screens the unstable tail, ties break on the pair text.
+      //
+      // Scale posture: one shingle explode (rows = tokens), two
+      // map-side-combined counts (bigram- and unigram-keyed), then a
+      // vocabulary-sized join — the unigram side is broadcast (a
+      // vocabulary is structurally small; at 100 TB it is still ≪ the
+      // corpus). TakeOrdered for the global top-20, never a full sort.
+      (s, dir) => {
+        val w = ws(col("text"))
+        val d = Fan.out(Tables(s, dir).documents.select("text"))
+        val grams = GraftCache.register(
+          d.select(explode(shingles(w, 2)).as("pair")).persist())
+        val uni = d.select(explode(w).as("w1")).groupBy("w1").agg(count(lit(1)).as("n_w"))
+        val tot = grams
+          .agg(count(lit(1)).as("bb"))
+          .crossJoin(uni.agg(sum("n_w").as("nn")))
+        val bi = grams
+          .groupBy("pair")
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .withColumn("w1", split(col("pair"), " ")(0))
+          .withColumn("w2", split(col("pair"), " ")(1))
+        bi.join(broadcast(uni), "w1")
+          .join(broadcast(uni.select(col("w1").as("w2"), col("n_w").as("n_w2"))), "w2")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("pair"),
+            col("n_ab"),
+            col("n_w").as("n_a"),
+            col("n_w2").as("n_b"),
+            expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * nn * nn * 1000000)
+                   | div (CAST(bb AS DECIMAL(38,0)) * n_w * n_w2) AS BIGINT)""".stripMargin)
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+             |bg AS (SELECT ws[i]||' '||ws[i+1] AS pair
+             |       FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+             |uni AS (SELECT t.u AS w1, COUNT(*)::BIGINT AS n_w FROM w, UNNEST(ws) AS t(u) GROUP BY 1),
+             |tot AS (SELECT (SELECT COUNT(*) FROM bg) AS bb, (SELECT SUM(n_w) FROM uni) AS nn),
+             |bi AS (SELECT pair, COUNT(*)::BIGINT AS n_ab,
+             |       string_split(pair,' ')[1] AS w1, string_split(pair,' ')[2] AS w2
+             |       FROM bg GROUP BY 1 HAVING COUNT(*) >= 5)
+             |SELECT bi.pair, bi.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+             |((CAST(bi.n_ab AS HUGEINT) * t.nn * t.nn * 1000000)
+             |  // (CAST(t.bb AS HUGEINT) * a.n_w * b.n_w))::BIGINT AS lift_ppm
+             |FROM bi JOIN uni a ON bi.w1 = a.w1 JOIN uni b ON bi.w2 = b.w1 CROSS JOIN tot t
+             |ORDER BY lift_ppm DESC, pair LIMIT 20""".stripMargin)
     )
   )
 }
