@@ -1329,6 +1329,72 @@ object AnnCatalog extends QueryModule {
              |  CAST(CAST(dist AS HUGEINT) // 1000000000 AS BIGINT) AS dist_hi,
              |  CAST(CAST(dist AS HUGEINT) % 1000000000 AS BIGINT) AS dist_lo
              |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
+      "ann_matryoshka",
+      // Dimension-adaptive two-stage retrieval (Kusupati et al. 2022,
+      // Matryoshka Representation Learning — the "shortlist with the
+      // first D' dims, rerank with all D" serving pattern OpenAI/Google
+      // embedding APIs expose as truncatable dimensions): stage 1
+      // scores the corpus with only the FIRST 16 of 64 components (4×
+      // less memory traffic than the full vector — the same cost lever
+      // as PQ but with zero training), keeps a C=25 shortlist per
+      // query, stage 2 re-ranks the shortlist with the exact full-dim
+      // cosine. Completes the cheap-pass family: quantized codes
+      // (ann_rerank_exact) vs truncated dims (here) over the identical
+      // refine stage.
+      //
+      // Scale posture: stage 1 is the brute plan on a 4×-narrower
+      // payload (slice happens at scan, broadcast queries, bounded-heap
+      // top-C); stage 2 is the fixed-size shortlist join of
+      // ann_rerank_exact. Never more than one corpus pass.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val C = 25
+        val c16 = c.withColumn("qv16", slice(col("qv"), 1, 16))
+          .withColumn("n16", dotQ(col("qv16"), col("qv16")))
+        val q16 = c16
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv16").as("qe16"), col("n16").as("qn16"))
+        val pairs16 = c16
+          .join(broadcast(q16), col("vec_id") =!= col("q_id"))
+          .withColumn("cos16", cosineFrom(dotQ(col("qe16"), col("qv16")), col("qn16"), col("n16")))
+        val shortlist = graft.plans.GraftOps
+          .topKPerGroup(pairs16, Seq(col("q_id")), C, col("cos16").desc, col("vec_id"))
+          .select("q_id", "vec_id")
+        val scored = broadcast(shortlist)
+          .join(c.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+          .join(broadcast(queriesDf(c)), "q_id")
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+        val top = graft.plans.GraftOps
+          .topKPerGroup(scored, Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "cosine")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, qv, qv[1:16] AS qv16,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS n16 FROM n),
+             |q AS (SELECT vec_id AS q_id, qv16 AS qe16, n16 AS qn16 FROM m WHERE vec_id < 10),
+             |s1 AS (SELECT q.q_id, m.vec_id,
+             |  CAST((SELECT SUM(q.qe16[i]*m.qv16[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn16 AS DOUBLE))*sqrt(CAST(m.n16 AS DOUBLE))) AS cos16
+             |  FROM q JOIN m ON m.vec_id <> q.q_id),
+             |shortlist AS (SELECT q_id, vec_id FROM
+             |   (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos16 DESC, vec_id) AS rn FROM s1)
+             |   WHERE rn <= 25),
+             |qs AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+             |scored AS (SELECT sl.q_id, sl.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*v.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(v.nsq AS DOUBLE))) AS cosine
+             |  FROM shortlist sl JOIN m v ON v.vec_id = sl.vec_id JOIN qs q ON q.q_id = sl.q_id),
+             |ranked AS (SELECT q_id, vec_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     )
   )
 }

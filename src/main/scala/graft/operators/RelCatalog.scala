@@ -2829,6 +2829,42 @@ object RelCatalog extends QueryModule {
            |FROM (SELECT u AS x FROM e12 UNION ALL SELECT v FROM e12)
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }
+    ),
+    Q(
+      "rel_skew_report",
+      // Key-skew diagnostics — the table a 100 TB operator reads BEFORE
+      // picking a join strategy (salt? AQE skew hints? broadcast?): the
+      // top-10 heaviest keys with each key's exact share (ppm of all
+      // rows) and skew factor (key count ÷ perfectly-uniform count, in
+      // milli — 1000 = no skew). The repo's own salting op
+      // (rel_join_skew_salted) is the remediation this report triggers;
+      // ann_cell_stats is the same dashboard inside the IVF index.
+      //
+      // Scale posture: one map-side-combined count per key, a 1-row
+      // broadcast of the totals, then a global top-10 through
+      // TakeOrdered (never a full sort). Works unchanged on a trillion
+      // rows — the report is keys-sized, the heavy-hitter cut is k-sized.
+      (s, dir) => {
+        val counts = Tables(s, dir).events
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum("n").as("total"), count(lit(1)).as("nkeys"))
+        counts
+          .crossJoin(broadcast(tot))
+          .select(
+            col("user_id"),
+            col("n"),
+            expr("(n * 1000000) div total").as("share_ppm"),
+            expr("(n * nkeys * 1000) div total").as("skew_milli"))
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+             |t AS (SELECT SUM(n) AS total, COUNT(*)::BIGINT AS nkeys FROM c)
+             |SELECT user_id, n,
+             |((n * 1000000) // t.total)::BIGINT AS share_ppm,
+             |((n * nkeys * 1000) // t.total)::BIGINT AS skew_milli
+             |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin)
     )
   )
 }

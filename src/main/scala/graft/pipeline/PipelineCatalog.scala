@@ -458,6 +458,65 @@ object PipelineCatalog extends QueryModule {
              |((SUM(CASE WHEN others_ok THEN 1 ELSE 0 END) * 1000000) // COUNT(*))::BIGINT
              |  AS keep_without_ppm
              |FROM x GROUP BY rule ORDER BY rule""".stripMargin)
+    ),
+    Q(
+      "pipe_token_budget",
+      // Quality-ranked selection under a TOKEN BUDGET — the final cut
+      // every pretraining run makes ("we can afford 2T tokens; take the
+      // best documents until the budget is spent"): rank by a quality
+      // score, keep the ranked prefix whose running token total fits
+      // the budget (here 20% of the corpus). The running total is a
+      // DISTRIBUTED prefix sum — NOT one global window (a
+      // single-partition running sum is the classic driver-shaped
+      // bottleneck at 100 TB): documents land in ~100 score buckets, a
+      // buckets-sized frame (structurally ≤ 101 rows, broadcast) carries
+      // each bucket's tokens-above prefix, and the per-row running sum
+      // windows only WITHIN a bucket. The cut is exact: cum ≤ budget,
+      // ties broken by doc_id, identical in the oracle's plain global
+      // window formulation.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Fan
+          .out(Tables(s, dir).documents.select("doc_id", "source", "text"))
+          .withColumn("nw", size(ws(col("text"))).cast("long"))
+          .withColumn("stop", stopHits(ws(col("text"))).cast("long"))
+          .withColumn("score_ppm", expr("stop * 1000000 div nw"))
+          .select("doc_id", "source", "nw", "score_ppm")
+        val bkt = scored.withColumn("bucket", expr("score_ppm div 10000"))
+        val btot = bkt.groupBy("bucket").agg(sum("nw").as("btok"))
+        // prefix over the BUCKETS frame only — ≤101 rows by construction,
+        // so the unpartitioned window is a constant-size reduction, not a
+        // data-sized serial scan
+        val bpre = btot.withColumn(
+          "pre",
+          coalesce(
+            sum("btok").over(
+              Window
+                .orderBy(col("bucket").desc)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val budget = scored.agg(expr("sum(nw) div 5").as("budget"))
+        val w = Window
+          .partitionBy("bucket")
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+        bkt
+          .join(broadcast(bpre), "bucket")
+          .withColumn("cum_tokens", col("pre") + sum("nw").over(w))
+          .crossJoin(broadcast(budget))
+          .filter(col("cum_tokens") <= col("budget"))
+          .select("doc_id", "source", "nw", "score_ppm", "cum_tokens")
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+             |       len(string_split(text,' '))::BIGINT AS nw,
+             |       len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS stop
+             |       FROM documents),
+             |s AS (SELECT doc_id, source, nw, (stop * 1000000 // nw)::BIGINT AS score_ppm FROM d),
+             |b AS (SELECT (SUM(nw) // 5)::BIGINT AS budget FROM s),
+             |c AS (SELECT *, SUM(nw) OVER (ORDER BY score_ppm DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM s)
+             |SELECT doc_id, source, nw, score_ppm, cum_tokens FROM c, b
+             |WHERE cum_tokens <= budget ORDER BY score_ppm DESC, doc_id""".stripMargin)
     )
   )
 }

@@ -73,6 +73,52 @@ object WikidataCatalog extends QueryModule {
     (sym, verts)
   }
 
+  /** Synchronous 3-round label propagation over the shredded graph —
+    * the shared engine of wd_label_propagation (emits the partition)
+    * and wd_modularity (audits it). Returns (sym, verts, labels) where
+    * labels = (id, lbl) after the fixed unrolled schedule; see
+    * wd_label_propagation's scaladoc for the determinism rationale. */
+  private def lpaLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (sym, verts) = symmetricGraph(s, dir)
+    var lab = verts.withColumn("lbl", col("id"))
+    for (_ <- 1 to 3) {
+      val md = sym
+        .join(lab, sym("b") === lab("id"))
+        .select(sym("a").as("nid"), col("lbl").as("nlbl"))
+        .groupBy("nid", "nlbl")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("nid")
+        .agg(min_by(col("nlbl"), struct(negate(col("c")), col("nlbl"))).as("mlbl"))
+      lab = lab
+        .join(md, lab("id") === md("nid"), "left_outer")
+        .select(lab("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
+    }
+    (sym, verts, lab)
+  }
+
+  /** Oracle mirror of [[lpaLabels]]: CTE chain e → u (symmetric pairs)
+    * → v → l0..l3 (the 3 unrolled rounds), no WITH prefix. Shared by
+    * the wd_label_propagation and wd_modularity oracles. */
+  private lazy val lpaSqlCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""n$i AS (SELECT u.a AS id, l.lbl FROM u JOIN l${i - 1} l ON u.b = l.id),
+         |c$i AS (SELECT id, lbl, COUNT(*) AS c FROM n$i GROUP BY 1, 2),
+         |m$i AS (SELECT id, lbl FROM (SELECT id, lbl,
+         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c$i)
+         |        WHERE rn = 1),
+         |l$i AS (SELECT p.id, COALESCE(m.lbl, p.lbl) AS lbl
+         |        FROM l${i - 1} p LEFT JOIN m$i m ON p.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+       |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+       |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+       |v AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e)),
+       |l0 AS (SELECT id, id AS lbl FROM v),
+       |$rounds""".stripMargin
+  }
+
   /** Convergence-probed cache-rotating fixpoint loop shared by the
     * iterative graph operators: materialize each round's frame with its
     * lineage TRUNCATED ([[roundFrame]]), compare a cheap scalar probe
@@ -1351,42 +1397,89 @@ object WikidataCatalog extends QueryModule {
       // needed at fixed depth.
       (s0, dir) => {
         val s = graphSession(s0)
-        val (sym, verts) = symmetricGraph(s, dir)
-        var lab = verts.withColumn("lbl", col("id"))
-        for (_ <- 1 to 3) {
-          val md = sym
-            .join(lab, sym("b") === lab("id"))
-            .select(sym("a").as("nid"), col("lbl").as("nlbl"))
-            .groupBy("nid", "nlbl")
-            .agg(count(lit(1)).as("c"))
-            .groupBy("nid")
-            .agg(min_by(col("nlbl"), struct(negate(col("c")), col("nlbl"))).as("mlbl"))
-          lab = lab
-            .join(md, lab("id") === md("nid"), "left_outer")
-            .select(lab("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
-        }
+        val (_, _, lab) = lpaLabels(s, dir)
         lab
           .select(col("id").as("vertex_id"), col("lbl").as("community_id"))
           .orderBy("vertex_id")
       },
-      Some {
-        val rounds = (1 to 3).map { i =>
-          s"""n$i AS (SELECT u.a AS id, l.lbl FROM u JOIN l${i - 1} l ON u.b = l.id),
-             |c$i AS (SELECT id, lbl, COUNT(*) AS c FROM n$i GROUP BY 1, 2),
-             |m$i AS (SELECT id, lbl FROM (SELECT id, lbl,
-             |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c$i)
-             |        WHERE rn = 1),
-             |l$i AS (SELECT p.id, COALESCE(m.lbl, p.lbl) AS lbl
-             |        FROM l${i - 1} p LEFT JOIN m$i m ON p.id = m.id)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
-           |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
-           |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
-           |v AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM e UNION ALL SELECT dst_id FROM e)),
-           |l0 AS (SELECT id, id AS lbl FROM v),
-           |$rounds
-           |SELECT id AS vertex_id, lbl::BIGINT AS community_id FROM l3 ORDER BY id""".stripMargin
-      }
+      Some(s"""WITH $lpaSqlCtes
+           |SELECT id AS vertex_id, lbl::BIGINT AS community_id FROM l3 ORDER BY id""".stripMargin)
+    ),
+    Q(
+      "wd_modularity",
+      // Community-quality audit — Newman–Girvan MODULARITY of the LPA
+      // partition (Newman 2006): Q = Σ_c [e_c/m − (d_c/2m)²], the score
+      // every community-detection run publishes to decide whether the
+      // partition is better than chance. Computed as an EXACT rational
+      // over the common denominator 4m²: per-community numerator
+      // 4·m·e_c − d_c² (BIGINT here — crosses into DECIMAL territory
+      // only past ~1.5e9 edges, noted at the cast), global q_ppm one
+      // integer division. Shares lpaLabels/lpaSqlCtes VERBATIM with
+      // wd_label_propagation, so the audited partition cannot drift
+      // from the one the LPA query emits.
+      //
+      // Scale posture: two label joins against the undirected edge list
+      // (edge-keyed, map-side-combined counts), one vertex-sized degree
+      // aggregation, a communities-sized rollup, a 1-row broadcast of
+      // (m, Σnum). No pairwise work, no window over data.
+      (s0, dir) => {
+        val s = graphSession(s0)
+        val (sym, _, lab) = lpaLabels(s, dir)
+        val labB = graft.GraftCache.register(lab.persist())
+        // undirected edge list (a < b) — each edge once
+        val und = sym.filter(col("a") < col("b"))
+        val m = und.agg(count(lit(1)).as("m"))
+        val eIn = und
+          .join(labB.select(col("id").as("a"), col("lbl").as("la")), "a")
+          .join(labB.select(col("id").as("b"), col("lbl").as("lb")), "b")
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl"))
+          .agg(count(lit(1)).as("e_in"))
+        val dSum = sym
+          .groupBy("a")
+          .agg(count(lit(1)).as("deg"))
+          .join(labB.select(col("id").as("a"), col("lbl")), "a")
+          .groupBy("lbl")
+          .agg(sum("deg").as("d_sum"))
+        val nV = labB.groupBy("lbl").agg(count(lit(1)).as("n_vertices"))
+        val per = nV
+          .join(dSum, Seq("lbl"), "left_outer")
+          .join(eIn, Seq("lbl"), "left_outer")
+          .na.fill(0L, Seq("d_sum", "e_in"))
+          .crossJoin(broadcast(m))
+          .withColumn("contrib_num", expr("4 * m * e_in - d_sum * d_sum"))
+        val qTot = per.agg(sum("contrib_num").as("num_sum"), max("m").as("mm"))
+        per
+          .crossJoin(broadcast(qTot))
+          .select(
+            col("lbl").as("community_id"),
+            col("n_vertices"),
+            col("e_in"),
+            col("d_sum"),
+            col("contrib_num"),
+            expr("(num_sum * 1000000) div (4 * mm * mm)").as("q_ppm"))
+          .orderBy("community_id")
+      },
+      Some(s"""WITH $lpaSqlCtes,
+           |und AS (SELECT a, b FROM u WHERE a < b),
+           |mm AS (SELECT COUNT(*)::BIGINT AS m FROM und),
+           |ein AS (SELECT la.lbl AS lbl, COUNT(*)::BIGINT AS e_in
+           |        FROM und JOIN l3 la ON und.a = la.id JOIN l3 lb ON und.b = lb.id
+           |        WHERE la.lbl = lb.lbl GROUP BY 1),
+           |deg AS (SELECT a AS id, COUNT(*)::BIGINT AS deg FROM u GROUP BY 1),
+           |ds AS (SELECT l3.lbl, SUM(deg.deg)::BIGINT AS d_sum
+           |       FROM deg JOIN l3 ON deg.id = l3.id GROUP BY 1),
+           |nv AS (SELECT lbl, COUNT(*)::BIGINT AS n_vertices FROM l3 GROUP BY 1),
+           |per AS (SELECT nv.lbl, nv.n_vertices,
+           |        COALESCE(ein.e_in, 0)::BIGINT AS e_in,
+           |        COALESCE(ds.d_sum, 0)::BIGINT AS d_sum,
+           |        (4 * mm.m * COALESCE(ein.e_in, 0) - COALESCE(ds.d_sum, 0) * COALESCE(ds.d_sum, 0))::BIGINT AS contrib_num
+           |        FROM nv LEFT JOIN ds ON nv.lbl = ds.lbl LEFT JOIN ein ON nv.lbl = ein.lbl CROSS JOIN mm),
+           |tot AS (SELECT SUM(contrib_num) AS num_sum, MAX(m) AS m2 FROM per, mm)
+           |SELECT lbl::BIGINT AS community_id, n_vertices, e_in, d_sum, contrib_num,
+           |((tot.num_sum * 1000000) // (4 * tot.m2 * tot.m2))::BIGINT AS q_ppm
+           |FROM per, tot ORDER BY community_id""".stripMargin)
     )
   )
 }
+
