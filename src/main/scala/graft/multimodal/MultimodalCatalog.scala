@@ -604,6 +604,70 @@ object MultimodalCatalog extends QueryModule {
              |ranked AS (SELECT q_id, doc_id, cosine,
              |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank FROM scored)
              |SELECT q_id, rank, doc_id, cosine FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
+      "mm_vad_segments",
+      // Voice-activity SEGMENTATION — the step after mm_silence_trim in
+      // an audio curation pipeline: instead of trimming edges, find the
+      // interior speech runs (consecutive above-average-energy frames)
+      // so each clip can be cut into per-utterance training segments.
+      // Frames come from the same native FrameEnergy kernel as
+      // mm_audio_energy at 16 windows; a frame is "speech" when its
+      // energy reaches the clip mean (energy·16 ≥ total — an exact
+      // integer compare, no division), and runs become segments via the
+      // gaps-islands trick (frame_idx − row_number per doc).
+      //
+      // Scale posture: the kernel pass is narrow; the per-doc window
+      // orders ≤16 frame rows per key (bounded by the frame count, not
+      // the data); the rollup is segment-keyed and map-side-combined.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = graft.Fan.out(Tables(s, dir).documents)
+        val f = d.select(
+            col("doc_id"),
+            posexplode(org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.expressions.FrameEnergy(
+                org.apache.spark.sql.graftbridge.Bridge.expression(col("text")),
+                frames = 16,
+                center = 64))))
+          .select(col("doc_id"), col("pos").cast("long").as("frame_idx"), col("col").as("energy"))
+        val tot = f.groupBy("doc_id").agg(sum("energy").as("tot"))
+        val sp = f
+          .join(tot, "doc_id")
+          .filter(col("energy") * 16 >= col("tot"))
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        sp.withColumn("grp", col("frame_idx") - row_number().over(w))
+          .groupBy("doc_id", "grp")
+          .agg(
+            min("frame_idx").as("start_frame"),
+            max("frame_idx").as("end_frame"),
+            count(lit(1)).as("n_frames"),
+            sum("energy").as("seg_energy"))
+          .withColumn(
+            "seg_idx",
+            row_number()
+              .over(Window.partitionBy("doc_id").orderBy("start_frame"))
+              .cast("long"))
+          .select("doc_id", "seg_idx", "start_frame", "end_frame", "n_frames", "seg_energy")
+          .orderBy("doc_id", "seg_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+             |            greatest(length(text)//16, 1)::BIGINT AS stride FROM documents),
+             |f AS (SELECT doc_id, k AS frame_idx,
+             |  list_sum([(unicode(substr(text, (k*stride + i + 1)::INTEGER, 1)) - 64)
+             |            * (unicode(substr(text, (k*stride + i + 1)::INTEGER, 1)) - 64)
+             |            for i in range(0, stride)])::BIGINT AS energy
+             |      FROM d, UNNEST(range(16)) AS t(k) WHERE k*stride < n),
+             |tt AS (SELECT doc_id, SUM(energy)::BIGINT AS tot FROM f GROUP BY 1),
+             |sp AS (SELECT f.doc_id, f.frame_idx, f.energy,
+             |       f.frame_idx - row_number() OVER (PARTITION BY f.doc_id ORDER BY f.frame_idx) AS grp
+             |       FROM f JOIN tt USING (doc_id) WHERE f.energy * 16 >= tt.tot),
+             |seg AS (SELECT doc_id, grp, MIN(frame_idx)::BIGINT AS start_frame,
+             |        MAX(frame_idx)::BIGINT AS end_frame, COUNT(*)::BIGINT AS n_frames,
+             |        SUM(energy)::BIGINT AS seg_energy FROM sp GROUP BY 1, 2)
+             |SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)::BIGINT AS seg_idx,
+             |start_frame, end_frame, n_frames, seg_energy
+             |FROM seg ORDER BY doc_id, seg_idx""".stripMargin)
     )
   )
 }

@@ -1330,10 +1330,15 @@ object TextCatalog extends QueryModule {
         val d = Fan.out(Tables(s, dir).documents.select("text"))
         val grams = GraftCache.register(
           d.select(explode(shingles(w, 2)).as("pair")).persist())
-        val uni = d.select(explode(w).as("w1")).groupBy("w1").agg(count(lit(1)).as("n_w"))
+        val uniAll = GraftCache.register(
+          d.select(explode(w).as("w1")).groupBy("w1").agg(count(lit(1)).as("n_w")).persist())
         val tot = grams
           .agg(count(lit(1)).as("bb"))
-          .crossJoin(uni.agg(sum("n_w").as("nn")))
+          .crossJoin(uniAll.agg(sum("n_w").as("nn")))
+        // lossless broadcast bound: a word inside a ≥5-count bigram has
+        // unigram count ≥5, so the rare tail (the bulk of a raw-token
+        // vocabulary at 100 TB — typos, hashes, one-offs) never ships
+        val uni = uniAll.filter(col("n_w") >= 5)
         val bi = grams
           .groupBy("pair")
           .agg(count(lit(1)).as("n_ab"))

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5 snapshot-table scale-stress: does the manifest layer's
+  * cost stay flat as the table accumulates history? A 100 TB
+  * deployment commits a snapshot per micro-batch — hundreds per day —
+  * so the day-2 hazards are (a) commit latency growing with snapshot
+  * COUNT (manifest rewrite cost ∝ files, not snapshots — but each
+  * append copies the parent file list, so the list itself grows),
+  * (b) read planning growing with history, (c) time travel to an old
+  * snapshot costing more than reading the head.
+  *
+  *   sbt "runMain graft.tools.SnapshotStress"        # 100 commits
+  *   sbt "runMain graft.tools.SnapshotStress 200"    # custom count
+  *
+  * Measures, at commit counts {1, 10, 50, N}: commit wall, head-read
+  * wall, time-travel read (version 1) wall, pruned-read wall, and the
+  * manifest byte size — the structural term that grows with files.
+  */
+object SnapshotStress {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100)
+    val spark = GraftSession.builder(32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_snapstress").toString + "/t"
+    val orders = spark.read
+      .parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val batch = orders.limit(1000).coalesce(1).cache()
+    batch.count()
+
+    val probes = Set(1, 10, 50, n)
+    println("SNAP_STRESS commits | commit_s | head_read_s | tt_v1_s | pruned_s | manifest_kb | files")
+    (1 to n).foreach { i =>
+      val dt = time {
+        SnapshotTable.commit(
+          batch.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)),
+          table, append = true, statsColumns = Seq("o_orderkey"))
+      }
+      if (probes(i)) {
+        val head = time { SnapshotTable.read(spark, table).count() }
+        val tt = time { SnapshotTable.read(spark, table, Some(1L)).count() }
+        val lo = 1L * 10000000L
+        val pruned = time {
+          SnapshotTable
+            .readPruned(spark, table, "o_orderkey", lo, lo + 5000000L)
+            .count()
+        }
+        val mkb = java.nio.file.Files
+          .size(java.nio.file.Paths.get(table, "manifests", s"v$i.manifest")) / 1024
+        println(f"SNAP_STRESS $i%7d | $dt%8.2f | $head%11.2f | $tt%7.2f | $pruned%8.2f | $mkb%11d | $i%5d")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -133,6 +133,38 @@ class Round13Spec extends AnyFunSuite {
     assert(recall >= 0.32, s"matryoshka recall@5 $recall not above random-shortlist baseline")
   }
 
+  test("mm_vad_segments: hand recount of one clip's speech runs") {
+    val rows = SparkEntry.queries("mm_vad_segments")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docId = rows.head.getAs[Long]("doc_id")
+    val text = Tables(spark, sf).documents
+      .filter(col("doc_id") === docId)
+      .select("text").head().getString(0)
+    // brute recount: 16 frames of stride max(n/16,1), energy vs mean
+    val n = text.length
+    val stride = math.max(n / 16, 1)
+    val k = math.min(16L, (n + stride - 1L) / stride).toInt
+    val energies = (0 until k).map { f =>
+      (f * stride until math.min(f * stride + stride, n).toInt)
+        .map { i => val d = text.charAt(i).toLong - 64; d * d }.sum
+    }
+    // FrameEnergy sums the full stride (remainder chars beyond n never
+    // exist because 16*stride <= n when n >= 16)
+    val tot = energies.sum
+    val speech = energies.zipWithIndex.filter { case (e, _) => e * 16 >= tot }.map(_._2)
+    val segs = speech.foldLeft(Vector.empty[Vector[Int]]) {
+      case (acc, i) if acc.nonEmpty && acc.last.last == i - 1 => acc.init :+ (acc.last :+ i)
+      case (acc, i) => acc :+ Vector(i)
+    }
+    val mine = rows.filter(_.getAs[Long]("doc_id") == docId)
+    assert(mine.length === segs.length)
+    mine.zip(segs).foreach { case (r, sgm) =>
+      assert(r.getAs[Long]("start_frame") === sgm.head.toLong)
+      assert(r.getAs[Long]("end_frame") === sgm.last.toLong)
+      assert(r.getAs[Long]("n_frames") === sgm.length.toLong)
+    }
+  }
+
   test("wd_modularity: exact-rational identities against the LPA partition") {
     val rows = SparkEntry.queries("wd_modularity")(spark, sf).collect()
     val lpa = SparkEntry.queries("wd_label_propagation")(spark, sf).collect()
