@@ -613,9 +613,11 @@ object MultimodalCatalog extends QueryModule {
       // so each clip can be cut into per-utterance training segments.
       // Frames come from the same native FrameEnergy kernel as
       // mm_audio_energy at 16 windows; a frame is "speech" when its
-      // energy reaches the clip mean (energy·16 ≥ total — an exact
-      // integer compare, no division), and runs become segments via the
-      // gaps-islands trick (frame_idx − row_number per doc).
+      // energy reaches the clip mean (energy·n_frames ≥ total — an
+      // exact integer compare against the PER-DOC frame count, since a
+      // clip shorter than 16 samples yields fewer than 16 frames), and
+      // runs become segments via the gaps-islands trick
+      // (frame_idx − row_number per doc).
       //
       // Scale posture: the kernel pass is narrow; the per-doc window
       // orders ≤16 frame rows per key (bounded by the frame count, not
@@ -631,10 +633,10 @@ object MultimodalCatalog extends QueryModule {
                 frames = 16,
                 center = 64))))
           .select(col("doc_id"), col("pos").cast("long").as("frame_idx"), col("col").as("energy"))
-        val tot = f.groupBy("doc_id").agg(sum("energy").as("tot"))
+        val tot = f.groupBy("doc_id").agg(sum("energy").as("tot"), count(lit(1)).as("nf"))
         val sp = f
           .join(tot, "doc_id")
-          .filter(col("energy") * 16 >= col("tot"))
+          .filter(col("energy") * col("nf") >= col("tot"))
         val w = Window.partitionBy("doc_id").orderBy("frame_idx")
         sp.withColumn("grp", col("frame_idx") - row_number().over(w))
           .groupBy("doc_id", "grp")
@@ -658,10 +660,10 @@ object MultimodalCatalog extends QueryModule {
              |            * (unicode(substr(text, (k*stride + i + 1)::INTEGER, 1)) - 64)
              |            for i in range(0, stride)])::BIGINT AS energy
              |      FROM d, UNNEST(range(16)) AS t(k) WHERE k*stride < n),
-             |tt AS (SELECT doc_id, SUM(energy)::BIGINT AS tot FROM f GROUP BY 1),
+             |tt AS (SELECT doc_id, SUM(energy)::BIGINT AS tot, COUNT(*)::BIGINT AS nf FROM f GROUP BY 1),
              |sp AS (SELECT f.doc_id, f.frame_idx, f.energy,
              |       f.frame_idx - row_number() OVER (PARTITION BY f.doc_id ORDER BY f.frame_idx) AS grp
-             |       FROM f JOIN tt USING (doc_id) WHERE f.energy * 16 >= tt.tot),
+             |       FROM f JOIN tt USING (doc_id) WHERE f.energy * tt.nf >= tt.tot),
              |seg AS (SELECT doc_id, grp, MIN(frame_idx)::BIGINT AS start_frame,
              |        MAX(frame_idx)::BIGINT AS end_frame, COUNT(*)::BIGINT AS n_frames,
              |        SUM(energy)::BIGINT AS seg_energy FROM sp GROUP BY 1, 2)

@@ -1293,7 +1293,12 @@ object TextCatalog extends QueryModule {
             col("tok").as("n_tokens"),
             col("isq").as("isqrt_tokens"),
             expr("(isq * 1000000) div s_isq").as("weight_ppm"),
-            expr("(((isq * 1000000) div s_isq) * tt) div (tok * 1000)").as("epochs_milli"))
+            // weight_ppm·tt crosses BIGINT once total corpus tokens
+            // pass ~9.2e12 (a 100 TB corpus is 1e13-1e14 tokens), so
+            // the product runs in DECIMAL(38,0); BIGINT on the wire
+            expr("""CAST((CAST((isq * 1000000) div s_isq AS DECIMAL(38,0)) * tt)
+                   | div (CAST(tok AS DECIMAL(38,0)) * 1000) AS BIGINT)""".stripMargin)
+              .as("epochs_milli"))
           .orderBy("source")
       },
       Some("""WITH d AS (SELECT source, len(string_split(text,' '))::BIGINT AS nw FROM documents),
@@ -1305,7 +1310,8 @@ object TextCatalog extends QueryModule {
              |t AS (SELECT SUM(isq) AS s_isq, SUM(tok) AS tt FROM i)
              |SELECT source, tok AS n_tokens, isq AS isqrt_tokens,
              |((isq * 1000000) // t.s_isq)::BIGINT AS weight_ppm,
-             |((((isq * 1000000) // t.s_isq) * t.tt) // (tok * 1000))::BIGINT AS epochs_milli
+             |((CAST((isq * 1000000) // t.s_isq AS HUGEINT) * t.tt)
+             |  // (CAST(tok AS HUGEINT) * 1000))::BIGINT AS epochs_milli
              |FROM i, t ORDER BY source""".stripMargin)
     ),
     Q(

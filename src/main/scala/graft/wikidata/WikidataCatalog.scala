@@ -1412,9 +1412,12 @@ object WikidataCatalog extends QueryModule {
       // every community-detection run publishes to decide whether the
       // partition is better than chance. Computed as an EXACT rational
       // over the common denominator 4m²: per-community numerator
-      // 4·m·e_c − d_c² (BIGINT here — crosses into DECIMAL territory
-      // only past ~1.5e9 edges, noted at the cast), global q_ppm one
-      // integer division. Shares lpaLabels/lpaSqlCtes VERBATIM with
+      // 4·m·e_c − d_c², summed and scaled ×1e6 in DECIMAL(38,0) —
+      // |Σnum| is bounded by 4m² so the ppm numerator crosses BIGINT
+      // already past ~1.5e6 edges, and Spark's non-ANSI BIGINT sum
+      // would wrap silently where DuckDB promotes to HUGEINT (the
+      // ann_sq8/text_pmi lesson); BIGINT only on the wire. Shares
+      // lpaLabels/lpaSqlCtes VERBATIM with
       // wd_label_propagation, so the audited partition cannot drift
       // from the one the LPA query emits.
       //
@@ -1447,8 +1450,11 @@ object WikidataCatalog extends QueryModule {
           .join(eIn, Seq("lbl"), "left_outer")
           .na.fill(0L, Seq("d_sum", "e_in"))
           .crossJoin(broadcast(m))
-          .withColumn("contrib_num", expr("4 * m * e_in - d_sum * d_sum"))
-        val qTot = per.agg(sum("contrib_num").as("num_sum"), max("m").as("mm"))
+          .withColumn(
+            "contrib_d",
+            expr("""4 * CAST(m AS DECIMAL(38,0)) * e_in
+                   | - CAST(d_sum AS DECIMAL(38,0)) * d_sum""".stripMargin))
+        val qTot = per.agg(sum("contrib_d").as("num_sum"), max("m").as("mm"))
         per
           .crossJoin(broadcast(qTot))
           .select(
@@ -1456,8 +1462,10 @@ object WikidataCatalog extends QueryModule {
             col("n_vertices"),
             col("e_in"),
             col("d_sum"),
-            col("contrib_num"),
-            expr("(num_sum * 1000000) div (4 * mm * mm)").as("q_ppm"))
+            col("contrib_d").cast("long").as("contrib_num"),
+            expr("""CAST((num_sum * 1000000)
+                   | div (4 * CAST(mm AS DECIMAL(38,0)) * mm) AS BIGINT)""".stripMargin)
+              .as("q_ppm"))
           .orderBy("community_id")
       },
       Some(s"""WITH $lpaSqlCtes,
@@ -1473,11 +1481,12 @@ object WikidataCatalog extends QueryModule {
            |per AS (SELECT nv.lbl, nv.n_vertices,
            |        COALESCE(ein.e_in, 0)::BIGINT AS e_in,
            |        COALESCE(ds.d_sum, 0)::BIGINT AS d_sum,
-           |        (4 * mm.m * COALESCE(ein.e_in, 0) - COALESCE(ds.d_sum, 0) * COALESCE(ds.d_sum, 0))::BIGINT AS contrib_num
+           |        (4 * CAST(mm.m AS HUGEINT) * COALESCE(ein.e_in, 0)
+           |          - CAST(COALESCE(ds.d_sum, 0) AS HUGEINT) * COALESCE(ds.d_sum, 0)) AS contrib_h
            |        FROM nv LEFT JOIN ds ON nv.lbl = ds.lbl LEFT JOIN ein ON nv.lbl = ein.lbl CROSS JOIN mm),
-           |tot AS (SELECT SUM(contrib_num) AS num_sum, MAX(m) AS m2 FROM per, mm)
-           |SELECT lbl::BIGINT AS community_id, n_vertices, e_in, d_sum, contrib_num,
-           |((tot.num_sum * 1000000) // (4 * tot.m2 * tot.m2))::BIGINT AS q_ppm
+           |tot AS (SELECT SUM(contrib_h) AS num_sum, MAX(m) AS m2 FROM per, mm)
+           |SELECT lbl::BIGINT AS community_id, n_vertices, e_in, d_sum, contrib_h::BIGINT AS contrib_num,
+           |((tot.num_sum * 1000000) // (4 * CAST(tot.m2 AS HUGEINT) * tot.m2))::BIGINT AS q_ppm
            |FROM per, tot ORDER BY community_id""".stripMargin)
     )
   )
