@@ -1,21 +1,117 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path => JPath, Paths}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** Storage primitives the snapshot protocol needs — everything else in
+  * [[SnapshotTable]] is storage-agnostic. The one load-bearing method
+  * is [[publishExclusive]]: an atomic create-if-absent of the manifest
+  * file, which is what makes a commit a commit.
+  */
+trait SnapshotIO {
+  def exists(path: String): Boolean
+  def isDir(path: String): Boolean
+  /** Child NAMES (not paths) of a directory; empty if absent. */
+  def list(dir: String): Seq[String]
+  def readString(path: String): String
+  /** Write (overwriting) a small metadata file, creating parents. */
+  def writeString(path: String, s: String): Unit
+  /** Atomically make `tmp`'s content visible at `target`, FAILING (false)
+    * if `target` already exists — of two racing writers exactly one may
+    * win. `tmp` may or may not survive; callers delete it afterwards. */
+  def publishExclusive(tmp: String, target: String): Boolean
+  /** Delete a file or EMPTY directory; false if absent. */
+  def delete(path: String): Boolean
+  def size(path: String): Long
+}
+
+/** Local-filesystem arm: publication is `Files.createLink` — hard-link
+  * creation is atomic and fails if the target exists. The fast path for
+  * single-box deployments and the unit-test default. */
+object LocalSnapshotIO extends SnapshotIO {
+  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+  def isDir(path: String): Boolean = Files.isDirectory(Paths.get(path))
+  def list(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+  def readString(path: String): String =
+    new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+  def writeString(path: String, s: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+  }
+  def publishExclusive(tmp: String, target: String): Boolean =
+    try { Files.createLink(Paths.get(target), Paths.get(tmp)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  def delete(path: String): Boolean = Files.deleteIfExists(Paths.get(path))
+  def size(path: String): Long = Files.size(Paths.get(path))
+}
+
+/** Hadoop-FileSystem arm: the SAME protocol on HDFS / S3A / any Hadoop
+  * path — publication is `FileContext.rename(src, dst, Rename.NONE)`,
+  * the rename-without-overwrite primitive (atomic on HDFS; object
+  * stores with conditional PUT expose it through their committers).
+  * This is what lets the table format the 100 TB story leans on publish
+  * off one box: everything except this class goes through Spark's own
+  * Hadoop write paths already.
+  */
+final class HadoopSnapshotIO(conf: org.apache.hadoop.conf.Configuration) extends SnapshotIO {
+  import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+  private def fs(p: String) = new HPath(p).getFileSystem(conf)
+  def exists(path: String): Boolean = fs(path).exists(new HPath(path))
+  def isDir(path: String): Boolean = {
+    val f = fs(path); val p = new HPath(path)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+  def list(dir: String): Seq[String] = {
+    val f = fs(dir); val p = new HPath(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+  def readString(path: String): String = {
+    val in = fs(path).open(new HPath(path))
+    val bos = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+    finally in.close()
+    new String(bos.toByteArray, StandardCharsets.UTF_8)
+  }
+  def writeString(path: String, s: String): Unit = {
+    val out = fs(path).create(new HPath(path), true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  def publishExclusive(tmp: String, target: String): Boolean = {
+    val fc = FileContext.getFileContext(new HPath(target).toUri, conf)
+    try { fc.rename(new HPath(tmp), new HPath(target), Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException if e.getMessage != null &&
+        e.getMessage.toLowerCase.contains("exists") => false
+    }
+  }
+  def delete(path: String): Boolean = fs(path).delete(new HPath(path), false)
+  def size(path: String): Long = fs(path).getFileStatus(new HPath(path)).getLen
+}
 
 /** Minimal snapshot-manifest table format — the transactional layer the
   * plain directory layouts (src_partitioned, ann_index_persist,
   * dedup_lsh_incremental's index) lack, and the missing piece of the
   * day-2 story those incremental operators opened: atomic commits,
-  * schema history, time travel, manifest-level file pruning, and
-  * transactional maintenance (compaction, vacuum) over immutable
-  * parquet data files.
+  * schema history + add-column evolution, time travel, manifest-level
+  * file pruning (integer AND string keys), incremental change-scans,
+  * copy-on-write row-level MERGE, and transactional maintenance
+  * (compaction, vacuum) over immutable parquet data files.
   *
   * Layout under a table root:
   * {{{
@@ -33,48 +129,86 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   2. the manifest content (schema JSON + file list, each file
   *      optionally carrying per-column min/max stats) is fully written
   *      to a hidden temp file;
-  *   3. publication is `Files.createLink(v<N>.manifest, tmp)` — a hard
-  *      link is created atomically and FAILS if the target exists, so
-  *      of two writers racing on the same version exactly one wins and
-  *      the loser gets a ConcurrentModificationException to retry at
-  *      N+1 (an HDFS/object-store deployment swaps this single
-  *      primitive for rename-without-overwrite / conditional PUT; every
-  *      other step is storage-agnostic).
+  *   3. publication is [[SnapshotIO.publishExclusive]] — hard-link
+  *      create on the local arm, FileContext rename-without-overwrite
+  *      on the Hadoop arm — so of two writers racing on the same
+  *      version exactly one wins and the loser gets a
+  *      ConcurrentModificationException to retry at N+1.
   *
   * A reader resolves `currentVersion` = max published manifest and
   * loads EXACTLY the manifest's file list with the manifest's schema —
   * never a directory listing — so in-flight commits, orphaned data
   * dirs, and half-written temp manifests are all invisible, and any
   * prior version stays readable (time travel) until `vacuum` prunes it.
+  * NOTE the standard retention hazard: a reader pinned to a snapshot
+  * older than `retainLast` can fail mid-scan once vacuum reclaims its
+  * files — size retention to the longest-running reader.
   *
   * Scale posture: the manifest holds one line per data file — metadata
   * proportional to the file count, exactly what a 100 TB table's
   * planning step reads instead of a million-object listing; per-file
   * min/max stats make selective scans prune AT THE MANIFEST (the
   * Iceberg headline move — zero data files opened for a miss); data
-  * files are immutable so appends cost O(new data); and the commit
-  * point is one metadata operation regardless of table size.
+  * files are immutable so appends cost O(new data), and MERGE rewrites
+  * only the files whose recorded key ranges the batch touches; the
+  * commit point is one metadata operation regardless of table size.
   */
 object SnapshotTable {
 
-  /** One data file with optional per-column (min, max) stats —
-    * integer-typed columns only, which is what clustering keys are. */
-  final case class FileEntry(path: String, stats: Map[String, (Long, Long)]) {
+  /** One data file with optional per-column (min, max) stats — integer
+    * ranges in `stats`, raw-string ranges in `sstats` (compared
+    * byte-wise over UTF-8, matching Spark's binary string ordering, so
+    * a bound recorded by Spark's min/max is sound at prune time). */
+  final case class FileEntry(
+      path: String,
+      stats: Map[String, (Long, Long)],
+      sstats: Map[String, (String, String)] = Map.empty) {
     def line: String = {
-      val st = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
-      (path +: st).mkString("|")
+      val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
+      val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$c:s:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
+      }
+      (path +: (ist ++ sst)).mkString("|")
     }
   }
 
   object FileEntry {
+    // string bounds ride the line hex-encoded: a value containing the
+    // '|' / ':' / newline delimiters must not corrupt the manifest
+    private[sources] def hex(s: String): String =
+      s.getBytes(StandardCharsets.UTF_8).map(b => f"${b & 0xff}%02x").mkString
+    private[sources] def unhex(h: String): String =
+      new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, StandardCharsets.UTF_8)
+
     def parse(s: String): FileEntry = {
       val parts = s.split('|')
-      FileEntry(
-        parts.head,
-        parts.tail.map { st =>
-          val Array(c, lo, hi) = st.split(':')
-          c -> (lo.toLong, hi.toLong)
-        }.toMap)
+      val ist = Map.newBuilder[String, (Long, Long)]
+      val sst = Map.newBuilder[String, (String, String)]
+      parts.tail.foreach { st =>
+        st.split(':') match {
+          case Array(c, "s", lo, hi) => sst += c -> (unhex(lo), unhex(hi))
+          case Array(c, "s", _*)     => sst += c -> ("", "") // empty-string bounds
+          case Array(c, lo, hi)      => ist += c -> (lo.toLong, hi.toLong)
+          case other =>
+            throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
+        }
+      }
+      FileEntry(parts.head, ist.result(), sst.result())
+    }
+
+    /** Byte-wise unsigned UTF-8 comparison — the ordering Spark's
+      * min/max on StringType uses, so prune-time comparisons agree
+      * with the recorded bounds for every string, not just ASCII. */
+    def bytesLe(a: String, b: String): Boolean = {
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length <= y.length
     }
   }
 
@@ -87,36 +221,35 @@ object SnapshotTable {
       * absence; a file without stats for the column must be read. */
     def filesFor(col: String, lo: Long, hi: Long): Seq[FileEntry] =
       files.filter(f => f.stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi })
+
+    /** String-key pruning (date strings, ID prefixes): byte-wise range
+      * intersection against the recorded string bounds. */
+    def filesForString(col: String, lo: String, hi: String): Seq[FileEntry] =
+      files.filter(f => f.sstats.get(col).forall { case (mn, mx) =>
+        FileEntry.bytesLe(lo, mx) && FileEntry.bytesLe(mn, hi)
+      })
   }
 
-  private def manifestDir(table: String): JPath = Paths.get(table, "manifests")
+  private def manifestDir(table: String): String = s"$table/manifests"
 
-  private def manifestPath(table: String, v: Long): JPath =
-    manifestDir(table).resolve(s"v$v.manifest")
+  private def manifestPath(table: String, v: Long): String =
+    s"${manifestDir(table)}/v$v.manifest"
 
   /** Highest published version, 0 if the table does not exist yet. */
-  def currentVersion(table: String): Long = {
-    val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) return 0L
-    val it = Files.list(dir)
-    try {
-      it.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-          s.stripPrefix("v").stripSuffix(".manifest").toLong
-        }
-        .foldLeft(0L)(math.max)
-    } finally it.close()
-  }
+  def currentVersion(table: String, io: SnapshotIO = LocalSnapshotIO): Long =
+    io.list(manifestDir(table))
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong
+      }
+      .foldLeft(0L)(math.max)
 
-  def manifest(table: String, version: Long): Manifest = {
+  def manifest(table: String, version: Long, io: SnapshotIO = LocalSnapshotIO): Manifest = {
     val p = manifestPath(table, version)
-    require(Files.exists(p), s"snapshot $version of $table is not published")
-    val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+    require(io.exists(p), s"snapshot $version of $table is not published")
     var schema: StructType = null
     val files = Vector.newBuilder[FileEntry]
     val extra = Map.newBuilder[String, String]
-    lines.forEach { l =>
+    io.readString(p).linesIterator.foreach { l =>
       if (l.startsWith("schema=")) {
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
       } else if (l.startsWith("file=")) files += FileEntry.parse(l.stripPrefix("file="))
@@ -129,14 +262,89 @@ object SnapshotTable {
     Manifest(version, schema, files.result(), extra.result())
   }
 
+  /** Write `df`'s data files for version `next`, collect their stats,
+    * assemble the manifest with `carried` parent files, and publish it
+    * atomically. The shared tail of commit / merge / compaction. */
+  private def publishVersion(
+      df: DataFrame,
+      table: String,
+      next: Long,
+      current: Long,
+      carried: Seq[FileEntry],
+      mode: String,
+      statsColumns: Seq[String],
+      extra: Map[String, String],
+      io: SnapshotIO): Long = {
+    // 1. data files first, under a per-attempt unique directory: racing
+    //    or crashed attempts can only ever orphan their own files
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$table/data/v${next}_$token"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val spark = df.sparkSession
+    val newFiles: Vector[FileEntry] =
+      if (statsColumns.isEmpty) {
+        io.list(dataDir).filter(_.endsWith(".parquet")).sorted
+          .map(n => FileEntry(s"$dataDir/$n", Map.empty)).toVector
+      } else {
+        // one map-side-combined pass over the new files only; string
+        // columns record raw-string bounds, everything else integer
+        val stringCols = df.schema.fields
+          .filter(f => statsColumns.contains(f.name) && f.dataType == StringType)
+          .map(_.name).toSet
+        val aggs = statsColumns.flatMap { c =>
+          val v = if (stringCols(c)) col(c) else col(c).cast("long")
+          Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+        }
+        spark.read.parquet(dataDir)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val p = new java.net.URI(r.getAs[String]("__f")).getPath
+            FileEntry(
+              p,
+              statsColumns.filterNot(stringCols).map(c =>
+                c -> (r.getAs[Long](s"__mn_$c"), r.getAs[Long](s"__mx_$c"))).toMap,
+              statsColumns.filter(stringCols).map(c =>
+                c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))).toMap)
+          }
+          .toVector.sortBy(_.path)
+      }
+    // 2. full manifest content to a hidden temp file
+    val tmp = s"${manifestDir(table)}/.tmp_v${next}_$token"
+    val body = new StringBuilder()
+      .append(s"version=$next\n")
+      .append(s"parent=$current\n")
+      .append(s"mode=$mode\n")
+    extra.foreach { case (k, v) => body.append(s"$k=$v\n") }
+    body.append(s"schema=${df.schema.json}\n")
+    (carried ++ newFiles).foreach(f => body.append(s"file=${f.line}\n"))
+    io.writeString(tmp, body.toString)
+    // 3. atomic-exclusive publication — exactly one racing writer wins
+    val won = io.publishExclusive(tmp, manifestPath(table, next))
+    io.delete(tmp)
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $next of $table was published by another writer; re-read and retry")
+    next
+  }
+
   /** Commit `df` as the next snapshot. `append=true` carries the parent
     * snapshot's files (with their stats) forward; `append=false` starts
     * the file list fresh (overwrite — old files stay on disk, still
     * referenced by the PARENT manifest, which is what keeps time travel
     * alive until vacuum).
     *
-    * `statsColumns` names integer-typed columns whose per-file min/max
-    * are recorded in the manifest — ONE aggregation over the
+    * SCHEMA EVOLUTION: an append may ADD columns at the end (the new
+    * manifest records the widened schema; older files read under it
+    * with nulls in the added columns — the Iceberg-minimal add-column
+    * move, done at the manifest instead of a mergeSchema file scan).
+    * Renames, drops, reorders, and type changes are refused loudly.
+    * Old snapshots keep reading under their own recorded schema.
+    *
+    * `statsColumns` names columns whose per-file min/max are recorded
+    * in the manifest — integer-typed columns as Long ranges, string
+    * columns as raw-string ranges — ONE aggregation over the
     * just-written files (grouped by input_file_name, map-side
     * combined), the price of listing-free pruning forever after.
     * Cluster the data on the column first (repartitionByRange + local
@@ -158,78 +366,125 @@ object SnapshotTable {
       append: Boolean,
       expectedCurrent: Option[Long] = None,
       statsColumns: Seq[String] = Nil,
-      extra: Map[String, String] = Map.empty): Long = {
-    val current = expectedCurrent.getOrElse(currentVersion(table))
-    val next = current + 1
-    if (append && current > 0) {
-      val parent = manifest(table, current)
-      require(
-        parent.schema.fieldNames.sameElements(df.schema.fieldNames),
-        s"append schema ${df.schema.simpleString} does not match " +
-          s"snapshot $current's ${parent.schema.simpleString}")
+      extra: Map[String, String] = Map.empty,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val current = expectedCurrent.getOrElse(currentVersion(table, io))
+    val carried: Seq[FileEntry] =
+      if (append && current > 0) {
+        val parent = manifest(table, current, io)
+        val pf = parent.schema.fields
+        val nf = df.schema.fields
+        require(
+          nf.length >= pf.length &&
+            pf.indices.forall(i => nf(i).name == pf(i).name && nf(i).dataType == pf(i).dataType),
+          s"append schema ${df.schema.simpleString} does not extend " +
+            s"snapshot $current's ${parent.schema.simpleString} — appends may only " +
+            "ADD columns at the end (rename/drop/reorder/retype refused)")
+        parent.files
+      } else Vector.empty
+    publishVersion(
+      df, table, current + 1, current, carried,
+      if (append) "append" else "overwrite", statsColumns, extra, io)
+  }
+
+  /** Copy-on-write row-level MERGE — the Delta/Iceberg upsert: apply a
+    * CDC batch (inserts + updates, plus deletes flagged in `deleteCol`)
+    * keyed on integer column `key`, rewriting ONLY the data files whose
+    * recorded key range intersects the batch's keys. Survivor files are
+    * carried into the new manifest untouched, so a selective batch
+    * against a key-clustered table costs O(touched files + batch) — not
+    * a table rewrite.
+    *
+    * Touched-file selection is stats-routed: the manifest's per-file
+    * [min, max] ranges (file-count-sized metadata) broadcast against
+    * the batch's distinct keys; a file with no recorded range for `key`
+    * can never be proven untouched and is rewritten. Soundness: a
+    * survivor's range excludes every batch key, so no row it holds can
+    * share a key with the batch.
+    *
+    * The new snapshot has mode=merge: `readIncremental` refuses to scan
+    * across it (new-files != new-rows under a rewrite), exactly as it
+    * refuses overwrites.
+    *
+    * Returns (filesRewritten, filesTotalBefore, publishedVersion).
+    */
+  def merge(
+      batch: DataFrame,
+      table: String,
+      key: String,
+      deleteCol: Option[String] = None,
+      statsColumns: Seq[String] = Nil,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Int, Long) = {
+    val spark = batch.sparkSession
+    val current = currentVersion(table, io)
+    require(current > 0, s"cannot merge into non-existent table $table")
+    val m = manifest(table, current, io)
+    val dataCols = batch.schema.fieldNames.filterNot(deleteCol.contains)
+    require(
+      dataCols.sameElements(m.schema.fieldNames),
+      s"merge batch columns ${dataCols.mkString(",")} do not match table " +
+        s"columns ${m.schema.fieldNames.mkString(",")}")
+    // distinct batch keys, persisted: used for touched-file routing and
+    // again for the anti-join — batch-sized, two consumers
+    val keys = graft.GraftCache.register(
+      batch.select(col(key).cast("long").as("__k")).distinct().persist())
+    // stats routing: file ranges are manifest metadata (one row per
+    // file) — broadcast them under the batch keys; collecting the
+    // touched INDEX SET back is file-count-sized, not data-sized
+    val ranged = m.files.zipWithIndex.flatMap { case (f, i) =>
+      f.stats.get(key).map { case (lo, hi) => (i, lo, hi) }
     }
-    // 1. data files first, under a per-attempt unique directory: racing
-    //    or crashed attempts can only ever orphan their own files
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = Paths.get(table, "data", s"v${next}_$token")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val spark = df.sparkSession
-    val newFiles: Vector[FileEntry] =
-      if (statsColumns.isEmpty) {
-        val it = Files.list(dataDir)
-        try it.iterator().asScala
-          .map(_.toAbsolutePath.toString)
-          .filter(_.endsWith(".parquet"))
-          .toVector.sorted.map(FileEntry(_, Map.empty))
-        finally it.close()
-      } else {
-        // one map-side-combined pass over the new files only
-        val aggs = statsColumns.flatMap(c =>
-          Seq(min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
-        spark.read.parquet(dataDir.toString)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            FileEntry(
-              new java.net.URI(r.getAs[String]("__f")).getPath,
-              statsColumns.map(c =>
-                c -> (r.getAs[Long](s"__mn_$c"), r.getAs[Long](s"__mx_$c"))).toMap)
-          }
-          .toVector.sortBy(_.path)
+    val statless = m.files.zipWithIndex.collect {
+      case (f, i) if !f.stats.contains(key) => i
+    }.toSet
+    val hit: Set[Int] =
+      if (ranged.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val rangesDf = ranged.toDF("__i", "__lo", "__hi")
+        keys
+          .join(broadcast(rangesDf), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__i").distinct().collect().map(_.getInt(0)).toSet
       }
-    val parentFiles: Seq[FileEntry] =
-      if (append && current > 0) manifest(table, current).files else Vector.empty
-    // 2. full manifest content to a hidden temp file
-    Files.createDirectories(manifestDir(table))
-    val tmp = manifestDir(table).resolve(s".tmp_v${next}_$token")
-    val body = new StringBuilder()
-      .append(s"version=$next\n")
-      .append(s"parent=$current\n")
-      .append(s"mode=${if (append) "append" else "overwrite"}\n")
-    extra.foreach { case (k, v) => body.append(s"$k=$v\n") }
-    body.append(s"schema=${df.schema.json}\n")
-    (parentFiles ++ newFiles).foreach(f => body.append(s"file=${f.line}\n"))
-    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
-    // 3. atomic-exclusive publication: hard-link creation fails if the
-    //    version was already published — exactly one racing writer wins
-    try Files.createLink(manifestPath(table, next), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"snapshot $next of $table was published by another writer; re-read and retry")
+    val touchedIdx = statless ++ hit
+    val touched = m.files.zipWithIndex.collect { case (f, i) if touchedIdx(i) => f }
+    val survivors = m.files.zipWithIndex.collect { case (f, i) if !touchedIdx(i) => f }
+    val touchedRows =
+      if (touched.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+      else spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+    // survivors of the touched files: rows whose key the batch does not
+    // carry (updates and deletes both remove the old row here)
+    val kept = touchedRows.join(keys, touchedRows(key) === col("__k"), "left_anti")
+    val upserts = deleteCol match {
+      case Some(d) => batch.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None    => batch
     }
-    Files.deleteIfExists(tmp)
-    next
+    // re-cluster the rewrite on the key so its recorded ranges stay
+    // tight (and the NEXT merge's routing stays selective)
+    val nOut = math.max(1, touched.size)
+    val newData = kept.unionByName(upserts)
+      .repartitionByRange(nOut, col(key))
+      .sortWithinPartitions(key)
+    val v = publishVersion(
+      newData, table, current + 1, current, survivors, "merge",
+      if (statsColumns.isEmpty) Seq(key) else statsColumns,
+      Map("merged-files" -> touched.size.toString), io)
+    (touched.size, m.files.size, v)
   }
 
   /** Read a snapshot: the latest by default, any published version for
     * time travel. Loads exactly the manifest's file list under the
-    * manifest's schema — never a directory listing. */
-  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(table))
-    readFiles(spark, manifest(table, v), m => m.files)
+    * manifest's schema — never a directory listing. Files committed
+    * under an older (narrower) schema yield nulls in since-added
+    * columns. */
+  def read(
+      spark: SparkSession,
+      table: String,
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    val v = version.getOrElse(currentVersion(table, io))
+    readFiles(spark, manifest(table, v, io), m => m.files)
   }
 
   /** Manifest-level file pruning: load only the files whose recorded
@@ -243,9 +498,24 @@ object SnapshotTable {
       column: String,
       lo: Long,
       hi: Long,
-      version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(table))
-    readFiles(spark, manifest(table, v), _.filesFor(column, lo, hi))
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    val v = version.getOrElse(currentVersion(table, io))
+    readFiles(spark, manifest(table, v, io), _.filesFor(column, lo, hi))
+  }
+
+  /** String-key variant of [[readPruned]] — date strings, ID prefixes:
+    * the common cluster dimensions that are not integers. */
+  def readPrunedString(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: String,
+      hi: String,
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    val v = version.getOrElse(currentVersion(table, io))
+    readFiles(spark, manifest(table, v, io), _.filesForString(column, lo, hi))
   }
 
   private def readFiles(
@@ -266,21 +536,22 @@ object SnapshotTable {
     * dedup_lsh_incremental) cheap against a snapshot table: the delta
     * is resolved from two manifests — no diff scan of the table, no
     * modified-time heuristics. Every commit in (from, to] must be an
-    * append; an overwrite breaks new-files == new-rows and fails
-    * loudly here rather than returning a wrong delta. */
+    * append; an overwrite OR merge breaks new-files == new-rows and
+    * fails loudly here rather than returning a wrong delta. */
   def readIncremental(
       spark: SparkSession,
       table: String,
       fromVersion: Long,
-      toVersion: Long): DataFrame = {
+      toVersion: Long,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
     require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     ((fromVersion + 1) to toVersion).foreach { v =>
-      val mode = manifest(table, v).extra.getOrElse("mode", "?")
+      val mode = manifest(table, v, io).extra.getOrElse("mode", "?")
       require(mode == "append", s"snapshot $v of $table is mode=$mode, not append — " +
         "incremental read is only sound across a pure append chain")
     }
-    val m = manifest(table, toVersion)
-    val old = manifest(table, fromVersion).files.map(_.path).toSet
+    val m = manifest(table, toVersion, io)
+    val old = manifest(table, fromVersion, io).files.map(_.path).toSet
     readFiles(spark, m, _.files.filterNot(f => old(f.path)))
   }
 
@@ -296,19 +567,21 @@ object SnapshotTable {
       spark: SparkSession,
       table: String,
       targetBytes: Long = 128L << 20,
-      statsColumns: Seq[String] = Nil): (Int, Long) = {
-    val cur = currentVersion(table)
-    val m = manifest(table, cur)
+      statsColumns: Seq[String] = Nil,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
+    val cur = currentVersion(table, io)
+    val m = manifest(table, cur, io)
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
-    val bytes = m.files.map(f => Files.size(Paths.get(f.path))).sum
+    val bytes = m.files.map(f => io.size(f.path)).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val v = commit(
-      read(spark, table, Some(cur)).coalesce(n),
+      read(spark, table, Some(cur), io).coalesce(n),
       table,
       append = false,
       expectedCurrent = Some(cur),
       statsColumns = statsColumns,
-      extra = Map("compacted-from" -> cur.toString))
+      extra = Map("compacted-from" -> cur.toString),
+      io = io)
     (m.files.size, v)
   }
 
@@ -323,11 +596,15 @@ object SnapshotTable {
     * StreamingCatalog.foreachBatchDeltaUpsert (deterministic overwrite
     * paths); this is the same guarantee carried by the commit protocol
     * itself. Returns false when the batch was a skipped replay. */
-  def appendBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
-    val cur = currentVersion(table)
+  def appendBatch(
+      df: DataFrame,
+      table: String,
+      batchId: Long,
+      io: SnapshotIO = LocalSnapshotIO): Boolean = {
+    val cur = currentVersion(table, io)
     val last =
       if (cur == 0) -1L
-      else manifest(table, cur).extra.get("batchid").map(_.toLong).getOrElse(-1L)
+      else manifest(table, cur, io).extra.get("batchid").map(_.toLong).getOrElse(-1L)
     if (batchId <= last) false
     else {
       commit(
@@ -335,7 +612,8 @@ object SnapshotTable {
         table,
         append = cur > 0,
         expectedCurrent = Some(cur),
-        extra = Map("batchid" -> batchId.toString))
+        extra = Map("batchid" -> batchId.toString),
+        io = io)
       true
     }
   }
@@ -346,33 +624,33 @@ object SnapshotTable {
     * version <= the newest retained one — rule (b) is what protects an
     * IN-FLIGHT writer's freshly-written v<current+1> directory, which
     * is unreferenced by construction until its manifest publishes.
+    * CAUTION (the standard Iceberg hazard): a reader still scanning a
+    * snapshot older than `retainLast` will fail once its files are
+    * reclaimed — size retention to the longest-running reader.
     * Returns (manifestsDeleted, dataFilesDeleted). */
-  def vacuum(table: String, retainLast: Int = 2): (Int, Int) = {
+  def vacuum(table: String, retainLast: Int = 2, io: SnapshotIO = LocalSnapshotIO): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
-    val cur = currentVersion(table)
+    val cur = currentVersion(table, io)
     if (cur == 0) return (0, 0)
     val keep = ((cur - retainLast + 1) max 1) to cur
-    val referenced = keep.flatMap(v => manifest(table, v).files.map(_.path)).toSet
+    val referenced = keep.flatMap(v => manifest(table, v, io).files.map(_.path)).toSet
     var mDel = 0
     (1L until keep.head).foreach { v =>
-      if (Files.deleteIfExists(manifestPath(table, v))) mDel += 1
+      if (io.delete(manifestPath(table, v))) mDel += 1
     }
     var fDel = 0
-    val dataRoot = Paths.get(table, "data")
-    if (Files.isDirectory(dataRoot)) {
-      val dirs = { val s = Files.list(dataRoot); try s.iterator().asScala.toVector finally s.close() }
-      dirs.foreach { d =>
-        val name = d.getFileName.toString // v<N>_<token>
+    val dataRoot = s"$table/data"
+    io.list(dataRoot).foreach { name => // v<N>_<token>
+      val d = s"$dataRoot/$name"
+      if (io.isDir(d)) {
         val v = name.stripPrefix("v").takeWhile(_.isDigit)
         if (v.nonEmpty && v.toLong <= cur) {
-          val fs = { val s = Files.list(d); try s.iterator().asScala.toVector finally s.close() }
-          fs.foreach { f =>
-            if (!referenced(f.toAbsolutePath.toString)) {
-              Files.deleteIfExists(f); fDel += 1
+          io.list(d).foreach { f =>
+            if (!referenced(s"$d/$f")) {
+              if (io.delete(s"$d/$f")) fDel += 1
             }
           }
-          if ({ val s = Files.list(d); try !s.iterator().hasNext finally s.close() })
-            Files.deleteIfExists(d)
+          if (io.list(d).isEmpty) io.delete(d)
         }
       }
     }

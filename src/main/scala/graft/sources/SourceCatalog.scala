@@ -521,6 +521,148 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders WHERE o_orderkey % 3 = 1
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_merge",
+      // COPY-ON-WRITE row-level MERGE (SnapshotTable.merge) — the
+      // Delta/Iceberg upsert the CDC operators (rel_cdc_apply,
+      // stream_cdc_apply) were missing a transactional target for: a
+      // batch of updates (key%10=3), deletes (key%10=7) and inserts
+      // (fresh keys) applies against a key-clustered table by
+      // rewriting ONLY the files whose manifest-recorded key range the
+      // batch touches (keys < 4000 → ~2 of 8 range files; survivors
+      // carry forward untouched — Round14Spec counts the rewrite).
+      // The query reads the POST-merge state and, via time travel,
+      // the PRE-merge state: a merge that loses survivor rows, leaks
+      // deleted rows, duplicates updates, or clobbers history breaks
+      // the hash. The oracle reproduces both states relationally.
+      //
+      // Scale posture: touched-file routing is manifest metadata
+      // (one range row per file, broadcast under the batch's distinct
+      // keys); the rewrite costs O(touched files + batch), the commit
+      // is one atomic metadata operation, and the rewrite re-clusters
+      // on the key so the NEXT merge routes just as selectively.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapmerge_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        val low = o.filter(col("o_orderkey") < 4000)
+        val upd = low.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+          .withColumn("_del", lit(false))
+        val del = low.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("_del", lit(true))
+        val ins = low.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+          .withColumn("o_orderpriority", lit("9-MERGED"))
+          .withColumn("_del", lit(false))
+        SnapshotTable.merge(
+          upd.unionByName(del).unionByName(ins), table, "o_orderkey",
+          deleteCol = Some("_del"))
+        def agg(df: org.apache.spark.sql.DataFrame, snap: Long) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("snap", lit(snap))
+        agg(SnapshotTable.read(s, table, Some(1L)), 1L)
+          .unionByName(agg(SnapshotTable.read(s, table), 2L))
+          .select("snap", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("snap", "o_orderpriority")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+             |touched AS (SELECT o_orderkey FROM base WHERE o_orderkey < 4000
+             |            AND o_orderkey % 10 IN (3, 7)),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM base
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice + 100000.0 FROM base
+             |  WHERE o_orderkey < 4000 AND o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000, '9-MERGED', o_totalprice FROM base
+             |  WHERE o_orderkey < 4000 AND o_orderkey % 10 = 5)
+             |SELECT 1::BIGINT AS snap, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM base GROUP BY 2
+             |UNION ALL
+             |SELECT 2::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM merged GROUP BY 2
+             |ORDER BY snap, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_evolve",
+      // SCHEMA EVOLUTION across snapshot commits — the Iceberg-minimal
+      // add-column move done at the MANIFEST, not a mergeSchema file
+      // scan: v1 commits (key, priority), v2 APPENDS rows carrying an
+      // added o_year column; the manifest records the widened schema
+      // and v1's files read under it with nulls in the added column
+      // (n_with_year counts exactly the v2 rows per group — a reader
+      // that drops old files, fails on the width mismatch, or
+      // backfills anything but null breaks the hash). Renames, drops,
+      // reorders and retypes stay refused loudly (Round14Spec), and
+      // old snapshots keep reading under their own recorded schema.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapevolve_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+        SnapshotTable.commit(
+          o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+          table, append = false)
+        SnapshotTable.commit(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          table, append = true)
+        SnapshotTable.read(s, table)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            count(col("o_year")).as("n_with_year"),
+            sum(col("o_year")).as("sum_year"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END)::BIGINT AS n_with_year,
+             |SUM(CASE WHEN o_orderkey % 2 = 1 THEN year(o_orderdate) END)::BIGINT AS sum_year
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_prune_str",
+      // STRING-typed manifest stats — date-string cluster keys (the
+      // common partition dimension object-store tables actually carry)
+      // prune at the manifest exactly like integer keys: the commit
+      // records per-file raw-string [min, max] (compared byte-wise
+      // over UTF-8, matching Spark's binary string ordering, so the
+      // recorded bounds are sound at prune time), and the 1995 read
+      // opens ~1/8 of the table without touching a parquet footer.
+      // Round14Spec asserts the pruned file set is a strict subset and
+      // result-equal to the full-scan filter.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapprunestr_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("o_day")).sortWithinPartitions("o_day"),
+          table, append = false, statsColumns = Seq("o_day"))
+        SnapshotTable.readPrunedString(s, table, "o_day", "1995-01-01", "1995-12-31")
+          .filter(col("o_day").between("1995-01-01", "1995-12-31"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1995-01-01' AND '1995-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HadoopSnapshotIO, LocalSnapshotIO, SnapshotIO, SnapshotTable}
+
+/** Round-14 wave: copy-on-write MERGE, schema evolution, string-typed
+  * manifest stats, and the Hadoop-FileSystem commit arm of the
+  * snapshot table format.
+  */
+class Round14Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap14").toString + "/t"
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+  private def ordersNarrow = Tables(spark, sf).orders
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  // ---- copy-on-write MERGE ----------------------------------------
+
+  test("merge: rewrites only touched files; survivors carried verbatim; state exact") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"))
+    val before = SnapshotTable.manifest(table, 1L)
+    val maxKey = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val lim = maxKey / 4
+    val upd = o.filter(col("o_orderkey") < lim && col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("_del", lit(false))
+    val del = o.filter(col("o_orderkey") < lim && col("o_orderkey") % 10 === 7)
+      .withColumn("_del", lit(true))
+    val ins = o.filter(col("o_orderkey") < lim && col("o_orderkey") % 10 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("_del", lit(false))
+    val (rewritten, total, v) = SnapshotTable.merge(
+      upd.unionByName(del).unionByName(ins), table, "o_orderkey",
+      deleteCol = Some("_del"))
+    GraftCache.clear()
+    assert(v === 2L)
+    assert(total === before.files.size)
+    assert(rewritten > 0 && rewritten < total,
+      s"merge rewrote $rewritten of $total files — expected a strict selective subset")
+    // survivor files are carried into the new manifest VERBATIM
+    val after = SnapshotTable.manifest(table, 2L)
+    val survivorPaths = before.files.map(_.path).toSet intersect after.files.map(_.path).toSet
+    assert(survivorPaths.size === total - rewritten)
+    assert(after.extra("mode") === "merge")
+    // row-level semantics: deletes gone, updates replaced, inserts in,
+    // survivors untouched
+    val allKeys = keys(o)
+    val expected = allKeys.filter(k => !(k < lim && (k % 10 == 3 || k % 10 == 7))) ++
+      allKeys.filter(k => k < lim && k % 10 == 3) ++
+      allKeys.filter(k => k < lim && k % 10 == 5).map(_ + 1000000L)
+    assert(keys(SnapshotTable.read(spark, table)) === expected)
+    val updated = SnapshotTable.read(spark, table)
+      .filter(col("o_orderkey") < lim && col("o_orderkey") % 10 === 3)
+    val origSum = o.filter(col("o_orderkey") < lim && col("o_orderkey") % 10 === 3)
+      .agg(sum(col("o_totalprice").cast("decimal(38,4)"))).collect()(0).getDecimal(0)
+    val newSum = updated.agg(sum(col("o_totalprice").cast("decimal(38,4)")))
+      .collect()(0).getDecimal(0)
+    val nUpd = updated.count()
+    assert(newSum.subtract(origSum).doubleValue() === nUpd.toDouble)
+    // time travel still shows the pre-merge state
+    assert(keys(SnapshotTable.read(spark, table, Some(1L))) === allKeys)
+    // incremental reads refuse to cross a merge — new-files != new-rows
+    SnapshotTable.commit(o.limit(3), table, append = true)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readIncremental(spark, table, 1L, 3L)
+    }
+    // ...but a post-merge append-only range still scans fine
+    assert(SnapshotTable.readIncremental(spark, table, 2L, 3L).count() === 3L)
+  }
+
+  test("merge: files without key stats can never be proven untouched") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    // commit WITHOUT stats: every file must be treated as touched
+    SnapshotTable.commit(o.repartition(4), table, append = false)
+    val batch = o.limit(1).withColumn("o_totalprice", lit(0.0)).withColumn("_del", lit(false))
+    val (rewritten, total, _) = SnapshotTable.merge(
+      batch, table, "o_orderkey", deleteCol = Some("_del"))
+    GraftCache.clear()
+    assert(rewritten === total, "stat-less files skipped by merge — unsound")
+  }
+
+  // ---- schema evolution -------------------------------------------
+
+  test("schema evolution: add-column append widens; old snapshots keep their schema") {
+    val table = tmpTable()
+    val o = Tables(spark, sf).orders
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+      table, append = false)
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+      table, append = true)
+    val cur = SnapshotTable.read(spark, table)
+    assert(cur.schema.fieldNames.toSeq === Seq("o_orderkey", "o_orderpriority", "o_year"))
+    // old files read under the widened schema with NULL in the added col
+    val nulls = cur.filter(col("o_year").isNull)
+    assert(keys(nulls) === keys(o).filter(_ % 2 == 0))
+    // the old snapshot still reads under its OWN narrower schema
+    val v1 = SnapshotTable.read(spark, table, Some(1L))
+    assert(v1.schema.fieldNames.toSeq === Seq("o_orderkey", "o_orderpriority"))
+    // rename / retype / reorder / drop all refuse loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(
+        o.select(col("o_orderkey").as("renamed"), col("o_orderpriority"), lit(1L).as("o_year")),
+        table, append = true)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(
+        o.select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_orderpriority"), lit(1L).as("o_year")),
+        table, append = true)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(
+        o.select(col("o_orderpriority"), col("o_orderkey"), lit(1L).as("o_year")),
+        table, append = true)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(o.select("o_orderkey"), table, append = true)
+    }
+  }
+
+  // ---- string-typed manifest stats --------------------------------
+
+  test("string stats: pruned read is a strict file subset, result-equal to full scan") {
+    val table = tmpTable()
+    val o = Tables(spark, sf).orders
+      .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_day")).sortWithinPartitions("o_day"),
+      table, append = false, statsColumns = Seq("o_day"))
+    val m = SnapshotTable.manifest(table, 1L)
+    assert(m.files.forall(_.sstats.contains("o_day")), "every file must carry o_day stats")
+    val hit = m.filesForString("o_day", "1995-01-01", "1995-12-31")
+    assert(hit.nonEmpty && hit.size < m.files.size,
+      s"string pruning inert: ${hit.size} of ${m.files.size} files")
+    val pruned = SnapshotTable
+      .readPrunedString(spark, table, "o_day", "1995-01-01", "1995-12-31")
+      .filter(col("o_day").between("1995-01-01", "1995-12-31")).count()
+    val full = SnapshotTable.read(spark, table)
+      .filter(col("o_day").between("1995-01-01", "1995-12-31")).count()
+    assert(pruned === full && full > 0)
+    // a range before every recorded day prunes to zero files
+    assert(m.filesForString("o_day", "1800-01-01", "1800-12-31").isEmpty)
+  }
+
+  test("string stats: bounds survive delimiter characters via hex encoding") {
+    import SnapshotTable.FileEntry
+    val f = FileEntry("/x/p.parquet", Map("k" -> (1L, 2L)),
+      Map("s" -> ("a|b:c\nd", "z|z:z")))
+    val rt = FileEntry.parse(f.line)
+    assert(rt === f)
+    // byte-wise comparator agrees with unsigned UTF-8 ordering past ASCII
+    assert(FileEntry.bytesLe("abc", "abd"))
+    assert(FileEntry.bytesLe("abc", "abc"))
+    assert(!FileEntry.bytesLe("é", "z")) // 0xC3 > 0x7A byte-wise, as UTF8String orders it
+  }
+
+  // ---- Hadoop-FileSystem commit arm -------------------------------
+
+  private def hadoopIO: SnapshotIO =
+    new HadoopSnapshotIO(new org.apache.hadoop.conf.Configuration())
+
+  test("hadoop IO: commits, time travel, pruning and vacuum run the same protocol") {
+    val table = tmpTable()
+    val io = hadoopIO
+    val o = ordersNarrow
+    val all = keys(o)
+    val v1 = SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"), io = io)
+    val v2 = SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 1), table, append = true, io = io)
+    assert((v1, v2) === ((1L, 2L)))
+    assert(keys(SnapshotTable.read(spark, table, Some(1L), io = io)) === all.filter(_ % 3 == 0))
+    assert(keys(SnapshotTable.read(spark, table, io = io))
+      === all.filter(k => k % 3 == 0 || k % 3 == 1))
+    // manifest stats recorded and pruning live through the hadoop arm
+    val m = SnapshotTable.manifest(table, 1L, io)
+    assert(m.files.forall(_.stats.contains("o_orderkey")))
+    // incremental read across the hadoop-committed chain
+    assert(keys(SnapshotTable.readIncremental(spark, table, 1L, 2L, io = io))
+      === all.filter(_ % 3 == 1))
+    // vacuum through the hadoop primitives
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = false, io = io)
+    val (mDel, fDel) = SnapshotTable.vacuum(table, retainLast = 1, io = io)
+    assert(mDel === 2 && fDel > 0)
+    assert(keys(SnapshotTable.read(spark, table, io = io)) === all.filter(_ % 3 == 2))
+  }
+
+  test("hadoop IO: the losing concurrent writer throws through rename-no-overwrite") {
+    val table = tmpTable()
+    val io = hadoopIO
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false, io = io)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true, io = io)
+    val before = keys(SnapshotTable.read(spark, table, io = io))
+    // a writer that read version 1 races the already-published v2: the
+    // FileContext.rename(NONE) publication must LOSE loudly
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === 2), table, append = false,
+        expectedCurrent = Some(1L), io = io)
+    }
+    assert(SnapshotTable.currentVersion(table, io) === 2L)
+    assert(keys(SnapshotTable.read(spark, table, io = io)) === before)
+  }
+
+  test("hadoop IO: a crashed attempt (data written, manifest unpublished) is invisible") {
+    val table = tmpTable()
+    val io = hadoopIO
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false, io = io)
+    val before = keys(SnapshotTable.read(spark, table, io = io))
+    o.filter(col("o_orderkey") % 3 === 1).write.parquet(s"$table/data/v2_deadcrash")
+    io.writeString(s"$table/manifests/.tmp_v2_deadcrash", "version=2\ngarbage")
+    assert(SnapshotTable.currentVersion(table, io) === 1L)
+    assert(keys(SnapshotTable.read(spark, table, io = io)) === before)
+    val v2 = SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 2), table, append = true, io = io)
+    assert(v2 === 2L)
+    val m = SnapshotTable.manifest(table, 2L, io)
+    assert(m.files.nonEmpty && !m.files.exists(_.path.contains("deadcrash")))
+  }
+
+  test("hadoop IO: merge runs end to end through the hadoop primitives") {
+    val table = tmpTable()
+    val io = hadoopIO
+    val o = ordersNarrow
+    SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"), io = io)
+    val maxKey = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val del = o.filter(col("o_orderkey") < maxKey / 4 && col("o_orderkey") % 10 === 7)
+      .withColumn("_del", lit(true))
+    val (rewritten, total, v) = SnapshotTable.merge(
+      del, table, "o_orderkey", deleteCol = Some("_del"), io = io)
+    GraftCache.clear()
+    assert(v === 2L && rewritten < total)
+    val expected = keys(o).filterNot(k => k < maxKey / 4 && k % 10 == 7)
+    assert(keys(SnapshotTable.read(spark, table, io = io)) === expected)
+  }
+}
