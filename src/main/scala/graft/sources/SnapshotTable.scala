@@ -544,15 +544,27 @@ object SnapshotTable {
       fromVersion: Long,
       toVersion: Long,
       io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    val m = manifest(table, toVersion, io)
+    val paths = incrementalFiles(table, fromVersion, toVersion, io).toSet
+    readFiles(spark, m, _ => m.files.filter(f => paths(f.path)))
+  }
+
+  /** The file paths added in versions (from, to] — the metadata half of
+    * [[readIncremental]], also what the streaming source plans each
+    * micro-batch from. Validates the pure-append precondition. */
+  def incrementalFiles(
+      table: String,
+      fromVersion: Long,
+      toVersion: Long,
+      io: SnapshotIO = LocalSnapshotIO): Seq[String] = {
     require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     ((fromVersion + 1) to toVersion).foreach { v =>
       val mode = manifest(table, v, io).extra.getOrElse("mode", "?")
       require(mode == "append", s"snapshot $v of $table is mode=$mode, not append — " +
         "incremental read is only sound across a pure append chain")
     }
-    val m = manifest(table, toVersion, io)
     val old = manifest(table, fromVersion, io).files.map(_.path).toSet
-    readFiles(spark, m, _.files.filterNot(f => old(f.path)))
+    manifest(table, toVersion, io).files.map(_.path).filterNot(old)
   }
 
   /** TRANSACTIONAL compaction — the maintenance pass incremental

@@ -304,6 +304,56 @@ object StreamingCatalog extends QueryModule {
         .orderBy("event_type")
     }
 
+  /** The snapshot table as a streaming SOURCE (SnapshotSourceProvider)
+    * — the other half of the landing-table loop: three commits land in
+    * the source table one at a time, and between each the stream
+    * drains (shared checkpoint, AvailableNow), so Spark's offset log
+    * records the version chain 1→2→3 and each micro-batch is exactly
+    * the manifest difference (batch 0 = initial snapshot, then two
+    * incremental slices). The sink side is the exactly-once
+    * appendBatch protocol, and a FOURTH drain from a FRESH checkpoint
+    * (the full redelivery a checkpoint loss produces) must no-op at
+    * the sink — the oracle (plain batch aggregate of the source rows)
+    * fails on any duplicated, lost, or mis-sliced delta. */
+  private def snapshotSourceStream(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s) { ss =>
+      val src = graft.Stage.dir("graft_snapsrc_", dir).getPath
+      val out = graft.Stage.dir("graft_snapsrcout_", dir).getPath
+      val ckpt = graft.Stage.dir("graft_snapsrcck_", dir).getPath
+      Seq(src, out, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val o = Tables(ss, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      def drain(tag: String): Unit = {
+        val q = ss.readStream
+          .format(graft.sources.SnapshotSourceProvider.format)
+          .option("path", src)
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.sources.SnapshotTable.appendBatch(batch, out, id)
+            ()
+          }
+          .option("checkpointLocation", s"$ckpt/$tag")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      for (m <- 0 to 2) {
+        graft.sources.SnapshotTable.commit(
+          o.filter(col("o_orderkey") % 3 === m), src, append = m > 0)
+        drain("chain") // shared checkpoint: each drain consumes one version slice
+      }
+      drain("fresh") // fresh checkpoint: full-snapshot redelivery must no-op at the sink
+      graft.sources.SnapshotTable
+        .read(ss, out)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }
+
   /** Stream-static join: enrich the event stream with the customer
     * dimension (user_id = c_custkey), then aggregate per market
     * segment. The static side is re-broadcast per micro-batch by
@@ -989,6 +1039,13 @@ object StreamingCatalog extends QueryModule {
       Some("""SELECT event_type, COUNT(*)::BIGINT AS n_events,
              |COUNT(DISTINCT user_id)::BIGINT AS n_users
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "stream_snapshot_source",
+      (s, dir) => snapshotSourceStream(s, dir),
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
       "stream_sessionize",

@@ -238,6 +238,46 @@ class Round14Spec extends AnyFunSuite {
     assert(m.files.nonEmpty && !m.files.exists(_.path.contains("deadcrash")))
   }
 
+  // ---- snapshot table as a streaming source -----------------------
+
+  // relation file listing straight off the UNANALYZED plan — a
+  // streaming-flagged batch refuses batch actions (inputFiles included)
+  private def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten.map(f => f.substring(f.indexOf("/tmp"))).toSet
+
+  test("snapshot streaming source: offsets are versions, batches are exact manifest slices") {
+    import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    val src = new graft.sources.SnapshotSourceProvider().createSource(
+      spark.sqlContext, "", None, "", Map("path" -> table))
+    assert(src.schema.fieldNames.toSeq === Seq("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // the offset IS the snapshot version
+    assert(src.getOffset === Some(LongOffset(2L)))
+    // initial load: the full snapshot at the end offset, streaming-flagged
+    val init = src.getBatch(None, LongOffset(2L))
+    assert(init.isStreaming, "V1 getBatch must return a streaming-flagged plan")
+    assert(filesOf(init) === SnapshotTable.manifest(table, 2L).files.map(_.path).toSet)
+    // steady state: exactly the files the new version added
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    assert(src.getOffset === Some(LongOffset(3L)))
+    val inc = src.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    assert(inc.isStreaming)
+    assert(filesOf(inc) === SnapshotTable.incrementalFiles(table, 2L, 3L).toSet)
+    // a restart hands offsets back as SerializedOffset — same slice
+    val rep = src.getBatch(Some(SerializedOffset("2")), SerializedOffset("3"))
+    assert(filesOf(rep) === filesOf(inc))
+    // nothing new: an empty (but still streaming) batch
+    val empty = src.getBatch(Some(LongOffset(3L)), LongOffset(3L))
+    assert(empty.isStreaming && filesOf(empty).isEmpty)
+  }
+
   test("hadoop IO: merge runs end to end through the hadoop primitives") {
     val table = tmpTable()
     val io = hadoopIO
