@@ -1395,6 +1395,106 @@ object AnnCatalog extends QueryModule {
              |ranked AS (SELECT q_id, vec_id, cosine,
              |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+    ),
+    Q(
+      "ann_hnsw",
+      // GRAPH-based ANN — the NSW navigable-small-world family
+      // (Malkov & Yashunin 2018's base layer), the index shape the
+      // production vector stores (HNSW/DiskANN) actually serve,
+      // re-expressed in Spark's execution model: an ITERATIVE
+      // insertion build is replaced by an exact M=8 kNN graph over the
+      // sample-bounded corpus (symmetrized — NSW's undirected links),
+      // and the greedy search by a DETERMINISTIC fixed-round beam
+      // search: start at a fixed entry vertex, T=3 rounds of
+      // expand-neighbors → rescore → keep the W=8 best (ties on
+      // vec_id), then top-K of the final beam. Fixed T/W instead of a
+      // visited-set best-first makes the search a pure 3-unrolled
+      // dataflow — reproducible relationally, so unlike most HNSW
+      // implementations this one is ORACLE-CHECKED, not recall-only.
+      //
+      // Scale posture: the graph layer is built over a bounded sample
+      // (the whole corpus here; ≤100k vectors at 100 TB — the same
+      // cap as the IVF training sample) and BROADCAST (n·M edge
+      // pairs); the all-pairs build cost is sample², never corpus².
+      // Per round the candidate set is queries × W × M — broadcast
+      // against the key-partitioned corpus vectors for rescoring; the
+      // corpus is never scanned. AnnSpec pins recall vs brute force.
+      (s, dir) => {
+        val M = 8; val W = 8; val T = 3
+        val c = graft.GraftCache.register(corpus(s, dir).persist())
+        val rhs = c.select(col("vec_id").as("dst"), col("qv").as("dv"), col("nsq").as("dn"))
+        val pairs = c
+          .join(broadcast(rhs), col("vec_id") =!= col("dst"))
+          .withColumn("c", cosineFrom(dotQ(col("qv"), col("dv")), col("nsq"), col("dn")))
+          .select(col("vec_id").as("src"), col("dst"), col("c"))
+        val knn = graft.plans.GraftOps
+          .topKPerGroup(pairs, Seq(col("src")), M, col("c").desc, col("dst"))
+          .select("src", "dst")
+        val edges = graft.GraftCache.register(
+          knn.union(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct().persist())
+        val qDf = queriesDf(c)
+        def score(cand: DataFrame): DataFrame =
+          broadcast(cand)
+            .join(c.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+            .join(broadcast(qDf), "q_id")
+            .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+            .select("q_id", "vec_id", "cosine")
+        var beam = score(qDf.select("q_id").withColumn("vec_id", lit(0L)))
+        for (_ <- 1 to T) {
+          val cand = beam
+            .select("q_id", "vec_id")
+            .join(broadcast(edges), col("vec_id") === col("src"))
+            .select(col("q_id"), col("dst").as("vec_id"))
+            .union(beam.select("q_id", "vec_id"))
+            .distinct()
+          beam = graft.plans.GraftOps
+            .topKPerGroup(score(cand), Seq(col("q_id")), W, col("cosine").desc, col("vec_id"))
+        }
+        val top = graft.plans.GraftOps.topKPerGroup(
+          beam.filter(col("vec_id") =!= col("q_id")),
+          Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+        top
+          .withColumn("rank", row_number().over(w))
+          .select("q_id", "rank", "vec_id", "cosine")
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val round = (t: Int) =>
+          s"""c$t AS (SELECT DISTINCT q_id, vec_id FROM (
+             |  SELECT b${t - 1}.q_id, ed.dst AS vec_id FROM b${t - 1} JOIN ed ON b${t - 1}.vec_id = ed.src
+             |  UNION ALL SELECT q_id, vec_id FROM b${t - 1})),
+             |s$t AS (SELECT c$t.q_id, c$t.vec_id,
+             |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM c$t JOIN m ON m.vec_id = c$t.vec_id JOIN q ON q.q_id = c$t.q_id),
+             |b$t AS (SELECT q_id, vec_id, cosine FROM (SELECT q_id, vec_id, cosine,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM s$t)
+             |  WHERE rn <= 8)""".stripMargin
+        s"""WITH n AS (SELECT vec_id,
+           |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+           |m AS (SELECT vec_id, qv,
+           |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+           |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+           |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+           |  CAST((SELECT SUM(a.qv[i]*b.qv[i]) FROM UNNEST(range(1, len(a.qv)+1)) AS t(i)) AS DOUBLE)
+           |    / (sqrt(CAST(a.nsq AS DOUBLE))*sqrt(CAST(b.nsq AS DOUBLE))) AS c
+           |  FROM m a JOIN m b ON a.vec_id <> b.vec_id),
+           |kn AS (SELECT src, dst FROM (SELECT src, dst,
+           |  row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn FROM ap) WHERE rn <= 8),
+           |ed AS (SELECT src, dst FROM kn UNION SELECT dst AS src, src AS dst FROM kn),
+           |b0 AS (SELECT q.q_id, 0::BIGINT AS vec_id,
+           |  CAST((SELECT SUM(q.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(q.qe)+1)) AS t(i)) AS DOUBLE)
+           |    / (sqrt(CAST(q.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+           |  FROM q JOIN m ON m.vec_id = 0),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |ranked AS (SELECT q_id, vec_id, cosine,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM b3 WHERE vec_id <> q_id)
+           |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+      }
     )
   )
 }

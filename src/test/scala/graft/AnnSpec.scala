@@ -39,6 +39,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.1, s"IVF-PQ recall collapsed: $recall")
   }
 
+  test("ann_hnsw recall vs brute force") {
+    GraftCache.clear()
+    val hnsw = pairs(SparkEntry.queries("ann_hnsw")(spark, sf))
+    GraftCache.clear()
+    assert(hnsw.size === brute.size, "graph search must return full top-k lists")
+    val recall = (hnsw & brute).size.toDouble / brute.size
+    info(f"ann_hnsw recall@5 = $recall%.3f")
+    // a 3-round W=8 beam over a symmetrized M=8 kNN graph from a
+    // single entry point: the graph family's floor sits above the
+    // coarse-partition indexes (the links ARE exact near-neighbors)
+    assert(recall > 0.3, s"graph-ANN recall collapsed: $recall")
+  }
+
   test("ann_rerank_exact: exact re-rank of the PQ shortlist recovers recall over raw PQ") {
     val pq = pairs(SparkEntry.queries("ann_pq")(spark, sf))
     val rr = pairs(SparkEntry.queries("ann_rerank_exact")(spark, sf))
