@@ -81,7 +81,14 @@ object WikidataCatalog extends QueryModule {
   private def lpaLabels(
       s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val (sym, verts) = symmetricGraph(s, dir)
+    val (symRaw, verts) = symmetricGraph(s, dir)
+    // persisted: sym's upstream is the whole parse+shred chain, and the
+    // edge list appears once per LPA round INSIDE the single label plan
+    // (plus twice more in wd_modularity's eIn/degree joins) — without
+    // the cache the dump parse re-runs per appearance. Edge-list-sized,
+    // the canonical iterative-graph working set; GraftCache-registered
+    // so harnesses reclaim it between queries.
+    val sym = graft.GraftCache.register(symRaw.persist())
     var lab = verts.withColumn("lbl", col("id"))
     for (_ <- 1 to 3) {
       val md = sym
@@ -1428,7 +1435,14 @@ object WikidataCatalog extends QueryModule {
       (s0, dir) => {
         val s = graphSession(s0)
         val (sym, _, lab) = lpaLabels(s, dir)
-        val labB = graft.GraftCache.register(lab.persist())
+        // lineage-TRUNCATED, not just persisted: labels sit on top of
+        // the cached sym inside a 3-round join pyramid, and per (below)
+        // would stack a third cache level on top — nested caches under
+        // AQE reprint their initial plans per action (the fixpoint
+        // scaladoc's O(2^rounds) pathology), which dominated this
+        // query's wall at sf0.1. One flat RDD leaf per stage instead.
+        val labB = roundFrame(lab)
+        graft.GraftCache.registerCleanup(() => freeRoundFrame(labB))
         // undirected edge list (a < b) — each edge once
         val und = sym.filter(col("a") < col("b"))
         val m = und.agg(count(lit(1)).as("m"))
@@ -1445,7 +1459,11 @@ object WikidataCatalog extends QueryModule {
           .groupBy("lbl")
           .agg(sum("deg").as("d_sum"))
         val nV = labB.groupBy("lbl").agg(count(lit(1)).as("n_vertices"))
-        val per = nV
+        // truncated for the same reason: the communities rollup feeds
+        // BOTH the 1-row total and the final projection — one flat
+        // communities-sized leaf instead of re-executing the
+        // eIn/dSum/nV pyramid (and its broadcasts) per consumer.
+        val per = roundFrame(nV
           .join(dSum, Seq("lbl"), "left_outer")
           .join(eIn, Seq("lbl"), "left_outer")
           .na.fill(0L, Seq("d_sum", "e_in"))
@@ -1453,7 +1471,8 @@ object WikidataCatalog extends QueryModule {
           .withColumn(
             "contrib_d",
             expr("""4 * CAST(m AS DECIMAL(38,0)) * e_in
-                   | - CAST(d_sum AS DECIMAL(38,0)) * d_sum""".stripMargin))
+                   | - CAST(d_sum AS DECIMAL(38,0)) * d_sum""".stripMargin)))
+        graft.GraftCache.registerCleanup(() => freeRoundFrame(per))
         val qTot = per.agg(sum("contrib_d").as("num_sum"), max("m").as("mm"))
         per
           .crossJoin(broadcast(qTot))
