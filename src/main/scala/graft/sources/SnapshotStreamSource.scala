@@ -62,7 +62,8 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new SnapshotSource(
       sqlContext,
       SnapshotSourceProvider.tableOf(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 }
 
 object SnapshotSourceProvider {
@@ -77,17 +78,32 @@ object SnapshotSourceProvider {
 private[sources] class SnapshotSource(
     sqlContext: SQLContext,
     table: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+
+  // admission-control cursor: the last offset a batch was planned up
+  // to, advanced in getBatch (which also replays the WAL position on
+  // restart — so the cap composes with recovery correctly)
+  @volatile private var planned = 0L
 
   /** Latest published version = the stream's high-water offset; None
-    * until the first commit publishes. One metadata listing. */
+    * until the first commit publishes. One metadata listing. With
+    * `maxVersionsPerTrigger` set, the offset advances at most that
+    * many versions past the last planned batch — Delta's
+    * maxFilesPerTrigger shape: a long backlog (or the initial history)
+    * drains as bounded micro-batches instead of one giant one. */
   override def getOffset: Option[Offset] = {
     val v = SnapshotTable.currentVersion(table)
-    if (v == 0L) None else Some(LongOffset(v))
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(v, planned + n)
+      case None    => v
+    }
+    if (capped == 0L) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = version(end)
+    planned = math.max(planned, to)
     val files = start.map(version).filter(_ > 0L) match {
       case None =>
         // initial load: everything the table held up to `to` is the

@@ -389,8 +389,9 @@ object SnapshotTable {
 
   /** Copy-on-write row-level MERGE — the Delta/Iceberg upsert: apply a
     * CDC batch (inserts + updates, plus deletes flagged in `deleteCol`)
-    * keyed on integer column `key`, rewriting ONLY the data files whose
-    * recorded key range intersects the batch's keys. Survivor files are
+    * keyed on an integer OR string column `key`, rewriting ONLY the
+    * data files whose recorded key range (stats / sstats respectively)
+    * intersects the batch's keys. Survivor files are
     * carried into the new manifest untouched, so a selective batch
     * against a key-clustered table costs O(touched files + batch) — not
     * a table rewrite.
@@ -414,7 +415,17 @@ object SnapshotTable {
       key: String,
       deleteCol: Option[String] = None,
       statsColumns: Seq[String] = Nil,
-      io: SnapshotIO = LocalSnapshotIO): (Int, Int, Long) = {
+      io: SnapshotIO = LocalSnapshotIO): (Int, Int, Long) =
+    mergeWithExtra(batch, table, key, deleteCol, statsColumns, Map.empty, io)
+
+  private def mergeWithExtra(
+      batch: DataFrame,
+      table: String,
+      key: String,
+      deleteCol: Option[String],
+      statsColumns: Seq[String],
+      extra: Map[String, String],
+      io: SnapshotIO): (Int, Int, Long) = {
     val spark = batch.sparkSession
     val current = currentVersion(table, io)
     require(current > 0, s"cannot merge into non-existent table $table")
@@ -424,24 +435,35 @@ object SnapshotTable {
       dataCols.sameElements(m.schema.fieldNames),
       s"merge batch columns ${dataCols.mkString(",")} do not match table " +
         s"columns ${m.schema.fieldNames.mkString(",")}")
+    val stringKey = m.schema(key).dataType == StringType
     // distinct batch keys, persisted: used for touched-file routing and
     // again for the anti-join — batch-sized, two consumers
+    val keyExpr = if (stringKey) col(key) else col(key).cast("long")
     val keys = graft.GraftCache.register(
-      batch.select(col(key).cast("long").as("__k")).distinct().persist())
+      batch.select(keyExpr.as("__k")).distinct().persist())
     // stats routing: file ranges are manifest metadata (one row per
     // file) — broadcast them under the batch keys; collecting the
-    // touched INDEX SET back is file-count-sized, not data-sized
-    val ranged = m.files.zipWithIndex.flatMap { case (f, i) =>
-      f.stats.get(key).map { case (lo, hi) => (i, lo, hi) }
+    // touched INDEX SET back is file-count-sized, not data-sized.
+    // String keys compare through Spark's binary UTF8 ordering — the
+    // same ordering the recorded sstats bounds were computed under.
+    val ranged: Seq[(Int, Any, Any)] = m.files.zipWithIndex.flatMap { case (f, i) =>
+      if (stringKey) f.sstats.get(key).map { case (lo, hi) => (i, lo: Any, hi: Any) }
+      else f.stats.get(key).map { case (lo, hi) => (i, lo: Any, hi: Any) }
     }
     val statless = m.files.zipWithIndex.collect {
-      case (f, i) if !f.stats.contains(key) => i
+      case (f, i) if !(if (stringKey) f.sstats.contains(key) else f.stats.contains(key)) => i
     }.toSet
     val hit: Set[Int] =
       if (ranged.isEmpty) Set.empty
       else {
         import spark.implicits._
-        val rangesDf = ranged.toDF("__i", "__lo", "__hi")
+        val rangesDf =
+          if (stringKey)
+            ranged.map { case (i, lo, hi) => (i, lo.asInstanceOf[String], hi.asInstanceOf[String]) }
+              .toDF("__i", "__lo", "__hi")
+          else
+            ranged.map { case (i, lo, hi) => (i, lo.asInstanceOf[Long], hi.asInstanceOf[Long]) }
+              .toDF("__i", "__lo", "__hi")
         keys
           .join(broadcast(rangesDf), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select("__i").distinct().collect().map(_.getInt(0)).toSet
@@ -469,7 +491,7 @@ object SnapshotTable {
     val v = publishVersion(
       newData, table, current + 1, current, survivors, "merge",
       if (statsColumns.isEmpty) Seq(key) else statsColumns,
-      Map("merged-files" -> touched.size.toString), io)
+      extra + ("merged-files" -> touched.size.toString), io)
     (touched.size, m.files.size, v)
   }
 
@@ -628,6 +650,33 @@ object SnapshotTable {
         io = io)
       true
     }
+  }
+
+  /** Exactly-once streaming MERGE — the foreachBatch body for a CDC
+    * stream landing in a snapshot table: each micro-batch applies
+    * through [[merge]] (copy-on-write, stats-routed) with its batch id
+    * recorded in the manifest, and a replayed batch (the at-least-once
+    * redelivery window) is detected by `batchId <=` the last committed
+    * id and skipped — merge is NOT naturally idempotent (re-applying
+    * an increment-style update would double it), so the batch-id guard
+    * is what upgrades at-least-once delivery to exactly-once table
+    * state. The sibling of [[appendBatch]] for upsert feeds. Returns
+    * None for a skipped replay, Some((rewritten, total, version))
+    * otherwise. */
+  def mergeBatch(
+      batch: DataFrame,
+      table: String,
+      key: String,
+      batchId: Long,
+      deleteCol: Option[String] = None,
+      io: SnapshotIO = LocalSnapshotIO): Option[(Int, Int, Long)] = {
+    val cur = currentVersion(table, io)
+    val last =
+      if (cur == 0) -1L
+      else manifest(table, cur, io).extra.get("batchid").map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) None
+    else Some(mergeWithExtra(batch, table, key, deleteCol, Nil,
+      Map("batchid" -> batchId.toString), io))
   }
 
   /** Retention: keep the last `retainLast` snapshots, delete older

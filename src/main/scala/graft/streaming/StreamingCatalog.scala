@@ -354,6 +354,72 @@ object StreamingCatalog extends QueryModule {
         .orderBy("o_orderpriority")
     }
 
+  /** CDC stream → copy-on-write MERGE into the snapshot table — the
+    * full transactional upsert loop: the base table commits
+    * key-clustered with manifest stats, a CDC feed (absolute updates,
+    * flagged deletes, fresh-key inserts; key-disjoint so arrival order
+    * cannot change the final state) arrives as three micro-batches
+    * (maxFilesPerTrigger=1), and each lands through
+    * SnapshotTable.mergeBatch — stats-routed touched-file rewrite plus
+    * the batch-id guard that makes the NON-idempotent merge
+    * exactly-once under redelivery. A second drain from a FRESH
+    * checkpoint replays the whole feed and must no-op at the table.
+    * The oracle reproduces the merged final state relationally; any
+    * duplicated merge, leaked delete, lost survivor or replayed batch
+    * breaks it. */
+  private def cdcMergeStream(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s) { ss =>
+      val table = graft.Stage.dir("graft_cdcmerge_", dir).getPath
+      val feed = graft.Stage.dir("graft_cdcmergefeed_", dir).getPath
+      val ckpt = graft.Stage.dir("graft_cdcmergeck_", dir).getPath
+      Seq(table, feed, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val o = Tables(ss, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.SnapshotTable.commit(
+        o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+        table, append = false, statsColumns = Seq("o_orderkey"))
+      val low = o.filter(col("o_orderkey") < 4000)
+      val upd = low.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+        .withColumn("_del", lit(false)).withColumn("b", lit(0))
+      val del = low.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("_del", lit(true)).withColumn("b", lit(1))
+      val ins = low.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .withColumn("_del", lit(false)).withColumn("b", lit(2))
+      // one file per CDC slice -> three micro-batches at the reader
+      upd.unionByName(del).unionByName(ins)
+        .repartition(1).write.partitionBy("b").parquet(feed)
+      val schema = ss.read.parquet(feed).schema
+      def drain(tag: String): Unit = {
+        val q = ss.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.sources.SnapshotTable.mergeBatch(
+              batch.drop("b"), table, "o_orderkey", id, deleteCol = Some("_del"))
+            ()
+          }
+          .option("checkpointLocation", s"$ckpt/$tag")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain("first")
+      drain("replay") // fresh checkpoint: full redelivery must no-op
+      graft.sources.SnapshotTable
+        .read(ss, table)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }
+
   /** Stream-static join: enrich the event stream with the customer
     * dimension (user_id = c_custkey), then aggregate per market
     * segment. The static side is re-broadcast per micro-batch by
@@ -1046,6 +1112,25 @@ object StreamingCatalog extends QueryModule {
       Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "stream_cdc_merge",
+      (s, dir) => cdcMergeStream(s, dir),
+      Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+             |touched AS (SELECT o_orderkey FROM base WHERE o_orderkey < 4000
+             |            AND o_orderkey % 10 IN (3, 7)),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM base
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice + 100000.0 FROM base
+             |  WHERE o_orderkey < 4000 AND o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000, '9-MERGED', o_totalprice FROM base
+             |  WHERE o_orderkey < 4000 AND o_orderkey % 10 = 5)
+             |SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
       "stream_sessionize",

@@ -91,6 +91,89 @@ class Round14Spec extends AnyFunSuite {
     assert(rewritten === total, "stat-less files skipped by merge — unsound")
   }
 
+  test("merge: string-typed keys route through sstats ranges") {
+    val table = tmpTable()
+    val o = Tables(spark, sf).orders
+      .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .select("o_day", "o_orderkey", "o_totalprice")
+    SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_day")).sortWithinPartitions("o_day"),
+      table, append = false, statsColumns = Seq("o_day"))
+    // rewrite every 1995 day: the batch's keys land in ~1/8 of the files
+    val batch = o.filter(col("o_day").between("1995-01-01", "1995-12-31"))
+      .groupBy("o_day").agg(min("o_orderkey").as("o_orderkey"),
+        sum(col("o_totalprice")).as("o_totalprice"))
+      .select("o_day", "o_orderkey", "o_totalprice")
+      .withColumn("_del", lit(false))
+    val (rewritten, total, v) = SnapshotTable.merge(
+      batch, table, "o_day", deleteCol = Some("_del"))
+    GraftCache.clear()
+    assert(v === 2L)
+    assert(rewritten > 0 && rewritten < total,
+      s"string-key merge rewrote $rewritten of $total — routing inert")
+    val res = SnapshotTable.read(spark, table)
+    // each 1995 day collapsed to its one merged row; other days intact
+    val n95 = res.filter(col("o_day").between("1995-01-01", "1995-12-31")).count()
+    val d95 = o.filter(col("o_day").between("1995-01-01", "1995-12-31"))
+      .select("o_day").distinct().count()
+    assert(n95 === d95)
+    val nOther = res.filter(!col("o_day").between("1995-01-01", "1995-12-31")).count()
+    val oOther = o.filter(!col("o_day").between("1995-01-01", "1995-12-31")).count()
+    assert(nOther === oOther, "non-1995 survivor rows changed under a 1995-keyed merge")
+  }
+
+  test("mergeBatch: the batch-id guard makes non-idempotent merges exactly-once") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(
+      o.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"))
+    // an INCREMENT-style update: re-applying it would double the delta
+    val bump = o.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("_del", lit(false))
+    assert(SnapshotTable.mergeBatch(bump, table, "o_orderkey", 0L,
+      deleteCol = Some("_del")).isDefined)
+    GraftCache.clear()
+    val after = SnapshotTable.read(spark, table)
+      .agg(sum(col("o_totalprice").cast("decimal(38,4)"))).collect()(0).getDecimal(0)
+    // redelivery of batch 0 must no-op — version AND state unchanged
+    assert(SnapshotTable.mergeBatch(bump, table, "o_orderkey", 0L,
+      deleteCol = Some("_del")).isEmpty)
+    GraftCache.clear()
+    assert(SnapshotTable.currentVersion(table) === 2L)
+    val replayed = SnapshotTable.read(spark, table)
+      .agg(sum(col("o_totalprice").cast("decimal(38,4)"))).collect()(0).getDecimal(0)
+    assert(replayed === after, "replayed merge batch re-applied the delta")
+    // the next genuine batch still lands
+    assert(SnapshotTable.mergeBatch(bump, table, "o_orderkey", 1L,
+      deleteCol = Some("_del")).isDefined)
+    GraftCache.clear()
+    assert(SnapshotTable.currentVersion(table) === 3L)
+  }
+
+  test("streaming source: maxVersionsPerTrigger drains a backlog as bounded batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val table = tmpTable()
+    val o = ordersNarrow
+    for (m <- 0 to 2)
+      SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === m), table, append = m > 0)
+    val src = new graft.sources.SnapshotSourceProvider().createSource(
+      spark.sqlContext, "", None, "",
+      Map("path" -> table, "maxVersionsPerTrigger" -> "1"))
+    // the 3-version backlog is admitted one version per trigger
+    assert(src.getOffset === Some(LongOffset(1L)))
+    assert(filesOf(src.getBatch(None, LongOffset(1L)))
+      === SnapshotTable.manifest(table, 1L).files.map(_.path).toSet)
+    assert(src.getOffset === Some(LongOffset(2L)))
+    assert(filesOf(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+      === SnapshotTable.incrementalFiles(table, 1L, 2L).toSet)
+    assert(src.getOffset === Some(LongOffset(3L)))
+    src.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    // caught up: the offset stops at the head, no phantom versions
+    assert(src.getOffset === Some(LongOffset(3L)))
+  }
+
   // ---- schema evolution -------------------------------------------
 
   test("schema evolution: add-column append widens; old snapshots keep their schema") {
