@@ -1422,16 +1422,39 @@ object AnnCatalog extends QueryModule {
       (s, dir) => {
         val M = 8; val W = 8; val T = 3
         val c = graft.GraftCache.register(corpus(s, dir).persist())
-        val rhs = c.select(col("vec_id").as("dst"), col("qv").as("dv"), col("nsq").as("dn"))
-        val pairs = c
+        // graph BUILD distances use the first 16 of 64 dims (the
+        // matryoshka truncation lever — 4× less compute on the
+        // quadratic stage); the beam SEARCH rescores exact full-dim,
+        // so only link selection is approximate — exactly the trade
+        // real HNSW builds make with NN-descent approximate graphs
+        val c16 = c.withColumn("v16", slice(col("qv"), 1, 16))
+          .withColumn("n16", dotQ(col("v16"), col("v16")))
+        val rhs = c16.select(col("vec_id").as("dst"), col("v16").as("dv"), col("n16").as("dn"))
+        val pairs = c16
           .join(broadcast(rhs), col("vec_id") =!= col("dst"))
-          .withColumn("c", cosineFrom(dotQ(col("qv"), col("dv")), col("nsq"), col("dn")))
+          .withColumn("c", cosineFrom(dotQ(col("v16"), col("dv")), col("n16"), col("dn")))
           .select(col("vec_id").as("src"), col("dst"), col("c"))
         val knn = graft.plans.GraftOps
           .topKPerGroup(pairs, Seq(col("src")), M, col("c").desc, col("dst"))
           .select("src", "dst")
-        val edges = graft.GraftCache.register(
-          knn.union(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct().persist())
+        // lineage-truncate the iterative state (graph + per-round
+        // beam) — nested caches/broadcasts across unrolled rounds
+        // reprint their initial plans per action under AQE (the
+        // wd_modularity pathology); flat RDD leaves keep every round's
+        // plan constant-size. Both frames are tiny (n·M edges,
+        // queries×W beam rows).
+        def trunc(df: DataFrame): DataFrame = {
+          val t = df.localCheckpoint(eager = true)
+          graft.GraftCache.registerCleanup(() =>
+            t.queryExecution.analyzed match {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(blocking = false)
+              case _ => t.unpersist(blocking = false)
+            })
+          t
+        }
+        val edges = trunc(
+          knn.union(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct())
         val qDf = queriesDf(c)
         def score(cand: DataFrame): DataFrame =
           broadcast(cand)
@@ -1447,8 +1470,8 @@ object AnnCatalog extends QueryModule {
             .select(col("q_id"), col("dst").as("vec_id"))
             .union(beam.select("q_id", "vec_id"))
             .distinct()
-          beam = graft.plans.GraftOps
-            .topKPerGroup(score(cand), Seq(col("q_id")), W, col("cosine").desc, col("vec_id"))
+          beam = trunc(graft.plans.GraftOps
+            .topKPerGroup(score(cand), Seq(col("q_id")), W, col("cosine").desc, col("vec_id")))
         }
         val top = graft.plans.GraftOps.topKPerGroup(
           beam.filter(col("vec_id") =!= col("q_id")),
@@ -1476,10 +1499,12 @@ object AnnCatalog extends QueryModule {
            |m AS (SELECT vec_id, qv,
            |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
            |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
+           |m16 AS (SELECT vec_id, qv[1:16] AS v16,
+           |  (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS n16 FROM m),
            |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-           |  CAST((SELECT SUM(a.qv[i]*b.qv[i]) FROM UNNEST(range(1, len(a.qv)+1)) AS t(i)) AS DOUBLE)
-           |    / (sqrt(CAST(a.nsq AS DOUBLE))*sqrt(CAST(b.nsq AS DOUBLE))) AS c
-           |  FROM m a JOIN m b ON a.vec_id <> b.vec_id),
+           |  CAST((SELECT SUM(a.v16[i]*b.v16[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS DOUBLE)
+           |    / (sqrt(CAST(a.n16 AS DOUBLE))*sqrt(CAST(b.n16 AS DOUBLE))) AS c
+           |  FROM m16 a JOIN m16 b ON a.vec_id <> b.vec_id),
            |kn AS (SELECT src, dst FROM (SELECT src, dst,
            |  row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn FROM ap) WHERE rn <= 8),
            |ed AS (SELECT src, dst FROM kn UNION SELECT dst AS src, src AS dst FROM kn),

@@ -663,6 +663,124 @@ object SourceCatalog extends QueryModule {
              |FROM orders
              |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1995-01-01' AND '1995-12-31'
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_changes",
+      // Row-level CHANGE FEED (SnapshotTable.changeFeed — Delta's
+      // table_changes): the diff between two snapshots computed from
+      // the table STATES, so it is sound across the MERGE commit where
+      // the file-diff incremental read refuses. The fixture is
+      // src_snapshot_merge's CDC batch; the feed must classify every
+      // row into insert / delete / update_preimage / update_postimage
+      // — a survivor row misread as a change, a missed delete, or
+      // pre/post images swapped all break the hash. Oracle reproduces
+      // the four classes relationally from the CDC definition.
+      //
+      // Scale posture: one key-partitioned full-outer join of two
+      // states (co-partitioned when the table is key-clustered, which
+      // merge maintains), change set built as an exploded struct
+      // array — one pass, never four scans of the join.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapchanges_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        val low = o.filter(col("o_orderkey") < 4000)
+        val upd = low.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+          .withColumn("_del", lit(false))
+        val del = low.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("_del", lit(true))
+        val ins = low.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+          .withColumn("o_orderpriority", lit("9-MERGED"))
+          .withColumn("_del", lit(false))
+        SnapshotTable.merge(
+          upd.unionByName(del).unionByName(ins), table, "o_orderkey",
+          deleteCol = Some("_del"))
+        SnapshotTable.changeFeed(s, table, 1L, 2L, "o_orderkey")
+          .groupBy("_change_type")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("_change_type")
+      },
+      Some("""WITH low AS (SELECT * FROM orders WHERE o_orderkey < 4000),
+             |feed AS (
+             |  SELECT 'insert' AS _change_type, o_totalprice FROM low WHERE o_orderkey % 10 = 5
+             |  UNION ALL
+             |  SELECT 'delete', o_totalprice FROM low WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT 'update_preimage', o_totalprice FROM low WHERE o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT 'update_postimage', o_totalprice + 100000.0 FROM low WHERE o_orderkey % 10 = 3)
+             |SELECT _change_type, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_zorder",
+      // Z-ORDER clustering for MULTI-column manifest pruning (Delta's
+      // OPTIMIZE ZORDER BY): commit the table clustered by the Morton
+      // interleave of two grid-scaled dimensions (o_custkey, o_year)
+      // and record per-file stats on BOTH raw columns — because the
+      // curve co-locates both dimensions, a selective read on EITHER
+      // column alone prunes at the manifest (Round14Spec asserts both
+      // arms are strict file subsets), where a single-column sort
+      // would prune one dimension and scan everything for the other.
+      // The query runs both one-dimensional pruned reads; the oracle
+      // is the plain relational filter of each.
+      (s, dir) => {
+        val spread = (c: String) =>
+          s"""(((($c | shiftleft($c, 8)) & 16711935)
+             |  | shiftleft((($c | shiftleft($c, 8)) & 16711935), 4)) & 252645135)""".stripMargin
+        def full(c: String): String = {
+          val s1 = spread(c)
+          val s2 = s"((($s1 | shiftleft($s1, 2)) & 858993459))"
+          s"((($s2 | shiftleft($s2, 1)) & 1431655765))"
+        }
+        val table = graft.Stage.dir("graft_snapzorder_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val base = Tables(s, dir).orders
+          .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        // both dims scaled to the SAME 8-bit grid from their observed
+        // bounds (1-row broadcast) — equal bit budget is what makes
+        // the interleave balance the two dimensions; a fixed divisor
+        // lets whichever dim spans more bits dominate the curve
+        val bounds = base.agg(
+          max("o_custkey").as("maxc"), min("o_year").as("miny"), max("o_year").as("maxy"))
+        val o = base.crossJoin(broadcast(bounds))
+          .withColumn("cust_g", expr("(o_custkey * 256) div (maxc + 1)"))
+          .withColumn("year_g", expr("((o_year - miny) * 256) div (maxy - miny + 1)"))
+          .withColumn("morton", expr(s"${full("cust_g")} | shiftleft(${full("year_g")}, 1)"))
+          .select("o_orderkey", "o_custkey", "o_year", "o_totalprice", "morton")
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("morton")).sortWithinPartitions("morton"),
+          table, append = false, statsColumns = Seq("o_custkey", "o_year"))
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(
+          SnapshotTable.readPruned(s, table, "o_custkey", 100L, 299L)
+            .filter(col("o_custkey").between(100, 299)), "cust")
+          .unionByName(agg(
+            SnapshotTable.readPruned(s, table, "o_year", 1995L, 1995L)
+              .filter(col("o_year") === 1995), "year"))
+          .select("arm", "n_orders", "sum_price")
+          .orderBy("arm")
+      },
+      Some("""SELECT 'cust' AS arm, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_custkey BETWEEN 100 AND 299
+             |UNION ALL
+             |SELECT 'year', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |ORDER BY arm""".stripMargin)
     )
   )
 }

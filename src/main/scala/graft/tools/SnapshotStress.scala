@@ -63,6 +63,27 @@ object SnapshotStress {
         println(f"SNAP_STRESS $i%7d | $dt%8.2f | $head%11.2f | $tt%7.2f | $pruned%8.2f | $mkb%11d | $i%5d")
       }
     }
+
+    // MERGE scaling: after N key-disjoint commits (N files), a batch
+    // touching k of them must cost ∝ k (touched files + batch), never
+    // ∝ N — the copy-on-write selling point. Batches bump the price of
+    // one key inside each of the first k commits' key ranges.
+    println("SNAP_MERGE touched_target | files_rewritten | files_total | merge_s")
+    Seq(1, math.max(1, n / 10), math.max(1, n / 2), n).distinct.foreach { k =>
+      val keys = (1 to k).map(i => i * 10000000L + 500L)
+      val batch = spark
+        .createDataFrame(spark.sparkContext.parallelize(keys.map(Tuple1(_)), 4))
+        .toDF("o_orderkey")
+        .crossJoin(orders.limit(1).select("o_custkey", "o_totalprice"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("_del", lit(false))
+      val t0 = System.nanoTime()
+      val (rw, tot, _) = SnapshotTable.merge(
+        batch, table, "o_orderkey", deleteCol = Some("_del"))
+      graft.GraftCache.clear()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SNAP_MERGE $k%14d | $rw%15d | $tot%11d | $dt%7.2f")
+    }
     spark.stop()
   }
 }

@@ -253,6 +253,47 @@ class Round14Spec extends AnyFunSuite {
     assert(!FileEntry.bytesLe("é", "z")) // 0xC3 > 0x7A byte-wise, as UTF8String orders it
   }
 
+  test("z-order clustering: BOTH single-column reads prune strict file subsets") {
+    // the fixture src_snapshot_zorder builds, pinned structurally: on
+    // a morton-clustered commit each dimension alone must prune
+    val rows = SparkEntry.queries("src_snapshot_zorder")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 2)
+    val table = graft.Stage.dir("graft_snapzorder_", "/root/testdata/sf0.001").getPath
+    val m = SnapshotTable.manifest(table, 1L)
+    val custHit = m.filesFor("o_custkey", 100L, 299L)
+    val yearHit = m.filesFor("o_year", 1995L, 1995L)
+    assert(custHit.nonEmpty && custHit.size < m.files.size,
+      s"cust arm pruning inert: ${custHit.size}/${m.files.size}")
+    assert(yearHit.nonEmpty && yearHit.size < m.files.size,
+      s"year arm pruning inert: ${yearHit.size}/${m.files.size}")
+  }
+
+  test("changeFeed: classifies every row; sound across the merge; refuses schema drift") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o, table, append = false)
+    // v2: overwrite with a hand-made delta — 1 delete, 1 update, 1 insert
+    val v2 = o.filter(col("o_orderkey") =!= 0L) // delete key 0
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === 1L, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice"))) // update key 1
+      .unionByName(o.limit(1).select(
+        lit(999999L).as("o_orderkey"), lit("X").as("o_orderpriority"),
+        lit(1.0).as("o_totalprice"))) // insert
+    SnapshotTable.commit(v2, table, append = false)
+    val feed = SnapshotTable.changeFeed(spark, table, 1L, 2L, "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed === Set(
+      ("delete", 0L), ("update_preimage", 1L), ("update_postimage", 1L),
+      ("insert", 999999L)), s"feed misclassified: $feed")
+    // schema drift between the versions refuses loudly
+    SnapshotTable.commit(o.withColumn("extra", lit(1L)), table, append = false)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changeFeed(spark, table, 2L, 3L, "o_orderkey")
+    }
+  }
+
   // ---- Hadoop-FileSystem commit arm -------------------------------
 
   private def hadoopIO: SnapshotIO =
