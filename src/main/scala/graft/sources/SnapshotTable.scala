@@ -477,7 +477,13 @@ object SnapshotTable {
       else spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
     // survivors of the touched files: rows whose key the batch does not
     // carry (updates and deletes both remove the old row here)
-    val kept = touchedRows.join(keys, touchedRows(key) === col("__k"), "left_anti")
+    // structural shuffle hint on the batch-derived side: a CDC batch
+    // is data-sized, and letting the size estimator pick broadcast
+    // here is the r8 OOM class (corpus-derived sides never broadcast
+    // on an estimate) — at touched-file scale the shuffled-hash
+    // anti-join is the right plan anyway
+    val kept = touchedRows.join(
+      keys.hint("shuffle_hash"), touchedRows(key) === col("__k"), "left_anti")
     val upserts = deleteCol match {
       case Some(d) => batch.filter(!coalesce(col(d), lit(false))).drop(d)
       case None    => batch

@@ -68,7 +68,12 @@ object DocStress {
     "text_bpe_train",
     "text_bpe_apply",
     "dedup_lsh_tuning",
-    "ann_rerank_exact")
+    "ann_rerank_exact",
+    // round-14 wave: the graph index — per run it builds the whole kNN
+    // graph over the replicated embeddings and beam-searches it, so
+    // the 10x row measures the quadratic BUILD stage's scaling (the
+    // axis the sample-bound caps at 100 TB)
+    "ann_hnsw")
 
   /** The r7 verdict's 100x arm: the dedup flagships whose candidate-
     * generation machinery (LSH banding, PPJoin prefix filter, shared-
