@@ -31,6 +31,28 @@ object GraftCache {
     cleanups += f
   }
 
+  /** Materialize a stage with its lineage TRUNCATED (localCheckpoint →
+    * one flat LogicalRDD leaf) and register the block cleanup. Use
+    * this instead of persist() whenever the stage sits ON TOP OF
+    * another cached/persisted stage: nested cache levels reprint
+    * their initial plans in the plan-description string on every
+    * action under AQE — the O(2^depth) pathology the wikidata fixpoint
+    * scaladoc documents — and a flat leaf keeps every downstream plan
+    * constant-size. Measured on wd_modularity: 11.4 → 5.9 s warm from
+    * this change alone. persist() remains right for DEPTH-1 stages
+    * (directly over sources), where the plan nesting doesn't occur
+    * and lazy materialization is preserved. */
+  def truncate[T](ds: Dataset[T]): Dataset[T] = {
+    val t = ds.localCheckpoint(eager = true)
+    registerCleanup(() =>
+      t.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => t.unpersist(blocking = false)
+      })
+    t
+  }
+
   /** Unpersist every registered dataset, run every cleanup thunk, and
     * forget them all. The unpersist BLOCKS: with blocking=false the
     * block-removal storm of one query's caches runs concurrently with

@@ -757,13 +757,13 @@ object AnnCatalog extends QueryModule {
             .topKPerGroup(scoredPairs(c), Seq(col("q_id")), K, col("cosine").desc, col("vec_id"))
             .select("q_id", "vec_id")
             .persist())
-        val probeScored = graft.GraftCache.register(
+        // truncated: sits on the cached assigned (GraftCache.truncate)
+        val probeScored = graft.GraftCache.truncate(
           assigned
             .filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("nsq").as("qn"))
             .join(broadcast(cents))
-            .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt"))
-            .persist())
+            .withColumn("score", dotQ(col("qe"), col("csum")).cast("double") / col("cnt")))
         val nqDf = c.filter(col("vec_id") < 10).agg(count(lit(1)).as("nq"))
         val curve = Seq(1, 2, 4)
           .map { np =>

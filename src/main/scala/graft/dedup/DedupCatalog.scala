@@ -126,13 +126,14 @@ object DedupCatalog extends QueryModule {
     // joins — without the cache the whole upstream corpus plan is
     // recomputed per consumer (and the plan tree triples in size)
     val sh = GraftCache.register(shRaw.persist())
-    // persisted: the shingle-explode + md5 + 64-min-agg chain inside
-    // bandsFrom is the expensive subtree, and bands feeds BOTH the
-    // hot-bucket list (broadcast side) and the capped candidate join —
-    // without the cache it would compute twice. 16 small rows per doc,
-    // far smaller than the corpus text; GraftCache-registered for
-    // harness cleanup.
-    val bands = GraftCache.register(bandsFrom(sh).persist())
+    // lineage-TRUNCATED (not persisted): the shingle-explode + md5 +
+    // 64-min-agg chain inside bandsFrom is the expensive subtree, and
+    // bands feeds BOTH the hot-bucket list (broadcast side) and the
+    // capped candidate join — but it sits ON TOP of the cached sh, and
+    // a second cache level reprints initial plans per action under AQE
+    // (see GraftCache.truncate). 16 small rows per doc, far smaller
+    // than the corpus text.
+    val bands = GraftCache.truncate(bandsFrom(sh))
     // Bucket-width cap: a degenerate bucket (empty docs, boilerplate
     // headers) would make the self-join below O(width²). Buckets wider
     // than MaxBucketWidth are dropped entirely — their members collide
@@ -174,10 +175,11 @@ object DedupCatalog extends QueryModule {
       // pipe_end_to_end) share one computation per session — the cache
       // manager matches the identical logical plan across calls. The
       // pair set is tiny (near-dup pairs only), so this is a metadata
-      // cost, not a memory cost. Registered with GraftCache so harnesses
-      // unpersist it between queries (no session-lifetime cache growth).
-      .persist()
-  }.pipe(GraftCache.register)
+      // cost, not a memory cost; lineage-truncated because it sits on
+      // the cached sh (GraftCache.truncate cleans up at the harness
+      // boundary).
+      .pipe(GraftCache.truncate)
+  }
 
   /** (doc_id, rep_id) cluster assignment from the verified near-dup
     * pairs — two fixed rounds of min-label propagation. */
@@ -494,7 +496,10 @@ object DedupCatalog extends QueryModule {
       // The curve costs 3 candidate joins, never 3 corpus passes.
       (s, dir) => {
         val sh = GraftCache.register(shingleDf(s, dir).persist())
-        val mh = GraftCache.register(minhashVectors(sh).persist())
+        // truncated, not persisted: mh sits on the cached sh and each
+        // geometry's candidate set on mh — nested cache levels reprint
+        // initial plans per action (GraftCache.truncate)
+        val mh = GraftCache.truncate(minhashVectors(sh))
         val geometries = Seq((8, 8), (16, 4), (32, 2))
         val perCfg = geometries.map { case (b, r) =>
           val bands = bandsOf(mh, b, r)
@@ -512,7 +517,7 @@ object DedupCatalog extends QueryModule {
                 col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
             .distinct()
-          val candP = GraftCache.register(cand.persist())
+          val candP = GraftCache.truncate(cand)
           val pairs = candP
             .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
             .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
