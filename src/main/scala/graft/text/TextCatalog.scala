@@ -64,18 +64,22 @@ object TextCatalog extends QueryModule {
           concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
           col("cnt"))
         .persist())
+    // each round's argmax and dictionary are lineage-TRUNCATED, not
+    // persisted: they stack on the previous round's cached frame, and
+    // `rounds` nested cache levels reprint their initial plans per
+    // action under AQE (GraftCache.truncate — the wd_modularity
+    // pathology at maximum depth here). Both frames are tiny (1 row /
+    // dictionary-sized).
     val frames = (1 to rounds).map { _ =>
-      val m = GraftCache.register(
+      val m = GraftCache.truncate(
         w.select(explode(shingles(split(trim(col("s")), "  "), 2)).as("pair"), col("cnt"))
           .groupBy("pair")
           .agg(sum(col("cnt")).as("freq"))
           .orderBy(col("freq").desc, col("pair"))
-          .limit(1)
-          .persist())
-      w = GraftCache.register(
+          .limit(1))
+      w = GraftCache.truncate(
         w.crossJoin(broadcast(m))
-          .select(bpeApplyCol(col("s"), col("pair")).as("s"), col("cnt"))
-          .persist())
+          .select(bpeApplyCol(col("s"), col("pair")).as("s"), col("cnt")))
       (m, w)
     }
     (frames.map(_._1), frames.map(_._2))
