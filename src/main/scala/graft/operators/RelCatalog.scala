@@ -345,14 +345,15 @@ object RelCatalog extends QueryModule {
         // per-segment k smallest hashes via the bounded-heap operator
         val sk = graft.plans.GraftOps
           .topKPerGroup(hashed, Seq(col("st")), k, col("h").asc)
-        val sketches = graft.GraftCache.register(sk.persist())
+        // truncated: sits on the cached hash relation (GraftCache.truncate)
+        val sketches = graft.GraftCache.truncate(sk)
         val stats = sketches.groupBy("st").agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
         val a = stats.filter(col("st") === "O").select(col("n_sk").as("na"), col("kth").as("ka"))
         val b = stats.filter(col("st") === "F").select(col("n_sk").as("nb"), col("kth").as("kb"))
         // union sketch: k smallest of the MERGED sketches (sketch-only)
         val uk = graft.plans.GraftOps
           .topKPerGroup(sketches.select("h").distinct(), Nil, k, col("h").asc)
-        val ukc = graft.GraftCache.register(uk.persist())
+        val ukc = graft.GraftCache.truncate(uk)
         val uStats = ukc.agg(count(lit(1)).as("nu"), max(col("h")).as("ku"))
         val interK = ukc
           .join(sketches.filter(col("st") === "O").select("h"), "h", "leftsemi")
@@ -2177,15 +2178,16 @@ object RelCatalog extends QueryModule {
         // nested loop).
         val ku = col("du") * lit(2147483648L) + col("u")
         val kv = col("dv") * lit(2147483648L) + col("v")
-        val oriented = graft.GraftCache.register(
+        // truncated: sits on the cached undirected edge set, and the
+        // wedge stage consumes it THREE times (GraftCache.truncate)
+        val oriented = graft.GraftCache.truncate(
           und
             .join(broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du")), "u")
             .join(broadcast(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv")), "v")
             .select(
               when(ku <= kv, col("u")).otherwise(col("v")).as("s"),
               when(ku <= kv, col("v")).otherwise(col("u")).as("t"),
-              greatest(ku, kv).as("kt"))
-            .persist())
+              greatest(ku, kv).as("kt")))
         val wedges = oriented
           .as("e1")
           .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
