@@ -1438,21 +1438,9 @@ object AnnCatalog extends QueryModule {
           .topKPerGroup(pairs, Seq(col("src")), M, col("c").desc, col("dst"))
           .select("src", "dst")
         // lineage-truncate the iterative state (graph + per-round
-        // beam) — nested caches/broadcasts across unrolled rounds
-        // reprint their initial plans per action under AQE (the
-        // wd_modularity pathology); flat RDD leaves keep every round's
-        // plan constant-size. Both frames are tiny (n·M edges,
-        // queries×W beam rows).
-        def trunc(df: DataFrame): DataFrame = {
-          val t = df.localCheckpoint(eager = true)
-          graft.GraftCache.registerCleanup(() =>
-            t.queryExecution.analyzed match {
-              case lr: org.apache.spark.sql.execution.LogicalRDD =>
-                lr.rdd.unpersist(blocking = false)
-              case _ => t.unpersist(blocking = false)
-            })
-          t
-        }
+        // beam): both frames are tiny (n·M edges, queries×W beam rows)
+        // and sit on cached/unrolled state — see GraftCache.truncate.
+        def trunc(df: DataFrame): DataFrame = graft.GraftCache.truncate(df)
         val edges = trunc(
           knn.union(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct())
         val qDf = queriesDf(c)
