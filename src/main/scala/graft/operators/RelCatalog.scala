@@ -345,15 +345,18 @@ object RelCatalog extends QueryModule {
         // per-segment k smallest hashes via the bounded-heap operator
         val sk = graft.plans.GraftOps
           .topKPerGroup(hashed, Seq(col("st")), k, col("h").asc)
-        // truncated: sits on the cached hash relation (GraftCache.truncate)
-        val sketches = graft.GraftCache.truncate(sk)
+        // persisted (NOT truncated): the depth-2 nesting cost is
+        // negligible at sketch size, and Round7Spec pins the
+        // heap-bounded TopKPerGroupExec in the FINAL plan — truncation
+        // would hide the operator behind a flat RDD leaf
+        val sketches = graft.GraftCache.register(sk.persist())
         val stats = sketches.groupBy("st").agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
         val a = stats.filter(col("st") === "O").select(col("n_sk").as("na"), col("kth").as("ka"))
         val b = stats.filter(col("st") === "F").select(col("n_sk").as("nb"), col("kth").as("kb"))
         // union sketch: k smallest of the MERGED sketches (sketch-only)
         val uk = graft.plans.GraftOps
           .topKPerGroup(sketches.select("h").distinct(), Nil, k, col("h").asc)
-        val ukc = graft.GraftCache.truncate(uk)
+        val ukc = graft.GraftCache.register(uk.persist())
         val uStats = ukc.agg(count(lit(1)).as("nu"), max(col("h")).as("ku"))
         val interK = ukc
           .join(sketches.filter(col("st") === "O").select("h"), "h", "leftsemi")

@@ -97,9 +97,14 @@ class ScaleSpec extends AnyFunSuite {
     val pairs = graft.dedup.DedupCatalog.minhashPairsFrom(
       docs.select($"doc_id", $"lang", graft.functions.TextFunctions.shingleSet($"text").as("sh")))
     pairs.count()
-    assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // the pair stage is lineage-TRUNCATED (GraftCache.truncate): its
+    // blocks live on the checkpoint RDD, outside the CacheManager
+    val rdds = org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(pairs)
+    assert(rdds.nonEmpty, "expected a localCheckpoint leaf under the pair stage")
+    assert(rdds.forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
     GraftCache.clear()
-    assert(pairs.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(rdds.forall(_.getStorageLevel === org.apache.spark.storage.StorageLevel.NONE),
+      "clear() must free truncated-stage blocks too")
   }
 
   test("parquet scan pushes filters and prunes columns") {
