@@ -24,6 +24,9 @@ object AnnCatalog extends QueryModule {
 
   private val K = 5
 
+  /** ann_hnsw's quadratic-build bound — see the query's scaladoc. */
+  private[graft] val GraphSampleCap = 50000L
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Fan
       .out(Tables(s, dir).embeddings)
@@ -1421,7 +1424,17 @@ object AnnCatalog extends QueryModule {
       // corpus is never scanned. AnnSpec pins recall vs brute force.
       (s, dir) => {
         val M = 8; val W = 8; val T = 3
-        val c = graft.GraftCache.register(corpus(s, dir).persist())
+        // STRUCTURAL sample cap on the quadratic build stage: the kNN
+        // graph covers at most GraphSampleCap vectors (vec_id-
+        // deterministic, mirrored in the oracle; inert at test scales)
+        // — DocStress measures the build at 10x input as ~100x pairs /
+        // ~10x wall, the regime this cap bounds at 100 TB. Production
+        // graph ANN over the FULL corpus means incremental insertion
+        // builds (inherently sequential — un-Spark-like); the IVF
+        // family is this engine's full-corpus serving path, and the
+        // graph tier serves the sampled stratum.
+        val c = graft.GraftCache.register(
+          corpus(s, dir).filter(col("vec_id") < GraphSampleCap).persist())
         // graph BUILD distances use the first 16 of 64 dims (the
         // matryoshka truncation lever — 4× less compute on the
         // quadratic stage); the beam SEARCH rescores exact full-dim,
@@ -1488,7 +1501,8 @@ object AnnCatalog extends QueryModule {
            |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
            |q AS (SELECT vec_id AS q_id, qv AS qe, nsq AS qn FROM m WHERE vec_id < 10),
            |m16 AS (SELECT vec_id, qv[1:16] AS v16,
-           |  (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS n16 FROM m),
+           |  (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS n16
+           |  FROM m WHERE vec_id < 50000),
            |ap AS (SELECT a.vec_id AS src, b.vec_id AS dst,
            |  CAST((SELECT SUM(a.v16[i]*b.v16[i]) FROM UNNEST(range(1, 17)) AS t(i)) AS DOUBLE)
            |    / (sqrt(CAST(a.n16 AS DOUBLE))*sqrt(CAST(b.n16 AS DOUBLE))) AS c
