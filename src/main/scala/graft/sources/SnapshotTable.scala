@@ -608,21 +608,59 @@ object SnapshotTable {
       table: String,
       targetBytes: Long = 128L << 20,
       statsColumns: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
       io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
     val bytes = m.files.map(f => io.size(f.path)).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val cu = read(spark, table, Some(cur), io)
+    // clusterBy = Delta's OPTIMIZE ... ZORDER/cluster maintenance arm:
+    // instead of a plain coalesce, the rewrite range-clusters on the
+    // given columns so the recorded stats become disjoint and
+    // selective reads prune to ~1 file — appends fragment the
+    // clustering over time, this one call restores it transactionally
+    val rewritten =
+      if (clusterBy.isEmpty) cu.coalesce(n)
+      else cu.repartitionByRange(n, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val v = commit(
-      read(spark, table, Some(cur), io).coalesce(n),
+      rewritten,
       table,
       append = false,
       expectedCurrent = Some(cur),
-      statsColumns = statsColumns,
+      statsColumns = if (statsColumns.isEmpty) clusterBy else statsColumns,
       extra = Map("compacted-from" -> cur.toString),
       io = io)
     (m.files.size, v)
+  }
+
+  /** Optimistic-concurrency retry loop around [[commit]]: re-reads the
+    * current version and re-attempts on ConcurrentModificationException
+    * up to `maxAttempts` times — the boilerplate every multi-writer
+    * caller would otherwise write by hand. `df` must be deterministic
+    * (it is re-written per attempt). Returns the published version. */
+  def commitRetry(
+      df: DataFrame,
+      table: String,
+      append: Boolean,
+      statsColumns: Seq[String] = Nil,
+      extra: Map[String, String] = Map.empty,
+      maxAttempts: Int = 5,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commit(df, table, append,
+        expectedCurrent = Some(currentVersion(table, io)),
+        statsColumns = statsColumns, extra = extra, io = io)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Exactly-once streaming append — the foreachBatch body for a

@@ -21,6 +21,33 @@ class Round14Spec extends AnyFunSuite {
   private def ordersNarrow = Tables(spark, sf).orders
     .select("o_orderkey", "o_orderpriority", "o_totalprice")
 
+  test("clustered compaction restores pruning power; commitRetry survives a racing writer") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    // three fragmented UNCLUSTERED appends: stats overlap, pruning inert
+    for (m <- 0 to 2)
+      SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === m).repartition(4),
+        table, append = m > 0, statsColumns = Seq("o_orderkey"))
+    val frag = SnapshotTable.manifest(table, 3L)
+    val lo = 0L; val hi = 100L
+    assert(frag.filesFor("o_orderkey", lo, hi).size === frag.files.size,
+      "fixture broken: fragmented stats should overlap everywhere")
+    // one transactional clustered rewrite restores disjoint ranges
+    val (before, v) = SnapshotTable.compactSnapshot(
+      spark, table, targetBytes = 4L << 10, clusterBy = Seq("o_orderkey"))
+    assert(before === 12)
+    val m = SnapshotTable.manifest(table, v)
+    assert(m.files.size > 1, "need >1 file for the pruning claim")
+    val hit = m.filesFor("o_orderkey", lo, hi)
+    assert(hit.size < m.files.size, s"clustered compaction did not restore pruning")
+    assert(keys(SnapshotTable.read(spark, table)) === keys(o), "compaction changed rows")
+    // commitRetry: expectedCurrent resolved per attempt, so a commit
+    // landed by another writer between attempts does not wedge it
+    val vr = SnapshotTable.commitRetry(o.limit(5), table, append = true)
+    assert(vr === v + 1)
+  }
+
   // ---- copy-on-write MERGE ----------------------------------------
 
   test("merge: rewrites only touched files; survivors carried verbatim; state exact") {
