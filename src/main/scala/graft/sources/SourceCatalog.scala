@@ -721,6 +721,41 @@ object SourceCatalog extends QueryModule {
              |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "src_snapshot_optimize",
+      // Transactional OPTIMIZE (clustered compaction) end to end: three
+      // unclustered appends leave per-file key ranges fully overlapping
+      // (pruning inert — every file matches any range), then ONE
+      // `compactSnapshot(clusterBy)` call rewrites the table range-
+      // clustered and republishes; the same selective read now prunes
+      // at the manifest. The query reads the pruned post-OPTIMIZE state
+      // (rows must equal the plain filter — a rewrite that loses or
+      // duplicates rows, or stats that wrongly exclude a file, breaks
+      // the hash); Round14Spec pins the before/after pruning counts.
+      // Time travel still reaches the fragmented history.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapopt_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        for (m <- 0 to 2)
+          SnapshotTable.commit(
+            o.filter(col("o_orderkey") % 3 === m).repartition(4),
+            table, append = m > 0, statsColumns = Seq("o_orderkey"))
+        SnapshotTable.compactSnapshot(
+          s, table, targetBytes = 64L << 10, clusterBy = Seq("o_orderkey"))
+        SnapshotTable.readPruned(s, table, "o_orderkey", 0L, 2000L)
+          .filter(col("o_orderkey") <= 2000L)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey <= 2000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "src_snapshot_zorder",
       // Z-ORDER clustering for MULTI-column manifest pruning (Delta's
       // OPTIMIZE ZORDER BY): commit the table clustered by the Morton
