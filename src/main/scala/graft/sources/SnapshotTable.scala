@@ -775,6 +775,28 @@ object SnapshotTable {
       Map("batchid" -> batchId.toString), io))
   }
 
+  /** Table HISTORY as a DataFrame — Delta's DESCRIBE HISTORY: one row
+    * per published snapshot with its commit mode, parentage, file
+    * count and any recorded batch id. Reads only manifests
+    * (file-count-sized metadata); the introspection surface operators
+    * size retention and debug commit chains with. */
+  def history(spark: SparkSession, table: String, io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(table, io)
+    (1L to cur).flatMap { v =>
+      if (!io.exists(manifestPath(table, v))) None // vacuumed
+      else {
+        val m = manifest(table, v, io)
+        Some((
+          v,
+          m.extra.get("parent").map(_.toLong).getOrElse(v - 1),
+          m.extra.getOrElse("mode", "?"),
+          m.files.size.toLong,
+          m.extra.get("batchid").map(_.toLong)))
+      }
+    }.toDF("version", "parent", "mode", "n_files", "batch_id")
+  }
+
   /** Retention: keep the last `retainLast` snapshots, delete older
     * manifests, then delete every data file under data/ that (a) no
     * retained manifest references and (b) belongs to an attempt for a

@@ -721,6 +721,50 @@ object SourceCatalog extends QueryModule {
              |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "src_snapshot_history",
+      // DESCRIBE HISTORY — the introspection surface every table
+      // format ships: one row per published snapshot (mode, parent,
+      // file count, streaming batch id), read from MANIFESTS ONLY.
+      // The fixture drives every commit mode in one chain — overwrite
+      // → append → exactly-once streaming append (batchid recorded) →
+      // copy-on-write merge — with deterministic file counts
+      // (repartition(k) pins k files; the merge rewrites the touched
+      // subset of 4 range files + survivors). The oracle pins the
+      // whole chain literally: a wrong mode tag, a lost batch id, a
+      // mis-carried parent file list, or a merge that rewrites the
+      // wrong file count all break the hash.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snaphist_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commit(
+          o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        SnapshotTable.commit(
+          o.filter(col("o_orderkey") % 3 === 1).repartition(2), table, append = true)
+        SnapshotTable.appendBatch(
+          o.filter(col("o_orderkey") % 3 === 2).repartition(3), table, batchId = 7L)
+        // merge touching only the first range file's keys (< 1000 at
+        // sf0.01: file ranges are quarters of 0..14999 thirds)
+        SnapshotTable.merge(
+          o.filter(col("o_orderkey") < 50 && col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("_del", lit(false)),
+          table, "o_orderkey", deleteCol = Some("_del"))
+        SnapshotTable.history(s, table)
+          .select("version", "parent", "mode", "n_files", "batch_id")
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (1::BIGINT, 0::BIGINT, 'overwrite', 4::BIGINT, NULL::BIGINT),
+             |  (2::BIGINT, 1::BIGINT, 'append',    6::BIGINT, NULL::BIGINT),
+             |  (3::BIGINT, 2::BIGINT, 'append',    9::BIGINT, 7::BIGINT),
+             |  (4::BIGINT, 3::BIGINT, 'merge',     9::BIGINT, NULL::BIGINT)
+             |) t(version, parent, mode, n_files, batch_id)
+             |ORDER BY version""".stripMargin)
+    ),
+    Q(
       "src_snapshot_optimize",
       // Transactional OPTIMIZE (clustered compaction) end to end: three
       // unclustered appends leave per-file key ranges fully overlapping

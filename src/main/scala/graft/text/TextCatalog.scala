@@ -1257,6 +1257,54 @@ object TextCatalog extends QueryModule {
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_decontaminate_semantic",
+      // SEMANTIC decontamination — the embedding-space complement of
+      // text_decontaminate's n-gram overlap (the Llama/PaLM-style
+      // "remove training docs too close to the eval set" sweep that
+      // catches paraphrased leakage n-grams miss): the benchmark
+      // sample (vec_id < 20 — the held-out slice) is broadcast
+      // (structurally bounded: an eval set is small by definition, it
+      // never scales with the corpus) and every corpus embedding takes
+      // its max exact-integer cosine against it; contamination =
+      // max ≥ 0.30. Emits the per-doc audit row (max similarity + the
+      // flag), not just the filtered corpus — the evidence a data card
+      // cites. Cosines are the established bit-exact idiom (integer
+      // dot, one IEEE division), so MAX and the threshold cut are
+      // stable cross-engine.
+      //
+      // Scale posture: one corpus scan against a broadcast eval set —
+      // cost ∝ corpus × |benchmark|, map-side max, no shuffle wider
+      // than the doc-keyed rollup. At 100 TB identical shape.
+      (s, dir) => {
+        import graft.functions.VectorFunctions.{quantize, normSqQ, dotQ, cosineFrom}
+        val e = Fan
+          .out(Tables(s, dir).embeddings)
+          .withColumn("qv", quantize(col("embedding")))
+          .withColumn("nsq", normSqQ(col("qv")))
+        val bench = e
+          .filter(col("vec_id") < 20)
+          .select(col("qv").as("qe"), col("nsq").as("qn"))
+        e.filter(col("vec_id") >= 20)
+          .crossJoin(broadcast(bench))
+          .withColumn("cosine", cosineFrom(dotQ(col("qe"), col("qv")), col("qn"), col("nsq")))
+          .groupBy(col("vec_id").as("doc_id"))
+          .agg(max(col("cosine")).as("max_cos"))
+          .withColumn("contaminated", col("max_cos") >= 0.30)
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT vec_id,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |b AS (SELECT qv AS qe, nsq AS qn FROM m WHERE vec_id < 20),
+             |sc AS (SELECT m.vec_id AS doc_id,
+             |  CAST((SELECT SUM(b.qe[i]*m.qv[i]) FROM UNNEST(range(1, len(b.qe)+1)) AS t(i)) AS DOUBLE)
+             |    / (sqrt(CAST(b.qn AS DOUBLE))*sqrt(CAST(m.nsq AS DOUBLE))) AS cosine
+             |  FROM m CROSS JOIN b WHERE m.vec_id >= 20)
+             |SELECT doc_id, MAX(cosine) AS max_cos, MAX(cosine) >= 0.30 AS contaminated
+             |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_mixture_weights",
       // Pretraining MIXTURE WEIGHTS with temperature — the sampling
       // table every multi-source corpus build publishes next to its
