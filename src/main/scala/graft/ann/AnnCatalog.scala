@@ -739,6 +739,82 @@ object AnnCatalog extends QueryModule {
              |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
     ),
     Q(
+      "ann_index_health",
+      // Day-2 INDEX HEALTH — the centroid-DRIFT dashboard that decides
+      // when ann_index_append's no-retrain absorption has gone on too
+      // long (the signal production IVF deployments alert on): per
+      // cell, the squared relative drift between the FROZEN centroid
+      // recorded at train time (μ0 = c0/n0, label-seeded over vec_id
+      // < 400) and the mean of the cell's CURRENT members after all
+      // vectors assign to the frozen cells (μ1 = c1/n1). Computed as
+      // an EXACT rational ppm over the common denominator —
+      // 1e6·Σ(n0·c1j − n1·c0j)² div (n1²·Σc0j²) — in DECIMAL(38,0)/
+      // HUGEINT intermediates (n0·c1j crosses BIGINT squared), BIGINT
+      // on the wire; the threshold an operator sets on drift_ppm is
+      // then bit-stable. Cells that received no current member are
+      // dead cells — ann_cell_stats' axis, excluded here.
+      //
+      // Scale posture: one broadcast-centroid argmax over the corpus
+      // (the existing assignment path), two map-side-combined per-cell
+      // sum aggregations, then cells-sized narrow arithmetic.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
+        val assigned = coarseAssign(c, cents)
+        val cur = centroidsOf(assigned, "cell")
+        cents
+          .select(col("cell"), col("csum").as("c0"), col("cnt").as("n0"))
+          .join(cur.select(col("cell"), col("csum").as("c1"), col("cnt").as("n1")), "cell")
+          .withColumn(
+            "num",
+            expr("""aggregate(
+                   |  zip_with(c1, c0, (y, x) ->
+                   |    CAST(n0 AS DECIMAL(38,0)) * y - CAST(n1 AS DECIMAL(38,0)) * x),
+                   |  CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v * v)""".stripMargin))
+          .withColumn(
+            "den",
+            expr("""aggregate(c0, CAST(0 AS DECIMAL(38,0)),
+                   |  (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)""".stripMargin))
+          .select(
+            col("cell").cast("long").as("cell"),
+            col("n0").as("n_trained"),
+            col("n1").as("n_current"),
+            expr("""CAST((num * 1000000)
+                   | div (CAST(n1 AS DECIMAL(38,0)) * n1 * den) AS BIGINT)""".stripMargin)
+              .as("drift_ppm"))
+          .orderBy("cell")
+      },
+      Some("""WITH n AS (SELECT vec_id, label,
+             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+             |m AS (SELECT vec_id, label, qv,
+             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) WHERE vec_id < 400 GROUP BY 1, 2),
+             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m WHERE vec_id < 400 GROUP BY 1),
+             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+             |sc AS (SELECT m.vec_id, m.qv, cc.cell,
+             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+             |       FROM m CROSS JOIN cc),
+             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+             |assigned AS (SELECT vec_id, qv, cell FROM asg WHERE rn = 1),
+             |c1s AS (SELECT cell, i, SUM(qv[i])::BIGINT AS sv
+             |        FROM assigned, UNNEST(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+             |c1 AS (SELECT cell, list(sv ORDER BY i) AS csum1 FROM c1s GROUP BY 1),
+             |n1 AS (SELECT cell, COUNT(*) AS cnt1 FROM assigned GROUP BY 1),
+             |h AS (SELECT cc.cell, cc.cnt AS n0, n1.cnt1 AS nc, cc.csum AS c0, c1.csum1 AS cv
+             |      FROM cc JOIN c1 USING (cell) JOIN n1 USING (cell)),
+             |d AS (SELECT cell, n0, nc,
+             |  list_sum([(CAST(n0 AS HUGEINT)*cv[i] - CAST(nc AS HUGEINT)*c0[i])
+             |            * (CAST(n0 AS HUGEINT)*cv[i] - CAST(nc AS HUGEINT)*c0[i])
+             |            for i in range(1, len(c0)+1)]) AS num,
+             |  list_sum([CAST(c0[i] AS HUGEINT)*c0[i] for i in range(1, len(c0)+1)]) AS den
+             |  FROM h)
+             |SELECT cell::BIGINT AS cell, n0::BIGINT AS n_trained, nc::BIGINT AS n_current,
+             |((num * 1000000) // (CAST(nc AS HUGEINT)*nc*den))::BIGINT AS drift_ppm
+             |FROM d ORDER BY cell""".stripMargin)
+    ),
+    Q(
       "ann_nprobe_curve",
       // The IVF TUNING curve — recall@K as a function of nprobe (1, 2,
       // 4), the plot every vector-search deployment draws before
