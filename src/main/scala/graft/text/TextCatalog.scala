@@ -1257,6 +1257,46 @@ object TextCatalog extends QueryModule {
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_ngram_novelty",
+      // N-GRAM NOVELTY — the memorization/novelty audit dataset
+      // analyses publish (what fraction of a candidate doc's 3-grams
+      // never appear in the reference corpus): reference = the
+      // doc_id < 250 slice's DISTINCT trigram set, candidates = the
+      // rest; novelty_ppm = 1e6·n_novel div n_grams in exact integers.
+      // High novelty = genuinely new text; near-zero = verbatim or
+      // templated duplication the dedup stages should have caught —
+      // this is the audit that finds what they missed.
+      //
+      // Scale posture: the reference gram set is corpus-derived, so it
+      // is NEVER broadcast — the membership probe is a gram-keyed
+      // left join (shuffle-hash hinted, the r8 rule), map-side-combined
+      // per-doc counts on top. One explode per side, no pairwise work.
+      (s, dir) => {
+        val d = Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val grams = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(col("doc_id"), explode(shingles(ws(col("text")), 3)).as("g"))
+        val ref = grams(d.filter(col("doc_id") < 250)).select("g").distinct()
+        grams(d.filter(col("doc_id") >= 250))
+          .join(ref.withColumn("seen", lit(1L)).hint("shuffle_hash"), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS g
+             |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+             |ref AS (SELECT DISTINCT g FROM g WHERE doc_id < 250),
+             |cand AS (SELECT g.doc_id, g.g, ref.g IS NOT NULL AS seen
+             |         FROM g LEFT JOIN ref ON g.g = ref.g WHERE g.doc_id >= 250)
+             |SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+             |SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             |((SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) * 1000000) // COUNT(*))::BIGINT AS novelty_ppm
+             |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_decontaminate_semantic",
       // SEMANTIC decontamination — the embedding-space complement of
       // text_decontaminate's n-gram overlap (the Llama/PaLM-style
