@@ -337,6 +337,50 @@ object MultimodalCatalog extends QueryModule {
              |ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_png_decode",
+      // A COMPRESSED real format across the decoder seam: honest-to-spec
+      // PNG (8-bit grayscale, non-interlaced) built with a genuine zlib
+      // deflate, every row forward-filtered with filter r mod 5 — all
+      // five spec filters (None/Sub/Up/Average/Paeth) appear in any
+      // image with h ≥ 5 — and the compressed stream split into
+      // ≤64-byte IDAT chunks. The decode side (RealCodecs.pngStats)
+      // trusts only the bytes: signature, chunk walk with CRC32
+      // verification of EVERY chunk, IHDR field reads, multi-IDAT
+      // reassembly, zlib inflate, and per-row unfiltering driven by
+      // the filter byte in the decompressed stream. Unlike BMP/WAV
+      // (arithmetic re-framing), a PNG mistake is unrecoverable — a
+      // filter-dispatch or predictor slip corrupts every later row via
+      // the reconstructed-left/up feedback, so the oracle (pixel law
+      // recomputed from the text bytes) catches single-byte errors.
+      // n_paeth_rows pins the filter dispatch itself; n_idat is
+      // compression-dependent and dropped here (MultimodalSpec asserts
+      // multi-IDAT reassembly happened).
+      //
+      // Scale posture: identical to the other decoder-seam ops —
+      // narrow per-asset build+parse in one mapPartitions, Fan.out
+      // first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.pngBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodePng(blobs).toDF().drop("n_idat").orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |         (doc_id % 16 + 1)::INTEGER AS w, (doc_id % 12 + 1)::INTEGER AS h,
+             |         [unicode(substr(text, (p % length(text) + 1)::INTEGER, 1))
+             |          for p in range(0, (doc_id % 16 + 1) * (doc_id % 12 + 1))] AS vals
+             |       FROM documents)
+             |SELECT doc_id, 'png' AS fmt, w AS width, h AS height,
+             |len(vals)::BIGINT AS n_px, list_sum(vals)::BIGINT AS px_sum,
+             |list_min(vals)::INTEGER AS px_min, list_max(vals)::INTEGER AS px_max,
+             |len([r for r in range(0, h) if r % 5 = 4])::INTEGER AS n_paeth_rows
+             |FROM px ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_channel_stats",
       // The decode CONSUMER: per-channel image statistics
       // (count/sum/min/max of each BGR channel) straight off the real

@@ -310,17 +310,33 @@ object SnapshotTable {
           }
           .toVector.sortBy(_.path)
       }
-    // 2. full manifest content to a hidden temp file
+    // 2–3. manifest assembly + atomic-exclusive publication
+    publishManifest(table, next, current, df.schema, carried ++ newFiles, mode, extra, io)
+  }
+
+  /** Assemble a manifest for `next` from already-written file entries
+    * and publish it atomically (exactly one racing writer wins). The
+    * metadata-only tail of every commit path; also the WHOLE of
+    * zero-copy operations (rollback) that re-point at existing files. */
+  private def publishManifest(
+      table: String,
+      next: Long,
+      current: Long,
+      schema: StructType,
+      entries: Seq[FileEntry],
+      mode: String,
+      extra: Map[String, String],
+      io: SnapshotIO): Long = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${manifestDir(table)}/.tmp_v${next}_$token"
     val body = new StringBuilder()
       .append(s"version=$next\n")
       .append(s"parent=$current\n")
       .append(s"mode=$mode\n")
     extra.foreach { case (k, v) => body.append(s"$k=$v\n") }
-    body.append(s"schema=${df.schema.json}\n")
-    (carried ++ newFiles).foreach(f => body.append(s"file=${f.line}\n"))
+    body.append(s"schema=${schema.json}\n")
+    entries.foreach(f => body.append(s"file=${f.line}\n"))
     io.writeString(tmp, body.toString)
-    // 3. atomic-exclusive publication — exactly one racing writer wins
     val won = io.publishExclusive(tmp, manifestPath(table, next))
     io.delete(tmp)
     if (!won)
@@ -499,6 +515,39 @@ object SnapshotTable {
       if (statsColumns.isEmpty) Seq(key) else statsColumns,
       extra + ("merged-files" -> touched.size.toString), io)
     (touched.size, m.files.size, v)
+  }
+
+  /** ZERO-COPY ROLLBACK — the Delta RESTORE / Iceberg rollback shape:
+    * republish snapshot `toVersion`'s exact file list (with its stats)
+    * and schema as the NEW head version, without touching a single data
+    * byte. The bad commits stay in history — time travel still reaches
+    * them, the audit trail is intact, vacuum reclaims their files once
+    * they age out of retention — but every reader at head sees the
+    * restored state immediately. Cost is one manifest write regardless
+    * of table size: data files are immutable and shared across
+    * manifests by design, so "restore 100 TB" is a metadata operation.
+    *
+    * mode=rollback breaks new-files == new-rows, so `readIncremental`
+    * / the streaming source refuse to scan across it, exactly as they
+    * refuse overwrite and merge — a rolled-back table needs its
+    * incremental consumers re-seeded, and that decision must be loud.
+    *
+    * `expectedCurrent` is the same optimistic-concurrency handle as
+    * [[commit]]. Returns the published version. */
+  def rollback(
+      table: String,
+      toVersion: Long,
+      expectedCurrent: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val current = expectedCurrent.getOrElse(currentVersion(table, io))
+    require(current > 0, s"cannot rollback non-existent table $table")
+    require(
+      toVersion >= 1 && toVersion <= current,
+      s"rollback target $toVersion outside published range [1, $current] of $table")
+    val target = manifest(table, toVersion, io)
+    publishManifest(
+      table, current + 1, current, target.schema, target.files,
+      mode = "rollback", extra = Map("restored-from" -> toVersion.toString), io)
   }
 
   /** Read a snapshot: the latest by default, any published version for

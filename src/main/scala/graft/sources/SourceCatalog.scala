@@ -765,6 +765,47 @@ object SourceCatalog extends QueryModule {
              |ORDER BY version""".stripMargin)
     ),
     Q(
+      "src_snapshot_rollback",
+      // ZERO-COPY ROLLBACK (Delta RESTORE): a bad third commit lands,
+      // `rollback(table, 2)` republishes v2's exact file list as the
+      // new head v4 — one manifest write, no data bytes moved ("restore
+      // 100 TB" is a metadata operation because data files are
+      // immutable and shared across manifests). The query reads the
+      // restored head (must equal v2's state — a rollback that carries
+      // the wrong file list or schema breaks the hash) AND time-travels
+      // to v3 (the bad state stays reachable for audit until vacuum
+      // ages it out). Round15Spec pins the zero-copy property itself
+      // (no v4 data directory exists), the mode=rollback history row,
+      // and that readIncremental refuses to scan across the rollback.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snaproll_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+        SnapshotTable.rollback(table, toVersion = 2L)
+        def agg(df: org.apache.spark.sql.DataFrame, snap: Long) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("snap", lit(snap))
+        agg(SnapshotTable.read(s, table), 4L) // head = restored v2 state
+          .unionByName(agg(SnapshotTable.read(s, table, Some(3L)), 3L)) // audit trail intact
+          .select("snap", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("snap", "o_orderpriority")
+      },
+      Some("""SELECT 4::BIGINT AS snap, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
+             |UNION ALL
+             |SELECT 3::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders GROUP BY 2
+             |ORDER BY snap, o_orderpriority""".stripMargin)
+    ),
+    Q(
       "src_snapshot_optimize",
       // Transactional OPTIMIZE (clustered compaction) end to end: three
       // unclustered appends leave per-file key ranges fully overlapping

@@ -103,6 +103,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("RealCodecs: PNG round trip — zlib, multi-IDAT, all 5 filters") {
+    import graft.multimodal.RealCodecs
+    // doc_id 11 -> w=12, h=12: rows 0..11 use filters 0,1,2,3,4,0,1,...
+    // so every spec filter participates, and Paeth rows are 4 and 9.
+    // Incompressible-ish text (md5 hex expansion) keeps the zlib stream
+    // over 64 bytes -> the builder MUST split into multiple IDAT chunks
+    // and the parser MUST reassemble them.
+    val text = (0 until 8).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"png-fixture-$i".getBytes).map("%02x".format(_)).mkString
+    }.mkString
+    val p = RealCodecs.pngStats(Blob(11, RealCodecs.pngBytes(11, text)))
+    assert(p.fmt === "png" && p.width === 12 && p.height === 12)
+    assert(p.n_px === 144L)
+    val vals = (0 until 144).map(i => text(i % text.length).toInt)
+    assert(p.px_sum === vals.map(_.toLong).sum)
+    assert(p.px_min === vals.min && p.px_max === vals.max)
+    assert(p.n_paeth_rows === 2) // rows 4 and 9
+    assert(p.n_idat >= 2, s"expected multi-IDAT split, got ${p.n_idat}")
+  }
+
+  test("RealCodecs: PNG chunk CRCs are verified — one flipped bit fails loudly") {
+    import graft.multimodal.RealCodecs
+    val bytes = RealCodecs.pngBytes(11, "abcdefghijklmnopqrstuvwxyz0123456789")
+    // first IDAT data byte lives after sig(8) + IHDR chunk(12+13) + len+type(8)
+    val idatData = 8 + 25 + 8
+    bytes(idatData) = (bytes(idatData) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      RealCodecs.pngStats(Blob(11, bytes))
+    }
+    assert(e.getMessage.contains("CRC"))
+  }
+
   test("mm_audio_energy windows recompute from the raw bytes, narrow plan") {
     val df = SparkEntry.queries("mm_audio_energy")(spark, sf)
     val got = df

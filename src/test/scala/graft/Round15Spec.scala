@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SnapshotTable
+
+/** Round-15 wave: zero-copy rollback (Delta RESTORE shape) and the PNG
+  * arm of the real-codec seam.
+  */
+class Round15Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap15").toString + "/t"
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+  private def ordersNarrow = Tables(spark, sf).orders
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  test("rollback: head equals the restored snapshot, zero data bytes written") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    val dataDirsBefore = new java.io.File(s"$table/data").list().toSet
+    val v = SnapshotTable.rollback(table, toVersion = 2L)
+    assert(v === 4L)
+    // head state == v2 state, byte-for-byte the same files
+    assert(keys(SnapshotTable.read(spark, table)) ===
+      keys(SnapshotTable.read(spark, table, Some(2L))))
+    assert(SnapshotTable.manifest(table, 4L).files === SnapshotTable.manifest(table, 2L).files)
+    // ZERO-COPY: the rollback wrote no data directory at all
+    assert(new java.io.File(s"$table/data").list().toSet === dataDirsBefore)
+    // audit trail: the bad v3 stays reachable until vacuum
+    assert(keys(SnapshotTable.read(spark, table, Some(3L))) === keys(o))
+    // history records the restore
+    val h = SnapshotTable.history(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(h(4L) === "rollback")
+    assert(SnapshotTable.manifest(table, 4L).extra("restored-from") === "2")
+  }
+
+  test("rollback: incremental readers refuse to scan across it, loudly") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    SnapshotTable.rollback(table, toVersion = 1L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.incrementalFiles(table, fromVersion = 2L, toVersion = 3L)
+    }
+    assert(e.getMessage.contains("rollback"))
+  }
+
+  test("rollback: vacuum keeps the restored files while the rollback head is retained") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    SnapshotTable.rollback(table, toVersion = 2L) // v4 references v1+v2 files
+    val expected = keys(SnapshotTable.read(spark, table))
+    // retain v3+v4: v4's references protect the v1/v2-era data files
+    // even though their own manifests age out
+    SnapshotTable.vacuum(table, retainLast = 2)
+    assert(keys(SnapshotTable.read(spark, table)) === expected,
+      "vacuum reclaimed files still referenced by the rollback head")
+  }
+
+  test("rollback: out-of-range targets and empty tables are refused") {
+    val table = tmpTable()
+    intercept[IllegalArgumentException] { SnapshotTable.rollback(table, 1L) }
+    SnapshotTable.commit(ordersNarrow.limit(5), table, append = false)
+    intercept[IllegalArgumentException] { SnapshotTable.rollback(table, 2L) }
+    intercept[IllegalArgumentException] { SnapshotTable.rollback(table, 0L) }
+  }
+}
