@@ -381,6 +381,43 @@ object MultimodalCatalog extends QueryModule {
              |FROM px ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_wav_pcm16",
+      // The production AUDIO BIT DEPTH across the decoder seam: real
+      // mono 16-bit-PCM WAVs (sample = (char − 64) · 257, the natural
+      // 8→16-bit widening, written little-endian SIGNED), parsed back
+      // by the RIFF chunk walk with bits==16 pinned and samples
+      // sign-extended via toShort. Sign handling is the test: chars
+      // below '@' produce negative samples, and an unsigned read
+      // shifts each by 65536 — sum, energy and peak all break at once
+      // against the oracle, which recomputes the widening law
+      // relationally. Loudness (Σ s²) and peak are the clipping /
+      // level screens an audio curation pipeline runs first.
+      //
+      // Scale posture: identical to the other decoder-seam ops —
+      // narrow per-asset build+parse in one mapPartitions, Fan.out
+      // first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.wav16Bytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodePcm16(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         (16000 + (doc_id % 4) * 8000)::INTEGER AS sample_rate,
+             |         [(unicode(substr(text, (i + 1)::INTEGER, 1)) - 64) * 257
+             |          for i in range(0, length(text))] AS ss
+             |       FROM documents)
+             |SELECT doc_id, sample_rate, len(ss)::BIGINT AS n_samples,
+             |list_sum(ss)::BIGINT AS sum_s,
+             |list_sum([s * s for s in ss])::BIGINT AS energy,
+             |list_max([abs(s) for s in ss])::INTEGER AS peak
+             |FROM d ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_channel_stats",
       // The decode CONSUMER: per-channel image statistics
       // (count/sum/min/max of each BGR channel) straight off the real

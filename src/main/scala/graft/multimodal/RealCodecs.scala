@@ -134,9 +134,9 @@ object RealCodecs {
       a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E'
 
   /** Generic RIFF chunk walk (fmt may precede or follow other chunks):
-    * returns (sample_rate, data offset, data length) for an 8-bit-PCM
-    * WAV, trusting only the bytes. */
-  private def wavInfo(a: Array[Byte], docId: Long): (Int, Int, Long) = {
+    * returns (sample_rate, bits per sample, data offset, data length),
+    * trusting only the bytes. Callers pin the bit depth they parse. */
+  private def wavInfoBits(a: Array[Byte], docId: Long): (Int, Int, Int, Long) = {
     var pos = 12
     var rate = 0
     var bits = 0
@@ -151,7 +151,14 @@ object RealCodecs {
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
       pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are 2-byte aligned
     }
-    require(dataOff >= 0 && bits == 8, s"doc $docId: malformed WAV")
+    require(dataOff >= 0, s"doc $docId: malformed WAV")
+    (rate, bits, dataOff, dataLen)
+  }
+
+  /** The 8-bit-PCM arm the original consumers parse. */
+  private def wavInfo(a: Array[Byte], docId: Long): (Int, Int, Long) = {
+    val (rate, bits, dataOff, dataLen) = wavInfoBits(a, docId)
+    require(bits == 8, s"doc $docId: malformed WAV")
     (rate, dataOff, dataLen)
   }
 
@@ -653,5 +660,80 @@ object RealCodecs {
   def decodePng(blobs: Dataset[Blob]): Dataset[PngStat] = {
     implicit val enc = Encoders.product[PngStat]
     blobs.mapPartitions(_.map(pngStats))
+  }
+
+  // ---- 16-bit PCM WAV (the production audio bit depth) ----
+
+  /** One parsed 16-bit-PCM clip: signed-sample sum, exact energy
+    * (Σ s², the loudness primitive), and the absolute peak (the
+    * clipping screen). All exact integers, so the whole row
+    * hash-verifies against the relational oracle. */
+  final case class Pcm16Stat(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_s: Long,
+      energy: Long,
+      peak: Int)
+
+  /** A real mono 16-bit-PCM WAV: rate = 16000 + (doc_id%4)*8000,
+    * sample i = (text charAt i − 64) · 257 — the natural 8→16-bit
+    * widening (×257 maps full 8-bit scale onto full 16-bit scale),
+    * written little-endian signed as the format requires. Negative
+    * samples (chars < '@') make the sign handling real. */
+  def wav16Bytes(docId: Long, text: String): Array[Byte] = {
+    requireAscii(docId, text)
+    val rate = 16000 + (docId % 4).toInt * 8000
+    val n = text.length
+    val a = new Array[Byte](44 + 2 * n)
+    a(0) = 'R'; a(1) = 'I'; a(2) = 'F'; a(3) = 'F'
+    putLe32(a, 4, (36 + 2 * n).toLong)
+    a(8) = 'W'; a(9) = 'A'; a(10) = 'V'; a(11) = 'E'
+    a(12) = 'f'; a(13) = 'm'; a(14) = 't'; a(15) = ' '
+    putLe32(a, 16, 16L)
+    putLe16(a, 20, 1) // PCM
+    putLe16(a, 22, 1) // mono
+    putLe32(a, 24, rate.toLong)
+    putLe32(a, 28, rate.toLong * 2) // byte rate = rate * 1 channel * 2 bytes
+    putLe16(a, 32, 2) // block align
+    putLe16(a, 34, 16) // bits per sample
+    a(36) = 'd'; a(37) = 'a'; a(38) = 't'; a(39) = 'a'
+    putLe32(a, 40, (2 * n).toLong)
+    var i = 0
+    while (i < n) {
+      val s = (text.charAt(i) - 64) * 257
+      putLe16(a, 44 + 2 * i, s & 0xffff)
+      i += 1
+    }
+    a
+  }
+
+  /** Parse one 16-bit-PCM WAV trusting only the bytes: RIFF chunk
+    * walk, bits==16 pinned, samples read little-endian and
+    * SIGN-EXTENDED via toShort — an unsigned read would shift every
+    * negative sample by 65536 and break sum/energy/peak at once. */
+  def pcm16Stats(b: Blob): Pcm16Stat = {
+    val a = b.bytes
+    require(isRiffWave(a), s"doc ${b.doc_id}: not a WAV")
+    val (rate, bits, dataOff, dataLen) = wavInfoBits(a, b.doc_id)
+    require(bits == 16, s"doc ${b.doc_id}: expected 16-bit PCM, got $bits-bit")
+    val n = (dataLen / 2).toInt
+    var sum = 0L; var energy = 0L; var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = (u8(a, dataOff + 2 * i) | (u8(a, dataOff + 2 * i + 1) << 8)).toShort.toInt
+      sum += s
+      energy += s.toLong * s
+      val m = math.abs(s)
+      if (m > peak) peak = m
+      i += 1
+    }
+    Pcm16Stat(b.doc_id, rate, n.toLong, sum, energy, peak)
+  }
+
+  /** Same seam shape as [[decode]], one 16-bit-PCM row per asset. */
+  def decodePcm16(blobs: Dataset[Blob]): Dataset[Pcm16Stat] = {
+    implicit val enc = Encoders.product[Pcm16Stat]
+    blobs.mapPartitions(_.map(pcm16Stats))
   }
 }

@@ -1326,6 +1326,60 @@ object WikidataCatalog extends QueryModule {
              |ORDER BY n_common DESC, x, y LIMIT 20""".stripMargin)
     ),
     Q(
+      "wd_resource_alloc",
+      // Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+      // the degree-weighted refinement of wd_link_predict: each shared
+      // neighbor c contributes 1/deg(c), so a hub shared by everything
+      // adds almost nothing while a rare shared neighbor is strong
+      // evidence. RA consistently beats raw common-neighbor counting
+      // on KG-completion benchmarks, which is why it is the second
+      // ranker a curator reaches for. Exact integer arithmetic:
+      // score_ppm = Σ 1000000 div deg(c) (integral division both
+      // engines), so the ranking is bit-identical cross-engine — no
+      // float accumulation order to diverge.
+      //
+      // Scale posture: same wedge-join shape as wd_link_predict (the
+      // hub-cap treatment applies at 100 TB), plus ONE vertex-keyed
+      // degree aggregation joined back to the symmetric edge list on
+      // its partition key before the wedge join — weights ride the
+      // edge rows, no extra shuffle in the pair rollup, map-side
+      // combined sum per pair, TakeOrdered top-20.
+      (s0, dir) => {
+        val (sym, _) = symmetricGraph(s0, dir)
+        val symP = GraftCache.register(sym.persist())
+        val deg = symP.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        // weight rides the wedge-center edge rows: 1e6 div deg(c)
+        val weighted = symP
+          .join(deg.withColumnRenamed("a", "b"), "b")
+          .select(col("a"), col("b"), expr("1000000 div d").as("w_ppm"))
+        val wedges = weighted
+          .select(col("a").as("x"), col("b").as("c"), col("w_ppm"))
+          .join(weighted.select(col("a").as("y"), col("b").as("c")), "c")
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("n_common"), sum("w_ppm").as("score_ppm"))
+        wedges
+          .join(
+            symP.select(col("a").as("x"), col("b").as("y")),
+            Seq("x", "y"),
+            "left_anti")
+          .orderBy(col("score_ppm").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some(s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |deg AS (SELECT a, COUNT(*)::BIGINT AS d FROM u GROUP BY 1),
+             |w AS (SELECT xx.a AS x, yy.a AS y, COUNT(*)::BIGINT AS n_common,
+             |      SUM(1000000 // deg.d)::BIGINT AS score_ppm
+             |      FROM u xx JOIN u yy ON xx.b = yy.b AND xx.a < yy.a
+             |      JOIN deg ON deg.a = xx.b
+             |      GROUP BY 1, 2),
+             |nc AS (SELECT w.* FROM w ANTI JOIN u ON w.x = u.a AND w.y = u.b)
+             |SELECT x, y, n_common, score_ppm FROM nc
+             |ORDER BY score_ppm DESC, x, y LIMIT 20""".stripMargin)
+    ),
+    Q(
       "wd_shortest_path",
       // Single-source weighted shortest paths over the shredded entity
       // graph (undirected, deterministic per-edge weight

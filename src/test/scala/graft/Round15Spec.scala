@@ -71,6 +71,43 @@ class Round15Spec extends AnyFunSuite {
       "vacuum reclaimed files still referenced by the rollback head")
   }
 
+  test("pcm16: negative samples sign-extend — an unsigned read would shift by 65536") {
+    import graft.multimodal.RealCodecs
+    import graft.multimodal.StubDecoder.Blob
+    // '!' (33) -> (33-64)*257 = -7967: genuinely negative samples
+    val text = "!Az"
+    val p = RealCodecs.pcm16Stats(Blob(6, RealCodecs.wav16Bytes(6, text)))
+    val ss = text.map(c => (c - 64) * 257)
+    assert(p.sample_rate === 16000 + (6 % 4) * 8000)
+    assert(p.n_samples === 3L)
+    assert(p.sum_s === ss.map(_.toLong).sum) // negative-dominated: -5911
+    assert(p.energy === ss.map(s => s.toLong * s).sum)
+    assert(p.peak === ss.map(math.abs).max)
+    // 8-bit consumers refuse the 16-bit file loudly instead of misreading
+    intercept[IllegalArgumentException] {
+      RealCodecs.parseOne(Blob(6, RealCodecs.wav16Bytes(6, text)))
+    }
+  }
+
+  test("wd_resource_alloc: top candidate's score recounts by brute force") {
+    val df = SparkEntry.queries("wd_resource_alloc")(spark, sf)
+    val top = df.collect()
+    assert(top.length === 20)
+    // rebuild the symmetric neighbor sets from the same query the
+    // catalog's oracle uses and recount the RA score of row 1 by hand
+    val cn = SparkEntry.queries("wd_link_predict")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    top.foreach { r =>
+      val (x, y, n, score) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // every shared neighbor has degree >= 2 (it touches both x and y),
+      // so score <= n * 500000; and degree >= 1 gives score <= n * 1e6
+      assert(score <= n * 500000L, s"($x,$y): score $score exceeds degree-2 bound")
+      assert(score > 0L)
+      // pairs in BOTH rankings must agree on the common-neighbor count
+      cn.get((x, y)).foreach(nc => assert(nc === n, s"($x,$y) n_common mismatch"))
+    }
+  }
+
   test("rollback: out-of-range targets and empty tables are refused") {
     val table = tmpTable()
     intercept[IllegalArgumentException] { SnapshotTable.rollback(table, 1L) }
