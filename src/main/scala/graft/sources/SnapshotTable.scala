@@ -550,6 +550,96 @@ object SnapshotTable {
       mode = "rollback", extra = Map("restored-from" -> toVersion.toString), io)
   }
 
+  // ---- branches: write-audit-publish (Iceberg branch / WAP) ----
+
+  /** A branch IS a snapshot table rooted under the parent — the same
+    * commit protocol, its own manifest chain, its own data directory
+    * for branch commits. File entries carry absolute paths, so the
+    * fork shares main's immutable data files byte-for-byte (zero-copy)
+    * and main's publish can reference branch-written files in place. */
+  def branchPath(table: String, name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"branch name '$name' must be [A-Za-z0-9_-]+")
+    s"$table/branches/$name"
+  }
+
+  /** Fork the current snapshot into a new branch: its v1 manifest
+    * carries main's exact file list and schema (one metadata write —
+    * forking a 100 TB table costs nothing) plus `fork-of`, the main
+    * version the fast-forward publish will later require. Commits to
+    * the branch go through the ordinary [[commit]] / [[merge]] /
+    * [[compactSnapshot]] APIs against [[branchPath]] — writers get the
+    * full table format, main's readers see NOTHING until publish. */
+  def createBranch(table: String, name: String, io: SnapshotIO = LocalSnapshotIO): Long = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot branch non-existent table $table")
+    val bp = branchPath(table, name)
+    require(currentVersion(bp, io) == 0, s"branch $name of $table already exists")
+    val m = manifest(table, cur, io)
+    publishManifest(bp, 1L, 0L, m.schema, m.files,
+      mode = "fork", extra = Map("fork-of" -> cur.toString), io)
+  }
+
+  /** PUBLISH the branch head back onto main — the write-audit-publish
+    * gate: one fast-forward metadata commit making every audited
+    * branch commit visible at once. Refused (loudly) if main moved
+    * since the fork — a diverged branch must be re-forked and
+    * replayed, never silently merged. When every branch commit after
+    * the fork was an append, the published commit is mode=append —
+    * new-files == new-rows still holds across the publish, so main's
+    * incremental readers and the streaming source keep working;
+    * anything else publishes as mode=publish, which incremental
+    * readers refuse like overwrite/merge/rollback. */
+  def publishBranch(
+      table: String,
+      name: String,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val bp = branchPath(table, name)
+    val bcur = currentVersion(bp, io)
+    require(bcur > 0, s"no branch $name of $table")
+    val forkOf = manifest(bp, 1L, io).extra.getOrElse("fork-of",
+      sys.error(s"branch $name of $table carries no fork-of")).toLong
+    val cur = currentVersion(table, io)
+    require(cur == forkOf,
+      s"main moved since the fork (v$forkOf -> v$cur): fast-forward publish " +
+        s"of branch $name refused — re-fork and replay the audited commits")
+    val head = manifest(bp, bcur, io)
+    val pureAppend = (2L to bcur).forall(v =>
+      manifest(bp, v, io).extra.getOrElse("mode", "?") == "append")
+    publishManifest(table, cur + 1, cur, head.schema, head.files,
+      mode = if (pureAppend) "append" else "publish",
+      extra = Map("wap-branch" -> name, "wap-commits" -> (bcur - 1).toString), io)
+  }
+
+  /** Drop a branch: delete its manifest chain, then any data file under
+    * the branch's own data directory that no MAIN manifest references —
+    * so dropping an unpublished (audit-failed) branch reclaims its
+    * writes, while a published branch's files, now referenced by main,
+    * survive. Returns (manifestsDeleted, dataFilesDeleted). */
+  def dropBranch(table: String, name: String, io: SnapshotIO = LocalSnapshotIO): (Int, Int) = {
+    val bp = branchPath(table, name)
+    val bcur = currentVersion(bp, io)
+    if (bcur == 0) return (0, 0)
+    val mainRefs = (1L to currentVersion(table, io)).flatMap { v =>
+      if (io.exists(manifestPath(table, v))) manifest(table, v, io).files.map(_.path)
+      else Nil
+    }.toSet
+    var mDel = 0
+    (1L to bcur).foreach { v => if (io.delete(manifestPath(bp, v))) mDel += 1 }
+    var fDel = 0
+    val dataRoot = s"$bp/data"
+    io.list(dataRoot).foreach { dirName =>
+      val d = s"$dataRoot/$dirName"
+      if (io.isDir(d)) {
+        io.list(d).foreach { f =>
+          if (!mainRefs(s"$d/$f")) { if (io.delete(s"$d/$f")) fDel += 1 }
+        }
+        if (io.list(d).isEmpty) io.delete(d)
+      }
+    }
+    (mDel, fDel)
+  }
+
   /** Read a snapshot: the latest by default, any published version for
     * time travel. Loads exactly the manifest's file list under the
     * manifest's schema — never a directory listing. Files committed

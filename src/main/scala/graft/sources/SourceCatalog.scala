@@ -806,6 +806,58 @@ object SourceCatalog extends QueryModule {
              |ORDER BY snap, o_orderpriority""".stripMargin)
     ),
     Q(
+      "src_snapshot_wap",
+      // WRITE-AUDIT-PUBLISH (Iceberg branching): the staging workflow
+      // every production table needs — write new data to a BRANCH
+      // (zero-copy fork: one metadata write shares main's immutable
+      // files), run the audit queries against the branch, and only
+      // then fast-forward main in one metadata commit. The query pins
+      // all three membership states: main BEFORE publish (the branch
+      // append must be invisible — a fork or branch-commit that leaks
+      // into main breaks the hash), the BRANCH head (fork rows + the
+      // audited append), and main AFTER publish (identical to the
+      // branch head). The audit gate itself is a loud require on the
+      // branch read. Round15Spec pins the fast-forward refusal when
+      // main moves, incremental reads across a pure-append publish,
+      // and dropBranch reclaiming an unpublished branch's files.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapwap_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+        SnapshotTable.createBranch(table, "audit")
+        val bp = SnapshotTable.branchPath(table, "audit")
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), bp, append = true)
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("phase", lit(phase))
+        val preMain = agg(SnapshotTable.read(s, table), "1_pre_publish_main")
+        val branch = SnapshotTable.read(s, bp)
+        // the AUDIT: gate the publish on the staged data itself
+        require(branch.filter(col("o_totalprice") <= 0).isEmpty,
+          "audit failed: non-positive totalprice staged on branch")
+        val branchAgg = agg(branch, "2_branch")
+        SnapshotTable.publishBranch(table, "audit")
+        val postMain = agg(SnapshotTable.read(s, table), "3_post_publish_main")
+        preMain.unionByName(branchAgg).unionByName(postMain)
+          .select("phase", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("phase", "o_orderpriority")
+      },
+      Some("""WITH pre AS (SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+             |post AS (SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |  FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1)
+             |SELECT '1_pre_publish_main' AS phase, * FROM pre
+             |UNION ALL SELECT '2_branch', * FROM post
+             |UNION ALL SELECT '3_post_publish_main', * FROM post
+             |ORDER BY phase, o_orderpriority""".stripMargin)
+    ),
+    Q(
       "src_snapshot_optimize",
       // Transactional OPTIMIZE (clustered compaction) end to end: three
       // unclustered appends leave per-file key ranges fully overlapping

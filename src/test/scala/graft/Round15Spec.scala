@@ -71,6 +71,70 @@ class Round15Spec extends AnyFunSuite {
       "vacuum reclaimed files still referenced by the rollback head")
   }
 
+  test("wap: branch writes invisible on main; publish is a zero-copy fast-forward") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    val mainKeys = keys(SnapshotTable.read(spark, table))
+    SnapshotTable.createBranch(table, "wap")
+    val bp = SnapshotTable.branchPath(table, "wap")
+    // zero-copy fork: branch v1 IS main's file list
+    assert(SnapshotTable.manifest(bp, 1L).files === SnapshotTable.manifest(table, 1L).files)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), bp, append = true)
+    // invisible on main until publish
+    assert(keys(SnapshotTable.read(spark, table)) === mainKeys)
+    val mainDataBefore = new java.io.File(s"$table/data").list().toSet
+    val v = SnapshotTable.publishBranch(table, "wap")
+    assert(v === 2L)
+    // publish moved METADATA only: no new dir under main's data root
+    assert(new java.io.File(s"$table/data").list().toSet === mainDataBefore)
+    assert(keys(SnapshotTable.read(spark, table)) ===
+      keys(o.filter(col("o_orderkey") % 3 =!= 2)))
+    // pure-append branch -> published as append: incremental readers
+    // keep working across the WAP boundary and see exactly the staged rows
+    val delta = keys(SnapshotTable.readIncremental(spark, table, 1L, 2L))
+    assert(delta === keys(o.filter(col("o_orderkey") % 3 === 1)))
+  }
+
+  test("wap: publish refuses fast-forward when main moved since the fork") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    SnapshotTable.createBranch(table, "stale")
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 1),
+      SnapshotTable.branchPath(table, "stale"), append = true)
+    // main moves underneath the branch
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.publishBranch(table, "stale")
+    }
+    assert(e.getMessage.contains("re-fork"))
+  }
+
+  test("wap: dropBranch reclaims an audit-failed branch, keeps published files") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    // unpublished branch: its writes are reclaimed wholesale
+    SnapshotTable.createBranch(table, "bad")
+    val bpBad = SnapshotTable.branchPath(table, "bad")
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), bpBad, append = true)
+    val (mDel, fDel) = SnapshotTable.dropBranch(table, "bad")
+    assert(mDel === 2 && fDel > 0)
+    // published branch: its data files are now main's and must survive
+    SnapshotTable.createBranch(table, "good")
+    val bpGood = SnapshotTable.branchPath(table, "good")
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 2), bpGood, append = true)
+    SnapshotTable.publishBranch(table, "good")
+    val expected = keys(SnapshotTable.read(spark, table))
+    SnapshotTable.dropBranch(table, "good") // reclaims only sidecars (_SUCCESS/.crc)
+    val refs = SnapshotTable
+      .manifest(table, SnapshotTable.currentVersion(table)).files.map(_.path)
+    refs.foreach(p => assert(new java.io.File(p).exists, s"dropBranch deleted $p"))
+    assert(keys(SnapshotTable.read(spark, table)) === expected)
+  }
+
   test("pcm16: negative samples sign-extend — an unsigned read would shift by 65536") {
     import graft.multimodal.RealCodecs
     import graft.multimodal.StubDecoder.Blob
