@@ -400,6 +400,57 @@ object TextCatalog extends QueryModule {
              |FROM g ORDER BY lang""".stripMargin)
     ),
     Q(
+      "text_hapax",
+      // Vocabulary-richness report per (lang, source) stratum — the
+      // Zipf-tail diagnostics a corpus mixer reads before weighting:
+      // type/token ratio (lexical diversity), hapax legomena share
+      // (types seen once — the Good-Turing mass that predicts how much
+      // vocabulary is still unseen; boilerplate-heavy or templated
+      // sources have a collapsed hapax share), and dis legomena. All
+      // ratios in exact integer ppm ((x*1e6) div y), so the report
+      // hash-verifies with no float anywhere.
+      //
+      // Scale posture: tokenize → ONE token-keyed count (map-side
+      // combined — the classic word-count shuffle), then ONE
+      // stratum-keyed rollup over the type table (types-sized, far
+      // smaller than the corpus). No windows, no driver state; at
+      // 100 TB this is exactly the two-stage wordcount that Spark's
+      // shuffle exists for.
+      (s, dir) => {
+        val f = Fan.out(Tables(s, dir).documents)
+          .select(col("lang"), col("source"), explode(ws(col("text"))).as("tok"))
+          .groupBy("lang", "source", "tok")
+          .agg(count(lit(1)).as("c"))
+        f.groupBy("lang", "source")
+          .agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+          .select(
+            col("lang"),
+            col("source"),
+            col("n_tokens"),
+            col("n_types"),
+            col("n_hapax"),
+            col("n_dis"),
+            expr("(n_hapax * CAST(1000000 AS BIGINT)) div n_types").as("hapax_ppm"),
+            expr("(n_types * CAST(1000000 AS BIGINT)) div n_tokens").as("ttr_ppm"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH t AS (SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |f AS (SELECT lang, source, tok, COUNT(*)::BIGINT AS c FROM t GROUP BY 1, 2, 3),
+             |g AS (SELECT lang, source, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_types,
+             |      SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+             |      SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis
+             |      FROM f GROUP BY 1, 2)
+             |SELECT lang, source, n_tokens, n_types, n_hapax, n_dis,
+             |(n_hapax * 1000000) // n_types AS hapax_ppm,
+             |(n_types * 1000000) // n_tokens AS ttr_ppm
+             |FROM g ORDER BY lang, source""".stripMargin)
+    ),
+    Q(
       "text_ngram_freq",
       // corpus statistics: global top-20 word bigrams — explode +
       // count-shuffle + deterministic top-k (count desc, bigram asc)

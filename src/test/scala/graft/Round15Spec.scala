@@ -172,6 +172,27 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("text_hapax: one stratum recounts by hand; identities hold everywhere") {
+    val rows = SparkEntry.queries("text_hapax")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTyp, nHap, nDis) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nHap + nDis <= nTyp && nTyp <= nTok)
+      assert(r.getLong(6) === nHap * 1000000L / nTyp) // hapax_ppm
+      assert(r.getLong(7) === nTyp * 1000000L / nTok) // ttr_ppm
+    }
+    // brute-force recount of the first stratum from the raw corpus
+    val (lang, source) = (rows.head.getString(0), rows.head.getString(1))
+    val toks = Tables(spark, sf).documents
+      .filter(col("lang") === lang && col("source") === source)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val freq = toks.groupBy(identity).view.mapValues(_.length).toMap
+    assert(rows.head.getLong(2) === toks.length.toLong)
+    assert(rows.head.getLong(3) === freq.size.toLong)
+    assert(rows.head.getLong(4) === freq.count(_._2 == 1).toLong)
+    assert(rows.head.getLong(5) === freq.count(_._2 == 2).toLong)
+  }
+
   test("rollback: out-of-range targets and empty tables are refused") {
     val table = tmpTable()
     intercept[IllegalArgumentException] { SnapshotTable.rollback(table, 1L) }
