@@ -385,6 +385,9 @@ object SnapshotTable {
       extra: Map[String, String] = Map.empty,
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val current = expectedCurrent.getOrElse(currentVersion(table, io))
+    require(!extra.contains(DvKeyK) && !extra.contains(DvFilesK),
+      s"$DvKeyK/$DvFilesK are reserved manifest keys (deletion-vector state)")
+    var dvCarry = Map.empty[String, String]
     val carried: Seq[FileEntry] =
       if (append && current > 0) {
         val parent = manifest(table, current, io)
@@ -396,11 +399,14 @@ object SnapshotTable {
           s"append schema ${df.schema.simpleString} does not extend " +
             s"snapshot $current's ${parent.schema.simpleString} — appends may only " +
             "ADD columns at the end (rename/drop/reorder/retype refused)")
+        // outstanding deletion vectors ride every append verbatim — a
+        // commit that dropped them would resurrect the deleted rows
+        dvCarry = dvExtra(parent)
         parent.files
       } else Vector.empty
     publishVersion(
       df, table, current + 1, current, carried,
-      if (append) "append" else "overwrite", statsColumns, extra, io)
+      if (append) "append" else "overwrite", statsColumns, extra ++ dvCarry, io)
   }
 
   /** Copy-on-write row-level MERGE — the Delta/Iceberg upsert: apply a
@@ -446,6 +452,7 @@ object SnapshotTable {
     val current = currentVersion(table, io)
     require(current > 0, s"cannot merge into non-existent table $table")
     val m = manifest(table, current, io)
+    requireNoDv(m, table, "merge")
     val dataCols = batch.schema.fieldNames.filterNot(deleteCol.contains)
     require(
       dataCols.sameElements(m.schema.fieldNames),
@@ -547,7 +554,8 @@ object SnapshotTable {
     val target = manifest(table, toVersion, io)
     publishManifest(
       table, current + 1, current, target.schema, target.files,
-      mode = "rollback", extra = Map("restored-from" -> toVersion.toString), io)
+      mode = "rollback",
+      extra = Map("restored-from" -> toVersion.toString) ++ dvExtra(target), io)
   }
 
   // ---- branches: write-audit-publish (Iceberg branch / WAP) ----
@@ -577,7 +585,7 @@ object SnapshotTable {
     require(currentVersion(bp, io) == 0, s"branch $name of $table already exists")
     val m = manifest(table, cur, io)
     publishManifest(bp, 1L, 0L, m.schema, m.files,
-      mode = "fork", extra = Map("fork-of" -> cur.toString), io)
+      mode = "fork", extra = Map("fork-of" -> cur.toString) ++ dvExtra(m), io)
   }
 
   /** PUBLISH the branch head back onto main — the write-audit-publish
@@ -608,7 +616,8 @@ object SnapshotTable {
       manifest(bp, v, io).extra.getOrElse("mode", "?") == "append")
     publishManifest(table, cur + 1, cur, head.schema, head.files,
       mode = if (pureAppend) "append" else "publish",
-      extra = Map("wap-branch" -> name, "wap-commits" -> (bcur - 1).toString), io)
+      extra = Map("wap-branch" -> name, "wap-commits" -> (bcur - 1).toString)
+        ++ dvExtra(head), io)
   }
 
   /** Drop a branch: delete its manifest chain, then any data file under
@@ -690,9 +699,84 @@ object SnapshotTable {
       m: Manifest,
       select: Manifest => Seq[FileEntry]): DataFrame = {
     val files = select(m).map(_.path)
-    if (files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
-    else spark.read.schema(m.schema).parquet(files: _*)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+      else spark.read.schema(m.schema).parquet(files: _*)
+    // merge-on-read: apply the manifest's accumulated deletion vectors.
+    // EVERY read path flows through here (read / readPruned / time
+    // travel / changeFeed / compactSnapshot), so deleted rows are
+    // invisible everywhere without a rewrite; the anti-join side is
+    // delete-batch-derived, hence the structural shuffle hint (the r8
+    // rule: corpus-derived sides never broadcast on an estimate).
+    dvPaths(m) match {
+      case Nil => base
+      case paths =>
+        val key = m.extra(DvKeyK)
+        val dv = spark.read.parquet(paths: _*)
+          .select(col(key).as("__dvk")).distinct()
+        base.join(dv.hint("shuffle_hash"), base(key) === col("__dvk"), "left_anti")
+    }
+  }
+
+  // ---- merge-on-read deletion vectors --------------------------------
+
+  /** Reserved manifest keys for the DV state: the delete key column and
+    * the hex-encoded ';'-joined list of delete-key parquet files. */
+  private val DvKeyK = "dvkey"
+  private val DvFilesK = "dvfiles"
+
+  private def dvPaths(m: Manifest): Seq[String] =
+    m.extra.get(DvFilesK).filter(_.nonEmpty)
+      .map(_.split(";").toSeq.map(FileEntry.unhex)).getOrElse(Nil)
+
+  /** The DV state a descendant commit must carry forward verbatim. */
+  private def dvExtra(m: Manifest): Map[String, String] =
+    m.extra.view.filterKeys(k => k == DvKeyK || k == DvFilesK).toMap
+
+  private def requireNoDv(m: Manifest, table: String, op: String): Unit =
+    require(dvPaths(m).isEmpty,
+      s"$table carries ${dvPaths(m).size} outstanding deletion-vector file(s) — " +
+        s"$op reads data files raw and would resurrect deleted rows; run " +
+        "compactSnapshot (which materializes the deletes) first")
+
+  /** Merge-on-read DELETE — the Delta deletion-vector shape: record the
+    * keys to delete as a small parquet sidecar and a manifest pointer,
+    * touching ZERO data files. Every read path anti-joins the
+    * accumulated delete keys, so the rows vanish immediately at head
+    * (and at every later snapshot) while the delete itself costs
+    * O(batch) regardless of how many 100 TB files hold the rows — the
+    * exact trade against [[merge]]'s copy-on-write (O(touched files)
+    * per batch, but zero read-time overhead). Delete batches
+    * accumulate; [[compactSnapshot]] materializes them (its rewrite
+    * reads through the DV-applied path and the overwrite commit drops
+    * the DV state), re-zeroing the read cost. [[merge]] refuses while
+    * DVs are outstanding (it reads files raw). Appends/rollback/
+    * branches carry the DV state forward verbatim; overwrite clears it.
+    * mode=delete breaks new-files == new-rows, so incremental readers
+    * refuse to scan across it, like overwrite/merge/rollback.
+    * Returns the published version. */
+  def deleteKeys(
+      keys: DataFrame,
+      table: String,
+      key: String,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val current = currentVersion(table, io)
+    require(current > 0, s"cannot delete from non-existent table $table")
+    val m = manifest(table, current, io)
+    require(m.schema.fieldNames.contains(key), s"no column $key in $table")
+    require(m.extra.get(DvKeyK).forall(_ == key),
+      s"table $table already carries deletion vectors keyed on " +
+        s"${m.extra(DvKeyK)} — one delete key per DV chain (materialize first)")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dvDir = s"$table/data/v${current + 1}_${token}_dv"
+    keys.select(col(key)).distinct().coalesce(1)
+      .write.mode("errorifexists").parquet(dvDir)
+    val newDv = io.list(dvDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dvDir/$n")
+    val all = (dvPaths(m) ++ newDv).map(FileEntry.hex).mkString(";")
+    publishManifest(table, current + 1, current, m.schema, m.files,
+      mode = "delete", extra = Map(DvKeyK -> key, DvFilesK -> all), io)
   }
 
   /** INCREMENTAL read — the change-scan between two snapshots (the
@@ -951,7 +1035,12 @@ object SnapshotTable {
     val cur = currentVersion(table, io)
     if (cur == 0) return (0, 0)
     val keep = ((cur - retainLast + 1) max 1) to cur
-    val referenced = keep.flatMap(v => manifest(table, v, io).files.map(_.path)).toSet
+    // a retained manifest references its data files AND its deletion-
+    // vector sidecars — reclaiming a DV would resurrect deleted rows
+    val referenced = keep.flatMap { v =>
+      val m = manifest(table, v, io)
+      m.files.map(_.path) ++ dvPaths(m)
+    }.toSet
     var mDel = 0
     (1L until keep.head).foreach { v =>
       if (io.delete(manifestPath(table, v))) mDel += 1

@@ -806,6 +806,66 @@ object SourceCatalog extends QueryModule {
              |ORDER BY snap, o_orderpriority""".stripMargin)
     ),
     Q(
+      "src_snapshot_delete_mor",
+      // MERGE-ON-READ DELETE (Delta deletion vectors): two delete
+      // batches land as small key sidecars + manifest pointers —
+      // ZERO data files touched, O(batch) cost against a table of any
+      // size — and every read path (head, time travel, pruned reads,
+      // change feed) anti-joins the accumulated keys, so the rows
+      // vanish immediately. compactSnapshot then MATERIALIZES the
+      // deletes (its rewrite reads through the DV-applied path; the
+      // overwrite commit drops the DV state), re-zeroing read cost —
+      // the full DV lifecycle in one query. The four phases pin:
+      // (1) pre-delete state, (2) first DV applied at its own
+      // snapshot, (3) both DVs accumulated at head, (4) post-
+      // materialization state == phase 3 (a compaction that loses or
+      // resurrects rows breaks the hash). Round15Spec pins the
+      // zero-rewrite property, DV carriage across appends, merge's
+      // refusal while DVs are outstanding, and vacuum protecting DV
+      // sidecars.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapmor_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commit(
+          o.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        SnapshotTable.deleteKeys(
+          o.filter(col("o_orderkey") % 10 === 7).select("o_orderkey"), table, "o_orderkey")
+        SnapshotTable.deleteKeys(
+          o.filter(col("o_orderkey") % 10 === 3).select("o_orderkey"), table, "o_orderkey")
+        def agg(df: org.apache.spark.sql.DataFrame, phase: Long) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("phase", lit(phase))
+        val p1 = agg(SnapshotTable.read(s, table, Some(1L)), 1L)
+        val p2 = agg(SnapshotTable.read(s, table, Some(2L)), 2L)
+        val p3 = agg(SnapshotTable.read(s, table), 3L)
+        SnapshotTable.compactSnapshot(s, table, targetBytes = 64L << 10,
+          clusterBy = Seq("o_orderkey"))
+        val p4 = agg(SnapshotTable.read(s, table), 4L)
+        p1.unionByName(p2).unionByName(p3).unionByName(p4)
+          .select("phase", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("phase", "o_orderpriority")
+      },
+      Some("""WITH a AS (SELECT 1::BIGINT AS phase, o_orderpriority,
+             |  COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |  FROM orders GROUP BY 2),
+             |b AS (SELECT 2::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 2),
+             |c AS (SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) GROUP BY 1)
+             |SELECT * FROM a UNION ALL SELECT * FROM b
+             |UNION ALL SELECT 3::BIGINT, * FROM c
+             |UNION ALL SELECT 4::BIGINT, * FROM c
+             |ORDER BY phase, o_orderpriority""".stripMargin)
+    ),
+    Q(
       "src_snapshot_wap",
       // WRITE-AUDIT-PUBLISH (Iceberg branching): the staging workflow
       // every production table needs — write new data to a BRANCH

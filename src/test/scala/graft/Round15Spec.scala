@@ -135,6 +135,84 @@ class Round15Spec extends AnyFunSuite {
     assert(keys(SnapshotTable.read(spark, table)) === expected)
   }
 
+  test("deletion vectors: delete touches zero data files; appends carry DVs forward") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    val filesBefore = SnapshotTable.manifest(table, 1L).files
+    SnapshotTable.deleteKeys(
+      o.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), table, "o_orderkey")
+    // zero-rewrite: the data file list is IDENTICAL, only metadata moved
+    assert(SnapshotTable.manifest(table, 2L).files === filesBefore)
+    val expect2 = keys(o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 30 =!= 0))
+    assert(keys(SnapshotTable.read(spark, table)) === expect2)
+    // an append AFTER the delete must not resurrect the deleted keys
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    assert(keys(SnapshotTable.read(spark, table)) ===
+      expect2 ++ keys(o.filter(col("o_orderkey") % 3 === 1)))
+    // time travel: v1 still shows the pre-delete state
+    assert(keys(SnapshotTable.read(spark, table, Some(1L))) ===
+      keys(o.filter(col("o_orderkey") % 3 === 0)))
+    // pruned reads flow through the same DV-applied path
+    val pruned = SnapshotTable.readPruned(spark, table, "o_orderkey", 0L, 1000000L)
+    assert(keys(pruned) === keys(SnapshotTable.read(spark, table)))
+  }
+
+  test("deletion vectors: merge refuses while outstanding; compaction materializes") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(
+      o.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"))
+    SnapshotTable.deleteKeys(
+      o.filter(col("o_orderkey") % 10 === 7).select("o_orderkey"), table, "o_orderkey")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(
+        o.limit(5).withColumn("_del", lit(false)), table, "o_orderkey",
+        deleteCol = Some("_del"))
+    }
+    assert(e.getMessage.contains("resurrect"))
+    val expected = keys(SnapshotTable.read(spark, table))
+    SnapshotTable.compactSnapshot(spark, table, targetBytes = 64L << 10,
+      clusterBy = Seq("o_orderkey"))
+    val head = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+    assert(head.extra.get("dvfiles").forall(_.isEmpty), "compaction must clear DV state")
+    assert(keys(SnapshotTable.read(spark, table)) === expected,
+      "materialization changed the visible rows")
+    // merge works again once the deletes are materialized
+    SnapshotTable.merge(
+      o.limit(5).withColumn("_del", lit(false)), table, "o_orderkey",
+      deleteCol = Some("_del"))
+  }
+
+  test("deletion vectors: vacuum protects DV sidecars; rollback restores pre-delete rows") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    SnapshotTable.deleteKeys(
+      o.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), table, "o_orderkey")
+    val afterDelete = keys(SnapshotTable.read(spark, table))
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    SnapshotTable.vacuum(table, retainLast = 2) // v1's manifest ages out; v2's DV must survive
+    assert(keys(SnapshotTable.read(spark, table, Some(2L))) === afterDelete,
+      "vacuum reclaimed a referenced deletion vector")
+    // rollback to the post-delete v2 carries its DV state verbatim
+    SnapshotTable.rollback(table, toVersion = 2L)
+    assert(keys(SnapshotTable.read(spark, table)) === afterDelete)
+  }
+
+  test("deletion vectors: rollback to a pre-delete snapshot restores the rows") {
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    val preDelete = keys(SnapshotTable.read(spark, table))
+    SnapshotTable.deleteKeys(
+      o.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), table, "o_orderkey")
+    assert(keys(SnapshotTable.read(spark, table)) !== preDelete)
+    SnapshotTable.rollback(table, toVersion = 1L) // v1 carries no DV state
+    assert(keys(SnapshotTable.read(spark, table)) === preDelete)
+  }
+
   test("pcm16: negative samples sign-extend — an unsigned read would shift by 65536") {
     import graft.multimodal.RealCodecs
     import graft.multimodal.StubDecoder.Blob
