@@ -726,9 +726,11 @@ object SnapshotTable {
   private val DvKeyK = "dvkey"
   private val DvFilesK = "dvfiles"
 
-  private def dvPaths(m: Manifest): Seq[String] =
+  private[sources] def dvPaths(m: Manifest): Seq[String] =
     m.extra.get(DvFilesK).filter(_.nonEmpty)
       .map(_.split(";").toSeq.map(FileEntry.unhex)).getOrElse(Nil)
+
+  private[sources] def dvKeyOf(m: Manifest): Option[String] = m.extra.get(DvKeyK)
 
   /** The DV state a descendant commit must carry forward verbatim. */
   private def dvExtra(m: Manifest): Map[String, String] =

@@ -354,6 +354,83 @@ object StreamingCatalog extends QueryModule {
         .orderBy("o_orderpriority")
     }
 
+  /** The snapshot table's CHANGE FEED as a streaming source, closed
+    * into a REPLICATION loop — the capability pair every warehouse
+    * ships as "CDF + MERGE": a source table mutates through the three
+    * commit classes the append-only source must refuse (clustered
+    * base, copy-on-write MERGE with updates + deletes, then a
+    * deletion-vector delete), the CDC source emits each transition's
+    * row-level diff (initial head state as inserts, then
+    * insert/delete/update_pre/postimage per version), and a foreachBatch
+    * consumer applies them into a MIRROR table through the exactly-once
+    * merge (batch-id guard). Mirror state must equal source state —
+    * any wrong diff class, lost preimage filter, resurrected DV row or
+    * replayed batch breaks the oracle. The final fresh-checkpoint
+    * drain redelivers the full head as inserts and must no-op at the
+    * mirror. */
+  private def snapshotCdcStream(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s) { ss =>
+      val src = graft.Stage.dir("graft_snapcdc_", dir).getPath
+      val out = graft.Stage.dir("graft_snapcdcout_", dir).getPath
+      val ckpt = graft.Stage.dir("graft_snapcdcck_", dir).getPath
+      Seq(src, out, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val o = Tables(ss, dir).orders
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+      def drain(tag: String): Unit = {
+        val q = ss.readStream
+          .format(graft.sources.SnapshotCdcSourceProvider.format)
+          .option("path", src)
+          .option("key", "o_orderkey")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val data = batch
+              .filter(col("_change_type") =!= "update_preimage")
+              .withColumn("_del", col("_change_type") === "delete")
+              .drop("_change_type")
+            if (graft.sources.SnapshotTable.currentVersion(out) == 0)
+              graft.sources.SnapshotTable.appendBatch(
+                data.filter(!col("_del")).drop("_del"), out, id)
+            else
+              graft.sources.SnapshotTable.mergeBatch(
+                data, out, "o_orderkey", id, deleteCol = Some("_del"))
+            ()
+          }
+          .option("checkpointLocation", s"$ckpt/$tag")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // v1: clustered base -> initial-load inserts
+      graft.sources.SnapshotTable.commit(
+        o.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+        src, append = false, statsColumns = Seq("o_orderkey"))
+      drain("chain")
+      // v2: copy-on-write merge — updates (%10=3, +100000) and deletes (%10=7)
+      graft.sources.SnapshotTable.merge(
+        o.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+          .withColumn("_del", lit(false))
+          .unionByName(o.filter(col("o_orderkey") % 10 === 7).withColumn("_del", lit(true))),
+        src, "o_orderkey", deleteCol = Some("_del"))
+      drain("chain")
+      // v3: merge-on-read deletion vector (%10=9)
+      graft.sources.SnapshotTable.deleteKeys(
+        o.filter(col("o_orderkey") % 10 === 9).select("o_orderkey"), src, "o_orderkey")
+      drain("chain")
+      drain("fresh") // fresh checkpoint: full-head insert redelivery must no-op
+      graft.sources.SnapshotTable
+        .read(ss, out)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }
+
   /** CDC stream → copy-on-write MERGE into the snapshot table — the
     * full transactional upsert loop: the base table commits
     * key-clustered with manifest stats, a CDC feed (absolute updates,
@@ -1112,6 +1189,19 @@ object StreamingCatalog extends QueryModule {
       Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "stream_snapshot_cdc",
+      (s, dir) => snapshotCdcStream(s, dir),
+      Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |st AS (SELECT o_orderkey, o_orderpriority,
+             |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000.0
+             |       ELSE o_totalprice END AS o_totalprice
+             |  FROM base WHERE o_orderkey % 10 NOT IN (7, 9))
+             |SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
       "stream_cdc_merge",

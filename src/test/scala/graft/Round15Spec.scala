@@ -250,6 +250,62 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("cdc source: change classes per transition; sound where the append source refuses") {
+    import graft.sources.{SnapshotCdcSourceProvider, SnapshotTable}
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tmpTable()
+    val o = ordersNarrow.filter(col("o_orderkey") < 3000)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcck15").toString
+    val batches = scala.collection.mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(SnapshotCdcSourceProvider.format)
+        .option("path", table)
+        .option("key", "o_orderkey")
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches(id) = b.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    SnapshotTable.commit(
+      o.repartitionByRange(2, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"))
+    drain() // batch 0: initial head-state load
+    // a merge (updates) and a DV delete: both refuse the append-only
+    // incremental scan, both must flow through CDC
+    SnapshotTable.merge(
+      o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("_del", lit(false)),
+      table, "o_orderkey", deleteCol = Some("_del"))
+    drain() // batch 1: the merge transition
+    SnapshotTable.deleteKeys(
+      o.filter(col("o_orderkey") % 10 === 7).select("o_orderkey"), table, "o_orderkey")
+    drain() // batch 2: the DV-delete transition
+    intercept[IllegalArgumentException] {
+      SnapshotTable.incrementalFiles(table, 1L, 3L)
+    }
+    assert(batches.keySet === Set(0L, 1L, 2L))
+    def classes(id: Long) =
+      batches(id).groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // batch 0 = initial head-state load: v1 rows as inserts, nothing else
+    assert(classes(0L).keySet === Set("insert"))
+    assert(classes(0L)("insert") === o.count().toInt)
+    // batch 1 = the merge: update pre+postimages, equal counts, no inserts
+    val c1 = classes(1L)
+    assert(c1.keySet === Set("update_preimage", "update_postimage"))
+    assert(c1("update_preimage") === c1("update_postimage"))
+    // batch 2 = the DV delete: delete rows only
+    assert(classes(2L).keySet === Set("delete"))
+    assert(classes(2L)("delete") ===
+      o.filter(col("o_orderkey") % 10 === 7).count().toInt)
+  }
+
   test("text_hapax: one stratum recounts by hand; identities hold everywhere") {
     val rows = SparkEntry.queries("text_hapax")(spark, sf).collect()
     assert(rows.nonEmpty)
