@@ -1671,6 +1671,46 @@ object RelCatalog extends QueryModule {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "rel_mode_group",
+      // MODE aggregate per group with a DETERMINISTIC tie-break
+      // (highest count, then smallest value) — SQL's mode() leaves
+      // ties implementation-defined, which is exactly the kind of
+      // cross-engine divergence this catalog exists to pin down.
+      // Two map-side-combined aggregations, no window: collapse to
+      // the (group, value) count table — bounded by the value domain,
+      // tiny against the corpus — then argmax via the
+      // partial-combinable min_by(value, struct(-count, value)) idiom
+      // (the same trick as LPA's label argmax). share_ppm is exact
+      // integer ppm of the modal share — the "how dominant is the
+      // top value" skew signal.
+      (s, dir) => {
+        val f = Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+          .agg(count(lit(1)).as("c"))
+        f.groupBy("l_returnflag")
+          .agg(
+            min_by(struct(col("qty"), col("c")), struct((-col("c")).as("nc"), col("qty")))
+              .as("m"),
+            sum("c").as("n_rows"))
+          .select(
+            col("l_returnflag"),
+            col("m.qty").as("mode_qty"),
+            col("m.c").as("mode_n"),
+            col("n_rows"),
+            expr("(m.c * CAST(1000000 AS BIGINT)) div n_rows").as("share_ppm"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH f AS (SELECT l_returnflag, l_quantity::BIGINT AS qty,
+             |            COUNT(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, qty, c,
+             |      SUM(c) OVER (PARTITION BY l_returnflag)::BIGINT AS n_rows,
+             |      row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty) AS rn
+             |      FROM f)
+             |SELECT l_returnflag, qty AS mode_qty, c AS mode_n, n_rows,
+             |(c * 1000000) // n_rows AS share_ppm
+             |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "rel_window_ntile",
       // NTILE quartiles per group, then per-quartile stats. The window
       // order key is made TOTAL (quantity, then unique (orderkey,

@@ -327,6 +327,21 @@ class Round15Spec extends AnyFunSuite {
     assert(rows.head.getLong(5) === freq.count(_._2 == 2).toLong)
   }
 
+  test("rel_mode_group: modal value recounts by brute force, tie-break deterministic") {
+    val rows = SparkEntry.queries("rel_mode_group")(spark, sf).collect()
+    val li = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val freq = li.filter(_._1 == flag).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val best = freq.toSeq.minBy { case (q, c) => (-c, q) } // max count, min value
+      assert((r.getLong(1), r.getLong(2)) === best, s"flag $flag")
+      assert(r.getLong(3) === freq.values.sum)
+      assert(r.getLong(4) === best._2 * 1000000L / freq.values.sum)
+    }
+  }
+
   test("rollback: out-of-range targets and empty tables are refused") {
     val table = tmpTable()
     intercept[IllegalArgumentException] { SnapshotTable.rollback(table, 1L) }
