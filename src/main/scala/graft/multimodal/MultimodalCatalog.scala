@@ -381,6 +381,47 @@ object MultimodalCatalog extends QueryModule {
              |FROM px ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_gif_decode",
+      // A SECOND compressed real format, with a different compression
+      // family: GIF87a over genuine LZW (variable-width 9→12-bit codes
+      // packed LSB-first, dynamic dictionary with the KwKwK
+      // just-added-code case, clear-code resets at 4096, greedy
+      // longest-match encode) — where PNG exercised zlib's
+      // Huffman+LZ77 via the JVM, the LZW pair here is implemented
+      // end to end, so BOTH directions of a real dictionary coder are
+      // under test. Framing is spec-true: logical screen descriptor,
+      // 256-entry grayscale global color table (skip driven by the
+      // packed flags), image descriptor, ≤64-byte length-prefixed
+      // sub-blocks, trailer. Pixel law shared with PNG/BMP, so the
+      // oracle recomputes the same arithmetic — any bit-packing,
+      // width-switch or dictionary slip corrupts pixels and breaks
+      // the hash. n_subblocks is compression-dependent and dropped
+      // here (spec asserts multi-block reassembly on an
+      // incompressible fixture, and the KwKwK path on a repetitive
+      // one).
+      //
+      // Scale posture: identical to the other decoder-seam ops.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.gifBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeGif(blobs).toDF().drop("n_subblocks").orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |         (doc_id % 16 + 1)::INTEGER AS w, (doc_id % 12 + 1)::INTEGER AS h,
+             |         [unicode(substr(text, (p % length(text) + 1)::INTEGER, 1))
+             |          for p in range(0, (doc_id % 16 + 1) * (doc_id % 12 + 1))] AS vals
+             |       FROM documents)
+             |SELECT doc_id, 'gif' AS fmt, w AS width, h AS height,
+             |len(vals)::BIGINT AS n_px, list_sum(vals)::BIGINT AS px_sum,
+             |list_min(vals)::INTEGER AS px_min, list_max(vals)::INTEGER AS px_max
+             |FROM px ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_wav_pcm16",
       // The production AUDIO BIT DEPTH across the decoder seam: real
       // mono 16-bit-PCM WAVs (sample = (char − 64) · 257, the natural

@@ -662,6 +662,210 @@ object RealCodecs {
     blobs.mapPartitions(_.map(pngStats))
   }
 
+  // ---- GIF87a (real LZW round trip + sub-block framing) ----
+
+  /** One decoded GIF's pixel statistics. n_subblocks proves the
+    * length-prefixed sub-block reassembly happened (builder frames the
+    * LZW stream in ≤64-byte sub-blocks; the count is
+    * compression-dependent so it stays out of the oracled columns —
+    * the spec asserts > 1 on an incompressible fixture). */
+  final case class GifStat(
+      doc_id: Long,
+      fmt: String,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      px_sum: Long,
+      px_min: Int,
+      px_max: Int,
+      n_subblocks: Int)
+
+  /** GIF-flavor LZW compress (min code size 8): clear/EOI codes 256/
+    * 257, dynamic codes from 258, code width 9→12 growing when the
+    * next code would not fit, dictionary reset at 4096, greedy
+    * longest-match via a (prefixCode, byte) table, LSB-first bit
+    * packing — the real algorithm, not a stand-in. */
+  private[graft] def lzwCompress(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    var table = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 258
+    emit(Clear)
+    var cur = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      table.get((cur, k)) match {
+        case Some(c) => cur = c
+        case None =>
+          emit(cur)
+          table((cur, k)) = nextCode
+          nextCode += 1
+          if (nextCode - 1 == (1 << width) && width < 12) width += 1
+          if (nextCode == 4096) {
+            emit(Clear); table = scala.collection.mutable.HashMap.empty
+            nextCode = 258; width = 9
+          }
+          cur = k
+      }
+      i += 1
+    }
+    emit(cur); emit(Eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Mirror decompress: variable-width code reads (LSB-first), table
+    * rebuilt on the fly as (prefix, lastByte) entries, the KwKwK
+    * just-added-code case handled, clear-code resets honored. */
+  private[graft] def lzwDecompress(data: Array[Byte], nPx: Int, docId: Long): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](nPx)
+    var got = 0
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var width = 9
+    def read(): Int = {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= width, s"doc $docId: truncated LZW stream")
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      c
+    }
+    // table entries 258.. as (prefixCode, lastByte); roots are literal
+    val prefix = new Array[Int](4096); val last = new Array[Int](4096)
+    def expand(code: Int): Array[Byte] = {
+      var n = 0; var c = code
+      while (c >= 258) { n += 1; c = prefix(c) }
+      val b = new Array[Byte](n + 1)
+      var j = n; c = code
+      while (c >= 258) { b(j) = last(c).toByte; j -= 1; c = prefix(c) }
+      b(0) = c.toByte
+      b
+    }
+    var nextCode = 258; var prev = -1
+    var code = read()
+    require(code == Clear, s"doc $docId: LZW stream must open with clear")
+    while (got < nPx) {
+      code = read()
+      if (code == Clear) { nextCode = 258; width = 9; prev = -1 }
+      else if (code == Eoi) {
+        require(got == nPx, s"doc $docId: early EOI at $got/$nPx pixels")
+      } else if (prev < 0) {
+        require(code < 256, s"doc $docId: first code after clear must be literal")
+        out(got) = code.toByte; got += 1; prev = code
+      } else {
+        val entry =
+          if (code < nextCode) expand(code)
+          else { // KwKwK: the just-about-to-be-added code
+            require(code == nextCode, s"doc $docId: LZW code $code from the future")
+            val p = expand(prev); p :+ p(0)
+          }
+        System.arraycopy(entry, 0, out, got, math.min(entry.length, nPx - got))
+        got += entry.length
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; last(nextCode) = entry(0) & 0xff
+          nextCode += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** A real GIF87a: w = doc_id%16+1, h = doc_id%12+1, pixel (r,c) =
+    * text charAt((r*w+c) mod len) — the shared payload law — encoded
+    * as indices into a 256-entry grayscale global color table and
+    * compressed with genuine LZW, the stream framed in ≤64-byte
+    * length-prefixed sub-blocks as the format requires. */
+  def gifBytes(docId: Long, text: String): Array[Byte] = {
+    requireAscii(docId, text)
+    val w = (docId % 16 + 1).toInt
+    val h = (docId % 12 + 1).toInt
+    val px = Array.tabulate(w * h)(p => text.charAt(p % text.length).toByte)
+    val z = lzwCompress(px)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // logical screen descriptor: dims LE16, global table of 256 RGB
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7) // global color table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) } // grayscale
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(64, z.length - off)
+      out.write(n); out.write(z, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode one GIF trusting ONLY the bytes: signature, dims from the
+    * logical screen descriptor, global-color-table skip driven by the
+    * packed flags, image descriptor walk, sub-block reassembly, and
+    * the full LZW decompression (variable-width codes, dictionary
+    * rebuild, KwKwK, clear resets). The grayscale palette maps index
+    * i → gray i, so pixel stats are over the indices. */
+  def gifStats(b: Blob): GifStat = {
+    val a = b.bytes
+    require(a.length >= 13 &&
+      new String(a, 0, 6, java.nio.charset.StandardCharsets.US_ASCII) == "GIF87a",
+      s"doc ${b.doc_id}: not a GIF87a")
+    val w = le16(a, 6); val h = le16(a, 8)
+    val packed = u8(a, 10)
+    var pos = 13
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 0x07) + 1)) // global table
+    require(u8(a, pos) == 0x2c, s"doc ${b.doc_id}: expected image descriptor")
+    val iw = le16(a, pos + 5); val ih = le16(a, pos + 7)
+    require(iw == w && ih == h, s"doc ${b.doc_id}: sub-image GIFs unsupported")
+    require((u8(a, pos + 9) & 0xc0) == 0, s"doc ${b.doc_id}: local table/interlace unsupported")
+    require(u8(a, pos + 10) == 8, s"doc ${b.doc_id}: expected LZW min code size 8")
+    pos += 11
+    // reassemble the length-prefixed sub-blocks
+    val z = new java.io.ByteArrayOutputStream()
+    var nBlocks = 0
+    var len = u8(a, pos); pos += 1
+    while (len != 0) {
+      z.write(a, pos, len); pos += len; nBlocks += 1
+      len = u8(a, pos); pos += 1
+    }
+    require(u8(a, pos) == 0x3b, s"doc ${b.doc_id}: missing GIF trailer")
+    val px = lzwDecompress(z.toByteArray, w * h, b.doc_id)
+    var sum = 0L; var mn = 256; var mx = -1
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    GifStat(b.doc_id, "gif", w, h, px.length.toLong, sum, mn, mx, nBlocks)
+  }
+
+  /** Same seam shape as [[decode]], one GIF-stat row per asset. */
+  def decodeGif(blobs: Dataset[Blob]): Dataset[GifStat] = {
+    implicit val enc = Encoders.product[GifStat]
+    blobs.mapPartitions(_.map(gifStats))
+  }
+
   // ---- 16-bit PCM WAV (the production audio bit depth) ----
 
   /** One parsed 16-bit-PCM clip: signed-sample sum, exact energy

@@ -136,6 +136,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"))
   }
 
+  test("RealCodecs: GIF round trip — LZW width growth, sub-blocks, KwKwK") {
+    import graft.multimodal.RealCodecs
+    // incompressible fixture: forces multi-sub-block framing AND
+    // enough dictionary growth to cross the 9->10-bit width switch
+    // inside a larger synthetic image (doc 11 -> 12x12 = 144 px is
+    // small; the width switch needs >254 added codes, so drive the
+    // compressor through the 2000-char md5 expansion via a doc id
+    // giving the max 16x12 frame and verify pixels exactly)
+    val text = (0 until 32).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gif-fixture-$i".getBytes).map("%02x".format(_)).mkString
+    }.mkString // 1024 chars, high entropy
+    val p = RealCodecs.gifStats(Blob(15, RealCodecs.gifBytes(15, text))) // 16x4
+    assert(p.fmt === "gif" && p.width === 16 && p.height === 4)
+    val vals = (0 until 64).map(i => text(i % text.length).toInt)
+    assert(p.px_sum === vals.map(_.toLong).sum)
+    assert(p.px_min === vals.min && p.px_max === vals.max)
+    assert(p.n_subblocks >= 2, s"expected multi-sub-block framing, got ${p.n_subblocks}")
+    // KwKwK: a run of one repeated byte is the canonical trigger for
+    // the just-added-code case — byte-exact round trip proves it
+    val rep = RealCodecs.gifStats(Blob(11, RealCodecs.gifBytes(11, "aaaaaaaaaaaaaaaa")))
+    assert(rep.n_px === 144L && rep.px_sum === 144L * 'a'.toInt)
+    assert(rep.px_min === 'a'.toInt && rep.px_max === 'a'.toInt)
+  }
+
+  test("RealCodecs: LZW survives width switches and the 4096 dictionary reset") {
+    import graft.multimodal.RealCodecs
+    // catalog images cap at 192 px, far below the 9->10-bit switch
+    // (255 dictionary adds) — so the width-growth and reset paths are
+    // pinned here on the raw codec with a 40k high-entropy buffer:
+    // ~thousands of adds cross 9->10->11->12 bits AND the 4096
+    // clear-code reset; one wrong bit anywhere shifts every later
+    // code and the byte-exact compare fails
+    val data = (0 until 2500).flatMap { i =>
+      java.security.MessageDigest.getInstance("MD5").digest(s"lzw-$i".getBytes)
+    }.toArray
+    assert(data.length === 40000)
+    val z = RealCodecs.lzwCompress(data)
+    val back = RealCodecs.lzwDecompress(z, data.length, 0L)
+    assert(java.util.Arrays.equals(back, data))
+    // and the repetitive extreme (maximal KwKwK pressure)
+    val rep = Array.fill[Byte](10000)('x')
+    assert(java.util.Arrays.equals(
+      RealCodecs.lzwDecompress(RealCodecs.lzwCompress(rep), rep.length, 0L), rep))
+  }
+
   test("mm_audio_energy windows recompute from the raw bytes, narrow plan") {
     val df = SparkEntry.queries("mm_audio_energy")(spark, sf)
     val got = df
