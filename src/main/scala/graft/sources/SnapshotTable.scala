@@ -649,6 +649,32 @@ object SnapshotTable {
     (mDel, fDel)
   }
 
+  /** TIMESTAMP time travel — Delta's `timestampAsOf`: resolve the
+    * newest snapshot whose commit timestamp is ≤ `ts` and read it.
+    * Timestamps are CALLER-SUPPLIED logical times recorded at commit
+    * via `extra("ts" -> ...)` — deliberately not wall clock, so
+    * replayed/backfilled pipelines stay deterministic and the
+    * resolution is testable; version order stays authoritative when
+    * timestamps disagree (the Delta rule). Commits without a `ts` are
+    * skipped; reading before the first stamped commit fails loudly. */
+  def readAsOf(
+      spark: SparkSession,
+      table: String,
+      ts: Long,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot read non-existent table $table")
+    val stamped = (1L to cur).flatMap { v =>
+      if (!io.exists(manifestPath(table, v))) None // vacuumed
+      else manifest(table, v, io).extra.get("ts").map(t => (v, t.toLong))
+    }
+    require(stamped.nonEmpty, s"no commit of $table carries a ts stamp")
+    val eligible = stamped.filter(_._2 <= ts)
+    require(eligible.nonEmpty,
+      s"no snapshot of $table at or before ts=$ts (earliest is ${stamped.head._2})")
+    read(spark, table, Some(eligible.maxBy(_._1)._1), io)
+  }
+
   /** Read a snapshot: the latest by default, any published version for
     * time travel. Loads exactly the manifest's file list under the
     * manifest's schema — never a directory listing. Files committed

@@ -806,6 +806,50 @@ object SourceCatalog extends QueryModule {
              |ORDER BY snap, o_orderpriority""".stripMargin)
     ),
     Q(
+      "src_snapshot_asof",
+      // TIMESTAMP time travel (Delta's timestampAsOf): three commits
+      // stamped with caller-supplied logical times 100/200/300; reads
+      // at ts=250 (between commits -> newest ≤), ts=300 (exact), and
+      // ts=100 (the first) must each resolve to the right version's
+      // membership. Logical stamps instead of wall clock keep replays
+      // and backfills deterministic — and make this oracle possible at
+      // all. Round15Spec pins the loud failure before the first stamp
+      // and that version order beats a disagreeing timestamp.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapasof_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+        for ((m, ts) <- Seq((0, 100L), (1, 200L), (2, 300L)))
+          SnapshotTable.commit(
+            o.filter(col("o_orderkey") % 3 === m), table, append = m > 0,
+            extra = Map("ts" -> ts.toString))
+        def agg(df: org.apache.spark.sql.DataFrame, at: Long) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("at_ts", lit(at))
+        agg(SnapshotTable.readAsOf(s, table, 100L), 100L)
+          .unionByName(agg(SnapshotTable.readAsOf(s, table, 250L), 250L))
+          .unionByName(agg(SnapshotTable.readAsOf(s, table, 300L), 300L))
+          .select("at_ts", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("at_ts", "o_orderpriority")
+      },
+      Some("""WITH g AS (SELECT o_orderkey % 3 AS m, o_orderpriority, o_totalprice FROM orders)
+             |SELECT 100::BIGINT AS at_ts, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM g WHERE m = 0 GROUP BY 2
+             |UNION ALL
+             |SELECT 250::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM g WHERE m IN (0, 1) GROUP BY 2
+             |UNION ALL
+             |SELECT 300::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM g GROUP BY 2
+             |ORDER BY at_ts, o_orderpriority""".stripMargin)
+    ),
+    Q(
       "src_snapshot_delete_mor",
       // MERGE-ON-READ DELETE (Delta deletion vectors): two delete
       // batches land as small key sidecars + manifest pointers —

@@ -327,6 +327,28 @@ class Round15Spec extends AnyFunSuite {
     assert(rows.head.getLong(5) === freq.count(_._2 == 2).toLong)
   }
 
+  test("readAsOf: version order beats a disagreeing timestamp; pre-history is loud") {
+    import graft.sources.SnapshotTable
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false,
+      extra = Map("ts" -> "100"))
+    // a backfill stamped EARLIER than its predecessor (clock skew /
+    // late replay): version order is authoritative (the Delta rule) —
+    // reading at ts=100 must resolve to the NEWEST version ≤ 100,
+    // which by version order is v2
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true,
+      extra = Map("ts" -> "50"))
+    assert(keys(SnapshotTable.readAsOf(spark, table, 100L)) ===
+      keys(o.filter(col("o_orderkey") % 3 =!= 2)))
+    assert(keys(SnapshotTable.readAsOf(spark, table, 50L)) ===
+      keys(o.filter(col("o_orderkey") % 3 =!= 2))) // v2's own stamp
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, table, 10L)
+    }
+    assert(e.getMessage.contains("at or before"))
+  }
+
   test("rel_mode_group: modal value recounts by brute force, tie-break deterministic") {
     val rows = SparkEntry.queries("rel_mode_group")(spark, sf).collect()
     val li = Tables(spark, sf).lineitem
