@@ -354,6 +354,37 @@ object AnnCatalog extends QueryModule {
        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
        |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** The frozen-centroid IVF oracle (train on vec_id < 400, assign
+    * ALL vectors, nprobe=2 serve) — shared by ann_index_append and
+    * ann_ivf_snapshot: both must produce the identical result, the
+    * latter through the transactional storage detour. */
+  private val frozenCentroidIvfSql =
+    s"""WITH n AS (SELECT vec_id, label,
+       |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
+       |m AS (SELECT vec_id, label, qv,
+       |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
+       |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
+       |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) WHERE vec_id < 400 GROUP BY 1, 2),
+       |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
+       |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m WHERE vec_id < 400 GROUP BY 1),
+       |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
+       |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
+       |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
+       |       FROM m CROSS JOIN cc),
+       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
+       |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
+       |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
+       |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
+       |       FROM sc WHERE sc.vec_id < 10),
+       |probes AS (SELECT q_id, qe, qn, cell FROM qp WHERE rn <= 2),
+       |scored AS (SELECT p.q_id, s.vec_id,
+       |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
+       |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
+       |   FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
+       |ranked AS (SELECT q_id, vec_id, cosine,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q(
       "ann_bruteforce",
@@ -712,31 +743,42 @@ object AnnCatalog extends QueryModule {
         val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
         ivfSearch(coarseAssign(c, cents), cents)
       },
-      Some(s"""WITH n AS (SELECT vec_id, label,
-             |      [CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS qv FROM embeddings),
-             |m AS (SELECT vec_id, label, qv,
-             |      (SELECT SUM(qv[i]*qv[i]) FROM UNNEST(range(1, len(qv)+1)) AS t(i)) AS nsq FROM n),
-             |cs AS (SELECT label AS cell, i, SUM(qv[i])::BIGINT AS sv
-             |       FROM m, UNNEST(range(1, len(qv)+1)) AS t(i) WHERE vec_id < 400 GROUP BY 1, 2),
-             |cent AS (SELECT cell, list(sv ORDER BY i) AS csum FROM cs GROUP BY 1),
-             |cnt AS (SELECT label AS cell, COUNT(*) AS cnt FROM m WHERE vec_id < 400 GROUP BY 1),
-             |cc AS (SELECT cell, csum, cnt FROM cent JOIN cnt USING (cell)),
-             |sc AS (SELECT m.vec_id, m.qv, m.nsq, cc.cell,
-             |       CAST((SELECT SUM(m.qv[i]*cc.csum[i]) FROM UNNEST(range(1, len(m.qv)+1)) AS t(i)) AS DOUBLE)/cc.cnt AS score
-             |       FROM m CROSS JOIN cc),
-             |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),
-             |assigned AS (SELECT vec_id, qv, nsq, cell FROM asg WHERE rn = 1),
-             |qp AS (SELECT sc.vec_id AS q_id, sc.qv AS qe, sc.nsq AS qn, sc.cell,
-             |       row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.score DESC, sc.cell) AS rn
-             |       FROM sc WHERE sc.vec_id < 10),
-             |probes AS (SELECT q_id, qe, qn, cell FROM qp WHERE rn <= 2),
-             |scored AS (SELECT p.q_id, s.vec_id,
-             |   CAST((SELECT SUM(p.qe[i]*s.qv[i]) FROM UNNEST(range(1, len(p.qe)+1)) AS t(i)) AS DOUBLE)
-             |     / (sqrt(CAST(p.qn AS DOUBLE))*sqrt(CAST(s.nsq AS DOUBLE))) AS cosine
-             |   FROM probes p JOIN assigned s ON s.cell = p.cell WHERE s.vec_id <> p.q_id),
-             |ranked AS (SELECT q_id, vec_id, cosine,
-             |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-             |SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)
+      Some(frozenCentroidIvfSql)
+    ),
+    Q(
+      "ann_ivf_snapshot",
+      // The IVF index AS A SNAPSHOT TABLE — the serving layout of
+      // ann_index_persist upgraded to the transactional layer: day-1
+      // assignments commit range-clustered BY CELL with per-file cell
+      // stats, the day-2 batch (vec_id ≥ 400, assigned against the
+      // same frozen centroids as ann_index_append) lands as an
+      // ordinary APPEND — atomic, time-travelable, vacuum-managed —
+      // and its new files carry their own cell stats, so a query's
+      // nprobe cell list STILL prunes at the manifest after any number
+      // of day-2 appends (Round15Spec pins the strict file subset per
+      // cell, both before and after the append). Search reads the
+      // merged index through the manifest (never a directory listing)
+      // and serves through the shared nprobe=2 path; the oracle is
+      // ann_index_append's — the transactional detour must be
+      // lossless, so an array round-trip corruption, a lost append,
+      // or a stats mix-up breaks the hash.
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
+        val table = graft.Stage.dir("graft_ivfsnap_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        def clustered(df: DataFrame) = df
+          .withColumn("cell", col("cell").cast("long"))
+          .repartitionByRange(5, col("cell")).sortWithinPartitions("cell")
+        graft.sources.SnapshotTable.commit(
+          clustered(coarseAssign(c.filter(col("vec_id") < 400), cents)),
+          table, append = false, statsColumns = Seq("cell"))
+        graft.sources.SnapshotTable.commit(
+          clustered(coarseAssign(c.filter(col("vec_id") >= 400), cents)),
+          table, append = true, statsColumns = Seq("cell"))
+        ivfSearch(graft.sources.SnapshotTable.read(c.sparkSession, table), cents)
+      },
+      Some(frozenCentroidIvfSql)
     ),
     Q(
       "ann_index_health",

@@ -327,6 +327,33 @@ class Round15Spec extends AnyFunSuite {
     assert(rows.head.getLong(5) === freq.count(_._2 == 2).toLong)
   }
 
+  test("ann_ivf_snapshot: equals the direct index; cell stats prune across the append") {
+    import graft.sources.SnapshotTable
+    // the transactional detour must be lossless
+    val snap = SparkEntry.queries("ann_ivf_snapshot")(spark, sf).collect().map(_.toString)
+    val direct = SparkEntry.queries("ann_index_append")(spark, sf).collect().map(_.toString)
+    assert(snap.toSeq === direct.toSeq)
+    // the query staged its table at the deterministic Stage path:
+    // per-cell reads must prune to strict file subsets even though the
+    // day-2 append fragmented the clustering (each commit's files
+    // carry their own cell ranges)
+    val table = graft.Stage.dir("graft_ivfsnap_", sf).getPath
+    val m = SnapshotTable.manifest(table, 2L)
+    assert(m.extra.getOrElse("mode", "?") === "append")
+    val cells = SnapshotTable.read(spark, table)
+      .select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.length > 1)
+    cells.foreach { c =>
+      val hit = m.filesFor("cell", c, c)
+      assert(hit.size < m.files.size, s"cell $c read does not prune at the manifest")
+      // soundness: the pruned subset still holds every row of the cell
+      val pruned = SnapshotTable.readPruned(spark, table, "cell", c, c)
+        .filter(col("cell") === c).count()
+      val full = SnapshotTable.read(spark, table).filter(col("cell") === c).count()
+      assert(pruned === full, s"cell $c pruned read lost rows")
+    }
+  }
+
   test("readAsOf: version order beats a disagreeing timestamp; pre-history is loud") {
     import graft.sources.SnapshotTable
     val table = tmpTable()
