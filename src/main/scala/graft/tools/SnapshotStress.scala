@@ -84,6 +84,34 @@ object SnapshotStress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SNAP_MERGE $k%14d | $rw%15d | $tot%11d | $dt%7.2f")
     }
+
+    // DV / rollback / branch arm: each op's wall must be METADATA-time
+    // — flat in table size and history depth. deleteKeys touches zero
+    // data files (asserted); rollback and branch fork/publish are one
+    // manifest write each regardless of the N-commit history.
+    println("SNAP_META op | wall_s | note")
+    val cur0 = SnapshotTable.currentVersion(table)
+    val f0 = SnapshotTable.manifest(table, cur0).files.size
+    val delBatch = spark
+      .createDataFrame(spark.sparkContext.parallelize(
+        (1 to math.max(1, n / 2)).map(i => Tuple1(i * 10000000L + 700L)), 4))
+      .toDF("o_orderkey")
+    val tDel = time { SnapshotTable.deleteKeys(delBatch, table, "o_orderkey") }
+    val f1 = SnapshotTable.manifest(table, cur0 + 1).files.size
+    require(f1 == f0, s"deleteKeys rewrote data files ($f0 -> $f1)")
+    println(f"SNAP_META delete_mor | $tDel%6.2f | ${n / 2} keys, $f0 files untouched")
+    val tReadDv = time { SnapshotTable.read(spark, table).count() }
+    println(f"SNAP_META read_with_dv | $tReadDv%6.2f | anti-join overhead on head read")
+    val tRb = time { SnapshotTable.rollback(table, toVersion = cur0) }
+    println(f"SNAP_META rollback | $tRb%6.2f | to v$cur0 at history depth ${cur0 + 1}")
+    val tFork = time { SnapshotTable.createBranch(table, "stress") }
+    val bp = SnapshotTable.branchPath(table, "stress")
+    SnapshotTable.commit(
+      batch.withColumn("o_orderkey", col("o_orderkey") + lit((n + 1) * 10000000L)),
+      bp, append = true, statsColumns = Seq("o_orderkey"))
+    val tPub = time { SnapshotTable.publishBranch(table, "stress") }
+    println(f"SNAP_META branch_fork | $tFork%6.2f | zero-copy fork of $f0-file table")
+    println(f"SNAP_META branch_publish | $tPub%6.2f | fast-forward incl. 1 branch commit")
     spark.stop()
   }
 }
