@@ -517,6 +517,62 @@ object PipelineCatalog extends QueryModule {
              |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM s)
              |SELECT doc_id, source, nw, score_ppm, cum_tokens FROM c, b
              |WHERE cum_tokens <= budget ORDER BY score_ppm DESC, doc_id""".stripMargin)
+    ),
+    Q(
+      "pipe_wap_curation",
+      // The curation pipeline LANDING through write-audit-publish —
+      // how a training-data team actually ships a daily intake against
+      // a production corpus table: yesterday's admitted docs are the
+      // base snapshot; today's batch runs the SHARED Gopher gate
+      // (TextCatalog.gopherRuleFrame — one rule definition across the
+      // report, the ablation, and this intake) and lands on a BRANCH,
+      // invisible to trainers reading main; the AUDIT stage then
+      // checks the staged data itself (quality floor re-verified, no
+      // doc_id collision against the base — both loud requires, the
+      // WAP contract that bad intakes never reach main); only then
+      // does the fast-forward publish make the batch visible, as
+      // mode=append so incremental consumers (pipe_incremental_refresh
+      // style) keep working across the intake boundary. The oracle
+      // reproduces the final admitted corpus relationally — a leaked
+      // reject, a lost admit, or a publish that merged the wrong
+      // branch state breaks the hash.
+      (s, dir) => {
+        import graft.sources.SnapshotTable
+        val table = graft.Stage.dir("graft_wapcur_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val docs = Tables(s, dir).documents.select("doc_id", "text", "source")
+        def admitted(m: Int) =
+          graft.text.TextCatalog.gopherRuleFrame(Fan.out(docs.filter(col("doc_id") % 3 === m)))
+            .filter(col("rule_wc") && col("rule_wlen") && col("rule_alpha") && col("rule_stop"))
+            .select("doc_id", "source", "wc")
+        SnapshotTable.commit(admitted(0), table, append = false)
+        SnapshotTable.createBranch(table, "intake")
+        val bp = SnapshotTable.branchPath(table, "intake")
+        SnapshotTable.commit(admitted(1), bp, append = true)
+        // AUDIT: verify the staged table, not the pipeline's intent
+        val staged = SnapshotTable.read(s, bp)
+        require(staged.filter(col("wc") < 30).isEmpty,
+          "audit failed: below-floor document staged on intake branch")
+        require(staged.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+          "audit failed: duplicate doc_id staged on intake branch")
+        SnapshotTable.publishBranch(table, "intake")
+        SnapshotTable.read(s, table)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("wc").as("total_words"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, source,
+             |  len(string_split(text,' '))::BIGINT AS wc,
+             |  length(regexp_replace(text,'[^a-z]','','g'))::BIGINT AS alpha_chars,
+             |  len([w for w in string_split(text,' ') if w IN $StopwordsSql])::BIGINT AS n_stop
+             |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+             |k AS (SELECT source, wc FROM t
+             |  WHERE wc >= 30 AND wc <= 100000
+             |    AND alpha_chars::DOUBLE / wc >= 3.0 AND alpha_chars::DOUBLE / wc <= 10.0
+             |    AND alpha_chars::DOUBLE / length(text) > 0.6
+             |    AND n_stop >= 2)
+             |SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(wc)::BIGINT AS total_words
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
