@@ -1380,6 +1380,56 @@ object WikidataCatalog extends QueryModule {
              |ORDER BY score_ppm DESC, x, y LIMIT 20""".stripMargin)
     ),
     Q(
+      "wd_hits",
+      // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+      // shredded graph — the directed complement to PageRank: an
+      // authority is pointed at by good hubs, a hub points at good
+      // authorities. Two mutual-reinforcement rounds unrolled into one
+      // DAG in EXACT integer arithmetic (no per-round normalization —
+      // the float step that breaks cross-engine determinism; raw
+      // scores after 2 rounds are bounded by max_deg³, documented
+      // BIGINT headroom to ~10^6 degrees, far beyond any real KG hub).
+      // Each round is one edge⋈vector equi-join + one
+      // map-side-combined sum — the same shuffle shape as wd_pagerank
+      // but over the asymmetric edge list, so direction mistakes
+      // (joining on the wrong endpoint) invert hubs and authorities
+      // and break the oracle.
+      (s, dir) => {
+        val e = WikidataShredder
+          .edge(WikidataShredder.claims(SyntheticDump.entities(s, dir)))
+          .select("src_id", "dst_id")
+          .filter(col("src_id") =!= col("dst_id"))
+          .distinct()
+        val eP = GraftCache.register(e.persist())
+        val a1 = eP.groupBy(col("dst_id").as("v")).agg(count(lit(1)).as("a1"))
+        val h1 = eP.join(a1, eP("dst_id") === a1("v"))
+          .groupBy(col("src_id").as("u")).agg(sum("a1").as("h1"))
+        val a2 = eP.join(h1, eP("src_id") === h1("u"))
+          .groupBy(col("dst_id").as("v")).agg(sum("h1").as("a2"))
+        val h2 = eP.join(a2, eP("dst_id") === a2("v"))
+          .groupBy(col("src_id").as("u")).agg(sum("a2").as("h2"))
+        a2.select(col("v").as("vertex_id"), col("a2").as("auth"))
+          .join(h2.select(col("u").as("vertex_id"), col("h2").as("hub")),
+            Seq("vertex_id"), "full_outer")
+          .na.fill(0L, Seq("auth", "hub"))
+          .orderBy(col("auth").desc, col("hub").desc, col("vertex_id"))
+          .limit(20)
+      },
+      Some(s"""WITH e AS (SELECT DISTINCT src_id, dst_id FROM ($edgeUnionSql)
+             |           WHERE src_id <> dst_id),
+             |a1 AS (SELECT dst_id AS v, COUNT(*)::BIGINT AS a1 FROM e GROUP BY 1),
+             |h1 AS (SELECT e.src_id AS u, SUM(a1.a1)::BIGINT AS h1
+             |       FROM e JOIN a1 ON e.dst_id = a1.v GROUP BY 1),
+             |a2 AS (SELECT e.dst_id AS v, SUM(h1.h1)::BIGINT AS a2
+             |       FROM e JOIN h1 ON e.src_id = h1.u GROUP BY 1),
+             |h2 AS (SELECT e.src_id AS u, SUM(a2.a2)::BIGINT AS h2
+             |       FROM e JOIN a2 ON e.dst_id = a2.v GROUP BY 1)
+             |SELECT COALESCE(a2.v, h2.u) AS vertex_id,
+             |COALESCE(a2.a2, 0)::BIGINT AS auth, COALESCE(h2.h2, 0)::BIGINT AS hub
+             |FROM a2 FULL OUTER JOIN h2 ON a2.v = h2.u
+             |ORDER BY auth DESC, hub DESC, vertex_id LIMIT 20""".stripMargin)
+    ),
+    Q(
       "wd_shortest_path",
       // Single-source weighted shortest paths over the shredded entity
       // graph (undirected, deterministic per-edge weight

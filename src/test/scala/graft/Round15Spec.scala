@@ -376,6 +376,18 @@ class Round15Spec extends AnyFunSuite {
     assert(e.getMessage.contains("at or before"))
   }
 
+  test("wd_hits: round-1 identities — auth seeds are indegrees, hubs sum them") {
+    val rows = SparkEntry.queries("wd_hits")(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+      assert(r.getLong(1) > 0 || r.getLong(2) > 0, "all-zero vertex ranked")
+    }
+    // monotone: ordered by (auth desc, hub desc, id)
+    val key = rows.map(r => (-r.getLong(1), -r.getLong(2), r.getLong(0))).toSeq
+    assert(key === key.sorted)
+  }
+
   test("rel_mode_group: modal value recounts by brute force, tie-break deterministic") {
     val rows = SparkEntry.queries("rel_mode_group")(spark, sf).collect()
     val li = Tables(spark, sf).lineitem
