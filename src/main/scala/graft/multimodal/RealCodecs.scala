@@ -607,6 +607,11 @@ object RealCodecs {
       pos += 12 + len
     }
     require(sawEnd && w > 0 && h > 0, s"doc ${b.doc_id}: truncated PNG")
+    // header-claimed dims drive allocation — bound them BEFORE the
+    // multiply (a crafted 65535×65535 IHDR would overflow the Int
+    // buffer size silently and mis-frame every row)
+    require((w.toLong + 1) * h <= (64 << 20),
+      s"doc ${b.doc_id}: PNG dims $w x $h exceed the decoder's 64 MiB frame bound")
     val infl = new java.util.zip.Inflater()
     infl.setInput(z.toByteArray)
     val filtered = new Array[Byte]((w + 1) * h)
@@ -835,6 +840,10 @@ object RealCodecs {
     require(u8(a, pos) == 0x2c, s"doc ${b.doc_id}: expected image descriptor")
     val iw = le16(a, pos + 5); val ih = le16(a, pos + 7)
     require(iw == w && ih == h, s"doc ${b.doc_id}: sub-image GIFs unsupported")
+    // 65535×65535 header dims would overflow the Int pixel-buffer
+    // size — bound before the multiply, like the PNG arm
+    require(w.toLong * h <= (64 << 20),
+      s"doc ${b.doc_id}: GIF dims $w x $h exceed the decoder's 64 MiB frame bound")
     require((u8(a, pos + 9) & 0xc0) == 0, s"doc ${b.doc_id}: local table/interlace unsupported")
     require(u8(a, pos + 10) == 8, s"doc ${b.doc_id}: expected LZW min code size 8")
     pos += 11
