@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.SnapshotTable
+import graft.sources.{HadoopSnapshotIO, SnapshotIO, SnapshotTable}
 
 /** Round-15 wave: zero-copy rollback (Delta RESTORE shape) and the PNG
   * arm of the real-codec seam.
@@ -401,6 +401,34 @@ class Round15Spec extends AnyFunSuite {
       assert(r.getLong(3) === freq.values.sum)
       assert(r.getLong(4) === best._2 * 1000000L / freq.values.sum)
     }
+  }
+
+  test("hadoop IO: rollback, branches and deletion vectors run the same protocol") {
+    // the continuation ops are pure metadata + the shared read path, so
+    // they must be provider-independent by construction — pinned here
+    // by running the full lifecycle through the Hadoop FileContext arm
+    val io: SnapshotIO = new HadoopSnapshotIO(new org.apache.hadoop.conf.Configuration())
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false, io = io)
+    // deletion vectors: sidecar + pointer through hadoop primitives
+    SnapshotTable.deleteKeys(
+      o.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"), table, "o_orderkey", io = io)
+    val afterDelete = keys(SnapshotTable.read(spark, table, io = io))
+    assert(afterDelete ===
+      keys(o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 30 =!= 0)))
+    // branch fork + commit + fast-forward publish
+    SnapshotTable.createBranch(table, "h", io = io)
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 3 === 1),
+      SnapshotTable.branchPath(table, "h"), append = true, io = io)
+    SnapshotTable.publishBranch(table, "h", io = io)
+    // DV state rode the fork and the publish: old deletes still apply
+    assert(keys(SnapshotTable.read(spark, table, io = io)) ===
+      afterDelete ++ keys(o.filter(col("o_orderkey") % 3 === 1)))
+    // zero-copy rollback to the pre-branch version
+    SnapshotTable.rollback(table, toVersion = 2L, io = io)
+    assert(keys(SnapshotTable.read(spark, table, io = io)) === afterDelete)
   }
 
   test("rollback: out-of-range targets and empty tables are refused") {
