@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructType}
+
+/** The snapshot table through Spark's PUBLIC batch data-source API —
+  * `spark.read.format(SnapshotRelationProvider.format)` — so manifest
+  * pruning happens INSIDE Catalyst's scan planning instead of behind a
+  * library call: the `PrunedFilteredScan` contract hands the query's
+  * pushed-down predicates to [[SnapshotRelation.buildScan]], which
+  * routes them through the manifest's per-file stats (integer AND
+  * string bounds) before any parquet footer is opened, then serves the
+  * surviving files through the shared DV-applied read path. Column
+  * pruning rides the same contract. Spark re-applies every filter
+  * row-wise downstream (stats prove file-level ABSENCE only — the
+  * residual row filter is still required, same as readPruned's
+  * documented contract), so pruning can only ever skip provably-empty
+  * files, never change results.
+  *
+  * Options: `path` (table root), `versionAsOf` (time travel),
+  * `timestampAsOf` (readAsOf's stamp resolution — version order
+  * authoritative). The three provider arms — this batch relation, the
+  * append streaming source, the CDC streaming source — give the table
+  * the full read surface Spark users expect from a format.
+  */
+class SnapshotRelationProvider extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot-batch"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException("snapshot relation needs .option(\"path\", <table root>)"))
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = parameters.get("versionAsOf").map(_.toLong).orElse(
+      parameters.get("timestampAsOf").map { ts =>
+        // resolve once at relation construction (readAsOf's rule:
+        // newest STAMPED version at or before ts, version order
+        // authoritative) — the scan then pins that version
+        (1L to SnapshotTable.currentVersion(table)).reverse.find { v =>
+          SnapshotTable.manifest(table, v).extra.get("ts").exists(_.toLong <= ts.toLong)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"no snapshot of $table at or before ts=$ts"))
+      })
+    new SnapshotRelation(sqlContext.sparkSession, table, version)
+  }
+}
+
+object SnapshotRelationProvider {
+  /** `spark.read.format(...)` needs the provider CLASS name. */
+  val format: String = classOf[SnapshotRelationProvider].getName
+}
+
+class SnapshotRelation(
+    spark: SparkSession,
+    table: String,
+    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private val m = SnapshotTable.manifest(
+    table, version.getOrElse(SnapshotTable.currentVersion(table)))
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = m.schema
+
+  private def isIntegral(c: String): Boolean =
+    schema.fields.find(_.name == c).exists(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+  private def isString(c: String): Boolean =
+    schema.fields.find(_.name == c).exists(_.dataType == StringType)
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
+  }
+
+  /** The file entries that can hold rows matching ALL pushed filters —
+    * each filter independently shrinks the candidate set through the
+    * manifest bounds; files without stats for a column always survive
+    * (stats prove absence, never presence). Package-visible so the
+    * spec pins the pruning decisions without driving a full scan. */
+  private[graft] def prunedEntries(filters: Array[Filter]): Seq[SnapshotTable.FileEntry] = {
+    def keep(f: SnapshotTable.FileEntry, filter: Filter): Boolean = filter match {
+      case EqualTo(c, v) if isIntegral(c) =>
+        longOf(v).forall(l => f.stats.get(c).forall { case (mn, mx) => l >= mn && l <= mx })
+      case GreaterThan(c, v) if isIntegral(c) =>
+        longOf(v).forall(l => f.stats.get(c).forall { case (_, mx) => mx > l })
+      case GreaterThanOrEqual(c, v) if isIntegral(c) =>
+        longOf(v).forall(l => f.stats.get(c).forall { case (_, mx) => mx >= l })
+      case LessThan(c, v) if isIntegral(c) =>
+        longOf(v).forall(l => f.stats.get(c).forall { case (mn, _) => mn < l })
+      case LessThanOrEqual(c, v) if isIntegral(c) =>
+        longOf(v).forall(l => f.stats.get(c).forall { case (mn, _) => mn <= l })
+      case In(c, vs) if isIntegral(c) =>
+        val ls = vs.flatMap(longOf)
+        ls.length != vs.length ||
+          f.stats.get(c).forall { case (mn, mx) => ls.exists(l => l >= mn && l <= mx) }
+      case EqualTo(c, v: String) if isString(c) =>
+        f.sstats.get(c).forall { case (mn, mx) =>
+          SnapshotTable.FileEntry.bytesLe(mn, v) && SnapshotTable.FileEntry.bytesLe(v, mx)
+        }
+      case And(l, r) => keep(f, l) && keep(f, r)
+      case _         => true // unsupported shapes never prune
+    }
+    m.files.filter(f => filters.forall(keep(f, _)))
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val entries = prunedEntries(filters)
+    val base = SnapshotTable.readFiles(spark, m, _ => entries)
+    val projected =
+      if (requiredColumns.isEmpty) base else base.select(requiredColumns.map(col).toSeq: _*)
+    // needConversion = true (default): hand back external Rows
+    projected.rdd
+  }
+}

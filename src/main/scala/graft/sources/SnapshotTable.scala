@@ -720,7 +720,7 @@ object SnapshotTable {
     readFiles(spark, manifest(table, v, io), _.filesForString(column, lo, hi))
   }
 
-  private def readFiles(
+  private[sources] def readFiles(
       spark: SparkSession,
       m: Manifest,
       select: Manifest => Seq[FileEntry]): DataFrame = {

@@ -806,6 +806,54 @@ object SourceCatalog extends QueryModule {
              |ORDER BY snap, o_orderpriority""".stripMargin)
     ),
     Q(
+      "src_snapshot_format",
+      // The snapshot table through Spark's PUBLIC data-source API
+      // (`spark.read.format(...)`) — the integration that moves
+      // manifest pruning INSIDE Catalyst's scan planning: the query's
+      // pushed-down predicate (o_orderkey <= 2000) reaches
+      // SnapshotRelation.buildScan as a sources.Filter and routes
+      // through the per-file stats before any footer is opened; Spark
+      // re-applies the filter row-wise downstream (stats prove
+      // file-level absence only). The head read must ALSO apply the
+      // outstanding deletion vectors — a format arm that bypassed the
+      // DV path would resurrect deleted rows and break the hash — and
+      // the versionAsOf arm pins time travel through the same option
+      // surface Delta users know. Round15Spec pins the pruning
+      // decisions per filter shape directly on prunedEntries.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapfmt_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        SnapshotTable.deleteKeys(
+          o.filter(col("o_orderkey") % 10 === 7).select("o_orderkey"), table, "o_orderkey")
+        def agg(df: org.apache.spark.sql.DataFrame, snap: Long) =
+          df.filter(col("o_orderkey") <= 2000)
+            .groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("snap", lit(snap))
+        val head = s.read.format(SnapshotRelationProvider.format)
+          .option("path", table).load()
+        val v1 = s.read.format(SnapshotRelationProvider.format)
+          .option("path", table).option("versionAsOf", "1").load()
+        agg(v1, 1L).unionByName(agg(head, 2L))
+          .select("snap", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("snap", "o_orderpriority")
+      },
+      Some("""SELECT 1::BIGINT AS snap, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey <= 2000 GROUP BY 2
+             |UNION ALL
+             |SELECT 2::BIGINT, o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 7 GROUP BY 2
+             |ORDER BY snap, o_orderpriority""".stripMargin)
+    ),
+    Q(
       "src_snapshot_asof",
       // TIMESTAMP time travel (Delta's timestampAsOf): three commits
       // stamped with caller-supplied logical times 100/200/300; reads

@@ -403,6 +403,32 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("format relation: pushed filters prune at the manifest, per filter shape") {
+    import graft.sources.{SnapshotRelation, SnapshotTable}
+    import org.apache.spark.sql.sources._
+    val table = tmpTable()
+    val o = ordersNarrow
+    SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      table, append = false, statsColumns = Seq("o_orderkey"))
+    val rel = new SnapshotRelation(spark, table, None)
+    val total = SnapshotTable.manifest(table, 1L).files.size
+    def n(fs: Filter*): Int = rel.prunedEntries(fs.toArray).size
+    // every supported shape prunes strictly on the clustered key
+    assert(n(EqualTo("o_orderkey", 5L)) < total)
+    assert(n(LessThanOrEqual("o_orderkey", 100L)) < total)
+    assert(n(GreaterThan("o_orderkey", 14000L)) < total)
+    assert(n(In("o_orderkey", Array(1L, 2L, 3L))) < total)
+    assert(n(And(GreaterThanOrEqual("o_orderkey", 0L), LessThan("o_orderkey", 50L))) < total)
+    // unsupported shapes and stat-less columns never prune (soundness)
+    assert(n(EqualTo("o_orderpriority", "1-URGENT")) === total)
+    assert(n(StringContains("o_orderpriority", "URGENT")) === total)
+    // a pruned format read equals the API read under the same predicate
+    val fmt = spark.read.format(graft.sources.SnapshotRelationProvider.format)
+      .option("path", table).load().filter(col("o_orderkey") <= 100)
+    assert(keys(fmt) === keys(SnapshotTable.read(spark, table).filter(col("o_orderkey") <= 100)))
+  }
+
   test("hadoop IO: rollback, branches and deletion vectors run the same protocol") {
     // the continuation ops are pure metadata + the shared read path, so
     // they must be provider-independent by construction — pinned here
