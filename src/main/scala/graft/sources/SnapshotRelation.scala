@@ -26,9 +26,40 @@ import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructType
   * append streaming source, the CDC streaming source — give the table
   * the full read surface Spark users expect from a format.
   */
-class SnapshotRelationProvider extends RelationProvider with DataSourceRegister {
+class SnapshotRelationProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot-batch"
+
+  /** The WRITE path — `df.write.format(...).mode(...).save()`:
+    * SaveMode.Append → transactional append commit (schema-evolution
+    * rules apply), SaveMode.Overwrite → overwrite commit (history
+    * intact, time travel alive), ErrorIfExists/Ignore honor the
+    * table's existence the way the SaveMode contract reads. Options:
+    * `statsColumns` (comma-separated) records per-file pruning stats
+    * at write, exactly like the API commit. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException("snapshot write needs .option(\"path\", <table root>)"))
+    val stats = parameters.get("statsColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = SnapshotTable.currentVersion(table) > 0
+    mode match {
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(s"snapshot table $table already exists (ErrorIfExists)")
+      case Ignore if exists => // SaveMode contract: silently keep existing data
+      case Append =>
+        SnapshotTable.commit(data, table, append = exists, statsColumns = stats)
+      case _ => // Overwrite, or first write under any mode
+        SnapshotTable.commit(data, table, append = false, statsColumns = stats)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

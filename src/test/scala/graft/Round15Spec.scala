@@ -429,6 +429,32 @@ class Round15Spec extends AnyFunSuite {
     assert(keys(fmt) === keys(SnapshotTable.read(spark, table).filter(col("o_orderkey") <= 100)))
   }
 
+  test("format relation: the write path maps SaveModes onto the commit protocol") {
+    import graft.sources.{SnapshotRelationProvider, SnapshotTable}
+    import org.apache.spark.sql.SaveMode
+    val table = tmpTable()
+    val o = ordersNarrow
+    def write(df: org.apache.spark.sql.DataFrame, mode: SaveMode): Unit =
+      df.write.format(SnapshotRelationProvider.format)
+        .option("path", table).option("statsColumns", "o_orderkey").mode(mode).save()
+    write(o.filter(col("o_orderkey") % 3 === 0), SaveMode.Overwrite)
+    write(o.filter(col("o_orderkey") % 3 === 1), SaveMode.Append)
+    assert(SnapshotTable.currentVersion(table) === 2L)
+    assert(SnapshotTable.manifest(table, 2L).files.forall(_.stats.contains("o_orderkey")))
+    assert(keys(SnapshotTable.read(spark, table)) ===
+      keys(o.filter(col("o_orderkey") % 3 =!= 2)))
+    // Ignore keeps the table; ErrorIfExists refuses; Overwrite restarts
+    write(o.limit(1), SaveMode.Ignore)
+    assert(SnapshotTable.currentVersion(table) === 2L)
+    intercept[IllegalStateException] { write(o.limit(1), SaveMode.ErrorIfExists) }
+    write(o.filter(col("o_orderkey") % 3 === 2), SaveMode.Overwrite)
+    assert(keys(SnapshotTable.read(spark, table)) ===
+      keys(o.filter(col("o_orderkey") % 3 === 2)))
+    // history intact: v2 still time-travels
+    assert(keys(SnapshotTable.read(spark, table, Some(2L))) ===
+      keys(o.filter(col("o_orderkey") % 3 =!= 2)))
+  }
+
   test("hadoop IO: rollback, branches and deletion vectors run the same protocol") {
     // the continuation ops are pure metadata + the shared read path, so
     // they must be provider-independent by construction — pinned here
