@@ -149,6 +149,10 @@ object RealCodecs {
         rate = le32(a, pos + 8 + 4).toInt
         bits = le16(a, pos + 8 + 14)
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      // size is attacker-controlled: negative/oversized would walk
+      // backwards or out of bounds — bound before advancing
+      require(size >= 0 && pos + 8 + size <= a.length,
+        s"doc $docId: RIFF chunk size $size overruns the file")
       pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are 2-byte aligned
     }
     require(dataOff >= 0, s"doc $docId: malformed WAV")
@@ -586,7 +590,12 @@ object RealCodecs {
     val z = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && pos + 12 <= a.length) {
+      // length field is attacker-controlled: a negative/oversized value
+      // would walk backwards (infinite loop) or read out of bounds —
+      // bound it against the remaining bytes BEFORE any use
       val len = be32(a, pos).toInt
+      require(len >= 0 && pos + 12L + len <= a.length,
+        s"doc ${b.doc_id}: chunk length $len overruns the file")
       val tpe = new String(a, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val crc = new java.util.zip.CRC32
       crc.update(a, pos + 4, 4 + len)
@@ -852,7 +861,10 @@ object RealCodecs {
     var nBlocks = 0
     var len = u8(a, pos); pos += 1
     while (len != 0) {
+      require(pos + len <= a.length,
+        s"doc ${b.doc_id}: GIF sub-block overruns the file")
       z.write(a, pos, len); pos += len; nBlocks += 1
+      require(pos < a.length, s"doc ${b.doc_id}: GIF missing block terminator")
       len = u8(a, pos); pos += 1
     }
     require(u8(a, pos) == 0x3b, s"doc ${b.doc_id}: missing GIF trailer")
