@@ -2252,6 +2252,72 @@ object RelCatalog extends QueryModule {
              |(SELECT COUNT(*) FROM e)::BIGINT AS n_edges""".stripMargin)
     ),
     Q(
+      "rel_clustering_coeff",
+      // Per-vertex LOCAL clustering coefficient (Watts & Strogatz 1998)
+      // over the same thresholded part co-purchase graph as
+      // rel_triangle_count — the per-vertex refinement of that global
+      // census: cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)), how close v's
+      // co-purchase neighborhood is to a clique (the product-bundle
+      // vs hub-part signal). Exact integer ppm; headroom to t ≈ 4.6e12
+      // incident triangles per vertex. Each triangle is produced ONCE
+      // from the canonical u<v<w wedge decomposition over the
+      // low-key→high-key edge list, then exploded to its three
+      // vertices for the per-center rollup — so the spec's handshake
+      // Σt(v) = 3·n_triangles against rel_triangle_count is exact.
+      // Output is the top-50 by (cc_ppm, degree, id) — total order.
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val und = graft.GraftCache.register(
+          li.as("a")
+            .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+            .agg(count(lit(1)).as("w"))
+            .filter(col("w") >= 2)
+            .select("u", "v")
+            .persist())
+        val deg = und.select(col("u").as("x"))
+          .unionByName(und.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        // canonical u<v<w: e1=(u,v) ⋈ e2=(u,w) with v<w, closed by (v,w)
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .join(
+            und.as("e3"),
+            col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"),
+            "left_semi")
+          .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("t"))
+        deg.filter(col("d") >= 2)
+          .join(tri, Seq("x"), "left_outer")
+          .na.fill(0L, Seq("t"))
+          .select(
+            col("x").as("part_id"),
+            col("d").as("degree"),
+            col("t").as("n_tri"),
+            expr("(CAST(2000000 AS BIGINT) * t) div (d * (d - 1))").as("cc_ppm"))
+          .orderBy(col("cc_ppm").desc, col("degree").desc, col("part_id"))
+          .limit(50)
+      },
+      Some("""WITH e AS (SELECT u, v FROM (
+             |            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+             |            FROM lineitem a JOIN lineitem b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |            GROUP BY 1, 2) WHERE w >= 2),
+             |tv AS (SELECT UNNEST([e1.u, e1.v, e2.v]) AS x
+             |       FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             |       SEMI JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+             |tri AS (SELECT x, COUNT(*)::BIGINT AS t FROM tv GROUP BY 1),
+             |deg AS (SELECT x, COUNT(*)::BIGINT AS d FROM
+             |        (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+             |SELECT deg.x AS part_id, deg.d AS degree,
+             |COALESCE(tri.t, 0)::BIGINT AS n_tri,
+             |(2000000 * COALESCE(tri.t, 0)) // (deg.d * (deg.d - 1)) AS cc_ppm
+             |FROM deg LEFT JOIN tri ON deg.x = tri.x
+             |WHERE deg.d >= 2
+             |ORDER BY cc_ppm DESC, degree DESC, part_id LIMIT 50""".stripMargin)
+    ),
+    Q(
       "rel_join_null_safe",
       // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): ordinary
       // equi-joins silently drop null keys on both sides; dimension

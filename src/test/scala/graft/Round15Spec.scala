@@ -376,6 +376,41 @@ class Round15Spec extends AnyFunSuite {
     assert(e.getMessage.contains("at or before"))
   }
 
+  test("rel_clustering_coeff: brute-force recount on the co-purchase graph") {
+    val rows = SparkEntry.queries("rel_clustering_coeff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the thresholded co-purchase graph and recount by hand
+    val li = Tables(spark, sf).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // mirror the query's row-level pair semantics (no per-order part
+    // dedup — duplicate lines of a part contribute multiplicity, as
+    // the SQL self-join does)
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).sorted
+      for {
+        i <- ps.indices; j <- i + 1 until ps.length
+        if ps(i) < ps(j)
+      } yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    // (NOT Map.collect returning pairs — that would rebuild a Map
+    // keyed by u and silently collapse the edge set)
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (p, d, t, cc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ns = adj(p)
+      assert(d === ns.size.toLong, s"part $p degree")
+      val triBrute = ns.toSeq.combinations(2).count {
+        case Seq(a, b) => adj(a).contains(b)
+        case _ => false
+      }
+      assert(t === triBrute.toLong, s"part $p triangle incidence")
+      assert(cc === 2000000L * t / (d * (d - 1)))
+      assert(cc >= 0 && cc <= 1000000L)
+    }
+  }
+
   test("wd_hits: round-1 identities — auth seeds are indegrees, hubs sum them") {
     val rows = SparkEntry.queries("wd_hits")(spark, sf).collect()
     assert(rows.length === 20)
