@@ -63,7 +63,8 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       sqlContext,
       SnapshotSourceProvider.tableOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      metadataPath)
 }
 
 object SnapshotSourceProvider {
@@ -75,16 +76,43 @@ object SnapshotSourceProvider {
   val format: String = classOf[SnapshotSourceProvider].getName
 }
 
+/** The planned-offset HIGH-WATER MARK, persisted beside Spark's own
+  * checkpoint state under the source's metadataPath. Why it must
+  * persist: the admission cursor (`planned`) caps getOffset at
+  * `planned + maxVersionsPerTrigger`, and after a restart where the
+  * last batch was already committed Spark calls getOffset BEFORE any
+  * getBatch — a cursor re-seeded at 0 would report an offset BELOW the
+  * committed position, MicroBatchExecution would see the offset
+  * regress, and already-processed version slices would be redelivered
+  * as NEW batch ids (appendBatch's replay guard keys on batch id, so
+  * the duplicates would land). One small file, rewritten per planned
+  * batch, read once at source construction. */
+private[sources] final class HighWaterMark(metadataPath: String, conf: org.apache.hadoop.conf.Configuration) {
+  private val io = new HadoopSnapshotIO(conf)
+  private val path = s"$metadataPath/graft-highwater"
+  def load(): Long =
+    if (io.exists(path)) io.readString(path).trim.toLong else 0L
+  def advance(to: Long, current: Long): Long = {
+    val n = math.max(current, to)
+    if (n > current) io.writeString(path, n.toString)
+    n
+  }
+}
+
 private[sources] class SnapshotSource(
     sqlContext: SQLContext,
     table: String,
     override val schema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: String = "") extends Source {
 
   // admission-control cursor: the last offset a batch was planned up
-  // to, advanced in getBatch (which also replays the WAL position on
-  // restart — so the cap composes with recovery correctly)
-  @volatile private var planned = 0L
+  // to, advanced in getBatch and PERSISTED under metadataPath — on
+  // restart it recovers at the last planned position so the reported
+  // offset can never fall below the committed one (see HighWaterMark)
+  private val hwm =
+    new HighWaterMark(metadataPath, sqlContext.sparkSession.sessionState.newHadoopConf())
+  @volatile private var planned = if (metadataPath.isEmpty) 0L else hwm.load()
 
   /** Latest published version = the stream's high-water offset; None
     * until the first commit publishes. One metadata listing. With
@@ -103,20 +131,34 @@ private[sources] class SnapshotSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = version(end)
-    planned = math.max(planned, to)
+    planned = hwm.advance(to, planned)
+    val m = SnapshotTable.manifest(table, to)
     val files = start.map(version).filter(_ > 0L) match {
       case None =>
         // initial load: everything the table held up to `to` is the
         // base batch — resolved from to's manifest alone
-        SnapshotTable.manifest(table, to).files.map(_.path)
+        m.files.map(_.path)
       case Some(from) if from >= to => Nil
       case Some(from)               => SnapshotTable.incrementalFiles(table, from, to)
     }
     // the plan must carry streaming leaves (MicroBatchExecution asserts
     // it) while staying a declarative parquet relation — the Bridge
     // shim builds exactly what FileStreamSource hands back
-    org.apache.spark.sql.graftbridge.Bridge
+    val base = org.apache.spark.sql.graftbridge.Bridge
       .streamingParquetBatch(sqlContext.sparkSession, files, schema)
+    // deletion vectors apply on EVERY read path — the initial batch of
+    // a stream attached to a table with outstanding DVs must not emit
+    // deleted rows (steady-state slices can't cross a mode=delete
+    // commit: incrementalFiles refuses non-append chains)
+    SnapshotTable.dvPaths(m) match {
+      case Nil => base
+      case dvp =>
+        import org.apache.spark.sql.functions.col
+        val k = SnapshotTable.dvKeyOf(m).get
+        val dv = sqlContext.sparkSession.read.parquet(dvp: _*)
+          .select(col(k).as("__dvk")).distinct()
+        base.join(dv.hint("shuffle_hash"), base(k) === col("__dvk"), "left_anti")
+    }
   }
 
   /** Offsets come back as SerializedOffset after a checkpoint restart;
@@ -186,7 +228,8 @@ class SnapshotCdcSourceProvider extends StreamSourceProvider with DataSourceRegi
       parameters.getOrElse("key",
         throw new IllegalArgumentException("CDC source needs .option(\"key\", <column>)")),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      metadataPath)
 }
 
 object SnapshotCdcSourceProvider {
@@ -209,11 +252,17 @@ private[sources] class SnapshotCdcSource(
     table: String,
     key: String,
     override val schema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: String = "") extends Source {
 
   import org.apache.spark.sql.functions.{col, lit}
 
-  @volatile private var planned = 0L
+  // persisted admission cursor — same restart contract as
+  // SnapshotSource (see HighWaterMark): the reported offset must never
+  // fall below the committed position after a recovery
+  private val hwm =
+    new HighWaterMark(metadataPath, sqlContext.sparkSession.sessionState.newHadoopConf())
+  @volatile private var planned = if (metadataPath.isEmpty) 0L else hwm.load()
 
   override def getOffset: Option[Offset] = {
     val v = SnapshotTable.currentVersion(table)
@@ -227,7 +276,7 @@ private[sources] class SnapshotCdcSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = sqlContext.sparkSession
     val to = version(end)
-    planned = math.max(planned, to)
+    planned = hwm.advance(to, planned)
     start.map(version).filter(_ > 0L) match {
       case None =>
         // initial load: the head STATE as insert rows — streaming

@@ -96,8 +96,12 @@ final class HadoopSnapshotIO(conf: org.apache.hadoop.conf.Configuration) extends
     try { fc.rename(new HPath(tmp), new HPath(target), Options.Rename.NONE); true }
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException if e.getMessage != null &&
-        e.getMessage.toLowerCase.contains("exists") => false
+      case e: java.io.IOException =>
+        // a lost publish race iff the target actually exists now; any
+        // other rename IOException (missing parent, transient storage
+        // fault) must SURFACE — classifying it as a race would send
+        // commitRetry into futile retries that mask the real cause
+        if (exists(target)) false else throw e
     }
   }
   def delete(path: String): Boolean = fs(path).delete(new HPath(path), false)
@@ -521,6 +525,10 @@ object SnapshotTable {
       newData, table, current + 1, current, survivors, "merge",
       if (statsColumns.isEmpty) Seq(key) else statsColumns,
       extra + ("merged-files" -> touched.size.toString), io)
+    // publishVersion materialized every consumer of the keys frame — a
+    // long-running mergeBatch loop must not accumulate one cached
+    // DataFrame per micro-batch until harness-level cleanup
+    keys.unpersist(blocking = false)
     (touched.size, m.files.size, v)
   }
 
@@ -1064,11 +1072,24 @@ object SnapshotTable {
     if (cur == 0) return (0, 0)
     val keep = ((cur - retainLast + 1) max 1) to cur
     // a retained manifest references its data files AND its deletion-
-    // vector sidecars — reclaiming a DV would resurrect deleted rows
+    // vector sidecars — reclaiming a DV would resurrect deleted rows.
+    // Zero-copy branches (createBranch) share main's data files: every
+    // manifest of every live branch pins its references too, or
+    // vacuuming main mid-audit would break the WAP branch (ADVICE r10)
+    val branchRefs = io.list(s"$table/branches").flatMap { name =>
+      val bp = s"$table/branches/$name"
+      (1L to currentVersion(bp, io)).flatMap { v =>
+        if (!io.exists(manifestPath(bp, v))) Nil
+        else {
+          val m = manifest(bp, v, io)
+          m.files.map(_.path) ++ dvPaths(m)
+        }
+      }
+    }
     val referenced = keep.flatMap { v =>
       val m = manifest(table, v, io)
       m.files.map(_.path) ++ dvPaths(m)
-    }.toSet
+    }.toSet ++ branchRefs
     var mDel = 0
     (1L until keep.head).foreach { v =>
       if (io.delete(manifestPath(table, v))) mDel += 1
