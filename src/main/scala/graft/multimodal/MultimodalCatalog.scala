@@ -422,6 +422,50 @@ object MultimodalCatalog extends QueryModule {
              |FROM px ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_jpeg_decode",
+      // The THIRD compression family across the decoder seam, and what
+      // an actual image corpus ships: baseline sequential JPEG
+      // (ITU-T T.81) — per-block forward DCT, quantization, zigzag,
+      // DC-differential + AC run-length Huffman with byte stuffing,
+      // and RESTART MARKERS every 2 MCUs — both directions implemented
+      // from the spec (RealCodecs.jpegEncode/jpegDecode, Annex K
+      // tables read from the FILE on decode, never assumed). Oracle
+      // exactness despite a lossy codec: the fixture's pixel law is
+      // CONSTANT PER 8×8 BLOCK, whose FDCT is pure DC with every AC
+      // exactly zero — with the all-ones quant table the round trip is
+      // bit-exact, so the relational oracle recomputes the decoded
+      // pixels (and the restart count, deterministic from the block
+      // count: ceil(blocks/2)−1). The general AC/textured path runs
+      // unconditionally and is spec-pinned against the JDK's
+      // independent ImageIO decoder (MultimodalSpec).
+      //
+      // Scale posture: identical to the other decoder-seam ops —
+      // narrow per-asset build+parse in one mapPartitions, Fan.out
+      // first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.jpegBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeJpeg(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT doc_id,
+             |         (8 * (doc_id % 4 + 1))::INTEGER AS w,
+             |         (8 * (doc_id % 3 + 1))::INTEGER AS h,
+             |         [unicode(substr(text, (b % length(text) + 1)::INTEGER, 1))
+             |          for b in range(0, (doc_id % 4 + 1) * (doc_id % 3 + 1))] AS blocks
+             |       FROM documents)
+             |SELECT doc_id, 'jpeg' AS fmt, w AS width, h AS height,
+             |(w * h)::BIGINT AS n_px, (64 * list_sum(blocks))::BIGINT AS px_sum,
+             |list_min(blocks)::INTEGER AS px_min, list_max(blocks)::INTEGER AS px_max,
+             |len(blocks)::INTEGER AS n_blocks,
+             |((len(blocks) - 1) // 2)::INTEGER AS n_restarts
+             |FROM px ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_wav_pcm16",
       // The production AUDIO BIT DEPTH across the decoder seam: real
       // mono 16-bit-PCM WAVs (sample = (char − 64) · 257, the natural

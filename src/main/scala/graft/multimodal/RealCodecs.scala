@@ -961,4 +961,444 @@ object RealCodecs {
     implicit val enc = Encoders.product[Pcm16Stat]
     blobs.mapPartitions(_.map(pcm16Stats))
   }
+
+  // ---- JPEG (baseline sequential DCT, ITU-T T.81) ----
+  //
+  // The THIRD compression family across the decoder seam, and the one
+  // an actual image corpus ships: where PNG exercised zlib (Huffman +
+  // LZ77 via the JVM) and GIF a hand-rolled LZW, baseline JPEG is a
+  // transform coder — per-block forward DCT, quantization, zigzag,
+  // DC-differential + run-length Huffman entropy coding with byte
+  // stuffing and RESTART MARKERS — implemented here in BOTH directions
+  // from the T.81 spec (FDCT/IDCT per A.3.3, Huffman per C.1-C.3 and
+  // F.2.2, markers per B.2). Tables are the Annex K.3 typical
+  // luminance tables.
+
+  /** One decoded JPEG's pixel statistics. n_restarts pins the restart
+    * machinery (DRI + RSTn consumed, DC predictor reset, bit
+    * realignment) — deterministic from the block count, so the oracle
+    * recomputes it. */
+  final case class JpegStat(
+      doc_id: Long,
+      fmt: String,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      px_sum: Long,
+      px_min: Int,
+      px_max: Int,
+      n_blocks: Int,
+      n_restarts: Int)
+
+  /** Zigzag scan order: zigzag(k) = row-major index of the k-th
+    * coefficient (T.81 Figure 5). */
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.3.1 typical luminance Huffman tables: BITS (code counts
+  // per length 1..16) and HUFFVAL (symbols in code order)
+  private val dcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcVals: Array[Int] = (0 to 11).toArray
+  private val acBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val acVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman encode table (C.1-C.3): symbol → (code, length). */
+  private def huffEncode(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val table = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        table(vals(k)) = (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    table
+  }
+
+  private lazy val dcEnc = huffEncode(dcBits, dcVals)
+  private lazy val acEnc = huffEncode(acBits, acVals)
+
+  /** Canonical decode tables (F.2.2.3's DECODE): per code length the
+    * smallest/largest code and the HUFFVAL offset. */
+  private final class HuffDec(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) { maxcode(l) = -1 }
+        else {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(read: () => Int): Int = {
+      var code = read()
+      var l = 1
+      while (l < 16 && (maxcode(l) < 0 || code > maxcode(l))) {
+        code = (code << 1) | read()
+        l += 1
+      }
+      require(maxcode(l) >= 0 && code <= maxcode(l), "bad Huffman code")
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  private val cosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  private val cNorm: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Category (bit length) of a magnitude value (F.1.2.1.1). */
+  private def category(v: Int): Int = {
+    var t = 0; var m = math.abs(v)
+    while (m != 0) { t += 1; m >>= 1 }
+    t
+  }
+
+  /** A REAL baseline JFIF JPEG, 8-bit grayscale: w = 8·(doc_id%4+1),
+    * h = 8·(doc_id%3+1), pixel law CONSTANT PER 8×8 BLOCK — block k
+    * (row-major) holds text charAt(k mod len). A constant block's FDCT
+    * is pure DC (8·(v−128), every AC exactly zero), so with the
+    * all-ones quantization table the lossy pipeline is EXACT on this
+    * law and the relational oracle can recompute the decoded pixels —
+    * while the full general-image encoder below (FDCT, quantize,
+    * zigzag, DC-diff + AC run-length Huffman, byte stuffing) runs
+    * unconditionally; MultimodalSpec drives the AC/textured path
+    * against an independent reference decoder. Restart interval 2
+    * (DRI + RSTn every two MCUs) forces the multi-segment entropy
+    * stream on any image with ≥3 blocks. */
+  def jpegBytes(docId: Long, text: String): Array[Byte] =
+    jpegEncode(
+      docId,
+      (8 * (docId % 4 + 1)).toInt,
+      (8 * (docId % 3 + 1)).toInt,
+      (r, c, w0) => {
+        val bi = (r / 8) * (w0 / 8) + (c / 8)
+        text.charAt((bi % text.length).toInt).toInt
+      },
+      text)
+
+  /** General baseline encoder (single grayscale component, dimensions
+    * multiples of 8, quantization all-ones, restart interval 2).
+    * Package-visible so the spec can feed a TEXTURED image through the
+    * full AC path. */
+  private[graft] def jpegEncode(
+      docId: Long,
+      w: Int,
+      h: Int,
+      px: (Int, Int, Int) => Int,
+      text: String): Array[Byte] = {
+    requireAscii(docId, text)
+    require(w % 8 == 0 && h % 8 == 0, s"doc $docId: dims must be 8-multiples")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write(((body.length + 2) >> 8) & 0xff); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array.tabulate[Byte](65)(i => if (i == 0) 0 else 1)) // DQT: Pq=0 Tq=0, all 1s
+    seg(0xc0, Array[Byte](8, // SOF0: precision
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant table 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(0xc4, ((cls << 4 | 0) +: (bits ++ vals)).map(_.toByte).toArray)
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    seg(0xdd, Array[Byte](0, 2)) // DRI: restart interval 2 MCUs
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC0/AC0
+    // entropy-coded data with byte stuffing
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((bits >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) out.write(0x00) // stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def align1s(): Unit = while (bitCnt != 0) putBits(1, 1)
+    val bw = w / 8; val bh = h / 8
+    val coef = new Array[Int](64)
+    var pred = 0
+    var mcu = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (mcu > 0 && mcu % 2 == 0) {
+          // restart boundary: byte-align with 1-bits, emit RSTn, reset
+          // the DC predictor — the per-segment independence that lets a
+          // parallel decoder re-sync mid-stream
+          align1s()
+          marker(0xd0 + ((mcu / 2 - 1) % 8))
+          pred = 0
+        }
+        // forward DCT of the level-shifted block (A.3.3), quantized
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var x = 0
+            while (x < 8) {
+              var y = 0
+              while (y < 8) {
+                s += (px(by * 8 + y, bx * 8 + x, w) - 128) * cosT(x)(u) * cosT(y)(v)
+                y += 1
+              }
+              x += 1
+            }
+            coef(v * 8 + u) = math.round(0.25 * cNorm(u) * cNorm(v) * s).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC: differential, category + magnitude bits (F.1.2.1)
+        val dc = coef(0)
+        val diff = dc - pred
+        pred = dc
+        val t = category(diff)
+        val (dcCode, dcLen) = dcEnc(t)
+        putBits(dcCode, dcLen)
+        if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        // AC: run-length of zeros in zigzag order (F.1.2.2)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val ac = coef(zigzag(k))
+          if (ac == 0) run += 1
+          else {
+            while (run > 15) { val (c0, l0) = acEnc(0xf0); putBits(c0, l0); run -= 16 }
+            val ta = category(ac)
+            val (c1, l1) = acEnc((run << 4) | ta)
+            putBits(c1, l1)
+            putBits(if (ac < 0) ac + (1 << ta) - 1 else ac, ta)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c2, l2) = acEnc(0x00); putBits(c2, l2) } // EOB
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    align1s()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode one baseline JPEG trusting ONLY the bytes: marker walk,
+    * DQT/DHT/SOF0/DRI/SOS parses (tables taken from the FILE, not
+    * assumed), entropy decode with byte unstuffing, restart-marker
+    * consumption (sequence verified, DC predictor reset, bit
+    * realignment), dequantization, de-zigzag, and a real IDCT with
+    * level shift + clamp. Returns the decoded pixel array + metadata;
+    * [[jpegStats]] is the Dataset-facing aggregate. */
+  private[graft] def jpegDecode(docId: Long, a: Array[Byte]): (Int, Int, Array[Byte], Int) = {
+    require(a.length >= 4 && u8(a, 0) == 0xff && u8(a, 1) == 0xd8, s"doc $docId: not a JPEG")
+    var pos = 2
+    var w = 0; var h = 0
+    var dri = 0
+    val quant = new Array[Int](64)
+    var dcDec: HuffDec = null
+    var acDec: HuffDec = null
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= a.length, s"doc $docId: truncated before SOS")
+      require(u8(a, pos) == 0xff, s"doc $docId: expected marker at $pos")
+      val m = u8(a, pos + 1)
+      val len = (u8(a, pos + 2) << 8) | u8(a, pos + 3)
+      require(pos + 2 + len <= a.length, s"doc $docId: segment overruns file")
+      m match {
+        case 0xdb =>
+          require(u8(a, pos + 4) == 0, s"doc $docId: only 8-bit quant tables supported")
+          var i = 0
+          while (i < 64) { quant(i) = u8(a, pos + 5 + i); i += 1 }
+        case 0xc0 =>
+          require(u8(a, pos + 4) == 8, s"doc $docId: need 8-bit precision")
+          h = (u8(a, pos + 5) << 8) | u8(a, pos + 6)
+          w = (u8(a, pos + 7) << 8) | u8(a, pos + 8)
+          require(u8(a, pos + 9) == 1, s"doc $docId: need single-component grayscale")
+          require(u8(a, pos + 11) == 0x11, s"doc $docId: need 1x1 sampling")
+        case 0xc4 =>
+          var off = pos + 4
+          val end = pos + 2 + len
+          while (off < end) {
+            val tc = u8(a, off) >> 4
+            val bits = Array.tabulate(16)(i => u8(a, off + 1 + i))
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => u8(a, off + 17 + i))
+            if (tc == 0) dcDec = new HuffDec(bits, vals) else acDec = new HuffDec(bits, vals)
+            off += 17 + n
+          }
+        case 0xdd => dri = (u8(a, pos + 4) << 8) | u8(a, pos + 5)
+        case 0xda => sosAt = pos + 2 + len
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            s"doc $docId: non-baseline SOF marker ${m.toHexString} unsupported")
+        case _ => // APPn / COM skipped
+      }
+      pos += 2 + len
+    }
+    require(w > 0 && h > 0 && dcDec != null && acDec != null,
+      s"doc $docId: missing SOF/DHT before SOS")
+    require(w.toLong * h <= (64L << 20), s"doc $docId: dims $w x $h exceed the 64 MiB bound")
+    // entropy decode
+    var ep = sosAt
+    var bitBuf = 0; var bitCnt = 0
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        require(ep < a.length, s"doc $docId: entropy stream truncated")
+        var b = u8(a, ep); ep += 1
+        if (b == 0xff) {
+          require(ep < a.length && u8(a, ep) == 0x00,
+            s"doc $docId: unexpected marker inside entropy segment")
+          ep += 1 // stuffed zero consumed
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def extend(v: Int, t: Int): Int = if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def receive(t: Int): Int = { var v = 0; var i = 0; while (i < t) { v = (v << 1) | readBit(); i += 1 }; v }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val recon = new Array[Byte](w * h)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var mcu = 0
+    var nRst = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          bitCnt = 0 // discard pad bits to the byte boundary
+          require(ep + 2 <= a.length && u8(a, ep) == 0xff &&
+            u8(a, ep + 1) == 0xd0 + ((mcu / dri - 1) % 8),
+            s"doc $docId: expected RST${(mcu / dri - 1) % 8} at $ep")
+          ep += 2
+          pred = 0
+          nRst += 1
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = dcDec.decode(readBit _)
+        pred += extend(receive(t), t)
+        coef(0) = pred * quant(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acDec.decode(readBit _)
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += r
+            require(k < 64, s"doc $docId: AC run overflows the block")
+            coef(zigzag(k)) = extend(receive(s), s) * quant(k)
+            k += 1
+          }
+        }
+        // IDCT (A.3.3) + level shift + clamp, cropped to the image
+        var y = 0
+        while (y < 8) {
+          val ry = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val cx = bx * 8 + x
+            if (ry < h && cx < w) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  s += cNorm(u) * cNorm(v) * coef(v * 8 + u) * cosT(x)(u) * cosT(y)(v)
+                  v += 1
+                }
+                u += 1
+              }
+              val p = math.round(0.25 * s).toInt + 128
+              recon(ry * w + cx) = (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, recon, nRst)
+  }
+
+  def jpegStats(b: Blob): JpegStat = {
+    val (w, h, px, nRst) = jpegDecode(b.doc_id, b.bytes)
+    var sum = 0L; var mn = 256; var mx = -1
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    JpegStat(b.doc_id, "jpeg", w, h, px.length.toLong, sum, mn, mx,
+      ((w + 7) / 8) * ((h + 7) / 8), nRst)
+  }
+
+  /** Same seam shape as [[decode]], one JPEG-stat row per asset. */
+  def decodeJpeg(blobs: Dataset[Blob]): Dataset[JpegStat] = {
+    implicit val enc = Encoders.product[JpegStat]
+    blobs.mapPartitions(_.map(jpegStats))
+  }
 }

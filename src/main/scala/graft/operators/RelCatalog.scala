@@ -2260,9 +2260,14 @@ object RelCatalog extends QueryModule {
       // co-purchase neighborhood is to a clique (the product-bundle
       // vs hub-part signal). Exact integer ppm; headroom to t ≈ 4.6e12
       // incident triangles per vertex. Each triangle is produced ONCE
-      // from the canonical u<v<w wedge decomposition over the
-      // low-key→high-key edge list, then exploded to its three
-      // vertices for the per-center rollup — so the spec's handshake
+      // from the DEGREE-ORDERED oriented wedge decomposition — the
+      // same Chiba–Nishizeki plan as rel_triangle_count (low-degree
+      // endpoint first, ties by id; wedge fan-out bounded by
+      // arboricity, O(m^1.5) total work, instead of by the max raw
+      // degree a key-ordered orientation leaves on a hub part) — then
+      // exploded to its three vertices for the per-center rollup. The
+      // triangle SET is orientation-invariant, so the oracle keeps the
+      // canonical u<v<w formulation and the spec's handshake
       // Σt(v) = 3·n_triangles against rel_triangle_count is exact.
       // Output is the top-50 by (cc_ppm, degree, id) — total order.
       (s, dir) => {
@@ -2279,14 +2284,31 @@ object RelCatalog extends QueryModule {
         val deg = und.select(col("u").as("x"))
           .unionByName(und.select(col("v").as("x")))
           .groupBy("x").agg(count(lit(1)).as("d"))
-        // canonical u<v<w: e1=(u,v) ⋈ e2=(u,w) with v<w, closed by (v,w)
-        val tri = und.as("e1")
-          .join(und.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        // total orientation key: degree first, id breaks ties — the
+        // 2^31 pack shift is safe for the same reason as
+        // rel_triangle_count (nonnegative INT partkeys, degree <
+        // n_vertices <= 2^31, product inside BIGINT)
+        val ku = col("du") * lit(2147483648L) + col("u")
+        val kv = col("dv") * lit(2147483648L) + col("v")
+        val oriented = graft.GraftCache.truncate(
+          und
+            .join(broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du")), "u")
+            .join(broadcast(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv")), "v")
+            .select(
+              when(ku <= kv, col("u")).otherwise(col("v")).as("s"),
+              when(ku <= kv, col("v")).otherwise(col("u")).as("t"),
+              greatest(ku, kv).as("kt")))
+        // wedge (s; a, b) with kt(a) < kt(b); the closing edge is
+        // stored oriented a→b by construction, so one two-column
+        // equi-semi-join closes it and each triangle surfaces once
+        val tri = oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
+          .select(col("e1.s").as("c"), col("e1.t").as("a"), col("e2.t").as("b"))
           .join(
-            und.as("e3"),
-            col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"),
+            oriented.as("e3"),
+            col("a") === col("e3.s") && col("b") === col("e3.t"),
             "left_semi")
-          .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("x"))
+          .select(explode(array(col("c"), col("a"), col("b"))).as("x"))
           .groupBy("x").agg(count(lit(1)).as("t"))
         deg.filter(col("d") >= 2)
           .join(tri, Seq("x"), "left_outer")

@@ -117,7 +117,12 @@ class SnapshotRelation(
     * (stats prove absence, never presence). Package-visible so the
     * spec pins the pruning decisions without driving a full scan. */
   private[graft] def prunedEntries(filters: Array[Filter]): Seq[SnapshotTable.FileEntry] = {
-    def keep(f: SnapshotTable.FileEntry, filter: Filter): Boolean = filter match {
+    // written against StatRanges, so the SAME predicate first skips
+    // whole manifest segments via their aggregated bounds (a missed
+    // segment's file list is never loaded), then files inside the
+    // segments that survived — planning stays O(segments + hit files)
+    // on a 1M-file table
+    def keep(f: SnapshotTable.StatRanges, filter: Filter): Boolean = filter match {
       case EqualTo(c, v) if isIntegral(c) =>
         longOf(v).forall(l => f.stats.get(c).forall { case (mn, mx) => l >= mn && l <= mx })
       case GreaterThan(c, v) if isIntegral(c) =>
@@ -136,10 +141,15 @@ class SnapshotRelation(
         f.sstats.get(c).forall { case (mn, mx) =>
           SnapshotTable.FileEntry.bytesLe(mn, v) && SnapshotTable.FileEntry.bytesLe(v, mx)
         }
+      // null-count stats: Catalyst emits IsNotNull(c) beside ANY
+      // predicate on c, so an all-NULL file (the add-column evolution
+      // shape) is pruned for every query touching the column
+      case IsNotNull(c) => f.nstats.get(c).forall { case (n, r) => n < r }
+      case IsNull(c)    => f.nstats.get(c).forall { case (n, _) => n > 0 }
       case And(l, r) => keep(f, l) && keep(f, r)
       case _         => true // unsupported shapes never prune
     }
-    m.files.filter(f => filters.forall(keep(f, _)))
+    m.filesMatching(f => filters.forall(keep(f, _)))
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {

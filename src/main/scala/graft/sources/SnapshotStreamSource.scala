@@ -88,13 +88,30 @@ object SnapshotSourceProvider {
   * the duplicates would land). One small file, rewritten per planned
   * batch, read once at source construction. */
 private[sources] final class HighWaterMark(metadataPath: String, conf: org.apache.hadoop.conf.Configuration) {
-  private val io = new HadoopSnapshotIO(conf)
+  // an empty metadataPath (direct construction in tests / embedding)
+  // means NO persistence at all — the cursor is purely in-memory and
+  // the filesystem is never touched. Without this guard the write path
+  // would be "/graft-highwater": the filesystem root.
+  private val persistent = metadataPath.nonEmpty
+  private lazy val io = new HadoopSnapshotIO(conf)
   private val path = s"$metadataPath/graft-highwater"
+  /** Last persisted planned offset; 0 when nothing was persisted. A
+    * truncated/garbled file (crash mid-write under a pre-atomic layout)
+    * degrades to 0 with a warning rather than wedging the source at
+    * construction — under-reporting `planned` only re-plans a batch,
+    * which the offset WAL already dedupes. */
   def load(): Long =
-    if (io.exists(path)) io.readString(path).trim.toLong else 0L
+    if (!persistent || !io.exists(path)) 0L
+    else try io.readString(path).trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        System.err.println(
+          s"[graft] WARN unparseable high-water mark at $path — treating as 0 (a batch may be re-planned)")
+        0L
+    }
   def advance(to: Long, current: Long): Long = {
     val n = math.max(current, to)
-    if (n > current) io.writeString(path, n.toString)
+    if (n > current && persistent) io.writeStringAtomic(path, n.toString)
     n
   }
 }
@@ -112,7 +129,7 @@ private[sources] class SnapshotSource(
   // offset can never fall below the committed one (see HighWaterMark)
   private val hwm =
     new HighWaterMark(metadataPath, sqlContext.sparkSession.sessionState.newHadoopConf())
-  @volatile private var planned = if (metadataPath.isEmpty) 0L else hwm.load()
+  @volatile private var planned = hwm.load()
 
   /** Latest published version = the stream's high-water offset; None
     * until the first commit publishes. One metadata listing. With
@@ -154,7 +171,11 @@ private[sources] class SnapshotSource(
       case Nil => base
       case dvp =>
         import org.apache.spark.sql.functions.col
-        val k = SnapshotTable.dvKeyOf(m).get
+        val k = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
+          s"snapshot table $table has deletion-vector files but no dvkey in its manifest — corrupt metadata"))
+        require(schema.fieldNames.contains(k),
+          s"stream schema must include the deletion-vector key column '$k' " +
+            s"(got ${schema.fieldNames.mkString(",")}) — DVs cannot be applied without it")
         val dv = sqlContext.sparkSession.read.parquet(dvp: _*)
           .select(col(k).as("__dvk")).distinct()
         base.join(dv.hint("shuffle_hash"), base(k) === col("__dvk"), "left_anti")
@@ -262,7 +283,7 @@ private[sources] class SnapshotCdcSource(
   // fall below the committed position after a recovery
   private val hwm =
     new HighWaterMark(metadataPath, sqlContext.sparkSession.sessionState.newHadoopConf())
-  @volatile private var planned = if (metadataPath.isEmpty) 0L else hwm.load()
+  @volatile private var planned = hwm.load()
 
   override def getOffset: Option[Offset] = {
     val v = SnapshotTable.currentVersion(table)
@@ -288,7 +309,8 @@ private[sources] class SnapshotCdcSource(
         val live = SnapshotTable.dvPaths(m) match {
           case Nil => base
           case dvp =>
-            val k = SnapshotTable.dvKeyOf(m).get
+            val k = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
+              s"snapshot table $table has deletion-vector files but no dvkey in its manifest — corrupt metadata"))
             val dv = spark.read.parquet(dvp: _*).select(col(k).as("__dvk")).distinct()
             base.join(dv.hint("shuffle_hash"), base(k) === col("__dvk"), "left_anti")
         }

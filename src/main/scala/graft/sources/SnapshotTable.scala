@@ -22,6 +22,13 @@ trait SnapshotIO {
   def readString(path: String): String
   /** Write (overwriting) a small metadata file, creating parents. */
   def writeString(path: String, s: String): Unit
+  /** Write (overwriting) a small metadata file ATOMICALLY — full content
+    * under a hidden temp name, then rename-with-overwrite into place. A
+    * crash mid-write can never leave a truncated file at `path`; readers
+    * observe either the previous content or the new one. For files that
+    * are REWRITTEN in place (e.g. the streaming high-water mark), where
+    * [[publishExclusive]]'s create-if-absent contract doesn't fit. */
+  def writeStringAtomic(path: String, s: String): Unit
   /** Atomically make `tmp`'s content visible at `target`, FAILING (false)
     * if `target` already exists — of two racing writers exactly one may
     * win. `tmp` may or may not survive; callers delete it afterwards. */
@@ -50,6 +57,15 @@ object LocalSnapshotIO extends SnapshotIO {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
     Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+  }
+  def writeStringAtomic(path: String, s: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
+    Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
   def publishExclusive(tmp: String, target: String): Boolean =
     try { Files.createLink(Paths.get(target), Paths.get(tmp)); true }
@@ -90,6 +106,15 @@ final class HadoopSnapshotIO(conf: org.apache.hadoop.conf.Configuration) extends
     val out = fs(path).create(new HPath(path), true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+  def writeStringAtomic(path: String, s: String): Unit = {
+    val target = new HPath(path)
+    val tmp = new HPath(target.getParent, s".${target.getName}.tmp")
+    writeString(tmp.toString, s)
+    // rename-with-overwrite: atomic on HDFS; the same FileContext
+    // primitive publishExclusive rides, with Rename.OVERWRITE
+    val fc = FileContext.getFileContext(target.toUri, conf)
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
   }
   def publishExclusive(tmp: String, target: String): Boolean = {
     val fc = FileContext.getFileContext(new HPath(target).toUri, conf)
@@ -159,20 +184,37 @@ final class HadoopSnapshotIO(conf: org.apache.hadoop.conf.Configuration) extends
   */
 object SnapshotTable {
 
+  /** The shared stat-range shape of a file entry AND a segment
+    * reference: per-column integer / raw-string [min, max] bounds.
+    * Pruning predicates written against this trait apply at BOTH
+    * granularities — skip a whole segment without opening it, then
+    * skip files inside the segments that survived. */
+  sealed trait StatRanges {
+    def stats: Map[String, (Long, Long)]
+    def sstats: Map[String, (String, String)]
+    /** Per-column (nullCount, rowCount) — what prunes IS [NOT] NULL:
+      * nulls == 0 proves no NULL row, nulls == rows proves no non-NULL
+      * row. Also the per-file row count a join sizer wants. */
+    def nstats: Map[String, (Long, Long)]
+  }
+
   /** One data file with optional per-column (min, max) stats — integer
     * ranges in `stats`, raw-string ranges in `sstats` (compared
     * byte-wise over UTF-8, matching Spark's binary string ordering, so
-    * a bound recorded by Spark's min/max is sound at prune time). */
+    * a bound recorded by Spark's min/max is sound at prune time) —
+    * plus per-column (nullCount, rowCount) in `nstats`. */
   final case class FileEntry(
       path: String,
       stats: Map[String, (Long, Long)],
-      sstats: Map[String, (String, String)] = Map.empty) {
+      sstats: Map[String, (String, String)] = Map.empty,
+      nstats: Map[String, (Long, Long)] = Map.empty) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c:s:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
       }
-      (path +: (ist ++ sst)).mkString("|")
+      val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
+      (path +: (ist ++ sst ++ nst)).mkString("|")
     }
   }
 
@@ -188,16 +230,18 @@ object SnapshotTable {
       val parts = s.split('|')
       val ist = Map.newBuilder[String, (Long, Long)]
       val sst = Map.newBuilder[String, (String, String)]
+      val nst = Map.newBuilder[String, (Long, Long)]
       parts.tail.foreach { st =>
         st.split(':') match {
           case Array(c, "s", lo, hi) => sst += c -> (unhex(lo), unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "") // empty-string bounds
+          case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
           case Array(c, lo, hi)      => ist += c -> (lo.toLong, hi.toLong)
           case other =>
             throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
         }
       }
-      FileEntry(parts.head, ist.result(), sst.result())
+      FileEntry(parts.head, ist.result(), sst.result(), nst.result())
     }
 
     /** Byte-wise unsigned UTF-8 comparison — the ordering Spark's
@@ -216,25 +260,160 @@ object SnapshotTable {
     }
   }
 
+  /** A reference to an immutable MANIFEST SEGMENT — a batch of file
+    * entries stored ONCE under manifests/segments/ and shared by every
+    * later manifest that still carries those files (the Iceberg
+    * manifest-list shape). The ref carries the segment's file count and
+    * its AGGREGATED per-column bounds (recorded for a column only when
+    * every contained file has bounds for it — absence means "must
+    * open"), so planning prunes whole segments from the manifest alone:
+    * a 1M-file table plans a selective read by reading the manifest
+    * (O(segments) lines) plus only the range-hit segments, and an
+    * append commit rewrites NO existing file list — it re-references
+    * the parent's segments and writes one new segment for its own
+    * files. */
+  final case class SegmentRef(
+      path: String,
+      count: Int,
+      stats: Map[String, (Long, Long)],
+      sstats: Map[String, (String, String)] = Map.empty,
+      nstats: Map[String, (Long, Long)] = Map.empty) extends StatRanges {
+    def line: String = {
+      val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
+      val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$c:s:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
+      }
+      val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
+      (path +: count.toString +: (ist ++ sst ++ nst)).mkString("|")
+    }
+  }
+
+  object SegmentRef {
+    def parse(s: String): SegmentRef = {
+      val parts = s.split('|')
+      val ist = Map.newBuilder[String, (Long, Long)]
+      val sst = Map.newBuilder[String, (String, String)]
+      val nst = Map.newBuilder[String, (Long, Long)]
+      parts.drop(2).foreach { st =>
+        st.split(':') match {
+          case Array(c, "s", lo, hi) => sst += c -> (FileEntry.unhex(lo), FileEntry.unhex(hi))
+          case Array(c, "s", _*)     => sst += c -> ("", "")
+          case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
+          case Array(c, lo, hi)      => ist += c -> (lo.toLong, hi.toLong)
+          case other =>
+            throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
+        }
+      }
+      SegmentRef(parts.head, parts(1).toInt, ist.result(), sst.result(), nst.result())
+    }
+  }
+
   final case class Manifest(
       version: Long,
       schema: StructType,
-      files: Seq[FileEntry],
-      extra: Map[String, String]) {
+      segments: Seq[SegmentRef],
+      inline: Seq[FileEntry],
+      extra: Map[String, String])(io: SnapshotIO) {
+
+    /** ALL file entries — inline (legacy flat manifests) plus every
+      * segment's, loaded on demand. Head reads and maintenance need
+      * this; pruned reads go through [[filesMatching]] instead and
+      * never load missed segments. */
+    lazy val files: Seq[FileEntry] =
+      inline ++ segments.flatMap(s => SnapshotTable.readSegment(s.path, io))
+
+    /** Total file count from the refs alone — no segment is opened. */
+    def fileCount: Long = inline.size.toLong + segments.map(_.count.toLong).sum
+
+    /** Two-level pruning: the SAME predicate (written against
+      * [[StatRanges]]) first skips whole segments via their aggregated
+      * bounds, then skips files inside the segments that survived.
+      * Soundness is inherited: a segment's recorded range covers every
+      * file it holds, so a segment-miss proves every contained file
+      * misses. */
+    def filesMatching(pred: StatRanges => Boolean): Seq[FileEntry] =
+      inline.filter(pred) ++ segments.filter(pred)
+        .flatMap(s => SnapshotTable.readSegment(s.path, io)).filter(pred)
+
     /** Files that can contain rows with `col` in [lo, hi]: stats prove
       * absence; a file without stats for the column must be read. */
     def filesFor(col: String, lo: Long, hi: Long): Seq[FileEntry] =
-      files.filter(f => f.stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      filesMatching(_.stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi })
 
     /** String-key pruning (date strings, ID prefixes): byte-wise range
       * intersection against the recorded string bounds. */
     def filesForString(col: String, lo: String, hi: String): Seq[FileEntry] =
-      files.filter(f => f.sstats.get(col).forall { case (mn, mx) =>
+      filesMatching(_.sstats.get(col).forall { case (mn, mx) =>
         FileEntry.bytesLe(lo, mx) && FileEntry.bytesLe(mn, hi)
       })
+
+    /** Files that can hold a row where `col` IS NOT NULL: nulls < rows
+      * disproves; absence of nstats means "must read". An all-NULL file
+      * (common after an add-column evolution — every pre-evolution file
+      * is all-NULL in the added column) is skipped without opening. */
+    def filesForNotNull(col: String): Seq[FileEntry] =
+      filesMatching(_.nstats.get(col).forall { case (n, r) => n < r })
+
+    /** Files that can hold a row where `col` IS NULL: nulls > 0. */
+    def filesForNull(col: String): Seq[FileEntry] =
+      filesMatching(_.nstats.get(col).forall { case (n, _) => n > 0 })
   }
 
   private def manifestDir(table: String): String = s"$table/manifests"
+
+  private def segmentDir(table: String): String = s"$table/manifests/segments"
+
+  /** Load one segment's file entries. Segment files are immutable —
+    * written once at commit, shared by reference ever after. */
+  private[sources] def readSegment(path: String, io: SnapshotIO): Seq[FileEntry] =
+    io.readString(path).linesIterator.collect {
+      case l if l.startsWith("file=") => FileEntry.parse(l.stripPrefix("file="))
+    }.toVector
+
+  /** Files per segment: bounds the cost of loading one segment (and of
+    * rewriting the touched ones under MERGE). 10k entries ≈ a few MB of
+    * text — at 1M files a manifest lists ~100 segment lines. */
+  private[sources] val SegmentMaxFiles = 10000
+
+  /** Write `entries` as new immutable segment file(s) under the table's
+    * segment directory and return their refs (count + aggregated
+    * bounds). A column's segment bound is recorded only when EVERY
+    * contained file carries bounds for it — otherwise the segment must
+    * always be opened for that column (stats prove absence only). */
+  private def writeSegments(
+      table: String,
+      version: Long,
+      entries: Seq[FileEntry],
+      io: SnapshotIO): Seq[SegmentRef] = {
+    if (entries.isEmpty) return Nil
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    entries.grouped(SegmentMaxFiles).zipWithIndex.map { case (chunk, i) =>
+      val path = s"${segmentDir(table)}/seg_v${version}_${token}_$i.seg"
+      val body = new StringBuilder()
+      chunk.foreach(f => body.append(s"file=${f.line}\n"))
+      io.writeString(path, body.toString)
+      val intCols = chunk.map(_.stats.keySet).reduce(_ intersect _)
+      val strCols = chunk.map(_.sstats.keySet).reduce(_ intersect _)
+      val nulCols = chunk.map(_.nstats.keySet).reduce(_ intersect _)
+      SegmentRef(
+        path,
+        chunk.size,
+        intCols.map { c =>
+          val bs = chunk.map(_.stats(c))
+          c -> (bs.map(_._1).min, bs.map(_._2).max)
+        }.toMap,
+        strCols.map { c =>
+          val bs = chunk.map(_.sstats(c))
+          c -> (
+            bs.map(_._1).reduce((a, b) => if (FileEntry.bytesLe(a, b)) a else b),
+            bs.map(_._2).reduce((a, b) => if (FileEntry.bytesLe(a, b)) b else a))
+        }.toMap,
+        nulCols.map { c =>
+          val bs = chunk.map(_.nstats(c))
+          c -> (bs.map(_._1).sum, bs.map(_._2).sum)
+        }.toMap)
+    }.toVector
+  }
 
   private def manifestPath(table: String, v: Long): String =
     s"${manifestDir(table)}/v$v.manifest"
@@ -251,19 +430,21 @@ object SnapshotTable {
     val p = manifestPath(table, version)
     require(io.exists(p), s"snapshot $version of $table is not published")
     var schema: StructType = null
+    val segs = Vector.newBuilder[SegmentRef]
     val files = Vector.newBuilder[FileEntry]
     val extra = Map.newBuilder[String, String]
     io.readString(p).linesIterator.foreach { l =>
       if (l.startsWith("schema=")) {
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
-      } else if (l.startsWith("file=")) files += FileEntry.parse(l.stripPrefix("file="))
+      } else if (l.startsWith("segment=")) segs += SegmentRef.parse(l.stripPrefix("segment="))
+      else if (l.startsWith("file=")) files += FileEntry.parse(l.stripPrefix("file="))
       else l.split("=", 2) match {
         case Array(k, v) => extra += k -> v
         case _           =>
       }
     }
     require(schema != null, s"manifest v$version of $table carries no schema")
-    Manifest(version, schema, files.result(), extra.result())
+    Manifest(version, schema, segs.result(), files.result(), extra.result())(io)
   }
 
   /** Write `df`'s data files for version `next`, collect their stats,
@@ -274,7 +455,8 @@ object SnapshotTable {
       table: String,
       next: Long,
       current: Long,
-      carried: Seq[FileEntry],
+      carriedSegments: Seq[SegmentRef],
+      carriedFiles: Seq[FileEntry],
       mode: String,
       statsColumns: Seq[String],
       extra: Map[String, String],
@@ -297,40 +479,55 @@ object SnapshotTable {
           .map(_.name).toSet
         val aggs = statsColumns.flatMap { c =>
           val v = if (stringCols(c)) col(c) else col(c).cast("long")
-          Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
-        }
+          // min/max ignore NULLs; the null count beside them is what
+          // prunes IS [NOT] NULL (and row count sizes the file)
+          Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"))
+        } :+ count(lit(1)).as("__nr")
         spark.read.parquet(dataDir)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             val p = new java.net.URI(r.getAs[String]("__f")).getPath
+            val nr = r.getAs[Long]("__nr")
+            // an ALL-NULL file has no min/max for the column — record
+            // no range (absence = "must read") instead of a bogus (0,0)
+            def hasRange(c: String) = !r.isNullAt(r.fieldIndex(s"__mn_$c"))
             FileEntry(
               p,
-              statsColumns.filterNot(stringCols).map(c =>
+              statsColumns.filterNot(stringCols).filter(hasRange).map(c =>
                 c -> (r.getAs[Long](s"__mn_$c"), r.getAs[Long](s"__mx_$c"))).toMap,
-              statsColumns.filter(stringCols).map(c =>
-                c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))).toMap)
+              statsColumns.filter(stringCols).filter(hasRange).map(c =>
+                c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))).toMap,
+              statsColumns.map(c => c -> (r.getAs[Long](s"__nu_$c"), nr)).toMap)
           }
           .toVector.sortBy(_.path)
       }
     // 2–3. manifest assembly + atomic-exclusive publication
-    publishManifest(table, next, current, df.schema, carried ++ newFiles, mode, extra, io)
+    publishManifest(table, next, current, df.schema,
+      carriedSegments, carriedFiles ++ newFiles, mode, extra, io)
   }
 
-  /** Assemble a manifest for `next` from already-written file entries
-    * and publish it atomically (exactly one racing writer wins). The
-    * metadata-only tail of every commit path; also the WHOLE of
-    * zero-copy operations (rollback) that re-point at existing files. */
+  /** Assemble a manifest for `next` — carried segments referenced
+    * VERBATIM (no rewrite: this is what keeps commit cost O(new files +
+    * segments) instead of O(total files)), new entries bundled into
+    * fresh immutable segment file(s) — and publish it atomically
+    * (exactly one racing writer wins; a loser's freshly-written
+    * segments orphan exactly like its data files and are reclaimed by
+    * vacuum). Also the WHOLE of zero-copy operations (rollback, fork,
+    * fast-forward publish) that re-point at existing segments. */
   private def publishManifest(
       table: String,
       next: Long,
       current: Long,
       schema: StructType,
-      entries: Seq[FileEntry],
+      carriedSegments: Seq[SegmentRef],
+      newEntries: Seq[FileEntry],
       mode: String,
       extra: Map[String, String],
       io: SnapshotIO): Long = {
+    val newSegs = writeSegments(table, next, newEntries, io)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${manifestDir(table)}/.tmp_v${next}_$token"
     val body = new StringBuilder()
@@ -339,7 +536,7 @@ object SnapshotTable {
       .append(s"mode=$mode\n")
     extra.foreach { case (k, v) => body.append(s"$k=$v\n") }
     body.append(s"schema=${schema.json}\n")
-    entries.foreach(f => body.append(s"file=${f.line}\n"))
+    (carriedSegments ++ newSegs).foreach(s => body.append(s"segment=${s.line}\n"))
     io.writeString(tmp, body.toString)
     val won = io.publishExclusive(tmp, manifestPath(table, next))
     io.delete(tmp)
@@ -392,7 +589,11 @@ object SnapshotTable {
     require(!extra.contains(DvKeyK) && !extra.contains(DvFilesK),
       s"$DvKeyK/$DvFilesK are reserved manifest keys (deletion-vector state)")
     var dvCarry = Map.empty[String, String]
-    val carried: Seq[FileEntry] =
+    // append: the parent's SEGMENTS are carried by reference — the
+    // commit never re-lists existing files, so a 1M-file table appends
+    // at O(new files + segment count). Parent inline entries (legacy
+    // flat manifests) re-bundle into a segment once, migrating forward.
+    val (carriedSegs, carriedFiles): (Seq[SegmentRef], Seq[FileEntry]) =
       if (append && current > 0) {
         val parent = manifest(table, current, io)
         val pf = parent.schema.fields
@@ -406,10 +607,10 @@ object SnapshotTable {
         // outstanding deletion vectors ride every append verbatim — a
         // commit that dropped them would resurrect the deleted rows
         dvCarry = dvExtra(parent)
-        parent.files
-      } else Vector.empty
+        (parent.segments, parent.inline)
+      } else (Vector.empty, Vector.empty)
     publishVersion(
-      df, table, current + 1, current, carried,
+      df, table, current + 1, current, carriedSegs, carriedFiles,
       if (append) "append" else "overwrite", statsColumns, extra ++ dvCarry, io)
   }
 
@@ -468,19 +669,28 @@ object SnapshotTable {
     val keyExpr = if (stringKey) col(key) else col(key).cast("long")
     val keys = graft.GraftCache.register(
       batch.select(keyExpr.as("__k")).distinct().persist())
-    // stats routing: file ranges are manifest metadata (one row per
-    // file) — broadcast them under the batch keys; collecting the
-    // touched INDEX SET back is file-count-sized, not data-sized.
-    // String keys compare through Spark's binary UTF8 ordering — the
-    // same ordering the recorded sstats bounds were computed under.
-    val ranged: Seq[(Int, Any, Any)] = m.files.zipWithIndex.flatMap { case (f, i) =>
-      if (stringKey) f.sstats.get(key).map { case (lo, hi) => (i, lo: Any, hi: Any) }
-      else f.stats.get(key).map { case (lo, hi) => (i, lo: Any, hi: Any) }
+    // the unpersist must also run on the THROW path: commitRetry
+    // re-invokes mergeBatch on a lost publish race, and each attempt
+    // persists a fresh keys frame — success-path-only cleanup would
+    // leak one cached DataFrame per retry, the exact class this
+    // cleanup exists to prevent
+    try {
+    // stats routing, TWO levels: ranges are manifest metadata —
+    // broadcast them under the batch keys; collecting the touched
+    // INDEX SET back is metadata-sized, not data-sized. String keys
+    // compare through Spark's binary UTF8 ordering — the same ordering
+    // the recorded sstats bounds were computed under.
+    def rangesOf(xs: Seq[StatRanges]): (Seq[(Int, Any, Any)], Set[Int]) = {
+      val ranged = xs.zipWithIndex.flatMap { case (f, i) =>
+        if (stringKey) f.sstats.get(key).map { case (lo, hi) => (i, lo: Any, hi: Any) }
+        else f.stats.get(key).map { case (lo, hi) => (i, lo: Any, hi: Any) }
+      }
+      val statless = xs.zipWithIndex.collect {
+        case (f, i) if !(if (stringKey) f.sstats.contains(key) else f.stats.contains(key)) => i
+      }.toSet
+      (ranged, statless)
     }
-    val statless = m.files.zipWithIndex.collect {
-      case (f, i) if !(if (stringKey) f.sstats.contains(key) else f.stats.contains(key)) => i
-    }.toSet
-    val hit: Set[Int] =
+    def hitOf(ranged: Seq[(Int, Any, Any)]): Set[Int] =
       if (ranged.isEmpty) Set.empty
       else {
         import spark.implicits._
@@ -495,9 +705,23 @@ object SnapshotTable {
           .join(broadcast(rangesDf), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select("__i").distinct().collect().map(_.getInt(0)).toSet
       }
-    val touchedIdx = statless ++ hit
-    val touched = m.files.zipWithIndex.collect { case (f, i) if touchedIdx(i) => f }
-    val survivors = m.files.zipWithIndex.collect { case (f, i) if !touchedIdx(i) => f }
+    // SEGMENT level first: a segment whose aggregated key range
+    // excludes every batch key is carried by REFERENCE — its file
+    // entries are never even loaded, so a selective merge against a
+    // 1M-file table routes at O(segments + touched) manifest cost
+    val (segRanged, segStatless) = rangesOf(m.segments)
+    val touchedSegIdx = segStatless ++ hitOf(segRanged)
+    val carriedSegs = m.segments.zipWithIndex.collect {
+      case (s, i) if !touchedSegIdx(i) => s
+    }
+    val candidates: Seq[FileEntry] = m.inline ++
+      m.segments.zipWithIndex.collect { case (s, i) if touchedSegIdx(i) => s }
+        .flatMap(s => readSegment(s.path, io))
+    // FILE level inside the segments that survived segment routing
+    val (ranged, statless) = rangesOf(candidates)
+    val touchedIdx = statless ++ hitOf(ranged)
+    val touched = candidates.zipWithIndex.collect { case (f, i) if touchedIdx(i) => f }
+    val survivors = candidates.zipWithIndex.collect { case (f, i) if !touchedIdx(i) => f }
     val touchedRows =
       if (touched.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
@@ -522,14 +746,16 @@ object SnapshotTable {
       .repartitionByRange(nOut, col(key))
       .sortWithinPartitions(key)
     val v = publishVersion(
-      newData, table, current + 1, current, survivors, "merge",
+      newData, table, current + 1, current, carriedSegs, survivors, "merge",
       if (statsColumns.isEmpty) Seq(key) else statsColumns,
       extra + ("merged-files" -> touched.size.toString), io)
-    // publishVersion materialized every consumer of the keys frame — a
-    // long-running mergeBatch loop must not accumulate one cached
-    // DataFrame per micro-batch until harness-level cleanup
-    keys.unpersist(blocking = false)
-    (touched.size, m.files.size, v)
+    (touched.size, m.fileCount.toInt, v)
+    } finally {
+      // publishVersion materialized every consumer of the keys frame — a
+      // long-running mergeBatch loop must not accumulate one cached
+      // DataFrame per micro-batch until harness-level cleanup
+      keys.unpersist(blocking = false)
+    }
   }
 
   /** ZERO-COPY ROLLBACK — the Delta RESTORE / Iceberg rollback shape:
@@ -561,7 +787,7 @@ object SnapshotTable {
       s"rollback target $toVersion outside published range [1, $current] of $table")
     val target = manifest(table, toVersion, io)
     publishManifest(
-      table, current + 1, current, target.schema, target.files,
+      table, current + 1, current, target.schema, target.segments, target.inline,
       mode = "rollback",
       extra = Map("restored-from" -> toVersion.toString) ++ dvExtra(target), io)
   }
@@ -592,7 +818,7 @@ object SnapshotTable {
     val bp = branchPath(table, name)
     require(currentVersion(bp, io) == 0, s"branch $name of $table already exists")
     val m = manifest(table, cur, io)
-    publishManifest(bp, 1L, 0L, m.schema, m.files,
+    publishManifest(bp, 1L, 0L, m.schema, m.segments, m.inline,
       mode = "fork", extra = Map("fork-of" -> cur.toString) ++ dvExtra(m), io)
   }
 
@@ -622,7 +848,7 @@ object SnapshotTable {
     val head = manifest(bp, bcur, io)
     val pureAppend = (2L to bcur).forall(v =>
       manifest(bp, v, io).extra.getOrElse("mode", "?") == "append")
-    publishManifest(table, cur + 1, cur, head.schema, head.files,
+    publishManifest(table, cur + 1, cur, head.schema, head.segments, head.inline,
       mode = if (pureAppend) "append" else "publish",
       extra = Map("wap-branch" -> name, "wap-commits" -> (bcur - 1).toString)
         ++ dvExtra(head), io)
@@ -637,10 +863,16 @@ object SnapshotTable {
     val bp = branchPath(table, name)
     val bcur = currentVersion(bp, io)
     if (bcur == 0) return (0, 0)
-    val mainRefs = (1L to currentVersion(table, io)).flatMap { v =>
-      if (io.exists(manifestPath(table, v))) manifest(table, v, io).files.map(_.path)
-      else Nil
-    }.toSet
+    // main's referenced paths, loading each unique segment ONCE —
+    // versions share segments by reference, so this is O(unique
+    // segments + manifests), not O(versions × files)
+    val mainManifests = (1L to currentVersion(table, io)).flatMap { v =>
+      if (io.exists(manifestPath(table, v))) Some(manifest(table, v, io)) else None
+    }
+    val mainRefs: Set[String] =
+      mainManifests.flatMap(_.inline.map(_.path)).toSet ++
+        mainManifests.flatMap(_.segments.map(_.path)).distinct
+          .flatMap(p => readSegment(p, io).map(_.path))
     var mDel = 0
     (1L to bcur).foreach { v => if (io.delete(manifestPath(bp, v))) mDel += 1 }
     var fDel = 0
@@ -728,6 +960,24 @@ object SnapshotTable {
     readFiles(spark, manifest(table, v, io), _.filesForString(column, lo, hi))
   }
 
+  /** NULL-membership pruning off the manifest's (nullCount, rowCount)
+    * stats: `wantNull = false` reads only files that can hold a
+    * non-NULL row of `column` (an all-NULL file — e.g. every
+    * pre-evolution file of an added column — is skipped without
+    * opening), `wantNull = true` the complement. The residual row
+    * filter still applies downstream, as with every stats prune. */
+  def readPrunedNulls(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      wantNull: Boolean,
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    val v = version.getOrElse(currentVersion(table, io))
+    readFiles(spark, manifest(table, v, io),
+      m => if (wantNull) m.filesForNull(column) else m.filesForNotNull(column))
+  }
+
   private[sources] def readFiles(
       spark: SparkSession,
       m: Manifest,
@@ -811,7 +1061,7 @@ object SnapshotTable {
     val newDv = io.list(dvDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dvDir/$n")
     val all = (dvPaths(m) ++ newDv).map(FileEntry.hex).mkString(";")
-    publishManifest(table, current + 1, current, m.schema, m.files,
+    publishManifest(table, current + 1, current, m.schema, m.segments, m.inline,
       mode = "delete", extra = Map(DvKeyK -> key, DvFilesK -> all), io)
   }
 
@@ -850,8 +1100,22 @@ object SnapshotTable {
       require(mode == "append", s"snapshot $v of $table is mode=$mode, not append — " +
         "incremental read is only sound across a pure append chain")
     }
-    val old = manifest(table, fromVersion, io).files.map(_.path).toSet
-    manifest(table, toVersion, io).files.map(_.path).filterNot(old)
+    val from = manifest(table, fromVersion, io)
+    val to = manifest(table, toVersion, io)
+    if (from.inline.isEmpty && to.inline.isEmpty) {
+      // SEGMENT-diff fast path: appends carry the parent's segments by
+      // reference and add new ones, so the delta is exactly the
+      // segments `to` carries that `from` doesn't — O(delta files)
+      // loaded, never the full table's file list. (Inline entries mean
+      // a legacy flat manifest is in the chain; fall through to the
+      // full path-set diff, which is always sound.)
+      val old = from.segments.map(_.path).toSet
+      to.segments.filterNot(s => old(s.path))
+        .flatMap(s => readSegment(s.path, io)).map(_.path)
+    } else {
+      val old = from.files.map(_.path).toSet
+      to.files.map(_.path).filterNot(old)
+    }
   }
 
   /** TRANSACTIONAL compaction — the maintenance pass incremental
@@ -1050,7 +1314,7 @@ object SnapshotTable {
           v,
           m.extra.get("parent").map(_.toLong).getOrElse(v - 1),
           m.extra.getOrElse("mode", "?"),
-          m.files.size.toLong,
+          m.fileCount,
           m.extra.get("batchid").map(_.toLong)))
       }
     }.toDF("version", "parent", "mode", "n_files", "batch_id")
@@ -1075,21 +1339,23 @@ object SnapshotTable {
     // vector sidecars — reclaiming a DV would resurrect deleted rows.
     // Zero-copy branches (createBranch) share main's data files: every
     // manifest of every live branch pins its references too, or
-    // vacuuming main mid-audit would break the WAP branch (ADVICE r10)
-    val branchRefs = io.list(s"$table/branches").flatMap { name =>
-      val bp = s"$table/branches/$name"
-      (1L to currentVersion(bp, io)).flatMap { v =>
-        if (!io.exists(manifestPath(bp, v))) Nil
-        else {
-          val m = manifest(bp, v, io)
-          m.files.map(_.path) ++ dvPaths(m)
+    // vacuuming main mid-audit would break the WAP branch (ADVICE r10).
+    // Segment sharing makes this walk cheap: manifests are read (small
+    // — O(segments) lines each), but each unique SEGMENT is loaded
+    // exactly once, so the cost is O(unique segments + manifests), not
+    // O(versions × files) — the r11 every-branch-every-file scan gone.
+    val liveManifests: Seq[Manifest] =
+      keep.map(v => manifest(table, v, io)) ++
+        io.list(s"$table/branches").flatMap { name =>
+          val bp = s"$table/branches/$name"
+          (1L to currentVersion(bp, io)).flatMap { v =>
+            if (io.exists(manifestPath(bp, v))) Some(manifest(bp, v, io)) else None
+          }
         }
-      }
-    }
-    val referenced = keep.flatMap { v =>
-      val m = manifest(table, v, io)
-      m.files.map(_.path) ++ dvPaths(m)
-    }.toSet ++ branchRefs
+    val liveSegments: Seq[String] = liveManifests.flatMap(_.segments.map(_.path)).distinct
+    val referenced: Set[String] =
+      liveManifests.flatMap(m => m.inline.map(_.path) ++ dvPaths(m)).toSet ++
+        liveSegments.flatMap(p => readSegment(p, io).map(_.path))
     var mDel = 0
     (1L until keep.head).foreach { v =>
       if (io.delete(manifestPath(table, v))) mDel += 1
@@ -1109,6 +1375,19 @@ object SnapshotTable {
           if (io.list(d).isEmpty) io.delete(d)
         }
       }
+    }
+    // reclaim MAIN segment files no live manifest references — aged-out
+    // manifests were their only holders. The version-prefix rule
+    // (seg_v<N>, N <= cur) protects an in-flight writer's
+    // freshly-written segments, exactly like rule (b) for data dirs;
+    // a live branch's own segments live under the branch root and are
+    // untouched here (dropBranch owns their lifecycle).
+    val liveSegSet = liveSegments.toSet
+    io.list(segmentDir(table)).foreach { name =>
+      val p = s"${segmentDir(table)}/$name"
+      val v = name.stripPrefix("seg_v").takeWhile(_.isDigit)
+      if (name.startsWith("seg_v") && v.nonEmpty && v.toLong <= cur && !liveSegSet(p))
+        io.delete(p)
     }
     (mDel, fDel)
   }

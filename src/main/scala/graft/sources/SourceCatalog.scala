@@ -1105,6 +1105,129 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders WHERE year(o_orderdate) = 1995
              |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_manifest_scale",
+      // MANIFEST-LIST SPLIT (the Iceberg manifest-list shape): a commit
+      // publishes a small manifest of SEGMENT references instead of a
+      // flat file list — appends re-reference the parent's segments
+      // verbatim and write one new segment for their own files, so
+      // commit cost is O(new files + segment count) and a 1M-file /
+      // 100 TB table never rewrites (or re-reads) its full file list
+      // per commit. Planning prunes at TWO levels: each segment ref
+      // carries aggregated column bounds, so a selective read skips
+      // whole segments from the manifest alone and opens only the
+      // range-hit segments' entries. This fixture builds a 12-commit
+      // chain whose commits are key-disjoint on o_mod (= o_orderkey %
+      // 12), then REQUIRES the structural properties in place — head
+      // manifest is pure segment refs (no inline file list), exactly
+      // one segment admits the o_mod=3 probe, incremental (6, 12]
+      // resolves through the segment-diff fast path — and emits two
+      // SQL-checkable arms: the segment-pruned read of o_mod in
+      // [3, 5] and the incremental slice, both priority-aggregated.
+      // SnapshotStress measures the flat-cost curve at depth.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapmscale_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .withColumn("o_mod", col("o_orderkey") % 12)
+          .select("o_orderkey", "o_mod", "o_orderpriority", "o_totalprice")
+        for (m <- 0 to 11)
+          SnapshotTable.commit(o.filter(col("o_mod") === m), table,
+            append = m > 0, statsColumns = Seq("o_mod"))
+        val head = SnapshotTable.manifest(table, 12L)
+        require(head.inline.isEmpty && head.segments.size == 12,
+          s"head manifest must be pure segment refs (12), got " +
+            s"${head.segments.size} segments + ${head.inline.size} inline files")
+        // segment-level pruning selectivity: the o_mod=3 probe admits
+        // exactly ONE segment (bounds are (m, m) per commit)
+        val admitted = head.segments.count(_.stats.get("o_mod")
+          .forall { case (mn, mx) => mx >= 3L && mn <= 3L })
+        require(admitted == 1, s"o_mod=3 probe admitted $admitted segments, want 1")
+        // appends re-referenced the parent's segments verbatim: v11's
+        // refs are a strict prefix of v12's
+        val prev = SnapshotTable.manifest(table, 11L)
+        require(head.segments.map(_.path).startsWith(prev.segments.map(_.path)),
+          "append rewrote carried segment references")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(
+          SnapshotTable.readPruned(s, table, "o_mod", 3L, 5L)
+            .filter(col("o_mod").between(3, 5)), "pruned")
+          .unionByName(agg(
+            SnapshotTable.readIncremental(s, table, fromVersion = 6L, toVersion = 12L),
+            "incr"))
+          .select("arm", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("arm", "o_orderpriority")
+      },
+      Some("""SELECT 'incr' AS arm, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 12 >= 6 GROUP BY 2
+             |UNION ALL
+             |SELECT 'pruned', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 12 BETWEEN 3 AND 5 GROUP BY 2
+             |ORDER BY arm, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_prune_nulls",
+      // NULL-membership pruning off manifest stats: the commit records
+      // per-file (nullCount, rowCount) beside [min,max] — nulls == 0
+      // proves no NULL row, nulls == rows proves no non-NULL row — so
+      // `IS [NOT] NULL` prunes at the manifest before any footer opens
+      // (and through SnapshotRelation's pushdown, where Catalyst emits
+      // IsNotNull beside EVERY predicate on a column — an all-NULL
+      // file, the add-column-evolution shape, is skipped by every
+      // query touching the column). The fixture clusters orders on a
+      // nullability flag so whole files are all-NULL / no-NULL in
+      // o_disc (NULL unless o_orderkey%5=0); both membership reads are
+      // REQUIREd to be strict file subsets, and the two arms aggregate
+      // against the plain relational filters.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapnulls_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .withColumn("o_disc",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice")))
+          .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_disc")
+        SnapshotTable.commit(
+          o.repartitionByRange(8, col("o_disc").isNull, col("o_orderkey"))
+            .sortWithinPartitions(col("o_disc").isNull, col("o_orderkey")),
+          table, append = false, statsColumns = Seq("o_orderkey", "o_disc"))
+        val m = SnapshotTable.manifest(table, 1L)
+        val notNull = m.filesForNotNull("o_disc")
+        val isNull = m.filesForNull("o_disc")
+        require(notNull.nonEmpty && notNull.size < m.files.size,
+          s"IS NOT NULL pruning inert: ${notNull.size} of ${m.files.size}")
+        require(isNull.nonEmpty && isNull.size < m.files.size,
+          s"IS NULL pruning inert: ${isNull.size} of ${m.files.size}")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(
+          SnapshotTable.readPrunedNulls(s, table, "o_disc", wantNull = false)
+            .filter(col("o_disc").isNotNull), "notnull")
+          .unionByName(agg(
+            SnapshotTable.readPrunedNulls(s, table, "o_disc", wantNull = true)
+              .filter(col("o_disc").isNull), "null"))
+          .select("arm", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("arm", "o_orderpriority")
+      },
+      Some("""SELECT 'notnull' AS arm, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 2
+             |UNION ALL
+             |SELECT 'null', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 2
+             |ORDER BY arm, o_orderpriority""".stripMargin)
     )
   )
 }

@@ -79,6 +79,22 @@ object GraphStress {
       .unionByName(b.select(col("b").as("a"), col("a").as("b")))
   }
 
+  /** Plant a STAR of `hubDegree` fresh spokes on one fresh hub vertex
+    * (symmetric rows both ways) — the adversarial shape for the wedge
+    * join family: an uncapped common-neighbor join through the hub
+    * alone generates hubDegree·(hubDegree−1)/2 candidate pairs
+    * (a P31-style 10⁶-degree hub → ~10¹² pairs), which is exactly
+    * what WikidataCatalog.WedgeDegCap exists to exclude. Spoke ids sit
+    * in a reserved replica slot far above the base graph. */
+  private[graft] def plantHub(sym: DataFrame, hubDegree: Int): DataFrame = {
+    val s = sym.sparkSession
+    val hub = 999L * 10000000L
+    val spokes = s.range(1, hubDegree + 1L)
+      .select(lit(hub).as("a"), (lit(hub) + col("id")).as("b"))
+    sym.unionByName(spokes)
+      .unionByName(spokes.select(col("b").as("a"), col("a").as("b")))
+  }
+
   /** The shredded symmetric edge set of the synthetic dump (frozen via
     * localCheckpoint so replicas re-scan it, not the JSON parse) + its
     * minimum vertex id. Package-visible so GraphStressSmokeSpec runs
@@ -122,6 +138,25 @@ object GraphStress {
 
     // warmup (JIT/classloading)
     force(graft.SparkEntry.entry(spark))
+
+    // WEDGE-CAP arm: plant hubs of growing degree and show the
+    // ADMITTED wedge mass (what wd_link_predict / wd_resource_alloc
+    // actually join) stays FLAT while the capped (excluded) mass grows
+    // quadratically with the hub — the structural bound, measured:
+    //   sbt "runMain graft.tools.GraphStress wedge"
+    if (args.contains("wedge")) {
+      println("WEDGE_CAP hub_degree | admitted_mass | capped_mass | enumerated | wall_s")
+      for (h <- Seq(0, 2000, 20000, 100000)) {
+        val g = (if (h == 0) sym0 else plantHub(sym0, h)).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val (adm, capped, enumd) = WikidataCatalog.wedgeCapCensus(g)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"WEDGE_CAP $h%10d | $adm%13d | $capped%11d | $enumd%10d | $dt%6.2f")
+        require(enumd == adm, s"enumerated $enumd != admitted mass $adm")
+      }
+      spark.stop()
+      return
+    }
 
     for (k <- scales; wiring <- Seq("disjoint", "chained")) {
       if (k == 1 && wiring == "chained") () // 1x has nothing to chain

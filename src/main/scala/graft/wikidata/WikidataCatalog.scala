@@ -51,6 +51,55 @@ object WikidataCatalog extends QueryModule {
     s
   }
 
+  /** Degree cap on WEDGE CENTERS for the link-prediction family
+    * (wd_link_predict / wd_resource_alloc): wedge mass is Σ deg(c)²
+    * over shared endpoints, so one P31-style hub (deg ~10⁶ on real
+    * Wikidata) alone contributes ~10¹² candidate pairs — the join that
+    * OOMs a 1000-executor cluster while every bounded center finishes
+    * in seconds. Centers above the cap are EXCLUDED from wedge
+    * enumeration, the same structural move as DedupCatalog's
+    * MaxBucketWidth: a hub shared by everything carries ~zero ranking
+    * signal anyway (resource allocation already weights it 1/deg →
+    * ≤ 1000 ppm), and the dropped mass is surfaced AS DATA by
+    * `wd_wedge_cap_report` rather than silently. The cap is mirrored
+    * verbatim in both oracles, so capped Spark and capped DuckDB agree
+    * at every scale; GraphStress's planted-hub arm measures the
+    * admitted-mass bound. */
+  private[graft] val WedgeDegCap = 1000L
+
+  /** The symmetric edge frame annotated with its CENTER-side degree:
+    * (a, b, d) where d = deg(b) — the shared helper of the wedge-join
+    * family, whose joins go through b as the wedge center. One
+    * vertex-keyed aggregation joined back on the partition key. */
+  private def withCenterDegree(symP: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = symP.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    symP.join(deg.withColumnRenamed("a", "b"), "b").select("a", "b", "d")
+  }
+
+  /** Wedge-cap census over an arbitrary symmetric (a, b) edge frame —
+    * the measurable form of the [[WedgeDegCap]] bound, shared by
+    * GraphStress's planted-hub arm and its smoke spec: returns
+    * (admittedMass, cappedMass, admittedEnumerated) where the mass
+    * terms are Σ d·(d−1)/2 split at the cap (what wd_wedge_cap_report
+    * reports as data) and admittedEnumerated is the ACTUAL row count
+    * of the capped wedge join — equal to admittedMass by construction,
+    * and bounded by cap·|E|/2 no matter how large a hub the graph
+    * grows. */
+  private[graft] def wedgeCapCensus(sym: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val mass = deg.agg(
+      sum(when(col("d") <= WedgeDegCap, expr("d * (d - 1) div 2")).otherwise(0L)).as("adm"),
+      sum(when(col("d") > WedgeDegCap, expr("d * (d - 1) div 2")).otherwise(0L)).as("cap")).head()
+    val adm = withCenterDegree(sym).filter(col("d") <= WedgeDegCap)
+    val enumerated = adm.select(col("a").as("x"), col("b").as("c"))
+      .join(adm.select(col("a").as("y"), col("b").as("c")), "c")
+      .filter(col("x") < col("y"))
+      .count()
+    (Option(mass.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(mass.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      enumerated)
+  }
+
   /** Undirected view of the shredded entity graph: (a, b) edge pairs in
     * BOTH directions (self-loops removed) plus the distinct vertex set.
     * Each consumer appends its own self-edges (label/distance
@@ -857,6 +906,67 @@ object WikidataCatalog extends QueryModule {
              |) ORDER BY src_id, property_id""".stripMargin)
     ),
     Q(
+      "wd_sql_consumer",
+      // The AD-HOC SQL surface — the reference's actual consumption
+      // mode: main.rs produces a DuckDB FILE whose users speak raw SQL
+      // at vertex/edge tables (reference lib.rs / value.rs table
+      // layout), so a graft user must be able to run the SAME SENTENCE
+      // without learning the DataFrame API. The shred AND a snapshot
+      // landing table register as catalog views on an isolated session
+      // (newSession: the session-scoped temp catalog, no cross-query
+      // leakage), and the consumer query is ONE raw `spark.sql(...)`
+      // string — a label-resolved in-degree profile over the graph
+      // UNION'd with a priority profile over the landing table. Spark
+      // parses, plans and optimizes the text through the same Catalyst
+      // path as the DataFrame ops (pushdown/pruning identical), so
+      // this is surface, not a second engine.
+      //
+      // Scale posture: the views are lazy plans over the same shred/
+      // manifest reads every other operator uses — registering a view
+      // costs nothing; the SQL text compiles to the exact join+agg DAG
+      // its DataFrame twin would.
+      (s0, dir) => {
+        val s = s0.newSession()
+        val ents = graft.GraftCache.register(SyntheticDump.entities(s, dir).persist())
+        WikidataShredder.vertex(ents).createOrReplaceTempView("wd_vertex")
+        WikidataShredder.edge(WikidataShredder.claims(ents))
+          .createOrReplaceTempView("wd_edge")
+        val table = graft.Stage.dir("graft_sqlconsumer_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        graft.sources.SnapshotTable.commit(
+          Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+          table, append = false)
+        graft.sources.SnapshotTable.read(s, table)
+          .createOrReplaceTempView("landing_orders")
+        s.sql("""
+          SELECT v.label AS entity,
+                 COUNT(*) AS n_in,
+                 COUNT(DISTINCT e.property_id) AS n_props
+          FROM wd_edge e JOIN wd_vertex v ON e.dst_id = v.id
+          GROUP BY v.label
+          UNION ALL
+          SELECT 'orders_' || o_orderpriority,
+                 COUNT(*),
+                 COUNT(DISTINCT o_custkey)
+          FROM landing_orders
+          GROUP BY o_orderpriority
+          ORDER BY entity""")
+      },
+      Some("""WITH m AS (
+             |SELECT CAST(1000000005 AS BIGINT) AS property_id, n_name AS dst_label FROM nation
+             |UNION ALL SELECT 1000000006, n_name FROM nation
+             |UNION ALL SELECT 1000000012, 'lex')
+             |SELECT * FROM (
+             |SELECT dst_label AS entity, COUNT(*)::BIGINT AS n_in,
+             |       COUNT(DISTINCT property_id)::BIGINT AS n_props
+             |FROM m GROUP BY 1
+             |UNION ALL
+             |SELECT 'orders_' || o_orderpriority, COUNT(*)::BIGINT,
+             |       COUNT(DISTINCT o_custkey)::BIGINT
+             |FROM orders GROUP BY o_orderpriority
+             |) ORDER BY entity""".stripMargin)
+    ),
+    Q(
       "wd_query_2hop",
       // 2-hop traversal: edge a JOIN edge b ON a.dst_id = b.src_id,
       // path counts per (property, property) pair.
@@ -1292,18 +1402,22 @@ object WikidataCatalog extends QueryModule {
       // the existing-edge exclusion one anti-join on the pair key.
       //
       // Scale posture: wedge mass is Σ deg(c)² over shared endpoints —
-      // at 100 TB hubs dominate and get the triangle-count treatment
-      // (degree-ordered orientation / hub cap, rel_triangle_count's
-      // plan); here the exact count is the oracle contract. One
+      // at 100 TB hubs dominate, so centers above [[WedgeDegCap]] are
+      // EXCLUDED from enumeration (the MaxBucketWidth move; a hub
+      // shared by everything carries ~no ranking signal) with the cap
+      // mirrored verbatim in the oracle and the dropped mass surfaced
+      // as data by wd_wedge_cap_report. Admitted wedge mass is bounded
+      // by cap × |E| — GraphStress's planted-hub arm measures it. One
       // map-side-combined count per pair, TakeOrdered top-20 — never a
       // global sort; the symmetric edge view is persisted and shared
       // by the wedge join's both sides.
       (s0, dir) => {
         val (sym, _) = symmetricGraph(s0, dir)
         val symP = GraftCache.register(sym.persist())
-        val wedges = symP
+        val adm = withCenterDegree(symP).filter(col("d") <= WedgeDegCap)
+        val wedges = adm
           .select(col("a").as("x"), col("b").as("c"))
-          .join(symP.select(col("a").as("y"), col("b").as("c")), "c")
+          .join(adm.select(col("a").as("y"), col("b").as("c")), "c")
           .filter(col("x") < col("y"))
           .groupBy("x", "y")
           .agg(count(lit(1)).as("n_common"))
@@ -1318,8 +1432,10 @@ object WikidataCatalog extends QueryModule {
       Some(s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
              |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
              |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |deg AS (SELECT a, COUNT(*)::BIGINT AS d FROM u GROUP BY 1),
              |w AS (SELECT xx.a AS x, yy.a AS y, COUNT(*)::BIGINT AS n_common
              |      FROM u xx JOIN u yy ON xx.b = yy.b AND xx.a < yy.a
+             |      JOIN deg ON deg.a = xx.b AND deg.d <= 1000
              |      GROUP BY 1, 2),
              |nc AS (SELECT w.* FROM w ANTI JOIN u ON w.x = u.a AND w.y = u.b)
              |SELECT x, y, n_common FROM nc
@@ -1338,19 +1454,21 @@ object WikidataCatalog extends QueryModule {
       // engines), so the ranking is bit-identical cross-engine — no
       // float accumulation order to diverge.
       //
-      // Scale posture: same wedge-join shape as wd_link_predict (the
-      // hub-cap treatment applies at 100 TB), plus ONE vertex-keyed
-      // degree aggregation joined back to the symmetric edge list on
-      // its partition key before the wedge join — weights ride the
-      // edge rows, no extra shuffle in the pair rollup, map-side
-      // combined sum per pair, TakeOrdered top-20.
+      // Scale posture: same wedge-join shape as wd_link_predict —
+      // centers above [[WedgeDegCap]] excluded (mirrored in the
+      // oracle; RA's own 1/deg weighting makes the cap nearly free in
+      // score terms: a capped center would have contributed ≤ 1000
+      // ppm per wedge) — plus ONE vertex-keyed degree aggregation
+      // joined back to the symmetric edge list on its partition key
+      // before the wedge join — weights ride the edge rows, no extra
+      // shuffle in the pair rollup, map-side combined sum per pair,
+      // TakeOrdered top-20.
       (s0, dir) => {
         val (sym, _) = symmetricGraph(s0, dir)
         val symP = GraftCache.register(sym.persist())
-        val deg = symP.groupBy(col("a")).agg(count(lit(1)).as("d"))
         // weight rides the wedge-center edge rows: 1e6 div deg(c)
-        val weighted = symP
-          .join(deg.withColumnRenamed("a", "b"), "b")
+        val weighted = withCenterDegree(symP)
+          .filter(col("d") <= WedgeDegCap)
           .select(col("a"), col("b"), expr("1000000 div d").as("w_ppm"))
         val wedges = weighted
           .select(col("a").as("x"), col("b").as("c"), col("w_ppm"))
@@ -1373,11 +1491,57 @@ object WikidataCatalog extends QueryModule {
              |w AS (SELECT xx.a AS x, yy.a AS y, COUNT(*)::BIGINT AS n_common,
              |      SUM(1000000 // deg.d)::BIGINT AS score_ppm
              |      FROM u xx JOIN u yy ON xx.b = yy.b AND xx.a < yy.a
-             |      JOIN deg ON deg.a = xx.b
+             |      JOIN deg ON deg.a = xx.b AND deg.d <= 1000
              |      GROUP BY 1, 2),
              |nc AS (SELECT w.* FROM w ANTI JOIN u ON w.x = u.a AND w.y = u.b)
              |SELECT x, y, n_common, score_ppm FROM nc
              |ORDER BY score_ppm DESC, x, y LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "wd_wedge_cap_report",
+      // The DROPPED-MASS surface for the wedge cap (the cap_report
+      // pattern, DedupCatalog's dedup_lsh_cap_report): per
+      // center-degree bucket, the number of centers and the wedge mass
+      // d·(d−1)/2 they generate, with the 'capped' bucket holding
+      // everything [[WedgeDegCap]] excludes from wd_link_predict /
+      // wd_resource_alloc. A recall trade must be VISIBLE data, not a
+      // silent constant: an operator watching this report sees exactly
+      // how much candidate mass the cap trades away as the graph grows
+      // hubs (at the test SF the capped bucket is empty — the planted-
+      // hub GraphStress arm is where it fills). Exact integer
+      // arithmetic throughout; one vertex-keyed aggregation.
+      (s0, dir) => {
+        val (sym, _) = symmetricGraph(s0, dir)
+        sym
+          .groupBy(col("a")).agg(count(lit(1)).as("d"))
+          .select(
+            when(col("d") < 4, "deg_0001_0003")
+              .when(col("d") < 16, "deg_0004_0015")
+              .when(col("d") < 64, "deg_0016_0063")
+              .when(col("d") <= WedgeDegCap, "deg_0064_1000")
+              .otherwise("capped").as("bucket"),
+            col("d"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_centers"),
+            sum(expr("d * (d - 1) div 2")).as("wedge_mass"))
+          .withColumn("admitted", col("bucket") =!= "capped")
+          .select("bucket", "admitted", "n_centers", "wedge_mass")
+          .orderBy("bucket")
+      },
+      Some(s"""WITH e AS (SELECT src_id, dst_id FROM ($edgeUnionSql)),
+             |u AS (SELECT src_id AS a, dst_id AS b FROM e WHERE src_id <> dst_id
+             |      UNION SELECT dst_id, src_id FROM e WHERE src_id <> dst_id),
+             |deg AS (SELECT a, COUNT(*)::BIGINT AS d FROM u GROUP BY 1),
+             |b AS (SELECT CASE WHEN d < 4 THEN 'deg_0001_0003'
+             |                  WHEN d < 16 THEN 'deg_0004_0015'
+             |                  WHEN d < 64 THEN 'deg_0016_0063'
+             |                  WHEN d <= 1000 THEN 'deg_0064_1000'
+             |                  ELSE 'capped' END AS bucket, d FROM deg)
+             |SELECT bucket, bucket <> 'capped' AS admitted,
+             |COUNT(*)::BIGINT AS n_centers,
+             |SUM(d * (d - 1) // 2)::BIGINT AS wedge_mass
+             |FROM b GROUP BY 1, 2 ORDER BY bucket""".stripMargin)
     ),
     Q(
       "wd_hits",

@@ -136,6 +136,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"))
   }
 
+  test("RealCodecs: JPEG round trip — block-constant law is bit-exact, restarts consumed") {
+    import graft.multimodal.RealCodecs
+    // doc_id 7 -> w=32, h=16 -> 4x2=8 blocks -> RST markers after MCUs
+    // 2,4,6 = 3 restarts; block k holds text charAt(k mod len)
+    val text = "KqZ3mW9c"
+    val bytes = RealCodecs.jpegBytes(7, text)
+    // the multi-segment entropy stream is REAL: RSTn bytes present
+    val nRstBytes = bytes.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(nRstBytes === 3, s"expected 3 RST markers in the stream, found $nRstBytes")
+    val j = RealCodecs.jpegStats(Blob(7, bytes))
+    assert(j.fmt === "jpeg" && j.width === 32 && j.height === 16)
+    assert(j.n_blocks === 8 && j.n_restarts === 3)
+    val blockVals = (0 until 8).map(k => text(k % text.length).toInt)
+    assert(j.n_px === 512L)
+    assert(j.px_sum === blockVals.map(64L * _).sum,
+      "constant-block JPEG round trip must be bit-exact")
+    assert(j.px_min === blockVals.min && j.px_max === blockVals.max)
+  }
+
+  test("RealCodecs: JPEG textured AC path agrees with the JDK's independent decoder") {
+    import graft.multimodal.RealCodecs
+    // a textured 64x64 image drives the FULL entropy coder: AC
+    // run-lengths, ZRL, EOB, byte stuffing, DC differentials across
+    // restart segments — decoded by BOTH my T.81 decoder and the JDK's
+    // ImageIO JPEG reader (an independent implementation of the same
+    // spec); per-pixel difference bounded by the IDCT accuracy
+    // tolerance (±1)
+    val w = 64; val h = 64
+    def law(r: Int, c: Int, w0: Int): Int = {
+      // deterministic texture with flat runs AND sharp edges
+      val v = (r * 31 + c * 17 + (r / 8) * (c / 8) * 53) % 256
+      if ((r / 4 + c / 4) % 3 == 0) 128 else v
+    }
+    val bytes = RealCodecs.jpegEncode(99L, w, h, law, "fixture")
+    // byte stuffing is exercised on any dense stream this size
+    val stuffed = bytes.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+    assert(stuffed > 0, "no stuffed 0xFF00 in the entropy stream — fixture too tame")
+    val (dw, dh, mine, nRst) = RealCodecs.jpegDecode(99L, bytes)
+    assert(dw === w && dh === h)
+    assert(nRst === (w / 8) * (h / 8) / 2 - 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO could not parse the generated JPEG")
+    assert(img.getWidth === w && img.getHeight === h)
+    val raster = img.getRaster
+    var worst = 0
+    for (r <- 0 until h; c <- 0 until w) {
+      val d = math.abs((mine(r * w + c) & 0xff) - raster.getSample(c, r, 0))
+      if (d > worst) worst = d
+    }
+    assert(worst <= 1, s"decoders disagree by $worst > 1 gray level")
+  }
+
+  test("RealCodecs: JPEG refuses non-baseline frames and truncated streams loudly") {
+    import graft.multimodal.RealCodecs
+    val bytes = RealCodecs.jpegBytes(7, "abcdef")
+    // progressive SOF2 masquerade: flip the SOF0 marker byte
+    val sof = bytes.sliding(2).zipWithIndex
+      .find(p => (p._1(0) & 0xff) == 0xff && (p._1(1) & 0xff) == 0xc0).get._2
+    val prog = bytes.clone(); prog(sof + 1) = 0xc2.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      RealCodecs.jpegStats(Blob(7, prog))
+    }
+    assert(e1.getMessage.contains("non-baseline"))
+    val e2 = intercept[IllegalArgumentException] {
+      RealCodecs.jpegStats(Blob(7, bytes.take(bytes.length / 2)))
+    }
+    assert(e2.getMessage.toLowerCase.contains("truncated")
+      || e2.getMessage.contains("overruns")
+      || e2.getMessage.contains("marker"))
+  }
+
   test("RealCodecs: GIF round trip — LZW width growth, sub-blocks, KwKwK") {
     import graft.multimodal.RealCodecs
     // incompressible fixture: forces multi-sub-block framing AND
