@@ -111,6 +111,48 @@ object StreamingCatalog extends QueryModule {
   private def windowAgg(s: SparkSession, dir: String): DataFrame =
     windowAggBy(s, dir, window(col("ts"), "1 hour"))
 
+  /** The Kafka-shaped synthetic source under a REAL trigger: a
+    * 1000-record backlog over 4 logical partitions admitted 300 rows
+    * per micro-batch (graft-rate's rowsPerTrigger — the
+    * maxOffsetsPerTrigger contract), driven by processAllAvailable
+    * under the default processing-time trigger so MicroBatchExecution
+    * itself schedules the capped batches (REQUIREd ≥ 4 — a cap that
+    * silently drained everything in one batch fails the query, not
+    * just a spec). Output is the per-partition profile of the streamed
+    * rows; the record law is pure arithmetic, so the oracle recomputes
+    * the entire stream from range(). Round16Spec pins the restart
+    * contract (persisted admission cursor, same HighWaterMark as the
+    * snapshot sources). */
+  private def rateSourceStream(s: SparkSession, dir: String): DataFrame = withStatePartitions(s) { ss =>
+    val ckpt = graft.Stage.dir("graft_rateck_", dir).getPath
+    val out = graft.Stage.dir("graft_rateout_", dir).getPath
+    Seq(ckpt, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = ss.readStream
+      .format(graft.sources.GraftRateSourceProvider.format)
+      .option("totalRows", "1000")
+      .option("rowsPerTrigger", "300")
+      .option("partitions", "4")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.count() > 0) nBatches.incrementAndGet()
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    require(nBatches.get >= 4,
+      s"admission cap inert: 1000-row backlog at 300/trigger drained in ${nBatches.get} batches")
+    ss.read.parquet(out)
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"), max("seq").as("max_seq"))
+      .orderBy("part")
+  }
+
   /** [[windowAgg]] with a caller-chosen time window (tumbling or
     * sliding — stream_window_sliding passes `window(ts, 2h, 1h)`, so
     * each event lands in slide-count windows). */
@@ -1074,6 +1116,14 @@ object StreamingCatalog extends QueryModule {
       (s, dir) => streamDedup(s, dir),
       Some("""SELECT event_type, COUNT(DISTINCT event_id) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "stream_rate_source",
+      (s, dir) => rateSourceStream(s, dir),
+      Some("""SELECT g % 4 AS part, COUNT(*)::BIGINT AS n,
+             |SUM((g * 2654435761) % 1000000007)::BIGINT AS sum_value,
+             |MAX(g // 4)::BIGINT AS max_seq
+             |FROM range(0, 1000) t(g) GROUP BY 1 ORDER BY part""".stripMargin)
     ),
     Q(
       "stream_window_agg",

@@ -186,6 +186,42 @@ class Round16Spec extends AnyFunSuite {
     assert(io.readString(s"$dir/t2") === "winner")
   }
 
+  // ---- rate source: admission + restart contract --------------------
+
+  test("rate source: capped admission, deterministic slices, restart never regresses") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val meta = tmpDir()
+    val provider = new graft.sources.GraftRateSourceProvider()
+    def mk() = provider.createSource(
+      spark.sqlContext, meta, None, "",
+      Map("totalRows" -> "10", "rowsPerTrigger" -> "4", "partitions" -> "3"))
+    val a = mk()
+    // the staged slice is batch-readable (getBatch's frame itself
+    // carries streaming leaves for MicroBatchExecution)
+    def staged(from: Long, to: Long) =
+      spark.read.parquet(s"$meta/_rate_staging/${from}_$to")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // backlog admitted in capped slices: 4, 8, 10
+    assert(a.getOffset === Some(LongOffset(4L)))
+    a.getBatch(None, LongOffset(4L))
+    // slice (0,4]: g=0..3 -> part g%3, seq g/3, value law
+    val rows = staged(0L, 4L)
+    assert(rows === (0L until 4L).map(g =>
+      (g % 3, g / 3, (g * 2654435761L) % 1000000007L)).sorted.toArray)
+    assert(a.getOffset === Some(LongOffset(8L)))
+    a.getBatch(Some(LongOffset(4L)), LongOffset(8L))
+    // RESTART on the same metadataPath: planned=8 recovered, so the
+    // fresh source reports 10 (not 4, which would redeliver)
+    val b = mk()
+    assert(b.getOffset === Some(LongOffset(10L)),
+      "restarted rate source re-seeded its admission cursor")
+    // replayed range resolves to identical content (offset-addressed
+    // determinism — the replayability contract): re-plan (0,4] and
+    // compare the overwritten staging
+    mk().getBatch(None, LongOffset(4L))
+    assert(staged(0L, 4L) === rows)
+  }
+
   // ---- null-count manifest stats ------------------------------------
 
   test("null stats: IS [NOT] NULL prunes strict file subsets, result-equal; pushdown arm") {
