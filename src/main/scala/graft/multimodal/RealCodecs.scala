@@ -1248,6 +1248,7 @@ object RealCodecs {
     var w = 0; var h = 0
     var dri = 0
     val quant = new Array[Int](64)
+    var sawDqt = false
     var dcDec: HuffDec = null
     var acDec: HuffDec = null
     var sosAt = -1
@@ -1262,6 +1263,7 @@ object RealCodecs {
           require(u8(a, pos + 4) == 0, s"doc $docId: only 8-bit quant tables supported")
           var i = 0
           while (i < 64) { quant(i) = u8(a, pos + 5 + i); i += 1 }
+          sawDqt = true
         case 0xc0 =>
           require(u8(a, pos + 4) == 8, s"doc $docId: need 8-bit precision")
           h = (u8(a, pos + 5) << 8) | u8(a, pos + 6)
@@ -1288,8 +1290,11 @@ object RealCodecs {
       }
       pos += 2 + len
     }
-    require(w > 0 && h > 0 && dcDec != null && acDec != null,
-      s"doc $docId: missing SOF/DHT before SOS")
+    // sawDqt rides the same gate: a JPEG missing DQT would leave quant
+    // all-zero and every coefficient silently zeroed — decoding to a
+    // uniform 128 image instead of failing loudly
+    require(w > 0 && h > 0 && dcDec != null && acDec != null && sawDqt,
+      s"doc $docId: missing SOF/DHT/DQT before SOS")
     require(w.toLong * h <= (64L << 20), s"doc $docId: dims $w x $h exceed the 64 MiB bound")
     // entropy decode
     var ep = sosAt
@@ -1400,5 +1405,480 @@ object RealCodecs {
   def decodeJpeg(blobs: Dataset[Blob]): Dataset[JpegStat] = {
     implicit val enc = Encoders.product[JpegStat]
     blobs.mapPartitions(_.map(jpegStats))
+  }
+
+  // ---- FLAC (Free Lossless Audio Codec, RFC 9639 subset) ----
+  //
+  // The FOURTH entropy-coding family across the decoder seam, and the
+  // last stub behind it: where PNG exercised zlib (Huffman+LZ77), GIF
+  // a dictionary coder (LZW) and JPEG a transform coder (DCT+Huffman),
+  // FLAC is a PREDICTIVE coder — per-frame fixed linear predictors
+  // with RICE-coded residuals — implemented here in both directions
+  // from the public spec (RFC 9639): fLaC magic + STREAMINFO metadata
+  // block, fixed-blocksize frames with spec-true headers (14-bit sync,
+  // UTF-8-style coded frame number, blocksize/rate/channel/size code
+  // tables), CONSTANT / VERBATIM / FIXED(0-4) subframes, zigzag Rice
+  // residual partitions with the raw-bits escape, wasted-bits
+  // handling, and BOTH frame checksums verified on decode (CRC-8 over
+  // the header, CRC-16 over the whole frame — the audio sibling of
+  // PNG's per-chunk CRC32 arm). LPC subframes and multi-channel
+  // decorrelation are refused loudly (spec-pinned), never skipped.
+  //
+  // The encoder is deliberately adversarial to a lazy decoder: frame
+  // index selects the subframe family (every multi-frame file carries
+  // verbatim AND fixed-predictor frames; all-equal blocks emit
+  // constant), so a decoder that fakes any one family breaks the
+  // sample-law oracle. Losslessness makes the oracle exact: the same
+  // 8→16-bit widening law as mm_wav_pcm16, recomputed relationally.
+
+  /** One decoded FLAC clip's exact sample statistics (the mm_wav_pcm16
+    * law plus the frame count, deterministic from ceil(n/blockSize)). */
+  final case class FlacStat(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      n_frames: Int,
+      sum_s: Long,
+      energy: Long,
+      peak: Int)
+
+  /** Encoder block size. 64 keeps multi-frame files at corpus text
+    * lengths so the per-frame machinery (coded frame numbers, subframe
+    * family rotation, CRC chain) is exercised per asset. */
+  private[graft] val FlacBlockSize = 64
+
+  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — the frame-header
+    * checksum (RFC 9639 §9.2). */
+  private[graft] def flacCrc8(a: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= a(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — the whole-frame
+    * checksum (RFC 9639 §9.3). */
+  private[graft] def flacCrc16(a: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (a(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MSB-first bit assembler (FLAC is big-endian at the bit level). */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+    }
+    def write(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    /** FLAC unary: q zero bits terminated by a one bit. */
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+    def padToByte(): Unit = while (nBits != 0) writeBit(0)
+    def bytes: Array[Byte] = { require(nBits == 0, "unaligned"); buf.toArray }
+  }
+
+  /** MSB-first bit reader with loud truncation. */
+  private final class BitReader(a: Array[Byte], var bytePos: Int, docId: Long) {
+    private var bitPos = 0
+    def readBit(): Int = {
+      require(bytePos < a.length, s"doc $docId: truncated FLAC stream at byte $bytePos")
+      val b = (a(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def read(bits: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < bits) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(bits: Int): Int =
+      if (bits == 0) 0 else ((read(bits) << (64 - bits)) >> (64 - bits)).toInt
+    def readUnary(): Int = { var q = 0; while (readBit() == 0) q += 1; q }
+    def aligned: Boolean = bitPos == 0
+  }
+
+  /** The UTF-8-style coded number frame headers carry (RFC 9639 §9.1.5
+    * — same prefix scheme as UTF-8, but carrying a plain integer). */
+  private def flacCodedNumber(n: Long): Array[Byte] = {
+    require(n >= 0 && n < 0x10000, s"coded number $n outside the supported range")
+    if (n < 0x80) Array(n.toByte)
+    else if (n < 0x800)
+      Array((0xc0 | (n >> 6)).toByte, (0x80 | (n & 0x3f)).toByte)
+    else
+      Array((0xe0 | (n >> 12)).toByte, (0x80 | ((n >> 6) & 0x3f)).toByte,
+        (0x80 | (n & 0x3f)).toByte)
+  }
+
+  private def flacReadCodedNumber(r: BitReader, docId: Long): Long = {
+    val b0 = r.read(8).toInt
+    val (extra, base) =
+      if ((b0 & 0x80) == 0) (0, b0.toLong)
+      else if ((b0 & 0xe0) == 0xc0) (1, (b0 & 0x1f).toLong)
+      else if ((b0 & 0xf0) == 0xe0) (2, (b0 & 0x0f).toLong)
+      else if ((b0 & 0xf8) == 0xf0) (3, (b0 & 0x07).toLong)
+      else if ((b0 & 0xfc) == 0xf8) (4, (b0 & 0x03).toLong)
+      else if ((b0 & 0xfe) == 0xfc) (5, (b0 & 0x01).toLong)
+      else if (b0 == 0xfe) (6, 0L)
+      else throw new IllegalArgumentException(s"doc $docId: bad coded-number lead byte $b0")
+    var v = base
+    var i = 0
+    while (i < extra) {
+      val c = r.read(8).toInt
+      require((c & 0xc0) == 0x80, s"doc $docId: bad coded-number continuation $c")
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** Fixed-predictor residual, orders 0-4 (RFC 9639 §10.2.2: the
+    * binomial-coefficient difference chain). */
+  private def fixedResidual(s: Array[Int], off: Int, i: Int, order: Int): Long =
+    order match {
+      case 0 => s(off + i)
+      case 1 => s(off + i).toLong - s(off + i - 1)
+      case 2 => s(off + i).toLong - 2L * s(off + i - 1) + s(off + i - 2)
+      case 3 => s(off + i).toLong - 3L * s(off + i - 1) + 3L * s(off + i - 2) - s(off + i - 3)
+      case 4 => s(off + i).toLong - 4L * s(off + i - 1) + 6L * s(off + i - 2) -
+        4L * s(off + i - 3) + s(off + i - 4)
+    }
+
+  /** A real mono 16-bit FLAC: the SAME sample law as [[wav16Bytes]]
+    * (rate = 16000 + (doc_id%4)·8000, sample i = (char i − 64)·257) so
+    * the relational oracle recomputes the decoded stream exactly —
+    * FLAC is lossless, so round-trip equality is the spec, not an
+    * approximation. Frame index rotates the subframe family (idx%3==0
+    * → verbatim, else fixed order min(2, n−1); all-equal blocks →
+    * constant) so every family decodes under oracle pressure. */
+  def flacBytes(docId: Long, text: String): Array[Byte] = {
+    requireAscii(docId, text)
+    val rate = 16000 + (docId % 4).toInt * 8000
+    val n = text.length
+    val samples = Array.tabulate(n)(i => (text.charAt(i) - 64) * 257)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO, the mandatory first metadata block, flagged last
+    val si = new BitWriter
+    si.write(FlacBlockSize.toLong, 16) // min block size
+    si.write(FlacBlockSize.toLong, 16) // max block size
+    si.write(0L, 24); si.write(0L, 24) // min/max frame size: unknown
+    si.write(rate.toLong, 20)
+    si.write(0L, 3)  // channels - 1 (mono)
+    si.write(15L, 5) // bits per sample - 1
+    si.write(n.toLong, 36)
+    var i = 0
+    while (i < 16) { si.write(0L, 8); i += 1 } // MD5: unset (all zero)
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val sib = si.bytes
+    out.write(sib, 0, sib.length)
+    var frame = 0
+    var pos = 0
+    while (pos < n) {
+      val bs = math.min(FlacBlockSize, n - pos)
+      val fb = flacEncodeFrame(samples, pos, bs, frame)
+      out.write(fb, 0, fb.length)
+      pos += bs
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  private def flacEncodeFrame(s: Array[Int], off: Int, bs: Int, frameIdx: Int): Array[Byte] = {
+    // header: byte-aligned by construction (32 fixed bits + whole-byte
+    // coded number + the 8-bit blocksize-1 field code 0110 selects)
+    val h = new BitWriter
+    h.write(0x3ffeL, 14) // sync
+    h.write(0L, 1)       // reserved
+    h.write(0L, 1)       // blocking strategy: fixed (number = frame index)
+    h.write(6L, 4)       // blocksize code 0110: 8-bit (blocksize-1) at header end
+    h.write(0L, 4)       // sample rate: from STREAMINFO
+    h.write(0L, 4)       // channel assignment: mono
+    h.write(4L, 3)       // sample size code 100: 16 bit
+    h.write(0L, 1)       // reserved
+    flacCodedNumber(frameIdx.toLong).foreach(b => h.write(b & 0xffL, 8))
+    h.write((bs - 1).toLong, 8)
+    val hb = h.bytes
+    val w = new BitWriter
+    hb.foreach(b => w.write(b & 0xffL, 8))
+    w.write(flacCrc8(hb, 0, hb.length).toLong, 8)
+    // one subframe (mono)
+    val allEq = (1 until bs).forall(j => s(off + j) == s(off))
+    w.write(0L, 1) // zero pad bit
+    if (allEq) {
+      w.write(0L, 6)  // type: constant
+      w.write(0L, 1)  // wasted bits: none
+      w.write((s(off) & 0xffff).toLong, 16)
+    } else if (frameIdx % 3 == 0) {
+      w.write(1L, 6)  // type: verbatim
+      w.write(0L, 1)
+      var j = 0
+      while (j < bs) { w.write((s(off + j) & 0xffff).toLong, 16); j += 1 }
+    } else {
+      val order = math.min(2, bs - 1)
+      w.write((8 | order).toLong, 6) // type 001ooo: fixed, order o
+      w.write(0L, 1)
+      var j = 0
+      while (j < order) { w.write((s(off + j) & 0xffff).toLong, 16); j += 1 }
+      val res = Array.tabulate(bs - order)(k => fixedResidual(s, off, k + order, order))
+      val zig = res.map(e => if (e >= 0) 2 * e else -2 * e - 1)
+      // best 4-bit Rice parameter vs the raw-bits escape
+      val rawBits = {
+        val m = res.map(math.abs).foldLeft(1L)(math.max)
+        64 - java.lang.Long.numberOfLeadingZeros(m) + 1 // sign bit
+      }
+      val costs = (0 to 14).map(k => zig.map(u => (u >> k) + 1 + k).sum)
+      val bestK = costs.indices.minBy(costs)
+      w.write(0L, 2)  // residual method 00: 4-bit Rice parameters
+      w.write(0L, 4)  // partition order 0: one partition
+      if (costs(bestK) < 5 + rawBits * zig.length) {
+        w.write(bestK.toLong, 4)
+        zig.foreach { u =>
+          w.writeUnary((u >> bestK).toInt)
+          if (bestK > 0) w.write(u & ((1L << bestK) - 1), bestK)
+        }
+      } else {
+        w.write(15L, 4) // escape: raw n-bit residuals
+        w.write(rawBits, 5)
+        res.foreach(e => w.write(e & ((1L << rawBits) - 1), rawBits.toInt))
+      }
+    }
+    w.padToByte()
+    val body = w.bytes
+    val f = new BitWriter
+    body.foreach(b => f.write(b & 0xffL, 8))
+    f.write(flacCrc16(body, 0, body.length).toLong, 16)
+    f.bytes
+  }
+
+  /** Decode one FLAC stream trusting only the bytes: metadata walk,
+    * per-frame header parse through the spec code tables, subframe
+    * reconstruction, and BOTH checksums verified. Refusals are loud:
+    * LPC subframes, non-mono channel assignments, reserved codes. */
+  private[graft] def flacDecode(docId: Long, a: Array[Byte]): (Int, Array[Int], Int) = {
+    require(a.length >= 42 && a(0) == 'f' && a(1) == 'L' && a(2) == 'a' && a(3) == 'C',
+      s"doc $docId: not a FLAC stream")
+    // metadata blocks: STREAMINFO is mandatory and first
+    var pos = 4
+    var last = false
+    var rate = -1; var channels = -1; var bps = -1; var total = -1L
+    var minBs = -1; var maxBs = -1
+    var first = true
+    while (!last) {
+      require(pos + 4 <= a.length, s"doc $docId: truncated metadata header")
+      val hdr = u8(a, pos)
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7f
+      val len = (u8(a, pos + 1) << 16) | (u8(a, pos + 2) << 8) | u8(a, pos + 3)
+      require(pos + 4 + len <= a.length, s"doc $docId: metadata block overruns file")
+      require(!first || tpe == 0, s"doc $docId: first metadata block must be STREAMINFO, got $tpe")
+      if (tpe == 0) {
+        require(len == 34, s"doc $docId: STREAMINFO must be 34 bytes, got $len")
+        val r = new BitReader(a, pos + 4, docId)
+        minBs = r.read(16).toInt
+        maxBs = r.read(16).toInt
+        r.read(24); r.read(24) // min/max frame size (unknown allowed)
+        rate = r.read(20).toInt
+        channels = r.read(3).toInt + 1
+        bps = r.read(5).toInt + 1
+        total = r.read(36)
+      }
+      first = false
+      pos += 4 + len
+    }
+    require(rate > 0, s"doc $docId: STREAMINFO missing or zero sample rate")
+    require(channels == 1,
+      s"doc $docId: $channels-channel FLAC unsupported (mono only — " +
+        "stereo decorrelation is refused, not faked)")
+    require(bps == 16, s"doc $docId: ${bps}-bit FLAC unsupported (16-bit only)")
+    require(total <= (64L << 20), s"doc $docId: $total samples exceed the 64 Mi bound")
+    val out = new Array[Int](total.toInt)
+    var got = 0
+    var nFrames = 0
+    while (got < total) {
+      val frameStart = pos
+      val r = new BitReader(a, pos, docId)
+      require(r.read(14) == 0x3ffeL, s"doc $docId: bad frame sync at $frameStart")
+      require(r.read(1) == 0L, s"doc $docId: reserved frame-header bit set")
+      r.read(1) // blocking strategy: the coded number decodes identically
+      val bsCode = r.read(4).toInt
+      val srCode = r.read(4).toInt
+      val chan = r.read(4).toInt
+      val ssCode = r.read(3).toInt
+      require(r.read(1) == 0L, s"doc $docId: reserved frame-header bit set")
+      flacReadCodedNumber(r, docId)
+      val bs = bsCode match {
+        case 0 => throw new IllegalArgumentException(s"doc $docId: reserved blocksize code 0")
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.read(8).toInt + 1
+        case 7 => r.read(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      srCode match {
+        case 0  => // from STREAMINFO
+        case 12 => r.read(8)
+        case 13 => r.read(16)
+        case 14 => r.read(16)
+        case c => throw new IllegalArgumentException(
+          s"doc $docId: sample-rate code $c unsupported (STREAMINFO-coded streams only)")
+      }
+      require(chan == 0,
+        s"doc $docId: channel assignment $chan unsupported (mono only)")
+      val bits = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case c => throw new IllegalArgumentException(s"doc $docId: reserved sample-size code $c")
+      }
+      require(bits == 16, s"doc $docId: $bits-bit frame in a 16-bit stream")
+      require(r.aligned, s"doc $docId: frame header not byte-aligned before CRC-8")
+      val headerEnd = r.bytePos
+      val wantCrc8 = r.read(8).toInt
+      val gotCrc8 = flacCrc8(a, frameStart, headerEnd)
+      require(wantCrc8 == gotCrc8,
+        s"doc $docId: frame-header CRC-8 mismatch ($gotCrc8 != $wantCrc8)")
+      require(bs <= 65536 && got + bs <= total,
+        s"doc $docId: frame blocksize $bs overruns the declared $total samples")
+      // subframe (mono: exactly one)
+      require(r.read(1) == 0L, s"doc $docId: subframe pad bit set")
+      val tpe = r.read(6).toInt
+      val wasted =
+        if (r.read(1) == 1L) r.readUnary() + 1 else 0
+      val ebits = bits - wasted
+      val frame = new Array[Int](bs)
+      tpe match {
+        case 0 =>
+          java.util.Arrays.fill(frame, r.readSigned(ebits))
+        case 1 =>
+          var j = 0
+          while (j < bs) { frame(j) = r.readSigned(ebits); j += 1 }
+        case t if t >= 8 && t <= 12 =>
+          val order = t - 8
+          require(order <= bs, s"doc $docId: fixed order $order exceeds blocksize $bs")
+          var j = 0
+          while (j < order) { frame(j) = r.readSigned(ebits); j += 1 }
+          // residual: 2-bit method selects 4- or 5-bit Rice parameters
+          val method = r.read(2).toInt
+          require(method <= 1, s"doc $docId: reserved residual method $method")
+          val pbits = 4 + method
+          val escape = (1 << pbits) - 1
+          val porder = r.read(4).toInt
+          val nPart = 1 << porder
+          require(bs % nPart == 0 && bs / nPart > (if (porder == 0) 0 else -1),
+            s"doc $docId: partition order $porder does not divide blocksize $bs")
+          var idx = order
+          var p = 0
+          while (p < nPart) {
+            val cnt = bs / nPart - (if (p == 0) order else 0)
+            require(cnt >= 0, s"doc $docId: negative partition sample count")
+            val k = r.read(pbits).toInt
+            var c = 0
+            if (k == escape) {
+              val raw = r.read(5).toInt
+              while (c < cnt) {
+                val e = if (raw == 0) 0L else (r.read(raw) << (64 - raw)) >> (64 - raw)
+                frame(idx) = reconstructFixed(frame, idx, order, e); idx += 1; c += 1
+              }
+            } else {
+              while (c < cnt) {
+                val q = r.readUnary().toLong
+                val u = (q << k) | (if (k > 0) r.read(k) else 0L)
+                val e = (u >>> 1) ^ -(u & 1L) // zigzag inverse
+                frame(idx) = reconstructFixed(frame, idx, order, e); idx += 1; c += 1
+              }
+            }
+            p += 1
+          }
+        case t if t >= 32 =>
+          throw new IllegalArgumentException(
+            s"doc $docId: LPC subframe (order ${t - 31}) unsupported — " +
+              "fixed predictors only; refusing rather than mis-decoding")
+        case t =>
+          throw new IllegalArgumentException(s"doc $docId: reserved subframe type $t")
+      }
+      if (wasted > 0) {
+        var j = 0
+        while (j < bs) { frame(j) = frame(j) << wasted; j += 1 }
+      }
+      // padding to byte, then the whole-frame CRC-16
+      while (!r.aligned) require(r.readBit() == 0, s"doc $docId: nonzero frame padding")
+      val frameEnd = r.bytePos
+      val wantCrc16 = r.read(16).toInt
+      val gotCrc16 = flacCrc16(a, frameStart, frameEnd)
+      require(wantCrc16 == gotCrc16,
+        s"doc $docId: frame CRC-16 mismatch ($gotCrc16 != $wantCrc16)")
+      System.arraycopy(frame, 0, out, got, bs)
+      got += bs
+      nFrames += 1
+      pos = r.bytePos
+    }
+    (rate, out, nFrames)
+  }
+
+  /** Invert the fixed predictor in place: sample = residual + the
+    * binomial combination of the already-reconstructed predecessors. */
+  private def reconstructFixed(f: Array[Int], i: Int, order: Int, e: Long): Int = {
+    val v = order match {
+      case 0 => e
+      case 1 => e + f(i - 1)
+      case 2 => e + 2L * f(i - 1) - f(i - 2)
+      case 3 => e + 3L * f(i - 1) - 3L * f(i - 2) + f(i - 3)
+      case 4 => e + 4L * f(i - 1) - 6L * f(i - 2) + 4L * f(i - 3) - f(i - 4)
+    }
+    require(v >= Int.MinValue && v <= Int.MaxValue, "reconstruction overflow")
+    v.toInt
+  }
+
+  def flacStats(b: Blob): FlacStat = {
+    val (rate, s, nFrames) = flacDecode(b.doc_id, b.bytes)
+    var sum = 0L; var energy = 0L; var peak = 0
+    var i = 0
+    while (i < s.length) {
+      sum += s(i)
+      energy += s(i).toLong * s(i)
+      val m = math.abs(s(i))
+      if (m > peak) peak = m
+      i += 1
+    }
+    FlacStat(b.doc_id, rate, s.length.toLong, nFrames, sum, energy, peak)
+  }
+
+  /** Same seam shape as [[decode]], one FLAC-stat row per asset. */
+  def decodeFlac(blobs: Dataset[Blob]): Dataset[FlacStat] = {
+    implicit val enc = Encoders.product[FlacStat]
+    blobs.mapPartitions(_.map(flacStats))
   }
 }

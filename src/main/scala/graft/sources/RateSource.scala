@@ -22,11 +22,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * reproducible from its offset range alone (Kafka's replayability
   * contract) and a relational oracle recomputes the whole stream.
   *
-  * Offsets are the GLOBAL emitted count; each micro-batch materializes
-  * its (start, end] slice under a deterministic range-keyed staging
-  * path (a WAL replay overwrites identical content — the same replay
-  * idempotence move as the CDC source) and hands Spark a streaming
-  * parquet relation.
+  * Offsets are the GLOBAL emitted count; each micro-batch IS the
+  * arithmetic over range(start, end] — handed to Spark as a
+  * streaming-flagged distributed computation (Bridge.streamingBatch,
+  * the MemoryStream/KafkaSource construction), so a micro-batch costs
+  * ZERO staging I/O and leaves nothing on disk to reclaim. Replay
+  * idempotence is arithmetic: a WAL-replayed offset range recomputes
+  * identical rows from the range alone.
   *
   * Options: `totalRows` (required — the backlog), `rowsPerTrigger`
   * (admission cap, default unbounded), `partitions` (default 4).
@@ -68,12 +70,23 @@ object GraftRateSourceProvider {
   /** `spark.readStream.format(...)` needs the provider CLASS name. */
   val format: String = classOf[GraftRateSourceProvider].getName
 
+  /** Record-law constants: value = (g · 2654435761) mod 1000000007,
+    * computed MODULARLY — the naive product overflows Long at
+    * g ≈ 3.47e9 (a ~3.5 B-row backlog is one day of a real feed), so
+    * both the driver law here and the executor Column in getBatch
+    * reduce g first: ((g mod M) · (C mod M)) mod M, whose intermediate
+    * maxes at ~6.5e17, safely inside Long. Identical values for every
+    * g — the relational oracle (which computes in DuckDB's 128-bit
+    * arithmetic) agrees at all backlog sizes. */
+  private[sources] val Mod = 1000000007L
+  private[sources] val MulReduced = 2654435761L % Mod // = 654435747
+
   /** The record law, shared with the spec: deterministic, mirrored by
     * the DuckDB oracle over range(). */
-  def valueOf(g: Long): Long = (g * 2654435761L) % 1000000007L
+  def valueOf(g: Long): Long = ((g % Mod) * MulReduced) % Mod
 }
 
-private[sources] class GraftRateSource(
+private[graft] class GraftRateSource(
     sqlContext: SQLContext,
     totalRows: Long,
     rowsPerTrigger: Option[Long],
@@ -99,31 +112,32 @@ private[sources] class GraftRateSource(
     if (capped == 0L) None else Some(LongOffset(capped))
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val spark = sqlContext.sparkSession
-    val to = version(end)
-    planned = hwm.advance(to, planned)
-    val from = start.map(version).getOrElse(0L)
-    val staging =
-      if (metadataPath.nonEmpty) s"$metadataPath/_rate_staging/${from}_$to"
-      else s"${System.getProperty("java.io.tmpdir")}/graft_rate_${from}_$to"
+  /** The (from, to] slice as a BATCH frame: pure arithmetic over
+    * range(from, to) — distributed, no driver-side row building, no
+    * staging materialization. Package-visible so the spec collects a
+    * slice's content directly (getBatch's streaming-flagged wrapper
+    * refuses batch execution by design). */
+  private[graft] def slice(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // the slice is pure arithmetic over range(from, to) — distributed,
-    // no driver-side row building; materialized deterministically so a
-    // WAL replay rewrites identical content
-    spark.range(from, math.max(from, to))
+    sqlContext.sparkSession.range(from, math.max(from, to))
       .select(
         (col("id") % partitions).as("part"),
         org.apache.spark.sql.functions.expr(s"id div $partitions").as("seq"),
-        ((col("id") * lit(2654435761L)) % lit(1000000007L)).as("value"))
-      .write.mode("overwrite").parquet(staging)
-    // metadataPath arrives scheme-qualified (file:/...) under a real
-    // checkpoint — list through the Hadoop arm, which resolves URIs
-    val io = new HadoopSnapshotIO(spark.sessionState.newHadoopConf())
-    val files = io.list(staging)
-      .filter(_.endsWith(".parquet")).sorted.map(n => s"$staging/$n")
-    org.apache.spark.sql.graftbridge.Bridge
-      .streamingParquetBatch(spark, files, schema)
+        // the record law, reduced modularly (see GraftRateSourceProvider.Mod)
+        ((col("id") % lit(GraftRateSourceProvider.Mod))
+          * lit(GraftRateSourceProvider.MulReduced))
+          .%(lit(GraftRateSourceProvider.Mod)).as("value"))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = version(end)
+    planned = hwm.advance(to, planned)
+    val from = start.map(version).getOrElse(0L)
+    // zero-staging micro-batch: the slice executes on the executors
+    // inside the streaming query; a WAL replay recomputes identical
+    // rows from the offset range alone (deterministic arithmetic) — so
+    // there is no per-batch directory to clobber, collide on, or reclaim
+    org.apache.spark.sql.graftbridge.Bridge.streamingBatch(slice(from, to), schema)
   }
 
   private def version(o: Offset): Long = o match {

@@ -341,5 +341,19 @@ private[sources] class SnapshotCdcSource(
     case other               => other.json().trim.toLong
   }
 
+  /** Post-commit staging reclamation: Spark calls this once offset
+    * `end` is durable in the commit log — no replay at or below it can
+    * ever happen, and a replay ABOVE it re-materializes its slice in
+    * getBatch (mode=overwrite) before reading, so every staged range
+    * `end` covers is dead weight. This is what bounds a long-lived
+    * stream's staging footprint to the in-flight batch instead of the
+    * table's entire change history (one directory per micro-batch,
+    * forever — ~43k dirs for a month at a 1-minute trigger). Offline
+    * sweep for streams that died undrained: vacuum's retention arm. */
+  override def commit(end: Offset): Unit = {
+    SnapshotTable.purgeStaging(s"$table/_cdc_staging", version(end))
+    ()
+  }
+
   override def stop(): Unit = ()
 }

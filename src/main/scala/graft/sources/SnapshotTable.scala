@@ -858,7 +858,13 @@ object SnapshotTable {
     * the branch's own data directory that no MAIN manifest references —
     * so dropping an unpublished (audit-failed) branch reclaims its
     * writes, while a published branch's files, now referenced by main,
-    * survive. Returns (manifestsDeleted, dataFilesDeleted). */
+    * survive. Branch-local SEGMENT files follow the same rule: a
+    * published branch's segments are carried by main's fast-forward
+    * manifest (by reference) and survive; an audit-failed branch's
+    * segments are reclaimed with its manifests — without this the
+    * segment files would leak permanently, since main's vacuum never
+    * walks a dropped branch's segment directory.
+    * Returns (manifestsDeleted, dataFilesDeleted). */
   def dropBranch(table: String, name: String, io: SnapshotIO = LocalSnapshotIO): (Int, Int) = {
     val bp = branchPath(table, name)
     val bcur = currentVersion(bp, io)
@@ -869,10 +875,10 @@ object SnapshotTable {
     val mainManifests = (1L to currentVersion(table, io)).flatMap { v =>
       if (io.exists(manifestPath(table, v))) Some(manifest(table, v, io)) else None
     }
+    val mainSegRefs: Set[String] = mainManifests.flatMap(_.segments.map(_.path)).toSet
     val mainRefs: Set[String] =
       mainManifests.flatMap(_.inline.map(_.path)).toSet ++
-        mainManifests.flatMap(_.segments.map(_.path)).distinct
-          .flatMap(p => readSegment(p, io).map(_.path))
+        mainSegRefs.toSeq.flatMap(p => readSegment(p, io).map(_.path))
     var mDel = 0
     (1L to bcur).foreach { v => if (io.delete(manifestPath(bp, v))) mDel += 1 }
     var fDel = 0
@@ -886,6 +892,14 @@ object SnapshotTable {
         if (io.list(d).isEmpty) io.delete(d)
       }
     }
+    // branch-local segments no main manifest references (mirror of the
+    // data-file rule above)
+    val segRoot = segmentDir(bp)
+    io.list(segRoot).foreach { f =>
+      val p = s"$segRoot/$f"
+      if (!mainSegRefs(p)) io.delete(p)
+    }
+    if (io.list(segRoot).isEmpty) io.delete(segRoot)
     (mDel, fDel)
   }
 
@@ -1095,20 +1109,26 @@ object SnapshotTable {
       toVersion: Long,
       io: SnapshotIO = LocalSnapshotIO): Seq[String] = {
     require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
-    ((fromVersion + 1) to toVersion).foreach { v =>
+    val modes = ((fromVersion + 1) to toVersion).map { v =>
       val mode = manifest(table, v, io).extra.getOrElse("mode", "?")
-      require(mode == "append", s"snapshot $v of $table is mode=$mode, not append — " +
-        "incremental read is only sound across a pure append chain")
+      require(mode == "append" || mode == "rewrite",
+        s"snapshot $v of $table is mode=$mode — incremental read is only " +
+          "sound across appends (and metadata-only segment rewrites, " +
+          "whose file set is provably unchanged)")
+      mode
     }
     val from = manifest(table, fromVersion, io)
     val to = manifest(table, toVersion, io)
-    if (from.inline.isEmpty && to.inline.isEmpty) {
+    if (modes.forall(_ == "append") && from.inline.isEmpty && to.inline.isEmpty) {
       // SEGMENT-diff fast path: appends carry the parent's segments by
       // reference and add new ones, so the delta is exactly the
       // segments `to` carries that `from` doesn't — O(delta files)
       // loaded, never the full table's file list. (Inline entries mean
-      // a legacy flat manifest is in the chain; fall through to the
-      // full path-set diff, which is always sound.)
+      // a legacy flat manifest is in the chain; a mode=rewrite commit
+      // re-bundles carried files into NEW segment paths — both fall
+      // through to the full path-set diff, which is always sound:
+      // rewrites keep the file set identical, so the diff is still
+      // exactly the appends' files.)
       val old = from.segments.map(_.path).toSet
       to.segments.filterNot(s => old(s.path))
         .flatMap(s => readSegment(s.path, io)).map(_.path)
@@ -1157,6 +1177,55 @@ object SnapshotTable {
       extra = Map("compacted-from" -> cur.toString),
       io = io)
     (m.files.size, v)
+  }
+
+  /** METADATA-ONLY segment compaction — Iceberg's rewrite_manifests:
+    * re-bundle the head manifest's small segments (count < `smallerThan`)
+    * into consolidated segment files of up to [[SegmentMaxFiles]]
+    * entries, carrying every file entry VERBATIM (path + stats — no
+    * data file is opened, moved, or rewritten) and publishing the
+    * result as a zero-data-copy commit over the identical file set.
+    *
+    * Why it exists: appends carry parent segments by reference and add
+    * one new segment each, so a streaming-append cadence grows the
+    * manifest one `segment=` line per commit — after a month at a
+    * 1-minute trigger the head manifest lists ~43k tiny segments and
+    * planning degrades toward O(commits). This pass restores
+    * O(files / SegmentMaxFiles) segment counts for the cost of
+    * rewriting METADATA only — where [[compactSnapshot]] is the
+    * O(table) DATA rewrite for the small-files problem, this is the
+    * O(manifest) fix for the small-SEGMENTS problem; at 100 TB that
+    * difference is a cluster-day.
+    *
+    * The commit is mode=rewrite: the file SET is provably unchanged, so
+    * incremental readers and the streaming source scan ACROSS it
+    * soundly (they fall back from the segment-diff fast path to the
+    * path-set diff — see [[incrementalFiles]]) instead of refusing like
+    * overwrite/merge. Inline entries from legacy flat manifests migrate
+    * into segments here too. Deletion-vector state rides verbatim.
+    * Aged-out small segments are reclaimed by vacuum once no retained
+    * manifest references them.
+    *
+    * No-op (no new commit) when nothing would consolidate: returns the
+    * current segment count twice. Returns
+    * (segmentsBefore, segmentsAfter, publishedVersion). */
+  def rewriteSegments(
+      table: String,
+      smallerThan: Int = SegmentMaxFiles,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Int, Long) = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot rewrite segments of non-existent table $table")
+    val m = manifest(table, cur, io)
+    val (small, big) = m.segments.partition(_.count < smallerThan)
+    if (m.inline.isEmpty && small.size <= 1)
+      return (m.segments.size, m.segments.size, cur)
+    // entries carried verbatim — the consolidated segments' aggregated
+    // bounds are recomputed by writeSegments from these exact stats
+    val entries = m.inline ++ small.flatMap(s => readSegment(s.path, io))
+    val v = publishManifest(table, cur + 1, cur, m.schema, big, entries,
+      mode = "rewrite",
+      extra = Map("rewritten-segments" -> small.size.toString) ++ dvExtra(m), io)
+    (m.segments.size, manifest(table, v, io).segments.size, v)
   }
 
   /** Optimistic-concurrency retry loop around [[commit]]: re-reads the
@@ -1332,6 +1401,15 @@ object SnapshotTable {
     * Returns (manifestsDeleted, dataFilesDeleted). */
   def vacuum(table: String, retainLast: Int = 2, io: SnapshotIO = LocalSnapshotIO): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
+    // a branch is not an independent retention domain: after a
+    // fast-forward publish, MAIN's manifests reference files and
+    // segments that live under the branch root — a branch-local vacuum
+    // cannot see those references and would reclaim data main still
+    // reads. Maintain branches through the PARENT table's vacuum
+    // (which pins every live branch's references) and dropBranch.
+    require(!table.replace('\\', '/').contains("/branches/"),
+      s"vacuum refused on branch path $table — vacuum the parent table " +
+        "(its walk pins branch references); use dropBranch to reclaim a branch")
     val cur = currentVersion(table, io)
     if (cur == 0) return (0, 0)
     val keep = ((cur - retainLast + 1) max 1) to cur
@@ -1389,6 +1467,46 @@ object SnapshotTable {
       if (name.startsWith("seg_v") && v.nonEmpty && v.toLong <= cur && !liveSegSet(p))
         io.delete(p)
     }
+    // CDC staging below the retention floor: a `<from>_<to>` slice is
+    // only ever READ by the micro-batch that just wrote it (a WAL
+    // replay re-materializes from manifests, never reads stale
+    // staging), and once versions <= `to` age past retention the
+    // manifests a replay would need are gone anyway — so reclaiming
+    // these ranges cannot break anything retention hasn't already.
+    // Live-stream steady-state reclamation is the SOURCE's own
+    // post-commit purge (SnapshotCdcSource.commit); this arm is the
+    // offline sweep for streams that died without draining.
+    purgeStaging(s"$table/_cdc_staging", keep.head - 1, io)
     (mDel, fDel)
+  }
+
+  /** Reclaim DRAINED streaming-staging ranges: delete `<from>_<to>`
+    * directories under `stagingRoot` whose `to` ≤ `upTo`. Sound
+    * whenever `upTo` is a COMMITTED offset (Spark's commit log): the
+    * engine never replays at or below it, and a replay ABOVE it
+    * re-materializes its slice in getBatch before reading — staged
+    * content is never read across batches. Ranges with `to` > `upTo`
+    * (in-flight or replayable) survive untouched. Returns the number
+    * of ranges reclaimed. */
+  def purgeStaging(stagingRoot: String, upTo: Long, io: SnapshotIO = LocalSnapshotIO): Int = {
+    var n = 0
+    io.list(stagingRoot).foreach { name =>
+      name.split('_') match {
+        case Array(from, to) if from.forall(_.isDigit) && to.forall(_.isDigit)
+            && to.toLong <= upTo =>
+          deleteRecursive(s"$stagingRoot/$name", io)
+          n += 1
+        case _ => // not a range directory (or still live) — leave it
+      }
+    }
+    if (n > 0 && io.list(stagingRoot).isEmpty) io.delete(stagingRoot)
+    n
+  }
+
+  /** Depth-first recursive delete through the [[SnapshotIO]] seam (the
+    * trait's delete handles files and EMPTY directories only). */
+  private def deleteRecursive(path: String, io: SnapshotIO): Unit = {
+    if (io.isDir(path)) io.list(path).foreach(n => deleteRecursive(s"$path/$n", io))
+    io.delete(path)
   }
 }

@@ -1228,6 +1228,87 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 2
              |ORDER BY arm, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_segment_compact",
+      // METADATA-ONLY segment compaction (Iceberg's rewrite_manifests,
+      // SnapshotTable.rewriteSegments): a streaming-append cadence
+      // grows the manifest one tiny segment per commit — this pass
+      // re-bundles them into consolidated segment files carrying every
+      // file entry VERBATIM (no data file opened or moved; the commit
+      // is a zero-data-copy mode=rewrite over the identical file set),
+      // restoring O(files/SegmentMaxFiles) planning where
+      // compactSnapshot would pay an O(table) DATA rewrite. The
+      // fixture drives the same 12-commit key-disjoint chain as
+      // src_snapshot_manifest_scale, then REQUIREs the rewrite's
+      // structural contract in place: 12 segments consolidate to 1,
+      // the file PATH SET is bit-identical across the rewrite, file
+      // count unchanged, history records mode=rewrite, file-level
+      // pruning admits the same files, and the incremental read scans
+      // ACROSS the rewrite boundary (the path-set-diff fallback —
+      // appends' files exactly) instead of refusing like overwrite.
+      // Arms: the same pruned aggregate before (version-pinned) and
+      // after the rewrite, plus the cross-boundary incremental slice.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapsegc_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .withColumn("o_mod", col("o_orderkey") % 12)
+          .select("o_orderkey", "o_mod", "o_orderpriority", "o_totalprice")
+        for (m <- 0 to 11)
+          SnapshotTable.commit(o.filter(col("o_mod") === m), table,
+            append = m > 0, statsColumns = Seq("o_mod"))
+        val pre = SnapshotTable.manifest(table, 12L)
+        require(pre.segments.size == 12, s"fixture: want 12 segments, got ${pre.segments.size}")
+        val preFiles = pre.files.map(_.path).toSet
+        val prePruned = pre.filesMatching(_.stats.get("o_mod")
+          .forall { case (mn, mx) => mx >= 3L && mn <= 5L }).map(_.path).toSet
+        val (nBefore, nAfter, v) = SnapshotTable.rewriteSegments(table)
+        require(nBefore == 12 && nAfter == 1 && v == 13L,
+          s"rewrite consolidated $nBefore -> $nAfter segments at v$v, want 12 -> 1 at v13")
+        val post = SnapshotTable.manifest(table, 13L)
+        require(post.inline.isEmpty, "rewrite left inline entries")
+        require(post.files.map(_.path).toSet == preFiles && post.fileCount == pre.fileCount,
+          "rewrite must be zero-data-copy: identical file set, no data touched")
+        // file-LEVEL pruning admits the same files (entries carried
+        // verbatim with their stats — only the segment grouping moved)
+        val postPruned = post.filesMatching(_.stats.get("o_mod")
+          .forall { case (mn, mx) => mx >= 3L && mn <= 5L }).map(_.path).toSet
+        require(postPruned == prePruned, "rewrite changed file-level pruning")
+        require(SnapshotTable.manifest(table, 13L).extra.get("mode").contains("rewrite"),
+          "history must record the metadata-only commit as mode=rewrite")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(
+          SnapshotTable.readPruned(s, table, "o_mod", 3L, 5L, version = Some(12L))
+            .filter(col("o_mod").between(3, 5)), "before")
+          .unionByName(agg(
+            SnapshotTable.readPruned(s, table, "o_mod", 3L, 5L, version = Some(13L))
+              .filter(col("o_mod").between(3, 5)), "after"))
+          .unionByName(agg(
+            // (6, 13]: crosses the rewrite boundary — resolves to the
+            // appends' files via the path-set diff, never refuses
+            SnapshotTable.readIncremental(s, table, fromVersion = 6L, toVersion = 13L),
+            "incr"))
+          .select("arm", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("arm", "o_orderpriority")
+      },
+      Some("""SELECT 'after' AS arm, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 12 BETWEEN 3 AND 5 GROUP BY 2
+             |UNION ALL
+             |SELECT 'before', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 12 BETWEEN 3 AND 5 GROUP BY 2
+             |UNION ALL
+             |SELECT 'incr', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 12 >= 6 GROUP BY 2
+             |ORDER BY arm, o_orderpriority""".stripMargin)
     )
   )
 }

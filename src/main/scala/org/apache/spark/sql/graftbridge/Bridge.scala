@@ -56,6 +56,25 @@ object Bridge {
     }
   }
 
+  /** Wrap a DETERMINISTIC batch frame as the micro-batch a V1 streaming
+    * Source hands back from getBatch: the frame's physical RDD under an
+    * isStreaming=true leaf (the construction MemoryStream and the V1
+    * KafkaSource use — `internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)`). The RDD lineage is lazy and executes on the
+    * executors inside the streaming query; nothing is materialized to
+    * staging storage, so a source whose slices are pure computation
+    * (e.g. the rate source's arithmetic over range) pays ZERO I/O per
+    * micro-batch and leaves nothing to reclaim. The caller owns
+    * determinism: a WAL replay re-plans the same offset range and must
+    * recompute identical rows. `schema` is the SOURCE's declared schema
+    * — arithmetic plans mark division results nullable, and the
+    * micro-batch must carry the schema the provider advertised (the
+    * caller guarantees no actual nulls). */
+  def streamingBatch(df: DataFrame, schema: types.StructType): DataFrame = {
+    val ss = df.sparkSession.asInstanceOf[classic.SparkSession]
+    ss.internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
   /** Block until the async listener bus has delivered everything posted
     * so far (bounded). QueryExecutionListener callbacks ride this bus,
     * so "bus empty" == "every completed action's observed metrics have

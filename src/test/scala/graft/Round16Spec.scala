@@ -195,19 +195,40 @@ class Round16Spec extends AnyFunSuite {
     def mk() = provider.createSource(
       spark.sqlContext, meta, None, "",
       Map("totalRows" -> "10", "rowsPerTrigger" -> "4", "partitions" -> "3"))
+      .asInstanceOf[graft.sources.GraftRateSource]
     val a = mk()
-    // the staged slice is batch-readable (getBatch's frame itself
-    // carries streaming leaves for MicroBatchExecution)
-    def staged(from: Long, to: Long) =
-      spark.read.parquet(s"$meta/_rate_staging/${from}_$to")
+    // a slice is pure arithmetic — collected through the batch twin of
+    // getBatch's frame (the streaming-flagged wrapper refuses batch
+    // execution by design); ZERO staging is written anywhere
+    def sliceRows(src: graft.sources.GraftRateSource, from: Long, to: Long) =
+      src.slice(from, to)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     // backlog admitted in capped slices: 4, 8, 10
     assert(a.getOffset === Some(LongOffset(4L)))
-    a.getBatch(None, LongOffset(4L))
+    // the micro-batch frame carries streaming leaves (MicroBatchExecution
+    // asserts this) with the declared schema
+    val batch = a.getBatch(None, LongOffset(4L))
+    assert(batch.isStreaming, "getBatch must hand back a streaming-flagged frame")
+    assert(batch.schema === graft.sources.GraftRateSourceProvider.schema)
     // slice (0,4]: g=0..3 -> part g%3, seq g/3, value law
-    val rows = staged(0L, 4L)
+    val rows = sliceRows(a, 0L, 4L)
     assert(rows === (0L until 4L).map(g =>
       (g % 3, g / 3, (g * 2654435761L) % 1000000007L)).sorted.toArray)
+    // ... and the modular law agrees with the naive product everywhere,
+    // INCLUDING past the Long-overflow threshold g ~ 3.47e9 where the
+    // naive product would go negative (the record-law overflow defect)
+    for (g <- Seq(0L, 1L, 3470000000L, Long.MaxValue / 3, Long.MaxValue)) {
+      val law = graft.sources.GraftRateSourceProvider.valueOf(g)
+      assert(law >= 0 && law < 1000000007L, s"law out of field at g=$g: $law")
+      assert(law === java.math.BigInteger.valueOf(g)
+        .multiply(java.math.BigInteger.valueOf(2654435761L))
+        .mod(java.math.BigInteger.valueOf(1000000007L)).longValueExact(),
+        s"modular law disagrees with exact arithmetic at g=$g")
+    }
+    // zero staging on disk: nothing under the metadata path but the
+    // high-water mark, nothing under java.io.tmpdir for this source
+    assert(!new java.io.File(s"$meta/_rate_staging").exists(),
+      "zero-staging rate source must not materialize slices")
     assert(a.getOffset === Some(LongOffset(8L)))
     a.getBatch(Some(LongOffset(4L)), LongOffset(8L))
     // RESTART on the same metadataPath: planned=8 recovered, so the
@@ -216,10 +237,9 @@ class Round16Spec extends AnyFunSuite {
     assert(b.getOffset === Some(LongOffset(10L)),
       "restarted rate source re-seeded its admission cursor")
     // replayed range resolves to identical content (offset-addressed
-    // determinism — the replayability contract): re-plan (0,4] and
-    // compare the overwritten staging
-    mk().getBatch(None, LongOffset(4L))
-    assert(staged(0L, 4L) === rows)
+    // determinism — the replayability contract): re-plan (0,4] on a
+    // fresh source and compare
+    assert(sliceRows(mk(), 0L, 4L) === rows)
   }
 
   // ---- null-count manifest stats ------------------------------------
