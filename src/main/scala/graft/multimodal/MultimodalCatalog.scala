@@ -466,6 +466,51 @@ object MultimodalCatalog extends QueryModule {
              |FROM px ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "mm_flac_decode",
+      // The FOURTH entropy-coding family across the decoder seam, and
+      // the close of its last stub: FLAC (RFC 9639) — a PREDICTIVE
+      // coder where PNG was zlib, GIF a dictionary coder and JPEG a
+      // transform coder. Both directions implemented from the spec
+      // (RealCodecs.flacBytes/flacDecode): STREAMINFO, fixed-blocksize
+      // frames with spec-true headers and UTF-8-style coded frame
+      // numbers, CONSTANT / VERBATIM / FIXED(0-4) subframes with
+      // zigzag-Rice residual partitions and the raw-bits escape, and
+      // BOTH checksums verified per frame (CRC-8 header, CRC-16 frame
+      // — the audio sibling of PNG's CRC32 arm). The encoder rotates
+      // the subframe family by frame index, so a decoder faking any
+      // one family breaks the hash; losslessness makes the oracle
+      // exact — the same widening law as mm_wav_pcm16, recomputed
+      // relationally, plus the deterministic frame count
+      // ceil(n/64). LPC and multi-channel refuse loudly (spec-pinned
+      // in Round17Spec, with a golden-bytes layout pin and corrupted-
+      // CRC refusal).
+      //
+      // Scale posture: identical to the other decoder-seam ops —
+      // narrow per-asset build+parse in one mapPartitions, Fan.out
+      // first, presentation sort as the only exchange.
+      (s, dir) => {
+        val docs = graft.Fan.out(Tables(s, dir).documents.select("doc_id", "text"))
+        val blobs = docs
+          .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+          .map { case (id, text) => StubDecoder.Blob(id, RealCodecs.flacBytes(id, text)) }(
+            org.apache.spark.sql.Encoders.product[StubDecoder.Blob])
+        RealCodecs.decodeFlac(blobs).toDF().orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         (16000 + (doc_id % 4) * 8000)::INTEGER AS sample_rate,
+             |         [(unicode(substr(text, (i + 1)::INTEGER, 1)) - 64) * 257
+             |          for i in range(0, length(text))] AS ss
+             |       FROM documents)
+             |SELECT doc_id, sample_rate, len(ss)::BIGINT AS n_samples,
+             |((len(ss) + 63) // 64)::INTEGER AS n_frames,
+             |list_sum(ss)::BIGINT AS sum_s,
+             |list_sum([s * s for s in ss])::BIGINT AS energy,
+             |list_max([abs(s) for s in ss])::INTEGER AS peak
+             |FROM d ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "mm_wav_pcm16",
       // The production AUDIO BIT DEPTH across the decoder seam: real
       // mono 16-bit-PCM WAVs (sample = (char − 64) · 257, the natural

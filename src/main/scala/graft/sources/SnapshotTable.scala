@@ -196,6 +196,15 @@ object SnapshotTable {
       * nulls == 0 proves no NULL row, nulls == rows proves no non-NULL
       * row. Also the per-file row count a join sizer wants. */
     def nstats: Map[String, (Long, Long)]
+    /** Per-column NDV estimate (HLL++ at commit — deterministic). At
+      * file granularity it is the file's distinct count (±rsd); at
+      * segment granularity the SUM of the contained files' estimates —
+      * an UPPER bound on the segment's true NDV (values shared across
+      * files double-count), which is the safe direction for the one
+      * decision it feeds: "is this side provably small enough to
+      * broadcast" (an upper bound can only under-broadcast, never
+      * blow an executor). */
+    def dstats: Map[String, Long]
   }
 
   /** One data file with optional per-column (min, max) stats — integer
@@ -207,14 +216,16 @@ object SnapshotTable {
       path: String,
       stats: Map[String, (Long, Long)],
       sstats: Map[String, (String, String)] = Map.empty,
-      nstats: Map[String, (Long, Long)] = Map.empty) extends StatRanges {
+      nstats: Map[String, (Long, Long)] = Map.empty,
+      dstats: Map[String, Long] = Map.empty) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c:s:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
       }
       val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
-      (path +: (ist ++ sst ++ nst)).mkString("|")
+      val dst = dstats.toSeq.sortBy(_._1).map { case (c, d) => s"$c:d:$d" }
+      (path +: (ist ++ sst ++ nst ++ dst)).mkString("|")
     }
   }
 
@@ -231,17 +242,19 @@ object SnapshotTable {
       val ist = Map.newBuilder[String, (Long, Long)]
       val sst = Map.newBuilder[String, (String, String)]
       val nst = Map.newBuilder[String, (Long, Long)]
+      val dst = Map.newBuilder[String, Long]
       parts.tail.foreach { st =>
         st.split(':') match {
           case Array(c, "s", lo, hi) => sst += c -> (unhex(lo), unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "") // empty-string bounds
           case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
+          case Array(c, "d", d)      => dst += c -> d.toLong
           case Array(c, lo, hi)      => ist += c -> (lo.toLong, hi.toLong)
           case other =>
             throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
         }
       }
-      FileEntry(parts.head, ist.result(), sst.result(), nst.result())
+      FileEntry(parts.head, ist.result(), sst.result(), nst.result(), dst.result())
     }
 
     /** Byte-wise unsigned UTF-8 comparison — the ordering Spark's
@@ -277,14 +290,16 @@ object SnapshotTable {
       count: Int,
       stats: Map[String, (Long, Long)],
       sstats: Map[String, (String, String)] = Map.empty,
-      nstats: Map[String, (Long, Long)] = Map.empty) extends StatRanges {
+      nstats: Map[String, (Long, Long)] = Map.empty,
+      dstats: Map[String, Long] = Map.empty) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"$c:s:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
       }
       val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
-      (path +: count.toString +: (ist ++ sst ++ nst)).mkString("|")
+      val dst = dstats.toSeq.sortBy(_._1).map { case (c, d) => s"$c:d:$d" }
+      (path +: count.toString +: (ist ++ sst ++ nst ++ dst)).mkString("|")
     }
   }
 
@@ -294,17 +309,20 @@ object SnapshotTable {
       val ist = Map.newBuilder[String, (Long, Long)]
       val sst = Map.newBuilder[String, (String, String)]
       val nst = Map.newBuilder[String, (Long, Long)]
+      val dst = Map.newBuilder[String, Long]
       parts.drop(2).foreach { st =>
         st.split(':') match {
           case Array(c, "s", lo, hi) => sst += c -> (FileEntry.unhex(lo), FileEntry.unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "")
           case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
+          case Array(c, "d", d)      => dst += c -> d.toLong
           case Array(c, lo, hi)      => ist += c -> (lo.toLong, hi.toLong)
           case other =>
             throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
         }
       }
-      SegmentRef(parts.head, parts(1).toInt, ist.result(), sst.result(), nst.result())
+      SegmentRef(parts.head, parts(1).toInt, ist.result(), sst.result(), nst.result(),
+        dst.result())
     }
   }
 
@@ -395,6 +413,7 @@ object SnapshotTable {
       val intCols = chunk.map(_.stats.keySet).reduce(_ intersect _)
       val strCols = chunk.map(_.sstats.keySet).reduce(_ intersect _)
       val nulCols = chunk.map(_.nstats.keySet).reduce(_ intersect _)
+      val ndvCols = chunk.map(_.dstats.keySet).reduce(_ intersect _)
       SegmentRef(
         path,
         chunk.size,
@@ -411,7 +430,10 @@ object SnapshotTable {
         nulCols.map { c =>
           val bs = chunk.map(_.nstats(c))
           c -> (bs.map(_._1).sum, bs.map(_._2).sum)
-        }.toMap)
+        }.toMap,
+        // sum = NDV upper bound (shared values double-count) — the safe
+        // direction for broadcast sizing; see StatRanges.dstats
+        ndvCols.map(c => c -> chunk.map(_.dstats(c)).sum).toMap)
     }.toVector
   }
 
@@ -480,9 +502,13 @@ object SnapshotTable {
         val aggs = statsColumns.flatMap { c =>
           val v = if (stringCols(c)) col(c) else col(c).cast("long")
           // min/max ignore NULLs; the null count beside them is what
-          // prunes IS [NOT] NULL (and row count sizes the file)
+          // prunes IS [NOT] NULL (and row count sizes the file); the
+          // HLL++ distinct estimate beside THOSE is what sizes a join
+          // side from the manifest alone (broadcast-or-shuffle without
+          // a scan) — all partials of ONE map-side-combined pass
           Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"))
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"),
+            approx_count_distinct(col(c)).as(s"__nd_$c"))
         } :+ count(lit(1)).as("__nr")
         spark.read.parquet(dataDir)
           .groupBy(input_file_name().as("__f"))
@@ -500,7 +526,8 @@ object SnapshotTable {
                 c -> (r.getAs[Long](s"__mn_$c"), r.getAs[Long](s"__mx_$c"))).toMap,
               statsColumns.filter(stringCols).filter(hasRange).map(c =>
                 c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))).toMap,
-              statsColumns.map(c => c -> (r.getAs[Long](s"__nu_$c"), nr)).toMap)
+              statsColumns.map(c => c -> (r.getAs[Long](s"__nu_$c"), nr)).toMap,
+              statsColumns.map(c => c -> r.getAs[Long](s"__nd_$c")).toMap)
           }
           .toVector.sortBy(_.path)
       }
@@ -1177,6 +1204,66 @@ object SnapshotTable {
       extra = Map("compacted-from" -> cur.toString),
       io = io)
     (m.files.size, v)
+  }
+
+  /** Manifest-only ROW COUNT: Σ per-part (segment-ref / inline-file)
+    * recorded rowCounts, read from the head manifest's lines alone — no
+    * segment loaded, no file opened. None when any part lacks nstats
+    * (a stats-less commit in the history): the count cannot be proven,
+    * and the consumers below must NOT guess. */
+  def rowCountOf(
+      table: String,
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): Option[Long] = {
+    val m = manifest(table, version.getOrElse(currentVersion(table, io)), io)
+    val parts: Seq[StatRanges] = m.segments ++ m.inline
+    val counts = parts.map(_.nstats.values.map(_._2).maxOption)
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** Manifest-only NDV UPPER BOUND for `column`: Σ per-part distinct
+    * estimates (values shared across files double-count — see
+    * [[StatRanges.dstats]] for why the upper bound is the safe
+    * direction). None when any part lacks the estimate. */
+  def ndvOf(
+      table: String,
+      column: String,
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): Option[Long] = {
+    val m = manifest(table, version.getOrElse(currentVersion(table, io)), io)
+    val parts: Seq[StatRanges] = m.segments ++ m.inline
+    val ds = parts.map(_.dstats.get(column))
+    if (parts.isEmpty) Some(0L)
+    else if (ds.exists(_.isEmpty)) None
+    else Some(ds.flatten.sum)
+  }
+
+  /** Equi-join with the build side sized FROM THE MANIFEST — the
+    * decision Spark's own size estimator cannot make for an external
+    * table format without a scan (and the r8 rule forbids making on an
+    * estimate for corpus-derived frames): broadcast `rightTable` iff
+    * its manifest PROVES both the shipped size (row count ≤
+    * `maxBuildRows`) and the hash-table size (key NDV upper bound ≤
+    * `maxBuildKeys`); anything unprovable — missing nstats/dstats —
+    * falls to the shuffled-hash join, never a blind broadcast. The
+    * decision reads manifest lines only: zero data files opened before
+    * the join itself executes. Returns (joined, broadcasted). */
+  def sizedJoin(
+      left: DataFrame,
+      leftKey: String,
+      rightTable: String,
+      rightKey: String,
+      maxBuildRows: Long,
+      maxBuildKeys: Long,
+      io: SnapshotIO = LocalSnapshotIO): (DataFrame, Boolean) = {
+    val spark = left.sparkSession
+    val bc = rowCountOf(rightTable, None, io).exists(_ <= maxBuildRows) &&
+      ndvOf(rightTable, rightKey, None, io).exists(_ <= maxBuildKeys)
+    val right = read(spark, rightTable, None, io)
+    val joined =
+      if (bc) left.join(broadcast(right), left(leftKey) === right(rightKey))
+      else left.join(right.hint("shuffle_hash"), left(leftKey) === right(rightKey))
+    (joined, bc)
   }
 
   /** METADATA-ONLY segment compaction — Iceberg's rewrite_manifests:

@@ -1309,6 +1309,68 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders WHERE o_orderkey % 12 >= 6 GROUP BY 2
              |ORDER BY arm, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_join_sizing",
+      // NDV MANIFEST STATS consumed by a join sizer: commits record a
+      // per-file HLL++ distinct estimate (`d:` beside min/max,
+      // nullCount, rowCount — one map-side-combined pass), segment
+      // refs carry the SUM (an NDV upper bound — the safe direction:
+      // an upper bound can only under-broadcast, never blow an
+      // executor), and SnapshotTable.sizedJoin decides
+      // broadcast-vs-shuffle from MANIFEST LINES ALONE — row count ≤
+      // maxBuildRows AND key-NDV bound ≤ maxBuildKeys, both PROVEN or
+      // the join falls to shuffled-hash (a stats-less table can never
+      // broadcast blind). This is the decision Spark's size estimator
+      // cannot make for an external format without a scan, and the r8
+      // rule forbids making on an estimate. Three arms over the same
+      // fact ⋈ dim: thresholds admitting the dim (broadcast), starving
+      // it (shuffle), and a stats-less dim (never broadcast) — all
+      // three REQUIREd, results identical by construction and checked
+      // against one relational oracle. Round17Spec pins the physical
+      // plans (BroadcastHashJoin vs ShuffledHashJoin), the
+      // decision-flip, and ndvOf/rowCountOf accuracy.
+      (s, dir) => {
+        val factT = graft.Stage.dir("graft_sizefact_", dir).getPath
+        val dimT = graft.Stage.dir("graft_sizedim_", dir).getPath
+        val dimBare = graft.Stage.dir("graft_sizedimb_", dir).getPath
+        Seq(factT, dimT, dimBare).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        val fact = Tables(s, dir).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dim = Tables(s, dir).customer.select("c_custkey", "c_mktsegment")
+        SnapshotTable.commit(fact, factT, append = false)
+        SnapshotTable.commit(dim, dimT, append = false, statsColumns = Seq("c_custkey"))
+        SnapshotTable.commit(dim, dimBare, append = false) // NO stats: unprovable
+        val factDf = SnapshotTable.read(s, factT)
+        def arm(rightTable: String, maxRows: Long, maxKeys: Long,
+            name: String, wantBc: Boolean) = {
+          val (joined, bc) = SnapshotTable.sizedJoin(
+            factDf, "o_custkey", rightTable, "c_custkey", maxRows, maxKeys)
+          require(bc == wantBc,
+            s"arm $name: manifest-sized decision broadcast=$bc, want $wantBc")
+          joined.groupBy("c_mktsegment")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(name))
+        }
+        // the dim's manifest proves a small build side -> broadcast
+        arm(dimT, 1000000L, 1000000L, "bc", wantBc = true)
+          // starved key budget -> the same manifest REFUSES the broadcast
+          .unionByName(arm(dimT, 1000000L, 10L, "sh", wantBc = false))
+          // stats-less manifest: nothing provable -> never broadcast blind
+          .unionByName(arm(dimBare, 1000000L, 1000000L, "blind", wantBc = false))
+          .select("arm", "c_mktsegment", "n_orders", "sum_price")
+          .orderBy("arm", "c_mktsegment")
+      },
+      Some("""WITH j AS (SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+             |SELECT 'bc' AS arm, * FROM j
+             |UNION ALL SELECT 'blind', * FROM j
+             |UNION ALL SELECT 'sh', * FROM j
+             |ORDER BY arm, c_mktsegment""".stripMargin)
     )
   )
 }
