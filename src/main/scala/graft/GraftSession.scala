@@ -20,6 +20,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins: honor a DSv2 scan's reported
+      // KeyGroupedPartitioning (the snapshot format's clustered arm) —
+      // off by default upstream only for ecosystem compatibility
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

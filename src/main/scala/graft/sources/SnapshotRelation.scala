@@ -87,36 +87,32 @@ object SnapshotRelationProvider {
   val format: String = classOf[SnapshotRelationProvider].getName
 }
 
-class SnapshotRelation(
-    spark: SparkSession,
-    table: String,
-    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
-
-  private val m = SnapshotTable.manifest(
-    table, version.getOrElse(SnapshotTable.currentVersion(table)))
-
-  override def sqlContext: SQLContext = spark.sqlContext
-
-  override val schema: StructType = m.schema
-
-  private def isIntegral(c: String): Boolean =
-    schema.fields.find(_.name == c).exists(f =>
-      f.dataType == LongType || f.dataType == IntegerType)
-  private def isString(c: String): Boolean =
-    schema.fields.find(_.name == c).exists(_.dataType == StringType)
-
-  private def longOf(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int  => Some(i.toLong)
-    case _       => None
-  }
+/** The manifest-bounds pruning predicate, shared by BOTH public scan
+  * arms — the V1 `PrunedFilteredScan` relation below and the DSv2
+  * [[SnapshotV2Provider]] scan — so the two paths can never drift on
+  * which files a pushed filter may skip. */
+private[sources] object ManifestPruning {
 
   /** The file entries that can hold rows matching ALL pushed filters —
     * each filter independently shrinks the candidate set through the
     * manifest bounds; files without stats for a column always survive
-    * (stats prove absence, never presence). Package-visible so the
-    * spec pins the pruning decisions without driving a full scan. */
-  private[graft] def prunedEntries(filters: Array[Filter]): Seq[SnapshotTable.FileEntry] = {
+    * (stats prove absence, never presence). */
+  def prunedEntries(
+      m: SnapshotTable.Manifest,
+      schema: StructType,
+      filters: Array[Filter]): Seq[SnapshotTable.FileEntry] = {
+
+    def isIntegral(c: String): Boolean =
+      schema.fields.find(_.name == c).exists(f =>
+        f.dataType == LongType || f.dataType == IntegerType)
+    def isString(c: String): Boolean =
+      schema.fields.find(_.name == c).exists(_.dataType == StringType)
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+
     // written against StatRanges, so the SAME predicate first skips
     // whole manifest segments via their aggregated bounds (a missed
     // segment's file list is never loaded), then files inside the
@@ -151,6 +147,24 @@ class SnapshotRelation(
     }
     m.filesMatching(f => filters.forall(keep(f, _)))
   }
+}
+
+class SnapshotRelation(
+    spark: SparkSession,
+    table: String,
+    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private val m = SnapshotTable.manifest(
+    table, version.getOrElse(SnapshotTable.currentVersion(table)))
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = m.schema
+
+  /** Package-visible so the spec pins the pruning decisions without
+    * driving a full scan. */
+  private[graft] def prunedEntries(filters: Array[Filter]): Seq[SnapshotTable.FileEntry] =
+    ManifestPruning.prunedEntries(m, schema, filters)
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val entries = prunedEntries(filters)

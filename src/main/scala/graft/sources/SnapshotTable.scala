@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Storage primitives the snapshot protocol needs — everything else in
   * [[SnapshotTable]] is storage-agnostic. The one load-bearing method
@@ -211,13 +211,17 @@ object SnapshotTable {
     * ranges in `stats`, raw-string ranges in `sstats` (compared
     * byte-wise over UTF-8, matching Spark's binary string ordering, so
     * a bound recorded by Spark's min/max is sound at prune time) —
-    * plus per-column (nullCount, rowCount) in `nstats`. */
+    * plus per-column (nullCount, rowCount) in `nstats`, and the file's
+    * byte `size` (−1 on legacy entries written before sizes were
+    * recorded): what V2 scan planning splits on and what the CBO's
+    * size estimate sums — without one filesystem stat call per file. */
   final case class FileEntry(
       path: String,
       stats: Map[String, (Long, Long)],
       sstats: Map[String, (String, String)] = Map.empty,
       nstats: Map[String, (Long, Long)] = Map.empty,
-      dstats: Map[String, Long] = Map.empty) extends StatRanges {
+      dstats: Map[String, Long] = Map.empty,
+      size: Long = -1L) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
@@ -225,7 +229,8 @@ object SnapshotTable {
       }
       val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
       val dst = dstats.toSeq.sortBy(_._1).map { case (c, d) => s"$c:d:$d" }
-      (path +: (ist ++ sst ++ nst ++ dst)).mkString("|")
+      val sz = if (size >= 0) Seq(s"sz:$size") else Nil
+      (path +: (sz ++ ist ++ sst ++ nst ++ dst)).mkString("|")
     }
   }
 
@@ -243,8 +248,10 @@ object SnapshotTable {
       val sst = Map.newBuilder[String, (String, String)]
       val nst = Map.newBuilder[String, (Long, Long)]
       val dst = Map.newBuilder[String, Long]
+      var size = -1L
       parts.tail.foreach { st =>
         st.split(':') match {
+          case Array("sz", b)        => size = b.toLong
           case Array(c, "s", lo, hi) => sst += c -> (unhex(lo), unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "") // empty-string bounds
           case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
@@ -254,7 +261,7 @@ object SnapshotTable {
             throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
         }
       }
-      FileEntry(parts.head, ist.result(), sst.result(), nst.result(), dst.result())
+      FileEntry(parts.head, ist.result(), sst.result(), nst.result(), dst.result(), size)
     }
 
     /** Byte-wise unsigned UTF-8 comparison — the ordering Spark's
@@ -291,7 +298,8 @@ object SnapshotTable {
       stats: Map[String, (Long, Long)],
       sstats: Map[String, (String, String)] = Map.empty,
       nstats: Map[String, (Long, Long)] = Map.empty,
-      dstats: Map[String, Long] = Map.empty) extends StatRanges {
+      dstats: Map[String, Long] = Map.empty,
+      size: Long = -1L) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
@@ -299,7 +307,8 @@ object SnapshotTable {
       }
       val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
       val dst = dstats.toSeq.sortBy(_._1).map { case (c, d) => s"$c:d:$d" }
-      (path +: count.toString +: (ist ++ sst ++ nst ++ dst)).mkString("|")
+      val sz = if (size >= 0) Seq(s"sz:$size") else Nil
+      (path +: count.toString +: (sz ++ ist ++ sst ++ nst ++ dst)).mkString("|")
     }
   }
 
@@ -310,8 +319,10 @@ object SnapshotTable {
       val sst = Map.newBuilder[String, (String, String)]
       val nst = Map.newBuilder[String, (Long, Long)]
       val dst = Map.newBuilder[String, Long]
+      var size = -1L
       parts.drop(2).foreach { st =>
         st.split(':') match {
+          case Array("sz", b)        => size = b.toLong
           case Array(c, "s", lo, hi) => sst += c -> (FileEntry.unhex(lo), FileEntry.unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "")
           case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
@@ -322,7 +333,7 @@ object SnapshotTable {
         }
       }
       SegmentRef(parts.head, parts(1).toInt, ist.result(), sst.result(), nst.result(),
-        dst.result())
+        dst.result(), size)
     }
   }
 
@@ -433,7 +444,11 @@ object SnapshotTable {
         }.toMap,
         // sum = NDV upper bound (shared values double-count) — the safe
         // direction for broadcast sizing; see StatRanges.dstats
-        ndvCols.map(c => c -> chunk.map(_.dstats(c)).sum).toMap)
+        ndvCols.map(c => c -> chunk.map(_.dstats(c)).sum).toMap,
+        // segment byte size: recorded only when EVERY contained file's
+        // size is known — an unknown must surface as unknown, never as
+        // an undercount (the CBO would broadcast off it)
+        if (chunk.forall(_.size >= 0)) chunk.map(_.size).sum else -1L)
     }.toVector
   }
 
@@ -492,7 +507,10 @@ object SnapshotTable {
     val newFiles: Vector[FileEntry] =
       if (statsColumns.isEmpty) {
         io.list(dataDir).filter(_.endsWith(".parquet")).sorted
-          .map(n => FileEntry(s"$dataDir/$n", Map.empty)).toVector
+          .map { n =>
+            val p = s"$dataDir/$n"
+            FileEntry(p, Map.empty, size = io.size(p))
+          }.toVector
       } else {
         // one map-side-combined pass over the new files only; string
         // columns record raw-string bounds, everything else integer
@@ -527,7 +545,8 @@ object SnapshotTable {
               statsColumns.filter(stringCols).filter(hasRange).map(c =>
                 c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))).toMap,
               statsColumns.map(c => c -> (r.getAs[Long](s"__nu_$c"), nr)).toMap,
-              statsColumns.map(c => c -> r.getAs[Long](s"__nd_$c")).toMap)
+              statsColumns.map(c => c -> r.getAs[Long](s"__nd_$c")).toMap,
+              io.size(p))
           }
           .toVector.sortBy(_.path)
       }
@@ -611,15 +630,17 @@ object SnapshotTable {
       expectedCurrent: Option[Long] = None,
       statsColumns: Seq[String] = Nil,
       extra: Map[String, String] = Map.empty,
+      clusterBy: Option[String] = None,
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val current = expectedCurrent.getOrElse(currentVersion(table, io))
-    require(!extra.contains(DvKeyK) && !extra.contains(DvFilesK),
-      s"$DvKeyK/$DvFilesK are reserved manifest keys (deletion-vector state)")
+    require(!extra.contains(DvKeyK) && !extra.contains(DvFilesK) && !extra.contains(ClusterK),
+      s"$DvKeyK/$DvFilesK/$ClusterK are reserved manifest keys")
     var dvCarry = Map.empty[String, String]
     // append: the parent's SEGMENTS are carried by reference — the
     // commit never re-lists existing files, so a 1M-file table appends
     // at O(new files + segment count). Parent inline entries (legacy
     // flat manifests) re-bundle into a segment once, migrating forward.
+    var parentCluster: Option[String] = None
     val (carriedSegs, carriedFiles): (Seq[SegmentRef], Seq[FileEntry]) =
       if (append && current > 0) {
         val parent = manifest(table, current, io)
@@ -634,11 +655,28 @@ object SnapshotTable {
         // outstanding deletion vectors ride every append verbatim — a
         // commit that dropped them would resurrect the deleted rows
         dvCarry = dvExtra(parent)
+        parentCluster = parent.extra.get(ClusterK)
         (parent.segments, parent.inline)
       } else (Vector.empty, Vector.empty)
+    // an identity-clustered table STAYS clustered: appends inherit the
+    // parent's cluster column (a writer may restate it, never change it
+    // — the spec is table-level, like an Iceberg partition spec);
+    // overwrite resets to whatever the new commit declares
+    require(clusterBy.isEmpty || parentCluster.isEmpty || clusterBy == parentCluster,
+      s"append clusterBy=${clusterBy.get} conflicts with table cluster key " +
+        s"${parentCluster.get} — an identity cluster spec is table-level (overwrite to change)")
+    val cluster = clusterBy.orElse(parentCluster)
+    val (data, stats) = cluster match {
+      case Some(k) =>
+        // cluster stats are mandatory: min==max per file is how the scan
+        // recovers each file's partition value from the manifest alone
+        (clusterExact(df, k), if (statsColumns.contains(k)) statsColumns else statsColumns :+ k)
+      case None => (df, statsColumns)
+    }
     publishVersion(
-      df, table, current + 1, current, carriedSegs, carriedFiles,
-      if (append) "append" else "overwrite", statsColumns, extra ++ dvCarry, io)
+      data, table, current + 1, current, carriedSegs, carriedFiles,
+      if (append) "append" else "overwrite", stats,
+      extra ++ dvCarry ++ cluster.map(ClusterK -> _), io)
   }
 
   /** Copy-on-write row-level MERGE — the Delta/Iceberg upsert: apply a
@@ -1050,6 +1088,54 @@ object SnapshotTable {
     * the hex-encoded ';'-joined list of delete-key parquet files. */
   private val DvKeyK = "dvkey"
   private val DvFilesK = "dvfiles"
+
+  // ---- identity clustering (storage-partitioned-join layout) ---------
+
+  /** Reserved manifest key naming the identity-cluster column: every
+    * data file holds exactly ONE value of it (recorded as min == max in
+    * the file's stats), which is what lets the DSv2 scan report
+    * KeyGroupedPartitioning and a co-clustered join plan with ZERO
+    * exchange (the Iceberg identity-partition + storage-partitioned-join
+    * shape). Set via `commit(clusterBy = ...)`, carried forward on
+    * appends, cleared by overwrite. */
+  private[sources] val ClusterK = "cluster"
+
+  /** The identity-cluster column recorded at commit, if any. */
+  def clusterKeyOf(m: Manifest): Option[String] = m.extra.get(ClusterK)
+
+  /** Route every row of key `k` to the one partition owning that key —
+    * an EXACT partitioner, not hash-modulo (two keys must never share a
+    * file, or the file's min==max stat and the SPJ partition grouping
+    * both break). The key dictionary is collected to the driver and
+    * rides the task closure: identity clustering is for PARTITION-grade
+    * cardinalities (the Iceberg identity-partition constraint — the
+    * number of partitions is operational metadata, not data). */
+  private final class ExactPartitioner(n: Int, index: Map[Any, Int])
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = index(key)
+  }
+
+  private def clusterExact(df: DataFrame, k: String): DataFrame = {
+    val f = df.schema.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"no cluster column $k in ${df.schema.simpleString}"))
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType, StringType).contains(f.dataType),
+      s"clusterBy=$k: ${f.dataType.simpleString} is not an identity-cluster type " +
+        "(integral or string — the manifest must recover the exact key from file stats)")
+    val idx = df.schema.fieldIndex(k)
+    val keys = df.select(col(k)).distinct().collect().map(_.get(0))
+    require(!keys.contains(null),
+      s"cluster column $k holds NULLs — identity clustering needs a total key " +
+        "(filter or coalesce them first)")
+    // deterministic partition order so a re-run lays out identical files
+    val pid = keys.sortBy(String.valueOf(_)).zipWithIndex.toMap
+    val rdd = df.rdd
+      .map(r => (r.get(idx), r))
+      .partitionBy(new ExactPartitioner(math.max(pid.size, 1), pid))
+      .map(_._2)
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
 
   private[sources] def dvPaths(m: Manifest): Seq[String] =
     m.extra.get(DvFilesK).filter(_.nonEmpty)

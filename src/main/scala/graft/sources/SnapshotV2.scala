@@ -1,0 +1,473 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The snapshot table through Spark's DataSource V2 API — the arm that
+  * unlocks what V1 `PrunedFilteredScan` structurally cannot express:
+  *
+  *   - **Manifest pruning inside V2 scan planning**: pushed filters
+  *     route through the same [[ManifestPruning]] predicate as the V1
+  *     relation (segment bounds first, then file bounds), so the
+  *     `BatchScan` plans exactly the surviving files — before any
+  *     parquet footer is opened. All filters are reported back as
+  *     residual (stats prove file-level ABSENCE only), so Spark
+  *     re-applies them row-wise and pruning can never change results.
+  *   - **Storage-partitioned joins** (`SupportsReportPartitioning`):
+  *     a table committed with `clusterBy = k` holds exactly one value
+  *     of `k` per data file (recorded as min == max in the file's
+  *     manifest stats — the partition value is recovered from METADATA,
+  *     no directory-name parsing, no extra scan). The scan groups files
+  *     by that value, reports `KeyGroupedPartitioning(identity(k))`,
+  *     and a join of two tables co-clustered on the join key plans with
+  *     ZERO exchange — the `rel_join_bucketed` property, upgraded from
+  *     session-catalog bucketed parquet to the table format itself
+  *     (Iceberg's identity-partition + SPJ shape). Requires
+  *     `spark.sql.sources.v2.bucketing.enabled=true`.
+  *
+  * Reading is Spark's own parquet machinery end to end
+  * ([[Bridge.parquetReaderFactory]] wraps `ParquetPartitionReaderFactory`):
+  * vectorized/columnar batches, parquet row-group pruning from the
+  * pushed filters, missing-column → NULL schema clipping (add-column
+  * evolution). Options mirror the V1 arm: `path`, `versionAsOf`,
+  * `timestampAsOf`.
+  *
+  * Deliberate non-goals of this arm (both refused loudly, not wrong):
+  * outstanding deletion vectors (the DV anti-join is a PLAN transform,
+  * not a scan property — read through the V1/API paths or compact
+  * first) and writes (the transactional write surface stays on
+  * [[SnapshotTable.commit]] / the V1 `CreatableRelationProvider`).
+  */
+class SnapshotV2Provider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotV2Provider.resolve(options)._2.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val (table, m) = SnapshotV2Provider.resolve(
+      new CaseInsensitiveStringMap(properties))
+    new SnapshotV2Table(table, m)
+  }
+}
+
+object SnapshotV2Provider {
+  /** `spark.read.format(...)` needs the provider CLASS name. */
+  val format: String = classOf[SnapshotV2Provider].getName
+
+  /** Resolve (table root, pinned manifest) from read options — the same
+    * version rules as the V1 relation: `versionAsOf` exact,
+    * `timestampAsOf` = newest stamped version at or before the stamp
+    * (version order authoritative), else current head. */
+  private[sources] def resolve(
+      options: CaseInsensitiveStringMap): (String, SnapshotTable.Manifest) = {
+    val table = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "snapshot v2 read needs .option(\"path\", <table root>)"))
+    require(!(options.containsKey("versionAsOf") && options.containsKey("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = Option(options.get("versionAsOf")).map(_.toLong).orElse(
+      Option(options.get("timestampAsOf")).map { ts =>
+        (1L to SnapshotTable.currentVersion(table)).reverse.find { v =>
+          SnapshotTable.manifest(table, v).extra.get("ts").exists(_.toLong <= ts.toLong)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"no snapshot of $table at or before ts=$ts"))
+      }).getOrElse(SnapshotTable.currentVersion(table))
+    (table, SnapshotTable.manifest(table, version))
+  }
+}
+
+private[sources] class SnapshotV2Table(
+    table: String,
+    m: SnapshotTable.Manifest) extends Table with SupportsRead {
+
+  override def name(): String = s"graft_snapshot_${table}_v${m.version}"
+
+  override def schema(): StructType = m.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** The identity-cluster spec as a V2 transform — what catalog-aware
+    * planners read; the SPJ decision itself rides the SCAN's reported
+    * partitioning below. */
+  override def partitioning(): Array[Transform] =
+    SnapshotTable.clusterKeyOf(m).map(Expressions.identity).toArray
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(m)
+}
+
+private[sources] class SnapshotScanBuilder(m: SnapshotTable.Manifest)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = m.schema
+  private var aggResult: Option[(StructType, InternalRow)] = None
+
+  /** Accept everything for manifest pruning, return EVERYTHING as
+    * residual: min/max/null-count stats prove a file can hold no
+    * matching row — never that every surviving row matches — so Spark
+    * must re-evaluate each filter row-wise (the exact contract the V1
+    * arm documents). The accepted set also reaches the parquet reader
+    * for row-group pruning, pruning at a third granularity for free. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** MANIFEST-SERVED aggregation — the Iceberg headline: COUNT(*) /
+    * COUNT(col) / MIN(col) / MAX(col) with no filter and no grouping
+    * answers from manifest lines alone (rowCount, nullCount, exact
+    * min/max recorded at commit), so a 100 TB count costs one metadata
+    * read and ZERO data files opened. Sound only when the manifest can
+    * PROVE the value: every file must carry the stat (rowCount for
+    * counts; a recorded range — or an all-NULL proof — for min/max on
+    * exactly-cast types: integral or string), filters must be absent
+    * (stats cannot re-filter rows), DVs must be absent (deleted rows
+    * would be counted), and COUNT must not be DISTINCT. Anything
+    * unprovable declines the push and scans normally. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = planAggregation(agg)
+    aggResult.isDefined
+  }
+
+  private def planAggregation(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+      SnapshotTable.dvPaths(m).nonEmpty) return None
+    val files = m.files
+    def columnOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          m.schema.fields.find(_.name == nr.fieldNames.head)
+        case _ => None
+      }
+    // result schema built positionally per aggregate (names cosmetic —
+    // V2ScanRelationPushDown wires scan output to the aggregate's
+    // attributes by position); NOT parquet's AggregatePushDownUtils
+    // whitelist, which excludes strings because parquet FOOTER stats
+    // truncate — these stats are exact Spark aggregates recorded at
+    // commit, so string extrema are as sound as integral ones
+    def fieldFor(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+        : Option[StructField] = f match {
+      case _: CountStar => Some(StructField("count(*)", LongType, nullable = false))
+      case c: Count if !c.isDistinct =>
+        columnOf(c.column).map(cf => StructField(s"count(${cf.name})", LongType, false))
+      case mn: Min => columnOf(mn.column).map(cf => StructField(s"min(${cf.name})", cf.dataType))
+      case mx: Max => columnOf(mx.column).map(cf => StructField(s"max(${cf.name})", cf.dataType))
+      case _       => None
+    }
+    val fields = agg.aggregateExpressions.toSeq.map(fieldFor)
+    if (fields.exists(_.isEmpty)) return None
+    val schema = StructType(fields.map(_.get))
+    def rowsOf(f: SnapshotTable.FileEntry): Option[Long] =
+      f.nstats.values.headOption.map(_._2)
+    def convert(v: Long, dt: DataType): Any = dt match {
+      case ByteType    => v.toByte
+      case ShortType   => v.toShort
+      case IntegerType => v.toInt
+      case _           => v
+    }
+    // min/max: every file must either record the range or PROVE the
+    // column all-NULL there (nulls == rows) — a file with neither could
+    // hide the true extremum
+    def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
+        isMin: Boolean): Option[Any] =
+      columnOf(e).flatMap { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val proven = files.forall(fe => fe.stats.contains(f.name) ||
+              fe.nstats.get(f.name).exists { case (n, r) => n == r })
+            if (!proven) None
+            else {
+              val bs = files.flatMap(_.stats.get(f.name))
+              if (bs.isEmpty) Some(null) // recorded, but every row NULL
+              else Some(convert(if (isMin) bs.map(_._1).min else bs.map(_._2).max, f.dataType))
+            }
+          case StringType =>
+            val proven = files.forall(fe => fe.sstats.contains(f.name) ||
+              fe.nstats.get(f.name).exists { case (n, r) => n == r })
+            if (!proven) None
+            else {
+              val bs = files.flatMap(_.sstats.get(f.name))
+              if (bs.isEmpty) Some(null)
+              else Some(UTF8String.fromString(
+                if (isMin) bs.map(_._1).reduce((a, b) =>
+                  if (SnapshotTable.FileEntry.bytesLe(a, b)) a else b)
+                else bs.map(_._2).reduce((a, b) =>
+                  if (SnapshotTable.FileEntry.bytesLe(a, b)) b else a)))
+            }
+          // anything else (double, date, decimal...) was recorded
+          // through a lossy long cast — never served from the manifest
+          case _ => None
+        }
+      }
+    val values = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        val rs = files.map(rowsOf)
+        if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum: Any)
+      case c: Count if !c.isDistinct =>
+        columnOf(c.column).flatMap { f =>
+          val per = files.map(_.nstats.get(f.name).map { case (n, r) => r - n })
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.sum: Any)
+        }
+      case mn: Min => minMax(mn.column, isMin = true)
+      case mx: Max => minMax(mx.column, isMin = false)
+      case _       => None
+    }
+    if (values.exists(_.isEmpty)) None
+    else Some((schema, new GenericInternalRow(values.map(_.get).toArray)))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new SnapshotV2AggScan(m, schema, row)
+    case None                => new SnapshotV2Scan(m, required, pushed)
+  }
+}
+
+/** The whole result of a manifest-served aggregation: ONE metadata row,
+  * zero data files planned or opened. private[graft] so the spec can
+  * pin "metadata-served" structurally. */
+private[graft] case class MetadataRowPartition(row: InternalRow) extends InputPartition
+
+private[sources] class MetadataRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val row = p.asInstanceOf[MetadataRowPartition].row
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class SnapshotV2AggScan(
+    m: SnapshotTable.Manifest,
+    aggSchema: StructType,
+    row: InternalRow) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot v${m.version} (manifest-served aggregate, 0 data files)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetadataRowPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetadataRowReaderFactory
+}
+
+/** One key-group of data files: a `FilePartition` (so Spark's own
+  * parquet reader factory consumes it unchanged — row AND columnar
+  * paths) that also exposes the group's cluster-key value for
+  * storage-partitioned joins. */
+private[sources] class KeyedFilePartition(
+    index: Int,
+    files: Array[PartitionedFile],
+    key: InternalRow) extends FilePartition(index, files) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+private[graft] class SnapshotV2Scan(
+    m: SnapshotTable.Manifest,
+    requiredSchema: StructType,
+    filters: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType = requiredSchema
+
+  // ---- runtime filtering (DPP through the V2 contract) ---------------
+
+  /** Runtime predicates from a dynamic-pruning subquery (the DPP
+    * broadcast-reuse shape): delivered AFTER static planning, applied
+    * at [[planInputPartitions]] — so a join against a filtered dim
+    * prunes the fact table's FILES at the manifest from the dim's
+    * actual key set, the table-format analogue of partition-directory
+    * DPP. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  /** Spec hook: the partition count of the LAST plan — proves runtime
+    * filters actually narrowed the file set (the static
+    * inputPartitions on the exec node never reflects them). */
+  @volatile private[graft] var lastPlanned: Int = -1
+
+  /** Columns a runtime predicate could prune on: any column with a
+    * recorded stat anywhere in the manifest. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val ranges: Seq[SnapshotTable.StatRanges] = m.segments ++ m.inline
+    ranges.flatMap(r => r.stats.keySet ++ r.sstats.keySet ++ r.nstats.keySet)
+      .distinct.map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    runtime = Bridge.predicatesToV1(predicates)
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val c = SnapshotTable.clusterKeyOf(m).map(k => s", cluster=$k").getOrElse("")
+    s"graft-snapshot v${m.version} (${m.fileCount} files$c)"
+  }
+
+  /** Manifest-pruned survivors of the STATIC filters — what the
+    * reported partitioning and the CBO estimate derive from (both are
+    * consumed before any runtime filter exists). */
+  private lazy val entries: Seq[SnapshotTable.FileEntry] =
+    ManifestPruning.prunedEntries(m, m.schema, filters)
+
+  /** Survivors of static AND runtime filters — what actually plans. */
+  private def activeEntries: Seq[SnapshotTable.FileEntry] =
+    if (runtime.isEmpty) entries
+    else ManifestPruning.prunedEntries(m, m.schema, filters ++ runtime)
+
+  /** File groups by exact cluster-key value, when the manifest proves
+    * one: the table declares a cluster column AND every surviving file
+    * records min == max for it (a pre-clustering legacy file without
+    * the guarantee degrades the whole scan to unknown partitioning —
+    * soundness over optimism). Values are Catalyst-typed to match the
+    * column (an IntegerType key must compare as Int on both join
+    * sides), sorted so co-clustered scans emit aligned partitions. */
+  private lazy val keyGroups: Option[Seq[(Any, Seq[SnapshotTable.FileEntry])]] =
+    SnapshotTable.clusterKeyOf(m).flatMap { k =>
+      val dt = m.schema.fields.find(_.name == k).map(_.dataType)
+      def keyOf(f: SnapshotTable.FileEntry): Option[Any] = dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          f.stats.get(k).collect { case (mn, mx) if mn == mx =>
+            dt.get match {
+              case ByteType    => mn.toByte
+              case ShortType   => mn.toShort
+              case IntegerType => mn.toInt
+              case _           => mn
+            }
+          }
+        case Some(StringType) =>
+          f.sstats.get(k).collect { case (mn, mx) if mn == mx =>
+            UTF8String.fromString(mn)
+          }
+        case _ => None
+      }
+      val keyed = entries.map(f => keyOf(f).map(_ -> f))
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy {
+        case (key, _) => key match {
+          case u: UTF8String => u.toString
+          case n             => f"${n.toString.toLong}%020d" // numeric order, fixed width
+        }
+      })
+    }.filter(_.nonEmpty)
+
+  private def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile = {
+    // manifest-recorded size; one fs stat per file only for legacy
+    // entries committed before sizes rode the manifest
+    val len = if (f.size >= 0) f.size else LocalSnapshotIO.size(f.path)
+    PartitionedFile(
+      InternalRow.empty, SparkPath.fromPathString(f.path), 0L, len,
+      Array.empty, 0L, len, Map.empty)
+  }
+
+  /** CBO statistics from the manifest, AFTER pruning: row count from
+    * the per-file (nullCount, rowCount) stats, bytes from the recorded
+    * file sizes — both reported only when every surviving file proves
+    * its share (an unknown must read as unknown, never as small: an
+    * undercount would trick the planner into broadcasting a 100 TB
+    * side). This is what lets Catalyst auto-broadcast a genuinely
+    * small snapshot table without opening a single footer. */
+  override def estimateStatistics(): Statistics = {
+    val es = entries
+    val rows =
+      if (es.forall(_.nstats.nonEmpty)) {
+        val n = es.map(_.nstats.values.head._2).sum
+        java.util.OptionalLong.of(n)
+      } else java.util.OptionalLong.empty()
+    val bytes =
+      if (es.forall(_.size >= 0)) java.util.OptionalLong.of(es.map(_.size).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // the DV anti-join is a plan transform this scan deliberately does
+    // not own — same refusal the raw-file maintenance ops make
+    require(SnapshotTable.dvPaths(m).isEmpty,
+      s"table carries ${SnapshotTable.dvPaths(m).size} outstanding deletion-vector " +
+        "file(s) — the v2 scan reads data files raw; read via SnapshotTable.read " +
+        "or compactSnapshot first")
+    val planned: Array[InputPartition] = keyGroups match {
+      case Some(groups) =>
+        // runtime filters narrow files WITHIN the static key groups
+        // (they only ever remove files, so surviving keys ⊆ reported
+        // keys — the alignment SPJ's pushPartValues machinery expects)
+        val live =
+          if (runtime.isEmpty) groups
+          else {
+            val keep = activeEntries.map(_.path).toSet
+            groups.map { case (k, fs) => (k, fs.filter(f => keep(f.path))) }
+              .filter(_._2.nonEmpty)
+          }
+        live.zipWithIndex.map { case ((key, fs), i) =>
+          new KeyedFilePartition(i, fs.map(partitionedFile).toArray,
+            new GenericInternalRow(Array[Any](key))): InputPartition
+        }.toArray
+      case None =>
+        // one partition per data file — the commit path already sizes
+        // files (one per shuffle partition); Spark's scan does not
+        // re-split single-row-group zstd parquet profitably
+        activeEntries.zipWithIndex.map { case (f, i) =>
+          FilePartition(i, Array(partitionedFile(f))): InputPartition
+        }.toArray
+    }
+    lastPlanned = planned.length
+    planned
+  }
+
+  override def outputPartitioning(): Partitioning = keyGroups match {
+    case Some(groups) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(SnapshotTable.clusterKeyOf(m).get)), groups.size)
+    case None => new UnknownPartitioning(entries.size)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // row-group pruning: hand parquet only the filters over recorded
+    // data columns (pruned columns still exist in the files); runtime
+    // filters ride along when they arrived before the factory builds
+    val names = m.schema.fieldNames.toSet
+    Bridge.parquetReaderFactory(
+      SparkSession.active, m.schema, requiredSchema,
+      (filters ++ runtime).filter(_.references.forall(names)))
+  }
+}

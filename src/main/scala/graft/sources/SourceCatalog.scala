@@ -1371,6 +1371,281 @@ object SourceCatalog extends QueryModule {
              |UNION ALL SELECT 'blind', * FROM j
              |UNION ALL SELECT 'sh', * FROM j
              |ORDER BY arm, c_mktsegment""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_dsv2",
+      // The snapshot format through Spark's DataSource V2 API
+      // (SnapshotV2Provider): pushed filters route through the SAME
+      // manifest predicate as the V1 arm (ManifestPruning — segment
+      // bounds, then file bounds) but now inside V2 scan planning, so
+      // the BatchScan PLANS only the surviving files; all filters are
+      // reported residual (stats prove absence, never presence) and
+      // Spark re-applies them row-wise, so pruning can never change
+      // results. Reading is Spark's own vectorized parquet factory
+      // (columnar batches, row-group pruning from the same filters).
+      // Two arms: the head read with a selective o_year filter —
+      // REQUIREd to plan a strict subset of the table's files — and a
+      // versionAsOf time travel through the V2 options. Round18Spec
+      // pins column pruning (readSchema), the DV refusal, and
+      // V1-vs-V2 result identity.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapdsv2_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.withColumn("o_year", year(col("o_orderdate")))
+          .select("o_orderkey", "o_year", "o_orderpriority", "o_totalprice")
+        def clustered(df: org.apache.spark.sql.DataFrame) =
+          df.repartitionByRange(4, col("o_year")).sortWithinPartitions("o_year")
+        SnapshotTable.commit(clustered(o.filter(col("o_orderkey") % 2 === 0)),
+          table, append = false, statsColumns = Seq("o_year"))
+        SnapshotTable.commit(clustered(o.filter(col("o_orderkey") % 2 === 1)),
+          table, append = true, statsColumns = Seq("o_year"))
+        def v2(opts: (String, String)*) = opts.foldLeft(
+          s.read.format(SnapshotV2Provider.format).option("path", table)
+        ) { case (r, (k, v)) => r.option(k, v) }.load()
+        val sel = v2().filter(col("o_year") === 1995)
+        // the structural contract: the V2 scan planned a strict subset
+        // of the 8 range-clustered files — pruned at the MANIFEST,
+        // inside Catalyst's scan planning (static plan, pre-execution)
+        val planned = sel.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        val total = SnapshotTable.manifest(table, 2L).fileCount
+        require(planned > 0 && planned < total,
+          s"v2 manifest pruning planned $planned of $total files — want a strict subset")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(sel, "head1995")
+          .unionByName(agg(v2("versionAsOf" -> "1"), "v1"))
+          .select("arm", "o_orderpriority", "n_orders", "sum_price")
+          .orderBy("arm", "o_orderpriority")
+      },
+      Some("""SELECT 'head1995' AS arm, o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 2
+             |UNION ALL
+             |SELECT 'v1', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+             |ORDER BY arm, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_spj",
+      // STORAGE-PARTITIONED JOIN over the table format — the
+      // rel_join_bucketed property upgraded from session-catalog
+      // bucketed parquet to the snapshot table itself (Iceberg's
+      // identity-partition + SPJ shape): both tables are committed
+      // with clusterBy (one join-key value per data file, the value
+      // recovered from the manifest's min==max stats — no directory
+      // parsing, no extra scan), the V2 scan groups files by key and
+      // reports KeyGroupedPartitioning, and Catalyst plans the join
+      // AND the downstream per-key aggregate with ZERO hash exchange —
+      // REQUIREd on the static plan. At 100 TB this is the fact⋈fact
+      // repeated-join shape: both sides shuffle ONCE at write time,
+      // then every subsequent join on the cluster key is
+      // exchange-free. Round18Spec pins the clustered-commit layout
+      // (one key per file), spec inheritance on append, and the
+      // unclustered-table control (which DOES exchange).
+      (s, dir) => {
+        // SPJ is gated by a session conf (off upstream only for
+        // ecosystem compatibility) — assert it here so the query holds
+        // its plan contract under ANY harness session
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        val ct = graft.Stage.dir("graft_spjcust_", dir).getPath
+        val st = graft.Stage.dir("graft_spjsupp_", dir).getPath
+        Seq(ct, st).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        SnapshotTable.commit(
+          Tables(s, dir).customer.select("c_custkey", "c_nationkey", "c_acctbal"),
+          ct, append = false, clusterBy = Some("c_nationkey"))
+        SnapshotTable.commit(
+          Tables(s, dir).supplier.select("s_suppkey", "s_nationkey", "s_acctbal"),
+          st, append = false, clusterBy = Some("s_nationkey"))
+        def v2(t: String) =
+          s.read.format(SnapshotV2Provider.format).option("path", t).load()
+        // the MERGE hint pins the sort-merge path: the scans report
+        // real manifest sizes to the CBO, and at toy scale the supplier
+        // side would broadcast — hiding the exchange-free property
+        // under test (at 100 TB neither fact side fits a broadcast)
+        val j = v2(ct).join(v2(st).hint("merge"),
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("c_nationkey")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("c_acctbal").cast("decimal(38,4)")).cast("double").as("sum_cbal"),
+            sum(col("s_acctbal").cast("decimal(38,4)")).cast("double").as("sum_sbal"))
+        // the structural contract, on the static plan: join + aggregate
+        // both ride the storage partitioning — no hash exchange anywhere
+        val hashEx = j.queryExecution.sparkPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+        require(hashEx.isEmpty,
+          s"storage-partitioned join must plan with zero hash exchanges, found ${hashEx.size}")
+        j.select(col("c_nationkey").cast("long").as("nationkey"),
+            col("n_pairs"), col("sum_cbal"), col("sum_sbal"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey::BIGINT AS nationkey, COUNT(*)::BIGINT AS n_pairs,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_cbal,
+             |CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_sbal
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_agg_push",
+      // MANIFEST-SERVED AGGREGATES (the Iceberg headline move at the
+      // V2 layer — SupportsPushDownAggregates): COUNT(*) / COUNT(col) /
+      // MIN / MAX with no filter and no grouping answer from manifest
+      // lines alone — rowCount and nullCount from the `n:` stats, exact
+      // extrema from the recorded ranges — so the plan carries ONE
+      // metadata-row partition and ZERO data files (REQUIREd
+      // structurally below): a 100 TB count costs one manifest read.
+      // Strings are served too (unlike parquet's own footer pushdown,
+      // which excludes them because footer stats truncate — these are
+      // exact Spark aggregates recorded at commit). Soundness: every
+      // file must PROVE its share (rowCount for counts; a range or an
+      // all-NULL proof for extrema), filters/DVs/DISTINCT decline the
+      // push and scan normally — Round18Spec pins each refusal arm.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapaggp_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .select("o_orderkey", "o_orderpriority", "o_custkey")
+        SnapshotTable.commit(o.repartition(4), table, append = false,
+          statsColumns = Seq("o_orderkey", "o_orderpriority"))
+        val agg = s.read.format(SnapshotV2Provider.format).option("path", table).load()
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_keys"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            min(col("o_orderpriority")).as("min_prio"),
+            max(col("o_orderpriority")).as("max_prio"))
+        // the structural contract: the scan planned ONE metadata-row
+        // partition — no data file enters the plan at all
+        val parts = agg.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions
+        }.flatten
+        require(parts.nonEmpty && parts.forall(_.isInstanceOf[MetadataRowPartition]),
+          s"aggregate must be manifest-served (got ${parts.map(_.getClass.getSimpleName)})")
+        agg
+      },
+      Some("""SELECT COUNT(*)::BIGINT AS n_rows, COUNT(o_orderkey)::BIGINT AS n_keys,
+             |MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+             |FROM orders""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_v2_stats",
+      // CBO STATISTICS from the manifest (SupportsReportStatistics):
+      // the V2 scan reports row count (from `n:` stats) and byte size
+      // (from the `sz:` sizes recorded per file at commit) for the
+      // PRUNED file set — so Catalyst's own broadcast decision fires
+      // for a genuinely small snapshot table with zero footers opened
+      // (a stats-less V2 source reads as defaultSizeInBytes = huge and
+      // would sort-merge; REQUIREd: the plan carries a broadcast hash
+      // join with NO hints and NO threshold games). The safe
+      // direction is structural: any file missing its stat makes the
+      // estimate UNKNOWN, never small — an undercount would trick the
+      // planner into broadcasting a 100 TB side. Complements
+      // src_snapshot_join_sizing (the library-level sizer): this arm
+      // hands the same manifest evidence to Spark's OWN planner.
+      (s, dir) => {
+        val factT = graft.Stage.dir("graft_v2sfact_", dir).getPath
+        val dimT = graft.Stage.dir("graft_v2sdim_", dir).getPath
+        Seq(factT, dimT).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        SnapshotTable.commit(
+          Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+          factT, append = false, statsColumns = Seq("o_custkey"))
+        SnapshotTable.commit(
+          Tables(s, dir).customer.select("c_custkey", "c_mktsegment"),
+          dimT, append = false, statsColumns = Seq("c_custkey"))
+        def v2(t: String) =
+          s.read.format(SnapshotV2Provider.format).option("path", t).load()
+        val j = v2(factT).join(v2(dimT), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("c_mktsegment")
+        val bhj = j.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }
+        require(bhj.nonEmpty,
+          "manifest-reported statistics must drive Catalyst's own broadcast decision")
+        j
+      },
+      Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_runtime_filter",
+      // RUNTIME FILE PRUNING through the V2 contract
+      // (SupportsRuntimeV2Filtering — DPP for the table format): the
+      // dim side's ACTUAL key set, known only after its filter runs,
+      // arrives at the fact scan as a dynamic-pruning predicate; the
+      // scan re-plans through the SAME ManifestPruning predicate and
+      // drops whole fact files whose recorded key range misses every
+      // dim key — the table-format analogue of partition-directory
+      // DPP, with file-grade granularity and zero layout requirements
+      // beyond key-clustering at write. The fact is range-clustered on
+      // o_custkey (8 files), the dim keeps the first eighth of the key
+      // space, so ~7 of 8 fact files never open. REQUIREd statically:
+      // the fact BatchScan carries the dynamic-pruning runtime filter
+      // (Round18Spec additionally pins the post-execution re-plan to a
+      // strict file subset via the scan's lastPlanned hook). At 100 TB
+      // this is the "join a decade of facts to this month's dim slice"
+      // shape: the manifest prunes the decade down to the slice's key
+      // range before any footer opens.
+      (s, dir) => {
+        val ft = graft.Stage.dir("graft_rtffact_", dir).getPath
+        val dt = graft.Stage.dir("graft_rtfdim_", dir).getPath
+        Seq(ft, dt).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        val orders = Tables(s, dir).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        SnapshotTable.commit(
+          orders.repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey"),
+          ft, append = false, statsColumns = Seq("o_custkey"))
+        SnapshotTable.commit(
+          Tables(s, dir).customer.select("c_custkey", "c_mktsegment"),
+          dt, append = false, statsColumns = Seq("c_custkey"))
+        val lim = Tables(s, dir).customer
+          .agg(max("c_custkey")).collect()(0).getLong(0) / 8
+        def v2(t: String) =
+          s.read.format(SnapshotV2Provider.format).option("path", t).load()
+        val j = v2(ft)
+          .join(v2(dt).filter(col("c_custkey") <= lim),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("c_mktsegment")
+        val rt = j.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.output.exists(_.name == "o_custkey") => b.runtimeFilters
+        }.flatten
+        require(rt.nonEmpty,
+          "the fact-side V2 scan must carry a dynamic-pruning runtime filter")
+        j
+      },
+      Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_custkey <= (SELECT MAX(c_custkey) FROM customer) // 8
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

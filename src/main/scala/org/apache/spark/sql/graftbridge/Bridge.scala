@@ -75,6 +75,63 @@ object Bridge {
     ss.internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
   }
 
+  /** A serializable parquet → InternalRow reader factory for a DSv2
+    * Batch, built from Spark's OWN parquet machinery
+    * (ParquetPartitionReaderFactory — the exact factory behind
+    * `spark.read.parquet`'s V2 scan): vectorized/columnar reads when the
+    * schema supports them, parquet row-group pruning from the pushed
+    * filters, missing-column → NULL schema clipping (the add-column
+    * evolution shape). `SerializableConfiguration` and `sessionState`
+    * are private[spark]/private[sql], hence the shim. The InputPartition
+    * handed to the factory must be a
+    * [[org.apache.spark.sql.execution.datasources.FilePartition]] (or a
+    * subclass — e.g. one that also implements HasPartitionKey for
+    * storage-partitioned joins). */
+  def parquetReaderFactory(
+      spark: SparkSession,
+      dataSchema: types.StructType,
+      readSchema: types.StructType,
+      filters: Array[sources.Filter]): connector.read.PartitionReaderFactory = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val conf = ss.sessionState.conf
+    // the exact hadoopConf contract ParquetScan.createReaderFactory
+    // fulfills before handing the broadcast to the factory — the reader
+    // resolves its ReadSupport and requested schema from these keys
+    val hc = ss.sessionState.newHadoopConf()
+    import execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    hc.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hc.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
+    hc.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readSchema.json)
+    hc.set(internal.SQLConf.SESSION_LOCAL_TIMEZONE.key, conf.sessionLocalTimeZone)
+    hc.setBoolean(internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      conf.nestedSchemaPruningEnabled)
+    hc.setBoolean(internal.SQLConf.CASE_SENSITIVE.key, conf.caseSensitiveAnalysis)
+    hc.setBoolean(internal.SQLConf.PARQUET_BINARY_AS_STRING.key, conf.isParquetBinaryAsString)
+    hc.setBoolean(internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      conf.isParquetINT96AsTimestamp)
+    hc.setBoolean(internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.parquetInferTimestampNTZEnabled)
+    hc.setBoolean(internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      conf.legacyParquetNanosAsLong)
+    val bc = ss.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hc))
+    execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+      conf, bc, dataSchema, readSchema,
+      new types.StructType(), filters, None,
+      new execution.datasources.parquet.ParquetOptions(
+        Map.empty[String, String], conf))
+  }
+
+  /** V2 runtime-filter Predicates → V1 source Filters (PredicateUtils
+    * is private[sql]) — what a SupportsRuntimeV2Filtering scan receives
+    * from a DPP subquery, rewritten into the filter vocabulary the
+    * manifest pruning predicate already speaks. Untranslatable shapes
+    * drop out (pruning just doesn't narrow further — sound). */
+  def predicatesToV1(
+      ps: Array[connector.expressions.filter.Predicate]): Array[sources.Filter] =
+    internal.connector.PredicateUtils.toV1(ps)
+
   /** Block until the async listener bus has delivered everything posted
     * so far (bounded). QueryExecutionListener callbacks ride this bus,
     * so "bus empty" == "every completed action's observed metrics have
