@@ -1,0 +1,478 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The snapshot format as a Spark **TableCatalog plugin** — the SQL
+  * surface of the table format:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", classOf[SnapshotCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/data/graft")
+  *   CREATE TABLE g.events (k BIGINT, v STRING)
+  *     TBLPROPERTIES ('statsColumns' = 'k')
+  *   INSERT INTO g.events SELECT ...        -- transactional append
+  *   INSERT OVERWRITE g.events SELECT ...   -- overwrite, history intact
+  *   SELECT * FROM g.events VERSION AS OF 2 -- time travel in SQL
+  * }}}
+  *
+  * Reads resolve through [[SnapshotV2Table]] (manifest pruning, SPJ,
+  * CBO stats, manifest aggregates, runtime filtering — the whole V2
+  * arm). Writes run the DSv2 BatchWrite protocol ([[SnapshotBatchWrite]]):
+  * executors write parquet task-side — through the SAME writer
+  * machinery as `df.write.parquet` — and compute their file's pruning
+  * stats as they go; the driver's `commit(messages)` turns the file
+  * entries into ONE atomic manifest publication (append under
+  * extend-only schema rules, overwrite with history intact), and
+  * `abort` deletes exactly the aborted attempt's files — a failed
+  * INSERT leaves the table at its prior version with nothing to clean
+  * but unreferenced staging (vacuum's normal prey). `statsColumns`
+  * declared at CREATE TABLE ride the manifest, so every later INSERT
+  * records the same per-file min/max/nullCount pruning stats without
+  * the writer restating them.
+  *
+  * Deliberate refusals (loud, not wrong): PARTITIONED BY (identity
+  * clustering needs the exact-partitioner routing only
+  * `SnapshotTable.commit(clusterBy)` owns), ALTER TABLE (schema
+  * evolution is the commit path's extend-only contract), RENAME (a
+  * table root is an immutable address for its manifests' file paths).
+  */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse=<root dir>"))
+  }
+
+  override def name(): String = catName
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    LocalSnapshotIO.list(dir)
+      .filter(n => SnapshotTable.currentVersion(s"$dir/$n") > 0)
+      .sorted.map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotTable.currentVersion(pathOf(ident)) > 0
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    val v = SnapshotTable.currentVersion(p)
+    if (v == 0) throw new NoSuchTableException(ident)
+    new SnapshotV2Table(p, SnapshotTable.manifest(p, v))
+  }
+
+  /** SQL `VERSION AS OF n`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = version.toLong
+    if (SnapshotTable.currentVersion(p) < v || v < 1)
+      throw new NoSuchTableException(ident)
+    new SnapshotV2Table(p, SnapshotTable.manifest(p, v))
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (micros since epoch): newest snapshot
+    * whose recorded commit stamp ≤ ts — readAsOf's rule, version order
+    * authoritative. Tables committed without stamps refuse loudly. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    val v = (1L to SnapshotTable.currentVersion(p)).reverse.find { v =>
+      SnapshotTable.manifest(p, v).extra.get("ts").exists(_.toLong <= timestamp)
+    }.getOrElse(throw new NoSuchTableException(ident))
+    new SnapshotV2Table(p, SnapshotTable.manifest(p, v))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "PARTITIONED BY is refused: identity clustering needs the exact-partitioner " +
+        "routing only SnapshotTable.commit(clusterBy = ...) owns — create unpartitioned " +
+        "and cluster through the API commit")
+    val p = pathOf(ident)
+    if (SnapshotTable.currentVersion(p) > 0)
+      throw new TableAlreadyExistsException(ident)
+    val stats = Option(properties.get("statsColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    stats.foreach(c => require(schema.fieldNames.contains(c),
+      s"statsColumns names unknown column $c"))
+    val extra =
+      if (stats.isEmpty) Map.empty[String, String]
+      else Map(SnapshotTable.StatsColsK -> stats.mkString(","))
+    SnapshotTable.createEmpty(p, schema, extra)
+    new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN` — the commit path's extend-only
+    * evolution contract, in SQL: trailing nullable columns only (old
+    * files read NULL in them at zero rewrite — the manifest-level
+    * add-column move src_snapshot_evolve pins), published as one
+    * metadata commit re-referencing every segment verbatim. Everything
+    * else (DROP/RENAME/RETYPE/positioned or NOT NULL adds) refuses
+    * loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    val v = SnapshotTable.currentVersion(p)
+    if (v == 0) throw new NoSuchTableException(ident)
+    val m = SnapshotTable.manifest(p, v)
+    val added = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.position == null && a.isNullable =>
+        StructField(a.fieldNames()(0), a.dataType, nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident: only trailing nullable ADD COLUMN is supported " +
+            s"(extend-only evolution — old files read NULL); got $other")
+    }
+    added.foreach(f => require(!m.schema.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    SnapshotTable.publishEvolve(p, m, StructType(m.schema.fields ++ added))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (SnapshotTable.currentVersion(p) == 0) false
+    else { SnapshotTable.deleteRecursive(p, LocalSnapshotIO); true }
+  }
+
+  override def renameTable(old: Identifier, next: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME is refused: a table root is the immutable address of its manifests' file paths")
+}
+
+// ---- the DSv2 write protocol ----------------------------------------
+
+/** The written data files' entries, carried task → driver (empty when
+  * the task saw zero rows — no file was opened). */
+private[sources] case class SnapshotWriteMessage(
+    entries: Seq[SnapshotTable.FileEntry]) extends WriterCommitMessage
+
+private[sources] class SnapshotWriteBuilder(
+    table: String,
+    m: SnapshotTable.Manifest,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = {
+    val cluster = SnapshotTable.clusterKeyOf(m)
+    val stats = SnapshotTable.statsColumnsOf(m)
+    cluster match {
+      case None =>
+        new SnapshotWrite(table, info.schema(), stats, None, overwrite)
+      case Some(k) =>
+        // a CLUSTERED table's write declares its layout needs and lets
+        // SPARK provide them (the Iceberg write-distribution shape):
+        // clustered distribution routes every value of k to one task,
+        // the ascending sort makes keys arrive contiguously, and the
+        // rolling writer below cuts a new file at each key change — the
+        // one-key-per-file invariant (min == max in the manifest, SPJ
+        // partition values recoverable) preserved through plain SQL
+        // INSERTs and streaming appends alike, no library call
+        new SnapshotWrite(table, info.schema(), stats, Some(k), overwrite)
+          with RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions.column(k)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(k),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        }
+    }
+  }
+}
+
+private[sources] class SnapshotWrite(
+    table: String,
+    schema: StructType,
+    statsCols: Seq[String],
+    clusterBy: Option[String],
+    overwrite: Boolean) extends Write {
+
+  override def toBatch: BatchWrite =
+    new SnapshotBatchWrite(table, schema, statsCols, clusterBy, overwrite)
+
+  /** Streaming append (`df.writeStream.toTable(...)`): per-epoch
+    * transactional appends with the appendBatch idempotence rule — the
+    * manifest records each epoch's id, a WAL-replayed epoch at or
+    * below the last recorded one publishes NOTHING (its re-written
+    * files are dropped on the spot), so exactly-once lands on the
+    * table no matter how the stream dies and restarts. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!overwrite,
+      "streaming complete/truncate mode is refused — the snapshot sink is append-only " +
+        "(use foreachBatch + mergeBatch for replace semantics)")
+    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy)
+  }
+}
+
+private[sources] class SnapshotStreamingWrite(
+    table: String,
+    schema: StructType,
+    statsCols: Seq[String],
+    clusterBy: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // one staging dir for the query's lifetime; epoch-prefixed file
+  // names keep epochs collision-free. CAVEAT (documented like reader
+  // retention): vacuum during a LIVE stream can see this dir's version
+  // prefix age below current — run maintenance between epochs, or
+  // accept that an in-flight epoch retries after reclaim
+  private val stage = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    s"$table/data/v${SnapshotTable.currentVersion(table) + 1}_w$token"
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val tracked = (statsCols ++ clusterBy.filterNot(statsCols.contains)).flatMap { c =>
+      schema.fields.zipWithIndex.find(_._1.name == c).map {
+        case (f, i) => (c, i, f.dataType)
+      }
+    }
+    val cluster = clusterBy.map { k =>
+      val i = schema.fieldIndex(k)
+      (i, schema.fields(i).dataType)
+    }
+    new SnapshotDataWriterFactory(stage, tracked, cluster,
+      Bridge.parquetRowWriter(SparkSession.active, schema))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case SnapshotWriteMessage(es) => es
+    }.flatten.sortBy(_.path).toSeq
+    val cur = SnapshotTable.currentVersion(table)
+    val last =
+      if (cur == 0) -1L
+      else SnapshotTable.manifest(table, cur).extra.get("batchid")
+        .map(_.toLong).getOrElse(-1L)
+    if (epochId <= last) {
+      // replayed epoch: the engine re-ran it, but the table already
+      // holds it — drop the rewrite, publish nothing (exactly-once)
+      entries.foreach(e => LocalSnapshotIO.delete(e.path))
+    } else {
+      SnapshotTable.publishFiles(table, schema, entries, append = true,
+        extra = Map("batchid" -> epochId.toString))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case SnapshotWriteMessage(es) => es.foreach(e => LocalSnapshotIO.delete(e.path))
+      case _ =>
+    }
+  }
+}
+
+/** Transactional INSERT: files land under a fresh `v<N>_w<token>`
+  * attempt dir (vacuum's in-flight rule protects it until the manifest
+  * publishes), commit is ONE atomic manifest publication, abort
+  * deletes exactly this attempt's files. */
+private[sources] class SnapshotBatchWrite(
+    table: String,
+    schema: StructType,
+    statsCols: Seq[String],
+    clusterBy: Option[String],
+    overwrite: Boolean) extends BatchWrite {
+
+  private val stage = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    s"$table/data/v${SnapshotTable.currentVersion(table) + 1}_w$token"
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // the cluster key is ALWAYS tracked: its per-file min == max stat
+    // is how the scan recovers SPJ partition values from the manifest
+    val tracked = (statsCols ++ clusterBy.filterNot(statsCols.contains)).flatMap { c =>
+      schema.fields.zipWithIndex.find(_._1.name == c).map {
+        case (f, i) => (c, i, f.dataType)
+      }
+    }
+    val cluster = clusterBy.map { k =>
+      val i = schema.fieldIndex(k)
+      (i, schema.fields(i).dataType)
+    }
+    new SnapshotDataWriterFactory(stage, tracked, cluster,
+      Bridge.parquetRowWriter(SparkSession.active, schema))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case SnapshotWriteMessage(es) => es
+    }.flatten.sortBy(_.path).toSeq
+    SnapshotTable.publishFiles(table, schema, entries, append = !overwrite)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case SnapshotWriteMessage(es) => es.foreach(e => LocalSnapshotIO.delete(e.path))
+      case _ =>
+    }
+    if (LocalSnapshotIO.exists(stage) && LocalSnapshotIO.list(stage).isEmpty)
+      LocalSnapshotIO.delete(stage)
+  }
+}
+
+private[sources] class SnapshotDataWriterFactory(
+    stage: String,
+    tracked: Seq[(String, Int, DataType)],
+    cluster: Option[(Int, DataType)],
+    pw: Bridge.ParquetRowWriterFactory) extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  private def writerFor(prefix: String): DataWriter[InternalRow] =
+    new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw)
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writerFor(s"part-$partitionId-$taskId")
+
+  /** Streaming epochs share the stage dir; the epoch id in the file
+    * name keeps replays collision-free. */
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    writerFor(s"part-e$epochId-$partitionId-$taskId")
+}
+
+/** Executor-side ROLLING writer: streams rows into parquet files
+  * (opened lazily — an empty task leaves no file) while folding the
+  * table's declared pruning stats over the same pass the bytes take:
+  * min/max for integral and string columns, nullCount and rowCount
+  * always — the identical stat surface the commit path's aggregation
+  * records, at zero extra I/O. On a CLUSTERED table the input arrives
+  * key-contiguous (RequiresDistributionAndOrdering) and the writer
+  * cuts a new file at every key change, so each file provably holds
+  * ONE key value — min == max lands in the manifest by construction. */
+private[sources] class SnapshotDataWriter(
+    pathFor: Int => String,
+    tracked: Seq[(String, Int, DataType)],
+    cluster: Option[(Int, DataType)],
+    pw: Bridge.ParquetRowWriterFactory) extends DataWriter[InternalRow] {
+
+  private val done = Seq.newBuilder[SnapshotTable.FileEntry]
+  private var fileSeq = 0
+  private var path: String = _
+  private var currentKey: Any = _
+  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var rows = 0L
+  private val nulls = Array.fill(tracked.size)(0L)
+  private val minL = Array.fill(tracked.size)(Long.MaxValue)
+  private val maxL = Array.fill(tracked.size)(Long.MinValue)
+  private val minS = Array.fill[String](tracked.size)(null)
+  private val maxS = Array.fill[String](tracked.size)(null)
+
+  private def keyOf(row: InternalRow, idx: Int, dt: DataType): Any = dt match {
+    case StringType  => row.getUTF8String(idx).toString
+    case ByteType    => row.getByte(idx).toLong
+    case ShortType   => row.getShort(idx).toLong
+    case IntegerType => row.getInt(idx).toLong
+    case _           => row.getLong(idx)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    cluster.foreach { case (idx, dt) =>
+      require(!row.isNullAt(idx),
+        "NULL cluster key refused — identity clustering needs a total key")
+      val k = keyOf(row, idx, dt)
+      if (writer != null && k != currentKey) rollFile()
+      currentKey = k
+    }
+    if (writer == null) {
+      path = pathFor(fileSeq)
+      writer = pw.open(path)
+    }
+    var i = 0
+    while (i < tracked.size) {
+      val (_, idx, dt) = tracked(i)
+      if (row.isNullAt(idx)) nulls(i) += 1
+      else dt match {
+        case StringType =>
+          val v = row.getUTF8String(idx).toString // copy out of the reused buffer
+          if (minS(i) == null || SnapshotTable.FileEntry.bytesLe(v, minS(i))) minS(i) = v
+          if (maxS(i) == null || SnapshotTable.FileEntry.bytesLe(maxS(i), v)) maxS(i) = v
+        case ByteType | ShortType | IntegerType | LongType =>
+          val v = dt match {
+            case ByteType    => row.getByte(idx).toLong
+            case ShortType   => row.getShort(idx).toLong
+            case IntegerType => row.getInt(idx).toLong
+            case _           => row.getLong(idx)
+          }
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+        case _ => // declared stats on a non-prunable type: count nulls only
+      }
+      i += 1
+    }
+    rows += 1
+    writer.write(row)
+  }
+
+  /** Close the open file and fold its stats into a manifest entry. */
+  private def rollFile(): Unit = {
+    writer.close()
+    val ist = Map.newBuilder[String, (Long, Long)]
+    val sst = Map.newBuilder[String, (String, String)]
+    val nst = Map.newBuilder[String, (Long, Long)]
+    tracked.zipWithIndex.foreach { case ((c, _, dt), i) =>
+      nst += c -> (nulls(i), rows)
+      if (nulls(i) < rows) dt match {
+        case StringType => sst += c -> (minS(i), maxS(i))
+        case ByteType | ShortType | IntegerType | LongType =>
+          ist += c -> (minL(i), maxL(i))
+        case _ =>
+      }
+    }
+    done += SnapshotTable.FileEntry(
+      path, ist.result(), sst.result(), nst.result(), Map.empty, pw.sizeOf(path))
+    writer = null
+    fileSeq += 1
+    rows = 0
+    java.util.Arrays.fill(nulls, 0L)
+    java.util.Arrays.fill(minL, Long.MaxValue)
+    java.util.Arrays.fill(maxL, Long.MinValue)
+    var i = 0
+    while (i < tracked.size) { minS(i) = null; maxS(i) = null; i += 1 }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) rollFile()
+    SnapshotWriteMessage(done.result())
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); LocalSnapshotIO.delete(path) }
+    done.result().foreach(e => LocalSnapshotIO.delete(e.path))
+  }
+
+  override def close(): Unit = ()
+}

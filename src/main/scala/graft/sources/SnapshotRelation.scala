@@ -93,47 +93,42 @@ object SnapshotRelationProvider {
   * which files a pushed filter may skip. */
 private[sources] object ManifestPruning {
 
-  /** The file entries that can hold rows matching ALL pushed filters —
-    * each filter independently shrinks the candidate set through the
-    * manifest bounds; files without stats for a column always survive
-    * (stats prove absence, never presence). */
-  def prunedEntries(
-      m: SnapshotTable.Manifest,
-      schema: StructType,
-      filters: Array[Filter]): Seq[SnapshotTable.FileEntry] = {
+  private def isIntegral(schema: StructType, c: String): Boolean =
+    schema.fields.find(_.name == c).exists(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+  private def isString(schema: StructType, c: String): Boolean =
+    schema.fields.find(_.name == c).exists(_.dataType == StringType)
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
+  }
 
-    def isIntegral(c: String): Boolean =
-      schema.fields.find(_.name == c).exists(f =>
-        f.dataType == LongType || f.dataType == IntegerType)
-    def isString(c: String): Boolean =
-      schema.fields.find(_.name == c).exists(_.dataType == StringType)
-    def longOf(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int  => Some(i.toLong)
-      case _       => None
-    }
-
-    // written against StatRanges, so the SAME predicate first skips
-    // whole manifest segments via their aggregated bounds (a missed
-    // segment's file list is never loaded), then files inside the
-    // segments that survived — planning stays O(segments + hit files)
-    // on a 1M-file table
-    def keep(f: SnapshotTable.StatRanges, filter: Filter): Boolean = filter match {
-      case EqualTo(c, v) if isIntegral(c) =>
+  /** May `f` hold a row matching `filter`? false PROVES absence; stats
+    * missing for a column always answers true (must read).
+    *
+    * Written against StatRanges, so the SAME predicate first skips
+    * whole manifest segments via their aggregated bounds (a missed
+    * segment's file list is never loaded), then files inside the
+    * segments that survived — planning stays O(segments + hit files)
+    * on a 1M-file table. */
+  def keeps(schema: StructType, f: SnapshotTable.StatRanges, filter: Filter): Boolean = {
+    def keep(filter: Filter): Boolean = filter match {
+      case EqualTo(c, v) if isIntegral(schema, c) =>
         longOf(v).forall(l => f.stats.get(c).forall { case (mn, mx) => l >= mn && l <= mx })
-      case GreaterThan(c, v) if isIntegral(c) =>
+      case GreaterThan(c, v) if isIntegral(schema, c) =>
         longOf(v).forall(l => f.stats.get(c).forall { case (_, mx) => mx > l })
-      case GreaterThanOrEqual(c, v) if isIntegral(c) =>
+      case GreaterThanOrEqual(c, v) if isIntegral(schema, c) =>
         longOf(v).forall(l => f.stats.get(c).forall { case (_, mx) => mx >= l })
-      case LessThan(c, v) if isIntegral(c) =>
+      case LessThan(c, v) if isIntegral(schema, c) =>
         longOf(v).forall(l => f.stats.get(c).forall { case (mn, _) => mn < l })
-      case LessThanOrEqual(c, v) if isIntegral(c) =>
+      case LessThanOrEqual(c, v) if isIntegral(schema, c) =>
         longOf(v).forall(l => f.stats.get(c).forall { case (mn, _) => mn <= l })
-      case In(c, vs) if isIntegral(c) =>
+      case In(c, vs) if isIntegral(schema, c) =>
         val ls = vs.flatMap(longOf)
         ls.length != vs.length ||
           f.stats.get(c).forall { case (mn, mx) => ls.exists(l => l >= mn && l <= mx) }
-      case EqualTo(c, v: String) if isString(c) =>
+      case EqualTo(c, v: String) if isString(schema, c) =>
         f.sstats.get(c).forall { case (mn, mx) =>
           SnapshotTable.FileEntry.bytesLe(mn, v) && SnapshotTable.FileEntry.bytesLe(v, mx)
         }
@@ -142,11 +137,58 @@ private[sources] object ManifestPruning {
       // shape) is pruned for every query touching the column
       case IsNotNull(c) => f.nstats.get(c).forall { case (n, r) => n < r }
       case IsNull(c)    => f.nstats.get(c).forall { case (n, _) => n > 0 }
-      case And(l, r) => keep(f, l) && keep(f, r)
+      case And(l, r) => keep(l) && keep(r)
       case _         => true // unsupported shapes never prune
     }
-    m.filesMatching(f => filters.forall(keep(f, _)))
+    keep(filter)
   }
+
+  /** Does the manifest PROVE every live row of `f` matches `filter`?
+    * The inverse obligation of [[keeps]], and deliberately stricter:
+    * a proof needs BOTH the value bounds fully inside the predicate
+    * AND (for value predicates) a zero null count — min/max say
+    * nothing about NULL rows, which never match a value predicate.
+    * false means "not provable", never "no row matches". What the
+    * metadata-only DELETE drops whole files by. */
+  def provesAll(schema: StructType, f: SnapshotTable.StatRanges, filter: Filter): Boolean = {
+    def noNulls(c: String): Boolean = f.nstats.get(c).exists { case (n, _) => n == 0 }
+    def all(filter: Filter): Boolean = filter match {
+      case AlwaysTrue() => true
+      case EqualTo(c, v) if isIntegral(schema, c) =>
+        longOf(v).exists(l => noNulls(c) &&
+          f.stats.get(c).exists { case (mn, mx) => mn == l && mx == l })
+      case GreaterThan(c, v) if isIntegral(schema, c) =>
+        longOf(v).exists(l => noNulls(c) && f.stats.get(c).exists { case (mn, _) => mn > l })
+      case GreaterThanOrEqual(c, v) if isIntegral(schema, c) =>
+        longOf(v).exists(l => noNulls(c) && f.stats.get(c).exists { case (mn, _) => mn >= l })
+      case LessThan(c, v) if isIntegral(schema, c) =>
+        longOf(v).exists(l => noNulls(c) && f.stats.get(c).exists { case (_, mx) => mx < l })
+      case LessThanOrEqual(c, v) if isIntegral(schema, c) =>
+        longOf(v).exists(l => noNulls(c) && f.stats.get(c).exists { case (_, mx) => mx <= l })
+      case In(c, vs) if isIntegral(schema, c) =>
+        val ls = vs.flatMap(longOf)
+        ls.length == vs.length && noNulls(c) &&
+          f.stats.get(c).exists { case (mn, mx) => mn == mx && ls.contains(mn) }
+      case EqualTo(c, v: String) if isString(schema, c) =>
+        noNulls(c) && f.sstats.get(c).exists { case (mn, mx) => mn == v && mx == v }
+      case IsNull(c)    => f.nstats.get(c).exists { case (n, r) => n == r }
+      case IsNotNull(c) => noNulls(c)
+      case And(l, r)    => all(l) && all(r)
+      case Or(l, r)     => all(l) || all(r) // sufficient, not necessary — conservative
+      case _            => false // unprovable shapes never prove
+    }
+    all(filter)
+  }
+
+  /** The file entries that can hold rows matching ALL pushed filters —
+    * each filter independently shrinks the candidate set through the
+    * manifest bounds; files without stats for a column always survive
+    * (stats prove absence, never presence). */
+  def prunedEntries(
+      m: SnapshotTable.Manifest,
+      schema: StructType,
+      filters: Array[Filter]): Seq[SnapshotTable.FileEntry] =
+    m.filesMatching(f => filters.forall(keeps(schema, f, _)))
 }
 
 class SnapshotRelation(

@@ -679,6 +679,119 @@ object SnapshotTable {
       extra ++ dvCarry ++ cluster.map(ClusterK -> _), io)
   }
 
+  /** Publish a commit from ALREADY-WRITTEN data files — the tail the
+    * DSv2 BatchWrite needs: executors wrote the files (and computed
+    * their stats) task-side, the driver holds only the file ENTRIES,
+    * and this turns them into an append/overwrite manifest under the
+    * same rules as [[commit]] (extend-only schema on append, parent
+    * segments carried by reference, DV state + table-level extras —
+    * cluster spec, declared stats columns — carried verbatim; one
+    * atomic publication, CME to the loser of a race). The files must
+    * already live under `$table/data/` (vacuum's in-flight rule
+    * protects `v<N>_<token>` dirs above the current version). */
+  private[sources] def publishFiles(
+      table: String,
+      schema: StructType,
+      entries: Seq[FileEntry],
+      append: Boolean,
+      extra: Map[String, String] = Map.empty,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val current = currentVersion(table, io)
+    var carryExtra = Map.empty[String, String]
+    var publishSchema = schema
+    val (carriedSegs, carriedFiles): (Seq[SegmentRef], Seq[FileEntry]) =
+      if (append && current > 0) {
+        val parent = manifest(table, current, io)
+        val pf = parent.schema.fields
+        val nf = schema.fields
+        require(
+          nf.length >= pf.length &&
+            pf.indices.forall(i => nf(i).name == pf(i).name && nf(i).dataType == pf(i).dataType),
+          s"append schema ${schema.simpleString} does not extend " +
+            s"snapshot $current's ${parent.schema.simpleString}")
+        // the manifest keeps the PARENT's nullability (the write
+        // query's schema often marks literal columns non-null — but
+        // carried files predate this write and answer for themselves);
+        // genuinely NEW trailing columns publish nullable: every
+        // carried file reads NULL in them
+        publishSchema = StructType(
+          pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
+        carryExtra = parent.extra.view.filterKeys(k =>
+          k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK).toMap
+        (parent.segments, parent.inline)
+      } else if (current > 0) {
+        // overwrite keeps the table-level declarations, drops the data
+        val parent = manifest(table, current, io)
+        carryExtra = parent.extra.view.filterKeys(k =>
+          k == ClusterK || k == StatsColsK).toMap
+        (Vector.empty, Vector.empty)
+      } else (Vector.empty, Vector.empty)
+    publishManifest(table, current + 1, current, publishSchema,
+      carriedSegs, carriedFiles ++ entries,
+      if (append) "append" else "overwrite", carryExtra ++ extra, io)
+  }
+
+  /** Metadata-only FILE DROP — the manifest republished with `kept`
+    * entries only (fresh segments; the parent's can't be carried — the
+    * dropped files lived inside them): zero data files opened or
+    * moved, one atomic commit, prior versions time-travel-intact until
+    * vacuum. mode=delete so incremental readers refuse to scan across
+    * it. DV state and table-level declarations ride verbatim. The tail
+    * of the V2 `DELETE FROM` (SnapshotV2Table.deleteWhere). */
+  private[sources] def publishDrop(
+      table: String,
+      m: Manifest,
+      kept: Seq[FileEntry],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val carry = m.extra.view.filterKeys(k =>
+      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK).toMap
+    publishManifest(table, m.version + 1, m.version, m.schema,
+      Nil, kept, "delete", carry, io)
+  }
+
+  /** Metadata-only SCHEMA EVOLUTION: republish the current file set
+    * under a WIDENED schema (trailing nullable columns — the caller
+    * validates extend-only). Zero data I/O; every segment carried by
+    * reference; mode=append with zero new files, so incremental
+    * readers scan across it (the file-diff contract holds exactly).
+    * The SQL tail of ALTER TABLE ADD COLUMN. */
+  private[sources] def publishEvolve(
+      table: String,
+      m: Manifest,
+      widened: StructType,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val pf = m.schema.fields
+    require(widened.fields.length >= pf.length &&
+      pf.indices.forall(i => widened.fields(i).name == pf(i).name &&
+        widened.fields(i).dataType == pf(i).dataType),
+      s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
+    val carry = m.extra.view.filterKeys(k =>
+      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK).toMap
+    publishManifest(table, m.version + 1, m.version, widened,
+      m.segments, m.inline, "append", carry, io)
+  }
+
+  /** Reserved manifest key: the table's DECLARED stats columns (the
+    * catalog's TBLPROPERTIES('statsColumns'=...)), so every writer —
+    * API commit or DSv2 insert — records the same pruning stats. */
+  private[sources] val StatsColsK = "statscols"
+
+  /** Declared stats columns of a catalog-created table, if any. */
+  def statsColumnsOf(m: Manifest): Seq[String] =
+    m.extra.get(StatsColsK).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Create an EMPTY table: version 1 is a manifest with the schema,
+    * the table-level declarations (cluster spec, stats columns), and
+    * zero data files — the CREATE TABLE of the SQL surface. */
+  private[sources] def createEmpty(
+      table: String,
+      schema: StructType,
+      extra: Map[String, String],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    require(currentVersion(table, io) == 0, s"table $table already exists")
+    publishManifest(table, 1L, 0L, schema, Nil, Nil, "create", extra, io)
+  }
+
   /** Copy-on-write row-level MERGE — the Delta/Iceberg upsert: apply a
     * CDC batch (inserts + updates, plus deletes flagged in `deleteCol`)
     * keyed on an integer OR string column `key`, rewriting ONLY the
@@ -1678,7 +1791,7 @@ object SnapshotTable {
 
   /** Depth-first recursive delete through the [[SnapshotIO]] seam (the
     * trait's delete handles files and EMPTY directories only). */
-  private def deleteRecursive(path: String, io: SnapshotIO): Unit = {
+  private[sources] def deleteRecursive(path: String, io: SnapshotIO): Unit = {
     if (io.isDir(path)) io.list(path).foreach(n => deleteRecursive(s"$path/$n", io))
     io.delete(path)
   }

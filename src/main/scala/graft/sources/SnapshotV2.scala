@@ -101,14 +101,21 @@ object SnapshotV2Provider {
 
 private[sources] class SnapshotV2Table(
     table: String,
-    m: SnapshotTable.Manifest) extends Table with SupportsRead {
+    m: SnapshotTable.Manifest) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft_snapshot_${table}_v${m.version}"
 
   override def schema(): StructType = m.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   /** The identity-cluster spec as a V2 transform — what catalog-aware
     * planners read; the SPJ decision itself rides the SCAN's reported
@@ -118,6 +125,42 @@ private[sources] class SnapshotV2Table(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(m)
+
+  /** DSv2 INSERT / INSERT OVERWRITE (see [[SnapshotBatchWrite]]). A
+    * clustered table's write declares RequiresDistributionAndOrdering,
+    * so Spark routes and sorts the rows and the rolling writer keeps
+    * the one-key-per-file invariant — SQL INSERTs preserve SPJ. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(table, m, info)
+
+  // ---- metadata-only DELETE / TRUNCATE --------------------------------
+
+  /** A file is dropped whole only when the manifest PROVES every live
+    * row matches the predicate; kept whole only when it proves none
+    * does. Any file in between makes the whole DELETE refuse loudly
+    * (canDeleteWhere=false → Spark reports the delete unsupported)
+    * rather than approximate — row-level deletes are [[SnapshotTable
+    * .deleteKeys]]'s merge-on-read job. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    m.files.forall(f =>
+      filters.forall(ManifestPruning.provesAll(m.schema, f, _)) ||
+        filters.exists(!ManifestPruning.keeps(m.schema, f, _)))
+
+  /** Metadata-only DELETE: republish the manifest with the none-match
+    * files only — zero data files opened or moved, one atomic commit;
+    * the Delta/Iceberg "partition drop" at file granularity. mode=
+    * delete, so incremental readers refuse across it (dropped files ≠
+    * appended rows). Outstanding DV state rides along — it applies to
+    * the kept files; keys of dropped rows are harmless no-ops. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"DELETE on $table is not provable file-whole from manifest stats — " +
+        "use SnapshotTable.deleteKeys (merge-on-read) for row-level deletes")
+    val kept = m.files.filter(f => filters.exists(!ManifestPruning.keeps(m.schema, f, _)))
+    SnapshotTable.publishDrop(table, m, kept)
+  }
 }
 
 private[sources] class SnapshotScanBuilder(m: SnapshotTable.Manifest)

@@ -1646,6 +1646,139 @@ object SourceCatalog extends QueryModule {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE c_custkey <= (SELECT MAX(c_custkey) FROM customer) // 8
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_catalog",
+      // The snapshot format's SQL SURFACE — a TableCatalog plugin over
+      // the DSv2 BatchWrite protocol (SnapshotCatalog): CREATE TABLE
+      // with declared statsColumns, two transactional INSERT INTOs
+      // (executors write parquet task-side and fold min/max/nullCount
+      // pruning stats over the same pass the bytes take; the driver
+      // publishes ONE atomic manifest per insert), INSERT OVERWRITE
+      // (history intact), and VERSION AS OF time travel — all in SQL,
+      // no library calls in the read/write path. The result reads the
+      // overwritten head AND two time-travel points, so a write path
+      // that lost rows, double-published, or broke snapshot isolation
+      // breaks the hash. REQUIREd: the SQL-written manifest carries
+      // the declared per-file stats (the pruning/CBO surface) and file
+      // sizes. At 100 TB this is the operational surface a platform
+      // team actually exposes: SQL DDL/DML with the table format's
+      // transactional guarantees underneath.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqlcat_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graft_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_sqlcat_src")
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, p STRING, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k,p')")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqlcat_src WHERE k % 3 = 0")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqlcat_src WHERE k % 3 = 1")
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM graft_sqlcat_src WHERE k % 3 = 2")
+        val m = SnapshotTable.manifest(s"$wh/t", 4L)
+        require(m.files.nonEmpty && m.files.forall(f =>
+          f.nstats.contains("k") && f.size > 0 &&
+            (f.nstats("k")._2 == f.nstats("k")._1 || f.stats.contains("k"))),
+          "SQL inserts must record the declared per-file stats + sizes")
+        def agg(sql: String, arm: String) =
+          s.sql(sql).groupBy("p")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(s"SELECT * FROM $cat.t", "head")
+          .unionByName(agg(s"SELECT * FROM $cat.t VERSION AS OF 2", "v2"))
+          .unionByName(agg(s"SELECT * FROM $cat.t VERSION AS OF 3", "v3"))
+          .select("arm", "p", "n_orders", "sum_price")
+          .orderBy("arm", "p")
+      },
+      Some("""SELECT 'head' AS arm, o_orderpriority AS p, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 2
+             |UNION ALL
+             |SELECT 'v2', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 2
+             |UNION ALL
+             |SELECT 'v3', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
+             |ORDER BY arm, p""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_delete",
+      // SQL INSERT into a CLUSTERED table + METADATA-ONLY DELETE: the
+      // clustered table's V2 write declares
+      // RequiresDistributionAndOrdering — Spark routes every key to
+      // one task and sorts, the rolling writer cuts a file per key
+      // change — so a plain INSERT INTO preserves the one-key-per-file
+      // invariant (REQUIREd below on the post-insert manifest: every
+      // file min == max). Then `DELETE FROM ... WHERE key IN (...)`
+      // drops whole files from the manifest: each file provably holds
+      // only matching rows (min == max ∈ set, zero nulls) or provably
+      // none — zero data files opened or moved, one atomic commit,
+      // prior versions time-travel intact (mode=delete; incremental
+      // readers refuse across it). A predicate not provable file-whole
+      // refuses loudly (REQUIREd) — row-level deletes stay
+      // deleteKeys' merge-on-read job. At 100 TB this is the partition
+      // drop: "delete these tenants/days" costs one manifest write.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqldel_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftd_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val cust = Tables(s, dir).customer
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        // clustered table born through the API (the spec is table-level),
+        // then grown through plain SQL
+        SnapshotTable.commit(cust.filter(col("c_custkey") % 2 === 0),
+          s"$wh/c", append = false, clusterBy = Some("c_nationkey"))
+        cust.filter(col("c_custkey") % 2 === 1)
+          .createOrReplaceTempView("graft_sqldel_src")
+        s.sql(s"INSERT INTO $cat.c SELECT * FROM graft_sqldel_src")
+        val m2 = SnapshotTable.manifest(s"$wh/c", 2L)
+        require(m2.files.forall(f =>
+          f.stats.get("c_nationkey").exists { case (mn, mx) => mn == mx }),
+          "SQL insert into a clustered table must keep one key value per file")
+        val beforeFiles = m2.fileCount
+        val victims = m2.files.count(_.stats("c_nationkey")._1 <= 2L)
+        s.sql(s"DELETE FROM $cat.c WHERE c_nationkey IN (0, 1, 2)")
+        val m3 = SnapshotTable.manifest(s"$wh/c", 3L)
+        require(m3.extra.get("mode").contains("delete") &&
+          m3.fileCount == beforeFiles - victims,
+          s"metadata delete must drop exactly the proven files " +
+            s"(${m3.fileCount} left of $beforeFiles, want ${beforeFiles - victims})")
+        // a mid-file predicate is NOT provable — the refusal is the
+        // soundness half of the contract
+        val refused =
+          try { s.sql(s"DELETE FROM $cat.c WHERE c_acctbal < 0"); false }
+          catch { case _: Exception => true }
+        require(refused, "an unprovable DELETE must refuse, not approximate")
+        def agg(sql: String, arm: String) =
+          s.sql(sql).groupBy(col("c_nationkey").cast("long").as("nationkey"))
+            .agg(
+              count(lit(1)).as("n_cust"),
+              sum(col("c_acctbal").cast("decimal(38,4)")).cast("double").as("sum_bal"))
+            .withColumn("arm", lit(arm))
+        agg(s"SELECT * FROM $cat.c", "head")
+          .unionByName(agg(s"SELECT * FROM $cat.c VERSION AS OF 2", "pre"))
+          .select("arm", "nationkey", "n_cust", "sum_bal")
+          .orderBy("arm", "nationkey")
+      },
+      Some("""SELECT 'head' AS arm, c_nationkey::BIGINT AS nationkey,
+             |COUNT(*)::BIGINT AS n_cust,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+             |FROM customer WHERE c_nationkey NOT IN (0, 1, 2) GROUP BY 2
+             |UNION ALL
+             |SELECT 'pre', c_nationkey::BIGINT, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM customer GROUP BY 2
+             |ORDER BY arm, nationkey""".stripMargin)
     )
   )
 }

@@ -1234,6 +1234,50 @@ object StreamingCatalog extends QueryModule {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "stream_table_sql_sink",
+      // STREAMING WRITE THROUGH THE CATALOG (`writeStream.toTable` —
+      // TableCapability.STREAMING_WRITE on the V2 table): each epoch
+      // is a transactional append through the DSv2 StreamingWrite
+      // protocol — executors write parquet task-side folding the
+      // table's declared stats, the driver publishes ONE manifest per
+      // epoch carrying the epoch id — and the appendBatch idempotence
+      // rule makes redelivery a no-op: the second drain below runs
+      // from a FRESH checkpoint (the full redelivery a checkpoint loss
+      // produces) and must publish NOTHING (its re-written files are
+      // dropped on the spot). The oracle is the plain batch aggregate:
+      // duplicated or lost epochs break the hash. Round19Spec pins the
+      // multi-epoch arm and the stats-on-streamed-files invariant.
+      (s, dir) => withStatePartitions(s) { ss =>
+        val wh = graft.Stage.dir("graft_tblsink_", dir).getPath
+        val ckpt = graft.Stage.dir("graft_tblsinkck_", dir).getPath
+        Seq(wh, ckpt).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        val cat = "graftst_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        ss.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.SnapshotCatalog].getName)
+        ss.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        ss.sql(s"CREATE TABLE $cat.ev (event_type STRING, user_id BIGINT) " +
+          "TBLPROPERTIES('statsColumns'='user_id')")
+        def drain(tag: String): Unit =
+          eventsStream(ss, dir)
+            .select(col("event_type"), col("user_id").cast("long"))
+            .writeStream
+            .option("checkpointLocation", s"$ckpt/$tag")
+            .trigger(Trigger.AvailableNow())
+            .toTable(s"$cat.ev")
+            .awaitTermination()
+        drain("first")
+        drain("replay") // fresh checkpoint, same table: redelivery must no-op
+        ss.table(s"$cat.ev")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n_events,
+             |COUNT(DISTINCT user_id)::BIGINT AS n_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "stream_snapshot_source",
       (s, dir) => snapshotSourceStream(s, dir),
       Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,

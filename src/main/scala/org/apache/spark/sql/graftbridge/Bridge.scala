@@ -132,6 +132,46 @@ object Bridge {
       ps: Array[connector.expressions.filter.Predicate]): Array[sources.Filter] =
     internal.connector.PredicateUtils.toV1(ps)
 
+  /** Serializable per-task parquet writer maker for a DSv2 BatchWrite:
+    * wraps the OutputWriterFactory ParquetFileFormat.prepareWrite
+    * returns (the exact writer behind df.write.parquet — same codec,
+    * same ParquetWriteSupport row layout, so files written task-side
+    * are indistinguishable from commit-path files) plus the prepared
+    * job configuration, shipped via SerializableConfiguration. `open`
+    * runs on the EXECUTOR: the explicit path keeps concurrent writers
+    * collision-free (the synthetic attempt id is never used for
+    * naming). */
+  class ParquetRowWriterFactory private[graftbridge] (
+      factory: execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      schema: types.StructType) extends Serializable {
+    def open(path: String): execution.datasources.OutputWriter = {
+      val attemptId = new org.apache.hadoop.mapreduce.TaskAttemptID(
+        new org.apache.hadoop.mapreduce.TaskID(
+          new org.apache.hadoop.mapreduce.JobID("graft-write", 0),
+          org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0)
+      factory.newInstance(path, schema,
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf.value, attemptId))
+    }
+
+    /** Byte size of a written file, through the SAME filesystem the
+      * writer used (storage-agnostic, unlike a java.io stat). */
+    def sizeOf(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf.value).getFileStatus(p).getLen
+    }
+  }
+
+  def parquetRowWriter(
+      spark: SparkSession, schema: types.StructType): ParquetRowWriterFactory = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(ss.sessionState.newHadoopConf())
+    val factory = new execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(ss, job, Map.empty, schema)
+    new ParquetRowWriterFactory(factory,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration), schema)
+  }
+
   /** Block until the async listener bus has delivered everything posted
     * so far (bounded). QueryExecutionListener callbacks ride this bus,
     * so "bus empty" == "every completed action's observed metrics have
