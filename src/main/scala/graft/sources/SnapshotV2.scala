@@ -48,13 +48,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * vectorized/columnar batches, parquet row-group pruning from the
   * pushed filters, missing-column → NULL schema clipping (add-column
   * evolution). Options mirror the V1 arm: `path`, `versionAsOf`,
-  * `timestampAsOf`.
+  * `timestampAsOf`. The table is also writable (the transactional
+  * DSv2 BatchWrite/StreamingWrite in SnapshotCatalog.scala), streams
+  * ([[SnapshotMicroBatchStream]]), and takes metadata-only DELETE /
+  * TRUNCATE — the full four-quadrant V2 surface, usually consumed
+  * through [[SnapshotCatalog]]'s SQL front.
   *
-  * Deliberate non-goals of this arm (both refused loudly, not wrong):
-  * outstanding deletion vectors (the DV anti-join is a PLAN transform,
-  * not a scan property — read through the V1/API paths or compact
-  * first) and writes (the transactional write surface stays on
-  * [[SnapshotTable.commit]] / the V1 `CreatableRelationProvider`).
+  * One deliberate non-goal (refused loudly, not wrong): outstanding
+  * deletion vectors — the DV anti-join is a PLAN transform, not a scan
+  * property; read through the V1/API paths or compact first.
   */
 class SnapshotV2Provider extends TableProvider with DataSourceRegister {
 
@@ -113,6 +115,7 @@ private[sources] class SnapshotV2Table(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
@@ -124,7 +127,8 @@ private[sources] class SnapshotV2Table(
     SnapshotTable.clusterKeyOf(m).map(Expressions.identity).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(m)
+    new SnapshotScanBuilder(table, m,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   /** DSv2 INSERT / INSERT OVERWRITE (see [[SnapshotBatchWrite]]). A
     * clustered table's write declares RequiresDistributionAndOrdering,
@@ -163,7 +167,10 @@ private[sources] class SnapshotV2Table(
   }
 }
 
-private[sources] class SnapshotScanBuilder(m: SnapshotTable.Manifest)
+private[sources] class SnapshotScanBuilder(
+    table: String,
+    m: SnapshotTable.Manifest,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -295,7 +302,7 @@ private[sources] class SnapshotScanBuilder(m: SnapshotTable.Manifest)
 
   override def build(): Scan = aggResult match {
     case Some((schema, row)) => new SnapshotV2AggScan(m, schema, row)
-    case None                => new SnapshotV2Scan(m, required, pushed)
+    case None => new SnapshotV2Scan(table, m, required, pushed, maxVersionsPerTrigger)
   }
 }
 
@@ -342,9 +349,11 @@ private[sources] class KeyedFilePartition(
 }
 
 private[graft] class SnapshotV2Scan(
+    table: String,
     m: SnapshotTable.Manifest,
     requiredSchema: StructType,
-    filters: Array[Filter]) extends Scan with Batch
+    filters: Array[Filter],
+    maxVersionsPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -430,14 +439,8 @@ private[graft] class SnapshotV2Scan(
       })
     }.filter(_.nonEmpty)
 
-  private def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile = {
-    // manifest-recorded size; one fs stat per file only for legacy
-    // entries committed before sizes rode the manifest
-    val len = if (f.size >= 0) f.size else LocalSnapshotIO.size(f.path)
-    PartitionedFile(
-      InternalRow.empty, SparkPath.fromPathString(f.path), 0L, len,
-      Array.empty, 0L, len, Map.empty)
-  }
+  private def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile =
+    SnapshotV2.partitionedFile(f)
 
   /** CBO statistics from the manifest, AFTER pruning: row count from
     * the per-file (nullCount, rowCount) stats, bytes from the recorded
@@ -513,4 +516,112 @@ private[graft] class SnapshotV2Scan(
       SparkSession.active, m.schema, requiredSchema,
       (filters ++ runtime).filter(_.references.forall(names)))
   }
+
+  /** Streaming read (`spark.readStream.table(...)` — MICRO_BATCH_READ):
+    * the same version-diff contract as the V1 `SnapshotSourceProvider`
+    * (initial batch = the full current snapshot, steady state = the
+    * manifest diff per version range), with column pruning and static
+    * filter file-pruning riding the V2 scan, plus REAL
+    * `Trigger.AvailableNow` support (the V1 Source API cannot express
+    * it — MicroBatchExecution logs a single-batch fallback there). */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(table, m, requiredSchema, filters, maxVersionsPerTrigger)
+}
+
+private[sources] object SnapshotV2 {
+  private[sources] def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile = {
+    // manifest-recorded size; one fs stat per file only for legacy
+    // entries committed before sizes rode the manifest
+    val len = if (f.size >= 0) f.size else LocalSnapshotIO.size(f.path)
+    PartitionedFile(
+      InternalRow.empty, SparkPath.fromPathString(f.path), 0L, len,
+      Array.empty, 0L, len, Map.empty)
+  }
+}
+
+/** Stream offsets are manifest VERSIONS — the same contract the V1
+  * source's LongOffset carries, serialized as the bare number. */
+private[graft] case class VersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The snapshot table as a V2 micro-batch SOURCE: each batch is the
+  * manifest difference between two versions (pure-append validated by
+  * [[SnapshotTable.incrementalFiles]] — overwrite/merge/delete
+  * boundaries refuse loudly; metadata-only segment rewrites pass via
+  * the path-set diff), version 0 → v = the full initial snapshot.
+  * Planning is manifest-only and the partitions ARE the data files —
+  * nothing is staged, so there is nothing to reclaim on commit.
+  * Implements [[SupportsTriggerAvailableNow]]: the target version is
+  * pinned at prepare time and the reported offset never passes it, so
+  * AvailableNow drains exactly the history that existed at start. */
+private[graft] class SnapshotMicroBatchStream(
+    table: String,
+    m: SnapshotTable.Manifest,
+    readSchema: StructType,
+    filters: Array[Filter],
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  @volatile private var availableNowTarget: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = SnapshotTable.currentVersion(table)
+
+  override def initialOffset(): V2Offset = VersionOffset(0L)
+
+  override def deserializeOffset(json: String): V2Offset =
+    VersionOffset(json.trim.toLong)
+
+  private def latest(from: Long): V2Offset = {
+    val head = math.min(SnapshotTable.currentVersion(table), availableNowTarget)
+    // Delta's maxFilesPerTrigger shape at version granularity: a long
+    // backlog (or the initial history) drains as bounded micro-batches
+    // — under AvailableNow the engine keeps asking until the pinned
+    // target is reached, each batch capped here
+    VersionOffset(maxVersionsPerTrigger.fold(head)(n => math.min(head, from + n)))
+  }
+
+  override def latestOffset(): V2Offset = latest(0L)
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    latest(start.asInstanceOf[VersionOffset].version)
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    if (to == 0L || from >= to) return Array.empty
+    val mTo = SnapshotTable.manifest(table, to)
+    require(SnapshotTable.dvPaths(mTo).isEmpty,
+      s"table $table carries outstanding deletion vectors — the v2 stream reads " +
+        "data files raw; stream through SnapshotSourceProvider (DV-applied) or compact first")
+    val entries =
+      if (from == 0L) mTo.files
+      else {
+        val paths = SnapshotTable.incrementalFiles(table, from, to).toSet
+        mTo.files.filter(f => paths(f.path))
+      }
+    // static filter pruning is as sound on a streaming slice as on a
+    // batch scan: stats prove absence, the engine re-applies residuals
+    entries.filter(f => filters.forall(ManifestPruning.keeps(mTo.schema, f, _)))
+      .zipWithIndex.map { case (f, i) =>
+        FilePartition(i, Array(SnapshotV2.partitionedFile(f))): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val names = m.schema.fieldNames.toSet
+    Bridge.parquetReaderFactory(
+      SparkSession.active, m.schema, readSchema,
+      filters.filter(_.references.forall(names)))
+  }
+
+  override def commit(end: V2Offset): Unit = () // nothing staged, nothing to reclaim
+
+  override def stop(): Unit = ()
 }

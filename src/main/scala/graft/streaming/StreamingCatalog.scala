@@ -1278,6 +1278,66 @@ object StreamingCatalog extends QueryModule {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "stream_table_sql_source",
+      // STREAMING READ THROUGH THE CATALOG (`readStream.table` —
+      // MICRO_BATCH_READ via SnapshotMicroBatchStream): offsets are
+      // manifest VERSIONS, the initial batch is the full snapshot,
+      // steady state is the per-range manifest diff (pure-append
+      // validated; DV/delete boundaries refuse loudly) — and planning
+      // hands Spark the data FILES as partitions directly: nothing is
+      // staged per micro-batch, so commit() has nothing to reclaim
+      // (the V1 CDC source's staging lifecycle does not exist here).
+      // Implements SupportsTriggerAvailableNow for REAL AvailableNow
+      // semantics (the V1 Source API falls back to single-batch).
+      // Three SQL INSERTs land one at a time with a drain between each
+      // (shared checkpoint), the sink is exactly-once appendBatch, and
+      // a FOURTH drain from a fresh checkpoint (full redelivery) must
+      // no-op — the oracle fails on any duplicated, lost, or
+      // mis-sliced delta. Round19Spec pins the delta membership per
+      // batch and the delete-boundary refusal.
+      (s, dir) => withStatePartitions(s) { ss =>
+        val wh = graft.Stage.dir("graft_tblsrc_", dir).getPath
+        val out = graft.Stage.dir("graft_tblsrcout_", dir).getPath
+        val ckpt = graft.Stage.dir("graft_tblsrcck_", dir).getPath
+        Seq(wh, out, ckpt).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        val cat = "graftsr_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        ss.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.SnapshotCatalog].getName)
+        ss.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        ss.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES('statsColumns'='o_orderkey')")
+        Tables(ss, dir).orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .createOrReplaceTempView("graft_tblsrc_orders")
+        def drain(tag: String): Unit = {
+          val q = ss.readStream.table(s"$cat.o").writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.sources.SnapshotTable.appendBatch(batch, out, id)
+              ()
+            }
+            .option("checkpointLocation", s"$ckpt/$tag")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        for (m <- 0 to 2) {
+          ss.sql(s"INSERT INTO $cat.o SELECT * FROM graft_tblsrc_orders " +
+            s"WHERE o_orderkey % 3 = $m")
+          drain("shared")
+        }
+        drain("fresh") // full redelivery from a fresh checkpoint: must no-op
+        graft.sources.SnapshotTable.read(ss, out)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "stream_snapshot_source",
       (s, dir) => snapshotSourceStream(s, dir),
       Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,

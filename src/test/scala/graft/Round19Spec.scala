@@ -222,6 +222,67 @@ class Round19Spec extends AnyFunSuite {
       "streaming writers fold the declared stats like batch writers")
   }
 
+  test("readStream.table: initial snapshot then version-diff deltas, real AvailableNow") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, wh) = freshCatalog()
+    val out = s"$wh/_out"
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) TBLPROPERTIES('statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3)")
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$cat.t").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          SnapshotTable.appendBatch(b, out, id); ()
+        }
+        .option("checkpointLocation", s"$wh/_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // initial batch: the FULL snapshot (both inserts)
+    assert(SnapshotTable.read(spark, out).orderBy("k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+    spark.sql(s"INSERT INTO $cat.t VALUES (4), (5)")
+    drain() // same checkpoint: exactly the version delta
+    assert(SnapshotTable.read(spark, out).orderBy("k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L))
+    // the second drain appended ONE batch holding ONLY the delta
+    val outHead = SnapshotTable.manifest(out, SnapshotTable.currentVersion(out))
+    assert(outHead.extra.get("batchid").contains("1"))
+    assert(SnapshotTable.readIncremental(spark, out, 1L, 2L).count() === 2)
+    // a DELETE boundary refuses the incremental scan (raw-file stream)
+    spark.sql(s"DELETE FROM $cat.t WHERE k <= 3")
+    spark.sql(s"INSERT INTO $cat.t VALUES (6)")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(m =>
+        m.contains("not a pure append") || m.contains("delete"))),
+      s"a mode=delete boundary must refuse the version-diff stream: ${e.getMessage}")
+  }
+
+  test("v2 stream admission: maxVersionsPerTrigger drains the backlog in bounded batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, wh) = freshCatalog()
+    val out = s"$wh/_out2"
+    spark.sql(s"CREATE TABLE $cat.b (k BIGINT)")
+    for (i <- 1 to 3) spark.sql(s"INSERT INTO $cat.b VALUES ($i)")
+    val q = spark.readStream.option("maxVersionsPerTrigger", "1").table(s"$cat.b")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotTable.appendBatch(b, out, id); ()
+      }
+      .option("checkpointLocation", s"$wh/_ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(SnapshotTable.read(spark, out).orderBy("k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+    // the 4-version backlog (create + 3 inserts) drained as 4 capped
+    // micro-batches, not one giant initial load
+    assert(SnapshotTable.currentVersion(out) === 4L,
+      s"want 4 bounded batches, sink saw ${SnapshotTable.currentVersion(out)}")
+  }
+
   test("CTAS and empty-insert edge: CREATE TABLE AS SELECT; zero-row insert bumps version only") {
     val (cat, wh) = freshCatalog()
     Tables(spark, sf).nation.select("n_nationkey", "n_name")
