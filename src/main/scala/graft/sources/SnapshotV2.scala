@@ -306,18 +306,20 @@ private[sources] class SnapshotScanBuilder(
   }
 }
 
-/** The whole result of a manifest-served aggregation: ONE metadata row,
-  * zero data files planned or opened. private[graft] so the spec can
-  * pin "metadata-served" structurally. */
-private[graft] case class MetadataRowPartition(row: InternalRow) extends InputPartition
+/** Manifest-computed rows served as a scan partition — the whole
+  * result of a manifest-served aggregation (one row, zero data files)
+  * or a metadata table's listing (history/files/segments).
+  * private[graft] so specs pin "metadata-served" structurally. */
+private[graft] case class MetadataRowPartition(rows: Seq[InternalRow]) extends InputPartition
 
 private[sources] class MetadataRowReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val row = p.asInstanceOf[MetadataRowPartition].row
+    val it = p.asInstanceOf[MetadataRowPartition].rows.iterator
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = row
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        it.hasNext && { current = it.next(); true }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }
@@ -332,7 +334,7 @@ private[sources] class SnapshotV2AggScan(
   override def description(): String =
     s"graft-snapshot v${m.version} (manifest-served aggregate, 0 data files)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(MetadataRowPartition(row))
+    Array(MetadataRowPartition(Seq(row)))
   override def createReaderFactory(): PartitionReaderFactory =
     new MetadataRowReaderFactory
 }

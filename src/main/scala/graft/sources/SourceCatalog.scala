@@ -1779,6 +1779,57 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
              |FROM customer GROUP BY 2
              |ORDER BY arm, nationkey""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_meta_tables",
+      // Iceberg-style METADATA TABLES in SQL (`g.t.history` /
+      // `g.t.files` / `g.t.segments` — SnapshotMetaTables): the table's
+      // operational state answered from manifest lines alone, zero
+      // data files opened — version chain with modes and cumulative
+      // file counts from segment REFS (no segment loaded for the
+      // count), per-file sizes and row counts from the recorded stats,
+      // the manifest-list fragmentation from the refs. The fixture
+      // drives a deterministic commit chain (create → 2-file append →
+      // 3-file append → 1-file overwrite) and the oracle is the
+      // EXPECTED LEDGER as literal rows + the relational row count —
+      // a history row with the wrong mode, a file count that loaded
+      // (or misCounted) segments, or a row-count stat that drifted
+      // from the data all break the hash. At 100 TB these are the
+      // "how big / how fragmented / which commit did that" questions
+      // at metadata cost — DESCRIBE HISTORY without leaving SQL.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_metat_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftmt_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val o = Tables(s, dir).orders.select(col("o_orderkey").as("k"))
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT) TBLPROPERTIES('statsColumns'='k')")
+        o.filter(col("k") % 2 === 0).repartition(2)
+          .createOrReplaceTempView("graft_metat_a")
+        o.filter(col("k") % 2 === 1).repartition(3)
+          .createOrReplaceTempView("graft_metat_b")
+        o.filter(col("k") % 5 === 0).repartition(1)
+          .createOrReplaceTempView("graft_metat_c")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_metat_a")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_metat_b")
+        s.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM graft_metat_c")
+        s.sql(s"SELECT concat('v', version) AS arm, mode, n_files, 0L AS n_rows " +
+            s"FROM $cat.t.history")
+          .unionByName(s.sql(s"SELECT 'files' AS arm, '-' AS mode, " +
+            s"count(*) AS n_files, sum(n_rows) AS n_rows FROM $cat.t.files"))
+          .unionByName(s.sql(s"SELECT 'segments' AS arm, '-' AS mode, " +
+            s"count(*) AS n_files, 0L AS n_rows FROM $cat.t.segments"))
+          .orderBy("arm")
+      },
+      Some("""SELECT 'files' AS arm, '-' AS mode, 1::BIGINT AS n_files,
+             |(SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0)::BIGINT AS n_rows
+             |UNION ALL SELECT 'segments', '-', 1, 0
+             |UNION ALL SELECT 'v1', 'create', 0, 0
+             |UNION ALL SELECT 'v2', 'append', 2, 0
+             |UNION ALL SELECT 'v3', 'append', 5, 0
+             |UNION ALL SELECT 'v4', 'overwrite', 1, 0
+             |ORDER BY arm""".stripMargin)
     )
   )
 }

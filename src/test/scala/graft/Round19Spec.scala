@@ -283,6 +283,31 @@ class Round19Spec extends AnyFunSuite {
       s"want 4 bounded batches, sink saw ${SnapshotTable.currentVersion(out)}")
   }
 
+  test("metadata tables: g.t.history / g.t.files / g.t.segments in plain SQL") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) TBLPROPERTIES('statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (3)")
+    val hist = spark.sql(s"SELECT version, mode, n_files FROM $cat.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist.map(_._2) === Seq("create", "append", "overwrite"))
+    assert(hist.map(_._1) === Seq(1L, 2L, 3L))
+    assert(hist.last._3 >= 1L)
+    val files = spark.sql(s"SELECT path, size, n_rows FROM $cat.t.files").collect()
+    assert(files.length === hist.last._3)
+    assert(files.forall(r => r.getLong(1) > 0 && r.getLong(2) >= 0),
+      "files view must carry manifest sizes and row counts")
+    assert(files.map(_.getLong(2)).sum === 1L)
+    val segs = spark.sql(s"SELECT n_files, size FROM $cat.t.segments").collect()
+    assert(segs.map(_.getLong(0)).sum === hist.last._3)
+    // a real table named like a metadata view always wins the name
+    spark.sql(s"CREATE TABLE $cat.history (x BIGINT)")
+    spark.sql(s"INSERT INTO $cat.history VALUES (42)")
+    assert(spark.sql(s"SELECT x FROM $cat.history").collect()(0).getLong(0) === 42L)
+    // metadata views of a missing table refuse
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.nosuch.history").collect() }
+  }
+
   test("CTAS and empty-insert edge: CREATE TABLE AS SELECT; zero-row insert bumps version only") {
     val (cat, wh) = freshCatalog()
     Tables(spark, sf).nation.select("n_nationkey", "n_name")
