@@ -187,22 +187,33 @@ private[sources] class SnapshotWriteBuilder(
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = {
+  override def build(): Write =
+    SnapshotWrites.build(table, m, info.schema(), overwrite, replaceScanned = None)
+}
+
+/** Shared Write construction for INSERTs and row-level rewrites: a
+  * CLUSTERED table's write declares its layout needs and lets SPARK
+  * provide them (the Iceberg write-distribution shape) — clustered
+  * distribution routes every value of k to one task, the ascending
+  * sort makes keys arrive contiguously, and the rolling writer cuts a
+  * new file at each key change, so the one-key-per-file invariant
+  * (min == max in the manifest, SPJ partition values recoverable)
+  * survives plain SQL INSERTs, streaming appends, AND UPDATE/MERGE
+  * rewrites alike. */
+private[sources] object SnapshotWrites {
+  def build(
+      table: String,
+      m: SnapshotTable.Manifest,
+      schema: StructType,
+      overwrite: Boolean,
+      replaceScanned: Option[() => Set[String]]): Write = {
     val cluster = SnapshotTable.clusterKeyOf(m)
     val stats = SnapshotTable.statsColumnsOf(m)
     cluster match {
       case None =>
-        new SnapshotWrite(table, info.schema(), stats, None, overwrite)
+        new SnapshotWrite(table, schema, stats, None, overwrite, replaceScanned)
       case Some(k) =>
-        // a CLUSTERED table's write declares its layout needs and lets
-        // SPARK provide them (the Iceberg write-distribution shape):
-        // clustered distribution routes every value of k to one task,
-        // the ascending sort makes keys arrive contiguously, and the
-        // rolling writer below cuts a new file at each key change — the
-        // one-key-per-file invariant (min == max in the manifest, SPJ
-        // partition values recoverable) preserved through plain SQL
-        // INSERTs and streaming appends alike, no library call
-        new SnapshotWrite(table, info.schema(), stats, Some(k), overwrite)
+        new SnapshotWrite(table, schema, stats, Some(k), overwrite, replaceScanned)
           with RequiresDistributionAndOrdering {
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
@@ -223,10 +234,15 @@ private[sources] class SnapshotWrite(
     schema: StructType,
     statsCols: Seq[String],
     clusterBy: Option[String],
-    overwrite: Boolean) extends Write {
+    overwrite: Boolean,
+    replaceScanned: Option[() => Set[String]] = None) extends Write {
 
-  override def toBatch: BatchWrite =
-    new SnapshotBatchWrite(table, schema, statsCols, clusterBy, overwrite)
+  override def toBatch: BatchWrite = replaceScanned match {
+    case Some(scanned) =>
+      new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, scanned)
+    case None =>
+      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, overwrite)
+  }
 
   /** Streaming append (`df.writeStream.toTable(...)`): per-epoch
     * transactional appends with the appendBatch idempotence rule — the
@@ -319,6 +335,12 @@ private[sources] class SnapshotBatchWrite(
     s"$table/data/v${SnapshotTable.currentVersion(table) + 1}_w$token"
   }
 
+  /** Row-level rewrites receive `[__row_operation, data...]` rows (the
+    * ReplaceData plan prepends the op column; Spark's own projecting
+    * task engages only for sources that request metadata attributes) —
+    * the replace subclass flips this so the writer strips it. */
+  protected def dropOpColumn: Boolean = false
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // the cluster key is ALWAYS tracked: its per-file min == max stat
     // is how the scan recovers SPJ partition values from the manifest
@@ -332,7 +354,8 @@ private[sources] class SnapshotBatchWrite(
       (i, schema.fields(i).dataType)
     }
     new SnapshotDataWriterFactory(stage, tracked, cluster,
-      Bridge.parquetRowWriter(SparkSession.active, schema))
+      Bridge.parquetRowWriter(SparkSession.active, schema),
+      if (dropOpColumn) Some(schema) else None)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -356,11 +379,13 @@ private[sources] class SnapshotDataWriterFactory(
     stage: String,
     tracked: Seq[(String, Int, DataType)],
     cluster: Option[(Int, DataType)],
-    pw: Bridge.ParquetRowWriterFactory) extends DataWriterFactory
+    pw: Bridge.ParquetRowWriterFactory,
+    dropOpSchema: Option[StructType] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
-    new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw)
+    new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw,
+      dropOpSchema)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writerFor(s"part-$partitionId-$taskId")
@@ -385,7 +410,16 @@ private[sources] class SnapshotDataWriter(
     pathFor: Int => String,
     tracked: Seq[(String, Int, DataType)],
     cluster: Option[(Int, DataType)],
-    pw: Bridge.ParquetRowWriterFactory) extends DataWriter[InternalRow] {
+    pw: Bridge.ParquetRowWriterFactory,
+    dropOpSchema: Option[StructType] = None) extends DataWriter[InternalRow] {
+
+  // row-level rewrite rows arrive as [__row_operation, data...]: strip
+  // the op column through a reusable ordinal projection (Spark's own
+  // DataAndMetadataWritingSparkTask shape — which only engages for
+  // sources requesting metadata attributes); any op other than a plain
+  // WRITE would mean rows this commit must NOT persist — refuse loudly
+  private val opProj = dropOpSchema.map(sch =>
+    org.apache.spark.sql.catalyst.ProjectingInternalRow(sch, 1 to sch.length))
 
   private val done = Seq.newBuilder[SnapshotTable.FileEntry]
   private var fileSeq = 0
@@ -407,7 +441,17 @@ private[sources] class SnapshotDataWriter(
     case _           => row.getLong(idx)
   }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    val row = opProj match {
+      case Some(proj) =>
+        val op = row0.getInt(0)
+        require(op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION ||
+          op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+          s"row-level rewrite handed operation $op — only WRITE rows may persist")
+        proj.project(row0)
+        proj
+      case None => row0
+    }
     cluster.foreach { case (idx, dt) =>
       require(!row.isNullAt(idx),
         "NULL cluster key refused — identity clustering needs a total key")
@@ -587,4 +631,84 @@ private[sources] class SnapshotMetaTable(
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         new MetadataRowReaderFactory
     }
+}
+
+// ---- row-level operations (UPDATE / MERGE INTO / rewritten DELETE) ----
+
+/** Group-based COPY-ON-WRITE row-level operation — what gives the SQL
+  * surface `UPDATE`, `MERGE INTO`, and the DELETE fallback when the
+  * metadata-only proof fails: Spark's ReplaceData plan reads the
+  * affected GROUPS through this operation's scan (static pushdown and
+  * the runtime group filter — our SupportsRuntimeV2Filtering — narrow
+  * it to the files that can hold matching rows), applies the
+  * mutation, and writes every surviving row back; the commit then
+  * REPLACES exactly the scanned files with the written ones
+  * ([[SnapshotTable.publishReplace]], mode=merge) — untouched files
+  * ride verbatim, so a selective UPDATE against a stats-clustered
+  * table costs O(touched files + batch), the same contract as the API
+  * [[SnapshotTable.merge]]. The scan and the write share this
+  * instance: the scan's ACTUAL planned file set (post runtime
+  * filtering) is what the commit replaces — consistent by
+  * construction, whatever the optimizer pruned. */
+private[sources] class SnapshotRowLevelOperation(
+    table: String,
+    m: SnapshotTable.Manifest,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  // the EXECUTED read is what the commit must replace. When the runtime
+  // group filter fires, the executed plan is the runtime-filtered one —
+  // but BatchScanExec may touch the static inputPartitions for
+  // partitioning bookkeeping afterwards, and the group-filter SUBQUERY
+  // plans statically too — so static and runtime-filtered captures are
+  // kept apart and the commit prefers the filtered set when one exists
+  // (r13 defect: the last static bookkeeping pass overwrote the
+  // filtered capture on clustered tables and unread files were
+  // replaced — rows lost; pinned in Round20Spec's clustered arm).
+  private val staticScanned =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+  private val runtimeScanned =
+    new java.util.concurrent.atomic.AtomicReference[Option[Set[String]]](None)
+
+  private def scannedNow(): Set[String] =
+    runtimeScanned.get().getOrElse(staticScanned.get())
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-snapshot $cmd (group copy-on-write)"
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new SnapshotScanBuilder(table, m, None,
+      onPlanned = (es, runtimeFiltered) =>
+        if (runtimeFiltered) runtimeScanned.set(Some(es.map(_.path).toSet))
+        else staticScanned.set(es.map(_.path).toSet),
+      rowLevel = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        SnapshotWrites.build(table, m, info.schema(), overwrite = false,
+          replaceScanned = Some(() => scannedNow()))
+    }
+}
+
+/** The replace-commit arm of the BatchWrite protocol: same task-side
+  * writers (stats folded over the pass, rolling per-key on clustered
+  * tables), but commit swaps the scanned files for the written ones. */
+private[sources] class SnapshotGroupReplaceWrite(
+    table: String,
+    schema: StructType,
+    statsCols: Seq[String],
+    clusterBy: Option[String],
+    scanned: () => Set[String])
+    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, overwrite = false) {
+
+  override protected def dropOpColumn: Boolean = true
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case SnapshotWriteMessage(es) => es
+    }.flatten.sortBy(_.path).toSeq
+    SnapshotTable.publishReplace(table, scanned(), entries)
+  }
 }

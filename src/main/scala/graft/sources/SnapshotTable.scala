@@ -771,6 +771,29 @@ object SnapshotTable {
       m.segments, m.inline, "append", carry, io)
   }
 
+  /** GROUP-REPLACE commit — the tail of a V2 row-level operation
+    * (UPDATE / MERGE INTO / rewritten DELETE): the files the
+    * operation's scan READ are replaced by the files its write
+    * produced; every unscanned file is carried verbatim. Published as
+    * mode=merge (a rewrite breaks new-files == new-rows, so
+    * incremental readers refuse across it, exactly like the API
+    * [[merge]]). Soundness is the group-based copy-on-write contract:
+    * the write's rows are EVERYTHING the scan read, post-mutation —
+    * Spark's ReplaceData plan constructs exactly that. */
+  private[sources] def publishReplace(
+      table: String,
+      scanned: Set[String],
+      entries: Seq[FileEntry],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val cur = currentVersion(table, io)
+    val m = manifest(table, cur, io)
+    requireNoDv(m, table, "a row-level rewrite")
+    val kept = m.files.filterNot(f => scanned(f.path))
+    val carry = m.extra.view.filterKeys(k => k == ClusterK || k == StatsColsK).toMap
+    publishManifest(table, cur + 1, cur, m.schema, Nil, kept ++ entries,
+      "merge", carry, io)
+  }
+
   /** Reserved manifest key: the table's DECLARED stats columns (the
     * catalog's TBLPROPERTIES('statsColumns'=...)), so every writer —
     * API commit or DSv2 insert — records the same pruning stats. */

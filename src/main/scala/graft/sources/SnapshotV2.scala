@@ -106,7 +106,8 @@ private[sources] class SnapshotV2Table(
     m: SnapshotTable.Manifest) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft_snapshot_${table}_v${m.version}"
 
@@ -139,6 +140,15 @@ private[sources] class SnapshotV2Table(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(table, m, info)
 
+  /** UPDATE / MERGE INTO / row-level DELETE fallback — group-based
+    * copy-on-write (see [[SnapshotRowLevelOperation]]). DELETE first
+    * tries the metadata-only proof below; only unprovable predicates
+    * fall through to the rewrite. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(table, m, info.command())
+
   // ---- metadata-only DELETE / TRUNCATE --------------------------------
 
   /** A file is dropped whole only when the manifest PROVES every live
@@ -170,7 +180,9 @@ private[sources] class SnapshotV2Table(
 private[sources] class SnapshotScanBuilder(
     table: String,
     m: SnapshotTable.Manifest,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    onPlanned: (Seq[SnapshotTable.FileEntry], Boolean) => Unit = (_, _) => (),
+    rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -302,7 +314,9 @@ private[sources] class SnapshotScanBuilder(
 
   override def build(): Scan = aggResult match {
     case Some((schema, row)) => new SnapshotV2AggScan(m, schema, row)
-    case None => new SnapshotV2Scan(table, m, required, pushed, maxVersionsPerTrigger)
+    case None =>
+      new SnapshotV2Scan(table, m, required, pushed, maxVersionsPerTrigger, onPlanned,
+        rowLevel)
   }
 }
 
@@ -355,7 +369,10 @@ private[graft] class SnapshotV2Scan(
     m: SnapshotTable.Manifest,
     requiredSchema: StructType,
     filters: Array[Filter],
-    maxVersionsPerTrigger: Option[Long] = None) extends Scan with Batch
+    maxVersionsPerTrigger: Option[Long] = None,
+    onPlanned: (Seq[SnapshotTable.FileEntry], Boolean) => Unit = (_, _) => (),
+    rowLevel: Boolean = false)
+    extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -483,6 +500,11 @@ private[graft] class SnapshotV2Scan(
           if (runtime.isEmpty) groups
           else {
             val keep = activeEntries.map(_.path).toSet
+            groups.foreach { case (k, fs) =>
+              fs.filterNot(f => keep(f.path)).foreach(f =>
+                println(s"GRAFT-DEBUG dropped key=$k ${f.path} stats=${f.stats} " +
+                  s"sstats=${f.sstats.keySet} nstats=${f.nstats} rt=${runtime.toSeq.take(2)}"))
+            }
             groups.map { case (k, fs) => (k, fs.filter(f => keep(f.path))) }
               .filter(_._2.nonEmpty)
           }
@@ -499,6 +521,17 @@ private[graft] class SnapshotV2Scan(
         }.toArray
     }
     lastPlanned = planned.length
+    // a row-level operation listens here: the planned entries ARE the
+    // groups its commit will replace. The flag says whether RUNTIME
+    // predicates shaped this plan — BatchScanExec may touch the STATIC
+    // inputPartitions for partitioning bookkeeping AFTER the
+    // runtime-filtered planning, so the listener must distinguish the
+    // executed (filtered) plan from bookkeeping passes.
+    onPlanned(planned.toSeq.flatMap {
+      case fp: FilePartition => fp.files.toSeq.map(pf =>
+        SnapshotTable.FileEntry(pf.filePath.toPath.toUri.getPath, Map.empty))
+      case _ => Seq.empty[SnapshotTable.FileEntry]
+    }, runtime.nonEmpty)
     planned
   }
 
@@ -512,11 +545,24 @@ private[graft] class SnapshotV2Scan(
   override def createReaderFactory(): PartitionReaderFactory = {
     // row-group pruning: hand parquet only the filters over recorded
     // data columns (pruned columns still exist in the files); runtime
-    // filters ride along when they arrived before the factory builds
-    val names = m.schema.fieldNames.toSet
-    Bridge.parquetReaderFactory(
-      SparkSession.active, m.schema, requiredSchema,
-      (filters ++ runtime).filter(_.references.forall(names)))
+    // filters ride along when they arrived before the factory builds.
+    //
+    // ROW-LEVEL scans pass NOTHING: their pushed condition is a
+    // GROUP-pruning hint (the rewrite replaces exactly the PLANNED
+    // files, so every planned file must be read COMPLETELY — its
+    // non-matching rows are the carried half of the copy-on-write).
+    // Letting parquet row-group-prune by the condition silently
+    // emptied files whose rows all survive, and the replace commit
+    // then dropped them (the r13 lost-rows defect: a DELETE whose
+    // condition column had no manifest stats lost every fully-
+    // surviving file's rows; pinned in Round20Spec).
+    val pushed =
+      if (rowLevel) Array.empty[Filter]
+      else {
+        val names = m.schema.fieldNames.toSet
+        (filters ++ runtime).filter(_.references.forall(names))
+      }
+    Bridge.parquetReaderFactory(SparkSession.active, m.schema, requiredSchema, pushed)
   }
 
   /** Streaming read (`spark.readStream.table(...)` — MICRO_BATCH_READ):

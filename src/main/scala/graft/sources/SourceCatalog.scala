@@ -1753,12 +1753,16 @@ object SourceCatalog extends QueryModule {
           m3.fileCount == beforeFiles - victims,
           s"metadata delete must drop exactly the proven files " +
             s"(${m3.fileCount} left of $beforeFiles, want ${beforeFiles - victims})")
-        // a mid-file predicate is NOT provable — the refusal is the
-        // soundness half of the contract
-        val refused =
-          try { s.sql(s"DELETE FROM $cat.c WHERE c_acctbal < 0"); false }
-          catch { case _: Exception => true }
-        require(refused, "an unprovable DELETE must refuse, not approximate")
+        // a mid-file predicate is NOT provable file-whole — it routes to
+        // the group-based copy-on-write rewrite instead (REQUIREd:
+        // mode=merge, i.e. scanned files replaced, never approximated
+        // at the metadata layer); the oracle's head arm includes this
+        // delete, so a rewrite that lost or duplicated carried rows
+        // breaks the hash
+        s.sql(s"DELETE FROM $cat.c WHERE c_acctbal < 0")
+        val m4 = SnapshotTable.manifest(s"$wh/c", 4L)
+        require(m4.extra.get("mode").contains("merge"),
+          "an unprovable DELETE must route to the group rewrite (mode=merge)")
         def agg(sql: String, arm: String) =
           s.sql(sql).groupBy(col("c_nationkey").cast("long").as("nationkey"))
             .agg(
@@ -1773,12 +1777,103 @@ object SourceCatalog extends QueryModule {
       Some("""SELECT 'head' AS arm, c_nationkey::BIGINT AS nationkey,
              |COUNT(*)::BIGINT AS n_cust,
              |CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
-             |FROM customer WHERE c_nationkey NOT IN (0, 1, 2) GROUP BY 2
+             |FROM customer WHERE c_nationkey NOT IN (0, 1, 2) AND c_acctbal >= 0
+             |GROUP BY 2
              |UNION ALL
              |SELECT 'pre', c_nationkey::BIGINT, COUNT(*)::BIGINT,
              |CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
              |FROM customer GROUP BY 2
              |ORDER BY arm, nationkey""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_dml",
+      // ROW-LEVEL SQL DML — UPDATE and MERGE INTO over the table format
+      // (SupportsRowLevelOperations, group-based copy-on-write): Spark's
+      // ReplaceData plan reads the affected GROUPS through the
+      // operation's scan — the runtime group filter (our
+      // SupportsRuntimeV2Filtering) narrows it to files that can hold
+      // matching rows — applies the mutation, writes every surviving
+      // row back, and the commit REPLACES exactly the scanned files
+      // (publishReplace, mode=merge): untouched files ride VERBATIM
+      // (REQUIREd below on the manifest diff — the O(touched files +
+      // batch) contract of the API merge, now reachable from plain
+      // SQL). The selective UPDATE hits the lower half of a 4-file
+      // range-clustered key space, so at least one file must survive
+      // untouched and at least one must be replaced; the MERGE applies
+      // a matched-UPDATE + not-matched-INSERT in one transactional
+      // commit. The oracle reproduces the full mutation pipeline
+      // relationally, and a 'pre' arm time-travels to the pre-DML
+      // snapshot — lost carried rows, double-applied updates, or
+      // broken snapshot isolation all break the hash.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqldml_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftdm_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.o (k BIGINT, prio STRING, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k')")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            col("o_totalprice").as("price"))
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+          .createOrReplaceTempView("graft_sqldml_src")
+        s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_sqldml_src")
+        val m2 = SnapshotTable.manifest(s"$wh/o", 2L)
+        val cut = Tables(s, dir).orders.agg(max("o_orderkey"))
+          .collect()(0).getLong(0) / 2
+        s.sql(s"UPDATE $cat.o SET price = price + 100.0 WHERE k <= $cut")
+        val m3 = SnapshotTable.manifest(s"$wh/o", 3L)
+        require(m3.extra.get("mode").contains("merge"),
+          "UPDATE must commit as a group rewrite (mode=merge)")
+        // the group contract: files whose key range excludes the cut
+        // ride VERBATIM; at least one touched file was replaced
+        val survivors = m3.files.map(_.path).toSet
+        val untouched = m2.files.filter(_.stats("k")._1 > cut).map(_.path)
+        require(untouched.nonEmpty && untouched.forall(survivors),
+          "untouched files must be carried verbatim through UPDATE")
+        require(m2.files.exists(f => !survivors(f.path)),
+          "at least one touched file must have been replaced")
+        s.sql(s"""MERGE INTO $cat.o t
+                 |USING (SELECT k, 'X-M' AS prio, 0.0 AS price FROM graft_sqldml_src
+                 |       WHERE k % 97 = 0
+                 |       UNION ALL
+                 |       SELECT k + 100000000, 'X-N', 1.0 FROM graft_sqldml_src
+                 |       WHERE k % 101 = 0) s
+                 |ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET t.prio = s.prio, t.price = s.price
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        require(SnapshotTable.manifest(s"$wh/o", 4L).extra.get("mode").contains("merge"))
+        def agg(sql: String, arm: String) =
+          s.sql(sql).groupBy("prio")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+        agg(s"SELECT * FROM $cat.o", "post")
+          .unionByName(agg(s"SELECT * FROM $cat.o VERSION AS OF 2", "pre"))
+          .select("arm", "prio", "n_orders", "sum_price")
+          .orderBy("arm", "prio")
+      },
+      Some("""WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders),
+             |updated AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |  o_totalprice + (CASE WHEN o_orderkey <= (SELECT c FROM cut)
+             |                       THEN 100.0 ELSE 0.0 END) AS price FROM orders),
+             |merged AS (
+             |  SELECT k, CASE WHEN k % 97 = 0 THEN 'X-M' ELSE prio END AS prio,
+             |         CASE WHEN k % 97 = 0 THEN 0.0 ELSE price END AS price
+             |  FROM updated
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, 'X-N', 1.0 FROM orders
+             |  WHERE o_orderkey % 101 = 0)
+             |SELECT 'post' AS arm, prio, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM merged GROUP BY 2
+             |UNION ALL
+             |SELECT 'pre', o_orderpriority, COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders GROUP BY 2
+             |ORDER BY arm, prio""".stripMargin)
     ),
     Q(
       "src_snapshot_meta_tables",

@@ -127,7 +127,7 @@ class Round19Spec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(ct) === 2L, "failed insert published nothing")
   }
 
-  test("metadata-only DELETE drops provably-matching files whole; unprovable refuses") {
+  test("metadata-only DELETE drops provably-matching files whole; unprovable rewrites") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.d (k BIGINT, v STRING) TBLPROPERTIES('statsColumns'='k')")
     Tables(spark, sf).orders
@@ -148,9 +148,15 @@ class Round19Spec extends AnyFunSuite {
     // prior version still time-travels
     assert(spark.sql(s"SELECT count(*) FROM $cat.d VERSION AS OF 2")
       .collect()(0).getLong(0) === before)
-    // a mid-file predicate is NOT provable file-whole — loud refusal
-    val e = intercept[Exception] { spark.sql(s"DELETE FROM $cat.d WHERE k <= ${cut + 1}") }
-    assert(e.getMessage.toLowerCase.contains("delete"))
+    // a mid-file predicate is NOT provable file-whole — it falls back
+    // to the group-based copy-on-write rewrite (Round20Spec pins the
+    // rewrite semantics; here: correct rows + mode=merge, not refusal)
+    val before4 = spark.table(s"$cat.d").count()
+    val victims4 = spark.table(s"$cat.d").filter(col("k") <= cut + 1).count()
+    spark.sql(s"DELETE FROM $cat.d WHERE k <= ${cut + 1}")
+    assert(spark.table(s"$cat.d").count() === before4 - victims4)
+    assert(SnapshotTable.manifest(s"$wh/d", SnapshotTable.currentVersion(s"$wh/d"))
+      .extra("mode") === "merge", "unprovable DELETE must route to the group rewrite")
     // TRUNCATE = delete-all, metadata-only, history intact
     spark.sql(s"TRUNCATE TABLE $cat.d")
     assert(spark.table(s"$cat.d").count() === 0)
