@@ -48,10 +48,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * evolution is the commit path's extend-only contract), RENAME (a
   * table root is an immutable address for its manifests' file paths).
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
+
+  /** SQL `CALL <catalog>.system.<proc>(...)` — the day-2 maintenance
+    * surface (see [[SnapshotProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"procedures live under $catName.system, got ${ident.namespace.mkString(".")}.${ident.name}")
+    SnapshotProcedures.load(ident.name, warehouse)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.idents(namespace)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name

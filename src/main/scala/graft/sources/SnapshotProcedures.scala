@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL maintenance procedures for the snapshot format — Spark 4's
+  * native DSv2 `CALL` statement (ProcedureCatalog on [[SnapshotCatalog]]),
+  * the Iceberg `CALL cat.system.<proc>` operational surface:
+  *
+  * {{{
+  *   CALL g.system.rewrite_segments('events')     -- metadata-only manifest compaction
+  *   CALL g.system.compact('events', 134217728)   -- transactional small-file rewrite
+  *   CALL g.system.rollback('events', 7)          -- restore a prior version (history intact)
+  *   CALL g.system.vacuum('events', 2)            -- reclaim unreferenced files
+  * }}}
+  *
+  * Each procedure is the SQL face of the corresponding
+  * [[SnapshotTable]] maintenance call — the logic lives there (and is
+  * already oracled/spec-pinned); this layer only binds arguments and
+  * reports the outcome as a result row, so a platform team can run the
+  * table's whole day-2 lifecycle without leaving SQL. Results surface
+  * what the call DID (versions published, segments/files/manifests
+  * touched) — maintenance you can't observe is maintenance you can't
+  * audit at 100 TB.
+  *
+  * Table arguments are catalog-relative names (`'t'` or `'ns.t'`),
+  * resolved against the owning catalog's warehouse — never raw paths,
+  * so a CALL cannot escape the catalog root.
+  */
+private[sources] object SnapshotProcedures {
+
+  /** One procedure: UNBOUND and BOUND in one object — binding is
+    * trivial because every parameter is declared with an exact type
+    * (Spark coerces the CALL's literals to them before `call`). */
+  private case class Proc(
+      name: String,
+      params: Seq[ProcedureParameter],
+      out: StructType,
+      override val description: String)(run: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    // maintenance mutates table state — never cache/reuse a CALL's plan
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = run(input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = result.toArray
+        override def readSchema(): StructType = out
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def row(vs: Any*): Seq[InternalRow] =
+    Seq(new GenericInternalRow(vs.toArray))
+
+  private def procs(warehouse: String): Seq[Proc] = {
+    // catalog-relative resolution: the CALL names a table of THIS
+    // catalog, never an arbitrary filesystem path
+    def path(input: InternalRow): String = {
+      val name = input.getUTF8String(0).toString
+      require(!name.contains("/") && !name.contains(".."),
+        s"procedure table arguments are catalog-relative names, got '$name'")
+      val t = (warehouse +: name.split('.').toSeq).mkString("/")
+      require(SnapshotTable.currentVersion(t) > 0, s"no snapshot table '$name' in this catalog")
+      t
+    }
+    Seq(
+      Proc("rewrite_segments",
+        Seq(p("table", StringType), p("smaller_than", IntegerType)),
+        StructType(Seq(
+          StructField("segments_before", IntegerType, nullable = false),
+          StructField("segments_after", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        "metadata-only manifest compaction: re-bundle segments smaller than " +
+          "`smaller_than` files; zero data files touched") { in =>
+        val (before, after, v) = SnapshotTable.rewriteSegments(path(in), in.getInt(1))
+        row(before, after, v)
+      },
+      Proc("compact",
+        Seq(p("table", StringType), p("target_bytes", LongType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        "transactional small-file compaction: rewrite the current snapshot " +
+          "into ~target_bytes files, published as a new version") { in =>
+        val (files, v) = SnapshotTable.compactSnapshot(
+          SparkSession.active, path(in), in.getLong(1))
+        row(files, v)
+      },
+      Proc("rollback",
+        Seq(p("table", StringType), p("to_version", LongType)),
+        StructType(Seq(
+          StructField("previous_version", LongType, nullable = false),
+          StructField("restored_from", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        "restore a prior version's exact state as a NEW commit (history intact)") { in =>
+        val t = path(in)
+        val prev = SnapshotTable.currentVersion(t)
+        val v = SnapshotTable.rollback(t, in.getLong(1))
+        row(prev, in.getLong(1), v)
+      },
+      Proc("vacuum",
+        Seq(p("table", StringType), p("retain_last", IntegerType)),
+        StructType(Seq(
+          StructField("manifests_deleted", IntegerType, nullable = false),
+          StructField("data_files_deleted", IntegerType, nullable = false))),
+        "retention: keep the last `retain_last` snapshots, reclaim manifests " +
+          "and data files nothing retained references") { in =>
+        val (manifests, files) = SnapshotTable.vacuum(path(in), in.getInt(1))
+        row(manifests, files)
+      })
+  }
+
+  def names: Seq[String] = Seq("rewrite_segments", "compact", "rollback", "vacuum")
+
+  def load(name: String, warehouse: String): UnboundProcedure =
+    procs(warehouse).find(_.name == name).getOrElse(
+      throw new RuntimeException(
+        s"unknown procedure '$name' — available under <catalog>.system: ${names.mkString(", ")}"))
+
+  def idents(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+}

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
@@ -107,9 +107,20 @@ private[sources] class SnapshotV2Table(
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft_snapshot_${table}_v${m.version}"
+
+  /** Iceberg-style PROVENANCE columns (`_file`, `_pos`): which data
+    * file holds each row and at which position — the join key for
+    * file-grade debugging ("which file produced these bad rows"),
+    * dedup provenance, and DV-style row addressing, served with zero
+    * extra I/O (the path is a planning-time constant per partition,
+    * the position a reader-side counter). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    SnapshotV2.MetaColumns
 
   override def schema(): StructType = m.schema
 
@@ -184,11 +195,13 @@ private[sources] class SnapshotScanBuilder(
     onPlanned: (Seq[SnapshotTable.FileEntry], Boolean) => Unit = (_, _) => (),
     rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = m.schema
   private var aggResult: Option[(StructType, InternalRow)] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[SnapshotV2.TopN] = None
 
   /** Accept everything for manifest pruning, return EVERYTHING as
     * residual: min/max/null-count stats prove a file can hold no
@@ -205,6 +218,57 @@ private[sources] class SnapshotScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---- LIMIT / TopN pushdown: manifest-bounded file planning ----------
+
+  /** Both pushes are PARTIAL: the scan may deliver a superset of the
+    * requested rows (whole files), so Spark keeps its own Limit /
+    * TakeOrdered on top and the truncation can never change results —
+    * it only shrinks the planned file set. */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** `SELECT ... LIMIT n` over a 100 TB table should open
+    * O(n / rows-per-file) files, not all of them: with every file's
+    * rowCount proven by the manifest (`n:` stats), a PREFIX of the file
+    * list covering ≥ n rows is guaranteed to satisfy the limit.
+    * Declines when any file lacks the proof, when filters are pushed
+    * (a residual filter may reject arbitrarily many rows of the
+    * prefix), or when DVs are outstanding (deleted rows would count). */
+  override def pushLimit(n: Int): Boolean = {
+    val provable = pushed.isEmpty && SnapshotTable.dvPaths(m).isEmpty &&
+      m.files.forall(_.nstats.nonEmpty) && n >= 0
+    if (provable) limit = Some(n)
+    provable
+  }
+
+  /** `ORDER BY k LIMIT n`: the manifest's value bounds locate the top
+    * region — files whose range cannot intersect the global top-n never
+    * open. Pruning uses the FIRST sort key only (sound for any
+    * tie-breaking suffix: every top-n row's first-key value still lies
+    * inside the kept bound). Declines unless the first key is a plain
+    * integral/string column with bounds (or an all-NULL proof) and a
+    * rowCount on every file — an unproven file could hide the true
+    * extremum. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    if (pushed.nonEmpty || SnapshotTable.dvPaths(m).nonEmpty ||
+      orders.isEmpty || n < 0) return false
+    val colName = orders.head.expression match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head
+      case _ => return false
+    }
+    val supported = m.schema.fields.find(_.name == colName).exists(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _                                                          => false
+    })
+    val proven = m.files.forall(f => f.nstats.nonEmpty &&
+      (f.stats.contains(colName) || f.sstats.contains(colName) ||
+        f.nstats.get(colName).exists { case (nulls, rows) => nulls == rows }))
+    if (supported && proven) {
+      topN = Some(SnapshotV2.TopN(colName,
+        orders.head.direction == SortDirection.ASCENDING, n))
+      true
+    } else false
+  }
 
   /** MANIFEST-SERVED aggregation — the Iceberg headline: COUNT(*) /
     * COUNT(col) / MIN(col) / MAX(col) with no filter and no grouping
@@ -316,7 +380,7 @@ private[sources] class SnapshotScanBuilder(
     case Some((schema, row)) => new SnapshotV2AggScan(m, schema, row)
     case None =>
       new SnapshotV2Scan(table, m, required, pushed, maxVersionsPerTrigger, onPlanned,
-        rowLevel)
+        rowLevel, limit, topN)
   }
 }
 
@@ -371,10 +435,20 @@ private[graft] class SnapshotV2Scan(
     filters: Array[Filter],
     maxVersionsPerTrigger: Option[Long] = None,
     onPlanned: (Seq[SnapshotTable.FileEntry], Boolean) => Unit = (_, _) => (),
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false,
+    limit: Option[Int] = None,
+    topN: Option[SnapshotV2.TopN] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsReportOrdering with SupportsRuntimeV2Filtering {
+
+  /** Metadata columns (`_file`/`_pos`) the projection asked for — they
+    * ride [[readSchema]] verbatim but never reach the parquet reader:
+    * the path is a per-partition constant, the position a counter. */
+  private val metaFields: Set[String] =
+    requiredSchema.fieldNames.filter(SnapshotV2.MetaNames).toSet
+  private val dataSchema: StructType =
+    StructType(requiredSchema.fields.filterNot(f => metaFields(f.name)))
 
   override def readSchema(): StructType = requiredSchema
 
@@ -408,7 +482,10 @@ private[graft] class SnapshotV2Scan(
 
   override def description(): String = {
     val c = SnapshotTable.clusterKeyOf(m).map(k => s", cluster=$k").getOrElse("")
-    s"graft-snapshot v${m.version} (${m.fileCount} files$c)"
+    val l = limit.map(n => s", limit=$n").getOrElse("")
+    val tn = topN.map(t =>
+      s", topN=${t.n} by ${t.col} ${if (t.ascending) "ASC" else "DESC"}").getOrElse("")
+    s"graft-snapshot v${m.version} (${m.fileCount} files$c$l$tn)"
   }
 
   /** Manifest-pruned survivors of the STATIC filters — what the
@@ -430,7 +507,13 @@ private[graft] class SnapshotV2Scan(
     * column (an IntegerType key must compare as Int on both join
     * sides), sorted so co-clustered scans emit aligned partitions. */
   private lazy val keyGroups: Option[Seq[(Any, Seq[SnapshotTable.FileEntry])]] =
-    SnapshotTable.clusterKeyOf(m).flatMap { k =>
+    // a limit/TopN-truncated scan plans a file SUBSET — reporting the
+    // full key-group partitioning over it would lie to SPJ; a limit
+    // query has no use for the clustering anyway. Metadata-column
+    // scans need single-FILE partitions (the `_file` constant and the
+    // `_pos` counter are per-file notions), so they opt out too.
+    (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty) None
+     else SnapshotTable.clusterKeyOf(m)).flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).map(_.dataType)
       def keyOf(f: SnapshotTable.FileEntry): Option[Any] = dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -500,11 +583,6 @@ private[graft] class SnapshotV2Scan(
           if (runtime.isEmpty) groups
           else {
             val keep = activeEntries.map(_.path).toSet
-            groups.foreach { case (k, fs) =>
-              fs.filterNot(f => keep(f.path)).foreach(f =>
-                println(s"GRAFT-DEBUG dropped key=$k ${f.path} stats=${f.stats} " +
-                  s"sstats=${f.sstats.keySet} nstats=${f.nstats} rt=${runtime.toSeq.take(2)}"))
-            }
             groups.map { case (k, fs) => (k, fs.filter(f => keep(f.path))) }
               .filter(_._2.nonEmpty)
           }
@@ -515,8 +593,17 @@ private[graft] class SnapshotV2Scan(
       case None =>
         // one partition per data file — the commit path already sizes
         // files (one per shuffle partition); Spark's scan does not
-        // re-split single-row-group zstd parquet profitably
-        activeEntries.zipWithIndex.map { case (f, i) =>
+        // re-split single-row-group zstd parquet profitably.
+        //
+        // A pushed LIMIT / TopN shrinks the set to the manifest-proven
+        // bound — but only on the static plan: runtime filters reject
+        // rows, so a truncated prefix could under-deliver under them.
+        val bounded =
+          if (runtime.nonEmpty) activeEntries
+          else topN.map(t => SnapshotV2.topNSubset(entries, m.schema, t))
+            .orElse(limit.map(l => SnapshotV2.limitSubset(entries, l)))
+            .getOrElse(entries)
+        bounded.zipWithIndex.map { case (f, i) =>
           FilePartition(i, Array(partitionedFile(f))): InputPartition
         }.toArray
     }
@@ -542,6 +629,22 @@ private[graft] class SnapshotV2Scan(
     case None => new UnknownPartitioning(entries.size)
   }
 
+  /** Each key-grouped partition holds exactly ONE cluster-key value, so
+    * it is trivially sorted by that key in every direction — reported
+    * as ascending (SupportsReportOrdering), which is what a sort-merge
+    * join's required child ordering asks for: two co-clustered tables
+    * join with zero exchange AND zero sort. Only reported when the key
+    * survives column pruning (the ordering must resolve against this
+    * scan's output). */
+  override def outputOrdering(): Array[V2SortOrder] = keyGroups match {
+    case Some(_) if SnapshotTable.clusterKeyOf(m).exists(k =>
+        requiredSchema.fieldNames.contains(k)) =>
+      Array(Expressions.sort(
+        Expressions.identity(SnapshotTable.clusterKeyOf(m).get),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    case _ => Array.empty
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // row-group pruning: hand parquet only the filters over recorded
     // data columns (pruned columns still exist in the files); runtime
@@ -556,13 +659,21 @@ private[graft] class SnapshotV2Scan(
     // then dropped them (the r13 lost-rows defect: a DELETE whose
     // condition column had no manifest stats lost every fully-
     // surviving file's rows; pinned in Round20Spec).
+    // `_pos` must be the row's TRUE ordinal in its file: parquet
+    // row-group skipping would silently compact the counter over the
+    // surviving rows, so a _pos scan reads files unfiltered and leaves
+    // all filtering to Spark's residual pass (same move as row-level
+    // scans — correctness over pruning on provenance reads)
     val pushed =
-      if (rowLevel) Array.empty[Filter]
+      if (rowLevel || metaFields.contains("_pos")) Array.empty[Filter]
       else {
         val names = m.schema.fieldNames.toSet
         (filters ++ runtime).filter(_.references.forall(names))
       }
-    Bridge.parquetReaderFactory(SparkSession.active, m.schema, requiredSchema, pushed)
+    val inner =
+      Bridge.parquetReaderFactory(SparkSession.active, m.schema, dataSchema, pushed)
+    if (metaFields.isEmpty) inner
+    else new MetadataAppendReaderFactory(inner, requiredSchema, dataSchema)
   }
 
   /** Streaming read (`spark.readStream.table(...)` — MICRO_BATCH_READ):
@@ -577,7 +688,98 @@ private[graft] class SnapshotV2Scan(
     new SnapshotMicroBatchStream(table, m, requiredSchema, filters, maxVersionsPerTrigger)
 }
 
-private[sources] object SnapshotV2 {
+private[graft] object SnapshotV2 {
+
+  /** A pushed `ORDER BY col LIMIT n` (first sort key only). */
+  private[graft] case class TopN(col: String, ascending: Boolean, n: Int)
+
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+
+  /** `_file` (which data file holds the row) and `_pos` (its ordinal
+    * within that file) — both served without touching the parquet
+    * reader. */
+  private[graft] val MetaColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row ordinal within its data file"
+    })
+
+  private[graft] val MetaNames: Set[String] = MetaColumns.map(_.name).toSet
+
+  private def rowsOf(f: SnapshotTable.FileEntry): Long =
+    f.nstats.values.headOption.map(_._2).getOrElse(0L)
+
+  /** Minimal manifest-order PREFIX of the files whose proven rowCounts
+    * cover the limit — or all of them when they don't. The builder
+    * already proved every file carries a rowCount. */
+  private[graft] def limitSubset(
+      es: Seq[SnapshotTable.FileEntry], n: Int): Seq[SnapshotTable.FileEntry] = {
+    val cum = es.scanLeft(0L)((acc, f) => acc + rowsOf(f)).tail
+    val cut = cum.indexWhere(_ >= n)
+    if (cut < 0) es else es.take(cut + 1)
+  }
+
+  /** Files that can intersect the global top-n by the first sort key.
+    *
+    * Bound: walk files in order of their WEAKEST value for the
+    * direction (max for ascending, min for descending), accumulating
+    * proven non-null rows until ≥ n — those files alone contain n rows
+    * at or better than the last file's weak bound θ, so every top-n
+    * row's key is at or better than θ. Keep every file whose STRONG
+    * bound reaches θ, plus every file holding NULLs (sound for either
+    * null ordering) and every all-NULL file. Falls back to the full
+    * set when non-null rows can't cover n. The builder proved bounds
+    * (or an all-NULL proof) and rowCounts on every file. */
+  private[graft] def topNSubset(
+      es: Seq[SnapshotTable.FileEntry],
+      schema: StructType,
+      t: TopN): Seq[SnapshotTable.FileEntry] = {
+    val isString = schema.fields.find(_.name == t.col).exists(_.dataType == StringType)
+    // raw (lo, hi) value bounds; strings compare BYTEWISE — the order
+    // Spark's UTF8String sorts by, and the order the commit stats used
+    def bounds(f: SnapshotTable.FileEntry): Option[(Any, Any)] =
+      if (isString) f.sstats.get(t.col) else f.stats.get(t.col)
+    val base: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: String, y: String) =>
+          if (x == y) 0
+          else if (SnapshotTable.FileEntry.bytesLe(x, y)) -1 else 1
+        case _ => 0
+      }
+    }
+    // "a betterEq b" = a would sort at or before b in the query's order
+    val dir = if (t.ascending) base else base.reverse
+    def strong(b: (Any, Any)): Any = if (t.ascending) b._1 else b._2
+    def weak(b: (Any, Any)): Any = if (t.ascending) b._2 else b._1
+    def nonNullRows(f: SnapshotTable.FileEntry): Long =
+      f.nstats.get(t.col).map { case (nulls, rows) => rows - nulls }
+        .getOrElse(rowsOf(f)) // column never null there (no n: tag recorded)
+    val valued = es.flatMap(f => bounds(f).map(b => (f, b)))
+    val byWeak = valued.sortBy { case (_, b) => weak(b) }(dir)
+    val cum = byWeak.scanLeft(0L) { case (acc, (f, _)) => acc + nonNullRows(f) }.tail
+    val cut = cum.indexWhere(_ >= t.n)
+    if (cut < 0) es // not enough proven non-null rows — no truncation
+    else {
+      val theta = weak(byWeak(cut)._2)
+      es.filter { f =>
+        bounds(f) match {
+          case Some(b) =>
+            dir.lteq(strong(b), theta) || f.nstats.get(t.col).exists(_._1 > 0)
+          case None => true // all-NULL file: keep (null ordering unknown here)
+        }
+      }
+    }
+  }
+
   private[sources] def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile = {
     // manifest-recorded size; one fs stat per file only for legacy
     // entries committed before sizes rode the manifest
@@ -585,6 +787,58 @@ private[sources] object SnapshotV2 {
     PartitionedFile(
       InternalRow.empty, SparkPath.fromPathString(f.path), 0L, len,
       Array.empty, 0L, len, Map.empty)
+  }
+}
+
+/** Appends the requested metadata columns (`_file`/`_pos`) around an
+  * inner row reader. Partitions must hold exactly ONE data file (the
+  * scan plans them that way whenever metadata columns are requested):
+  * the path is then a per-partition constant and the position a plain
+  * reader-side counter — zero extra I/O, zero parquet involvement.
+  * Columnar reads are declined (the constant/counter columns would
+  * need batch rewriting for no gain on a provenance projection). */
+private[sources] class MetadataAppendReaderFactory(
+    inner: PartitionReaderFactory,
+    required: StructType,
+    dataSchema: StructType) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      s"metadata-column partitions hold one file each, got ${fp.files.length}")
+    val path = UTF8String.fromString(fp.files.head.filePath.toPath.toUri.getPath)
+    val in = inner.createReader(p)
+    val dataIdx = dataSchema.fieldNames.zipWithIndex.toMap
+    val dts = dataSchema.fields.map(_.dataType)
+    // per-field plan: copy from the inner row, or serve the constant/counter
+    val fieldPlan: Array[Int] = required.fields.map { f =>
+      if (f.name == "_file") -1 else if (f.name == "_pos") -2 else dataIdx(f.name)
+    }
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      override def next(): Boolean = {
+        val has = in.next()
+        if (has) pos += 1
+        has
+      }
+      override def get(): InternalRow = {
+        val r = in.get()
+        val vals = new Array[Any](fieldPlan.length)
+        var i = 0
+        while (i < fieldPlan.length) {
+          vals(i) = fieldPlan(i) match {
+            case -1 => path
+            case -2 => pos
+            case j  => r.get(j, dts(j))
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = in.close()
+    }
   }
 }
 
@@ -663,6 +917,11 @@ private[graft] class SnapshotMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // metadata columns (`_file`/`_pos`) are a BATCH feature: Spark's
+    // micro-batch planning resolves a table's metadata columns in
+    // analysis but has no hook that tells the stream's scan they were
+    // requested (column pruning never carries metadataOutput here), so
+    // no streaming source can serve them — project provenance in batch
     val names = m.schema.fieldNames.toSet
     Bridge.parquetReaderFactory(
       SparkSession.active, m.schema, readSchema,

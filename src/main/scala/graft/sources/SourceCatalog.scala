@@ -1925,6 +1925,289 @@ object SourceCatalog extends QueryModule {
              |UNION ALL SELECT 'v3', 'append', 5, 0
              |UNION ALL SELECT 'v4', 'overwrite', 1, 0
              |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_limit_push",
+      // MANIFEST-BOUNDED LIMIT (SupportsPushDownLimit): `SELECT ...
+      // LIMIT n` over a 100 TB table should open O(n / rows-per-file)
+      // files, not all of them — every file's rowCount is proven by
+      // the manifest's `n:` stats, so a PREFIX of the file list
+      // covering ≥ n rows is guaranteed to satisfy the limit, and the
+      // scan plans exactly that prefix. The push is PARTIAL (whole
+      // files may over-deliver; Spark keeps its own Limit on top), so
+      // truncation can never change results — and it declines whenever
+      // it can't be proven: a pushed filter could reject arbitrarily
+      // many prefix rows, a DV could shrink a file, a stats-less file
+      // has no proven rowCount (Round21Spec pins each decline). The
+      // fixture REQUIREs the structural contract on the static plan:
+      // LIMIT 600 over a 10-file table plans exactly ONE file; an
+      // over-table limit plans all ten.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_limpush_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        SnapshotTable.commit(
+          Tables(s, dir).orders.select("o_orderkey", "o_totalprice").repartition(10),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        def v2() =
+          s.read.format(SnapshotV2Provider.format).option("path", table).load()
+        def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size
+          }.sum
+        val small = v2().limit(600)
+        val over = v2().limit(1000000000)
+        val m = SnapshotTable.manifest(table, 1L)
+        val total = m.fileCount
+        // the MINIMAL proven prefix for this scale factor, recomputed
+        // from the manifest's own rowCounts (sf0.001 smoke runs 150-row
+        // files; sf0.1 runs 15000-row ones — the contract is the same)
+        val rowCounts = m.files.map(_.nstats.values.head._2)
+        val wantFiles = (rowCounts.scanLeft(0L)(_ + _).tail.indexWhere(_ >= 600) + 1)
+          .min(total.toInt)
+        require(plannedOf(small) == wantFiles && wantFiles < total,
+          s"LIMIT 600 over $total files must plan the minimal $wantFiles-file prefix, " +
+            s"planned ${plannedOf(small)}")
+        require(plannedOf(over) == total,
+          s"an over-table limit proves nothing — must plan all $total files")
+        small.agg(count(lit(1)).as("n_rows")).withColumn("arm", lit("small"))
+          .unionByName(
+            over.agg(count(lit(1)).as("n_rows")).withColumn("arm", lit("over")))
+          .select("arm", "n_rows").orderBy("arm")
+      },
+      Some("""SELECT 'over' AS arm, COUNT(*)::BIGINT AS n_rows FROM orders
+             |UNION ALL SELECT 'small', 600
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_topn_push",
+      // MANIFEST-BOUNDED TopN (SupportsPushDownTopN): `ORDER BY k
+      // LIMIT n` locates the top region from the manifest's value
+      // bounds — walk files by their WEAKEST bound for the direction
+      // accumulating proven non-null rows to n (those files alone hold
+      // n rows at-or-better than the last one's bound θ), then keep
+      // only files whose STRONG bound reaches θ (plus any null-bearing
+      // file — sound under either null ordering). On a table
+      // range-clustered on the sort key, "latest 50 / first 50" plans
+      // ONE file of eight in each direction (REQUIREd on the static
+      // plan) — the "tail -n the fact table" query at metadata cost.
+      // Pruning uses the first sort key only and the push is PARTIAL
+      // (Spark re-sorts and re-limits on top), so tie-breaking
+      // suffixes and over-delivery can never change results;
+      // stats-less files, pushed filters, DVs, or non-column sort keys
+      // decline (Round21Spec). The oracle replays both directions
+      // relationally — o_orderkey is unique, so the top-50 sets are
+      // exact.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_topnpush_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        SnapshotTable.commit(
+          Tables(s, dir).orders.select("o_orderkey", "o_totalprice")
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        def v2() =
+          s.read.format(SnapshotV2Provider.format).option("path", table).load()
+        def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size
+          }.sum
+        val total = SnapshotTable.manifest(table, 1L).fileCount
+        val asc = v2().orderBy(col("o_orderkey")).limit(50)
+        val desc = v2().orderBy(col("o_orderkey").desc).limit(50)
+        for ((df, arm) <- Seq((asc, "asc"), (desc, "desc"))) {
+          val p = plannedOf(df)
+          require(p >= 1 && p < total,
+            s"TopN $arm over $total range-clustered files must plan a strict subset, got $p")
+        }
+        asc.withColumn("arm", lit("asc"))
+          .unionByName(desc.withColumn("arm", lit("desc")))
+          .select("arm", "o_orderkey", "o_totalprice")
+          .orderBy("arm", "o_orderkey")
+      },
+      Some("""SELECT 'asc' AS arm, o_orderkey, o_totalprice FROM
+             |  (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50)
+             |UNION ALL
+             |SELECT 'desc', o_orderkey, o_totalprice FROM
+             |  (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 50)
+             |ORDER BY arm, o_orderkey""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_spj_ordered",
+      // ZERO-SORT storage-partitioned join (SupportsReportOrdering on
+      // top of src_snapshot_spj's zero-exchange property): a
+      // key-grouped partition holds exactly ONE cluster-key value, so
+      // it is trivially sorted by that key — the scan REPORTS the
+      // ordering, and a sort-merge join of two co-clustered snapshot
+      // tables plans with no exchange AND no SortExec under the join
+      // (both REQUIREd on the static plan; the output orderBy sorts
+      // above it). At 100 TB this closes the last cost of the
+      // repeated fact⋈fact join: shuffle paid once at write, sort
+      // never — Iceberg SPJ + ordered scan, on the table format. The
+      // ordering is withheld when the cluster key is pruned from the
+      // scan output (it must resolve against this scan's columns) and
+      // on limit-truncated scans — Round21Spec pins both.
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        val ct = graft.Stage.dir("graft_spjocust_", dir).getPath
+        val st = graft.Stage.dir("graft_spjosupp_", dir).getPath
+        Seq(ct, st).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        SnapshotTable.commit(
+          Tables(s, dir).customer.select("c_custkey", "c_nationkey", "c_acctbal"),
+          ct, append = false, clusterBy = Some("c_nationkey"))
+        SnapshotTable.commit(
+          Tables(s, dir).supplier.select("s_suppkey", "s_nationkey", "s_acctbal"),
+          st, append = false, clusterBy = Some("s_nationkey"))
+        def v2(t: String) =
+          s.read.format(SnapshotV2Provider.format).option("path", t).load()
+        val j = v2(ct).join(v2(st).hint("merge"),
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("c_nationkey")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            min(col("c_acctbal")).as("min_cbal"),
+            max(col("s_acctbal")).as("max_sbal"))
+        val plan = j.queryExecution.sparkPlan
+        val hashEx = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+        require(hashEx.isEmpty,
+          s"ordered SPJ must plan with zero hash exchanges, found ${hashEx.size}")
+        val smj = plan.collect {
+          case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+        }
+        require(smj.nonEmpty, "the merge hint must plan a sort-merge join")
+        val sortsUnder = smj.flatMap(_.collect {
+          case so: org.apache.spark.sql.execution.SortExec => so
+        })
+        require(sortsUnder.isEmpty,
+          s"reported ordering must eliminate the join's sorts, found ${sortsUnder.size}")
+        j.select(col("c_nationkey").cast("long").as("nationkey"),
+            col("n_pairs"), col("min_cbal"), col("max_sbal"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey::BIGINT AS nationkey, COUNT(*)::BIGINT AS n_pairs,
+             |MIN(c_acctbal) AS min_cbal, MAX(s_acctbal) AS max_sbal
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_call",
+      // SQL MAINTENANCE PROCEDURES — Spark 4's native DSv2 `CALL`
+      // statement (ProcedureCatalog on SnapshotCatalog, the Iceberg
+      // `CALL cat.system.<proc>` surface): the table's day-2 lifecycle
+      // without leaving SQL, each CALL returning what it DID as a
+      // result row. The fixture drives a deterministic commit chain
+      // (create + three appends fragmenting the manifest into 3
+      // segments), then CALL rewrite_segments (metadata-only: 3→1
+      // segments, zero data files touched) and CALL rollback (restore
+      // v3 as a NEW commit). The result folds the two CALL outputs,
+      // the full history ledger (modes + cumulative file counts — the
+      // rewrite must carry all 6 files verbatim, the rollback exactly
+      // v3's 5), and the restored row count — a procedure that copied
+      // data, dropped a file, or rolled to the wrong version breaks
+      // the hash. Table args are catalog-relative names (path escape
+      // refused — Round22Spec), so a CALL can't reach outside the
+      // warehouse. At 100 TB this is how maintenance actually ships:
+      // scheduled SQL, auditable results.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqlcall_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftpc_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val o = Tables(s, dir).orders.select(col("o_orderkey").as("k"))
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT) TBLPROPERTIES('statsColumns'='k')")
+        o.filter(col("k") % 2 === 0).repartition(2)
+          .createOrReplaceTempView("graft_sqlcall_a")
+        o.filter(col("k") % 2 === 1).repartition(3)
+          .createOrReplaceTempView("graft_sqlcall_b")
+        o.filter(col("k") % 5 === 0).repartition(1)
+          .createOrReplaceTempView("graft_sqlcall_c")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqlcall_a")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqlcall_b")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqlcall_c")
+        val rw = s.sql(s"CALL $cat.system.rewrite_segments('t', 10000)")
+          .select(lit("call_rewrite").as("arm"),
+            col("segments_before").cast("long").as("a"),
+            col("segments_after").cast("long").as("b"))
+        val rb = s.sql(s"CALL $cat.system.rollback('t', 3)")
+          .select(lit("call_rollback").as("arm"),
+            col("previous_version").as("a"), col("version").as("b"))
+        rw.unionByName(rb)
+          .unionByName(s.sql(s"SELECT concat('v', version, ':', mode) AS arm, " +
+            s"n_files::BIGINT AS a, 0L AS b FROM $cat.t.history"))
+          .unionByName(s.sql(s"SELECT 'rows' AS arm, count(*) AS a, 0L AS b FROM $cat.t"))
+          .orderBy("arm")
+      },
+      Some("""SELECT 'call_rewrite' AS arm, 3::BIGINT AS a, 1::BIGINT AS b
+             |UNION ALL SELECT 'call_rollback', 5, 6
+             |UNION ALL SELECT 'rows',
+             |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0
+             |     OR o_orderkey % 2 = 1), 0
+             |UNION ALL SELECT 'v1:create', 0, 0
+             |UNION ALL SELECT 'v2:append', 2, 0
+             |UNION ALL SELECT 'v3:append', 5, 0
+             |UNION ALL SELECT 'v4:append', 6, 0
+             |UNION ALL SELECT 'v5:rewrite', 6, 0
+             |UNION ALL SELECT 'v6:rollback', 5, 0
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_metadata_cols",
+      // METADATA COLUMNS (`_file`, `_pos` — SupportsMetadataColumns,
+      // Iceberg's provenance columns): which data file holds each row
+      // and at which ordinal, served with ZERO extra I/O — the path is
+      // a planning-time constant per partition (metadata scans plan
+      // single-file partitions; REQUIREd below) and the position a
+      // reader-side counter appended around Spark's own parquet
+      // reader. This is the join key for file-grade debugging ("which
+      // file produced these bad rows"), dedup provenance, and manual
+      // row addressing at 100 TB — questions that otherwise need a
+      // full rewrite with a synthetic id. The result cross-checks the
+      // columns against themselves and the manifest: distinct _file
+      // count = the two commits' 7 files, Σ per-file (max(_pos)+1) =
+      // the row count (positions are dense 0..n-1 per file), and
+      // (_file,_pos) is unique row addressing. A reader that repeated
+      // a position, skipped one, or bled a counter across files breaks
+      // the hash.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_metacols_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders.select("o_orderkey", "o_totalprice")
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 2 === 0).repartition(4),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        SnapshotTable.commit(o.filter(col("o_orderkey") % 2 === 1).repartition(3),
+          table, append = true, statsColumns = Seq("o_orderkey"))
+        val df = s.read.format(SnapshotV2Provider.format).option("path", table).load()
+          .select(col("o_orderkey"), col("_file"), col("_pos"))
+        val planned = df.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.map {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.length
+              case _ => -1
+            }
+        }.flatten
+        require(planned.size == 7 && planned.forall(_ == 1),
+          s"metadata scan must plan 7 single-file partitions, got $planned")
+        val perFile = df.groupBy("_file")
+          .agg(max(col("_pos")).as("mx"), count(lit(1)).as("c"))
+        perFile.agg(
+            count(lit(1)).as("n_files"),
+            sum(col("c")).as("n_rows"),
+            sum(col("mx") + 1).as("pos_rows"))
+          .crossJoin(df.agg(
+            countDistinct(col("_file"), col("_pos")).as("n_addr")))
+      },
+      Some("""SELECT 7::BIGINT AS n_files, COUNT(*)::BIGINT AS n_rows,
+             |COUNT(*)::BIGINT AS pos_rows, COUNT(*)::BIGINT AS n_addr
+             |FROM orders""".stripMargin)
     )
   )
 }

@@ -1521,6 +1521,138 @@ object TextCatalog extends QueryModule {
              |  // (CAST(t.bb AS HUGEINT) * a.n_w * b.n_w))::BIGINT AS lift_ppm
              |FROM bi JOIN uni a ON bi.w1 = a.w1 JOIN uni b ON bi.w2 = b.w1 CROSS JOIN tot t
              |ORDER BY lift_ppm DESC, pair LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "text_classifier_train",
+      // DISTRIBUTED CLASSIFIER TRAINING — the stage that PRODUCES the
+      // artifact text_classifier_gate consumes: logistic regression by
+      // full-batch gradient descent, learned entirely in DataFrame
+      // aggregations, in the distillation shape modern pipelines use
+      // (FineWeb-Edu: an LLM judge labels a slice, a cheap linear
+      // scorer is trained to imitate it corpus-wide). Here the teacher
+      // label is a held-out property (n_chars ≥ 280 — "judge says
+      // long-form"; the student never sees n_chars) and the student
+      // must recover it from stopword-ratio / lexical-diversity /
+      // word-count features — the eval arm pins that it DID (w_lenx
+      // learns strongly positive, confusion counts ~99% accurate), so
+      // the op demonstrably trains rather than just iterating.
+      //
+      // Scale posture: each of the 10 iterations is ONE map-side-
+      // combined pass over the persisted feature frame (gradient = Σ
+      // per-doc contributions, reduced to 4 longs; the model rides
+      // back as broadcast literals), so an iteration over 100 TB costs
+      // one cached-scan + a 4-long reduction — no corpus shuffle, no
+      // driver-side rows.
+      //
+      // Exactness (why a LEARNED model can hash-verify cross-engine):
+      //   - rational sigmoid σ(z) = 0.5 + 0.5·z/(1+|z|) — only
+      //     +,*,/,abs, each IEEE-exact and bit-identical in any engine
+      //     (libm exp() differs in final ulps across engines and would
+      //     break the hash);
+      //   - per-row gradient contributions QUANTIZE to integers
+      //     (floor(g·1e6) as BIGINT) before summing, so the reduction
+      //     is exact integer arithmetic and accumulation ORDER cannot
+      //     leak into the model — the DECIMAL(38,4) money-sum trick,
+      //     applied to learned state;
+      //   - weight updates replay the identical left-associated double
+      //     expression on both engines (w − lr·(g/1e6)/n).
+      (s, dir) => {
+        val lr = 8.0
+        val iters = 10
+        val d = Fan.out(Tables(s, dir).documents.select("n_chars", "text"))
+        val f = GraftCache.register {
+          val nw = greatest(size(ws(col("text"))), lit(1)).cast("double")
+          d.withColumn("nw", nw)
+            .withColumn("y", when(col("n_chars") >= 280L, 1.0).otherwise(0.0))
+            .withColumn("stopr", stopHits(ws(col("text"))).cast("double") / col("nw"))
+            .withColumn("dwr",
+              size(array_distinct(ws(col("text")))).cast("double") / col("nw"))
+            .withColumn("lenx", col("nw") / lit(100.0))
+            .select("y", "stopr", "dwr", "lenx")
+            .persist()
+        }
+        val n = f.count().toDouble
+        var w = Array(0.0, 0.0, 0.0, 0.0) // bias, stopr, dwr, lenx
+        def zOf(a: Array[Double]) =
+          lit(a(0)) + lit(a(1)) * col("stopr") + lit(a(2)) * col("dwr") +
+            lit(a(3)) * col("lenx")
+        for (_ <- 1 to iters) {
+          val z = zOf(w)
+          val e = (lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))) - col("y")
+          def q(c: org.apache.spark.sql.Column) =
+            sum(floor(c * lit(1000000.0)).cast("long"))
+          val g = f.agg(q(e), q(e * col("stopr")), q(e * col("dwr")),
+            q(e * col("lenx"))).collect()(0)
+          w = Array.tabulate(4)(j => w(j) - lr * (g.getLong(j) / 1000000.0) / n)
+        }
+        val zf = zOf(w)
+        val ev = f.agg(
+          sum(when(zf > 0.0 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(zf > 0.0 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(!(zf > 0.0) && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(!(zf > 0.0) && col("y") === 0.0, 1L).otherwise(0L)).as("tn")
+        ).collect()(0)
+        // the teacher must be RECOVERED, not approximately memorized:
+        // the learned gate separates with ≥90% accuracy or the op fails
+        require((ev.getLong(0) + ev.getLong(3)).toDouble / n >= 0.9,
+          s"distilled gate must separate the teacher label (tp=${ev.getLong(0)} " +
+            s"fp=${ev.getLong(1)} fn=${ev.getLong(2)} tn=${ev.getLong(3)})")
+        val rows = Seq(
+          ("n", n), ("w0", w(0)), ("w1_stopr", w(1)), ("w2_dwr", w(2)),
+          ("w3_lenx", w(3)),
+          ("tp", ev.getLong(0).toDouble), ("fp", ev.getLong(1).toDouble),
+          ("fn", ev.getLong(2).toDouble), ("tn", ev.getLong(3).toDouble))
+        import s.implicits._
+        rows.toDF("metric", "value").orderBy("metric")
+      },
+      Some {
+        // the oracle unrolls the identical 10 GD iterations as CTEs:
+        // up0 = zero weights, itK = the quantized gradient sums under
+        // up(K-1)'s weights, upK = the double-exact update. Every CTE
+        // is MATERIALIZED: upK references up(K-1) twice (through itK
+        // and directly), so default inlining would re-expand the whole
+        // chain 2^10 times
+        val zE = "u.a0 + u.a1*f.stopr + u.a2*f.dwr + u.a3*f.lenx"
+        def it(k: Int): String =
+          s"""it$k AS MATERIALIZED (SELECT
+             |    SUM(floor((e)*1000000.0)::BIGINT) AS g0,
+             |    SUM(floor(((e)*stopr)*1000000.0)::BIGINT) AS g1,
+             |    SUM(floor(((e)*dwr)*1000000.0)::BIGINT) AS g2,
+             |    SUM(floor(((e)*lenx)*1000000.0)::BIGINT) AS g3
+             |  FROM (SELECT f.y, f.stopr, f.dwr, f.lenx,
+             |    (0.5 + (0.5*($zE))/(1.0 + abs($zE))) - f.y AS e
+             |    FROM f, up${k - 1} u)),
+             |up$k AS MATERIALIZED (SELECT u.n,
+             |    u.a0 - 8.0*(i.g0/1000000.0)/u.n AS a0, u.a1 - 8.0*(i.g1/1000000.0)/u.n AS a1,
+             |    u.a2 - 8.0*(i.g2/1000000.0)/u.n AS a2, u.a3 - 8.0*(i.g3/1000000.0)/u.n AS a3
+             |  FROM up${k - 1} u, it$k i)""".stripMargin
+        s"""WITH f0 AS (SELECT
+           |    CASE WHEN n_chars >= 280 THEN 1.0 ELSE 0.0 END AS y,
+           |    GREATEST(len(string_split(text,' ')), 1)::DOUBLE AS nw,
+           |    len([w for w in string_split(text,' ') if w IN $StopwordsSql])::DOUBLE AS stop,
+           |    len(list_distinct(string_split(text,' ')))::DOUBLE AS dw
+           |  FROM documents),
+           |f AS MATERIALIZED (SELECT y, stop / nw AS stopr, dw / nw AS dwr, nw / 100.0 AS lenx FROM f0),
+           |up0 AS MATERIALIZED (SELECT (SELECT COUNT(*)::DOUBLE FROM f) AS n,
+           |    0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3),
+           |${(1 to 10).map(it).mkString(",\n")},
+           |ev AS (SELECT
+           |    SUM(CASE WHEN z > 0.0 AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           |    SUM(CASE WHEN z > 0.0 AND y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+           |    SUM(CASE WHEN NOT (z > 0.0) AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+           |    SUM(CASE WHEN NOT (z > 0.0) AND y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS tn
+           |  FROM (SELECT f.y, $zE AS z FROM f, up10 u))
+           |SELECT 'fn' AS metric, fn::DOUBLE AS value FROM ev
+           |UNION ALL SELECT 'fp', fp::DOUBLE FROM ev
+           |UNION ALL SELECT 'n', n FROM up10
+           |UNION ALL SELECT 'tn', tn::DOUBLE FROM ev
+           |UNION ALL SELECT 'tp', tp::DOUBLE FROM ev
+           |UNION ALL SELECT 'w0', a0 FROM up10
+           |UNION ALL SELECT 'w1_stopr', a1 FROM up10
+           |UNION ALL SELECT 'w2_dwr', a2 FROM up10
+           |UNION ALL SELECT 'w3_lenx', a3 FROM up10
+           |ORDER BY metric""".stripMargin
+      }
     )
   )
 }
