@@ -473,17 +473,21 @@ object MultimodalCatalog extends QueryModule {
       // transform coder. Both directions implemented from the spec
       // (RealCodecs.flacBytes/flacDecode): STREAMINFO, fixed-blocksize
       // frames with spec-true headers and UTF-8-style coded frame
-      // numbers, CONSTANT / VERBATIM / FIXED(0-4) subframes with
+      // numbers, CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes
+      // (explicit quantized predictor: warmup, precision, shift,
+      // coefficients — any coefficient set is valid FLAC, so the
+      // encoder declares one and the round trip stays exact) with
       // zigzag-Rice residual partitions and the raw-bits escape, and
       // BOTH checksums verified per frame (CRC-8 header, CRC-16 frame
       // — the audio sibling of PNG's CRC32 arm). The encoder rotates
-      // the subframe family by frame index, so a decoder faking any
+      // VERBATIM/FIXED/LPC by frame index, so a decoder faking any
       // one family breaks the hash; losslessness makes the oracle
       // exact — the same widening law as mm_wav_pcm16, recomputed
       // relationally, plus the deterministic frame count
-      // ceil(n/64). LPC and multi-channel refuse loudly (spec-pinned
-      // in Round17Spec, with a golden-bytes layout pin and corrupted-
-      // CRC refusal).
+      // ceil(n/64). Multi-channel, reserved codes, invalid LPC
+      // precision and negative shifts refuse loudly (spec-pinned in
+      // Round17Spec, with golden-bytes layout pins for both the fixed
+      // and LPC families and corrupted-CRC refusal).
       //
       // Scale posture: identical to the other decoder-seam ops —
       // narrow per-asset build+parse in one mapPartitions, Fan.out

@@ -1642,34 +1642,40 @@ object RealCodecs {
       w.write(0L, 1)
       var j = 0
       while (j < bs) { w.write((s(off + j) & 0xffff).toLong, 16); j += 1 }
-    } else {
+    } else if (frameIdx % 3 == 1) {
       val order = math.min(2, bs - 1)
       w.write((8 | order).toLong, 6) // type 001ooo: fixed, order o
       w.write(0L, 1)
       var j = 0
       while (j < order) { w.write((s(off + j) & 0xffff).toLong, 16); j += 1 }
-      val res = Array.tabulate(bs - order)(k => fixedResidual(s, off, k + order, order))
-      val zig = res.map(e => if (e >= 0) 2 * e else -2 * e - 1)
-      // best 4-bit Rice parameter vs the raw-bits escape
-      val rawBits = {
-        val m = res.map(math.abs).foldLeft(1L)(math.max)
-        64 - java.lang.Long.numberOfLeadingZeros(m) + 1 // sign bit
+      writeResidual(w,
+        Array.tabulate(bs - order)(k => fixedResidual(s, off, k + order, order)))
+    } else {
+      // LPC with a DECLARED quantized predictor (coefficients [7,-3],
+      // shift 2 ⇒ ŝ = (7·s[i-1] − 3·s[i-2]) >> 2): ANY coefficient set
+      // is valid FLAC — residuals are computed against the exact
+      // integer predictor the decoder inverts, so the round trip is
+      // lossless by construction, and rotating this family in forces a
+      // real LPC implementation on any conforming decoder (no Levinson-
+      // Durbin analysis is needed for VALIDITY, only for compression)
+      val order = math.min(2, bs - 1)
+      val coefs = Array(7, -3).take(order)
+      val shift = 2
+      w.write((32 | (order - 1)).toLong, 6) // type 1ooooo: LPC, order o+1
+      w.write(0L, 1)
+      var j = 0
+      while (j < order) { w.write((s(off + j) & 0xffff).toLong, 16); j += 1 }
+      w.write(4L, 4)           // coefficient precision − 1 (5-bit coeffs)
+      w.write(shift.toLong, 5) // non-negative quantization shift
+      coefs.foreach(c => w.write((c & 0x1f).toLong, 5))
+      val res = Array.tabulate(bs - order) { k =>
+        val i = off + k + order
+        var acc = 0L
+        var c = 0
+        while (c < order) { acc += coefs(c).toLong * s(i - 1 - c); c += 1 }
+        s(i) - (acc >> shift)
       }
-      val costs = (0 to 14).map(k => zig.map(u => (u >> k) + 1 + k).sum)
-      val bestK = costs.indices.minBy(costs)
-      w.write(0L, 2)  // residual method 00: 4-bit Rice parameters
-      w.write(0L, 4)  // partition order 0: one partition
-      if (costs(bestK) < 5 + rawBits * zig.length) {
-        w.write(bestK.toLong, 4)
-        zig.foreach { u =>
-          w.writeUnary((u >> bestK).toInt)
-          if (bestK > 0) w.write(u & ((1L << bestK) - 1), bestK)
-        }
-      } else {
-        w.write(15L, 4) // escape: raw n-bit residuals
-        w.write(rawBits, 5)
-        res.foreach(e => w.write(e & ((1L << rawBits) - 1), rawBits.toInt))
-      }
+      writeResidual(w, res)
     }
     w.padToByte()
     val body = w.bytes
@@ -1679,10 +1685,37 @@ object RealCodecs {
     f.bytes
   }
 
+  /** One residual partition (method 00, order 0): the best 4-bit Rice
+    * parameter against the raw-bits escape, zigzag-coded. */
+  private def writeResidual(w: BitWriter, res: Array[Long]): Unit = {
+    val zig = res.map(e => if (e >= 0) 2L * e else -2L * e - 1)
+    val rawBits = {
+      val m = res.map(math.abs).foldLeft(1L)(math.max)
+      64 - java.lang.Long.numberOfLeadingZeros(m) + 1 // sign bit
+    }
+    val costs = (0 to 14).map(k => zig.map(u => (u >> k) + 1 + k).sum)
+    val bestK = costs.indices.minBy(costs)
+    w.write(0L, 2) // residual method 00: 4-bit Rice parameters
+    w.write(0L, 4) // partition order 0: one partition
+    if (costs(bestK) < 5 + rawBits * zig.length) {
+      w.write(bestK.toLong, 4)
+      zig.foreach { u =>
+        w.writeUnary((u >> bestK).toInt)
+        if (bestK > 0) w.write(u & ((1L << bestK) - 1), bestK)
+      }
+    } else {
+      w.write(15L, 4) // escape: raw n-bit residuals
+      w.write(rawBits, 5)
+      res.foreach(e => w.write(e & ((1L << rawBits) - 1), rawBits.toInt))
+    }
+  }
+
   /** Decode one FLAC stream trusting only the bytes: metadata walk,
     * per-frame header parse through the spec code tables, subframe
-    * reconstruction, and BOTH checksums verified. Refusals are loud:
-    * LPC subframes, non-mono channel assignments, reserved codes. */
+    * reconstruction (CONSTANT / VERBATIM / FIXED(0-4) / LPC with an
+    * explicit quantized predictor), and BOTH checksums verified.
+    * Refusals are loud: non-mono channel assignments, reserved codes,
+    * invalid LPC precision (1111), spec-deprecated negative shifts. */
   private[graft] def flacDecode(docId: Long, a: Array[Byte]): (Int, Array[Int], Int) = {
     require(a.length >= 42 && a(0) == 'f' && a(1) == 'L' && a(2) == 'a' && a(3) == 'C',
       s"doc $docId: not a FLAC stream")
@@ -1790,42 +1823,32 @@ object RealCodecs {
           require(order <= bs, s"doc $docId: fixed order $order exceeds blocksize $bs")
           var j = 0
           while (j < order) { frame(j) = r.readSigned(ebits); j += 1 }
-          // residual: 2-bit method selects 4- or 5-bit Rice parameters
-          val method = r.read(2).toInt
-          require(method <= 1, s"doc $docId: reserved residual method $method")
-          val pbits = 4 + method
-          val escape = (1 << pbits) - 1
-          val porder = r.read(4).toInt
-          val nPart = 1 << porder
-          require(bs % nPart == 0 && bs / nPart > (if (porder == 0) 0 else -1),
-            s"doc $docId: partition order $porder does not divide blocksize $bs")
-          var idx = order
-          var p = 0
-          while (p < nPart) {
-            val cnt = bs / nPart - (if (p == 0) order else 0)
-            require(cnt >= 0, s"doc $docId: negative partition sample count")
-            val k = r.read(pbits).toInt
-            var c = 0
-            if (k == escape) {
-              val raw = r.read(5).toInt
-              while (c < cnt) {
-                val e = if (raw == 0) 0L else (r.read(raw) << (64 - raw)) >> (64 - raw)
-                frame(idx) = reconstructFixed(frame, idx, order, e); idx += 1; c += 1
-              }
-            } else {
-              while (c < cnt) {
-                val q = r.readUnary().toLong
-                val u = (q << k) | (if (k > 0) r.read(k) else 0L)
-                val e = (u >>> 1) ^ -(u & 1L) // zigzag inverse
-                frame(idx) = reconstructFixed(frame, idx, order, e); idx += 1; c += 1
-              }
-            }
-            p += 1
-          }
+          decodeResiduals(r, frame, bs, order, docId)(
+            (idx, e) => reconstructFixed(frame, idx, order, e))
         case t if t >= 32 =>
-          throw new IllegalArgumentException(
-            s"doc $docId: LPC subframe (order ${t - 31}) unsupported — " +
-              "fixed predictors only; refusing rather than mis-decoding")
+          // LPC: `1ooooo` — an explicit quantized predictor (warmup,
+          // coefficient precision, shift, coefficients), then the same
+          // Rice-coded residual structure as the fixed predictors
+          val order = (t & 0x1f) + 1
+          require(order <= bs, s"doc $docId: LPC order $order exceeds blocksize $bs")
+          var j = 0
+          while (j < order) { frame(j) = r.readSigned(ebits); j += 1 }
+          val precM1 = r.read(4).toInt
+          require(precM1 != 15,
+            s"doc $docId: invalid LPC coefficient precision code 1111")
+          val prec = precM1 + 1
+          val shift = r.readSigned(5)
+          require(shift >= 0,
+            s"doc $docId: negative LPC shift $shift (spec-deprecated) refused")
+          val coefs = Array.fill(order)(r.readSigned(prec))
+          decodeResiduals(r, frame, bs, order, docId) { (idx, e) =>
+            var acc = 0L
+            var c = 0
+            while (c < order) { acc += coefs(c).toLong * frame(idx - 1 - c); c += 1 }
+            val v = e + (acc >> shift)
+            require(v >= Int.MinValue && v <= Int.MaxValue, "LPC reconstruction overflow")
+            v.toInt
+          }
         case t =>
           throw new IllegalArgumentException(s"doc $docId: reserved subframe type $t")
       }
@@ -1846,6 +1869,50 @@ object RealCodecs {
       pos = r.bytePos
     }
     (rate, out, nFrames)
+  }
+
+  /** The shared residual section (RFC 9639 §9.2.7): 2-bit coding
+    * method (4- or 5-bit Rice parameters), 4-bit partition order,
+    * then per partition either Rice-coded zigzag residuals or the
+    * raw-bits escape — each reconstructed through the caller's
+    * predictor (fixed binomial or explicit LPC). */
+  private def decodeResiduals(
+      r: BitReader,
+      frame: Array[Int],
+      bs: Int,
+      order: Int,
+      docId: Long)(recon: (Int, Long) => Int): Unit = {
+    val method = r.read(2).toInt
+    require(method <= 1, s"doc $docId: reserved residual method $method")
+    val pbits = 4 + method
+    val escape = (1 << pbits) - 1
+    val porder = r.read(4).toInt
+    val nPart = 1 << porder
+    require(bs % nPart == 0 && bs / nPart > (if (porder == 0) 0 else -1),
+      s"doc $docId: partition order $porder does not divide blocksize $bs")
+    var idx = order
+    var p = 0
+    while (p < nPart) {
+      val cnt = bs / nPart - (if (p == 0) order else 0)
+      require(cnt >= 0, s"doc $docId: negative partition sample count")
+      val k = r.read(pbits).toInt
+      var c = 0
+      if (k == escape) {
+        val raw = r.read(5).toInt
+        while (c < cnt) {
+          val e = if (raw == 0) 0L else (r.read(raw) << (64 - raw)) >> (64 - raw)
+          frame(idx) = recon(idx, e); idx += 1; c += 1
+        }
+      } else {
+        while (c < cnt) {
+          val q = r.readUnary().toLong
+          val u = (q << k) | (if (k > 0) r.read(k) else 0L)
+          val e = (u >>> 1) ^ -(u & 1L) // zigzag inverse
+          frame(idx) = recon(idx, e); idx += 1; c += 1
+        }
+      }
+      p += 1
+    }
   }
 
   /** Invert the fixed predictor in place: sample = residual + the

@@ -573,6 +573,55 @@ object PipelineCatalog extends QueryModule {
              |    AND n_stop >= 2)
              |SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(wc)::BIGINT AS total_words
              |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "pipe_provenance_audit",
+      // PROVENANCE-GROUPED curation audit — the composition the new
+      // `_file` metadata column exists for: the corpus lives in a
+      // snapshot table clustered by source (one data file per source
+      // value — the SPJ/commit invariant), the Gopher gate runs over a
+      // V2 read that projects `_file`, and the keep-rate report groups
+      // by the FILE, not the source column — "which data files are
+      // producing the rejected documents", answered without a
+      // synthetic id or a lineage system. The fixture then REQUIREs
+      // the provenance law itself: grouped through `_file`, every
+      // group carries exactly one source (min == max), i.e. the
+      // cluster invariant is VISIBLE through the metadata column; the
+      // oracle recomputes the same report relationally by source, so a
+      // reader that misattributed a single row to the wrong file
+      // breaks the hash. At 100 TB this is the daily curation
+      // triage: keep-rate per upstream shard, zero extra I/O (the
+      // path is a planning-time constant), rules shared VERBATIM with
+      // text_gopher_rules/pipe_rule_ablation via gopherRuleFrame.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_provaud_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        graft.sources.SnapshotTable.commit(
+          Tables(s, dir).documents.select("doc_id", "source", "text"),
+          table, append = false, clusterBy = Some("source"))
+        val df = s.read.format(graft.sources.SnapshotV2Provider.format)
+          .option("path", table).load()
+          .select(col("doc_id"), col("source"), col("text"), col("_file"))
+        val gated = graft.text.TextCatalog.gopherRuleFrame(df)
+          .withColumn("keep",
+            col("rule_wc") && col("rule_wlen") && col("rule_alpha") && col("rule_stop"))
+        val per = gated.groupBy("_file").agg(
+          min(col("source")).as("source"),
+          max(col("source")).as("source_hi"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        require(per.filter(col("source") =!= col("source_hi")).isEmpty,
+          "provenance law violated: a data file of a source-clustered table " +
+            "must hold exactly one source")
+        per.select("source", "n_docs", "n_keep").orderBy("source")
+      },
+      Some(s"""WITH ${graft.text.TextCatalog.gopherRulesSql},
+             |g AS (SELECT d.source,
+             |        (r.rule_wc AND r.rule_wlen AND r.rule_alpha AND r.rule_stop) AS keep
+             |      FROM r JOIN documents d ON r.doc_id = d.doc_id)
+             |SELECT source, COUNT(*)::BIGINT AS n_docs,
+             |SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

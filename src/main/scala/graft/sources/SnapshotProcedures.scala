@@ -60,6 +60,12 @@ private[sources] object SnapshotProcedures {
   private def p(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
 
+  /** Optional parameter: the SQL-literal default applies when the CALL
+    * omits it (positionally or with named arguments —
+    * `CALL g.system.vacuum(table => 't')`). */
+  private def pd(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
   private def row(vs: Any*): Seq[InternalRow] =
     Seq(new GenericInternalRow(vs.toArray))
 
@@ -76,7 +82,7 @@ private[sources] object SnapshotProcedures {
     }
     Seq(
       Proc("rewrite_segments",
-        Seq(p("table", StringType), p("smaller_than", IntegerType)),
+        Seq(p("table", StringType), pd("smaller_than", IntegerType, "10000")),
         StructType(Seq(
           StructField("segments_before", IntegerType, nullable = false),
           StructField("segments_after", IntegerType, nullable = false),
@@ -87,7 +93,7 @@ private[sources] object SnapshotProcedures {
         row(before, after, v)
       },
       Proc("compact",
-        Seq(p("table", StringType), p("target_bytes", LongType)),
+        Seq(p("table", StringType), pd("target_bytes", LongType, "134217728")),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("version", LongType, nullable = false))),
@@ -110,7 +116,7 @@ private[sources] object SnapshotProcedures {
         row(prev, in.getLong(1), v)
       },
       Proc("vacuum",
-        Seq(p("table", StringType), p("retain_last", IntegerType)),
+        Seq(p("table", StringType), pd("retain_last", IntegerType, "2")),
         StructType(Seq(
           StructField("manifests_deleted", IntegerType, nullable = false),
           StructField("data_files_deleted", IntegerType, nullable = false))),

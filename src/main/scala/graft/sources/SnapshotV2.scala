@@ -561,9 +561,61 @@ private[graft] class SnapshotV2Scan(
     val bytes =
       if (es.forall(_.size >= 0)) java.util.OptionalLong.of(es.map(_.size).sum)
       else java.util.OptionalLong.empty()
+    // COLUMN statistics for Catalyst's CBO (Spark converts these to
+    // attributeStats via transformV2Stats, driving join-cardinality
+    // estimation under spark.sql.cbo.enabled). These are ESTIMATION-
+    // grade, not proof-grade: nullCount and min/max are exact commit
+    // aggregates, but distinctCount is the SUM of per-file HLL
+    // estimates — an upper bound (values repeating across files count
+    // once per file), capped at the row count. The proof-grade
+    // decisions (manifest pruning, broadcast sizing, metadata DELETE)
+    // never read these; they keep their own exactness rules.
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (rows.isPresent) m.schema.fields.foreach { f =>
+      val nulls =
+        if (es.forall(_.nstats.contains(f.name)))
+          java.util.OptionalLong.of(es.map(_.nstats(f.name)._1).sum)
+        else java.util.OptionalLong.empty()
+      val ndv =
+        if (es.forall(_.dstats.contains(f.name)))
+          java.util.OptionalLong.of(es.map(_.dstats(f.name)).sum.min(rows.getAsLong))
+        else java.util.OptionalLong.empty()
+      def cast(v: Long): Object = f.dataType match {
+        case ByteType    => java.lang.Byte.valueOf(v.toByte)
+        case ShortType   => java.lang.Short.valueOf(v.toShort)
+        case IntegerType => java.lang.Integer.valueOf(v.toInt)
+        case _           => java.lang.Long.valueOf(v)
+      }
+      // exact integral extrema when every file proves its range (or
+      // all-NULL); other types stay absent — same rule as agg pushdown
+      val range: Option[(Object, Object)] = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            if es.forall(fe => fe.stats.contains(f.name) ||
+              fe.nstats.get(f.name).exists { case (n, r) => n == r }) =>
+          val bs = es.flatMap(_.stats.get(f.name))
+          if (bs.isEmpty) None
+          else Some((cast(bs.map(_._1).min), cast(bs.map(_._2).max)))
+        case _ => None
+      }
+      if (nulls.isPresent || ndv.isPresent || range.isDefined)
+        colStats.put(Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong = ndv
+            override def nullCount(): java.util.OptionalLong = nulls
+            override def min(): java.util.Optional[Object] =
+              range.map(r => java.util.Optional.of(r._1))
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              range.map(r => java.util.Optional.of(r._2))
+                .getOrElse(java.util.Optional.empty())
+          })
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = bytes
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

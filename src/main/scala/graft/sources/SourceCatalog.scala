@@ -2208,6 +2208,69 @@ object SourceCatalog extends QueryModule {
       Some("""SELECT 7::BIGINT AS n_files, COUNT(*)::BIGINT AS n_rows,
              |COUNT(*)::BIGINT AS pos_rows, COUNT(*)::BIGINT AS n_addr
              |FROM orders""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_cbo_stats",
+      // COLUMN STATISTICS to Catalyst's COST-BASED OPTIMIZER
+      // (Statistics.columnStats on the V2 scan → transformV2Stats →
+      // attributeStats): the manifest's per-column nullCount (exact),
+      // NDV (sum of per-file HLL estimates, capped at rowCount — an
+      // upper bound, estimation-grade by design) and exact integral
+      // min/max reach Spark's own join-cardinality estimation under
+      // spark.sql.cbo.enabled — so the planner can size a JOIN OUTPUT
+      // (rows_fact·rows_dim / max(ndv)) before running it, the
+      // decision 100 TB multi-join plans live or die on. REQUIREd:
+      // (a) the fact scan's logical stats carry attributeStats for the
+      // join key, (b) the CBO's estimated join row count lands within
+      // 3× of the true join size (dim key unique ⇒ estimate ≈ fact
+      // rows; a missing or wildly-summed NDV blows this bound).
+      // Proof-grade decisions (pruning, broadcast proofs, metadata
+      // DELETE) never read these estimates — they keep their own
+      // exactness rules; Round21Spec pins the stat values themselves
+      // and the stats-less table reporting NO column stats.
+      (s, dir) => {
+        val factT = graft.Stage.dir("graft_cbofact_", dir).getPath
+        val dimT = graft.Stage.dir("graft_cbodim_", dir).getPath
+        Seq(factT, dimT).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        SnapshotTable.commit(
+          Tables(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+          factT, append = false, statsColumns = Seq("o_custkey"))
+        SnapshotTable.commit(
+          Tables(s, dir).customer.select("c_custkey", "c_mktsegment"),
+          dimT, append = false, statsColumns = Seq("c_custkey"))
+        def v2(t: String) =
+          s.read.format(SnapshotV2Provider.format).option("path", t).load()
+        val j = v2(factT).join(v2(dimT), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy("c_mktsegment")
+        val prior = s.conf.get("spark.sql.cbo.enabled", "false")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          val plan = j.queryExecution.optimizedPlan
+          val keyStats = plan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              r.stats.attributeStats.filter(_._1.name == "o_custkey")
+          }.flatten
+          require(keyStats.nonEmpty && keyStats.exists(_._2.distinctCount.isDefined),
+            "the fact scan must hand the CBO an NDV for the join key")
+          val est = plan.collect {
+            case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn.stats.rowCount
+          }.flatten.headOption
+          val actual = BigInt(Tables(s, dir).orders.count())
+          require(est.exists(e => e >= actual / 3 && e <= actual * 3),
+            s"CBO join estimate $est must land within 3x of the true $actual rows")
+        } finally s.conf.set("spark.sql.cbo.enabled", prior)
+        j
+      },
+      Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+             |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

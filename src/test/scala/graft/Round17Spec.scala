@@ -317,8 +317,12 @@ class Round17Spec extends AnyFunSuite {
     assert(st === RealCodecs.FlacStat(0L, 16000, 2L, 1, 514L, 2L * 257 * 257, 257))
   }
 
-  test("flac round trip: multi-frame, verbatim + fixed + rice, exact sample law") {
+  test("flac round trip: multi-frame, verbatim + fixed + LPC + rice, exact sample law") {
     import graft.multimodal.RealCodecs
+    // 3 frames exercise the encoder's full subframe rotation: frame 0
+    // VERBATIM, frame 1 FIXED, frame 2 LPC — lossless, so the decoded
+    // sample law is identical no matter the family; a decoder faking
+    // any of the three breaks these exact sums
     val text = (0 until 150).map(i => ('0' + (i * 7) % 64).toChar).mkString
     val st = RealCodecs.flacStats(
       graft.multimodal.StubDecoder.Blob(5L, RealCodecs.flacBytes(5L, text)))
@@ -330,7 +334,44 @@ class Round17Spec extends AnyFunSuite {
     assert(st.peak === ss.map(math.abs).max)
   }
 
-  test("flac refusals: LPC subframe, corrupted CRC-8 and CRC-16, stereo") {
+  test("flac LPC golden bytes: an independently packed explicit-predictor stream decodes") {
+    import graft.multimodal.RealCodecs
+    // one frame, blocksize 3, LPC order 1 (type 100000), precision 5,
+    // shift 2, coefficient [4] ⇒ ŝ = (4·prev) >> 2 = prev; samples
+    // {257, 514, 257} ⇒ residuals {257, -257}, packed via the raw-bits
+    // escape (k=1111, 10-bit two's complement)
+    val streaminfo = pack(
+      (64L, 16), (64L, 16), (0L, 24), (0L, 24),
+      (16000L, 20), (0L, 3), (15L, 5), (3L, 36)) ++ new Array[Byte](16)
+    val header = pack(
+      (0x3ffeL, 14), (0L, 1), (0L, 1),
+      (6L, 4), (0L, 4), (0L, 4), (4L, 3), (0L, 1),
+      (0L, 8), (2L, 8)) // frame 0, blocksize-1 = 2
+    val body = header ++
+      pack((RealCodecs.flacCrc8(header, 0, header.length).toLong, 8)) ++
+      pack(
+        (0L, 1), (32L, 6), (0L, 1), // pad, LPC order 1, no wasted bits
+        (257L, 16),                 // warmup sample
+        (4L, 4),                    // precision-1 = 4 -> 5-bit coefficients
+        (2L, 5),                    // shift 2
+        (4L, 5),                    // coefficient +4
+        (0L, 2), (0L, 4),           // residual method 00, partition order 0
+        (15L, 4), (10L, 5),         // escape, 10 raw bits
+        (257L, 10),                 // e1 = +257
+        ((-257L) & 0x3ffL, 10),     // e2 = -257
+        (0L, 7))                    // zero padding to the byte
+    val stream =
+      "fLaC".getBytes("US-ASCII") ++
+        pack((1L, 1), (0L, 7), (34L, 24)) ++ streaminfo ++
+        body ++ pack((RealCodecs.flacCrc16(body, 0, body.length).toLong, 16))
+    val st = RealCodecs.flacStats(graft.multimodal.StubDecoder.Blob(0L, stream))
+    // decoded samples: 257, 257+257=514, 514-257=257
+    assert(st === RealCodecs.FlacStat(
+      0L, 16000, 3L, 1, 257L + 514 + 257,
+      257L * 257 + 514L * 514 + 257L * 257, 514))
+  }
+
+  test("flac refusals: reserved subframe type, corrupted CRC-8 and CRC-16, stereo") {
     import graft.multimodal.RealCodecs
     val good = RealCodecs.flacBytes(0L, "AA")
     def mutate(off: Int, v: Int): Array[Byte] = {
@@ -338,10 +379,10 @@ class Round17Spec extends AnyFunSuite {
     }
     // layout: 4 magic + 4 meta header + 34 streaminfo = 42; frame
     // header bytes 42..47, crc8 at 48, subframe header byte at 49
-    val lpc = intercept[IllegalArgumentException] {
-      RealCodecs.flacStats(graft.multimodal.StubDecoder.Blob(0L, mutate(49, 0x40)))
+    val reserved = intercept[IllegalArgumentException] {
+      RealCodecs.flacStats(graft.multimodal.StubDecoder.Blob(0L, mutate(49, 0x04)))
     }
-    assert(lpc.getMessage.contains("LPC"))
+    assert(reserved.getMessage.contains("reserved subframe type"))
     val h = intercept[IllegalArgumentException] {
       RealCodecs.flacStats(graft.multimodal.StubDecoder.Blob(0L, mutate(47, 0x02)))
     }

@@ -228,6 +228,47 @@ class Round21Spec extends AnyFunSuite {
     assert(df.distinct().count() === m.fileCount)
   }
 
+  // ---- column statistics to the CBO ------------------------------------
+
+  test("columnStats: exact nullCount and min/max, NDV within HLL error, absent without stats") {
+    val table = tmpTable()
+    val src = Tables(spark, sf).orders
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_custkey"))
+          .as("o_custkey"))
+    SnapshotTable.commit(src.repartition(4), table, append = false,
+      statsColumns = Seq("o_orderkey", "o_custkey"))
+    val prior = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = v2(table).queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.attributeStats
+      }.get
+      val key = stats.find(_._1.name == "o_orderkey").map(_._2).get
+      val fk = stats.find(_._1.name == "o_custkey").map(_._2).get
+      // exact facts: zero nulls on the key, exactly the masked tenth on the FK
+      assert(key.nullCount === Some(BigInt(0)))
+      val expectNulls = src.filter(col("o_custkey").isNull).count()
+      assert(fk.nullCount === Some(BigInt(expectNulls)))
+      // exact integral extrema
+      val (lo, hi) = (src.agg(min("o_orderkey")).collect()(0).getLong(0),
+        src.agg(max("o_orderkey")).collect()(0).getLong(0))
+      assert(key.min === Some(lo) && key.max === Some(hi))
+      // NDV: per-file HLL sums are an upper bound, capped at rowCount;
+      // on a unique key the bound must stay within HLL error of n
+      val n = src.count()
+      val ndv = key.distinctCount.get.toLong
+      assert(ndv <= n && ndv >= (n * 0.8).toLong, s"ndv=$ndv n=$n")
+      // a stats-less table hands the CBO nothing
+      val bare = tmpTable()
+      SnapshotTable.commit(src.repartition(2), bare, append = false)
+      val none = v2(bare).queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.attributeStats
+      }.get
+      assert(none.isEmpty)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prior)
+  }
+
   test("zero-sort SMJ: co-clustered tables join with no exchange and no sort") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")

@@ -105,6 +105,19 @@ class Round22Spec extends AnyFunSuite {
     assert(rootMessages(missing).exists(_.contains("no snapshot table")))
   }
 
+  test("named arguments and parameter defaults: CALL vacuum(table => 't')") {
+    val (cat, wh) = newCat()
+    val n = seeded(cat)
+    spark.sql(s"CALL $cat.system.compact('t', ${128L << 20})")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM graft_proc22_src_$cat") // v4
+    // retain_last defaults to 2: v1+v2 reclaimed, v3 (time travel) kept
+    val r = spark.sql(s"CALL $cat.system.vacuum(table => 't')").collect()(0)
+    assert(r.getInt(0) === 2, "default retain_last=2 must reclaim exactly v1+v2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 3").collect()(0)
+      .getLong(0) === n, "the retained penultimate version must still time-travel")
+    assert(spark.table(s"$cat.t").count() === 2 * n)
+  }
+
   test("listProcedures exposes the system namespace") {
     val (cat, wh) = newCat()
     val c = new SnapshotCatalog
