@@ -2964,6 +2964,99 @@ object RelCatalog extends QueryModule {
       }
     ),
     Q(
+      "rel_k_truss",
+      // 3-truss of the part co-purchase graph (same support-≥2 edge
+      // set as rel_triangle_count / rel_k_core): iteratively drop
+      // every edge supported by fewer than k−2 = 1 triangle until no
+      // edge changes — the EDGE-grade density filter one step above
+      // k-core (a 2-core keeps long cycles; a 4-truss keeps only
+      // triangle-dense fabric — the "community skeleton" cut). Output
+      // is each surviving vertex with its degree inside the truss.
+      //
+      // Scale posture: the same convergence-probed fixpoint harness as
+      // rel_k_core (per-round lineage truncation; the probe is the
+      // edge COUNT, which peeling only decreases). Each round's
+      // support join enumerates triangles ORIENTED a<b<c — every
+      // triangle counted exactly once, wedge fan-out bounded by the
+      // oriented adjacency exactly as rel_triangle_count — then one
+      // map-side-combined support aggregation and one equi-join back
+      // to the edge set; at 100 TB the refinement is the
+      // rel_clustering_coeff degree-ordered orientation, same join
+      // shape. Edges in no triangle vanish through the INNER support
+      // join (support 0 < 1) — no outer join needed. Round count is
+      // bounded by the peel chain (measured 2-3 at these SFs); the
+      // oracle unrolls 8 rounds (k=4 would peel this co-purchase graph
+      // to EMPTY at sf≥0.01 — vacuous; k=3 keeps 2387/273/18 edges at
+      // the three SFs), the guard fails LOUDLY before the
+      // unroll is outgrown, and rounds past the fixpoint are the
+      // identity, so oracle depth > round count is exact.
+      (s0, dir) => {
+        val s = graft.wikidata.WikidataCatalog.graphSession(s0)
+        val li = Tables(s, dir).lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val base = li.as("a")
+          .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("u", "v")
+        def peel(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val t = e.as("ab")
+            .join(e.as("bc"), col("ab.v") === col("bc.u"))
+            .join(e.as("ac"), col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+            .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+          val sup = t.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(t.select(col("b").as("u"), col("c").as("v")))
+            .unionByName(t.select(col("a").as("u"), col("c").as("v")))
+            .groupBy("u", "v")
+            .agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 1)
+            .select("u", "v")
+          e.join(sup, Seq("u", "v"))
+        }
+        val (truss, rounds) = graft.wikidata.WikidataCatalog.fixpointCounted(
+          base,
+          peel,
+          _.count(),
+          maxRounds = 20,
+          "3-truss peel")
+        require(
+          rounds <= 6,
+          s"3-truss peel took $rounds rounds - raise the oracle's 8-round unroll and this guard together")
+        truss
+          .select(col("u").as("x"))
+          .unionByName(truss.select(col("v").as("x")))
+          .groupBy("x")
+          .agg(count(lit(1)).as("truss_degree"))
+          .select(col("x").as("vertex_id"), col("truss_degree"))
+          .orderBy("vertex_id")
+      },
+      Some {
+        // MATERIALIZED for the same reason as rel_k_core: each round
+        // references its predecessor 4x (3 triangle arms + the join
+        // back), so default inlining re-expands the prefix 4^8 times
+        val rounds = (1 to 8).map { i =>
+          s"""t$i AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+             |  FROM e${i - 1} ab JOIN e${i - 1} bc ON ab.v = bc.u
+             |  JOIN e${i - 1} ac ON ab.u = ac.u AND bc.v = ac.v),
+             |s$i AS MATERIALIZED (SELECT u, v, COUNT(*) AS sup FROM (
+             |  SELECT a AS u, b AS v FROM t$i
+             |  UNION ALL SELECT b, c FROM t$i
+             |  UNION ALL SELECT a, c FROM t$i) GROUP BY 1, 2),
+             |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+             |  JOIN s$i s ON e.u = s.u AND e.v = s.v WHERE s.sup >= 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (SELECT u, v FROM (
+           |            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+           |            FROM lineitem a JOIN lineitem b
+           |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |            GROUP BY 1, 2) WHERE w >= 2),
+           |$rounds
+           |SELECT x AS vertex_id, COUNT(*)::BIGINT AS truss_degree FROM
+           |  (SELECT u AS x FROM e8 UNION ALL SELECT v FROM e8)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
+    Q(
       "rel_skew_report",
       // Key-skew diagnostics — the table a 100 TB operator reads BEFORE
       // picking a join strategy (salt? AQE skew hints? broadcast?): the
