@@ -3057,6 +3057,63 @@ object RelCatalog extends QueryModule {
       }
     ),
     Q(
+      "rel_seasonal_decompose",
+      // NAIVE SEASONAL DECOMPOSITION of the daily event series —
+      // value = trend + seasonal + residual, the first model any
+      // metrics/anomaly pipeline fits: trend is a centered 7-day
+      // moving average, the seasonal term is each weekday's mean
+      // detrended deviation, the residual is what anomaly detection
+      // actually watches (stream_anomaly_zscore's batch sibling).
+      //
+      // Scale posture: the corpus-sized work is ONE map-side-combined
+      // count per day; every window after that runs over the
+      // AGGREGATED series (365 rows/year — metadata-sized forever), so
+      // the single-partition window is days-sized, never corpus-sized.
+      // Exactness: trend = frame SUM/COUNT of exact longs (one double
+      // division, identical both engines — never AVG, whose internal
+      // accumulation is engine-defined); weekday means quantize the
+      // per-day deviations to BIGINT (floor(dev·1e6)) before summing,
+      // the text_classifier_train move, so accumulation order can't
+      // leak; weekday = days-since-anchor mod 7 (arithmetic — Spark's
+      // dayofweek is 1-based Sunday, DuckDB's 0-based: never compare
+      // engine-defined calendars).
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("d").rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("trend",
+            sum(col("n")).over(w).cast("double") / count(col("n")).over(w))
+          .withColumn("dow", datediff(col("d"), to_date(lit("2024-01-01"))) % 7)
+          .withColumn("dev_q", floor((col("n") - col("trend")) * lit(1000000.0)).cast("long"))
+        val seasonal = trended.groupBy("dow")
+          .agg((sum(col("dev_q")) / lit(1000000.0) / count(lit(1))).as("seasonal"))
+        trended.join(broadcast(seasonal), "dow")
+          .select(
+            col("d"),
+            col("n"),
+            col("trend"),
+            col("seasonal"),
+            (col("n") - col("trend") - col("seasonal")).as("residual"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n
+             |  FROM events GROUP BY 1),
+             |tr AS (SELECT d, n,
+             |  (SUM(n) OVER w)::DOUBLE / (COUNT(n) OVER w) AS trend,
+             |  (d - DATE '2024-01-01') % 7 AS dow
+             |  FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |q AS (SELECT d, n, trend, dow,
+             |  floor((n - trend) * 1000000.0)::BIGINT AS dev_q FROM tr),
+             |se AS (SELECT dow, SUM(dev_q) / 1000000.0 / COUNT(*) AS seasonal
+             |  FROM q GROUP BY 1)
+             |SELECT q.d, q.n, q.trend, se.seasonal,
+             |  q.n - q.trend - se.seasonal AS residual
+             |FROM q JOIN se ON q.dow = se.dow ORDER BY q.d""".stripMargin)
+    ),
+    Q(
       "rel_skew_report",
       // Key-skew diagnostics — the table a 100 TB operator reads BEFORE
       // picking a join strategy (salt? AQE skew hints? broadcast?): the

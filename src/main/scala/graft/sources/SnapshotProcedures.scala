@@ -115,6 +115,43 @@ private[sources] object SnapshotProcedures {
         val v = SnapshotTable.rollback(t, in.getLong(1))
         row(prev, in.getLong(1), v)
       },
+      Proc("create_branch",
+        Seq(p("table", StringType), p("branch", StringType)),
+        StructType(Seq(
+          StructField("fork_of", LongType, nullable = false),
+          StructField("branch_version", LongType, nullable = false))),
+        "fork the current snapshot into a branch (one metadata write — " +
+          "forking a 100 TB table costs nothing); write to it as " +
+          "<catalog>.<table>.branches.<branch>, main's readers see nothing") { in =>
+        val t = path(in)
+        val forkOf = SnapshotTable.currentVersion(t)
+        val v = SnapshotTable.createBranch(t, in.getUTF8String(1).toString)
+        row(forkOf, v)
+      },
+      Proc("publish_branch",
+        Seq(p("table", StringType), p("branch", StringType)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("mode", StringType, nullable = false))),
+        "write-audit-publish gate: fast-forward main onto the audited branch " +
+          "head in ONE metadata commit (refused if main moved since the fork); " +
+          "pure-append branches publish as mode=append so incremental readers survive") { in =>
+        val t = path(in)
+        val v = SnapshotTable.publishBranch(t, in.getUTF8String(1).toString)
+        row(v, org.apache.spark.unsafe.types.UTF8String.fromString(
+          SnapshotTable.manifest(t, v).extra.getOrElse("mode", "?")))
+      },
+      Proc("drop_branch",
+        Seq(p("table", StringType), p("branch", StringType)),
+        StructType(Seq(
+          StructField("manifests_deleted", IntegerType, nullable = false),
+          StructField("data_files_deleted", IntegerType, nullable = false))),
+        "drop a branch: its manifest chain always, its data/segment files only " +
+          "when no MAIN manifest references them (an audit-failed branch reclaims " +
+          "its writes; a published branch's files survive)") { in =>
+        val (manifests, files) = SnapshotTable.dropBranch(path(in), in.getUTF8String(1).toString)
+        row(manifests, files)
+      },
       Proc("vacuum",
         Seq(p("table", StringType), pd("retain_last", IntegerType, "2")),
         StructType(Seq(
@@ -127,7 +164,9 @@ private[sources] object SnapshotProcedures {
       })
   }
 
-  def names: Seq[String] = Seq("rewrite_segments", "compact", "rollback", "vacuum")
+  def names: Seq[String] = Seq(
+    "rewrite_segments", "compact", "rollback", "vacuum",
+    "create_branch", "publish_branch", "drop_branch")
 
   def load(name: String, warehouse: String): UnboundProcedure =
     procs(warehouse).find(_.name == name).getOrElse(

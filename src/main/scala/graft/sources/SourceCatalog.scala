@@ -2271,6 +2271,82 @@ object SourceCatalog extends QueryModule {
              |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_branch",
+      // WRITE-AUDIT-PUBLISH entirely in SQL — the branch lifecycle the
+      // API arm (src_snapshot_wap) pins, now through CALL procedures
+      // plus a catalog-addressing trick that needed ZERO new code: a
+      // branch IS a snapshot table rooted at $table/branches/$name,
+      // and the catalog resolves dotted idents by path — so
+      // `<cat>.t.branches.audit` reads AND writes the branch through
+      // the ordinary V2 table machinery (INSERT INTO the branch = a
+      // transactional branch commit). The flow: CALL create_branch
+      // (one metadata write — forking a 100 TB table costs nothing) →
+      // INSERT INTO the branch → audit it in SQL while main provably
+      // still reads the pre-branch state (pinned as data: the
+      // 'premain' arm) → CALL publish_branch (fast-forward, REQUIREd
+      // mode=append: pure-append branches keep incremental readers
+      // alive across the publish) → CALL drop_branch (manifests always
+      // reclaimed; data files survive because main now references
+      // them — REQUIREd as the (2, 0) result row). History + final
+      // rows pin the whole ledger; a publish that copied data, dropped
+      // a file, or merged a diverged branch breaks the hash.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqlbr_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftbr_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val o = Tables(s, dir).orders.select(col("o_orderkey").as("k"))
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT) TBLPROPERTIES('statsColumns'='k')")
+        o.filter(col("k") % 2 === 0).repartition(2)
+          .createOrReplaceTempView("graft_sqlbr_a")
+        o.filter(col("k") % 2 === 1).repartition(3)
+          .createOrReplaceTempView("graft_sqlbr_b")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqlbr_a")
+        val cr = s.sql(s"CALL $cat.system.create_branch('t', 'audit')")
+          .select(lit("create").as("arm"),
+            col("fork_of").as("a"), col("branch_version").as("b"))
+        s.sql(s"INSERT INTO $cat.t.branches.audit SELECT * FROM graft_sqlbr_b")
+        // the audit, in SQL, against the LIVE branch — while main
+        // provably still serves the pre-branch state
+        val pre = s.sql(s"SELECT 'premain' AS arm, (SELECT count(*) FROM $cat.t) AS a, " +
+          s"(SELECT count(*) FROM $cat.t.branches.audit) AS b")
+        val pub = s.sql(s"CALL $cat.system.publish_branch('t', 'audit')")
+          .select(lit("publish").as("arm"), col("version").as("a"),
+            when(col("mode") === "append", 1L).otherwise(0L).as("b"))
+        val dRow = s.sql(s"CALL $cat.system.drop_branch('t', 'audit')").collect()(0)
+        // the drop contract AS DATA: the branch's manifest chain (fork +
+        // one append) is reclaimed, while every file main's head now
+        // references — including the 3 written INSIDE the branch —
+        // survives on disk (the deleted-file count itself only reflects
+        // writer clutter like .crc siblings, so the survivors are
+        // verified by path)
+        val mainFiles = SnapshotTable.manifest(s"$wh/t", 3L).files.map(_.path)
+        require(mainFiles.forall(p => new java.io.File(p).exists()),
+          "published branch data must survive drop_branch — main references it")
+        val survivors = mainFiles.count(_.contains("/branches/"))
+        val dr = s.range(1).select(lit("drop").as("arm"),
+          lit(dRow.getInt(0).toLong).as("a"), lit(survivors.toLong).as("b"))
+        cr.unionByName(pre).unionByName(pub).unionByName(dr)
+          .unionByName(s.sql(s"SELECT concat('v', version, ':', mode) AS arm, " +
+            s"n_files::BIGINT AS a, 0L AS b FROM $cat.t.history"))
+          .unionByName(s.sql(s"SELECT 'rows' AS arm, count(*) AS a, 0L AS b FROM $cat.t"))
+          .orderBy("arm")
+      },
+      Some("""WITH n AS (SELECT
+             |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT AS na,
+             |    (SELECT COUNT(*) FROM orders)::BIGINT AS nall)
+             |SELECT 'create' AS arm, 2::BIGINT AS a, 1::BIGINT AS b
+             |UNION ALL SELECT 'drop', 2, 3
+             |UNION ALL SELECT 'premain', na, nall FROM n
+             |UNION ALL SELECT 'publish', 3, 1
+             |UNION ALL SELECT 'rows', nall, 0 FROM n
+             |UNION ALL SELECT 'v1:create', 0, 0
+             |UNION ALL SELECT 'v2:append', 2, 0
+             |UNION ALL SELECT 'v3:append', 5, 0
+             |ORDER BY arm""".stripMargin)
     )
   )
 }

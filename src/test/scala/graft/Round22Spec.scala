@@ -124,7 +124,8 @@ class Round22Spec extends AnyFunSuite {
     c.initialize(cat, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       java.util.Map.of("warehouse", wh)))
     val names = c.listProcedures(Array("system")).map(_.name()).toSet
-    assert(names === Set("rewrite_segments", "compact", "rollback", "vacuum"))
+    assert(names === Set("rewrite_segments", "compact", "rollback", "vacuum",
+      "create_branch", "publish_branch", "drop_branch"))
     assert(c.listProcedures(Array("elsewhere")).isEmpty)
   }
 }
