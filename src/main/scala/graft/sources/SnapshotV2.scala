@@ -117,10 +117,12 @@ private[sources] class SnapshotV2Table(
     * file-grade debugging ("which file produced these bad rows"),
     * dedup provenance, and DV-style row addressing, served with zero
     * extra I/O (the path is a planning-time constant per partition,
-    * the position a reader-side counter). */
+    * the position a reader-side counter). A data column that already
+    * owns one of the names wins it — that metadata column is simply
+    * not advertised (and the scan never hijacks the name). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    SnapshotV2.MetaColumns
+    SnapshotV2.MetaColumns.filterNot(c => m.schema.fieldNames.contains(c.name))
 
   override def schema(): StructType = m.schema
 
@@ -444,9 +446,14 @@ private[graft] class SnapshotV2Scan(
 
   /** Metadata columns (`_file`/`_pos`) the projection asked for — they
     * ride [[readSchema]] verbatim but never reach the parquet reader:
-    * the path is a per-partition constant, the position a counter. */
+    * the path is a per-partition constant, the position a counter. A
+    * DATA column that happens to be named `_file`/`_pos` stays data —
+    * the table's own schema always wins the name (the same precedence
+    * [[SnapshotV2Table.metadataColumns]] declares). */
   private val metaFields: Set[String] =
-    requiredSchema.fieldNames.filter(SnapshotV2.MetaNames).toSet
+    requiredSchema.fieldNames
+      .filter(n => SnapshotV2.MetaNames(n) && !m.schema.fieldNames.contains(n))
+      .toSet
   private val dataSchema: StructType =
     StructType(requiredSchema.fields.filterNot(f => metaFields(f.name)))
 
@@ -864,9 +871,14 @@ private[sources] class MetadataAppendReaderFactory(
     val in = inner.createReader(p)
     val dataIdx = dataSchema.fieldNames.zipWithIndex.toMap
     val dts = dataSchema.fields.map(_.dataType)
-    // per-field plan: copy from the inner row, or serve the constant/counter
+    // per-field plan: copy from the inner row, or serve the constant/
+    // counter — a DATA column named _file/_pos copies (data wins)
     val fieldPlan: Array[Int] = required.fields.map { f =>
-      if (f.name == "_file") -1 else if (f.name == "_pos") -2 else dataIdx(f.name)
+      dataIdx.get(f.name) match {
+        case Some(j)                   => j
+        case None if f.name == "_file" => -1
+        case None                      => -2 // _pos
+      }
     }
     new PartitionReader[InternalRow] {
       private var pos = -1L

@@ -228,6 +228,21 @@ class Round21Spec extends AnyFunSuite {
     assert(df.distinct().count() === m.fileCount)
   }
 
+  test("a DATA column named _file wins the name: never hijacked, metadata not advertised") {
+    val table = tmpTable()
+    SnapshotTable.commit(
+      Tables(spark, sf).orders.select(col("o_orderkey"),
+        concat(lit("src-"), col("o_orderkey") % 3).as("_file")),
+      table, append = false, statsColumns = Seq("o_orderkey"))
+    // the data column reads as DATA — its values, not file paths
+    val vals = v2(table).select("_file").distinct().collect().map(_.getString(0)).sorted
+    assert(vals.toSeq === Seq("src-0", "src-1", "src-2"))
+    // and _pos (no conflict) still works alongside the data _file
+    val both = v2(table).select(col("o_orderkey"), col("_file"), col("_pos"))
+    assert(both.filter(col("_file").startsWith("src-")).count() === both.count())
+    assert(both.select("_pos").filter(col("_pos") >= 0).count() === both.count())
+  }
+
   // ---- column statistics to the CBO ------------------------------------
 
   test("columnStats: exact nullCount and min/max, NDV within HLL error, absent without stats") {
