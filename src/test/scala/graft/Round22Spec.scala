@@ -118,6 +118,17 @@ class Round22Spec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() === 2 * n)
   }
 
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE work through the catalog") {
+    val (cat, _) = newCat()
+    val shown = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .collect().map(_.toString).mkString("\n")
+    assert(Seq("rewrite_segments", "compact", "rollback", "vacuum",
+      "create_branch", "publish_branch", "drop_branch").forall(shown.contains))
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("vacuum"))
+  }
+
   test("listProcedures exposes the system namespace") {
     val (cat, wh) = newCat()
     val c = new SnapshotCatalog
