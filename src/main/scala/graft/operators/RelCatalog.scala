@@ -3114,6 +3114,53 @@ object RelCatalog extends QueryModule {
              |FROM q JOIN se ON q.dow = se.dow ORDER BY q.d""".stripMargin)
     ),
     Q(
+      "rel_changepoint_cusum",
+      // CUSUM CHANGEPOINT DETECTION over the daily event series — the
+      // classic "did the level shift, and when" scan (Page's cumulative
+      // sum): the running sum of mean-deviations drifts toward zero
+      // under a stable level and builds a peak at a level shift; the
+      // |peak| day is the changepoint estimate. rel_seasonal_decompose
+      // models the series; this op WATCHES it.
+      //
+      // Exactness: the mean-deviation cumsum is kept in EXACT integers
+      // by scaling — dev·days = n·days − total is a BIGINT, so the
+      // running window sums integers and accumulation shape cannot leak
+      // (engines disagree in final ulps on float window sums: running
+      // frames are segment-trees in one engine, sequential in another —
+      // never hash-compare a float cumsum). Scale posture: one
+      // map-side count per day; windows over the AGGREGATED series
+      // (365 rows/year), never the corpus.
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val tot = daily.agg(
+          sum(col("n")).as("total"), count(lit(1)).as("days"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily.crossJoin(broadcast(tot))
+          .withColumn("cum_q", sum(col("n") * col("days") - col("total")).over(w))
+        val peak = cum.agg(max(abs(col("cum_q"))).as("peak"))
+        cum.crossJoin(broadcast(peak))
+          .select(
+            col("d"),
+            col("n"),
+            col("cum_q"),
+            (abs(col("cum_q")) === col("peak")).as("is_peak"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT SUM(n)::BIGINT AS total, COUNT(*)::BIGINT AS days FROM daily),
+             |c AS (SELECT d, n,
+             |  SUM(n * t.days - t.total) OVER (ORDER BY d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_q
+             |  FROM daily, t),
+             |p AS (SELECT MAX(abs(cum_q))::BIGINT AS peak FROM c)
+             |SELECT c.d, c.n, c.cum_q, abs(c.cum_q) = p.peak AS is_peak
+             |FROM c, p ORDER BY c.d""".stripMargin)
+    ),
+    Q(
       "rel_skew_report",
       // Key-skew diagnostics — the table a 100 TB operator reads BEFORE
       // picking a join strategy (salt? AQE skew hints? broadcast?): the
