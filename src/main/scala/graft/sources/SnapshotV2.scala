@@ -262,7 +262,11 @@ private[sources] class SnapshotScanBuilder(
       case ByteType | ShortType | IntegerType | LongType | StringType => true
       case _                                                          => false
     })
-    val proven = m.files.forall(f => f.nstats.nonEmpty &&
+    // per-FILE, per-COLUMN proof: the subset algebra consumes the sort
+    // column's nullCount (topNSubset.nonNullRows), so a file whose
+    // manifest entry lacks an `n:` tag for THIS column — legacy or
+    // hand-migrated — must decline the push, not default to "no nulls"
+    val proven = m.files.forall(f => f.nstats.contains(colName) &&
       (f.stats.contains(colName) || f.sstats.contains(colName) ||
         f.nstats.get(colName).exists { case (nulls, rows) => nulls == rows }))
     if (supported && proven) {
@@ -812,16 +816,22 @@ private[graft] object SnapshotV2 {
         case (x: String, y: String) =>
           if (x == y) 0
           else if (SnapshotTable.FileEntry.bytesLe(x, y)) -1 else 1
-        case _ => 0
+        // a manifest whose bounds mix types is malformed — refuse
+        // loudly rather than sort arbitrarily and mis-prune
+        case _ => throw new IllegalStateException(
+          s"topNSubset: unorderable bound types for column ${t.col}: " +
+            s"${a.getClass.getName} vs ${b.getClass.getName}")
       }
     }
     // "a betterEq b" = a would sort at or before b in the query's order
     val dir = if (t.ascending) base else base.reverse
     def strong(b: (Any, Any)): Any = if (t.ascending) b._1 else b._2
     def weak(b: (Any, Any)): Any = if (t.ascending) b._2 else b._1
+    // a file with no `n:` tag for the sort column PROVES nothing: it
+    // contributes zero rows toward covering n (weakening θ is the safe
+    // direction — pushTopN's guard makes this unreachable today)
     def nonNullRows(f: SnapshotTable.FileEntry): Long =
-      f.nstats.get(t.col).map { case (nulls, rows) => rows - nulls }
-        .getOrElse(rowsOf(f)) // column never null there (no n: tag recorded)
+      f.nstats.get(t.col).map { case (nulls, rows) => rows - nulls }.getOrElse(0L)
     val valued = es.flatMap(f => bounds(f).map(b => (f, b)))
     val byWeak = valued.sortBy { case (_, b) => weak(b) }(dir)
     val cum = byWeak.scanLeft(0L) { case (acc, (f, _)) => acc + nonNullRows(f) }.tail
@@ -832,7 +842,9 @@ private[graft] object SnapshotV2 {
       es.filter { f =>
         bounds(f) match {
           case Some(b) =>
-            dir.lteq(strong(b), theta) || f.nstats.get(t.col).exists(_._1 > 0)
+            // no `n:` tag ⇒ null presence UNKNOWN ⇒ keep (forall on
+            // None); with a tag, keep only when nulls actually exist
+            dir.lteq(strong(b), theta) || f.nstats.get(t.col).forall(_._1 > 0)
           case None => true // all-NULL file: keep (null ordering unknown here)
         }
       }

@@ -86,6 +86,48 @@ class Round21Spec extends AnyFunSuite {
     assert(SnapshotV2.topNSubset(es, kLong, SnapshotV2.TopN("k", true, 96)) === es)
   }
 
+  test("topNSubset: a range-but-no-nullCount entry proves nothing and is kept") {
+    // adversarial hand-built manifest (legacy / external writer): file
+    // "b" carries a value range but NO `n:` tag for the sort column —
+    // it must contribute ZERO rows toward covering n (its rows are
+    // unproven) and must survive the θ filter (null presence unknown)
+    val noTag = SnapshotTable.FileEntry("b",
+      stats = Map("k" -> (0L, 5L)), nstats = Map.empty)
+    val es = Seq(noTag, fe("a", 0, 10, 0, 50), fe("far", 500, 600, 0, 50))
+    // asc n=40: only a's 50 proven rows count (b's 0); θ = a.max = 10;
+    // "far" prunes, b is KEPT despite its strong bound beating θ — its
+    // nulls are unknown, so dropping it could lose NULLS FIRST rows
+    assert(SnapshotV2.topNSubset(es, kLong, SnapshotV2.TopN("k", true, 40))
+      .map(_.path) === Seq("b", "a"))
+    // n=60 exceeds the proven 100? no: 50+50=100 covers, but the cut
+    // must skip b's unproven rows — θ widens to far's max, keeping all
+    assert(SnapshotV2.topNSubset(es, kLong, SnapshotV2.TopN("k", true, 60))
+      .map(_.path).toSet === Set("a", "b", "far"))
+  }
+
+  test("hand-migrated manifest (range, no nullCount) declines the TopN push") {
+    val table = ordersTable()
+    // simulate an external/legacy writer: strip every `o_orderkey:n:…`
+    // tag from the segment files while keeping the value ranges
+    val segDir = new java.io.File(s"$table/manifests/segments")
+    for (f <- segDir.listFiles() if f.getName.endsWith(".seg")) {
+      val src = scala.io.Source.fromFile(f)
+      val txt = try src.mkString finally src.close()
+      val stripped = txt.linesIterator.map(
+        _.split('|').filterNot(_.startsWith("o_orderkey:n:")).mkString("|"))
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(f.toPath, stripped.getBytes("UTF-8"))
+    }
+    assert(SnapshotTable.manifest(table, 1L).files
+      .forall(f => f.stats.contains("o_orderkey") && !f.nstats.contains("o_orderkey")),
+      "fixture must present ranges without per-column nullCounts")
+    val asc = v2(table).orderBy(col("o_orderkey")).limit(25)
+    assert(plannedOf(asc) === 8,
+      "unproven per-column nullCounts must decline the push — full plan")
+    assert(asc.collect().map(_.getLong(0)).toSeq ===
+      v2(table).collect().map(_.getLong(0)).sorted.take(25).toSeq)
+  }
+
   test("topNSubset: string bounds compare bytewise") {
     def sfe(path: String, lo: String, hi: String): SnapshotTable.FileEntry =
       SnapshotTable.FileEntry(path,

@@ -69,7 +69,9 @@ class Round22Spec extends AnyFunSuite {
     val e = intercept[Throwable] {
       spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").collect()
     }
-    assert(rootMessages(e).nonEmpty)
+    // pin the retention contract specifically: the reclaimed version's
+    // manifest is gone ("not published"), not just "some error happened"
+    assert(rootMessages(e).exists(_.contains("not published")))
   }
 
   test("CALL rewrite_segments on an already-consolidated manifest is a no-op") {
