@@ -139,9 +139,22 @@ class SnapshotCatalog extends TableCatalog
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     stats.foreach(c => require(schema.fieldNames.contains(c),
       s"statsColumns names unknown column $c"))
+    // TBLPROPERTIES('morKey'='k'): declare the merge-on-read row id —
+    // UPDATE / MERGE / row-level DELETE then plan delta-based
+    // (SupportsDelta) instead of group copy-on-write
+    val morKey = Option(properties.get("morKey")).map(_.trim).filter(_.nonEmpty)
+    morKey.foreach { k =>
+      require(schema.fieldNames.contains(k), s"morKey names unknown column $k")
+      // Spark's delta rewrite rejects nullable row ids (equality
+      // deletes need a total key) — declare the column NOT NULL
+      require(!schema(k).nullable,
+        s"morKey column $k must be declared NOT NULL — delta-based " +
+          "UPDATE/MERGE identify rows by it")
+    }
     val extra =
-      if (stats.isEmpty) Map.empty[String, String]
-      else Map(SnapshotTable.StatsColsK -> stats.mkString(","))
+      (if (stats.isEmpty) Map.empty[String, String]
+       else Map(SnapshotTable.StatsColsK -> stats.mkString(","))) ++
+        morKey.map(SnapshotTable.MorKeyK -> _)
     SnapshotTable.createEmpty(p, schema, extra)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
   }
@@ -724,4 +737,203 @@ private[sources] class SnapshotGroupReplaceWrite(
     }.flatten.sortBy(_.path).toSeq
     SnapshotTable.publishReplace(table, scanned(), entries)
   }
+}
+
+/** Commit message of a DELTA write: the post-image data-file entries
+  * plus the task's deletion-vector sidecar(s) with their exact key
+  * counts (the V2 reader budgets its broadcast delete set from them). */
+private[sources] case class SnapshotDeltaMessage(
+    entries: Seq[SnapshotTable.FileEntry],
+    dvFiles: Seq[(String, Long)]) extends WriterCommitMessage
+
+/** MERGE-ON-READ row-level operation — [[SupportsDelta]], the
+  * Iceberg-v2 alternative to [[SnapshotRowLevelOperation]]'s group
+  * copy-on-write: Spark hands the writer per-row deltas (delete ids /
+  * inserted rows; updates arrive split, `representUpdateAsDeleteAndInsert`),
+  * tasks write the delete keys as DV sidecars and the post-images as
+  * ordinary data files, and commit publishes ONE manifest touching
+  * ZERO existing data files — a selective UPDATE against a 100 TB
+  * table costs O(changed rows), not O(touched files). Engaged only
+  * when the table DECLARES its row id (TBLPROPERTIES('morKey'='k'),
+  * [[SnapshotTable.MorKeyK]]) and is not identity-clustered (post-image
+  * appends would break one-key-per-file; CoW maintains it there).
+  * The scan side needs no replace bookkeeping — nothing is replaced. */
+private[sources] class SnapshotDeltaOperation(
+    table: String,
+    m: SnapshotTable.Manifest,
+    cmd: RowLevelOperation.Command,
+    key: String) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-snapshot $cmd (merge-on-read delta)"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(key))
+
+  /** Updates arrive as DELETE(id) + REINSERT(row) — exactly the DV +
+    * appended-post-image decomposition this format stores. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new SnapshotScanBuilder(table, m) // plain scan: delta replaces nothing
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        // a pure DELETE writes no rows — its write schema is empty
+        require(info.schema().isEmpty ||
+          info.schema().fieldNames.sameElements(m.schema.fieldNames),
+          s"delta write schema ${info.schema().simpleString} does not match " +
+            s"table schema ${m.schema.simpleString}")
+        new SnapshotDeltaWrite(table, m, key)
+      }
+    }
+}
+
+private[sources] class SnapshotDeltaWrite(
+    table: String,
+    m: SnapshotTable.Manifest,
+    key: String) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new SnapshotDeltaBatchWrite(table, m, key)
+}
+
+/** The delta arm of the BatchWrite protocol: same task-side parquet
+  * writers and stats folding as [[SnapshotBatchWrite]] for the
+  * post-images, plus a per-task single-column DV sidecar of deduped
+  * delete keys; commit = ONE atomic manifest publication carrying the
+  * parent's segments VERBATIM (zero data files opened, moved, or
+  * rewritten), the new entries, and the DV refs stamped at this
+  * commit's sequence. */
+private[sources] class SnapshotDeltaBatchWrite(
+    table: String,
+    m: SnapshotTable.Manifest,
+    key: String) extends DeltaBatchWrite {
+
+  private val stage = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    s"$table/data/v${m.version + 1}_w$token"
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val schema = m.schema
+    val statsCols = {
+      val declared = SnapshotTable.statsColumnsOf(m)
+      if (declared.contains(key)) declared else declared :+ key
+    }
+    val tracked = statsCols.flatMap { c =>
+      schema.fields.zipWithIndex.find(_._1.name == c).map {
+        case (f, i) => (c, i, f.dataType)
+      }
+    }
+    val keyField = schema.fields(schema.fieldIndex(key))
+    new SnapshotDeltaWriterFactory(stage, tracked,
+      Bridge.parquetRowWriter(SparkSession.active, schema),
+      Bridge.parquetRowWriter(SparkSession.active, StructType(Seq(keyField))),
+      schema.fieldIndex(key), keyField.dataType)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: SnapshotDeltaMessage => m }
+    val entries = msgs.flatMap(_.entries).sortBy(_.path).toSeq
+    val dvFiles = msgs.flatMap(_.dvFiles).sortBy(_._1).toSeq
+    SnapshotTable.publishDeltaCommit(table, key, entries, dvFiles)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case SnapshotDeltaMessage(es, dvs) =>
+        es.foreach(e => LocalSnapshotIO.delete(e.path))
+        dvs.foreach { case (p, _) => LocalSnapshotIO.delete(p) }
+      case _ =>
+    }
+    if (LocalSnapshotIO.exists(stage) && LocalSnapshotIO.list(stage).isEmpty)
+      LocalSnapshotIO.delete(stage)
+  }
+}
+
+private[sources] class SnapshotDeltaWriterFactory(
+    stage: String,
+    tracked: Seq[(String, Int, DataType)],
+    pw: Bridge.ParquetRowWriterFactory,
+    dvPw: Bridge.ParquetRowWriterFactory,
+    keyOrd: Int,
+    keyType: DataType) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new SnapshotDeltaWriter(
+      seq => s"$stage/part-$partitionId-$taskId-$seq.parquet",
+      s"$stage/dv-$partitionId-$taskId.parquet",
+      tracked, pw, dvPw, keyOrd, keyType)
+}
+
+/** Executor-side delta writer: inserts stream through the SAME rolling
+  * stats-folding writer as plain INSERTs; delete ids dedupe into a
+  * task-local set and flush as ONE single-column DV sidecar at commit.
+  * NULL row ids refuse loudly — equality deletes need a total key. */
+private[sources] class SnapshotDeltaWriter(
+    pathFor: Int => String,
+    dvPath: String,
+    tracked: Seq[(String, Int, DataType)],
+    pw: Bridge.ParquetRowWriterFactory,
+    dvPw: Bridge.ParquetRowWriterFactory,
+    keyOrd: Int,
+    keyType: DataType) extends DeltaWriter[InternalRow] {
+
+  private val data = new SnapshotDataWriter(pathFor, tracked, None, pw)
+  private val keys = new java.util.HashSet[Any]()
+
+  private def keyOf(id: InternalRow): Any = {
+    require(!id.isNullAt(0),
+      "NULL merge-on-read row id refused — the declared morKey must be total")
+    keyType match {
+      case StringType  => id.getUTF8String(0).toString
+      case ByteType    => id.getByte(0)
+      case ShortType   => id.getShort(0)
+      case IntegerType => id.getInt(0)
+      case _           => id.getLong(0)
+    }
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    keys.add(keyOf(id))
+
+  override def insert(row: InternalRow): Unit = data.write(row)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // unreachable under representUpdateAsDeleteAndInsert=true; keep the
+    // equivalent decomposition anyway
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = data.commit().asInstanceOf[SnapshotWriteMessage]
+    val dvs =
+      if (keys.isEmpty) Nil
+      else {
+        val w = dvPw.open(dvPath)
+        val it = keys.iterator()
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        while (it.hasNext) {
+          val k = it.next()
+          row.update(0, k match {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case other     => other
+          })
+          w.write(row)
+        }
+        w.close()
+        Seq((dvPath, keys.size.toLong))
+      }
+    SnapshotDeltaMessage(dataMsg.entries, dvs)
+  }
+
+  override def abort(): Unit = {
+    data.abort()
+    LocalSnapshotIO.delete(dvPath)
+  }
+
+  override def close(): Unit = ()
 }

@@ -221,7 +221,16 @@ object SnapshotTable {
       sstats: Map[String, (String, String)] = Map.empty,
       nstats: Map[String, (Long, Long)] = Map.empty,
       dstats: Map[String, Long] = Map.empty,
-      size: Long = -1L) extends StatRanges {
+      size: Long = -1L,
+      // COMMIT SEQUENCE (Iceberg's data-sequence-number): the version
+      // that ADDED this file. A deletion vector stamped with sequence s
+      // applies only to rows from files with seq < s — what lets a
+      // merge-on-read commit delete pre-images AND append post-images
+      // in one version without the DV swallowing its own post-images.
+      // -1 = freshly built in memory, stamped at publish; parsed legacy
+      // entries without a tag read as 0 (before every DV — old global
+      // semantics preserved).
+      seq: Long = -1L) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
@@ -230,7 +239,8 @@ object SnapshotTable {
       val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
       val dst = dstats.toSeq.sortBy(_._1).map { case (c, d) => s"$c:d:$d" }
       val sz = if (size >= 0) Seq(s"sz:$size") else Nil
-      (path +: (sz ++ ist ++ sst ++ nst ++ dst)).mkString("|")
+      val sq = if (seq > 0) Seq(s"seq:$seq") else Nil
+      (path +: (sz ++ sq ++ ist ++ sst ++ nst ++ dst)).mkString("|")
     }
   }
 
@@ -249,9 +259,13 @@ object SnapshotTable {
       val nst = Map.newBuilder[String, (Long, Long)]
       val dst = Map.newBuilder[String, Long]
       var size = -1L
+      var seq = 0L // legacy entries (no tag) predate every stamped DV
       parts.tail.foreach { st =>
         st.split(':') match {
           case Array("sz", b)        => size = b.toLong
+          // 2-token tags are unambiguous: a column named "seq" emits
+          // 3-token stat lines (`seq:lo:hi`, `seq:d:n`, ...)
+          case Array("seq", v)       => seq = v.toLong
           case Array(c, "s", lo, hi) => sst += c -> (unhex(lo), unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "") // empty-string bounds
           case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
@@ -261,7 +275,7 @@ object SnapshotTable {
             throw new IllegalArgumentException(s"bad stat '${other.mkString(":")}' in '$s'")
         }
       }
-      FileEntry(parts.head, ist.result(), sst.result(), nst.result(), dst.result(), size)
+      FileEntry(parts.head, ist.result(), sst.result(), nst.result(), dst.result(), size, seq)
     }
 
     /** Byte-wise unsigned UTF-8 comparison — the ordering Spark's
@@ -573,7 +587,12 @@ object SnapshotTable {
       mode: String,
       extra: Map[String, String],
       io: SnapshotIO): Long = {
-    val newSegs = writeSegments(table, next, newEntries, io)
+    // stamp the commit sequence on entries built in memory (seq = -1);
+    // entries parsed from a parent manifest keep the version that
+    // originally added them (carried-forward inline entries, replace/
+    // drop survivors) — the DV scoping rule depends on it
+    val stamped = newEntries.map(e => if (e.seq < 0) e.copy(seq = next) else e)
+    val newSegs = writeSegments(table, next, stamped, io)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${manifestDir(table)}/.tmp_v${next}_$token"
     val body = new StringBuilder()
@@ -717,13 +736,14 @@ object SnapshotTable {
         publishSchema = StructType(
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK).toMap
+          k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
+            k == MorKeyK).toMap
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
         val parent = manifest(table, current, io)
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == ClusterK || k == StatsColsK).toMap
+          k == ClusterK || k == StatsColsK || k == MorKeyK).toMap
         (Vector.empty, Vector.empty)
       } else (Vector.empty, Vector.empty)
     publishManifest(table, current + 1, current, publishSchema,
@@ -744,7 +764,8 @@ object SnapshotTable {
       kept: Seq[FileEntry],
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val carry = m.extra.view.filterKeys(k =>
-      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK).toMap
+      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
+        k == MorKeyK).toMap
     publishManifest(table, m.version + 1, m.version, m.schema,
       Nil, kept, "delete", carry, io)
   }
@@ -766,7 +787,8 @@ object SnapshotTable {
         widened.fields(i).dataType == pf(i).dataType),
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
     val carry = m.extra.view.filterKeys(k =>
-      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK).toMap
+      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
+        k == MorKeyK).toMap
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
   }
@@ -789,7 +811,8 @@ object SnapshotTable {
     val m = manifest(table, cur, io)
     requireNoDv(m, table, "a row-level rewrite")
     val kept = m.files.filterNot(f => scanned(f.path))
-    val carry = m.extra.view.filterKeys(k => k == ClusterK || k == StatsColsK).toMap
+    val carry = m.extra.view.filterKeys(k =>
+      k == ClusterK || k == StatsColsK || k == MorKeyK).toMap
     publishManifest(table, cur + 1, cur, m.schema, Nil, kept ++ entries,
       "merge", carry, io)
   }
@@ -1197,24 +1220,49 @@ object SnapshotTable {
       spark: SparkSession,
       m: Manifest,
       select: Manifest => Seq[FileEntry]): DataFrame = {
-    val files = select(m).map(_.path)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
-      else spark.read.schema(m.schema).parquet(files: _*)
-    // merge-on-read: apply the manifest's accumulated deletion vectors.
-    // EVERY read path flows through here (read / readPruned / time
-    // travel / changeFeed / compactSnapshot), so deleted rows are
-    // invisible everywhere without a rewrite; the anti-join side is
-    // delete-batch-derived, hence the structural shuffle hint (the r8
-    // rule: corpus-derived sides never broadcast on an estimate).
-    dvPaths(m) match {
-      case Nil => base
-      case paths =>
+    val entries = select(m)
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+    // merge-on-read: apply the manifest's accumulated deletion vectors,
+    // SEQUENCE-scoped — a DV stamped at commit s deletes only rows from
+    // files added BEFORE s (fileseq < s), so a mergeMoR commit's own
+    // appended post-images survive the very DV that kills their
+    // pre-images. EVERY read path flows through here (read /
+    // readPruned / time travel / changeFeed / compactSnapshot), so
+    // deleted rows are invisible everywhere without a rewrite; the
+    // anti-join side is delete-batch-derived, hence the structural
+    // shuffle hint (the r8 rule: corpus-derived sides never broadcast
+    // on an estimate).
+    dvRefs(m) match {
+      case Nil =>
+        if (entries.isEmpty) empty
+        else spark.read.schema(m.schema).parquet(entries.map(_.path): _*)
+      case refs =>
         val key = m.extra(DvKeyK)
-        val dv = spark.read.parquet(paths: _*)
-          .select(col(key).as("__dvk")).distinct()
-        base.join(dv.hint("shuffle_hash"), base(key) === col("__dvk"), "left_anti")
+        def fresh(stem: String): String = Iterator.from(0)
+          .map(i => if (i == 0) stem else s"$stem$i")
+          .find(n => !m.schema.fieldNames.contains(n)).get
+        val fseq = fresh("__graft_fseq")
+        val dvk = fresh("__graft_dvk")
+        val dvq = fresh("__graft_dvq")
+        // tag rows with their file's commit sequence: one scan per
+        // DISTINCT seq over disjoint file sets — same total I/O as one
+        // scan, and the seq count is bounded by commits since the last
+        // compaction (which re-zeros it)
+        val base = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
+          .map { case (s, fs) =>
+            spark.read.schema(m.schema).parquet(fs.map(_.path): _*)
+              .withColumn(fseq, lit(s))
+          }
+          .reduceOption(_.unionByName(_))
+          .getOrElse(empty.withColumn(fseq, lit(0L)))
+        val dv = refs.map { r =>
+          spark.read.parquet(r.path)
+            .select(col(key).as(dvk), lit(r.seq).as(dvq))
+        }.reduce(_.unionByName(_))
+        base.join(dv.hint("shuffle_hash"),
+            base(key) === col(dvk) && col(dvq) > col(fseq), "left_anti")
+          .drop(fseq)
     }
   }
 
@@ -1238,6 +1286,18 @@ object SnapshotTable {
 
   /** The identity-cluster column recorded at commit, if any. */
   def clusterKeyOf(m: Manifest): Option[String] = m.extra.get(ClusterK)
+
+  /** Reserved manifest key: the table's DECLARED merge-on-read row-id
+    * column. When present, SQL UPDATE / MERGE / row-level DELETE plan
+    * DELTA-based (SupportsDelta — key-delete sidecars + appended
+    * post-images, zero data files rewritten) instead of group
+    * copy-on-write; the declared key is the DV chain's delete key.
+    * Set via TBLPROPERTIES('morKey'='k') at CREATE TABLE or
+    * `commit(extra = Map("morkey" -> k))`. */
+  private[sources] val MorKeyK = "morkey"
+
+  /** The declared merge-on-read row-id column, if any. */
+  def morKeyOf(m: Manifest): Option[String] = m.extra.get(MorKeyK)
 
   /** Route every row of key `k` to the one partition owning that key —
     * an EXACT partitioner, not hash-modulo (two keys must never share a
@@ -1273,9 +1333,32 @@ object SnapshotTable {
     df.sparkSession.createDataFrame(rdd, df.schema)
   }
 
-  private[sources] def dvPaths(m: Manifest): Seq[String] =
-    m.extra.get(DvFilesK).filter(_.nonEmpty)
-      .map(_.split(";").toSeq.map(FileEntry.unhex)).getOrElse(Nil)
+  /** One deletion-vector sidecar: its parquet path, the COMMIT SEQUENCE
+    * it was stamped at (applies only to rows from files with
+    * `FileEntry.seq` < `seq` — Iceberg's equality-delete sequencing,
+    * what keeps a merge-on-read commit from deleting its own
+    * post-images), and its recorded key count (-1 = unrecorded legacy;
+    * counts let the V2 reader budget its in-memory delete set). Legacy
+    * entries (bare hex path) read as seq = MaxValue: they predate
+    * sequencing and applied to every file — semantics preserved. */
+  private[sources] final case class DvRef(path: String, seq: Long, count: Long)
+
+  private[sources] def dvRefs(m: Manifest): Seq[DvRef] =
+    m.extra.get(DvFilesK).filter(_.nonEmpty).map(_.split(";").toSeq.map { e =>
+      e.split(':') match {
+        case Array(p)       => DvRef(FileEntry.unhex(p), Long.MaxValue, -1L)
+        case Array(p, s, c) => DvRef(FileEntry.unhex(p), s.toLong, c.toLong)
+        case _ => throw new IllegalArgumentException(s"bad deletion-vector ref '$e'")
+      }
+    }).getOrElse(Nil)
+
+  private def dvEncode(refs: Seq[DvRef]): String =
+    refs.map { r =>
+      if (r.seq == Long.MaxValue && r.count < 0) FileEntry.hex(r.path)
+      else s"${FileEntry.hex(r.path)}:${r.seq}:${r.count}"
+    }.mkString(";")
+
+  private[sources] def dvPaths(m: Manifest): Seq[String] = dvRefs(m).map(_.path)
 
   private[sources] def dvKeyOf(m: Manifest): Option[String] = m.extra.get(DvKeyK)
 
@@ -1317,15 +1400,123 @@ object SnapshotTable {
     require(m.extra.get(DvKeyK).forall(_ == key),
       s"table $table already carries deletion vectors keyed on " +
         s"${m.extra(DvKeyK)} — one delete key per DV chain (materialize first)")
+    val next = current + 1
+    val newDv = writeDvSidecar(keys.sparkSession, keys.select(col(key)),
+      table, key, next, io)
+    publishManifest(table, next, current, m.schema, m.segments, m.inline,
+      mode = "delete",
+      extra = tableDecls(m) ++
+        Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newDv)), io)
+  }
+
+  /** The commit tail of a SQL DELTA write ([[SupportsDelta]] — MoR
+    * UPDATE / MERGE / row-level DELETE): ONE manifest carrying the
+    * parent's segments verbatim, the post-image entries (stamped at
+    * this commit's sequence by publishManifest), and the task-written
+    * DV sidecars stamped likewise — zero existing data files touched.
+    * mode=merge: incremental readers refuse across it, changeFeed
+    * (state-based) emits the pre/post-images unchanged. */
+  private[sources] def publishDeltaCommit(
+      table: String,
+      key: String,
+      entries: Seq[FileEntry],
+      dvFiles: Seq[(String, Long)],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot delta-commit into non-existent table $table")
+    val m = manifest(table, cur, io)
+    require(m.extra.get(DvKeyK).forall(_ == key),
+      s"table $table already carries deletion vectors keyed on " +
+        s"${m.extra(DvKeyK)} — one delete key per DV chain (materialize first)")
+    val next = cur + 1
+    val newRefs = dvFiles.map { case (p, c) => DvRef(p, next, c) }
+    publishManifest(table, next, cur, m.schema,
+      m.segments, m.inline ++ entries, "merge",
+      tableDecls(m) ++
+        Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newRefs)), io)
+  }
+
+  /** Table-level declarations every metadata commit must carry. */
+  private def tableDecls(m: Manifest): Map[String, String] =
+    m.extra.view.filterKeys(k =>
+      k == ClusterK || k == StatsColsK || k == MorKeyK).toMap
+
+  /** Write one deletion-vector sidecar (the batch's DISTINCT keys,
+    * one small parquet) stamped at commit sequence `seq`, and return
+    * its refs with exact key counts (the V2 reader budgets its
+    * in-memory delete set from these). */
+  private def writeDvSidecar(
+      spark: SparkSession,
+      keyCol: DataFrame,
+      table: String,
+      key: String,
+      seq: Long,
+      io: SnapshotIO): Seq[DvRef] = {
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val dvDir = s"$table/data/v${current + 1}_${token}_dv"
-    keys.select(col(key)).distinct().coalesce(1)
-      .write.mode("errorifexists").parquet(dvDir)
-    val newDv = io.list(dvDir).filter(_.endsWith(".parquet")).sorted
-      .map(n => s"$dvDir/$n")
-    val all = (dvPaths(m) ++ newDv).map(FileEntry.hex).mkString(";")
-    publishManifest(table, current + 1, current, m.schema, m.segments, m.inline,
-      mode = "delete", extra = Map(DvKeyK -> key, DvFilesK -> all), io)
+    val dvDir = s"$table/data/v${seq}_${token}_dv"
+    keyCol.distinct().coalesce(1).write.mode("errorifexists").parquet(dvDir)
+    val cnt = spark.read.parquet(dvDir).count() // one tiny file
+    io.list(dvDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => DvRef(s"$dvDir/$n", seq, cnt))
+  }
+
+  /** MERGE-ON-READ upsert — the Iceberg-v2 equality-delete shape for a
+    * trickle-update CDC stream against a 100 TB table: ONE commit
+    * writes (a) a deletion-vector sidecar holding every batch key
+    * (update pre-images and deletes both vanish through the read-time
+    * anti-join) and (b) the post-image rows as ordinary appended data
+    * files, so the commit cost is O(batch) and ZERO existing data
+    * files are opened or rewritten — the exact trade against
+    * [[merge]]'s copy-on-write (O(touched files) per batch, zero
+    * read-time overhead). Sequencing keeps it sound: the DV is stamped
+    * with this commit's sequence and applies only to files added
+    * BEFORE it, so the post-images it ships alongside are untouched;
+    * DV batches accumulate read-time work until [[compactSnapshot]]
+    * materializes them. mode=merge, so incremental readers refuse
+    * across it (new files != new rows); [[changeFeed]] is state-based
+    * and emits the update pre/post-images across the commit unchanged.
+    * Refused on identity-clustered tables (post-image appends would
+    * break the one-key-per-file invariant SPJ reads from the
+    * manifest — CoW [[merge]] maintains clustering; use it there).
+    * Returns (deleted keys, appended files, version). */
+  def mergeMoR(
+      batch: DataFrame,
+      table: String,
+      key: String,
+      deleteCol: Option[String] = None,
+      io: SnapshotIO = LocalSnapshotIO): (Long, Int, Long) = {
+    val spark = batch.sparkSession
+    val current = currentVersion(table, io)
+    require(current > 0, s"cannot merge into non-existent table $table")
+    val m = manifest(table, current, io)
+    val dataCols = batch.schema.fieldNames.filterNot(deleteCol.contains)
+    require(
+      dataCols.sameElements(m.schema.fieldNames),
+      s"merge batch columns ${dataCols.mkString(",")} do not match table " +
+        s"columns ${m.schema.fieldNames.mkString(",")}")
+    require(m.schema.fieldNames.contains(key), s"no column $key in $table")
+    require(m.extra.get(DvKeyK).forall(_ == key),
+      s"table $table already carries deletion vectors keyed on " +
+        s"${m.extra(DvKeyK)} — one delete key per DV chain (materialize first)")
+    require(clusterKeyOf(m).isEmpty,
+      s"mergeMoR refused on identity-clustered $table — post-image appends " +
+        "break the one-key-per-file invariant; copy-on-write merge maintains it")
+    val next = current + 1
+    val newDv = writeDvSidecar(spark, batch.select(col(key)), table, key, next, io)
+    val upserts = deleteCol match {
+      case Some(d) => batch.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None    => batch
+    }
+    val statsCols = {
+      val declared = statsColumnsOf(m)
+      if (declared.contains(key)) declared else declared :+ key
+    }
+    val v = publishVersion(
+      upserts, table, next, current, m.segments, m.inline, "merge", statsCols,
+      tableDecls(m) ++
+        Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newDv)), io)
+    val appended = (manifest(table, v, io).fileCount - m.fileCount).toInt
+    (newDv.map(_.count).sum, appended, v)
   }
 
   /** INCREMENTAL read — the change-scan between two snapshots (the

@@ -153,14 +153,23 @@ private[sources] class SnapshotV2Table(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(table, m, info)
 
-  /** UPDATE / MERGE INTO / row-level DELETE fallback — group-based
-    * copy-on-write (see [[SnapshotRowLevelOperation]]). DELETE first
+  /** UPDATE / MERGE INTO / row-level DELETE. A table that DECLARES its
+    * row id (TBLPROPERTIES('morKey'='k')) and is not identity-clustered
+    * plans MERGE-ON-READ ([[SnapshotDeltaOperation]], SupportsDelta):
+    * key-delete sidecars + appended post-images, zero data files
+    * rewritten. Everything else falls to group copy-on-write
+    * ([[SnapshotRowLevelOperation]]) — which CLUSTERED tables prefer
+    * anyway (the rewrite maintains one-key-per-file). DELETE first
     * tries the metadata-only proof below; only unprovable predicates
-    * fall through to the rewrite. */
+    * fall through. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new SnapshotRowLevelOperation(table, m, info.command())
+    () => SnapshotTable.morKeyOf(m) match {
+      case Some(k) if SnapshotTable.clusterKeyOf(m).isEmpty =>
+        new SnapshotDeltaOperation(table, m, info.command(), k)
+      case _ => new SnapshotRowLevelOperation(table, m, info.command())
+    }
 
   // ---- metadata-only DELETE / TRUNCATE --------------------------------
 
@@ -499,6 +508,11 @@ private[graft] class SnapshotV2Scan(
     s"graft-snapshot v${m.version} (${m.fileCount} files$c$l$tn)"
   }
 
+  /** Outstanding deletion-vector sidecars — when non-empty, rows are
+    * filtered READER-side against the broadcast delete set (the
+    * Iceberg equality-delete application shape). */
+  private lazy val dv: Seq[SnapshotTable.DvRef] = SnapshotTable.dvRefs(m)
+
   /** Manifest-pruned survivors of the STATIC filters — what the
     * reported partitioning and the CBO estimate derive from (both are
     * consumed before any runtime filter exists). */
@@ -523,7 +537,12 @@ private[graft] class SnapshotV2Scan(
     // query has no use for the clustering anyway. Metadata-column
     // scans need single-FILE partitions (the `_file` constant and the
     // `_pos` counter are per-file notions), so they opt out too.
-    (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty) None
+    // Outstanding deletion vectors opt out too: the DV row filter needs
+    // SINGLE-file partitions (the file's commit sequence scopes the
+    // filter), while a key group bundles files — losing SPJ until
+    // compaction is merge-on-read's documented read tax.
+    (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
+       dv.nonEmpty) None
      else SnapshotTable.clusterKeyOf(m)).flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).map(_.dataType)
       def keyOf(f: SnapshotTable.FileEntry): Option[Any] = dt match {
@@ -631,12 +650,15 @@ private[graft] class SnapshotV2Scan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // the DV anti-join is a plan transform this scan deliberately does
-    // not own — same refusal the raw-file maintenance ops make
-    require(SnapshotTable.dvPaths(m).isEmpty,
-      s"table carries ${SnapshotTable.dvPaths(m).size} outstanding deletion-vector " +
-        "file(s) — the v2 scan reads data files raw; read via SnapshotTable.read " +
-        "or compactSnapshot first")
+    // deletion vectors apply reader-side (see createReaderFactory) —
+    // only the metadata-column combination is refused: `_pos` is the
+    // row's PHYSICAL ordinal and `_file` plans multi-purpose single-
+    // file partitions whose wiring predates the DV filter; provenance
+    // reads on a DV-carrying table should compact first
+    require(dv.isEmpty || metaFields.isEmpty,
+      s"metadata columns (${metaFields.mkString(",")}) on a table with " +
+        s"${dv.size} outstanding deletion-vector file(s) — run compactSnapshot " +
+        "(materializes the deletes) before provenance reads")
     val planned: Array[InputPartition] = keyGroups match {
       case Some(groups) =>
         // runtime filters narrow files WITHIN the static key groups
@@ -733,10 +755,65 @@ private[graft] class SnapshotV2Scan(
         val names = m.schema.fieldNames.toSet
         (filters ++ runtime).filter(_.references.forall(names))
       }
-    val inner =
-      Bridge.parquetReaderFactory(SparkSession.active, m.schema, dataSchema, pushed)
-    if (metaFields.isEmpty) inner
-    else new MetadataAppendReaderFactory(inner, requiredSchema, dataSchema)
+    if (dv.isEmpty) {
+      val inner =
+        Bridge.parquetReaderFactory(SparkSession.active, m.schema, dataSchema, pushed)
+      if (metaFields.isEmpty) inner
+      else new MetadataAppendReaderFactory(inner, requiredSchema, dataSchema)
+    } else {
+      // MERGE-ON-READ application, the Iceberg equality-delete shape:
+      // the accumulated delete keys (batch-sized sidecars, counts
+      // recorded in the manifest) load ONCE driver-side into a
+      // key -> max-commit-sequence map and broadcast; each reader
+      // drops a row iff its key's max DV sequence exceeds the row's
+      // FILE sequence — so a MoR commit's own post-images survive the
+      // DV that kills their pre-images. Row-based readers only (the
+      // filter is per-row); compaction materializes and re-zeros all
+      // of this, restoring columnar reads, SPJ and pushdowns.
+      val spark = SparkSession.active
+      val key = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
+        s"$table carries deletion vectors but no recorded delete key"))
+      val kf = m.schema.fields.find(_.name == key).getOrElse(
+        throw new IllegalStateException(s"$table: DV key $key not in schema"))
+      val supported = kf.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _                                                          => false
+      }
+      require(supported, s"DV key $key: ${kf.dataType.simpleString} is not a " +
+        "supported delete-key type for the v2 reader (integral or string)")
+      val declared = dv.map(_.count)
+      val budget = if (declared.forall(_ >= 0)) declared.sum else -1L
+      require(budget < 0 || budget <= SnapshotV2.DvReaderMaxKeys,
+        s"$budget outstanding delete keys exceed the v2 reader's in-memory " +
+          s"budget (${SnapshotV2.DvReaderMaxKeys}) — run compactSnapshot " +
+          "(materializes the deletes)")
+      val innerSchema =
+        if (dataSchema.fieldNames.contains(key)) dataSchema
+        else StructType(dataSchema.fields :+ kf) // force-read the key, project after
+      val keyOrd = innerSchema.fieldIndex(key)
+      val deletes = new java.util.HashMap[Any, java.lang.Long]()
+      dv.foreach { r =>
+        spark.read.parquet(r.path).collect().foreach { row =>
+          val k = row.get(0) match {
+            case b: java.lang.Byte    => b.longValue(): Any
+            case s: java.lang.Short   => s.longValue(): Any
+            case i: java.lang.Integer => i.longValue(): Any
+            case other                => other
+          }
+          if (k != null) {
+            val prev = deletes.get(k)
+            if (prev == null || prev < r.seq) deletes.put(k, r.seq)
+          }
+        }
+      }
+      require(deletes.size <= SnapshotV2.DvReaderMaxKeys,
+        s"${deletes.size} outstanding delete keys exceed the v2 reader's " +
+          s"budget (${SnapshotV2.DvReaderMaxKeys}) — run compactSnapshot")
+      val bc = spark.sparkContext.broadcast(deletes)
+      val inner = Bridge.parquetReaderFactory(spark, m.schema, innerSchema, pushed)
+      new DvFilterReaderFactory(inner, bc, keyOrd, kf.dataType,
+        if (innerSchema.length == dataSchema.length) None else Some(dataSchema))
+    }
   }
 
   /** Streaming read (`spark.readStream.table(...)` — MICRO_BATCH_READ):
@@ -851,14 +928,26 @@ private[graft] object SnapshotV2 {
     }
   }
 
+  /** Rides each [[PartitionedFile]]'s constant-metadata map: the file's
+    * COMMIT SEQUENCE, which scopes the reader-side deletion-vector
+    * filter (a DV stamped at s deletes only rows with file seq < s).
+    * Parquet's own reader never consults unknown keys here. */
+  private[sources] val FileSeqMetaKey = "__graft_fseq"
+
   private[sources] def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile = {
     // manifest-recorded size; one fs stat per file only for legacy
     // entries committed before sizes rode the manifest
     val len = if (f.size >= 0) f.size else LocalSnapshotIO.size(f.path)
     PartitionedFile(
       InternalRow.empty, SparkPath.fromPathString(f.path), 0L, len,
-      Array.empty, 0L, len, Map.empty)
+      Array.empty, 0L, len, Map(FileSeqMetaKey -> math.max(f.seq, 0L)))
   }
+
+  /** Hard ceiling on the delete set the v2 reader materializes
+    * driver-side and broadcasts (the Iceberg equality-delete
+    * application shape). Beyond it the scan refuses loudly — the
+    * answer is compaction, which re-zeros the outstanding DV state. */
+  private[sources] val DvReaderMaxKeys = 8000000L
 }
 
 /** Appends the requested metadata columns (`_file`/`_pos`) around an
@@ -913,6 +1002,71 @@ private[sources] class MetadataAppendReaderFactory(
         }
         new GenericInternalRow(vals)
       }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Applies the broadcast deletion-vector set around an inner row
+  * reader (merge-on-read, Iceberg equality-delete application): a row
+  * is dropped iff its delete-key's max DV commit sequence exceeds the
+  * row's FILE commit sequence (rode in on the partition's constant-
+  * metadata map) — so post-images appended by the same MoR commit
+  * survive the DV that kills their pre-images. When the scan had to
+  * force-read the key past column pruning, `projectTo` strips it back
+  * off. NULL keys never match a DV (the key column's delete semantics
+  * are equality — same rule as the V1 anti-join). */
+private[sources] class DvFilterReaderFactory(
+    inner: PartitionReaderFactory,
+    deletes: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Any, java.lang.Long]],
+    keyOrd: Int,
+    keyType: DataType,
+    projectTo: Option[StructType]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fseq: Long = p match {
+      case fp: FilePartition =>
+        require(fp.files.length == 1,
+          s"DV-filtered partitions hold one file each, got ${fp.files.length}")
+        fp.files.head.otherConstantMetadataColumnValues
+          .get(SnapshotV2.FileSeqMetaKey) match {
+          case Some(s: Long) => s
+          case _             => 0L
+        }
+      case _ => 0L
+    }
+    val in = inner.createReader(p)
+    val proj = projectTo.map(s =>
+      org.apache.spark.sql.catalyst.ProjectingInternalRow(s, 0 until s.length))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (in.next()) {
+          val r = in.get()
+          val dead = !r.isNullAt(keyOrd) && {
+            val k: Any = keyType match {
+              case StringType  => r.getUTF8String(keyOrd).toString
+              case ByteType    => r.getByte(keyOrd).toLong
+              case ShortType   => r.getShort(keyOrd).toLong
+              case IntegerType => r.getInt(keyOrd).toLong
+              case _           => r.getLong(keyOrd)
+            }
+            val s = deletes.value.get(k)
+            s != null && s > fseq
+          }
+          if (!dead) {
+            cur = proj match {
+              case Some(pr) => pr.project(r); pr
+              case None     => r
+            }
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
       override def close(): Unit = in.close()
     }
   }

@@ -2347,6 +2347,182 @@ object SourceCatalog extends QueryModule {
              |UNION ALL SELECT 'v2:append', 2, 0
              |UNION ALL SELECT 'v3:append', 5, 0
              |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_merge_mor",
+      // MERGE-ON-READ upsert (API mergeMoR — the Iceberg-v2
+      // equality-delete shape): ONE commit = a deletion-vector sidecar
+      // holding every batch key + the post-images appended as ordinary
+      // data files, REQUIREd below to rewrite ZERO existing data files
+      // — the trade a trickle-update CDC stream needs against a 100 TB
+      // table (commit cost O(batch), not O(touched files)). Sequence
+      // scoping is what the arms pin: the DV is stamped at the commit's
+      // sequence and applies only to files added BEFORE it, so the
+      // post-images shipped beside it survive ('post'), the pre-images
+      // stay time-travelable ('pre'), the state-based changeFeed emits
+      // exact update pre/post-images and deletes across the MoR commit
+      // ('cf_*'), and compaction materializes the chain — DV state
+      // dropped, REQUIREd — without changing a row ('postcompact' ==
+      // 'post', which is also the CoW-identity statement: the oracle
+      // computes the mutation relationally, the way copy-on-write
+      // would). Round23Spec pins the file-set algebra, refusals, and
+      // the SQL delta path (SupportsDelta) beside this.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_mormerge_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commit(
+          o.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+          table, append = false, statsColumns = Seq("o_orderkey"))
+        val before = SnapshotTable.manifest(table, 1L).files.map(_.path).toSet
+        val batch = o.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+          .withColumn("_del", lit(false))
+          .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("_del", lit(true)))
+        SnapshotTable.mergeMoR(batch, table, "o_orderkey", deleteCol = Some("_del"))
+        require(before.subsetOf(SnapshotTable.manifest(table, 2L).files.map(_.path).toSet),
+          "merge-on-read must rewrite ZERO existing data files")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "o_orderpriority", "n_rows", "sum_price")
+        val pre = agg(SnapshotTable.read(s, table, Some(1L)), "pre")
+        val post = agg(SnapshotTable.read(s, table), "post")
+        val cf = SnapshotTable.changeFeed(s, table, 1L, 2L, "o_orderkey")
+          .groupBy(col("_change_type"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .select(concat(lit("cf_"), col("_change_type")).as("arm"),
+            col("o_orderpriority"), col("n_rows"), col("sum_price"))
+        SnapshotTable.compactSnapshot(s, table, targetBytes = 64L << 10,
+          clusterBy = Seq("o_orderkey"))
+        val head = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+        require(head.extra.get("dvfiles").forall(_.isEmpty),
+          "compaction must materialize and drop the DV chain")
+        val pc = agg(SnapshotTable.read(s, table), "postcompact")
+        pre.unionByName(post).unionByName(cf).unionByName(pc)
+          .orderBy("arm", "o_orderpriority")
+      },
+      Some("""WITH upd AS (SELECT o_orderkey, o_orderpriority,
+             |    o_totalprice + 500.0 AS price FROM orders WHERE o_orderkey % 10 = 7),
+             |post AS (SELECT o_orderkey, o_orderpriority,
+             |    CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 500.0
+             |         ELSE o_totalprice END AS price
+             |  FROM orders WHERE o_orderkey % 10 <> 3)
+             |SELECT 'pre' AS arm, o_orderpriority, COUNT(*)::BIGINT AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 2
+             |UNION ALL SELECT 'post', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM post GROUP BY 2
+             |UNION ALL SELECT 'postcompact', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM post GROUP BY 2
+             |UNION ALL SELECT 'cf_update_preimage', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 10 = 7 GROUP BY 2
+             |UNION ALL SELECT 'cf_update_postimage', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM upd GROUP BY 2
+             |UNION ALL SELECT 'cf_delete', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 10 = 3 GROUP BY 2
+             |ORDER BY arm, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_dml_mor",
+      // ROW-LEVEL SQL DML, MERGE-ON-READ (SupportsDelta): a table that
+      // declares its row id (TBLPROPERTIES morKey, NOT NULL) plans
+      // UPDATE / MERGE / row-level DELETE as a DELTA write — per-task
+      // DV sidecars of delete keys + post-images appended as ordinary
+      // data files, ONE manifest commit, and REQUIREd below: ZERO
+      // existing data files rewritten across an UPDATE, a MERGE
+      // (matched update + not-matched insert), and an unprovable
+      // row-level DELETE — against the same mutations
+      // src_snapshot_sql_dml pays group copy-on-write for. Reads
+      // apply the accumulated DVs READER-side (broadcast equality-
+      // delete filter, sequence-scoped so each commit's post-images
+      // survive its own DV); 'pre' time-travels below the chain; CALL
+      // compact materializes it (DV state dropped, REQUIREd) with
+      // 'postcompact' == 'post'. The oracle replays the mutation
+      // pipeline relationally — exactly what the CoW plan computes, so
+      // hash equality IS the CoW-vs-MoR identity.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqlmor_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftmr_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.o (k BIGINT NOT NULL, prio STRING, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k','morKey'='k')")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            col("o_totalprice").as("price"))
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+          .createOrReplaceTempView("graft_sqlmor_src")
+        s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_sqlmor_src")
+        val dataBefore = SnapshotTable.manifest(s"$wh/o", 2L).files.map(_.path).toSet
+        val cut = Tables(s, dir).orders.agg(max("o_orderkey"))
+          .collect()(0).getLong(0) / 2
+        s.sql(s"UPDATE $cat.o SET price = price + 100.0 WHERE k <= $cut")
+        val m3 = SnapshotTable.manifest(s"$wh/o", 3L)
+        require(m3.extra.get("mode").contains("merge") &&
+          m3.extra.get("dvfiles").exists(_.nonEmpty),
+          "UPDATE must commit as a delta (DV sidecar, mode=merge)")
+        s.sql(s"""MERGE INTO $cat.o t
+                 |USING (SELECT k, 'X-M' AS prio, 0.0 AS price FROM graft_sqlmor_src
+                 |       WHERE k % 97 = 0
+                 |       UNION ALL
+                 |       SELECT k + 100000000, 'X-N', 1.0 FROM graft_sqlmor_src
+                 |       WHERE k % 101 = 0) s
+                 |ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET t.prio = s.prio, t.price = s.price
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"DELETE FROM $cat.o WHERE k % 13 = 5")
+        val head = SnapshotTable.manifest(s"$wh/o", 5L)
+        require(dataBefore.subsetOf(head.files.map(_.path).toSet),
+          "three row-level DML commits must rewrite ZERO original data files")
+        def agg(sql: String, arm: String) =
+          s.sql(sql).groupBy("prio")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "prio", "n_orders", "sum_price")
+        val post = agg(s"SELECT * FROM $cat.o", "post")
+        val pre = agg(s"SELECT * FROM $cat.o VERSION AS OF 2", "pre")
+        s.sql(s"CALL $cat.system.compact('o', ${128L << 20})")
+        require(SnapshotTable
+          .manifest(s"$wh/o", SnapshotTable.currentVersion(s"$wh/o"))
+          .extra.get("dvfiles").forall(_.isEmpty),
+          "CALL compact must materialize and drop the DV chain")
+        val pc = agg(s"SELECT * FROM $cat.o", "postcompact")
+        post.unionByName(pre).unionByName(pc).orderBy("arm", "prio")
+      },
+      Some("""WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders),
+             |updated AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |  o_totalprice + (CASE WHEN o_orderkey <= (SELECT c FROM cut)
+             |                       THEN 100.0 ELSE 0.0 END) AS price FROM orders),
+             |merged AS (
+             |  SELECT k, CASE WHEN k % 97 = 0 THEN 'X-M' ELSE prio END AS prio,
+             |         CASE WHEN k % 97 = 0 THEN 0.0 ELSE price END AS price
+             |  FROM updated
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, 'X-N', 1.0 FROM orders
+             |  WHERE o_orderkey % 101 = 0),
+             |fin AS (SELECT * FROM merged WHERE k % 13 <> 5)
+             |SELECT 'post' AS arm, prio, COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM fin GROUP BY 2
+             |UNION ALL SELECT 'postcompact', prio, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM fin GROUP BY 2
+             |UNION ALL SELECT 'pre', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders GROUP BY 2
+             |ORDER BY arm, prio""".stripMargin)
     )
   )
 }

@@ -113,7 +113,7 @@ class Round18Spec extends AnyFunSuite {
     assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("c_custkey"))
   }
 
-  test("v2 versionAsOf pins the snapshot; DV table refused loudly") {
+  test("v2 versionAsOf pins the snapshot; DVs apply reader-side (merge-on-read)") {
     val table = tmpTable()
     SnapshotTable.commit(customerNarrow.filter(col("c_custkey") <= 50), table, append = false)
     SnapshotTable.commit(customerNarrow.filter(col("c_custkey") > 50), table, append = true)
@@ -122,9 +122,13 @@ class Round18Spec extends AnyFunSuite {
     assert(v2(table).count() === customerNarrow.count())
     SnapshotTable.deleteKeys(
       spark.range(1, 3).toDF("c_custkey"), table, "c_custkey")
-    val e = intercept[Exception] { v2(table).collect() }
-    assert(rootMessages(e).exists(_.contains("deletion-vector")),
-      s"wanted the DV refusal, got: ${rootMessages(e).mkString(" | ")}")
+    // since round 14 the v2 scan APPLIES outstanding DVs (broadcast
+    // equality-delete filter) instead of refusing — same rows as the
+    // V1 read path, key column filtered even when projected away
+    assert(v2(table).count() === customerNarrow.count() - 2)
+    assert(v2(table).select("c_acctbal").count() === customerNarrow.count() - 2)
+    assert(v2(table).select("c_custkey").collect().map(_.getLong(0)).toSet
+      .intersect(Set(1L, 2L)) === Set.empty)
   }
 
   // ---- storage-partitioned join ---------------------------------------
