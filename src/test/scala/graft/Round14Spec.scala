@@ -272,8 +272,13 @@ class Round14Spec extends AnyFunSuite {
     import SnapshotTable.FileEntry
     val f = FileEntry("/x/p.parquet", Map("k" -> (1L, 2L)),
       Map("s" -> ("a|b:c\nd", "z|z:z")))
+    // a fresh in-memory entry (seq = -1, pre-publish) parses back as a
+    // LEGACY entry (seq = 0 — before every stamped DV); stamped entries
+    // roundtrip their commit sequence exactly
     val rt = FileEntry.parse(f.line)
-    assert(rt === f)
+    assert(rt === f.copy(seq = 0L))
+    val stamped = f.copy(seq = 7L)
+    assert(FileEntry.parse(stamped.line) === stamped)
     // byte-wise comparator agrees with unsigned UTF-8 ordering past ASCII
     assert(FileEntry.bytesLe("abc", "abd"))
     assert(FileEntry.bytesLe("abc", "abc"))
