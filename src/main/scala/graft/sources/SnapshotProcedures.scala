@@ -93,15 +93,38 @@ private[sources] object SnapshotProcedures {
         row(before, after, v)
       },
       Proc("compact",
-        Seq(p("table", StringType), pd("target_bytes", LongType, "134217728")),
+        Seq(p("table", StringType), pd("target_bytes", LongType, "134217728"),
+          pd("zorder_by", StringType, "''")),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("version", LongType, nullable = false))),
         "transactional small-file compaction: rewrite the current snapshot " +
-          "into ~target_bytes files, published as a new version") { in =>
-        val (files, v) = SnapshotTable.compactSnapshot(
-          SparkSession.active, path(in), in.getLong(1))
+          "into ~target_bytes files, published as a new version; " +
+          "zorder_by => 'a,b' clusters the rewrite on the Morton interleave " +
+          "of the named columns so selective reads on ANY of them prune at " +
+          "the manifest (Delta's OPTIMIZE ZORDER BY)") { in =>
+        val cols =
+          if (in.isNullAt(2)) Nil
+          else in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (files, v) =
+          if (cols.isEmpty)
+            SnapshotTable.compactSnapshot(SparkSession.active, path(in), in.getLong(1))
+          else
+            SnapshotTable.compactZOrder(SparkSession.active, path(in), cols, in.getLong(1))
         row(files, v)
+      },
+      Proc("expire_snapshots",
+        Seq(p("table", StringType), p("older_than", LongType)),
+        StructType(Seq(
+          StructField("manifests_expired", IntegerType, nullable = false),
+          StructField("data_files_deleted", IntegerType, nullable = false))),
+        "age-based retention (Iceberg's expire_snapshots): expire every " +
+          "snapshot whose recorded commit stamp is below older_than — head " +
+          "always kept, stampless commits kept (age unprovable), files shared " +
+          "with survivors survive; expired versions refuse time travel") { in =>
+        val (manifests, files) =
+          SnapshotTable.expireSnapshots(path(in), in.getLong(1))
+        row(manifests, files)
       },
       Proc("rollback",
         Seq(p("table", StringType), p("to_version", LongType)),
@@ -165,7 +188,7 @@ private[sources] object SnapshotProcedures {
   }
 
   def names: Seq[String] = Seq(
-    "rewrite_segments", "compact", "rollback", "vacuum",
+    "rewrite_segments", "compact", "rollback", "vacuum", "expire_snapshots",
     "create_branch", "publish_branch", "drop_branch")
 
   def load(name: String, warehouse: String): UnboundProcedure =

@@ -1619,6 +1619,70 @@ object SnapshotTable {
     (m.files.size, v)
   }
 
+  /** Z-ORDER compaction — the multi-dimensional arm of
+    * [[compactSnapshot]] (Delta's `OPTIMIZE ... ZORDER BY`), now also
+    * reachable from SQL via `CALL <cat>.system.compact('t',
+    * zorder_by => 'a,b')`: the rewrite clusters on the MORTON
+    * INTERLEAVE of up to 7 integral dimensions, each scaled to an
+    * 8-bit grid from its observed bounds (a 1-row broadcast), and
+    * records per-file stats on every RAW column — the curve co-locates
+    * all dimensions, so a selective read on ANY of them prunes at the
+    * manifest, where a single-column sort prunes one and scans for the
+    * rest (src_snapshot_zorder pins the subset property). Equal bit
+    * budget per dimension is what balances the curve. One column
+    * degenerates to the plain range-cluster (identical semantics,
+    * no interleave cost). Same transactional tail as compactSnapshot:
+    * reads flow DV-applied, the overwrite commit drops DV state.
+    * Returns (filesBefore, publishedVersion). */
+  def compactZOrder(
+      spark: SparkSession,
+      table: String,
+      zorderBy: Seq[String],
+      targetBytes: Long = 128L << 20,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
+    require(zorderBy.nonEmpty && zorderBy.size <= 7,
+      s"zorder takes 1..7 columns (8 grid bits each in a 63-bit key), got ${zorderBy.size}")
+    if (zorderBy.size == 1)
+      return compactSnapshot(spark, table, targetBytes,
+        statsColumns = zorderBy, clusterBy = zorderBy, io = io)
+    val cur = currentVersion(table, io)
+    val m = manifest(table, cur, io)
+    require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
+    zorderBy.foreach { c =>
+      val f = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c in $table"))
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"zorder_by column $c: ${f.dataType.simpleString} is not integral — " +
+          "derive an integral key first (days(ts), hash bucket, grid cell)")
+    }
+    val bytes = m.files.map(f => io.size(f.path)).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val cu = read(spark, table, Some(cur), io)
+    val nDims = zorderBy.size
+    val bounds = cu.agg(
+      min(col(zorderBy.head).cast("long")).as("__mn_0"),
+      (zorderBy.tail.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("long")).as(s"__mn_${i + 1}"),
+          max(col(c).cast("long")).as(s"__mx_${i + 1}"))
+      } :+ max(col(zorderBy.head).cast("long")).as("__mx_0")): _*)
+    var g = cu.crossJoin(broadcast(bounds))
+    zorderBy.zipWithIndex.foreach { case (c, d) =>
+      // observed-bounds 8-bit grid; a constant column grids to 0
+      g = g.withColumn(s"__g_$d",
+        expr(s"((cast(`$c` as bigint) - __mn_$d) * 256) div (__mx_$d - __mn_$d + 1)"))
+    }
+    val morton = (0 until 8).flatMap(b => (0 until nDims).map(d =>
+      s"shiftleft(shiftright(__g_$d, $b) & 1, ${b * nDims + d})")).mkString(" | ")
+    val rewritten = g
+      .withColumn("__z", expr(morton))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+    val v = commit(rewritten, table, append = false, expectedCurrent = Some(cur),
+      statsColumns = zorderBy, extra = Map("compacted-from" -> cur.toString), io = io)
+    (m.files.size, v)
+  }
+
   /** Manifest-only ROW COUNT: Σ per-part (segment-ref / inline-file)
     * recorded rowCounts, read from the head manifest's lines alone — no
     * segment loaded, no file opened. None when any part lacks nstats
@@ -1913,17 +1977,77 @@ object SnapshotTable {
     val cur = currentVersion(table, io)
     if (cur == 0) return (0, 0)
     val keep = ((cur - retainLast + 1) max 1) to cur
-    // a retained manifest references its data files AND its deletion-
-    // vector sidecars — reclaiming a DV would resurrect deleted rows.
-    // Zero-copy branches (createBranch) share main's data files: every
-    // manifest of every live branch pins its references too, or
-    // vacuuming main mid-audit would break the WAP branch (ADVICE r10).
-    // Segment sharing makes this walk cheap: manifests are read (small
-    // — O(segments) lines each), but each unique SEGMENT is loaded
-    // exactly once, so the cost is O(unique segments + manifests), not
-    // O(versions × files) — the r11 every-branch-every-file scan gone.
+    var mDel = 0
+    (1L until keep.head).foreach { v =>
+      if (io.delete(manifestPath(table, v))) mDel += 1
+    }
+    val fDel = reclaimUnreferenced(table, io)
+    // CDC staging below the retention floor: a `<from>_<to>` slice is
+    // only ever READ by the micro-batch that just wrote it (a WAL
+    // replay re-materializes from manifests, never reads stale
+    // staging), and once versions <= `to` age past retention the
+    // manifests a replay would need are gone anyway — so reclaiming
+    // these ranges cannot break anything retention hasn't already.
+    // Live-stream steady-state reclamation is the SOURCE's own
+    // post-commit purge (SnapshotCdcSource.commit); this arm is the
+    // offline sweep for streams that died without draining.
+    purgeStaging(s"$table/_cdc_staging", keep.head - 1, io)
+    (mDel, fDel)
+  }
+
+  /** AGE-BASED retention — Iceberg's
+    * `expire_snapshots(older_than => ts)` beside [[vacuum]]'s
+    * keep-last-N: delete the manifest of every snapshot whose recorded
+    * commit stamp (`extra("ts")` — the same stamps [[readAsOf]] and SQL
+    * `TIMESTAMP AS OF` resolve by) is strictly below `olderThan`, then
+    * reclaim everything no surviving manifest references. Rules:
+    * the HEAD always survives regardless of age; a commit WITHOUT a
+    * stamp has unprovable age and is always kept (decline, don't
+    * guess); files shared with a survivor survive by construction
+    * (the reference walk pins them, branches included); the in-flight
+    * writer rule is inherited from the walk (only `v<N>`-prefixed dirs
+    * with N <= current are swept). Expired versions refuse time travel
+    * ("not published"); retained ones serve unchanged.
+    * Returns (manifestsExpired, dataFilesDeleted). */
+  def expireSnapshots(
+      table: String,
+      olderThan: Long,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Int) = {
+    require(!table.replace('\\', '/').contains("/branches/"),
+      s"expireSnapshots refused on branch path $table — expire the parent table " +
+        "(its walk pins branch references); use dropBranch to reclaim a branch")
+    val cur = currentVersion(table, io)
+    if (cur == 0) return (0, 0)
+    var mDel = 0
+    (1L until cur).foreach { v =>
+      if (io.exists(manifestPath(table, v)) &&
+        manifest(table, v, io).extra.get("ts").exists(_.toLong < olderThan) &&
+        io.delete(manifestPath(table, v))) mDel += 1
+    }
+    (mDel, reclaimUnreferenced(table, io))
+  }
+
+  /** The shared reclamation walk of [[vacuum]] and [[expireSnapshots]]:
+    * delete every data file and segment under the table root that NO
+    * surviving manifest references. A surviving manifest references its
+    * data files AND its deletion-vector sidecars — reclaiming a DV
+    * would resurrect deleted rows. Zero-copy branches (createBranch)
+    * share main's data files: every manifest of every live branch pins
+    * its references too, or reclaiming main mid-audit would break the
+    * WAP branch (ADVICE r10). Segment sharing makes the walk cheap:
+    * manifests are read (small — O(segments) lines each), but each
+    * unique SEGMENT is loaded exactly once, so the cost is
+    * O(unique segments + manifests), not O(versions × files). The
+    * version-prefix rule (`v<N>`/`seg_v<N>`, N <= current) protects an
+    * IN-FLIGHT writer's freshly-written v<current+1> artifacts, which
+    * are unreferenced by construction until their manifest publishes.
+    * Returns data files deleted (segment reclamation is uncounted,
+    * matching vacuum's historical contract). */
+  private def reclaimUnreferenced(table: String, io: SnapshotIO): Int = {
+    val cur = currentVersion(table, io)
     val liveManifests: Seq[Manifest] =
-      keep.map(v => manifest(table, v, io)) ++
+      (1L to cur).flatMap(v =>
+        if (io.exists(manifestPath(table, v))) Some(manifest(table, v, io)) else None) ++
         io.list(s"$table/branches").flatMap { name =>
           val bp = s"$table/branches/$name"
           (1L to currentVersion(bp, io)).flatMap { v =>
@@ -1934,10 +2058,6 @@ object SnapshotTable {
     val referenced: Set[String] =
       liveManifests.flatMap(m => m.inline.map(_.path) ++ dvPaths(m)).toSet ++
         liveSegments.flatMap(p => readSegment(p, io).map(_.path))
-    var mDel = 0
-    (1L until keep.head).foreach { v =>
-      if (io.delete(manifestPath(table, v))) mDel += 1
-    }
     var fDel = 0
     val dataRoot = s"$table/data"
     io.list(dataRoot).foreach { name => // v<N>_<token>
@@ -1954,12 +2074,6 @@ object SnapshotTable {
         }
       }
     }
-    // reclaim MAIN segment files no live manifest references — aged-out
-    // manifests were their only holders. The version-prefix rule
-    // (seg_v<N>, N <= cur) protects an in-flight writer's
-    // freshly-written segments, exactly like rule (b) for data dirs;
-    // a live branch's own segments live under the branch root and are
-    // untouched here (dropBranch owns their lifecycle).
     val liveSegSet = liveSegments.toSet
     io.list(segmentDir(table)).foreach { name =>
       val p = s"${segmentDir(table)}/$name"
@@ -1967,17 +2081,7 @@ object SnapshotTable {
       if (name.startsWith("seg_v") && v.nonEmpty && v.toLong <= cur && !liveSegSet(p))
         io.delete(p)
     }
-    // CDC staging below the retention floor: a `<from>_<to>` slice is
-    // only ever READ by the micro-batch that just wrote it (a WAL
-    // replay re-materializes from manifests, never reads stale
-    // staging), and once versions <= `to` age past retention the
-    // manifests a replay would need are gone anyway — so reclaiming
-    // these ranges cannot break anything retention hasn't already.
-    // Live-stream steady-state reclamation is the SOURCE's own
-    // post-commit purge (SnapshotCdcSource.commit); this arm is the
-    // offline sweep for streams that died without draining.
-    purgeStaging(s"$table/_cdc_staging", keep.head - 1, io)
-    (mDel, fDel)
+    fDel
   }
 
   /** Reclaim DRAINED streaming-staging ranges: delete `<from>_<to>`

@@ -2523,6 +2523,123 @@ object SourceCatalog extends QueryModule {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders GROUP BY 2
              |ORDER BY arm, prio""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_expire",
+      // AGE-BASED SNAPSHOT EXPIRY (Iceberg's expire_snapshots(older_than)
+      // beside vacuum's keep-last-N — the retention contract production
+      // tables actually sign): resolution is by the SAME logical commit
+      // stamps readAsOf / TIMESTAMP AS OF use, the head always
+      // survives, stampless commits are kept (age unprovable — decline,
+      // don't guess), and the reclamation walk deletes only what NO
+      // surviving manifest (main or branch) references — so v1's files,
+      // carried forward by the append chain, REQUIREd to survive its
+      // expiry, while time travel to the expired version now refuses
+      // ("not published", REQUIREd and emitted as the 'expired_refused'
+      // arm). Retained arms ('v2', 'head') must serve unchanged — the
+      // oracle states them relationally. Round24Spec pins the
+      // overwrite-chain reclamation, the in-flight-writer rule, the
+      // stampless decline, and the CALL surface.
+      (s, dir) => {
+        val table = graft.Stage.dir("graft_snapexp_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+        val o = Tables(s, dir).orders
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        for ((m, ts) <- Seq((0, 100L), (1, 200L), (2, 300L)))
+          SnapshotTable.commit(
+            o.filter(col("o_orderkey") % 3 === m), table, append = m > 0,
+            extra = Map("ts" -> ts.toString))
+        val v1Files = SnapshotTable.manifest(table, 1L).files.map(_.path)
+        val (mDel, _) = SnapshotTable.expireSnapshots(table, olderThan = 150L)
+        require(mDel == 1, s"exactly v1 (ts=100) is below the horizon, expired $mDel")
+        require(v1Files.forall(p => new java.io.File(p).exists()),
+          "files shared with the surviving append chain must survive expiry")
+        val refused =
+          try { SnapshotTable.read(s, table, Some(1L)).collect(); 0L }
+          catch { case e: Throwable if e.getMessage != null &&
+            e.getMessage.contains("not published") => 1L }
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "o_orderpriority", "n_orders", "sum_price")
+        agg(SnapshotTable.read(s, table, Some(2L)), "v2")
+          .unionByName(agg(SnapshotTable.read(s, table), "head"))
+          .unionByName(s.range(1).select(
+            lit("expired_refused").as("arm"), lit("-").as("o_orderpriority"),
+            lit(refused).as("n_orders"), lit(0.0).as("sum_price")))
+          .orderBy("arm", "o_orderpriority")
+      },
+      Some("""SELECT 'expired_refused' AS arm, '-' AS o_orderpriority,
+             |  1::BIGINT AS n_orders, CAST(0.0 AS DOUBLE) AS sum_price
+             |UNION ALL
+             |SELECT 'head', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders GROUP BY 2
+             |UNION ALL
+             |SELECT 'v2', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 3 <= 1 GROUP BY 2
+             |ORDER BY arm, o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_call_zorder",
+      // SQL REACH FOR MULTI-DIMENSIONAL LAYOUT — the r13 verdict's item
+      // 3: `CALL compact(zorder_by => 'ck,yr')` routes the transactional
+      // rewrite through the Morton interleave (compactZOrder — the
+      // machinery src_snapshot_zorder proves, now one CALL away from
+      // any SQL user), so a CREATE → INSERT → CALL flow that never
+      // leaves SQL ends with per-file stats on BOTH raw dimensions and
+      // selective reads on EITHER planning strict file subsets —
+      // REQUIREd below against BatchScanExec's planned partitions, the
+      // layout property itself, not a proxy. Arms are the two
+      // one-dimensional filtered aggregates; the oracle is the plain
+      // relational filter of each. Round24Spec pins the refusal arms
+      // (dim budget, non-integral column) and row identity.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_callz_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftcz_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.z (k BIGINT, ck BIGINT, yr BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='ck,yr')")
+        Tables(s, dir).orders.select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_callz_src")
+        s.sql(s"INSERT INTO $cat.z SELECT * FROM graft_callz_src")
+        s.sql(s"CALL $cat.system.compact('z', ${4L << 10}, 'ck,yr')")
+        val nFiles = SnapshotTable.manifest(s"$wh/z", 3L).fileCount
+        require(nFiles >= 4, s"need a multi-file layout to prove pruning, got $nFiles")
+        def planned(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size
+          }.sum
+        val byCk = s.sql(s"SELECT * FROM $cat.z WHERE ck BETWEEN 100 AND 299")
+        val byYr = s.sql(s"SELECT * FROM $cat.z WHERE yr = 1995")
+        require(planned(byCk) < nFiles && planned(byYr) < nFiles,
+          "z-ordered layout must prune selective reads on BOTH dimensions")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_orders", "sum_price")
+        agg(byCk, "cust").unionByName(agg(byYr, "year")).orderBy("arm")
+      },
+      Some("""SELECT 'cust' AS arm, COUNT(*)::BIGINT AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_custkey BETWEEN 100 AND 299
+             |UNION ALL
+             |SELECT 'year', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |ORDER BY arm""".stripMargin)
     )
   )
 }

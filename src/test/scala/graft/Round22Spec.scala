@@ -125,7 +125,8 @@ class Round22Spec extends AnyFunSuite {
     val shown = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.toString).mkString("\n")
     assert(Seq("rewrite_segments", "compact", "rollback", "vacuum",
-      "create_branch", "publish_branch", "drop_branch").forall(shown.contains))
+      "expire_snapshots", "create_branch", "publish_branch", "drop_branch")
+      .forall(shown.contains))
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("vacuum"))
@@ -138,7 +139,7 @@ class Round22Spec extends AnyFunSuite {
       java.util.Map.of("warehouse", wh)))
     val names = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(names === Set("rewrite_segments", "compact", "rollback", "vacuum",
-      "create_branch", "publish_branch", "drop_branch"))
+      "expire_snapshots", "create_branch", "publish_branch", "drop_branch"))
     assert(c.listProcedures(Array("elsewhere")).isEmpty)
   }
 }
