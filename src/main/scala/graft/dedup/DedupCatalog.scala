@@ -1322,6 +1322,112 @@ object DedupCatalog extends QueryModule {
              |SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_shared
              |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "dedup_suffix_exact",
+      // EXACT substring dedup — the exact half of Lee et al. 2022 that
+      // `dedup_span`'s 10-gram counting approximates: find ALL
+      // duplicated substrings of length >= L tokens (L=4) with their
+      // EXACT lengths, including the ones 10-gram spans are blind to.
+      // The planted fixtures are exactly those blind spots: doc 700000
+      // embeds a 9-TOKEN run of doc 7 (zero 10-grams fire), doc 700001
+      // an offset-shifted 15-token run from the middle of doc 9, doc
+      // 700002 a verbatim copy of doc 8.
+      //
+      // Spark-first equivalence to the suffix-array method: a
+      // duplicated substring of length s >= L is PRECISELY a run of
+      // s-L+1 consecutive L-gram matches on one (doc_a, doc_b,
+      // offset-difference) DIAGONAL — so positional L-grams
+      // (gram-keyed shuffle), an equality self-join on the gram, and
+      // gaps-islands run-chaining per diagonal (window over
+      // diagonal-sized groups) recover every maximal duplicated span
+      // with its exact length. No all-pairs anywhere: candidate pairs
+      // exist only where a gram literally recurs, and grams with
+      // corpus frequency > 64 are CAPPED out of the pair join (the
+      // quadratic guard) with their dropped mass surfaced per doc as
+      // `n_capped_sites` — the no-silent-caps rule. Per later doc:
+      // longest duplicated span, run count, and the drop verdict
+      // (span >= 10 — doc 700000's 9-token hit is FOUND but not
+      // dropped, the sub-threshold-visibility the approximation
+      // cannot give).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") === 7)
+          .select(lit(700000L).as("doc_id"),
+            concat(lit("alpha beta gamma "),
+              array_join(slice(ws(col("text")), 1, 9), " "),
+              lit(" delta epsilon zeta")).as("text"))
+          .unionByName(docs.filter(col("doc_id") === 9)
+            .select(lit(700001L).as("doc_id"),
+              concat(lit("eta theta "),
+                array_join(slice(ws(col("text")), 4, 15), " "),
+                lit(" iota kappa")).as("text")))
+          .unionByName(docs.filter(col("doc_id") === 8)
+            .select(lit(700002L).as("doc_id"), col("text")))
+        val aug = docs.unionByName(planted)
+        val sites = GraftCache.register(Fan.out(aug)
+          .select(col("doc_id"), ws(col("text")).as("t"))
+          .filter(size(col("t")) >= 4)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+          .persist())
+        val freq = sites.groupBy("g").agg(count(lit(1)).as("f"))
+        val live = sites.join(freq.filter(col("f").between(2, 64)), "g")
+        val capped = sites.join(freq.filter(col("f") > 64), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_capped_sites"))
+        val pairs = live.select(col("doc_id").as("d1"), col("pos").as("p1"), col("g"))
+          .join(live.select(col("doc_id").as("d2"), col("pos").as("p2"), col("g")), "g")
+          .filter(col("d1") < col("d2"))
+          .withColumn("diag", col("p1") - col("p2"))
+        val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+        val runs = pairs
+          .withColumn("isl", col("p1") - row_number().over(w))
+          .groupBy("d1", "d2", "diag", "isl")
+          .agg((count(lit(1)) + 3).as("span"))
+        val perDoc = runs.groupBy(col("d2").as("doc_id"))
+          .agg(max("span").as("max_span"), count(lit(1)).as("n_runs"))
+        perDoc.join(capped, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("max_span"), lit(0L)).as("max_span"),
+            coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+            coalesce(col("n_capped_sites"), lit(0L)).as("n_capped_sites"),
+            (coalesce(col("max_span"), lit(0L)) >= 10).cast("long").as("drop_doc"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 700000, 'alpha beta gamma ' ||
+             |    array_to_string(string_split(text,' ')[1:9],' ') ||
+             |    ' delta epsilon zeta' FROM documents WHERE doc_id = 7
+             |  UNION ALL SELECT 700001, 'eta theta ' ||
+             |    array_to_string(string_split(text,' ')[4:18],' ') ||
+             |    ' iota kappa' FROM documents WHERE doc_id = 9
+             |  UNION ALL SELECT 700002, text FROM documents WHERE doc_id = 8),
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM aug),
+             |p AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+3],' ') AS g
+             |      FROM w, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+             |f AS (SELECT g, COUNT(*) AS f FROM p GROUP BY g),
+             |live AS (SELECT p.* FROM p JOIN f USING (g) WHERE f BETWEEN 2 AND 64),
+             |capped AS (SELECT doc_id, COUNT(*) AS n_capped_sites
+             |           FROM p JOIN f USING (g) WHERE f > 64 GROUP BY doc_id),
+             |pr AS (SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2
+             |       FROM live a JOIN live b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |isl AS (SELECT d1, d2, p1 - p2 AS diag, p1,
+             |        p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
+             |          AS isl FROM pr),
+             |runs AS (SELECT d1, d2, COUNT(*) + 3 AS span
+             |         FROM isl GROUP BY d1, d2, diag, isl),
+             |perdoc AS (SELECT d2 AS doc_id, MAX(span) AS max_span,
+             |           COUNT(*) AS n_runs FROM runs GROUP BY d2)
+             |SELECT COALESCE(pd.doc_id, c.doc_id) AS doc_id,
+             |  COALESCE(max_span, 0)::BIGINT AS max_span,
+             |  COALESCE(n_runs, 0)::BIGINT AS n_runs,
+             |  COALESCE(n_capped_sites, 0)::BIGINT AS n_capped_sites,
+             |  (CASE WHEN COALESCE(max_span, 0) >= 10 THEN 1 ELSE 0 END)::BIGINT
+             |    AS drop_doc
+             |FROM perdoc pd FULL JOIN capped c ON pd.doc_id = c.doc_id
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
