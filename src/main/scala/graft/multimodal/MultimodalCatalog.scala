@@ -885,6 +885,36 @@ object MultimodalCatalog extends QueryModule {
              |SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)::BIGINT AS seg_idx,
              |start_frame, end_frame, n_frames, seg_energy
              |FROM seg ORDER BY doc_id, seg_idx""".stripMargin)
+    ),
+    Q(
+      "mm_embed_arrow",
+      // The ARROW-BATCHED INFERENCE SEAM, end to end (the production
+      // shape mm_embed_retrieval's in-JVM md5-stub encoder stands in
+      // for): each partition's rows serialize into REAL Arrow IPC
+      // record batches (ArrowConverters — the exact writer Spark's
+      // Python/R workers receive), the "model" (ArrowScorer — a
+      // deterministic integer scorer; CLIP/quality-classifier weights
+      // are the only fake part) consumes and produces batch BYTES like
+      // any sidecar model server would, and the output batches
+      // deserialize back into a DataFrame. Batch size rides the seam
+      // (128 rows here; pinned structurally in ArrowSeamSpec along
+      // with scorer-vs-SQL identity and empty-partition behavior).
+      // Scale posture: the seam is per-partition and columnar — a
+      // 1000-executor scoring pass streams batches with zero per-row
+      // JVM<->model chatter and zero driver involvement; the integer
+      // score (SUM floor(v*1e6) * ((i%13)-6)) is order-independent
+      // exact arithmetic, so the oracle reproduces it bit-for-bit.
+      (s, dir) => {
+        val in = Tables(s, dir).embeddings.select("vec_id", "embedding")
+        org.apache.spark.sql.graftbridge.Bridge
+          .mapArrowBatches(in, ArrowScorer.outSchema, 128L)(ArrowScorer.score)
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  CAST(list_sum([CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+             |                 * (((i - 1) % 13) - 6)
+             |                 for i in range(1, len(embedding) + 1)]) AS BIGINT) AS score
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -172,6 +172,77 @@ object Bridge {
       new org.apache.spark.util.SerializableConfiguration(job.getConfiguration), schema)
   }
 
+  // ---- Arrow inference seam (mapInArrow's shape, for JVM consumers) ---
+
+  /** The Arrow-batched MODEL-INFERENCE seam — `mapInArrow`'s plan shape
+    * without the Python worker: each partition's rows serialize into
+    * Arrow IPC record batches of `maxRecordsPerBatch` rows
+    * (ArrowConverters.toBatchIterator — the EXACT writer the Python/R
+    * paths ship batches through), `fn` consumes and produces batch
+    * bytes (a real model server's wire format: CLIP scoring, ONNX,
+    * a sidecar process), and the output batches deserialize back into
+    * rows of `outSchema`. Columnar hand-off, zero per-row JVM↔consumer
+    * chatter; the seam is per-partition, so a 1000-executor scoring
+    * pass streams batches without any driver involvement. */
+  def mapArrowBatches(
+      df: DataFrame,
+      outSchema: types.StructType,
+      maxRecordsPerBatch: Long)(
+      fn: Iterator[Array[Byte]] => Iterator[Array[Byte]]): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val ss = ds.sparkSession
+    val tz = ss.sessionState.conf.sessionLocalTimeZone
+    val inSchema = df.schema
+    val rdd = ds.queryExecution.toRdd.mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val in: Iterator[Array[Byte]] = execution.arrow.ArrowConverters
+        .toBatchIterator(it, inSchema, maxRecordsPerBatch, tz, true, false, ctx)
+      // the Arrow reader hands back column-view rows that mutate as the
+      // batch advances — copy through an UnsafeProjection before Spark
+      // operators buffer them
+      val proj = catalyst.expressions.UnsafeProjection.create(outSchema)
+      execution.arrow.ArrowConverters
+        .fromBatchIterator(fn(in), outSchema, tz, true, false, ctx)
+        .map(proj)
+    }
+    ss.internalCreateDataFrame(rdd, outSchema)
+  }
+
+  /** Child allocator off Spark's own root — the allocator an Arrow
+    * batch consumer (the `fn` above) should live in. */
+  def arrowAllocator(name: String): org.apache.arrow.memory.BufferAllocator =
+    util.ArrowUtils.rootAllocator.newChildAllocator(name, 0L, Long.MaxValue)
+
+  /** Catalyst schema → Arrow schema, the same mapping toBatchIterator
+    * serialized with — what a consumer needs to build its VectorSchemaRoot. */
+  def arrowSchema(
+      schema: types.StructType, timeZoneId: String = "UTC")
+      : org.apache.arrow.vector.types.pojo.Schema =
+    util.ArrowUtils.toArrowSchema(schema, timeZoneId, true, false)
+
+  /** Deserialize one toBatchIterator-framed record batch (the inverse
+    * of [[arrowWriteBatch]] — bare IPC record-batch message bytes). */
+  def arrowLoadBatch(
+      bytes: Array[Byte],
+      alloc: org.apache.arrow.memory.BufferAllocator)
+      : org.apache.arrow.vector.ipc.message.ArrowRecordBatch =
+    org.apache.arrow.vector.ipc.message.MessageSerializer
+      .deserializeRecordBatch(
+        new org.apache.arrow.vector.ipc.ReadChannel(java.nio.channels.Channels
+          .newChannel(new java.io.ByteArrayInputStream(bytes))), alloc)
+
+  /** Serialize a root's current contents in the SAME framing
+    * fromBatchIterator consumes (bare IPC record-batch message). */
+  def arrowWriteBatch(root: org.apache.arrow.vector.VectorSchemaRoot): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val wc = new org.apache.arrow.vector.ipc.WriteChannel(
+      java.nio.channels.Channels.newChannel(out))
+    val batch = new org.apache.arrow.vector.VectorUnloader(root).getRecordBatch
+    try org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(wc, batch)
+    finally batch.close()
+    out.toByteArray
+  }
+
   /** Block until the async listener bus has delivered everything posted
     * so far (bounded). QueryExecutionListener callbacks ride this bus,
     * so "bus empty" == "every completed action's observed metrics have
