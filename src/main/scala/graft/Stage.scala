@@ -29,4 +29,31 @@ object Stage {
       .mkString
     new java.io.File(System.getProperty("java.io.tmpdir"), s"$prefix$key")
   }
+
+  /** Every reachable node of the CURRENT (post-AQE) physical plan —
+    * what a query's structural REQUIREs must walk: `sparkPlan` predates
+    * EnsureRequirements, so exchanges and sorts NEVER appear there and
+    * a "zero shuffle" claim against it would be vacuous. Execute the
+    * frame first (the AQE-final plan exists only after execution). */
+  def executedNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  /** Shuffle exchanges in the executed plan (reused ones excluded). */
+  def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    executedNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+
+  /** Sort operators in the executed plan. */
+  def sortCount(df: org.apache.spark.sql.DataFrame): Int =
+    executedNodes(df).count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
 }

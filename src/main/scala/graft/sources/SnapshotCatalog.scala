@@ -42,14 +42,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * records the same per-file min/max/nullCount pruning stats without
   * the writer restating them.
   *
-  * Deliberate refusals (loud, not wrong): PARTITIONED BY (identity
-  * clustering needs the exact-partitioner routing only
-  * `SnapshotTable.commit(clusterBy)` owns), ALTER TABLE (schema
-  * evolution is the commit path's extend-only contract), RENAME (a
-  * table root is an immutable address for its manifests' file paths).
+  * `PARTITIONED BY` declares the physical LAYOUT (clustering, not
+  * hive-style directories): `PARTITIONED BY (k)` identity-clusters
+  * (one key value per data file — the SPJ arm `SnapshotTable.commit
+  * (clusterBy)` owns, now reachable from SQL), `PARTITIONED BY
+  * (bucket(n, k))` hash-buckets ([[GraftBucket]] — fixed file-count
+  * budget for high-cardinality keys, zero-shuffle equi-joins between
+  * co-bucketed tables, n-fold point-lookup pruning). The `bucket`
+  * function itself is served through this catalog's FunctionCatalog
+  * arm, which is how Spark resolves the write's required distribution
+  * and the scan's reported partitioning.
+  *
+  * Deliberate refusals (loud, not wrong): other partition transforms
+  * (years/months/days/truncate — stats-clustering by the raw column
+  * already prunes those reads), ALTER TABLE beyond trailing nullable
+  * ADD COLUMN (schema evolution is the commit path's extend-only
+  * contract), RENAME (a table root is an immutable address for its
+  * manifests' file paths).
   */
 class SnapshotCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The V2 functions this catalog serves: `bucket` only — resolved by
+    * Spark when planning bucketed writes (required distribution) and
+    * bucketed scans (reported KeyGroupedPartitioning for SPJ). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
 
   private var catName: String = _
   private var warehouse: String = _
@@ -128,10 +153,51 @@ class SnapshotCatalog extends TableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "PARTITIONED BY is refused: identity clustering needs the exact-partitioner " +
-        "routing only SnapshotTable.commit(clusterBy = ...) owns — create unpartitioned " +
-        "and cluster through the API commit")
+    require(partitions.length <= 1,
+      s"at most one clustering transform, got ${partitions.mkString(", ")}")
+    // PARTITIONED BY (k) → identity clustering (one key per file, SPJ);
+    // PARTITIONED BY (bucket(n, k)) → hash buckets (GraftBucket). Both
+    // are LAYOUT declarations the write path enforces via
+    // RequiresDistributionAndOrdering — no hive directories.
+    val layout: Option[(String, String)] = partitions.headOption.map { t =>
+      def refOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+        e match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 => r.fieldNames()(0)
+          case other => throw new UnsupportedOperationException(
+            s"nested/computed partition reference $other is not supported")
+        }
+      t.name match {
+        case "identity" => SnapshotTable.ClusterK -> refOf(t.arguments()(0))
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType == IntegerType => l.value.asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket needs an int bucket count, got ${t.describe}"))
+          val refs = t.arguments().collect {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference => r
+          }
+          require(refs.length == 1, s"bucket takes one column, got ${t.describe}")
+          require(n > 0, s"bucket count must be positive, got $n")
+          val c = refOf(refs(0))
+          val dt = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(s"bucket names unknown column $c")).dataType
+          require(GraftBucket.supports(dt),
+            s"bucket column $c: ${dt.simpleString} is not an integral or string key")
+          require(!schema.fieldNames.contains(SnapshotTable.BucketStat),
+            s"column name ${SnapshotTable.BucketStat} is reserved on bucketed tables " +
+              "(it records each file's bucket id in the manifest)")
+          SnapshotTable.BucketK -> s"$c:$n"
+        case other => throw new UnsupportedOperationException(
+          s"partition transform $other is not supported — identity (one key value " +
+            "per file, storage-partitioned joins) and bucket(n, col) (hash-bucket " +
+            "layout) are; time-derived reads prune from the raw column's stats")
+      }
+    }
+    layout.collect { case (SnapshotTable.ClusterK, c) => c }.foreach { c =>
+      require(schema.fieldNames.contains(c), s"PARTITIONED BY names unknown column $c")
+    }
     val p = pathOf(ident)
     if (SnapshotTable.currentVersion(p) > 0)
       throw new TableAlreadyExistsException(ident)
@@ -154,7 +220,7 @@ class SnapshotCatalog extends TableCatalog
     val extra =
       (if (stats.isEmpty) Map.empty[String, String]
        else Map(SnapshotTable.StatsColsK -> stats.mkString(","))) ++
-        morKey.map(SnapshotTable.MorKeyK -> _)
+        morKey.map(SnapshotTable.MorKeyK -> _) ++ layout
     SnapshotTable.createEmpty(p, schema, extra)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
   }
@@ -234,23 +300,33 @@ private[sources] object SnapshotWrites {
       overwrite: Boolean,
       replaceScanned: Option[() => Set[String]]): Write = {
     val cluster = SnapshotTable.clusterKeyOf(m)
+    val bucket = SnapshotTable.bucketSpecOf(m)
     val stats = SnapshotTable.statsColumnsOf(m)
-    cluster match {
-      case None =>
-        new SnapshotWrite(table, schema, stats, None, overwrite, replaceScanned)
-      case Some(k) =>
-        new SnapshotWrite(table, schema, stats, Some(k), overwrite, replaceScanned)
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder => V2SortOrder}
+    (cluster, bucket) match {
+      case (Some(k), _) =>
+        new SnapshotWrite(table, schema, stats, Some(k), None, overwrite, replaceScanned)
           with RequiresDistributionAndOrdering {
-          override def requiredDistribution()
-              : org.apache.spark.sql.connector.distributions.Distribution =
-            org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(org.apache.spark.sql.connector.expressions.Expressions.column(k)))
-          override def requiredOrdering()
-              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-              org.apache.spark.sql.connector.expressions.Expressions.column(k),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(E.column(k)))
+          override def requiredOrdering(): Array[V2SortOrder] =
+            Array(E.sort(E.column(k), SortDirection.ASCENDING))
         }
+      case (None, Some((c, n))) =>
+        // Spark evaluates bucket(n, c) itself (resolved through the
+        // catalog's FunctionCatalog arm) to route rows, and the
+        // bucket-ASC ordering makes buckets arrive contiguously — the
+        // rolling writer cuts one file per bucket and stamps it.
+        new SnapshotWrite(table, schema, stats, None, Some((c, n)), overwrite,
+          replaceScanned) with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(E.bucket(n, c)))
+          override def requiredOrdering(): Array[V2SortOrder] =
+            Array(E.sort(E.bucket(n, c), SortDirection.ASCENDING))
+        }
+      case _ =>
+        new SnapshotWrite(table, schema, stats, None, None, overwrite, replaceScanned)
     }
   }
 }
@@ -260,14 +336,15 @@ private[sources] class SnapshotWrite(
     schema: StructType,
     statsCols: Seq[String],
     clusterBy: Option[String],
+    bucketBy: Option[(String, Int)],
     overwrite: Boolean,
     replaceScanned: Option[() => Set[String]] = None) extends Write {
 
   override def toBatch: BatchWrite = replaceScanned match {
     case Some(scanned) =>
-      new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, scanned)
+      new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, bucketBy, scanned)
     case None =>
-      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, overwrite)
+      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, overwrite)
   }
 
   /** Streaming append (`df.writeStream.toTable(...)`): per-epoch
@@ -281,7 +358,7 @@ private[sources] class SnapshotWrite(
     require(!overwrite,
       "streaming complete/truncate mode is refused — the snapshot sink is append-only " +
         "(use foreachBatch + mergeBatch for replace semantics)")
-    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy)
+    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy, bucketBy)
   }
 }
 
@@ -289,7 +366,8 @@ private[sources] class SnapshotStreamingWrite(
     table: String,
     schema: StructType,
     statsCols: Seq[String],
-    clusterBy: Option[String])
+    clusterBy: Option[String],
+    bucketBy: Option[(String, Int)])
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   // one staging dir for the query's lifetime; epoch-prefixed file
@@ -305,16 +383,22 @@ private[sources] class SnapshotStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
-    val tracked = (statsCols ++ clusterBy.filterNot(statsCols.contains)).flatMap { c =>
-      schema.fields.zipWithIndex.find(_._1.name == c).map {
-        case (f, i) => (c, i, f.dataType)
+    val tracked = (statsCols ++
+      (clusterBy.toSeq ++ bucketBy.map(_._1)).filterNot(statsCols.contains))
+      .distinct.flatMap { c =>
+        schema.fields.zipWithIndex.find(_._1.name == c).map {
+          case (f, i) => (c, i, f.dataType)
+        }
       }
-    }
     val cluster = clusterBy.map { k =>
       val i = schema.fieldIndex(k)
       (i, schema.fields(i).dataType)
     }
-    new SnapshotDataWriterFactory(stage, tracked, cluster,
+    val bucket = bucketBy.map { case (c, n) =>
+      val i = schema.fieldIndex(c)
+      (i, schema.fields(i).dataType, n)
+    }
+    new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema))
   }
 
@@ -354,6 +438,7 @@ private[sources] class SnapshotBatchWrite(
     schema: StructType,
     statsCols: Seq[String],
     clusterBy: Option[String],
+    bucketBy: Option[(String, Int)],
     overwrite: Boolean) extends BatchWrite {
 
   private val stage = {
@@ -368,18 +453,26 @@ private[sources] class SnapshotBatchWrite(
   protected def dropOpColumn: Boolean = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // the cluster key is ALWAYS tracked: its per-file min == max stat
-    // is how the scan recovers SPJ partition values from the manifest
-    val tracked = (statsCols ++ clusterBy.filterNot(statsCols.contains)).flatMap { c =>
-      schema.fields.zipWithIndex.find(_._1.name == c).map {
-        case (f, i) => (c, i, f.dataType)
+    // the cluster/bucket key is ALWAYS tracked: a cluster key's
+    // min == max stat is how the scan recovers SPJ partition values
+    // from the manifest; a bucket key's range adds free range pruning
+    // beside the __bucket stamp
+    val tracked = (statsCols ++
+      (clusterBy.toSeq ++ bucketBy.map(_._1)).filterNot(statsCols.contains))
+      .distinct.flatMap { c =>
+        schema.fields.zipWithIndex.find(_._1.name == c).map {
+          case (f, i) => (c, i, f.dataType)
+        }
       }
-    }
     val cluster = clusterBy.map { k =>
       val i = schema.fieldIndex(k)
       (i, schema.fields(i).dataType)
     }
-    new SnapshotDataWriterFactory(stage, tracked, cluster,
+    val bucket = bucketBy.map { case (c, n) =>
+      val i = schema.fieldIndex(c)
+      (i, schema.fields(i).dataType, n)
+    }
+    new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema),
       if (dropOpColumn) Some(schema) else None)
   }
@@ -405,13 +498,14 @@ private[sources] class SnapshotDataWriterFactory(
     stage: String,
     tracked: Seq[(String, Int, DataType)],
     cluster: Option[(Int, DataType)],
+    bucket: Option[(Int, DataType, Int)],
     pw: Bridge.ParquetRowWriterFactory,
     dropOpSchema: Option[StructType] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
     new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw,
-      dropOpSchema)
+      dropOpSchema, bucket)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writerFor(s"part-$partitionId-$taskId")
@@ -437,7 +531,8 @@ private[sources] class SnapshotDataWriter(
     tracked: Seq[(String, Int, DataType)],
     cluster: Option[(Int, DataType)],
     pw: Bridge.ParquetRowWriterFactory,
-    dropOpSchema: Option[StructType] = None) extends DataWriter[InternalRow] {
+    dropOpSchema: Option[StructType] = None,
+    bucket: Option[(Int, DataType, Int)] = None) extends DataWriter[InternalRow] {
 
   // row-level rewrite rows arrive as [__row_operation, data...]: strip
   // the op column through a reusable ordinal projection (Spark's own
@@ -453,6 +548,9 @@ private[sources] class SnapshotDataWriter(
   private var currentKey: Any = _
   private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
   private var rows = 0L
+  // the open file's bucket id (bucket mode only): every row in the file
+  // shares it by the roll-on-change construction, recorded at rollFile
+  private var currentBucket = -1
   private val nulls = Array.fill(tracked.size)(0L)
   private val minL = Array.fill(tracked.size)(Long.MaxValue)
   private val maxL = Array.fill(tracked.size)(Long.MinValue)
@@ -484,6 +582,16 @@ private[sources] class SnapshotDataWriter(
       val k = keyOf(row, idx, dt)
       if (writer != null && k != currentKey) rollFile()
       currentKey = k
+    }
+    bucket.foreach { case (idx, dt, n) =>
+      require(!row.isNullAt(idx),
+        "NULL bucket key refused — hash bucketing needs a total key")
+      val b = dt match {
+        case StringType => GraftBucket.of(row.getUTF8String(idx), n)
+        case _          => GraftBucket.of(keyOf(row, idx, dt).asInstanceOf[Long], n)
+      }
+      if (writer != null && b != currentBucket) rollFile()
+      currentBucket = b
     }
     if (writer == null) {
       path = pathFor(fileSeq)
@@ -529,6 +637,11 @@ private[sources] class SnapshotDataWriter(
           ist += c -> (minL(i), maxL(i))
         case _ =>
       }
+    }
+    // the bucket stamp: one bucket per file by construction (min == max)
+    // — what the scan's key groups and equality pruning read
+    bucket.foreach { _ =>
+      ist += SnapshotTable.BucketStat -> (currentBucket.toLong, currentBucket.toLong)
     }
     done += SnapshotTable.FileEntry(
       path, ist.result(), sst.result(), nst.result(), Map.empty, pw.sizeOf(path))
@@ -726,8 +839,10 @@ private[sources] class SnapshotGroupReplaceWrite(
     schema: StructType,
     statsCols: Seq[String],
     clusterBy: Option[String],
+    bucketBy: Option[(String, Int)],
     scanned: () => Set[String])
-    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, overwrite = false) {
+    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy,
+      overwrite = false) {
 
   override protected def dropOpColumn: Boolean = true
 

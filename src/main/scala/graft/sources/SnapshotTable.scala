@@ -737,13 +737,13 @@ object SnapshotTable {
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
         carryExtra = parent.extra.view.filterKeys(k =>
           k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-            k == MorKeyK).toMap
+            k == MorKeyK || k == BucketK).toMap
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
         val parent = manifest(table, current, io)
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == ClusterK || k == StatsColsK || k == MorKeyK).toMap
+          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK).toMap
         (Vector.empty, Vector.empty)
       } else (Vector.empty, Vector.empty)
     publishManifest(table, current + 1, current, publishSchema,
@@ -765,7 +765,7 @@ object SnapshotTable {
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val carry = m.extra.view.filterKeys(k =>
       k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK).toMap
+        k == MorKeyK || k == BucketK).toMap
     publishManifest(table, m.version + 1, m.version, m.schema,
       Nil, kept, "delete", carry, io)
   }
@@ -788,7 +788,7 @@ object SnapshotTable {
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
     val carry = m.extra.view.filterKeys(k =>
       k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK).toMap
+        k == MorKeyK || k == BucketK).toMap
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
   }
@@ -812,7 +812,7 @@ object SnapshotTable {
     requireNoDv(m, table, "a row-level rewrite")
     val kept = m.files.filterNot(f => scanned(f.path))
     val carry = m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK).toMap
     publishManifest(table, cur + 1, cur, m.schema, Nil, kept ++ entries,
       "merge", carry, io)
   }
@@ -882,6 +882,7 @@ object SnapshotTable {
     require(current > 0, s"cannot merge into non-existent table $table")
     val m = manifest(table, current, io)
     requireNoDv(m, table, "merge")
+    requireNotBucketed(m, table, "merge")
     val dataCols = batch.schema.fieldNames.filterNot(deleteCol.contains)
     require(
       dataCols.sameElements(m.schema.fieldNames),
@@ -1299,6 +1300,27 @@ object SnapshotTable {
   /** The declared merge-on-read row-id column, if any. */
   def morKeyOf(m: Manifest): Option[String] = m.extra.get(MorKeyK)
 
+  /** Reserved manifest key: the table's HASH-BUCKET layout, recorded as
+    * `<col>:<n>` at `CREATE TABLE ... PARTITIONED BY (bucket(n, col))`.
+    * Every data file of a bucketed table holds exactly one bucket of
+    * [[graft.sources.GraftBucket]]'s hash, recorded as a min==max
+    * [[BucketStat]] manifest stat — what the scan groups into
+    * `KeyGroupedPartitioning(bucket(n, col))` for storage-partitioned
+    * joins and what equality filters prune files by. */
+  private[sources] val BucketK = "bucket"
+
+  /** The synthetic per-file stat column recording the file's bucket id
+    * (min == max by the rolling writer's construction). Reserved: a
+    * bucketed table's schema may not name a column this. */
+  private[graft] val BucketStat = "__bucket"
+
+  /** The declared bucket layout (column, bucket count), if any. */
+  def bucketSpecOf(m: Manifest): Option[(String, Int)] =
+    m.extra.get(BucketK).map { s =>
+      val i = s.lastIndexOf(':')
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+
   /** Route every row of key `k` to the one partition owning that key —
     * an EXACT partitioner, not hash-modulo (two keys must never share a
     * file, or the file's min==max stat and the SPJ partition grouping
@@ -1372,6 +1394,17 @@ object SnapshotTable {
         s"$op reads data files raw and would resurrect deleted rows; run " +
         "compactSnapshot (which materializes the deletes) first")
 
+  /** Maintenance that rewrites data files OUTSIDE the bucketed write
+    * path would drop the per-file [[BucketStat]] and silently demote
+    * the whole table's SPJ/prune layout to unknown — refuse loudly;
+    * `INSERT OVERWRITE` (whose V2 write re-routes and re-stamps every
+    * bucket) is the layout-preserving rewrite. */
+  private def requireNotBucketed(m: Manifest, table: String, op: String): Unit =
+    require(bucketSpecOf(m).isEmpty,
+      s"$op refused on hash-bucketed $table (bucket=${m.extra(BucketK)}) — " +
+        "it would rewrite files without their bucket stamp and demote the " +
+        "layout; rewrite through INSERT OVERWRITE, which re-buckets")
+
   /** Merge-on-read DELETE — the Delta deletion-vector shape: record the
     * keys to delete as a small parquet sidecar and a manifest pointer,
     * touching ZERO data files. Every read path anti-joins the
@@ -1439,7 +1472,7 @@ object SnapshotTable {
   /** Table-level declarations every metadata commit must carry. */
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK).toMap
 
   /** Write one deletion-vector sidecar (the batch's DISTINCT keys,
     * one small parquet) stamped at commit sequence `seq`, and return
@@ -1501,6 +1534,7 @@ object SnapshotTable {
     require(clusterKeyOf(m).isEmpty,
       s"mergeMoR refused on identity-clustered $table — post-image appends " +
         "break the one-key-per-file invariant; copy-on-write merge maintains it")
+    requireNotBucketed(m, table, "mergeMoR")
     val next = current + 1
     val newDv = writeDvSidecar(spark, batch.select(col(key)), table, key, next, io)
     val upserts = deleteCol match {
@@ -1595,6 +1629,7 @@ object SnapshotTable {
       io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
+    requireNotBucketed(m, table, "compactSnapshot")
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
     val bytes = m.files.map(f => io.size(f.path)).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -1647,6 +1682,7 @@ object SnapshotTable {
         statsColumns = zorderBy, clusterBy = zorderBy, io = io)
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
+    requireNotBucketed(m, table, "compactZOrder")
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
     zorderBy.foreach { c =>
       val f = m.schema.fields.find(_.name == c).getOrElse(

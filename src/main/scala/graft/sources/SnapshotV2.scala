@@ -134,11 +134,12 @@ private[sources] class SnapshotV2Table(
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
-  /** The identity-cluster spec as a V2 transform — what catalog-aware
-    * planners read; the SPJ decision itself rides the SCAN's reported
-    * partitioning below. */
+  /** The identity-cluster or hash-bucket spec as a V2 transform — what
+    * catalog-aware planners read; the SPJ decision itself rides the
+    * SCAN's reported partitioning below. */
   override def partitioning(): Array[Transform] =
-    SnapshotTable.clusterKeyOf(m).map(Expressions.identity).toArray
+    SnapshotTable.clusterKeyOf(m).map(Expressions.identity).toArray ++
+      SnapshotTable.bucketSpecOf(m).map { case (c, n) => Expressions.bucket(n, c) }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(table, m,
@@ -166,7 +167,11 @@ private[sources] class SnapshotV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => SnapshotTable.morKeyOf(m) match {
-      case Some(k) if SnapshotTable.clusterKeyOf(m).isEmpty =>
+      case Some(k) if SnapshotTable.clusterKeyOf(m).isEmpty &&
+          SnapshotTable.bucketSpecOf(m).isEmpty =>
+        // bucketed tables prefer CoW too: the group rewrite re-routes
+        // through the bucketed write path, so the layout survives DML;
+        // delta post-images would land unstamped and demote it
         new SnapshotDeltaOperation(table, m, info.command(), k)
       case _ => new SnapshotRowLevelOperation(table, m, info.command())
     }
@@ -487,12 +492,15 @@ private[graft] class SnapshotV2Scan(
     * inputPartitions on the exec node never reflects them). */
   @volatile private[graft] var lastPlanned: Int = -1
 
-  /** Columns a runtime predicate could prune on: any column with a
-    * recorded stat anywhere in the manifest. */
+  /** Columns a runtime predicate could prune on: any SCHEMA column with
+    * a recorded stat anywhere in the manifest (synthetic stats like the
+    * `__bucket` stamp are not resolvable scan attributes — advertising
+    * one would crash the DPP rule's reference resolution). */
   override def filterAttributes(): Array[NamedReference] = {
     val ranges: Seq[SnapshotTable.StatRanges] = m.segments ++ m.inline
+    val names = m.schema.fieldNames.toSet
     ranges.flatMap(r => r.stats.keySet ++ r.sstats.keySet ++ r.nstats.keySet)
-      .distinct.map(Expressions.column).toArray
+      .distinct.filter(names).map(Expressions.column).toArray
   }
 
   override def filter(predicates: Array[Predicate]): Unit =
@@ -513,16 +521,53 @@ private[graft] class SnapshotV2Scan(
     * Iceberg equality-delete application shape). */
   private lazy val dv: Seq[SnapshotTable.DvRef] = SnapshotTable.dvRefs(m)
 
+  /** On a hash-bucketed table, equality/IN filters on the bucket key
+    * prune by the per-file bucket stamp: only bucket(v)'s files can
+    * hold `key = v` rows (the write path proves one bucket per file).
+    * Sound by determinism of the hash; a file without a stamp (written
+    * outside the bucketed path) can never be proven absent and is
+    * kept. Conjunction-only, like all manifest pruning: an unhandled
+    * filter shape simply doesn't constrain. */
+  private def bucketPrune(
+      es: Seq[SnapshotTable.FileEntry],
+      fs: Array[Filter]): Seq[SnapshotTable.FileEntry] =
+    SnapshotTable.bucketSpecOf(m) match {
+      case Some((key, n)) =>
+        val allowed: Seq[Set[Int]] = fs.toSeq.flatMap {
+          case org.apache.spark.sql.sources.EqualTo(c, v) if c == key =>
+            GraftBucket.ofAny(v, n).map(Set(_))
+          case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+              if c == key && v != null =>
+            GraftBucket.ofAny(v, n).map(Set(_))
+          case org.apache.spark.sql.sources.In(c, vs)
+              if c == key && vs.nonEmpty && vs.forall(_ != null) =>
+            val bs = vs.toSeq.map(v => GraftBucket.ofAny(v, n))
+            if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+          case _ => None
+        }
+        if (allowed.isEmpty) es
+        else {
+          val live = allowed.reduce(_ intersect _)
+          es.filter(f => f.stats.get(SnapshotTable.BucketStat) match {
+            case Some((lo, hi)) if lo == hi => live(lo.toInt)
+            case _ => true // unstamped file: keep (absence unprovable)
+          })
+        }
+      case None => es
+    }
+
   /** Manifest-pruned survivors of the STATIC filters — what the
     * reported partitioning and the CBO estimate derive from (both are
     * consumed before any runtime filter exists). */
   private lazy val entries: Seq[SnapshotTable.FileEntry] =
-    ManifestPruning.prunedEntries(m, m.schema, filters)
+    bucketPrune(ManifestPruning.prunedEntries(m, m.schema, filters), filters)
 
   /** Survivors of static AND runtime filters — what actually plans. */
   private def activeEntries: Seq[SnapshotTable.FileEntry] =
     if (runtime.isEmpty) entries
-    else ManifestPruning.prunedEntries(m, m.schema, filters ++ runtime)
+    else bucketPrune(
+      ManifestPruning.prunedEntries(m, m.schema, filters ++ runtime),
+      filters ++ runtime)
 
   /** File groups by exact cluster-key value, when the manifest proves
     * one: the table declares a cluster column AND every surviving file
@@ -570,6 +615,27 @@ private[graft] class SnapshotV2Scan(
         }
       })
     }.filter(_.nonEmpty)
+
+  /** File groups by hash-bucket id on a bucketed table — the bucket
+    * analogue of [[keyGroups]], same opt-outs (limit/TopN subsets,
+    * metadata columns, outstanding DVs) and the same soundness rule:
+    * one unstamped file (written outside the bucketed path) degrades
+    * the whole scan to unknown partitioning rather than lie to SPJ. */
+  private lazy val bucketGroups: Option[Seq[(Int, Seq[SnapshotTable.FileEntry])]] =
+    (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
+       dv.nonEmpty) None
+     else SnapshotTable.bucketSpecOf(m)).flatMap { _ =>
+      val keyed = entries.map(f => f.stats.get(SnapshotTable.BucketStat).collect {
+        case (lo, hi) if lo == hi => lo.toInt -> f
+      })
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
+        .toSeq.sortBy(_._1))
+    }.filter(_.nonEmpty)
+
+  /** Either grouping arm, uniformly typed for partition planning. */
+  private lazy val grouped: Option[Seq[(Any, Seq[SnapshotTable.FileEntry])]] =
+    keyGroups.orElse(bucketGroups.map(_.map { case (b, fs) => (b: Any, fs) }))
 
   private def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile =
     SnapshotV2.partitionedFile(f)
@@ -659,7 +725,7 @@ private[graft] class SnapshotV2Scan(
       s"metadata columns (${metaFields.mkString(",")}) on a table with " +
         s"${dv.size} outstanding deletion-vector file(s) — run compactSnapshot " +
         "(materializes the deletes) before provenance reads")
-    val planned: Array[InputPartition] = keyGroups match {
+    val planned: Array[InputPartition] = grouped match {
       case Some(groups) =>
         // runtime filters narrow files WITHIN the static key groups
         // (they only ever remove files, so surviving keys ⊆ reported
@@ -711,7 +777,12 @@ private[graft] class SnapshotV2Scan(
     case Some(groups) =>
       new KeyGroupedPartitioning(
         Array(Expressions.identity(SnapshotTable.clusterKeyOf(m).get)), groups.size)
-    case None => new UnknownPartitioning(entries.size)
+    case None => bucketGroups match {
+      case Some(groups) =>
+        val (c, n) = SnapshotTable.bucketSpecOf(m).get
+        new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups.size)
+      case None => new UnknownPartitioning(entries.size)
+    }
   }
 
   /** Each key-grouped partition holds exactly ONE cluster-key value, so

@@ -2640,6 +2640,158 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders WHERE year(o_orderdate) = 1995
              |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_bucket_spj",
+      // HASH-BUCKET LAYOUT AT CREATE TABLE — `PARTITIONED BY
+      // (bucket(16, ck))` (the Iceberg bucket-transform shape on
+      // Spark's V2 FunctionCatalog machinery; GraftBucket.scala): the
+      // INSERT's required distribution routes rows through the
+      // catalog-served bucket function, the rolling writer cuts ONE
+      // file per bucket and stamps it into the manifest (__bucket
+      // min==max — REQUIREd below for every file), the scans report
+      // KeyGroupedPartitioning(bucket(16, ck)), and the fact-fact join
+      // of the two co-bucketed tables executes with ZERO exchanges
+      // (REQUIREd against the post-AQE executed plan, broadcast
+      // disabled — the layout a 100 TB fact⋈fact equi-join needs).
+      // The point lookup `ck = 371` REQUIREs a strict file subset:
+      // only bucket(371)'s files plan (the distributed re-expression
+      // of the reference's per-table id hash indexes,
+      // src/database/mod.rs:61). Round25Spec pins refusals (NULL
+      // keys, unsupported transforms, maintenance on bucketed
+      // layouts) and unstamped-file degradation beside this.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_bspj_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftbk_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.c (ck BIGINT NOT NULL, acct DOUBLE) " +
+          "PARTITIONED BY (bucket(16, ck)) TBLPROPERTIES('statsColumns'='ck')")
+        s.sql(s"CREATE TABLE $cat.o (ok BIGINT, ck BIGINT NOT NULL, price DOUBLE) " +
+          "PARTITIONED BY (bucket(16, ck))")
+        Tables(s, dir).customer
+          .select(col("c_custkey").as("ck"), col("c_acctbal").as("acct"))
+          .createOrReplaceTempView("graft_bspj_c")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_bspj_o")
+        s.sql(s"INSERT INTO $cat.c SELECT * FROM graft_bspj_c")
+        s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_bspj_o")
+        Seq("c", "o").foreach { t =>
+          val m = SnapshotTable.manifest(s"$wh/$t", 2L)
+          require(m.files.nonEmpty && m.files.forall(
+            _.stats.get(SnapshotTable.BucketStat).exists { case (lo, hi) => lo == hi }),
+            s"every $t data file must carry its one-bucket stamp")
+        }
+        // storage-partitioned join: zero exchanges on the executed plan
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.sql(s"SELECT c.ck, o.price FROM $cat.c c JOIN $cat.o o ON c.ck = o.ck")
+          j.count() // materialize the AQE-final plan
+          val shuffles = graft.Stage.shuffleCount(j)
+          require(shuffles == 0,
+            s"co-bucketed SPJ must plan zero exchanges, got $shuffles")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        // point lookup prunes to bucket(371)'s files only
+        val eq = s.sql(s"SELECT * FROM $cat.o WHERE ck = 371")
+        val planned = eq.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        val total = SnapshotTable.manifest(s"$wh/o", 2L).fileCount
+        require(planned < total,
+          s"bucket equality pruning must plan a strict file subset ($planned/$total)")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_rows", "sum_price")
+        agg(s.sql(s"SELECT o.price FROM $cat.c c JOIN $cat.o o ON c.ck = o.ck"), "join")
+          .unionByName(agg(eq, "eq"))
+          .orderBy("arm")
+      },
+      Some("""SELECT 'eq' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_custkey = 371
+             |UNION ALL
+             |SELECT 'join', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_clustered",
+      // IDENTITY CLUSTERING FROM SQL — `PARTITIONED BY (nk)` records
+      // the same layout declaration as the API commit(clusterBy): the
+      // INSERT routes and sorts by the key (RequiresDistributionAnd-
+      // Ordering), the rolling writer cuts one file per key value
+      // (REQUIREd: min==max on every file), and two co-clustered
+      // tables sort-merge-join with ZERO exchange AND ZERO sort on the
+      // executed plan (each partition holds one key, so the reported
+      // per-partition ordering satisfies the SMJ) — the full
+      // rel_join_bucketed property, now declared and consumed without
+      // leaving SQL. The arms are the per-nation join aggregate and a
+      // one-nation point read REQUIREd to plan exactly one partition.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqlclu_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftcl_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.c (ck BIGINT, nk BIGINT NOT NULL, acct DOUBLE) " +
+          "PARTITIONED BY (nk)")
+        s.sql(s"CREATE TABLE $cat.s (sk BIGINT, nk BIGINT NOT NULL, sacct DOUBLE) " +
+          "PARTITIONED BY (nk)")
+        Tables(s, dir).customer
+          .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+            col("c_acctbal").as("acct"))
+          .createOrReplaceTempView("graft_sqlclu_c")
+        Tables(s, dir).supplier
+          .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"),
+            col("s_acctbal").as("sacct"))
+          .createOrReplaceTempView("graft_sqlclu_s")
+        s.sql(s"INSERT INTO $cat.c SELECT * FROM graft_sqlclu_c")
+        s.sql(s"INSERT INTO $cat.s SELECT * FROM graft_sqlclu_s")
+        Seq("c", "s").foreach { t =>
+          val m = SnapshotTable.manifest(s"$wh/$t", 2L)
+          require(m.files.nonEmpty && m.files.forall(
+            _.stats.get("nk").exists { case (lo, hi) => lo == hi }),
+            s"every $t data file must hold exactly one nation key")
+        }
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.table(s"$cat.c")
+            .join(s.table(s"$cat.s").hint("merge"), Seq("nk"))
+          j.count() // materialize the AQE-final plan
+          require(graft.Stage.shuffleCount(j) == 0,
+            "co-clustered SQL tables must SPJ with zero exchanges")
+          require(graft.Stage.sortCount(j) == 0,
+            "one key per partition: the reported ordering must kill the SMJ sorts")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        val one = s.sql(s"SELECT * FROM $cat.c WHERE nk = 7")
+        val planned = one.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        require(planned == 1, s"a one-key read of a clustered table plans ONE " +
+          s"partition, got $planned")
+        s.table(s"$cat.c").join(s.table(s"$cat.s"), Seq("nk"))
+          .groupBy("nk")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum((col("acct") + col("sacct")).cast("decimal(38,4)")).cast("double")
+              .as("sum_acct"))
+          .orderBy("nk")
+      },
+      Some("""SELECT c_nationkey::BIGINT AS nk, COUNT(*)::BIGINT AS n_pairs,
+             |CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_acct
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -87,12 +87,14 @@ class Round19Spec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() === 3)
   }
 
-  test("catalog refusals: PARTITIONED BY, ALTER, RENAME") {
+  test("catalog refusals: unsupported transforms, ALTER, RENAME") {
     val (cat, wh) = freshCatalog()
+    // identity and bucket(n, k) are LAYOUTS now (Round25Spec); every
+    // other transform still refuses loudly
     val e1 = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.p (k BIGINT) PARTITIONED BY (k)")
+      spark.sql(s"CREATE TABLE $cat.p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
     }
-    assert(e1.getMessage.contains("PARTITIONED BY is refused"))
+    assert(e1.getMessage.contains("partition transform years is not supported"))
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN v")

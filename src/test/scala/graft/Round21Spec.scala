@@ -338,14 +338,19 @@ class Round21Spec extends AnyFunSuite {
       Tables(spark, sf).supplier.select("s_suppkey", "s_nationkey"),
       st, append = false, clusterBy = Some("s_nationkey"))
     val j = v2(ct).join(v2(st).hint("merge"), col("c_nationkey") === col("s_nationkey"))
-    val plan = j.queryExecution.sparkPlan
-    val smj = plan.collect { case m: SortMergeJoinExec => m }
-    assert(smj.nonEmpty)
-    assert(smj.flatMap(_.collect { case s: SortExec => s }).isEmpty,
-      "reported per-partition ordering must satisfy the SMJ's required child ordering")
-    // and the result is still the join (sanity: row count matches a hash join)
+    // the result is still the join (sanity: row count matches a hash join)
     assert(j.count() ===
       Tables(spark, sf).customer.join(Tables(spark, sf).supplier,
         col("c_nationkey") === col("s_nationkey")).count())
+    // assert on the EXECUTED (post-AQE) plan: sparkPlan predates
+    // EnsureRequirements, so sorts/exchanges never appear there and a
+    // "no SortExec" check against it is vacuous (r14 fix)
+    assert(PlanCheck.has[SortMergeJoinExec](j))
+    assert(PlanCheck.collectNodes[SortExec](j).isEmpty,
+      "reported per-partition ordering must satisfy the SMJ's required child ordering\n" +
+        PlanCheck.render(j))
+    assert(PlanCheck.collectNodes[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec](j).isEmpty,
+      "co-clustered SPJ must plan zero exchanges")
   }
 }
