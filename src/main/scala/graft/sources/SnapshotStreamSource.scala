@@ -320,13 +320,16 @@ private[sources] class SnapshotCdcSource(
         org.apache.spark.sql.graftbridge.Bridge
           .streamingParquetBatch(spark, Nil, schema)
       case Some(from) =>
-        // one state-diff per version transition, materialized under a
-        // deterministic range-keyed path: a WAL replay overwrites the
-        // SAME content (immutable manifests), then streams it back
+        // one INCREMENTAL diff per version transition (r14: upgraded
+        // from the state-based changeFeed — each transition now costs
+        // O(its touched files + DV-hit carried files), not a
+        // full-state full-outer join; Round26Spec pins per-commit
+        // equivalence), materialized under a deterministic range-keyed
+        // path: a WAL replay overwrites the SAME content (immutable
+        // manifests), then streams it back
         val staging = s"$table/_cdc_staging/${from}_$to"
-        ((from + 1) to to)
-          .map(v => SnapshotTable.changeFeed(spark, table, v - 1, v, key))
-          .reduce(_ unionByName _)
+        SnapshotTable.changeFeedIncremental(spark, table, from, to, key)
+          .drop("_commit_version")
           .write.mode("overwrite").parquet(staging)
         val files = LocalSnapshotIO.list(staging)
           .filter(_.endsWith(".parquet")).sorted.map(n => s"$staging/$n")

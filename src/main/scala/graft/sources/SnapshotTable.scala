@@ -672,8 +672,16 @@ object SnapshotTable {
             s"snapshot $current's ${parent.schema.simpleString} — appends may only " +
             "ADD columns at the end (rename/drop/reorder/retype refused)")
         // outstanding deletion vectors ride every append verbatim — a
-        // commit that dropped them would resurrect the deleted rows
-        dvCarry = dvExtra(parent)
+        // commit that dropped them would resurrect the deleted rows.
+        // Table-level DECLARATIONS (declared stats columns, morKey,
+        // bucket layout) are table properties, not per-commit choices:
+        // an API append must not silently strip them (the catalog's
+        // publishFiles already carries them; r14 fix) — though an API
+        // append to a BUCKETED table writes unstamped files and costs
+        // the SPJ grouping until an overwrite re-buckets (the scan
+        // degrades soundly; Round25Spec pins it)
+        dvCarry = dvExtra(parent) ++ parent.extra.view.filterKeys(k =>
+          k == StatsColsK || k == MorKeyK || k == BucketK).toMap
         parentCluster = parent.extra.get(ClusterK)
         (parent.segments, parent.inline)
       } else (Vector.empty, Vector.empty)
@@ -1920,8 +1928,23 @@ object SnapshotTable {
       s"change feed across a schema boundary (${ma.schema.simpleString} vs " +
         s"${mb.schema.simpleString}) — diff the common columns explicitly instead")
     val cols = mb.schema.fieldNames.toSeq
-    val a = read(spark, table, Some(fromVersion), io).as("a")
-    val b = read(spark, table, Some(toVersion), io).as("b")
+    diffByKey(
+      read(spark, table, Some(fromVersion), io),
+      read(spark, table, Some(toVersion), io),
+      cols, key)
+  }
+
+  /** Classify a keyed PRE-side vs POST-side diff into change-feed rows:
+    * pre-only → delete, post-only → insert, both with any column
+    * differing → update pre/postimage, both identical → dropped (the
+    * no-change rows a rewrite carries verbatim). Shared by the
+    * state-based [[changeFeed]] (whole-version sides) and the
+    * incremental [[changeFeedIncremental]] (touched-file sides). */
+  private def diffByKey(
+      preSide: DataFrame, postSide: DataFrame,
+      cols: Seq[String], key: String): DataFrame = {
+    val a = preSide.as("a")
+    val b = postSide.as("b")
     val joined = a.join(b, col(s"a.$key") === col(s"b.$key"), "full_outer")
     val differs = cols.filterNot(_ == key)
       .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
@@ -1939,6 +1962,122 @@ object SnapshotTable {
       .select(explode(filter(changes, x => x.isNotNull)).as("c"))
       .select(col("c._change_type").as("_change_type") +: cols.map(c => col(s"c.$c").as(c)): _*)
   }
+
+  /** INCREMENTAL CHANGE FEED — Delta's `table_changes` shape: the
+    * row-level changes of each commit in (from, to], computed from the
+    * commit's own FILE/DV DELTA at **O(touched files)** — never the
+    * full-state diff [[changeFeed]] pays (which remains the arm for
+    * arbitrary version pairs and vacuumed chains). Per commit v:
+    *
+    *   - pre-side  = rows VISIBLE AT THE PARENT that v removed:
+    *     (a) rows of files the commit dropped (read under the parent's
+    *         DV state — already-deleted rows are not pre-images), plus
+    *     (b) rows of files CARRIED past the commit whose key lands in
+    *         a deletion vector the commit stamped — the carried files
+    *         are first pruned by the DV keys' observed [min,max]
+    *         against their manifest stats (one small agg over the DV
+    *         sidecars), then semi-joined on the actual keys;
+    *   - post-side = rows of files the commit added (read under v's DV
+    *     state — sequence scoping keeps a same-commit DV off them);
+    *   - classification is [[diffByKey]]; rows a rewrite carried
+    *     VERBATIM through removed→added files compare equal and drop,
+    *     so a compaction commit feeds zero changes (at the cost of
+    *     diffing the files it touched — which is what it touched).
+    *
+    * An append commit short-circuits: no pre-side, its added files ARE
+    * the inserts, no join at all. `key` must be the row identity (the
+    * table's morKey/DV key when DVs are in play — REQUIREd). Output =
+    * `_change_type`, the data columns, `_commit_version`. Refuses
+    * across schema evolution (diff the common columns explicitly) and
+    * on expired/vacuumed versions (the manifest read fails loudly).
+    *
+    * Scale: a trickle of MoR upserts against a 100 TB table feeds each
+    * commit from its DV sidecars + post-image files + the key-range-hit
+    * slice of carried files — metadata-routed, like the commit itself.
+    */
+  def changeFeedIncremental(
+      spark: SparkSession,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long,
+      key: String,
+      io: SnapshotIO = LocalSnapshotIO): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    ((fromVersion + 1) to toVersion)
+      .map(v => commitChanges(spark, table, v, key, io)
+        .withColumn("_commit_version", lit(v)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** One commit's change rows (see [[changeFeedIncremental]]). */
+  private def commitChanges(
+      spark: SparkSession,
+      table: String,
+      v: Long,
+      key: String,
+      io: SnapshotIO): DataFrame = {
+    val mv = manifest(table, v, io)
+    val parent = mv.extra.get("parent").map(_.toLong).getOrElse(v - 1)
+    require(parent > 0, s"snapshot $v of $table has no parent to diff against")
+    val mp = manifest(table, parent, io)
+    require(
+      mp.schema.fieldNames.sameElements(mv.schema.fieldNames),
+      s"incremental change feed across a schema boundary at $v " +
+        s"(${mp.schema.simpleString} vs ${mv.schema.simpleString}) — " +
+        "diff the common columns explicitly instead")
+    val cols = mv.schema.fieldNames.toSeq
+    require(cols.contains(key), s"no column $key in $table")
+    val pPaths = mp.files.map(_.path).toSet
+    val vPaths = mv.files.map(_.path).toSet
+    val added = mv.files.filterNot(f => pPaths(f.path))
+    val removed = mp.files.filterNot(f => vPaths(f.path))
+    val oldDv = dvRefs(mp).map(_.path).toSet
+    val dvNew = dvRefs(mv).filterNot(r => oldDv(r.path))
+    val post = readFiles(spark, mv, _ => added)
+    if (removed.isEmpty && dvNew.isEmpty)
+      // pure append: the added files ARE the inserts — no diff join
+      return post.select(lit("insert").as("_change_type") +: cols.map(col): _*)
+    require(dvNew.isEmpty || dvKeyNameOf(mv) == key,
+      s"commit $v stamps deletion vectors keyed on ${dvKeyNameOf(mv)} — the " +
+        s"change feed must diff on that identity, got $key")
+    val preRemoved = readFiles(spark, mp, _ => removed)
+    val preKept =
+      if (dvNew.isEmpty) preRemoved.limit(0)
+      else {
+        val kept = mv.files.filter(f => pPaths(f.path))
+        val dvk = dvNew.map(r => spark.read.parquet(r.path))
+          .reduce(_.unionByName(_))
+        // prune the carried files by the DV keys' observed range (one
+        // small agg over delete-batch-sized sidecars); a file without
+        // a recorded range can never be proven unhit and is read
+        val hit = mv.schema(key).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val r = dvk.agg(
+              min(col(key)).cast("long"), max(col(key)).cast("long")).collect()(0)
+            if (r.isNullAt(0)) Nil
+            else kept.filter(_.stats.get(key) match {
+              case Some((mn, mx)) => mx >= r.getLong(0) && mn <= r.getLong(1)
+              case None => true
+            })
+          case StringType =>
+            val r = dvk.agg(min(col(key)), max(col(key))).collect()(0)
+            if (r.isNullAt(0)) Nil
+            else kept.filter(_.sstats.get(key) match {
+              case Some((mn, mx)) =>
+                FileEntry.bytesLe(mn, r.getString(1)) &&
+                  FileEntry.bytesLe(r.getString(0), mx)
+              case None => true
+            })
+          case _ => kept // unprunable key type: read carried files (sound)
+        }
+        readFiles(spark, mp, _ => hit)
+          .join(dvk.hint("shuffle_hash"), Seq(key), "left_semi")
+      }
+    diffByKey(preRemoved.unionByName(preKept), post, cols, key)
+  }
+
+  private def dvKeyNameOf(m: Manifest): String = m.extra.getOrElse(DvKeyK, "<none>")
 
   /** Exactly-once streaming MERGE — the foreachBatch body for a CDC
     * stream landing in a snapshot table: each micro-batch applies
