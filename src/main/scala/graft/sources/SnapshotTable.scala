@@ -2074,7 +2074,12 @@ object SnapshotTable {
         readFiles(spark, mp, _ => hit)
           .join(dvk.hint("shuffle_hash"), Seq(key), "left_semi")
       }
-    diffByKey(preRemoved.unionByName(preKept), post, cols, key)
+    val pre = preRemoved.unionByName(preKept)
+    if (added.isEmpty)
+      // nothing appended: every pre-image is a deletion (DV-only
+      // deleteKeys commits, metadata file drops) — no diff join needed
+      pre.select(lit("delete").as("_change_type") +: cols.map(col): _*)
+    else diffByKey(pre, post, cols, key)
   }
 
   private def dvKeyNameOf(m: Manifest): String = m.extra.getOrElse(DvKeyK, "<none>")
