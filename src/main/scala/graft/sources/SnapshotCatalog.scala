@@ -209,6 +209,10 @@ class SnapshotCatalog extends TableCatalog
     // UPDATE / MERGE / row-level DELETE then plan delta-based
     // (SupportsDelta) instead of group copy-on-write
     val morKey = Option(properties.get("morKey")).map(_.trim).filter(_.nonEmpty)
+    // TBLPROPERTIES('maxRowsPerFile'='N'): per-file row cap — the
+    // read-parallelism floor for hot buckets / huge cluster keys
+    val maxRows = Option(properties.get("maxRowsPerFile")).map(_.trim.toLong)
+    maxRows.foreach(n => require(n > 0, s"maxRowsPerFile must be positive, got $n"))
     morKey.foreach { k =>
       require(schema.fieldNames.contains(k), s"morKey names unknown column $k")
       // Spark's delta rewrite rejects nullable row ids (equality
@@ -220,7 +224,8 @@ class SnapshotCatalog extends TableCatalog
     val extra =
       (if (stats.isEmpty) Map.empty[String, String]
        else Map(SnapshotTable.StatsColsK -> stats.mkString(","))) ++
-        morKey.map(SnapshotTable.MorKeyK -> _) ++ layout
+        morKey.map(SnapshotTable.MorKeyK -> _) ++
+        maxRows.map(n => SnapshotTable.MaxRowsK -> n.toString) ++ layout
     SnapshotTable.createEmpty(p, schema, extra)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
   }
@@ -302,12 +307,13 @@ private[sources] object SnapshotWrites {
     val cluster = SnapshotTable.clusterKeyOf(m)
     val bucket = SnapshotTable.bucketSpecOf(m)
     val stats = SnapshotTable.statsColumnsOf(m)
+    val maxRows = SnapshotTable.maxRowsPerFileOf(m)
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder => V2SortOrder}
     (cluster, bucket) match {
       case (Some(k), _) =>
-        new SnapshotWrite(table, schema, stats, Some(k), None, overwrite, replaceScanned)
-          with RequiresDistributionAndOrdering {
+        new SnapshotWrite(table, schema, stats, Some(k), None, maxRows, overwrite,
+          replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.column(k)))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -318,15 +324,16 @@ private[sources] object SnapshotWrites {
         // catalog's FunctionCatalog arm) to route rows, and the
         // bucket-ASC ordering makes buckets arrive contiguously — the
         // rolling writer cuts one file per bucket and stamps it.
-        new SnapshotWrite(table, schema, stats, None, Some((c, n)), overwrite,
-          replaceScanned) with RequiresDistributionAndOrdering {
+        new SnapshotWrite(table, schema, stats, None, Some((c, n)), maxRows,
+          overwrite, replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.bucket(n, c)))
           override def requiredOrdering(): Array[V2SortOrder] =
             Array(E.sort(E.bucket(n, c), SortDirection.ASCENDING))
         }
       case _ =>
-        new SnapshotWrite(table, schema, stats, None, None, overwrite, replaceScanned)
+        new SnapshotWrite(table, schema, stats, None, None, maxRows, overwrite,
+          replaceScanned)
     }
   }
 }
@@ -337,14 +344,17 @@ private[sources] class SnapshotWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    maxRows: Option[Long],
     overwrite: Boolean,
     replaceScanned: Option[() => Set[String]] = None) extends Write {
 
   override def toBatch: BatchWrite = replaceScanned match {
     case Some(scanned) =>
-      new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, bucketBy, scanned)
+      new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, bucketBy,
+        maxRows, scanned)
     case None =>
-      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, overwrite)
+      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, maxRows,
+        overwrite)
   }
 
   /** Streaming append (`df.writeStream.toTable(...)`): per-epoch
@@ -358,7 +368,7 @@ private[sources] class SnapshotWrite(
     require(!overwrite,
       "streaming complete/truncate mode is refused — the snapshot sink is append-only " +
         "(use foreachBatch + mergeBatch for replace semantics)")
-    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy, bucketBy)
+    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy, bucketBy, maxRows)
   }
 }
 
@@ -367,7 +377,8 @@ private[sources] class SnapshotStreamingWrite(
     schema: StructType,
     statsCols: Seq[String],
     clusterBy: Option[String],
-    bucketBy: Option[(String, Int)])
+    bucketBy: Option[(String, Int)],
+    maxRows: Option[Long])
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   // one staging dir for the query's lifetime; epoch-prefixed file
@@ -399,7 +410,7 @@ private[sources] class SnapshotStreamingWrite(
       (i, schema.fields(i).dataType, n)
     }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
-      Bridge.parquetRowWriter(SparkSession.active, schema))
+      Bridge.parquetRowWriter(SparkSession.active, schema), maxRows = maxRows)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -439,6 +450,7 @@ private[sources] class SnapshotBatchWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    maxRows: Option[Long],
     overwrite: Boolean) extends BatchWrite {
 
   private val stage = {
@@ -474,7 +486,7 @@ private[sources] class SnapshotBatchWrite(
     }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema),
-      if (dropOpColumn) Some(schema) else None)
+      if (dropOpColumn) Some(schema) else None, maxRows)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -500,12 +512,13 @@ private[sources] class SnapshotDataWriterFactory(
     cluster: Option[(Int, DataType)],
     bucket: Option[(Int, DataType, Int)],
     pw: Bridge.ParquetRowWriterFactory,
-    dropOpSchema: Option[StructType] = None) extends DataWriterFactory
+    dropOpSchema: Option[StructType] = None,
+    maxRows: Option[Long] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
     new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw,
-      dropOpSchema, bucket)
+      dropOpSchema, bucket, maxRows)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writerFor(s"part-$partitionId-$taskId")
@@ -532,7 +545,8 @@ private[sources] class SnapshotDataWriter(
     cluster: Option[(Int, DataType)],
     pw: Bridge.ParquetRowWriterFactory,
     dropOpSchema: Option[StructType] = None,
-    bucket: Option[(Int, DataType, Int)] = None) extends DataWriter[InternalRow] {
+    bucket: Option[(Int, DataType, Int)] = None,
+    maxRows: Option[Long] = None) extends DataWriter[InternalRow] {
 
   // row-level rewrite rows arrive as [__row_operation, data...]: strip
   // the op column through a reusable ordinal projection (Spark's own
@@ -621,6 +635,11 @@ private[sources] class SnapshotDataWriter(
     }
     rows += 1
     writer.write(row)
+    // per-file row cap: a hot bucket / huge cluster key splits across
+    // files instead of concentrating into one unsplittable giant (the
+    // stamp/min==max invariants hold — later rows carry the same or a
+    // later key, and grouping tolerates several files per group)
+    if (maxRows.exists(rows >= _)) rollFile()
   }
 
   /** Close the open file and fold its stats into a manifest entry. */
@@ -840,8 +859,9 @@ private[sources] class SnapshotGroupReplaceWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    maxRows: Option[Long],
     scanned: () => Set[String])
-    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy,
+    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, maxRows,
       overwrite = false) {
 
   override protected def dropOpColumn: Boolean = true
@@ -946,7 +966,8 @@ private[sources] class SnapshotDeltaBatchWrite(
     new SnapshotDeltaWriterFactory(stage, tracked,
       Bridge.parquetRowWriter(SparkSession.active, schema),
       Bridge.parquetRowWriter(SparkSession.active, StructType(Seq(keyField))),
-      schema.fieldIndex(key), keyField.dataType)
+      schema.fieldIndex(key), keyField.dataType,
+      SnapshotTable.maxRowsPerFileOf(m))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -974,13 +995,14 @@ private[sources] class SnapshotDeltaWriterFactory(
     pw: Bridge.ParquetRowWriterFactory,
     dvPw: Bridge.ParquetRowWriterFactory,
     keyOrd: Int,
-    keyType: DataType) extends DeltaWriterFactory {
+    keyType: DataType,
+    maxRows: Option[Long]) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new SnapshotDeltaWriter(
       seq => s"$stage/part-$partitionId-$taskId-$seq.parquet",
       s"$stage/dv-$partitionId-$taskId.parquet",
-      tracked, pw, dvPw, keyOrd, keyType)
+      tracked, pw, dvPw, keyOrd, keyType, maxRows)
 }
 
 /** Executor-side delta writer: inserts stream through the SAME rolling
@@ -994,9 +1016,11 @@ private[sources] class SnapshotDeltaWriter(
     pw: Bridge.ParquetRowWriterFactory,
     dvPw: Bridge.ParquetRowWriterFactory,
     keyOrd: Int,
-    keyType: DataType) extends DeltaWriter[InternalRow] {
+    keyType: DataType,
+    maxRows: Option[Long]) extends DeltaWriter[InternalRow] {
 
-  private val data = new SnapshotDataWriter(pathFor, tracked, None, pw)
+  private val data = new SnapshotDataWriter(pathFor, tracked, None, pw,
+    maxRows = maxRows)
   private val keys = new java.util.HashSet[Any]()
 
   private def keyOf(id: InternalRow): Any = {

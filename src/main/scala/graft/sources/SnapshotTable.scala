@@ -681,7 +681,7 @@ object SnapshotTable {
         // the SPJ grouping until an overwrite re-buckets (the scan
         // degrades soundly; Round25Spec pins it)
         dvCarry = dvExtra(parent) ++ parent.extra.view.filterKeys(k =>
-          k == StatsColsK || k == MorKeyK || k == BucketK).toMap
+          k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
         parentCluster = parent.extra.get(ClusterK)
         (parent.segments, parent.inline)
       } else (Vector.empty, Vector.empty)
@@ -745,13 +745,13 @@ object SnapshotTable {
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
         carryExtra = parent.extra.view.filterKeys(k =>
           k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-            k == MorKeyK || k == BucketK).toMap
+            k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
         val parent = manifest(table, current, io)
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK).toMap
+          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
         (Vector.empty, Vector.empty)
       } else (Vector.empty, Vector.empty)
     publishManifest(table, current + 1, current, publishSchema,
@@ -773,7 +773,7 @@ object SnapshotTable {
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val carry = m.extra.view.filterKeys(k =>
       k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK || k == BucketK).toMap
+        k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
     publishManifest(table, m.version + 1, m.version, m.schema,
       Nil, kept, "delete", carry, io)
   }
@@ -796,7 +796,7 @@ object SnapshotTable {
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
     val carry = m.extra.view.filterKeys(k =>
       k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK || k == BucketK).toMap
+        k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
   }
@@ -820,7 +820,7 @@ object SnapshotTable {
     requireNoDv(m, table, "a row-level rewrite")
     val kept = m.files.filterNot(f => scanned(f.path))
     val carry = m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
     publishManifest(table, cur + 1, cur, m.schema, Nil, kept ++ entries,
       "merge", carry, io)
   }
@@ -1322,6 +1322,18 @@ object SnapshotTable {
     * bucketed table's schema may not name a column this. */
   private[graft] val BucketStat = "__bucket"
 
+  /** Reserved manifest key: the declared per-file ROW CAP
+    * (TBLPROPERTIES('maxRowsPerFile'='N')). The rolling writers cut a
+    * new file when the open one reaches it — what keeps a hot bucket
+    * or a huge identity-cluster key from concentrating into one
+    * unsplittable multi-GB file at scale (the scan plans one partition
+    * per file, so the cap IS the read-parallelism floor; bucket/cluster
+    * grouping is unaffected — groups simply hold several files). */
+  private[sources] val MaxRowsK = "maxrowsperfile"
+
+  /** The declared per-file row cap, if any. */
+  def maxRowsPerFileOf(m: Manifest): Option[Long] = m.extra.get(MaxRowsK).map(_.toLong)
+
   /** The declared bucket layout (column, bucket count), if any. */
   def bucketSpecOf(m: Manifest): Option[(String, Int)] =
     m.extra.get(BucketK).map { s =>
@@ -1480,7 +1492,7 @@ object SnapshotTable {
   /** Table-level declarations every metadata commit must carry. */
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
 
   /** Write one deletion-vector sidecar (the batch's DISTINCT keys,
     * one small parquet) stamped at commit sequence `seq`, and return
