@@ -125,6 +125,14 @@ class SnapshotCatalog extends TableCatalog
       if (SnapshotTable.currentVersion(pp) > 0)
         return SnapshotMetaTables.table(ident.name, pp)
     }
+    // the CHANGES view (`g.t.changes` — batch table_changes + streaming
+    // CDC through the catalog, SnapshotChanges.scala); same precedence
+    // rule: a real table named `changes` always wins the name
+    if (ident.namespace.nonEmpty && ident.name == "changes") {
+      val pp = (warehouse +: ident.namespace.toSeq).mkString("/")
+      if (SnapshotTable.currentVersion(pp) > 0)
+        return new SnapshotChangesTable(pp)
+    }
     throw new NoSuchTableException(ident)
   }
 

@@ -2801,6 +2801,63 @@ object SourceCatalog extends QueryModule {
              |ORDER BY _commit_version, _change_type""".stripMargin)
     ),
     Q(
+      "src_snapshot_changes_table",
+      // THE CHANGES TABLE — table_changes addressable through the
+      // catalog (`spark.read.option("fromVersion", v).table("g.t
+      // .changes")`, Iceberg's cat.t.changes shape; SnapshotChanges
+      // .scala): the same per-commit incremental feed
+      // src_snapshot_cdf_incremental proves, now reachable without the
+      // API — and streamable (`spark.readStream.table("g.t.changes")`:
+      // attach-time state as inserts, then per-commit increments,
+      // offsets = versions in Spark's checkpointed WAL; Round28Spec
+      // pins the streaming arm, the key/fromVersion refusals, and
+      // real-table-wins-name precedence). The chain here is pure SQL:
+      // INSERT (v2), merge-on-read UPDATE (v3 — REQUIREd to rewrite
+      // zero data files), merge-on-read DELETE (v4); the arms are
+      // (commit, change class) aggregates, the oracle replays them
+      // relationally.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_chtbl_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftch_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, pri STRING, price DOUBLE) " +
+          "TBLPROPERTIES('morKey'='k', 'statsColumns'='k')")
+        Tables(s, dir).orders
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_chtbl_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_chtbl_src")
+        val before = SnapshotTable.manifest(s"$wh/t", 2L).files.map(_.path).toSet
+        s.sql(s"UPDATE $cat.t SET price = price + 500.0 WHERE k % 10 = 3")
+        require(before.subsetOf(
+          SnapshotTable.manifest(s"$wh/t", 3L).files.map(_.path).toSet),
+          "the MoR UPDATE must rewrite ZERO existing data files")
+        s.sql(s"DELETE FROM $cat.t WHERE k % 10 = 7")
+        s.read.option("fromVersion", "2").table(s"$cat.t.changes")
+          .groupBy("_commit_version", "_change_type")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |upd AS (SELECT * FROM base WHERE k % 10 = 3),
+             |del AS (SELECT * FROM base WHERE k % 10 = 7)
+             |SELECT 3::BIGINT AS _commit_version, 'update_preimage' AS _change_type,
+             |  COUNT(*)::BIGINT AS n_rows,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM upd
+             |UNION ALL SELECT 3, 'update_postimage', COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price + 500.0 AS DECIMAL(38,4))) AS DOUBLE) FROM upd
+             |UNION ALL SELECT 4, 'delete', COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM del
+             |ORDER BY _commit_version, _change_type""".stripMargin)
+    ),
+    Q(
       "src_snapshot_sql_clustered",
       // IDENTITY CLUSTERING FROM SQL — `PARTITIONED BY (nk)` records
       // the same layout declaration as the API commit(clusterBy): the
