@@ -887,7 +887,7 @@ private[sources] class SnapshotGroupReplaceWrite(
   * counts (the V2 reader budgets its broadcast delete set from them). */
 private[sources] case class SnapshotDeltaMessage(
     entries: Seq[SnapshotTable.FileEntry],
-    dvFiles: Seq[(String, Long)]) extends WriterCommitMessage
+    dvFiles: Seq[SnapshotTable.DvSidecarInfo]) extends WriterCommitMessage
 
 /** MERGE-ON-READ row-level operation — [[SupportsDelta]], the
   * Iceberg-v2 alternative to [[SnapshotRowLevelOperation]]'s group
@@ -981,7 +981,7 @@ private[sources] class SnapshotDeltaBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SnapshotDeltaMessage => m }
     val entries = msgs.flatMap(_.entries).sortBy(_.path).toSeq
-    val dvFiles = msgs.flatMap(_.dvFiles).sortBy(_._1).toSeq
+    val dvFiles = msgs.flatMap(_.dvFiles).sortBy(_.path).toSeq
     SnapshotTable.publishDeltaCommit(table, key, entries, dvFiles)
   }
 
@@ -989,7 +989,7 @@ private[sources] class SnapshotDeltaBatchWrite(
     messages.foreach {
       case SnapshotDeltaMessage(es, dvs) =>
         es.foreach(e => LocalSnapshotIO.delete(e.path))
-        dvs.foreach { case (p, _) => LocalSnapshotIO.delete(p) }
+        dvs.foreach(d => LocalSnapshotIO.delete(d.path))
       case _ =>
     }
     if (LocalSnapshotIO.exists(stage) && LocalSnapshotIO.list(stage).isEmpty)
@@ -1063,8 +1063,22 @@ private[sources] class SnapshotDeltaWriter(
         val w = dvPw.open(dvPath)
         val it = keys.iterator()
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        // the keys' observed range folds over the same write pass —
+        // integral widened to Long, strings raw — and rides the ref so
+        // range-only consumers never open the sidecar
+        var loL = Long.MaxValue; var hiL = Long.MinValue
+        var loS: String = null; var hiS: String = null
         while (it.hasNext) {
           val k = it.next()
+          k match {
+            case s: String =>
+              if (loS == null || SnapshotTable.FileEntry.bytesLe(s, loS)) loS = s
+              if (hiS == null || SnapshotTable.FileEntry.bytesLe(hiS, s)) hiS = s
+            case n: Number =>
+              val v = n.longValue()
+              if (v < loL) loL = v
+              if (v > hiL) hiL = v
+          }
           row.update(0, k match {
             case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
             case other     => other
@@ -1072,7 +1086,9 @@ private[sources] class SnapshotDeltaWriter(
           w.write(row)
         }
         w.close()
-        Seq((dvPath, keys.size.toLong))
+        Seq(SnapshotTable.DvSidecarInfo(dvPath, keys.size.toLong,
+          if (loL <= hiL) Some((loL, hiL)) else None,
+          if (loS != null) Some((loS, hiS)) else None))
       }
     SnapshotDeltaMessage(dataMsg.entries, dvs)
   }

@@ -1383,13 +1383,31 @@ object SnapshotTable {
     * counts let the V2 reader budget its in-memory delete set). Legacy
     * entries (bare hex path) read as seq = MaxValue: they predate
     * sequencing and applied to every file — semantics preserved. */
-  private[sources] final case class DvRef(path: String, seq: Long, count: Long)
+  /** One deletion-vector sidecar reference. `rangeL`/`rangeS` record
+    * the delete keys' observed [min, max] at write time (same pass as
+    * the count — integral keys widened to Long, string keys raw):
+    * consumers that only need "which carried files CAN this DV hit"
+    * (the incremental change feed's pre-image prune) answer from the
+    * manifest line alone, zero sidecar reads. Absent on legacy refs —
+    * every consumer must fall back to reading the sidecar. */
+  private[graft] final case class DvRef(
+      path: String,
+      seq: Long,
+      count: Long,
+      rangeL: Option[(Long, Long)] = None,
+      rangeS: Option[(String, String)] = None)
 
-  private[sources] def dvRefs(m: Manifest): Seq[DvRef] =
+  private[graft] def dvRefs(m: Manifest): Seq[DvRef] =
     m.extra.get(DvFilesK).filter(_.nonEmpty).map(_.split(";").toSeq.map { e =>
       e.split(':') match {
         case Array(p)       => DvRef(FileEntry.unhex(p), Long.MaxValue, -1L)
         case Array(p, s, c) => DvRef(FileEntry.unhex(p), s.toLong, c.toLong)
+        case Array(p, s, c, "l", lo, hi) =>
+          DvRef(FileEntry.unhex(p), s.toLong, c.toLong,
+            rangeL = Some((lo.toLong, hi.toLong)))
+        case Array(p, s, c, "s", lo, hi) =>
+          DvRef(FileEntry.unhex(p), s.toLong, c.toLong,
+            rangeS = Some((FileEntry.unhex(lo), FileEntry.unhex(hi))))
         case _ => throw new IllegalArgumentException(s"bad deletion-vector ref '$e'")
       }
     }).getOrElse(Nil)
@@ -1397,7 +1415,11 @@ object SnapshotTable {
   private def dvEncode(refs: Seq[DvRef]): String =
     refs.map { r =>
       if (r.seq == Long.MaxValue && r.count < 0) FileEntry.hex(r.path)
-      else s"${FileEntry.hex(r.path)}:${r.seq}:${r.count}"
+      else r.rangeL.map { case (lo, hi) =>
+        s"${FileEntry.hex(r.path)}:${r.seq}:${r.count}:l:$lo:$hi"
+      }.orElse(r.rangeS.map { case (lo, hi) =>
+        s"${FileEntry.hex(r.path)}:${r.seq}:${r.count}:s:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
+      }).getOrElse(s"${FileEntry.hex(r.path)}:${r.seq}:${r.count}")
     }.mkString(";")
 
   private[sources] def dvPaths(m: Manifest): Seq[String] = dvRefs(m).map(_.path)
@@ -1473,7 +1495,7 @@ object SnapshotTable {
       table: String,
       key: String,
       entries: Seq[FileEntry],
-      dvFiles: Seq[(String, Long)],
+      dvFiles: Seq[DvSidecarInfo],
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val cur = currentVersion(table, io)
     require(cur > 0, s"cannot delta-commit into non-existent table $table")
@@ -1482,12 +1504,21 @@ object SnapshotTable {
       s"table $table already carries deletion vectors keyed on " +
         s"${m.extra(DvKeyK)} — one delete key per DV chain (materialize first)")
     val next = cur + 1
-    val newRefs = dvFiles.map { case (p, c) => DvRef(p, next, c) }
+    val newRefs = dvFiles.map(d => DvRef(d.path, next, d.count, d.rangeL, d.rangeS))
     publishManifest(table, next, cur, m.schema,
       m.segments, m.inline ++ entries, "merge",
       tableDecls(m) ++
         Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newRefs)), io)
   }
+
+  /** A task-written DV sidecar: path, exact key count, and the keys'
+    * observed range (computed task-side over the same pass that wrote
+    * the file — no extra job anywhere). */
+  private[sources] final case class DvSidecarInfo(
+      path: String,
+      count: Long,
+      rangeL: Option[(Long, Long)] = None,
+      rangeS: Option[(String, String)] = None)
 
   /** Table-level declarations every metadata commit must carry. */
   private def tableDecls(m: Manifest): Map[String, String] =
@@ -1508,9 +1539,27 @@ object SnapshotTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dvDir = s"$table/data/v${seq}_${token}_dv"
     keyCol.distinct().coalesce(1).write.mode("errorifexists").parquet(dvDir)
-    val cnt = spark.read.parquet(dvDir).count() // one tiny file
+    // count AND key range in the same one-tiny-file pass — the range
+    // rides the ref so range-only consumers never open the sidecar
+    val keyName = keyCol.schema.fields(0).name
+    val keyType = keyCol.schema.fields(0).dataType
+    val st = spark.read.parquet(dvDir)
+      .agg(count(lit(1)), min(col(keyName)), max(col(keyName))).collect()(0)
+    val cnt = st.getLong(0)
+    val (rl, rs): (Option[(Long, Long)], Option[(String, String)]) =
+      if (cnt == 0 || st.isNullAt(1)) (None, None)
+      else keyType match {
+        case StringType => (None, Some((st.getString(1), st.getString(2))))
+        case ByteType | ShortType | IntegerType | LongType =>
+          def asL(i: Int): Long = st.get(i) match {
+            case b: Byte => b.toLong; case sh: Short => sh.toLong
+            case ii: Int => ii.toLong; case l: Long => l
+          }
+          (Some((asL(1), asL(2))), None)
+        case _ => (None, None)
+      }
     io.list(dvDir).filter(_.endsWith(".parquet")).sorted
-      .map(n => DvRef(s"$dvDir/$n", seq, cnt))
+      .map(n => DvRef(s"$dvDir/$n", seq, cnt, rl, rs))
   }
 
   /** MERGE-ON-READ upsert — the Iceberg-v2 equality-delete shape for a
@@ -2060,27 +2109,51 @@ object SnapshotTable {
         val kept = mv.files.filter(f => pPaths(f.path))
         val dvk = dvNew.map(r => spark.read.parquet(r.path))
           .reduce(_.unionByName(_))
-        // prune the carried files by the DV keys' observed range (one
-        // small agg over delete-batch-sized sidecars); a file without
-        // a recorded range can never be proven unhit and is read
+        // prune the carried files by the DV keys' observed range —
+        // served from the REFS' recorded ranges when every new sidecar
+        // carries one (written by the commit, zero reads here), else
+        // one small agg over delete-batch-sized sidecars (legacy
+        // refs); a file without a recorded range can never be proven
+        // unhit and is read
         val hit = mv.schema(key).dataType match {
           case ByteType | ShortType | IntegerType | LongType =>
-            val r = dvk.agg(
-              min(col(key)).cast("long"), max(col(key)).cast("long")).collect()(0)
-            if (r.isNullAt(0)) Nil
-            else kept.filter(_.stats.get(key) match {
-              case Some((mn, mx)) => mx >= r.getLong(0) && mn <= r.getLong(1)
-              case None => true
-            })
+            val recorded = dvNew.flatMap(_.rangeL)
+            val bounds: Option[(Long, Long)] =
+              if (recorded.size == dvNew.size)
+                Some((recorded.map(_._1).min, recorded.map(_._2).max))
+              else {
+                val r = dvk.agg(
+                  min(col(key)).cast("long"), max(col(key)).cast("long")).collect()(0)
+                if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+              }
+            bounds match {
+              case None => Nil
+              case Some((lo, hi)) => kept.filter(_.stats.get(key) match {
+                case Some((mn, mx)) => mx >= lo && mn <= hi
+                case None => true
+              })
+            }
           case StringType =>
-            val r = dvk.agg(min(col(key)), max(col(key))).collect()(0)
-            if (r.isNullAt(0)) Nil
-            else kept.filter(_.sstats.get(key) match {
-              case Some((mn, mx)) =>
-                FileEntry.bytesLe(mn, r.getString(1)) &&
-                  FileEntry.bytesLe(r.getString(0), mx)
-              case None => true
-            })
+            val recorded = dvNew.flatMap(_.rangeS)
+            val bounds: Option[(String, String)] =
+              if (recorded.size == dvNew.size)
+                Some((
+                  recorded.map(_._1).reduce((a, b) =>
+                    if (FileEntry.bytesLe(a, b)) a else b),
+                  recorded.map(_._2).reduce((a, b) =>
+                    if (FileEntry.bytesLe(a, b)) b else a)))
+              else {
+                val r = dvk.agg(min(col(key)), max(col(key))).collect()(0)
+                if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+              }
+            bounds match {
+              case None => Nil
+              case Some((lo, hi)) => kept.filter(_.sstats.get(key) match {
+                case Some((mn, mx)) =>
+                  FileEntry.bytesLe(mn, hi) && FileEntry.bytesLe(lo, mx)
+                case None => true
+              })
+            }
           case _ => kept // unprunable key type: read carried files (sound)
         }
         readFiles(spark, mp, _ => hit)
