@@ -139,3 +139,106 @@ private[sources] object GraftBucketString extends ScalarFunction[Integer] {
   override def produceResult(input: InternalRow): Integer =
     GraftBucket.of(input.getUTF8String(1), input.getInt(0))
 }
+
+/** The TRUNCATE transform — `PARTITIONED BY (truncate(w, k))`: width-w
+  * value truncation (floored, so negatives group correctly), the
+  * ORDER-PRESERVING sibling of bucket. Each data file holds one
+  * truncate group (stamped `__trunc` min==max), so co-truncated tables
+  * equi-join with zero exchange (SPJ over the transform group) AND
+  * range reads prune from the raw column's per-file stats, which the
+  * grouped layout makes disjoint by construction — the layout for keys
+  * that are both joined on and range-scanned. Integral keys only
+  * (string prefixes don't compose with the integer stat channel). */
+object GraftTruncate {
+  /** Floored width-w truncation: -3 at width 10 lands in group -10. */
+  def of(v: Long, w: Int): Long = Math.floorDiv(v, w.toLong) * w
+}
+
+/** Width-PARAMETERIZED single-argument variant (`truncate_<w>(col)`)
+  * — what the write distribution and the scan's KeyGroupedPartitioning
+  * actually report: Spark's clustering-satisfaction check flatMaps
+  * `collectLeaves()` over the partition transforms, so a transform
+  * carrying a LITERAL child (the width) can never satisfy a join's
+  * ClusteredDistribution (bucket only escapes because Spark factors
+  * its literal into numBucketsOpt). Folding the width into the
+  * function name keeps the children reference-only; the canonical
+  * name carries the width, so SPJ never equates different widths. */
+final case class GraftTruncateWUnbound(w: Int) extends UnboundFunction {
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(col): floored width-$w truncation of an integral key"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate_$w takes (col), got ${inputType.simpleString}")
+    inputType.fields(0).dataType match {
+      case dt @ (ByteType | ShortType | IntegerType | LongType) =>
+        new GraftTruncateWLong(dt, w)
+      case other => throw new UnsupportedOperationException(
+        s"truncate key type ${other.simpleString} is not supported — integral keys only")
+    }
+  }
+}
+
+private[sources] class GraftTruncateWLong(keyType: DataType, w: Int)
+    extends ScalarFunction[java.lang.Long] {
+  override def name(): String = s"truncate_$w"
+  override def canonicalName(): String = s"graft.truncate(long,$w)"
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable(): Boolean = false
+
+  def invoke(v: Long): Long = GraftTruncate.of(v, w)
+
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    val v = keyType match {
+      case ByteType    => input.getByte(0).toLong
+      case ShortType   => input.getShort(0).toLong
+      case IntegerType => input.getInt(0).toLong
+      case _           => input.getLong(0)
+    }
+    GraftTruncate.of(v, w)
+  }
+}
+
+object GraftTruncateUnbound extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(width, col): floored width-w truncation of an integral key"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate takes (width, col), got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"truncate's first argument is the int width, got " +
+        inputType.fields(0).dataType.simpleString)
+    inputType.fields(1).dataType match {
+      case dt @ (ByteType | ShortType | IntegerType | LongType) =>
+        new GraftTruncateLong(dt)
+      case other => throw new UnsupportedOperationException(
+        s"truncate key type ${other.simpleString} is not supported — integral keys only")
+    }
+  }
+}
+
+private[sources] class GraftTruncateLong(keyType: DataType)
+    extends ScalarFunction[java.lang.Long] {
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate(long)"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable(): Boolean = false
+
+  def invoke(w: Int, v: Long): Long = GraftTruncate.of(v, w)
+
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    val w = input.getInt(0)
+    val v = keyType match {
+      case ByteType    => input.getByte(1).toLong
+      case ShortType   => input.getShort(1).toLong
+      case IntegerType => input.getInt(1).toLong
+      case _           => input.getLong(1)
+    }
+    GraftTruncate.of(v, w)
+  }
+}

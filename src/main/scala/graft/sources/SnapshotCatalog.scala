@@ -70,10 +70,15 @@ class SnapshotCatalog extends TableCatalog
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketUnbound
+    else if (ident.namespace.isEmpty && ident.name == "truncate") GraftTruncateUnbound
+    else if (ident.namespace.isEmpty && ident.name.startsWith("truncate_") &&
+        ident.name.drop(9).forall(_.isDigit) && ident.name.length > 9)
+      GraftTruncateWUnbound(ident.name.drop(9).toInt)
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty) Array(
+      Identifier.of(Array.empty, "bucket"), Identifier.of(Array.empty, "truncate"))
     else Array.empty
 
   private var catName: String = _
@@ -197,10 +202,31 @@ class SnapshotCatalog extends TableCatalog
             s"column name ${SnapshotTable.BucketStat} is reserved on bucketed tables " +
               "(it records each file's bucket id in the manifest)")
           SnapshotTable.BucketK -> s"$c:$n"
+        case "truncate" =>
+          val w = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType == IntegerType => l.value.asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate needs an int width, got ${t.describe}"))
+          val refs = t.arguments().collect {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference => r
+          }
+          require(refs.length == 1, s"truncate takes one column, got ${t.describe}")
+          require(w > 0, s"truncate width must be positive, got $w")
+          val c = refOf(refs(0))
+          val dt = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(s"truncate names unknown column $c")).dataType
+          require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+            s"truncate column $c: ${dt.simpleString} is not an integral key")
+          require(!schema.fieldNames.contains(SnapshotTable.TruncStat),
+            s"column name ${SnapshotTable.TruncStat} is reserved on truncate-grouped " +
+              "tables (it records each file's group in the manifest)")
+          SnapshotTable.TruncK -> s"$c:$w"
         case other => throw new UnsupportedOperationException(
           s"partition transform $other is not supported — identity (one key value " +
-            "per file, storage-partitioned joins) and bucket(n, col) (hash-bucket " +
-            "layout) are; time-derived reads prune from the raw column's stats")
+            "per file, storage-partitioned joins), bucket(n, col) (hash-bucket " +
+            "layout) and truncate(w, col) (order-preserving width groups) are; " +
+            "time-derived reads prune from the raw column's stats")
       }
     }
     layout.collect { case (SnapshotTable.ClusterK, c) => c }.foreach { c =>
@@ -314,25 +340,44 @@ private[sources] object SnapshotWrites {
       replaceScanned: Option[() => Set[String]]): Write = {
     val cluster = SnapshotTable.clusterKeyOf(m)
     val bucket = SnapshotTable.bucketSpecOf(m)
+    val trunc = SnapshotTable.truncSpecOf(m)
     val stats = SnapshotTable.statsColumnsOf(m)
     val maxRows = SnapshotTable.maxRowsPerFileOf(m)
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder => V2SortOrder}
-    (cluster, bucket) match {
-      case (Some(k), _) =>
-        new SnapshotWrite(table, schema, stats, Some(k), None, maxRows, overwrite,
+    (cluster, bucket, trunc) match {
+      case (Some(k), _, _) =>
+        new SnapshotWrite(table, schema, stats, Some(k), None, None, maxRows, overwrite,
           replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.column(k)))
           override def requiredOrdering(): Array[V2SortOrder] =
             Array(E.sort(E.column(k), SortDirection.ASCENDING))
         }
-      case (None, Some((c, n))) =>
+      case (None, _, Some((c, w))) =>
+        // the order-preserving sibling of the bucket arm: routed and
+        // sorted by the catalog-served truncate function, rolled and
+        // stamped per width-w group
+        // the width rides the FUNCTION NAME, not a literal child —
+        // Spark's clustering-satisfaction check (collectLeaves) can
+        // never match a literal against the join keys (GraftBucket
+        // .scala documents the trap)
+        val tf = org.apache.spark.sql.connector.expressions.Expressions.apply(
+          s"truncate_$w",
+          org.apache.spark.sql.connector.expressions.Expressions.column(c))
+        new SnapshotWrite(table, schema, stats, None, None, Some((c, w)), maxRows,
+          overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(tf))
+          override def requiredOrdering(): Array[V2SortOrder] =
+            Array(E.sort(tf, SortDirection.ASCENDING))
+        }
+      case (None, Some((c, n)), _) =>
         // Spark evaluates bucket(n, c) itself (resolved through the
         // catalog's FunctionCatalog arm) to route rows, and the
         // bucket-ASC ordering makes buckets arrive contiguously — the
         // rolling writer cuts one file per bucket and stamps it.
-        new SnapshotWrite(table, schema, stats, None, Some((c, n)), maxRows,
+        new SnapshotWrite(table, schema, stats, None, Some((c, n)), None, maxRows,
           overwrite, replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.bucket(n, c)))
@@ -340,7 +385,7 @@ private[sources] object SnapshotWrites {
             Array(E.sort(E.bucket(n, c), SortDirection.ASCENDING))
         }
       case _ =>
-        new SnapshotWrite(table, schema, stats, None, None, maxRows, overwrite,
+        new SnapshotWrite(table, schema, stats, None, None, None, maxRows, overwrite,
           replaceScanned)
     }
   }
@@ -352,6 +397,7 @@ private[sources] class SnapshotWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    truncBy: Option[(String, Int)],
     maxRows: Option[Long],
     overwrite: Boolean,
     replaceScanned: Option[() => Set[String]] = None) extends Write {
@@ -359,10 +405,10 @@ private[sources] class SnapshotWrite(
   override def toBatch: BatchWrite = replaceScanned match {
     case Some(scanned) =>
       new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, bucketBy,
-        maxRows, scanned)
+        truncBy, maxRows, scanned)
     case None =>
-      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, maxRows,
-        overwrite)
+      new SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, truncBy,
+        maxRows, overwrite)
   }
 
   /** Streaming append (`df.writeStream.toTable(...)`): per-epoch
@@ -376,7 +422,8 @@ private[sources] class SnapshotWrite(
     require(!overwrite,
       "streaming complete/truncate mode is refused — the snapshot sink is append-only " +
         "(use foreachBatch + mergeBatch for replace semantics)")
-    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy, bucketBy, maxRows)
+    new SnapshotStreamingWrite(table, schema, statsCols, clusterBy, bucketBy, truncBy,
+      maxRows)
   }
 }
 
@@ -386,6 +433,7 @@ private[sources] class SnapshotStreamingWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    truncBy: Option[(String, Int)],
     maxRows: Option[Long])
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
@@ -403,7 +451,8 @@ private[sources] class SnapshotStreamingWrite(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val tracked = (statsCols ++
-      (clusterBy.toSeq ++ bucketBy.map(_._1)).filterNot(statsCols.contains))
+      (clusterBy.toSeq ++ bucketBy.map(_._1) ++ truncBy.map(_._1))
+        .filterNot(statsCols.contains))
       .distinct.flatMap { c =>
         schema.fields.zipWithIndex.find(_._1.name == c).map {
           case (f, i) => (c, i, f.dataType)
@@ -417,8 +466,13 @@ private[sources] class SnapshotStreamingWrite(
       val i = schema.fieldIndex(c)
       (i, schema.fields(i).dataType, n)
     }
+    val trunc = truncBy.map { case (c, w) =>
+      val i = schema.fieldIndex(c)
+      (i, schema.fields(i).dataType, w)
+    }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
-      Bridge.parquetRowWriter(SparkSession.active, schema), maxRows = maxRows)
+      Bridge.parquetRowWriter(SparkSession.active, schema), maxRows = maxRows,
+      trunc = trunc)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -458,6 +512,7 @@ private[sources] class SnapshotBatchWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    truncBy: Option[(String, Int)],
     maxRows: Option[Long],
     overwrite: Boolean) extends BatchWrite {
 
@@ -478,7 +533,8 @@ private[sources] class SnapshotBatchWrite(
     // from the manifest; a bucket key's range adds free range pruning
     // beside the __bucket stamp
     val tracked = (statsCols ++
-      (clusterBy.toSeq ++ bucketBy.map(_._1)).filterNot(statsCols.contains))
+      (clusterBy.toSeq ++ bucketBy.map(_._1) ++ truncBy.map(_._1))
+        .filterNot(statsCols.contains))
       .distinct.flatMap { c =>
         schema.fields.zipWithIndex.find(_._1.name == c).map {
           case (f, i) => (c, i, f.dataType)
@@ -492,9 +548,13 @@ private[sources] class SnapshotBatchWrite(
       val i = schema.fieldIndex(c)
       (i, schema.fields(i).dataType, n)
     }
+    val trunc = truncBy.map { case (c, w) =>
+      val i = schema.fieldIndex(c)
+      (i, schema.fields(i).dataType, w)
+    }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema),
-      if (dropOpColumn) Some(schema) else None, maxRows)
+      if (dropOpColumn) Some(schema) else None, maxRows, trunc)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -521,12 +581,13 @@ private[sources] class SnapshotDataWriterFactory(
     bucket: Option[(Int, DataType, Int)],
     pw: Bridge.ParquetRowWriterFactory,
     dropOpSchema: Option[StructType] = None,
-    maxRows: Option[Long] = None) extends DataWriterFactory
+    maxRows: Option[Long] = None,
+    trunc: Option[(Int, DataType, Int)] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
     new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw,
-      dropOpSchema, bucket, maxRows)
+      dropOpSchema, bucket, maxRows, trunc)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writerFor(s"part-$partitionId-$taskId")
@@ -554,7 +615,8 @@ private[sources] class SnapshotDataWriter(
     pw: Bridge.ParquetRowWriterFactory,
     dropOpSchema: Option[StructType] = None,
     bucket: Option[(Int, DataType, Int)] = None,
-    maxRows: Option[Long] = None) extends DataWriter[InternalRow] {
+    maxRows: Option[Long] = None,
+    trunc: Option[(Int, DataType, Int)] = None) extends DataWriter[InternalRow] {
 
   // row-level rewrite rows arrive as [__row_operation, data...]: strip
   // the op column through a reusable ordinal projection (Spark's own
@@ -570,9 +632,11 @@ private[sources] class SnapshotDataWriter(
   private var currentKey: Any = _
   private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
   private var rows = 0L
-  // the open file's bucket id (bucket mode only): every row in the file
-  // shares it by the roll-on-change construction, recorded at rollFile
+  // the open file's bucket id / truncate group (derived-grouping modes
+  // only): every row in the file shares it by the roll-on-change
+  // construction, recorded at rollFile
   private var currentBucket = -1
+  private var currentTrunc = Long.MinValue
   private val nulls = Array.fill(tracked.size)(0L)
   private val minL = Array.fill(tracked.size)(Long.MaxValue)
   private val maxL = Array.fill(tracked.size)(Long.MinValue)
@@ -614,6 +678,13 @@ private[sources] class SnapshotDataWriter(
       }
       if (writer != null && b != currentBucket) rollFile()
       currentBucket = b
+    }
+    trunc.foreach { case (idx, dt, w) =>
+      require(!row.isNullAt(idx),
+        "NULL truncate key refused — width grouping needs a total key")
+      val t = GraftTruncate.of(keyOf(row, idx, dt).asInstanceOf[Long], w)
+      if (writer != null && t != currentTrunc) rollFile()
+      currentTrunc = t
     }
     if (writer == null) {
       path = pathFor(fileSeq)
@@ -665,10 +736,13 @@ private[sources] class SnapshotDataWriter(
         case _ =>
       }
     }
-    // the bucket stamp: one bucket per file by construction (min == max)
-    // — what the scan's key groups and equality pruning read
+    // the bucket/truncate stamp: one group per file by construction
+    // (min == max) — what the scan's key groups and pruning read
     bucket.foreach { _ =>
       ist += SnapshotTable.BucketStat -> (currentBucket.toLong, currentBucket.toLong)
+    }
+    trunc.foreach { _ =>
+      ist += SnapshotTable.TruncStat -> (currentTrunc, currentTrunc)
     }
     done += SnapshotTable.FileEntry(
       path, ist.result(), sst.result(), nst.result(), Map.empty, pw.sizeOf(path))
@@ -867,10 +941,11 @@ private[sources] class SnapshotGroupReplaceWrite(
     statsCols: Seq[String],
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
+    truncBy: Option[(String, Int)],
     maxRows: Option[Long],
     scanned: () => Set[String])
-    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, maxRows,
-      overwrite = false) {
+    extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, truncBy,
+      maxRows, overwrite = false) {
 
   override protected def dropOpColumn: Boolean = true
 

@@ -681,7 +681,7 @@ object SnapshotTable {
         // the SPJ grouping until an overwrite re-buckets (the scan
         // degrades soundly; Round25Spec pins it)
         dvCarry = dvExtra(parent) ++ parent.extra.view.filterKeys(k =>
-          k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+          k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
         parentCluster = parent.extra.get(ClusterK)
         (parent.segments, parent.inline)
       } else (Vector.empty, Vector.empty)
@@ -745,13 +745,13 @@ object SnapshotTable {
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
         carryExtra = parent.extra.view.filterKeys(k =>
           k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-            k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+            k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
         val parent = manifest(table, current, io)
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
         (Vector.empty, Vector.empty)
       } else (Vector.empty, Vector.empty)
     publishManifest(table, current + 1, current, publishSchema,
@@ -773,7 +773,7 @@ object SnapshotTable {
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val carry = m.extra.view.filterKeys(k =>
       k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+        k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
     publishManifest(table, m.version + 1, m.version, m.schema,
       Nil, kept, "delete", carry, io)
   }
@@ -796,7 +796,7 @@ object SnapshotTable {
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
     val carry = m.extra.view.filterKeys(k =>
       k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+        k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
   }
@@ -820,7 +820,7 @@ object SnapshotTable {
     requireNoDv(m, table, "a row-level rewrite")
     val kept = m.files.filterNot(f => scanned(f.path))
     val carry = m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
     publishManifest(table, cur + 1, cur, m.schema, Nil, kept ++ entries,
       "merge", carry, io)
   }
@@ -1341,6 +1341,22 @@ object SnapshotTable {
       (s.substring(0, i), s.substring(i + 1).toInt)
     }
 
+  /** Reserved manifest key: the table's TRUNCATE layout (`<col>:<w>`
+    * at `CREATE TABLE ... PARTITIONED BY (truncate(w, col))`) — the
+    * order-preserving sibling of [[BucketK]]: one floored width-w group
+    * per data file, stamped as a min==max [[TruncStat]]. */
+  private[sources] val TruncK = "trunc"
+
+  /** The synthetic per-file stat recording the file's truncate group. */
+  private[graft] val TruncStat = "__trunc"
+
+  /** The declared truncate layout (column, width), if any. */
+  def truncSpecOf(m: Manifest): Option[(String, Int)] =
+    m.extra.get(TruncK).map { s =>
+      val i = s.lastIndexOf(':')
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+
   /** Route every row of key `k` to the one partition owning that key —
     * an EXACT partitioner, not hash-modulo (two keys must never share a
     * file, or the file's min==max stat and the SPJ partition grouping
@@ -1441,11 +1457,16 @@ object SnapshotTable {
     * the whole table's SPJ/prune layout to unknown — refuse loudly;
     * `INSERT OVERWRITE` (whose V2 write re-routes and re-stamps every
     * bucket) is the layout-preserving rewrite. */
-  private def requireNotBucketed(m: Manifest, table: String, op: String): Unit =
+  private def requireNotBucketed(m: Manifest, table: String, op: String): Unit = {
     require(bucketSpecOf(m).isEmpty,
       s"$op refused on hash-bucketed $table (bucket=${m.extra(BucketK)}) — " +
         "it would rewrite files without their bucket stamp and demote the " +
         "layout; rewrite through INSERT OVERWRITE, which re-buckets")
+    require(truncSpecOf(m).isEmpty,
+      s"$op refused on truncate-grouped $table (trunc=${m.extra.getOrElse(TruncK, "")}) — " +
+        "it would rewrite files without their truncate stamp and demote the " +
+        "layout; rewrite through INSERT OVERWRITE, which re-groups")
+  }
 
   /** Merge-on-read DELETE — the Delta deletion-vector shape: record the
     * keys to delete as a small parquet sidecar and a manifest pointer,
@@ -1523,7 +1544,7 @@ object SnapshotTable {
   /** Table-level declarations every metadata commit must carry. */
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == MaxRowsK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
 
   /** Write one deletion-vector sidecar (the batch's DISTINCT keys,
     * one small parquet) stamped at commit sequence `seq`, and return

@@ -139,7 +139,10 @@ private[sources] class SnapshotV2Table(
     * SCAN's reported partitioning below. */
   override def partitioning(): Array[Transform] =
     SnapshotTable.clusterKeyOf(m).map(Expressions.identity).toArray ++
-      SnapshotTable.bucketSpecOf(m).map { case (c, n) => Expressions.bucket(n, c) }
+      SnapshotTable.bucketSpecOf(m).map { case (c, n) => Expressions.bucket(n, c) } ++
+      SnapshotTable.truncSpecOf(m).map { case (c, w) =>
+        Expressions.apply(s"truncate_$w", Expressions.column(c))
+      }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(table, m,
@@ -633,9 +636,26 @@ private[graft] class SnapshotV2Scan(
         .toSeq.sortBy(_._1))
     }.filter(_.nonEmpty)
 
-  /** Either grouping arm, uniformly typed for partition planning. */
+  /** File groups by truncate group on a width-grouped table — the
+    * order-preserving sibling of [[bucketGroups]], same opt-outs and
+    * the same one-unstamped-file-degrades-all soundness rule. */
+  private lazy val truncGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
+    (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
+       dv.nonEmpty) None
+     else SnapshotTable.truncSpecOf(m)).flatMap { _ =>
+      val keyed = entries.map(f => f.stats.get(SnapshotTable.TruncStat).collect {
+        case (lo, hi) if lo == hi => lo -> f
+      })
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
+        .toSeq.sortBy(_._1))
+    }.filter(_.nonEmpty)
+
+  /** Any grouping arm, uniformly typed for partition planning. */
   private lazy val grouped: Option[Seq[(Any, Seq[SnapshotTable.FileEntry])]] =
-    keyGroups.orElse(bucketGroups.map(_.map { case (b, fs) => (b: Any, fs) }))
+    keyGroups
+      .orElse(bucketGroups.map(_.map { case (b, fs) => (b: Any, fs) }))
+      .orElse(truncGroups.map(_.map { case (t, fs) => (t: Any, fs) }))
 
   private def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile =
     SnapshotV2.partitionedFile(f)
@@ -781,7 +801,13 @@ private[graft] class SnapshotV2Scan(
       case Some(groups) =>
         val (c, n) = SnapshotTable.bucketSpecOf(m).get
         new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups.size)
-      case None => new UnknownPartitioning(entries.size)
+      case None => truncGroups match {
+        case Some(groups) =>
+          val (c, w) = SnapshotTable.truncSpecOf(m).get
+          new KeyGroupedPartitioning(Array(
+            Expressions.apply(s"truncate_$w", Expressions.column(c))), groups.size)
+        case None => new UnknownPartitioning(entries.size)
+      }
     }
   }
 

@@ -2801,6 +2801,91 @@ object SourceCatalog extends QueryModule {
              |ORDER BY _commit_version, _change_type""".stripMargin)
     ),
     Q(
+      "src_snapshot_truncate_spj",
+      // TRUNCATE LAYOUT AT CREATE TABLE — `PARTITIONED BY
+      // (truncate(2000, ck))`, the ORDER-PRESERVING sibling of bucket
+      // (GraftTruncate): floored width-w groups, one per data file
+      // (REQUIREd: __trunc min==max stamps), routed through a
+      // catalog-served V2 function whose NAME carries the width
+      // (truncate_2000 — a literal child can never satisfy Spark's
+      // clustering check, Round30Spec documents the trap). The payoff
+      // is BOTH join and range behavior on one layout: the equi-join
+      // of two co-truncated tables executes with ZERO exchanges
+      // (REQUIREd post-AQE, broadcast off), and a range read prunes to
+      // a strict file subset from the RAW column's per-file stats,
+      // disjoint by the width grouping (REQUIREd) — the layout for a
+      // key that is both joined on and range-scanned, where bucket
+      // serves only the join. Round30Spec pins algebra, refusals,
+      // degrade, and DML layout survival.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_tspj_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "grafttr_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // width = an eighth of the key space — ~8 groups at EVERY scale
+        // factor (a fixed width degenerates to one group at small SF)
+        val w = math.max(1L, Tables(s, dir).customer
+          .agg(max(col("c_custkey"))).collect()(0).getLong(0) / 8).toInt
+        s.sql(s"CREATE TABLE $cat.c (ck BIGINT NOT NULL, acct DOUBLE) " +
+          s"PARTITIONED BY (truncate($w, ck))")
+        s.sql(s"CREATE TABLE $cat.o (ok BIGINT, ck BIGINT NOT NULL, price DOUBLE) " +
+          s"PARTITIONED BY (truncate($w, ck))")
+        Tables(s, dir).customer
+          .select(col("c_custkey").as("ck"), col("c_acctbal").as("acct"))
+          .createOrReplaceTempView("graft_tspj_c")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_tspj_o")
+        s.sql(s"INSERT INTO $cat.c SELECT * FROM graft_tspj_c")
+        s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_tspj_o")
+        Seq("c", "o").foreach { t =>
+          val m = SnapshotTable.manifest(s"$wh/$t", 2L)
+          require(m.files.nonEmpty && m.files.forall(
+            _.stats.get(SnapshotTable.TruncStat).exists { case (lo, hi) => lo == hi }),
+            s"every $t data file must carry its one-group stamp")
+        }
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.sql(s"SELECT c.ck, o.price FROM $cat.c c JOIN $cat.o o ON c.ck = o.ck")
+          j.count() // materialize the AQE-final plan
+          require(graft.Stage.shuffleCount(j) == 0,
+            "co-truncated SPJ must plan zero exchanges")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        // range read prunes from the raw key stats (disjoint by
+        // grouping): a window inside roughly one group
+        val (rlo, rhi) = (w / 2L, w / 2L + w / 4L)
+        val rq = s.sql(s"SELECT * FROM $cat.o WHERE ck BETWEEN $rlo AND $rhi")
+        val planned = rq.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        val total = SnapshotTable.manifest(s"$wh/o", 2L).fileCount
+        require(planned < total,
+          s"the width grouping must prune range reads ($planned/$total)")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_rows", "sum_price")
+        agg(s.sql(s"SELECT o.price FROM $cat.c c JOIN $cat.o o ON c.ck = o.ck"), "join")
+          .unionByName(agg(rq, "range"))
+          .orderBy("arm")
+      },
+      Some("""SELECT 'join' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |UNION ALL
+             |SELECT 'range', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders, (SELECT GREATEST(MAX(c_custkey)//8, 1) AS w FROM customer) ww
+             |WHERE o_custkey BETWEEN ww.w//2 AND ww.w//2 + ww.w//4
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
       "src_snapshot_changes_table",
       // THE CHANGES TABLE — table_changes addressable through the
       // catalog (`spark.read.option("fromVersion", v).table("g.t
