@@ -64,21 +64,26 @@ class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
-  /** The V2 functions this catalog serves: `bucket` only — resolved by
-    * Spark when planning bucketed writes (required distribution) and
-    * bucketed scans (reported KeyGroupedPartitioning for SPJ). */
+  /** The V2 functions this catalog serves — resolved by Spark when
+    * planning a transform-laid-out write (required distribution) and
+    * the matching scan (reported KeyGroupedPartitioning for SPJ):
+    * `bucket`, `truncate` (+ width-named variants), and the temporal
+    * family (`years`/`months`/`days`/`hours`, [[GraftTemporal]]). */
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketUnbound
     else if (ident.namespace.isEmpty && ident.name == "truncate") GraftTruncateUnbound
+    else if (ident.namespace.isEmpty && GraftTemporal.Units.contains(ident.name))
+      GraftTemporalUnbound(ident.name)
     else if (ident.namespace.isEmpty && ident.name.startsWith("truncate_") &&
         ident.name.drop(9).forall(_.isDigit) && ident.name.length > 9)
       GraftTruncateWUnbound(ident.name.drop(9).toInt)
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(
-      Identifier.of(Array.empty, "bucket"), Identifier.of(Array.empty, "truncate"))
+    if (namespace.isEmpty)
+      (Seq("bucket", "truncate") ++ GraftTemporal.Units)
+        .map(n => Identifier.of(Array.empty, n)).toArray
     else Array.empty
 
   private var catName: String = _
@@ -222,11 +227,23 @@ class SnapshotCatalog extends TableCatalog
             s"column name ${SnapshotTable.TruncStat} is reserved on truncate-grouped " +
               "tables (it records each file's group in the manifest)")
           SnapshotTable.TruncK -> s"$c:$w"
+        case unit if GraftTemporal.Units.contains(unit) =>
+          require(t.arguments().length == 1, s"$unit takes one column, got ${t.describe}")
+          val c = refOf(t.arguments()(0))
+          val dt = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(s"$unit names unknown column $c")).dataType
+          require(dt == TimestampType,
+            s"$unit column $c: ${dt.simpleString} is not a timestamp — temporal " +
+              "transforms take TIMESTAMP keys (UTC epoch micros)")
+          require(!schema.fieldNames.contains(SnapshotTable.TemporalStat),
+            s"column name ${SnapshotTable.TemporalStat} is reserved on temporally-" +
+              "partitioned tables (it records each file's period in the manifest)")
+          SnapshotTable.TemporalK -> s"$c:$unit"
         case other => throw new UnsupportedOperationException(
           s"partition transform $other is not supported — identity (one key value " +
             "per file, storage-partitioned joins), bucket(n, col) (hash-bucket " +
-            "layout) and truncate(w, col) (order-preserving width groups) are; " +
-            "time-derived reads prune from the raw column's stats")
+            "layout), truncate(w, col) (order-preserving width groups) and the " +
+            "temporal family (years/months/days/hours over a TIMESTAMP key) are")
       }
     }
     layout.collect { case (SnapshotTable.ClusterK, c) => c }.foreach { c =>
@@ -341,20 +358,21 @@ private[sources] object SnapshotWrites {
     val cluster = SnapshotTable.clusterKeyOf(m)
     val bucket = SnapshotTable.bucketSpecOf(m)
     val trunc = SnapshotTable.truncSpecOf(m)
+    val temporal = SnapshotTable.temporalSpecOf(m)
     val stats = SnapshotTable.statsColumnsOf(m)
     val maxRows = SnapshotTable.maxRowsPerFileOf(m)
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder => V2SortOrder}
-    (cluster, bucket, trunc) match {
-      case (Some(k), _, _) =>
-        new SnapshotWrite(table, schema, stats, Some(k), None, None, maxRows, overwrite,
-          replaceScanned) with RequiresDistributionAndOrdering {
+    (cluster, bucket, trunc, temporal) match {
+      case (Some(k), _, _, _) =>
+        new SnapshotWrite(table, schema, stats, Some(k), None, None, None, maxRows,
+          overwrite, replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.column(k)))
           override def requiredOrdering(): Array[V2SortOrder] =
             Array(E.sort(E.column(k), SortDirection.ASCENDING))
         }
-      case (None, _, Some((c, w))) =>
+      case (None, _, Some((c, w)), _) =>
         // the order-preserving sibling of the bucket arm: routed and
         // sorted by the catalog-served truncate function, rolled and
         // stamped per width-w group
@@ -362,31 +380,58 @@ private[sources] object SnapshotWrites {
         // Spark's clustering-satisfaction check (collectLeaves) can
         // never match a literal against the join keys (GraftBucket
         // .scala documents the trap)
-        val tf = org.apache.spark.sql.connector.expressions.Expressions.apply(
-          s"truncate_$w",
-          org.apache.spark.sql.connector.expressions.Expressions.column(c))
-        new SnapshotWrite(table, schema, stats, None, None, Some((c, w)), maxRows,
-          overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+        val tf = E.apply(s"truncate_$w", E.column(c))
+        new SnapshotWrite(table, schema, stats, None, None, Some((c, w)), None,
+          maxRows, overwrite, replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(tf))
           override def requiredOrdering(): Array[V2SortOrder] =
             Array(E.sort(tf, SortDirection.ASCENDING))
         }
-      case (None, Some((c, n)), _) =>
+      case (None, Some((bc, n)), _, Some((tc, u))) =>
+        // COMPOUND time × hash layout (`PARTITIONED BY (days(ts),
+        // bucket(n, k))`): rows route and sort on BOTH transforms —
+        // period-major, bucket within period — so the rolling writer
+        // cuts one (period, bucket) group per file and stamps both;
+        // the scan then prunes on either dimension and SPJ-groups on
+        // the bucket stamp across periods.
+        val tf = E.apply(u, E.column(tc))
+        new SnapshotWrite(table, schema, stats, None, Some((bc, n)), None,
+          Some((tc, u)), maxRows, overwrite, replaceScanned)
+            with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(tf, E.bucket(n, bc)))
+          override def requiredOrdering(): Array[V2SortOrder] =
+            Array(E.sort(tf, SortDirection.ASCENDING),
+              E.sort(E.bucket(n, bc), SortDirection.ASCENDING))
+        }
+      case (None, Some((c, n)), _, None) =>
         // Spark evaluates bucket(n, c) itself (resolved through the
         // catalog's FunctionCatalog arm) to route rows, and the
         // bucket-ASC ordering makes buckets arrive contiguously — the
         // rolling writer cuts one file per bucket and stamps it.
-        new SnapshotWrite(table, schema, stats, None, Some((c, n)), None, maxRows,
-          overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+        new SnapshotWrite(table, schema, stats, None, Some((c, n)), None, None,
+          maxRows, overwrite, replaceScanned) with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.bucket(n, c)))
           override def requiredOrdering(): Array[V2SortOrder] =
             Array(E.sort(E.bucket(n, c), SortDirection.ASCENDING))
         }
+      case (None, None, None, Some((c, u))) =>
+        // the temporal arm: routed and sorted by the catalog-served
+        // unit function (UTC period ordinal), rolled and stamped per
+        // period — literal-free like truncate_w, so SPJ matches it
+        val tf = E.apply(u, E.column(c))
+        new SnapshotWrite(table, schema, stats, None, None, None, Some((c, u)),
+          maxRows, overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(tf))
+          override def requiredOrdering(): Array[V2SortOrder] =
+            Array(E.sort(tf, SortDirection.ASCENDING))
+        }
       case _ =>
-        new SnapshotWrite(table, schema, stats, None, None, None, maxRows, overwrite,
-          replaceScanned)
+        new SnapshotWrite(table, schema, stats, None, None, None, None, maxRows,
+          overwrite, replaceScanned)
     }
   }
 }
@@ -398,6 +443,7 @@ private[sources] class SnapshotWrite(
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
     truncBy: Option[(String, Int)],
+    temporalBy: Option[(String, String)],
     maxRows: Option[Long],
     overwrite: Boolean,
     replaceScanned: Option[() => Set[String]] = None) extends Write {
@@ -405,10 +451,10 @@ private[sources] class SnapshotWrite(
   override def toBatch: BatchWrite = replaceScanned match {
     case Some(scanned) =>
       new SnapshotGroupReplaceWrite(table, schema, statsCols, clusterBy, bucketBy,
-        truncBy, maxRows, scanned)
+        truncBy, temporalBy, maxRows, scanned)
     case None =>
       new SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, truncBy,
-        maxRows, overwrite)
+        temporalBy, maxRows, overwrite)
   }
 
   /** Streaming append (`df.writeStream.toTable(...)`): per-epoch
@@ -423,7 +469,7 @@ private[sources] class SnapshotWrite(
       "streaming complete/truncate mode is refused — the snapshot sink is append-only " +
         "(use foreachBatch + mergeBatch for replace semantics)")
     new SnapshotStreamingWrite(table, schema, statsCols, clusterBy, bucketBy, truncBy,
-      maxRows)
+      temporalBy, maxRows)
   }
 }
 
@@ -434,6 +480,7 @@ private[sources] class SnapshotStreamingWrite(
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
     truncBy: Option[(String, Int)],
+    temporalBy: Option[(String, String)],
     maxRows: Option[Long])
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
@@ -451,7 +498,8 @@ private[sources] class SnapshotStreamingWrite(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val tracked = (statsCols ++
-      (clusterBy.toSeq ++ bucketBy.map(_._1) ++ truncBy.map(_._1))
+      (clusterBy.toSeq ++ bucketBy.map(_._1) ++ truncBy.map(_._1) ++
+        temporalBy.map(_._1))
         .filterNot(statsCols.contains))
       .distinct.flatMap { c =>
         schema.fields.zipWithIndex.find(_._1.name == c).map {
@@ -470,9 +518,12 @@ private[sources] class SnapshotStreamingWrite(
       val i = schema.fieldIndex(c)
       (i, schema.fields(i).dataType, w)
     }
+    val temporal = temporalBy.map { case (c, u) =>
+      (schema.fieldIndex(c), u)
+    }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema), maxRows = maxRows,
-      trunc = trunc)
+      trunc = trunc, temporal = temporal)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -513,6 +564,7 @@ private[sources] class SnapshotBatchWrite(
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
     truncBy: Option[(String, Int)],
+    temporalBy: Option[(String, String)],
     maxRows: Option[Long],
     overwrite: Boolean) extends BatchWrite {
 
@@ -533,7 +585,8 @@ private[sources] class SnapshotBatchWrite(
     // from the manifest; a bucket key's range adds free range pruning
     // beside the __bucket stamp
     val tracked = (statsCols ++
-      (clusterBy.toSeq ++ bucketBy.map(_._1) ++ truncBy.map(_._1))
+      (clusterBy.toSeq ++ bucketBy.map(_._1) ++ truncBy.map(_._1) ++
+        temporalBy.map(_._1))
         .filterNot(statsCols.contains))
       .distinct.flatMap { c =>
         schema.fields.zipWithIndex.find(_._1.name == c).map {
@@ -552,9 +605,12 @@ private[sources] class SnapshotBatchWrite(
       val i = schema.fieldIndex(c)
       (i, schema.fields(i).dataType, w)
     }
+    val temporal = temporalBy.map { case (c, u) =>
+      (schema.fieldIndex(c), u)
+    }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema),
-      if (dropOpColumn) Some(schema) else None, maxRows, trunc)
+      if (dropOpColumn) Some(schema) else None, maxRows, trunc, temporal)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -582,12 +638,13 @@ private[sources] class SnapshotDataWriterFactory(
     pw: Bridge.ParquetRowWriterFactory,
     dropOpSchema: Option[StructType] = None,
     maxRows: Option[Long] = None,
-    trunc: Option[(Int, DataType, Int)] = None) extends DataWriterFactory
+    trunc: Option[(Int, DataType, Int)] = None,
+    temporal: Option[(Int, String)] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
     new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw,
-      dropOpSchema, bucket, maxRows, trunc)
+      dropOpSchema, bucket, maxRows, trunc, temporal)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writerFor(s"part-$partitionId-$taskId")
@@ -616,7 +673,8 @@ private[sources] class SnapshotDataWriter(
     dropOpSchema: Option[StructType] = None,
     bucket: Option[(Int, DataType, Int)] = None,
     maxRows: Option[Long] = None,
-    trunc: Option[(Int, DataType, Int)] = None) extends DataWriter[InternalRow] {
+    trunc: Option[(Int, DataType, Int)] = None,
+    temporal: Option[(Int, String)] = None) extends DataWriter[InternalRow] {
 
   // row-level rewrite rows arrive as [__row_operation, data...]: strip
   // the op column through a reusable ordinal projection (Spark's own
@@ -637,6 +695,7 @@ private[sources] class SnapshotDataWriter(
   // construction, recorded at rollFile
   private var currentBucket = -1
   private var currentTrunc = Long.MinValue
+  private var currentTemporal = Long.MinValue
   private val nulls = Array.fill(tracked.size)(0L)
   private val minL = Array.fill(tracked.size)(Long.MaxValue)
   private val maxL = Array.fill(tracked.size)(Long.MinValue)
@@ -686,6 +745,16 @@ private[sources] class SnapshotDataWriter(
       if (writer != null && t != currentTrunc) rollFile()
       currentTrunc = t
     }
+    temporal.foreach { case (idx, unit) =>
+      require(!row.isNullAt(idx),
+        "NULL temporal partition key refused — time transforms need a total key")
+      // TimestampType rides InternalRow as epoch micros — the same
+      // value the catalog-served routing function hashed, so the roll
+      // boundary and the write distribution agree by construction
+      val t = GraftTemporal.of(row.getLong(idx), unit)
+      if (writer != null && t != currentTemporal) rollFile()
+      currentTemporal = t
+    }
     if (writer == null) {
       path = pathFor(fileSeq)
       writer = pw.open(path)
@@ -699,11 +768,15 @@ private[sources] class SnapshotDataWriter(
           val v = row.getUTF8String(idx).toString // copy out of the reused buffer
           if (minS(i) == null || SnapshotTable.FileEntry.bytesLe(v, minS(i))) minS(i) = v
           if (maxS(i) == null || SnapshotTable.FileEntry.bytesLe(maxS(i), v)) maxS(i) = v
-        case ByteType | ShortType | IntegerType | LongType =>
+        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
+          // timestamps track as epoch MICROS and dates as epoch DAYS —
+          // the physical InternalRow value, the unit ManifestPruning
+          // converts pushed literals to
           val v = dt match {
             case ByteType    => row.getByte(idx).toLong
             case ShortType   => row.getShort(idx).toLong
             case IntegerType => row.getInt(idx).toLong
+            case DateType    => row.getInt(idx).toLong
             case _           => row.getLong(idx)
           }
           if (v < minL(i)) minL(i) = v
@@ -731,18 +804,22 @@ private[sources] class SnapshotDataWriter(
       nst += c -> (nulls(i), rows)
       if (nulls(i) < rows) dt match {
         case StringType => sst += c -> (minS(i), maxS(i))
-        case ByteType | ShortType | IntegerType | LongType =>
+        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
           ist += c -> (minL(i), maxL(i))
         case _ =>
       }
     }
-    // the bucket/truncate stamp: one group per file by construction
-    // (min == max) — what the scan's key groups and pruning read
+    // the bucket/truncate/temporal stamp: one group per file by
+    // construction (min == max) — what the scan's key groups and
+    // pruning read
     bucket.foreach { _ =>
       ist += SnapshotTable.BucketStat -> (currentBucket.toLong, currentBucket.toLong)
     }
     trunc.foreach { _ =>
       ist += SnapshotTable.TruncStat -> (currentTrunc, currentTrunc)
+    }
+    temporal.foreach { _ =>
+      ist += SnapshotTable.TemporalStat -> (currentTemporal, currentTemporal)
     }
     done += SnapshotTable.FileEntry(
       path, ist.result(), sst.result(), nst.result(), Map.empty, pw.sizeOf(path))
@@ -942,10 +1019,11 @@ private[sources] class SnapshotGroupReplaceWrite(
     clusterBy: Option[String],
     bucketBy: Option[(String, Int)],
     truncBy: Option[(String, Int)],
+    temporalBy: Option[(String, String)],
     maxRows: Option[Long],
     scanned: () => Set[String])
     extends SnapshotBatchWrite(table, schema, statsCols, clusterBy, bucketBy, truncBy,
-      maxRows, overwrite = false) {
+      temporalBy, maxRows, overwrite = false) {
 
   override protected def dropOpColumn: Boolean = true
 

@@ -93,15 +93,33 @@ object SnapshotRelationProvider {
   * which files a pushed filter may skip. */
 private[sources] object ManifestPruning {
 
+  import org.apache.spark.sql.types.{DateType, TimestampType}
+
+  /** Columns whose manifest stats ride the LONG channel: integral
+    * values verbatim, timestamps as epoch micros, dates as epoch days
+    * (both exactly the physical InternalRow value the writers folded
+    * — one unit end to end). */
   private def isIntegral(schema: StructType, c: String): Boolean =
     schema.fields.find(_.name == c).exists(f =>
-      f.dataType == LongType || f.dataType == IntegerType)
+      f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType || f.dataType == DateType)
   private def isString(schema: StructType, c: String): Boolean =
     schema.fields.find(_.name == c).exists(_.dataType == StringType)
+
+  /** A pushed literal converted to the column's stat channel — pushed
+    * timestamp/date predicates arrive as java.sql or java.time values
+    * depending on spark.sql.datetime.java8API.enabled; both convert. */
   private def longOf(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int  => Some(i.toLong)
-    case _       => None
+    case l: Long                  => Some(l)
+    case i: Int                   => Some(i.toLong)
+    case t: java.sql.Timestamp    =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant     =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date         =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate   => Some(d.toEpochDay)
+    case _                        => None
   }
 
   /** May `f` hold a row matching `filter`? false PROVES absence; stats

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 
 /** Storage primitives the snapshot protocol needs — everything else in
   * [[SnapshotTable]] is storage-agnostic. The one load-bearing method
@@ -527,12 +527,20 @@ object SnapshotTable {
           }.toVector
       } else {
         // one map-side-combined pass over the new files only; string
-        // columns record raw-string bounds, everything else integer
-        val stringCols = df.schema.fields
-          .filter(f => statsColumns.contains(f.name) && f.dataType == StringType)
-          .map(_.name).toSet
+        // columns record raw-string bounds, everything else integer —
+        // timestamps as epoch MICROS and dates as epoch DAYS (the same
+        // physical channel InternalRow and the task-side rolling writer
+        // carry, so pruning reads one unit whichever path committed)
+        val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val stringCols = statsColumns
+          .filter(c => dtypes.get(c).contains(StringType)).toSet
         val aggs = statsColumns.flatMap { c =>
-          val v = if (stringCols(c)) col(c) else col(c).cast("long")
+          val v = dtypes.get(c) match {
+            case Some(StringType)    => col(c)
+            case Some(TimestampType) => unix_micros(col(c))
+            case Some(DateType)      => unix_date(col(c)).cast("long")
+            case _                   => col(c).cast("long")
+          }
           // min/max ignore NULLs; the null count beside them is what
           // prunes IS [NOT] NULL (and row count sizes the file); the
           // HLL++ distinct estimate beside THOSE is what sizes a join
@@ -681,7 +689,8 @@ object SnapshotTable {
         // the SPJ grouping until an overwrite re-buckets (the scan
         // degrades soundly; Round25Spec pins it)
         dvCarry = dvExtra(parent) ++ parent.extra.view.filterKeys(k =>
-          k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+          k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
+            k == TemporalK || k == MaxRowsK).toMap
         parentCluster = parent.extra.get(ClusterK)
         (parent.segments, parent.inline)
       } else (Vector.empty, Vector.empty)
@@ -745,13 +754,15 @@ object SnapshotTable {
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
         carryExtra = parent.extra.view.filterKeys(k =>
           k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-            k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+            k == MorKeyK || k == BucketK || k == TruncK || k == TemporalK ||
+            k == MaxRowsK).toMap
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
         val parent = manifest(table, current, io)
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK ||
+            k == TruncK || k == TemporalK || k == MaxRowsK).toMap
         (Vector.empty, Vector.empty)
       } else (Vector.empty, Vector.empty)
     publishManifest(table, current + 1, current, publishSchema,
@@ -1357,6 +1368,25 @@ object SnapshotTable {
       (s.substring(0, i), s.substring(i + 1).toInt)
     }
 
+  /** Reserved manifest key: the table's TEMPORAL layout (`<col>:<unit>`
+    * at `CREATE TABLE ... PARTITIONED BY (days(ts))` — also months/
+    * hours/years): one period per data file, stamped as a min==max
+    * [[TemporalStat]] ([[GraftTemporal]] owns the derivation, UTC
+    * always). The raw timestamp column is always stats-tracked (epoch
+    * micros), so date-range reads prune at the manifest with zero
+    * transform awareness. */
+  private[sources] val TemporalK = "temporal"
+
+  /** The synthetic per-file stat recording the file's temporal period. */
+  private[graft] val TemporalStat = "__tpart"
+
+  /** The declared temporal layout (column, unit), if any. */
+  def temporalSpecOf(m: Manifest): Option[(String, String)] =
+    m.extra.get(TemporalK).map { s =>
+      val i = s.lastIndexOf(':')
+      (s.substring(0, i), s.substring(i + 1))
+    }
+
   /** Route every row of key `k` to the one partition owning that key —
     * an EXACT partitioner, not hash-modulo (two keys must never share a
     * file, or the file's min==max stat and the SPJ partition grouping
@@ -1466,6 +1496,11 @@ object SnapshotTable {
       s"$op refused on truncate-grouped $table (trunc=${m.extra.getOrElse(TruncK, "")}) — " +
         "it would rewrite files without their truncate stamp and demote the " +
         "layout; rewrite through INSERT OVERWRITE, which re-groups")
+    require(temporalSpecOf(m).isEmpty,
+      s"$op refused on temporally-partitioned $table " +
+        s"(temporal=${m.extra.getOrElse(TemporalK, "")}) — it would rewrite files " +
+        "without their period stamp and demote the layout; rewrite through " +
+        "INSERT OVERWRITE, which re-partitions")
   }
 
   /** Merge-on-read DELETE — the Delta deletion-vector shape: record the
@@ -1544,7 +1579,8 @@ object SnapshotTable {
   /** Table-level declarations every metadata commit must carry. */
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK ||
+        k == TruncK || k == TemporalK || k == MaxRowsK).toMap
 
   /** Write one deletion-vector sidecar (the batch's DISTINCT keys,
     * one small parquet) stamped at commit sequence `seq`, and return
@@ -1719,7 +1755,17 @@ object SnapshotTable {
       io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
-    requireNotBucketed(m, table, "compactSnapshot")
+    // a transform-laid-out table (bucket/truncate/temporal) compacts
+    // through the LAYOUT-PRESERVING per-group rewrite — the rolling
+    // stamping writers, so every rewritten file keeps its group stamp
+    // and SPJ/pruning survive the maintenance pass
+    if (bucketSpecOf(m).nonEmpty || truncSpecOf(m).nonEmpty ||
+        temporalSpecOf(m).nonEmpty) {
+      require(clusterBy.isEmpty && statsColumns.isEmpty,
+        s"compactSnapshot on transform-laid-out $table rewrites under the " +
+          "table's OWN declared layout — clusterBy/statsColumns overrides refuse")
+      return compactLayout(spark, table, targetBytes, io)
+    }
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
     val bytes = m.files.map(f => io.size(f.path)).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -1741,6 +1787,112 @@ object SnapshotTable {
       statsColumns = if (statsColumns.isEmpty) clusterBy else statsColumns,
       extra = Map("compacted-from" -> cur.toString),
       io = io)
+    (m.files.size, v)
+  }
+
+  /** LAYOUT-PRESERVING compaction for transform-laid-out tables
+    * (bucket / truncate / temporal — and compound time×hash): the
+    * maintenance pass a streaming-append bucketed fact needs. Small
+    * files consolidate per GROUP: rows are re-grouped by the exact
+    * transform expressions the write path routes by (Catalyst-native —
+    * `hash()` IS the writer's Murmur3 seed-42 for widened-long/UTF-8
+    * keys; truncate/temporal via pmod-floored arithmetic, months/years
+    * through timezone-free DATE calendar functions), sorted group-
+    * contiguous within tasks, and rewritten task-side through the SAME
+    * rolling stamping writers the DSv2 INSERT uses — so every output
+    * file carries its `__bucket`/`__trunc`/`__tpart` min==max stamp
+    * and the table's SPJ grouping and pruning survive the rewrite
+    * (the property the old blanket refusal protected, now maintained
+    * instead of avoided). Reads flow DV-applied and the overwrite
+    * commit drops DV state — same materialization contract as
+    * [[compactSnapshot]]; the commit is PINNED at parent+1, so a
+    * racing writer turns into a loud CME, never silent row loss.
+    * Returns (filesBefore, publishedVersion). */
+  private def compactLayout(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long,
+      io: SnapshotIO): (Int, Long) = {
+    val cur = currentVersion(table, io)
+    val m = manifest(table, cur, io)
+    require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
+    val bucket = bucketSpecOf(m)
+    val trunc = truncSpecOf(m)
+    val temporal = temporalSpecOf(m)
+    val schema = m.schema
+    val DayM = 86400L * 1000000L
+    val HourM = 3600L * 1000000L
+    def bucketCol(c: String, n: Int): org.apache.spark.sql.Column = {
+      // Spark's hash() is Murmur3 seed 42: hashLong over the widened
+      // long / hashUnsafeBytes over raw UTF-8 — exactly GraftBucket.of
+      val h = schema(c).dataType match {
+        case StringType => hash(col(c))
+        case _          => hash(col(c).cast("long"))
+      }
+      h.bitwiseAND(lit(Int.MaxValue)) % lit(n)
+    }
+    def truncCol(c: String, w: Int): org.apache.spark.sql.Column = {
+      val v = col(c).cast("long")
+      v - pmod(v, lit(w.toLong)) // floored grouping — negatives included
+    }
+    def temporalCol(c: String, u: String): org.apache.spark.sql.Column = u match {
+      // group REPRESENTATIVES, not ordinals: x - pmod(x, U) floors
+      // correctly for pre-1970 stamps (SQL DIV truncates toward zero);
+      // months/years go through tz-free DATE arithmetic on the exact
+      // floored epoch day — bit-identical to GraftTemporal.of's
+      // LocalDate.ofEpochDay calendar
+      case "hours" => expr(s"unix_micros(`$c`) - pmod(unix_micros(`$c`), ${HourM}L)")
+      case "days"  => expr(s"unix_micros(`$c`) - pmod(unix_micros(`$c`), ${DayM}L)")
+      case "months" =>
+        expr(s"(year(date_from_unix_date(CAST((unix_micros(`$c`) - " +
+          s"pmod(unix_micros(`$c`), ${DayM}L)) DIV ${DayM}L AS INT))) - 1970) * 12 " +
+          s"+ month(date_from_unix_date(CAST((unix_micros(`$c`) - " +
+          s"pmod(unix_micros(`$c`), ${DayM}L)) DIV ${DayM}L AS INT))) - 1")
+      case "years" =>
+        expr(s"year(date_from_unix_date(CAST((unix_micros(`$c`) - " +
+          s"pmod(unix_micros(`$c`), ${DayM}L)) DIV ${DayM}L AS INT))) - 1970")
+      case other => throw new IllegalArgumentException(s"unknown temporal unit $other")
+    }
+    val groupCols: Seq[org.apache.spark.sql.Column] =
+      temporal.map { case (c, u) => temporalCol(c, u) }.toSeq ++
+        bucket.map { case (c, n) => bucketCol(c, n) } ++
+        trunc.map { case (c, w) => truncCol(c, w) }
+    val bytes = m.files.map(f => if (f.size >= 0) f.size else io.size(f.path)).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // DV-applied read (deletes materialize, the overwrite drops them),
+    // re-grouped so each group lands whole in one task — the rolling
+    // writer then cuts one stamped file per group (maxRowsPerFile still
+    // splits hot groups)
+    val laid = read(spark, table, Some(cur), io)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .repartition(n, groupCols: _*)
+      .sortWithinPartitions(groupCols: _*)
+    val statsCols = statsColumnsOf(m)
+    val tracked = (statsCols ++
+      (bucket.map(_._1) ++ trunc.map(_._1) ++ temporal.map(_._1))
+        .filterNot(statsCols.contains))
+      .distinct.flatMap { c =>
+        schema.fields.zipWithIndex.find(_._1.name == c).map {
+          case (f, i) => (c, i, f.dataType)
+        }
+      }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = s"$table/data/v${cur + 1}_w$token"
+    val factory = new SnapshotDataWriterFactory(stage, tracked, None,
+      bucket.map { case (c, bn) => (schema.fieldIndex(c), schema(c).dataType, bn) },
+      org.apache.spark.sql.graftbridge.Bridge.parquetRowWriter(spark, schema),
+      None, maxRowsPerFileOf(m),
+      trunc.map { case (c, w) => (schema.fieldIndex(c), schema(c).dataType, w) },
+      temporal.map { case (c, u) => (schema.fieldIndex(c), u) })
+    val messages = laid.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val w = factory.createWriter(pid, pid.toLong)
+      try { it.foreach(w.write); Iterator.single(w.commit()) }
+      catch { case t: Throwable => w.abort(); throw t }
+    }.collect()
+    val entries = messages.collect { case SnapshotWriteMessage(es) => es }
+      .flatten.sortBy(_.path).toSeq
+    val v = publishManifest(table, cur + 1, cur, schema, Vector.empty, entries,
+      "overwrite", tableDecls(m) ++ Map("compacted-from" -> cur.toString), io)
     (m.files.size, v)
   }
 

@@ -139,6 +139,9 @@ private[sources] class SnapshotV2Table(
     * SCAN's reported partitioning below. */
   override def partitioning(): Array[Transform] =
     SnapshotTable.clusterKeyOf(m).map(Expressions.identity).toArray ++
+      SnapshotTable.temporalSpecOf(m).map { case (c, u) =>
+        Expressions.apply(u, Expressions.column(c))
+      } ++
       SnapshotTable.bucketSpecOf(m).map { case (c, n) => Expressions.bucket(n, c) } ++
       SnapshotTable.truncSpecOf(m).map { case (c, w) =>
         Expressions.apply(s"truncate_$w", Expressions.column(c))
@@ -171,10 +174,13 @@ private[sources] class SnapshotV2Table(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => SnapshotTable.morKeyOf(m) match {
       case Some(k) if SnapshotTable.clusterKeyOf(m).isEmpty &&
-          SnapshotTable.bucketSpecOf(m).isEmpty =>
-        // bucketed tables prefer CoW too: the group rewrite re-routes
-        // through the bucketed write path, so the layout survives DML;
-        // delta post-images would land unstamped and demote it
+          SnapshotTable.bucketSpecOf(m).isEmpty &&
+          SnapshotTable.truncSpecOf(m).isEmpty &&
+          SnapshotTable.temporalSpecOf(m).isEmpty =>
+        // transform-laid-out tables (bucket/truncate/temporal) prefer
+        // CoW too: the group rewrite re-routes through the stamping
+        // write path, so the layout survives DML; delta post-images
+        // would land unstamped and demote it
         new SnapshotDeltaOperation(table, m, info.command(), k)
       case _ => new SnapshotRowLevelOperation(table, m, info.command())
     }
@@ -495,6 +501,12 @@ private[graft] class SnapshotV2Scan(
     * inputPartitions on the exec node never reflects them). */
   @volatile private[graft] var lastPlanned: Int = -1
 
+  /** Spec hook: which deletion-vector application path the last reader
+    * factory chose — "broadcast" (driver-loaded key map, under the
+    * budget) or "scoped" (per-file manifest-range-pruned sidecar loads,
+    * the over-budget fallback). Empty when no DVs were outstanding. */
+  @volatile private[graft] var lastDvMode: String = ""
+
   /** Columns a runtime predicate could prune on: any SCHEMA column with
     * a recorded stat anywhere in the manifest (synthetic stats like the
     * `__bucket` stamp are not resolvable scan attributes — advertising
@@ -651,11 +663,30 @@ private[graft] class SnapshotV2Scan(
         .toSeq.sortBy(_._1))
     }.filter(_.nonEmpty)
 
+  /** File groups by temporal period on a time-partitioned table — the
+    * calendar sibling of [[truncGroups]], same opt-outs and the same
+    * one-unstamped-file-degrades-all soundness rule. On a COMPOUND
+    * (temporal × bucket) layout the bucket grouping wins the reported
+    * partitioning (the join dimension); periods still prune reads via
+    * the raw timestamp stats. */
+  private lazy val temporalGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
+    (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
+       dv.nonEmpty || SnapshotTable.bucketSpecOf(m).nonEmpty) None
+     else SnapshotTable.temporalSpecOf(m)).flatMap { _ =>
+      val keyed = entries.map(f => f.stats.get(SnapshotTable.TemporalStat).collect {
+        case (lo, hi) if lo == hi => lo -> f
+      })
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
+        .toSeq.sortBy(_._1))
+    }.filter(_.nonEmpty)
+
   /** Any grouping arm, uniformly typed for partition planning. */
   private lazy val grouped: Option[Seq[(Any, Seq[SnapshotTable.FileEntry])]] =
     keyGroups
       .orElse(bucketGroups.map(_.map { case (b, fs) => (b: Any, fs) }))
       .orElse(truncGroups.map(_.map { case (t, fs) => (t: Any, fs) }))
+      .orElse(temporalGroups.map(_.map { case (t, fs) => (t: Any, fs) }))
 
   private def partitionedFile(f: SnapshotTable.FileEntry): PartitionedFile =
     SnapshotV2.partitionedFile(f)
@@ -806,7 +837,13 @@ private[graft] class SnapshotV2Scan(
           val (c, w) = SnapshotTable.truncSpecOf(m).get
           new KeyGroupedPartitioning(Array(
             Expressions.apply(s"truncate_$w", Expressions.column(c))), groups.size)
-        case None => new UnknownPartitioning(entries.size)
+        case None => temporalGroups match {
+          case Some(groups) =>
+            val (c, u) = SnapshotTable.temporalSpecOf(m).get
+            new KeyGroupedPartitioning(Array(
+              Expressions.apply(u, Expressions.column(c))), groups.size)
+          case None => new UnknownPartitioning(entries.size)
+        }
       }
     }
   }
@@ -878,38 +915,84 @@ private[graft] class SnapshotV2Scan(
       }
       require(supported, s"DV key $key: ${kf.dataType.simpleString} is not a " +
         "supported delete-key type for the v2 reader (integral or string)")
-      val declared = dv.map(_.count)
-      val budget = if (declared.forall(_ >= 0)) declared.sum else -1L
-      require(budget < 0 || budget <= SnapshotV2.DvReaderMaxKeys,
-        s"$budget outstanding delete keys exceed the v2 reader's in-memory " +
-          s"budget (${SnapshotV2.DvReaderMaxKeys}) — run compactSnapshot " +
-          "(materializes the deletes)")
       val innerSchema =
         if (dataSchema.fieldNames.contains(key)) dataSchema
         else StructType(dataSchema.fields :+ kf) // force-read the key, project after
       val keyOrd = innerSchema.fieldIndex(key)
-      val deletes = new java.util.HashMap[Any, java.lang.Long]()
-      dv.foreach { r =>
-        spark.read.parquet(r.path).collect().foreach { row =>
-          val k = row.get(0) match {
-            case b: java.lang.Byte    => b.longValue(): Any
-            case s: java.lang.Short   => s.longValue(): Any
-            case i: java.lang.Integer => i.longValue(): Any
-            case other                => other
-          }
-          if (k != null) {
-            val prev = deletes.get(k)
-            if (prev == null || prev < r.seq) deletes.put(k, r.seq)
+      val projectTo =
+        if (innerSchema.length == dataSchema.length) None else Some(dataSchema)
+      val inner = Bridge.parquetReaderFactory(spark, m.schema, innerSchema, pushed)
+      val declared = dv.map(_.count)
+      val budget = if (declared.forall(_ >= 0)) declared.sum else -1L
+      val maxBroadcast = spark.conf
+        .getOption(SnapshotV2.DvBroadcastMaxKeysConf).map(_.toLong)
+        .getOrElse(SnapshotV2.DvReaderMaxKeys)
+      if (budget >= 0 && budget <= maxBroadcast) {
+        // BROADCAST path (the common case): the accumulated delete keys
+        // load ONCE driver-side into a key -> max-commit-sequence map —
+        // declared counts bound the load before it starts
+        lastDvMode = "broadcast"
+        val deletes = new java.util.HashMap[Any, java.lang.Long]()
+        dv.foreach { r =>
+          spark.read.parquet(r.path).collect().foreach { row =>
+            val k = row.get(0) match {
+              case b: java.lang.Byte    => b.longValue(): Any
+              case s: java.lang.Short   => s.longValue(): Any
+              case i: java.lang.Integer => i.longValue(): Any
+              case other                => other
+            }
+            if (k != null) {
+              val prev = deletes.get(k)
+              if (prev == null || prev < r.seq) deletes.put(k, r.seq)
+            }
           }
         }
+        val bc = spark.sparkContext.broadcast(deletes)
+        new DvFilterReaderFactory(inner, bc, keyOrd, kf.dataType, projectTo)
+      } else {
+        // SCOPED fallback (over budget or unrecorded legacy counts):
+        // nothing loads driver-side. Each single-file partition reads
+        // only the sidecars that CAN hit it — pruned from manifest
+        // lines alone (DV refs carry seq + key range, files carry seq
+        // + key stats), loaded executor-side into a sorted array /
+        // hash set per task. Memory scales with the deletes that
+        // OVERLAP one file, not the chain total — a trickle-CDC table
+        // that can't compact on schedule keeps reading instead of
+        // hitting a ceiling. Cost honesty: the per-task sidecar reads
+        // re-run per file; compaction remains the cure, this is the
+        // bridge.
+        lastDvMode = "scoped"
+        def fileRange(f: SnapshotTable.FileEntry): (Option[(Long, Long)], Option[(String, String)]) =
+          (f.stats.get(key), f.sstats.get(key))
+        def relevant(r: SnapshotTable.DvRef, f: SnapshotTable.FileEntry): Boolean =
+          r.seq > math.max(f.seq, 0L) && {
+            val (fl, fs) = fileRange(f)
+            (r.rangeL, fl, r.rangeS, fs) match {
+              case (Some((lo, hi)), Some((fmn, fmx)), _, _) =>
+                hi >= fmn && lo <= fmx
+              case (_, _, Some((lo, hi)), Some((fmn, fmx))) =>
+                SnapshotTable.FileEntry.bytesLe(lo, fmx) &&
+                  SnapshotTable.FileEntry.bytesLe(fmn, hi)
+              case _ => true // rangeless ref or statless file: must read
+            }
+          }
+        val sidecarPf: Map[String, PartitionedFile] = dv.map { r =>
+          val len = LocalSnapshotIO.size(r.path)
+          r.path -> PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(r.path), 0L, len, Array.empty, 0L, len)
+        }.toMap
+        // keyed over the STATIC survivors — runtime filters only ever
+        // remove files, so every planned partition has its entry
+        val byFile: Map[String, Array[PartitionedFile]] =
+          entries.map { f =>
+            f.path -> dv.filter(relevant(_, f)).map(r => sidecarPf(r.path)).toArray
+          }.toMap
+        val keySchema = StructType(Seq(kf.copy(nullable = true)))
+        val dvReader = Bridge.parquetReaderFactory(
+          spark, keySchema, keySchema, Array.empty)
+        new DvScopedReaderFactory(inner, dvReader, byFile, keyOrd, kf.dataType,
+          projectTo)
       }
-      require(deletes.size <= SnapshotV2.DvReaderMaxKeys,
-        s"${deletes.size} outstanding delete keys exceed the v2 reader's " +
-          s"budget (${SnapshotV2.DvReaderMaxKeys}) — run compactSnapshot")
-      val bc = spark.sparkContext.broadcast(deletes)
-      val inner = Bridge.parquetReaderFactory(spark, m.schema, innerSchema, pushed)
-      new DvFilterReaderFactory(inner, bc, keyOrd, kf.dataType,
-        if (innerSchema.length == dataSchema.length) None else Some(dataSchema))
     }
   }
 
@@ -1040,11 +1123,20 @@ private[graft] object SnapshotV2 {
       Array.empty, 0L, len, Map(FileSeqMetaKey -> math.max(f.seq, 0L)))
   }
 
-  /** Hard ceiling on the delete set the v2 reader materializes
+  /** Default ceiling on the delete set the v2 reader materializes
     * driver-side and broadcasts (the Iceberg equality-delete
-    * application shape). Beyond it the scan refuses loudly — the
-    * answer is compaction, which re-zeros the outstanding DV state. */
+    * application shape). Beyond it the scan no longer refuses: it
+    * falls back to the SCOPED application path — per-file sidecar
+    * loads pruned from manifest ranges, zero driver materialization
+    * ([[DvScopedReaderFactory]]). Override per session with
+    * [[DvBroadcastMaxKeysConf]]. Compaction still re-zeros the state
+    * and restores columnar reads/SPJ/pushdowns. */
   private[sources] val DvReaderMaxKeys = 8000000L
+
+  /** Session conf key overriding [[DvReaderMaxKeys]] — how many
+    * outstanding delete keys the v2 reader may load driver-side and
+    * broadcast before switching to the scoped per-file path. */
+  private[graft] val DvBroadcastMaxKeysConf = "spark.graft.dv.broadcastMaxKeys"
 }
 
 /** Appends the requested metadata columns (`_file`/`_pos`) around an
@@ -1152,6 +1244,86 @@ private[sources] class DvFilterReaderFactory(
             }
             val s = deletes.value.get(k)
             s != null && s > fseq
+          }
+          if (!dead) {
+            cur = proj match {
+              case Some(pr) => pr.project(r); pr
+              case None     => r
+            }
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** The SCOPED deletion-vector application — the over-budget fallback
+  * to [[DvFilterReaderFactory]]'s broadcast map: each single-file
+  * partition loads ONLY the sidecars whose manifest-recorded key range
+  * and commit sequence can hit its file (pruned driver-side from
+  * manifest lines at zero I/O; `byFile` maps data-file path → relevant
+  * sidecar reads), builds the delete set task-side — a sorted long
+  * array for integral keys (8 bytes/key: 50M deletes overlapping one
+  * file ≈ 400 MB, far past any sane pre-compaction state), a hash set
+  * for strings — and drops matching rows. Sequence scoping rode the
+  * driver-side pruning (only refs with seq > file seq are attached),
+  * so a MoR commit's post-images still survive their own DV. */
+private[sources] class DvScopedReaderFactory(
+    inner: PartitionReaderFactory,
+    dvReader: PartitionReaderFactory,
+    byFile: Map[String, Array[PartitionedFile]],
+    keyOrd: Int,
+    keyType: DataType,
+    projectTo: Option[StructType]) extends PartitionReaderFactory {
+
+  private val isString = keyType == StringType
+
+  /** Integral keys widened to Long — the unit every DV consumer uses. */
+  private def longAt(row: InternalRow, ord: Int): Long = keyType match {
+    case ByteType    => row.getByte(ord).toLong
+    case ShortType   => row.getShort(ord).toLong
+    case IntegerType => row.getInt(ord).toLong
+    case _           => row.getLong(ord)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      s"DV-filtered partitions hold one file each, got ${fp.files.length}")
+    val path = fp.files.head.filePath.toPath.toUri.getPath
+    val sidecars = byFile.getOrElse(path, Array.empty)
+    // task-side delete set over this file's RELEVANT sidecars only
+    val longsB = Array.newBuilder[Long]
+    val strings = new java.util.HashSet[String]()
+    sidecars.foreach { sc =>
+      val r = dvReader.createReader(FilePartition(0, Array(sc)))
+      try while (r.next()) {
+        val row = r.get()
+        if (!row.isNullAt(0)) {
+          if (isString) strings.add(row.getUTF8String(0).toString)
+          else longsB += longAt(row, 0)
+        }
+      } finally r.close()
+    }
+    val longs = longsB.result()
+    java.util.Arrays.sort(longs)
+    val in = inner.createReader(p)
+    val proj = projectTo.map(s =>
+      org.apache.spark.sql.catalyst.ProjectingInternalRow(s, 0 until s.length))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (in.next()) {
+          val r = in.get()
+          val dead = !r.isNullAt(keyOrd) && {
+            if (isString) strings.contains(r.getUTF8String(keyOrd).toString)
+            else java.util.Arrays.binarySearch(longs, longAt(r, keyOrd)) >= 0
           }
           if (!dead) {
             cur = proj match {

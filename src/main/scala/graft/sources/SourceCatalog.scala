@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -3011,6 +3012,257 @@ object SourceCatalog extends QueryModule {
              |CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_acct
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_days_spj",
+      // TEMPORAL PARTITION TRANSFORM AT CREATE TABLE — `PARTITIONED BY
+      // (days(ts))` (the Iceberg hidden-partitioning family on the
+      // same catalog-served V2 function machinery as bucket/truncate;
+      // GraftTemporal.scala): the INSERT's required distribution
+      // routes rows through the catalog-served `days` function (UTC
+      // floored epoch-day — literal-free, so SPJ's clustering check
+      // matches it), the rolling writer cuts ONE period per file and
+      // stamps it (__tpart min==max — REQUIREd for every file, >1
+      // distinct period REQUIREd so the pins aren't vacuous), and the
+      // equi-join of two co-partitioned event tables on the RAW
+      // timestamp executes with ZERO exchanges (REQUIREd post-AQE,
+      // broadcast off). The date-range read REQUIREs a strict file
+      // subset planned from the raw timestamp's manifest stats (epoch
+      // micros end to end — the writers fold the physical value,
+      // ManifestPruning converts the pushed literals), disjoint by the
+      // period grouping: the first DDL an event table migrating from
+      // Iceberg/Delta writes, at 100 TB the layout every time-sliced
+      // dashboard read prunes by. Round31Spec pins the unit algebra,
+      // refusals (non-timestamp keys, NULL keys, reserved stamp name),
+      // unstamped degrade, and months/hours grouping.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_dspj_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftdy_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.a (ts TIMESTAMP NOT NULL, value DOUBLE) " +
+          "PARTITIONED BY (days(ts))")
+        s.sql(s"CREATE TABLE $cat.b (ts TIMESTAMP NOT NULL, value DOUBLE) " +
+          "PARTITIONED BY (days(ts))")
+        val ev = Tables(s, dir).events
+        ev.filter(col("event_id") % 2 === 0).select("ts", "value")
+          .createOrReplaceTempView("graft_dspj_a")
+        ev.filter(col("event_id") % 3 === 0).select("ts", "value")
+          .createOrReplaceTempView("graft_dspj_b")
+        s.sql(s"INSERT INTO $cat.a SELECT * FROM graft_dspj_a")
+        s.sql(s"INSERT INTO $cat.b SELECT * FROM graft_dspj_b")
+        Seq("a", "b").foreach { t =>
+          val m = SnapshotTable.manifest(s"$wh/$t", 2L)
+          require(m.files.nonEmpty && m.files.forall(
+            _.stats.get(SnapshotTable.TemporalStat).exists { case (lo, hi) => lo == hi }),
+            s"every $t data file must carry its one-period stamp")
+          require(m.files.flatMap(_.stats.get(SnapshotTable.TemporalStat))
+            .map(_._1).distinct.size > 1,
+            s"$t must span multiple day periods or the layout pins are vacuous")
+        }
+        // storage-partitioned join on the RAW timestamp: zero exchanges
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.sql(s"SELECT a.value FROM $cat.a a JOIN $cat.b b ON a.ts = b.ts")
+          j.count() // materialize the AQE-final plan
+          require(graft.Stage.shuffleCount(j) == 0,
+            "co-day-partitioned SPJ must plan zero exchanges")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        // date-range read prunes from the raw timestamp's micros stats
+        // (disjoint by the period grouping): the middle sixth of the span
+        val bnd = ev.agg(
+          min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).collect()(0)
+        val (mn, mx) = (bnd.getLong(0), bnd.getLong(1))
+        val (rlo, rhi) = (mn + (mx - mn) / 3, mn + (mx - mn) / 2)
+        val rq = s.sql(s"SELECT * FROM $cat.a WHERE ts BETWEEN " +
+          s"timestamp_micros(${rlo}L) AND timestamp_micros(${rhi}L)")
+        val planned = rq.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        val total = SnapshotTable.manifest(s"$wh/a", 2L).fileCount
+        require(planned < total,
+          s"the period grouping must prune date-range reads ($planned/$total)")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String, v: Column) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(v.cast("decimal(38,4)")).cast("double").as("sum_v"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_rows", "sum_v")
+        val joined = s.sql(
+          s"SELECT a.value av, b.value bv FROM $cat.a a JOIN $cat.b b ON a.ts = b.ts")
+        agg(joined, "join", col("av") + col("bv"))
+          .unionByName(agg(rq, "range", col("value")))
+          .orderBy("arm")
+      },
+      Some("""WITH a AS (SELECT ts, value FROM events WHERE event_id % 2 = 0),
+             |b AS (SELECT ts, value FROM events WHERE event_id % 3 = 0),
+             |bnd AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events)
+             |SELECT 'join' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(a.value + b.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_v
+             |FROM a JOIN b ON a.ts = b.ts
+             |UNION ALL
+             |SELECT 'range', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM a, bnd
+             |WHERE epoch_us(ts) BETWEEN mn + (mx - mn)//3 AND mn + (mx - mn)//2
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_bucket_compact",
+      // LAYOUT-PRESERVING COMPACTION (the r14 verdict's operational
+      // hole): a streaming-append bucketed fact accumulates small
+      // files forever — three INSERTs fragment every bucket here
+      // (REQUIREd: more files than buckets) — and the old blanket
+      // refusal left no maintenance path. compactSnapshot now routes
+      // transform layouts through a per-GROUP rewrite: rows re-group
+      // by the exact write-path transform (Catalyst hash() IS the
+      // writer's seed-42 Murmur3), rewrite task-side through the SAME
+      // rolling stamping writers as INSERT, and publish pinned at
+      // parent+1. REQUIREd after the compact: files consolidated to
+      // ≤ bucket count, EVERY file re-stamped (__bucket min==max),
+      // the co-bucketed fact⋈fact join still ZERO exchanges post-AQE
+      // (the property the refusal used to protect, now maintained),
+      // equality reads still prune to a strict subset, and vacuum
+      // actually reclaims the fragmented generation (REQUIREd > 0
+      // files deleted) — the full day-2 lifecycle a 100 TB bucketed
+      // table runs on schedule. Round32Spec pins the temporal/truncate
+      // arms, DV materialization through the rewrite, and the
+      // months-across-year calendar agreement.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_bcmp_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftbc_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.o (ok BIGINT, ck BIGINT NOT NULL, price DOUBLE) " +
+          "PARTITIONED BY (bucket(8, ck)) TBLPROPERTIES('statsColumns'='ck')")
+        s.sql(s"CREATE TABLE $cat.c (ck BIGINT NOT NULL, acct DOUBLE) " +
+          "PARTITIONED BY (bucket(8, ck))")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_bcmp_o")
+        Tables(s, dir).customer
+          .select(col("c_custkey").as("ck"), col("c_acctbal").as("acct"))
+          .createOrReplaceTempView("graft_bcmp_c")
+        // three streaming-shaped appends: every bucket fragments
+        for (r <- 0 to 2)
+          s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_bcmp_o WHERE ok % 3 = $r")
+        s.sql(s"INSERT INTO $cat.c SELECT * FROM graft_bcmp_c")
+        val table = s"$wh/o"
+        val frag = SnapshotTable.manifest(table, 4L)
+        require(frag.files.size > 8,
+          s"three appends must fragment the 8 buckets (${frag.files.size} files)")
+        val (before, v) = SnapshotTable.compactSnapshot(s, table)
+        val m = SnapshotTable.manifest(table, v)
+        require(before == frag.files.size && m.files.size <= 8 && m.files.nonEmpty,
+          s"per-group rewrite must consolidate to <= 8 files (${m.files.size})")
+        require(m.files.forall(
+          _.stats.get(SnapshotTable.BucketStat).exists { case (lo, hi) => lo == hi }),
+          "every compacted file must keep its one-bucket stamp")
+        // the fragmented generation actually reclaims
+        val (_, reclaimed) = SnapshotTable.vacuum(table, retainLast = 1)
+        require(reclaimed > 0, "vacuum must reclaim the fragmented files")
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.sql(s"SELECT o.price FROM $cat.o o JOIN $cat.c c ON o.ck = c.ck")
+          j.count() // materialize the AQE-final plan
+          require(graft.Stage.shuffleCount(j) == 0,
+            "the compacted layout must still SPJ with zero exchanges")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        val eq = s.sql(s"SELECT * FROM $cat.o WHERE ck = 371")
+        val planned = eq.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        require(planned < m.files.size,
+          s"bucket pruning must survive the compact ($planned/${m.files.size})")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_rows", "sum_price")
+        agg(s.sql(s"SELECT o.price FROM $cat.o o JOIN $cat.c c ON o.ck = c.ck"), "join")
+          .unionByName(agg(s.table(s"$cat.o"), "total"))
+          .orderBy("arm")
+      },
+      Some("""SELECT 'join' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |UNION ALL
+             |SELECT 'total', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_dv_scoped",
+      // DISTRIBUTED DELETION-VECTOR FALLBACK (the r14 verdict's 8M-key
+      // ceiling, lifted): when the outstanding delete keys exceed the
+      // v2 reader's broadcast budget (spark.graft.dv.broadcastMaxKeys),
+      // the scan switches — instead of refusing — to the SCOPED path:
+      // per-file sidecar loads pruned from manifest lines alone (DV
+      // refs carry seq + key range, files carry seq + key stats),
+      // applied task-side as a sorted long array / string hash set, so
+      // driver memory is ZERO and per-task memory scales with the
+      // deletes overlapping ONE file — a trickle-CDC table that can't
+      // compact on schedule keeps serving reads instead of hitting a
+      // cliff. The chain: INSERT → MoR UPDATE (+500 on a window) → MoR
+      // DELETE, then the read runs with the budget forced to 4 keys and
+      // REQUIREs the scoped path engaged (structural pin on the scan)
+      // while producing the same relational answer the oracle replays.
+      // Round33Spec pins path-selection equivalence, sequence scoping
+      // under the scoped filter, string keys, and range-bounded loads.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_dvsc_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftds_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, pri STRING, price DOUBLE) " +
+          "TBLPROPERTIES('morKey'='k', 'statsColumns'='k')")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_dvsc_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_dvsc_src")
+        val before = SnapshotTable.manifest(s"$wh/t", 2L).files.map(_.path).toSet
+        s.sql(s"UPDATE $cat.t SET price = price + 500.0 WHERE k % 10 = 3")
+        s.sql(s"DELETE FROM $cat.t WHERE k % 10 = 7")
+        require(before.subsetOf(SnapshotTable.manifest(s"$wh/t",
+          SnapshotTable.currentVersion(s"$wh/t")).files.map(_.path).toSet),
+          "the MoR chain must rewrite ZERO existing data files")
+        s.conf.set(graft.sources.SnapshotV2.DvBroadcastMaxKeysConf, "4")
+        try {
+          val df = s.table(s"$cat.t")
+          df.collect() // materialize so the reader factory picks the path
+          val mode = graft.Stage.executedNodes(df).collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan
+          }.collectFirst { case sc: SnapshotV2Scan => sc.lastDvMode }.getOrElse("")
+          require(mode == "scoped",
+            s"an over-budget DV chain must engage the scoped path, got '$mode'")
+          s.table(s"$cat.t")
+            .groupBy((col("k") % 10).as("bucket"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .orderBy("bucket")
+        } finally s.conf.unset(graft.sources.SnapshotV2.DvBroadcastMaxKeysConf)
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k,
+             |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 500.0
+             |       ELSE o_totalprice END AS price
+             |  FROM orders WHERE o_orderkey % 10 <> 7)
+             |SELECT k % 10 AS bucket, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -112,7 +112,8 @@ class Round25Spec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() === 2)
   }
 
-  test("maintenance refuses on bucketed layouts (compact, zorder, merge, mergeMoR)") {
+  test("stamp-blind maintenance refuses on bucketed layouts (zorder, merge, " +
+      "mergeMoR); compaction routes to the layout-preserving rewrite") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
@@ -120,7 +121,6 @@ class Round25Spec extends AnyFunSuite {
     val table = s"$wh/t"
     val batch = spark.range(3).select(col("id").as("k"), lit(0L).as("v"))
     for (op <- Seq(
-      () => SnapshotTable.compactSnapshot(spark, table),
       () => SnapshotTable.compactZOrder(spark, table, Seq("k", "v")),
       () => SnapshotTable.merge(batch, table, "k"),
       () => SnapshotTable.mergeMoR(batch, table, "k"))) {
@@ -128,10 +128,23 @@ class Round25Spec extends AnyFunSuite {
       assert(e.getMessage.contains("refused on hash-bucketed"),
         s"got: ${e.getMessage}")
     }
+    // layout overrides still refuse — the table's own layout rules
     val e = intercept[Exception] {
-      spark.sql(s"CALL $cat.system.compact('t', ${1L << 20})")
+      SnapshotTable.compactSnapshot(spark, table, clusterBy = Seq("v"))
     }
-    assert(e.getMessage.contains("refused on hash-bucketed"))
+    assert(e.getMessage.contains("OWN declared layout"))
+    // plain compaction (API and CALL) now rewrites per group, stamps kept
+    // (the full fragmentation→compact→SPJ flow is oracled in
+    // src_snapshot_bucket_compact; this pins the CALL arm)
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(100, 140)")
+    val before = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+    spark.sql(s"CALL $cat.system.compact('t', ${128L << 20})")
+    val m = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+    assert(m.files.size < before.files.size, "fragmented buckets must consolidate")
+    assert(m.files.nonEmpty && m.files.forall(
+      _.stats.get(SnapshotTable.BucketStat).exists { case (lo, hi) => lo == hi }),
+      "every compacted file must keep its one-bucket stamp")
+    assert(spark.table(s"$cat.t").count() === 140)
   }
 
   test("SQL UPDATE on a bucketed table rewrites through the bucketed path " +
