@@ -171,13 +171,16 @@ class SnapshotCatalog extends TableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(partitions.length <= 1,
-      s"at most one clustering transform, got ${partitions.mkString(", ")}")
     // PARTITIONED BY (k) → identity clustering (one key per file, SPJ);
-    // PARTITIONED BY (bucket(n, k)) → hash buckets (GraftBucket). Both
-    // are LAYOUT declarations the write path enforces via
-    // RequiresDistributionAndOrdering — no hive directories.
-    val layout: Option[(String, String)] = partitions.headOption.map { t =>
+    // PARTITIONED BY (bucket(n, k)) → hash buckets (GraftBucket);
+    // truncate/days/months/hours/years → width / period groups. All are
+    // LAYOUT declarations the write path enforces via
+    // RequiresDistributionAndOrdering — no hive directories. The ONE
+    // supported compound is time × hash — `PARTITIONED BY (days(ts),
+    // bucket(n, k))`, the production event-table layout: period-major
+    // routing, bucket within period, one (period, bucket) group per
+    // file, both stamps recorded.
+    val layouts: Seq[(String, String)] = partitions.toSeq.map { t =>
       def refOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
         e match {
           case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -246,6 +249,13 @@ class SnapshotCatalog extends TableCatalog
             "temporal family (years/months/days/hours over a TIMESTAMP key) are")
       }
     }
+    require(layouts.size <= 1 ||
+      (layouts.size == 2 && layouts.map(_._1).toSet ==
+        Set(SnapshotTable.TemporalK, SnapshotTable.BucketK)),
+      s"unsupported transform combination ${partitions.mkString(", ")} — one " +
+        "transform, or the time x hash compound (days/months/hours/years + " +
+        "bucket), is supported")
+    val layout: Map[String, String] = layouts.toMap
     layout.collect { case (SnapshotTable.ClusterK, c) => c }.foreach { c =>
       require(schema.fieldNames.contains(c), s"PARTITIONED BY names unknown column $c")
     }

@@ -167,6 +167,10 @@ private[sources] class SnapshotSource(
     // a stream attached to a table with outstanding DVs must not emit
     // deleted rows (steady-state slices can't cross a mode=delete
     // commit: incrementalFiles refuses non-append chains)
+    require(SnapshotTable.posDvPaths(m).isEmpty,
+      s"table $table carries outstanding position-delete sidecar(s) — the " +
+        "streaming anti-join cannot address physical ordinals; run " +
+        "compactSnapshot (materializes the deletes) before streaming")
     SnapshotTable.dvPaths(m) match {
       case Nil => base
       case dvp =>
@@ -306,6 +310,10 @@ private[sources] class SnapshotCdcSource(
         val m = SnapshotTable.manifest(table, to)
         val base = org.apache.spark.sql.graftbridge.Bridge
           .streamingParquetBatch(spark, m.files.map(_.path), m.schema)
+        require(SnapshotTable.posDvPaths(m).isEmpty,
+          s"table $table carries outstanding position-delete sidecar(s) — " +
+            "the CDC initial load cannot address physical ordinals; run " +
+            "compactSnapshot before attaching")
         val live = SnapshotTable.dvPaths(m) match {
           case Nil => base
           case dvp =>

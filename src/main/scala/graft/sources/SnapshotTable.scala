@@ -753,9 +753,9 @@ object SnapshotTable {
         publishSchema = StructType(
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
         carryExtra = parent.extra.view.filterKeys(k =>
-          k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-            k == MorKeyK || k == BucketK || k == TruncK || k == TemporalK ||
-            k == MaxRowsK).toMap
+          k == DvKeyK || k == DvFilesK || k == PosDvFilesK || k == ClusterK ||
+            k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
+            k == TemporalK || k == MaxRowsK).toMap
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
@@ -783,8 +783,9 @@ object SnapshotTable {
       kept: Seq[FileEntry],
       io: SnapshotIO = LocalSnapshotIO): Long = {
     val carry = m.extra.view.filterKeys(k =>
-      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+      k == DvKeyK || k == DvFilesK || k == PosDvFilesK || k == ClusterK ||
+        k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
+        k == TemporalK || k == MaxRowsK).toMap
     publishManifest(table, m.version + 1, m.version, m.schema,
       Nil, kept, "delete", carry, io)
   }
@@ -806,8 +807,9 @@ object SnapshotTable {
         widened.fields(i).dataType == pf(i).dataType),
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
     val carry = m.extra.view.filterKeys(k =>
-      k == DvKeyK || k == DvFilesK || k == ClusterK || k == StatsColsK ||
-        k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+      k == DvKeyK || k == DvFilesK || k == PosDvFilesK || k == ClusterK ||
+        k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
+        k == TemporalK || k == MaxRowsK).toMap
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
   }
@@ -830,8 +832,7 @@ object SnapshotTable {
     val m = manifest(table, cur, io)
     requireNoDv(m, table, "a row-level rewrite")
     val kept = m.files.filterNot(f => scanned(f.path))
-    val carry = m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK || k == MaxRowsK).toMap
+    val carry = tableDecls(m)
     publishManifest(table, cur + 1, cur, m.schema, Nil, kept ++ entries,
       "merge", carry, io)
   }
@@ -1184,7 +1185,16 @@ object SnapshotTable {
       version: Option[Long] = None,
       io: SnapshotIO = LocalSnapshotIO): DataFrame = {
     val v = version.getOrElse(currentVersion(table, io))
-    readFiles(spark, manifest(table, v, io), m => m.files)
+    val m = manifest(table, v, io)
+    // outstanding POSITION deletes apply reader-side only (physical
+    // ordinals — a DataFrame join can't address them): route the full
+    // read through the V2 scan, which applies both delete formats.
+    // Subset readers (readPruned/readIncremental/changeFeed) refuse
+    // instead — readFiles' guard.
+    if (posDvPaths(m).nonEmpty)
+      spark.read.format(SnapshotV2Provider.format)
+        .option("path", table).option("versionAsOf", v.toString).load()
+    else readFiles(spark, m, m => m.files)
   }
 
   /** Manifest-level file pruning: load only the files whose recorded
@@ -1241,6 +1251,10 @@ object SnapshotTable {
       m: Manifest,
       select: Manifest => Seq[FileEntry]): DataFrame = {
     val entries = select(m)
+    require(posDvPaths(m).isEmpty,
+      s"${posDvPaths(m).size} outstanding position-delete sidecar(s) — this " +
+        "read path cannot apply physical-ordinal deletes; read the full table " +
+        "(position-aware V2 route) or compactSnapshot first")
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
     // merge-on-read: apply the manifest's accumulated deletion vectors,
@@ -1472,15 +1486,94 @@ object SnapshotTable {
 
   private[sources] def dvKeyOf(m: Manifest): Option[String] = m.extra.get(DvKeyK)
 
-  /** The DV state a descendant commit must carry forward verbatim. */
-  private def dvExtra(m: Manifest): Map[String, String] =
-    m.extra.view.filterKeys(k => k == DvKeyK || k == DvFilesK).toMap
+  /** Reserved manifest key: the table's outstanding POSITION-delete
+    * sidecars (Iceberg v2's second delete format) — `hex(path):count`
+    * entries, ';'-joined. Each sidecar is a tiny parquet of
+    * (_file STRING, _pos BIGINT) rows naming concrete data-file
+    * ordinals to drop, written by [[deletePositions]]: the MoR DELETE
+    * for tables with NO natural row key (no morKey declarable). No
+    * sequence scoping is needed — a position delete names its file by
+    * path, and files appended later have different paths by
+    * construction. Carried on append/rollback/branch like equality
+    * DVs; materialized and dropped by compaction. */
+  private[sources] val PosDvFilesK = "posdvfiles"
 
-  private def requireNoDv(m: Manifest, table: String, op: String): Unit =
+  /** The outstanding position-delete sidecars: (path, recorded count). */
+  private[graft] def posDvRefs(m: Manifest): Seq[(String, Long)] =
+    m.extra.get(PosDvFilesK).filter(_.nonEmpty).map(_.split(";").toSeq.map { e =>
+      e.split(':') match {
+        case Array(p, c) => (FileEntry.unhex(p), c.toLong)
+        case _ => throw new IllegalArgumentException(s"bad position-delete ref '$e'")
+      }
+    }).getOrElse(Nil)
+
+  private[sources] def posDvPaths(m: Manifest): Seq[String] = posDvRefs(m).map(_._1)
+
+  private def posDvEncode(refs: Seq[(String, Long)]): String =
+    refs.map { case (p, c) => s"${FileEntry.hex(p)}:$c" }.mkString(";")
+
+  /** The DV state a descendant commit must carry forward verbatim —
+    * equality-delete chain AND position-delete sidecars. */
+  private def dvExtra(m: Manifest): Map[String, String] =
+    m.extra.view.filterKeys(k =>
+      k == DvKeyK || k == DvFilesK || k == PosDvFilesK).toMap
+
+  private def requireNoDv(m: Manifest, table: String, op: String): Unit = {
     require(dvPaths(m).isEmpty,
       s"$table carries ${dvPaths(m).size} outstanding deletion-vector file(s) — " +
         s"$op reads data files raw and would resurrect deleted rows; run " +
         "compactSnapshot (which materializes the deletes) first")
+    require(posDvPaths(m).isEmpty,
+      s"$table carries ${posDvPaths(m).size} outstanding position-delete " +
+        s"sidecar(s) — $op reads data files raw and would resurrect deleted " +
+        "rows; run compactSnapshot (which materializes the deletes) first")
+  }
+
+  /** MERGE-ON-READ DELETE BY POSITION — the Iceberg-v2 position-delete
+    * format, the row-level delete for tables with NO natural row key:
+    * `pos` holds (_file, _pos) pairs (exactly what a provenance scan of
+    * the V2 table's metadata columns yields — `SELECT _file, _pos FROM t
+    * WHERE <pred>`), recorded as a tiny parquet sidecar + one manifest
+    * pointer, touching ZERO data files. The V2 reader drops the listed
+    * ordinals per file (raw physical positions — pos-bearing scans
+    * disable parquet filter pushdown so ordinals never shift); batches
+    * accumulate until [[compactSnapshot]] materializes them. Positions
+    * must name files LIVE in the current manifest — positions taken
+    * against a version whose files were since rewritten are UNSOUND by
+    * construction and refuse loudly. mode=delete: incremental readers
+    * refuse across it, like deleteKeys. Returns the published version. */
+  def deletePositions(
+      pos: DataFrame,
+      table: String,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val current = currentVersion(table, io)
+    require(current > 0, s"cannot delete from non-existent table $table")
+    val m = manifest(table, current, io)
+    require(pos.schema.fieldNames.contains("_file") &&
+      pos.schema.fieldNames.contains("_pos"),
+      s"deletePositions takes (_file, _pos) columns — the V2 metadata-column " +
+        s"provenance shape; got ${pos.schema.fieldNames.mkString(", ")}")
+    val batch = pos.select(col("_file").cast("string"), col("_pos").cast("long"))
+      .na.drop().distinct()
+    val live = m.files.map(_.path).toSet
+    val named = batch.select("_file").distinct().collect().map(_.getString(0))
+    val stale = named.filterNot(live)
+    require(stale.isEmpty,
+      s"position deletes name files not live in snapshot $current of $table " +
+        s"(${stale.take(3).mkString(", ")}…) — positions are only sound against " +
+        "the files they were scanned from; re-scan at head")
+    val next = current + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$table/data/v${next}_${token}_posdv"
+    batch.coalesce(1).write.mode("errorifexists").parquet(dir)
+    val cnt = pos.sparkSession.read.parquet(dir).count()
+    val refs = io.list(dir).filter(_.endsWith(".parquet")).sorted
+      .map(n => (s"$dir/$n", cnt))
+    publishManifest(table, next, current, m.schema, m.segments, m.inline,
+      mode = "delete",
+      extra = tableDecls(m) ++ dvExtra(m) ++
+        Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ refs)), io)
+  }
 
   /** Maintenance that rewrites data files OUTSIDE the bucketed write
     * path would drop the per-file [[BucketStat]] and silently demote
@@ -1537,6 +1630,7 @@ object SnapshotTable {
     publishManifest(table, next, current, m.schema, m.segments, m.inline,
       mode = "delete",
       extra = tableDecls(m) ++
+        m.extra.view.filterKeys(_ == PosDvFilesK).toMap ++
         Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newDv)), io)
   }
 
@@ -1564,6 +1658,7 @@ object SnapshotTable {
     publishManifest(table, next, cur, m.schema,
       m.segments, m.inline ++ entries, "merge",
       tableDecls(m) ++
+        m.extra.view.filterKeys(_ == PosDvFilesK).toMap ++
         Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newRefs)), io)
   }
 
@@ -1674,6 +1769,7 @@ object SnapshotTable {
     val v = publishVersion(
       upserts, table, next, current, m.segments, m.inline, "merge", statsCols,
       tableDecls(m) ++
+        m.extra.view.filterKeys(_ == PosDvFilesK).toMap ++
         Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newDv)), io)
     val appended = (manifest(table, v, io).fileCount - m.fileCount).toInt
     (newDv.map(_.count).sum, appended, v)
@@ -2494,7 +2590,8 @@ object SnapshotTable {
         }
     val liveSegments: Seq[String] = liveManifests.flatMap(_.segments.map(_.path)).distinct
     val referenced: Set[String] =
-      liveManifests.flatMap(m => m.inline.map(_.path) ++ dvPaths(m)).toSet ++
+      liveManifests.flatMap(m =>
+        m.inline.map(_.path) ++ dvPaths(m) ++ posDvPaths(m)).toSet ++
         liveSegments.flatMap(p => readSegment(p, io).map(_.path))
     var fDel = 0
     val dataRoot = s"$table/data"

@@ -261,6 +261,7 @@ private[sources] class SnapshotScanBuilder(
     * prefix), or when DVs are outstanding (deleted rows would count). */
   override def pushLimit(n: Int): Boolean = {
     val provable = pushed.isEmpty && SnapshotTable.dvPaths(m).isEmpty &&
+      SnapshotTable.posDvPaths(m).isEmpty &&
       m.files.forall(_.nstats.nonEmpty) && n >= 0
     if (provable) limit = Some(n)
     provable
@@ -276,6 +277,7 @@ private[sources] class SnapshotScanBuilder(
     * extremum. */
   override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
     if (pushed.nonEmpty || SnapshotTable.dvPaths(m).nonEmpty ||
+      SnapshotTable.posDvPaths(m).nonEmpty ||
       orders.isEmpty || n < 0) return false
     val colName = orders.head.expression match {
       case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head
@@ -320,7 +322,8 @@ private[sources] class SnapshotScanBuilder(
 
   private def planAggregation(agg: Aggregation): Option[(StructType, InternalRow)] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-      SnapshotTable.dvPaths(m).nonEmpty) return None
+      SnapshotTable.dvPaths(m).nonEmpty ||
+      SnapshotTable.posDvPaths(m).nonEmpty) return None
     val files = m.files
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
@@ -507,13 +510,16 @@ private[graft] class SnapshotV2Scan(
     * the over-budget fallback). Empty when no DVs were outstanding. */
   @volatile private[graft] var lastDvMode: String = ""
 
-  /** Columns a runtime predicate could prune on: any SCHEMA column with
-    * a recorded stat anywhere in the manifest (synthetic stats like the
-    * `__bucket` stamp are not resolvable scan attributes — advertising
-    * one would crash the DPP rule's reference resolution). */
+  /** Columns a runtime predicate could prune on: any column with a
+    * recorded stat anywhere in the manifest that is ALSO in this scan's
+    * pruned output — Spark's DPP rule resolves these references against
+    * the scan relation's output attributes, so advertising a column the
+    * projection dropped (or a synthetic stat like the `__bucket` stamp)
+    * crashes the resolution (hit live by the compound-layout join: the
+    * auto-tracked temporal key is rarely in a join's projection). */
   override def filterAttributes(): Array[NamedReference] = {
     val ranges: Seq[SnapshotTable.StatRanges] = m.segments ++ m.inline
-    val names = m.schema.fieldNames.toSet
+    val names = dataSchema.fieldNames.toSet
     ranges.flatMap(r => r.stats.keySet ++ r.sstats.keySet ++ r.nstats.keySet)
       .distinct.filter(names).map(Expressions.column).toArray
   }
@@ -535,6 +541,15 @@ private[graft] class SnapshotV2Scan(
     * filtered READER-side against the broadcast delete set (the
     * Iceberg equality-delete application shape). */
   private lazy val dv: Seq[SnapshotTable.DvRef] = SnapshotTable.dvRefs(m)
+
+  /** Outstanding POSITION-delete sidecars (Iceberg v2's second delete
+    * format): (path, count) pairs; rows drop by raw file ordinal. */
+  private lazy val posDv: Seq[(String, Long)] = SnapshotTable.posDvRefs(m)
+
+  /** Any delete format outstanding — the condition that opts the scan
+    * out of key grouping, limit/TopN truncation, and (for positions)
+    * parquet filter pushdown. */
+  private def anyDv: Boolean = dv.nonEmpty || posDv.nonEmpty
 
   /** On a hash-bucketed table, equality/IN filters on the bucket key
     * prune by the per-file bucket stamp: only bucket(v)'s files can
@@ -602,7 +617,7 @@ private[graft] class SnapshotV2Scan(
     // filter), while a key group bundles files — losing SPJ until
     // compaction is merge-on-read's documented read tax.
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       dv.nonEmpty) None
+       anyDv) None
      else SnapshotTable.clusterKeyOf(m)).flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).map(_.dataType)
       def keyOf(f: SnapshotTable.FileEntry): Option[Any] = dt match {
@@ -638,7 +653,7 @@ private[graft] class SnapshotV2Scan(
     * the whole scan to unknown partitioning rather than lie to SPJ. */
   private lazy val bucketGroups: Option[Seq[(Int, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       dv.nonEmpty) None
+       anyDv) None
      else SnapshotTable.bucketSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.BucketStat).collect {
         case (lo, hi) if lo == hi => lo.toInt -> f
@@ -653,7 +668,7 @@ private[graft] class SnapshotV2Scan(
     * the same one-unstamped-file-degrades-all soundness rule. */
   private lazy val truncGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       dv.nonEmpty) None
+       anyDv) None
      else SnapshotTable.truncSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.TruncStat).collect {
         case (lo, hi) if lo == hi => lo -> f
@@ -671,7 +686,7 @@ private[graft] class SnapshotV2Scan(
     * the raw timestamp stats. */
   private lazy val temporalGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       dv.nonEmpty || SnapshotTable.bucketSpecOf(m).nonEmpty) None
+       anyDv || SnapshotTable.bucketSpecOf(m).nonEmpty) None
      else SnapshotTable.temporalSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.TemporalStat).collect {
         case (lo, hi) if lo == hi => lo -> f
@@ -772,10 +787,11 @@ private[graft] class SnapshotV2Scan(
     // row's PHYSICAL ordinal and `_file` plans multi-purpose single-
     // file partitions whose wiring predates the DV filter; provenance
     // reads on a DV-carrying table should compact first
-    require(dv.isEmpty || metaFields.isEmpty,
+    require(!anyDv || metaFields.isEmpty,
       s"metadata columns (${metaFields.mkString(",")}) on a table with " +
-        s"${dv.size} outstanding deletion-vector file(s) — run compactSnapshot " +
-        "(materializes the deletes) before provenance reads")
+        s"${dv.size} deletion-vector / ${posDv.size} position-delete " +
+        "sidecar(s) outstanding — run compactSnapshot (materializes the " +
+        "deletes) before provenance reads")
     val planned: Array[InputPartition] = grouped match {
       case Some(groups) =>
         // runtime filters narrow files WITHIN the static key groups
@@ -883,17 +899,53 @@ private[graft] class SnapshotV2Scan(
     // surviving rows, so a _pos scan reads files unfiltered and leaves
     // all filtering to Spark's residual pass (same move as row-level
     // scans — correctness over pruning on provenance reads)
+    // position deletes address RAW file ordinals: parquet row-group
+    // skipping under pushed filters would shift them, so a pos-bearing
+    // scan reads files unfiltered (Spark's residual pass still applies
+    // every filter row-wise — same move as _pos provenance reads)
     val pushed =
-      if (rowLevel || metaFields.contains("_pos")) Array.empty[Filter]
+      if (rowLevel || metaFields.contains("_pos") || posDv.nonEmpty)
+        Array.empty[Filter]
       else {
         val names = m.schema.fieldNames.toSet
         (filters ++ runtime).filter(_.references.forall(names))
       }
-    if (dv.isEmpty) {
+    // POSITION-delete application (Iceberg v2's second delete format):
+    // sidecars are delete-batch sized — they enumerate dropped rows one
+    // by one, so the budgeted driver load mirrors the broadcast DV path;
+    // each single-file partition then drops its listed ordinals against
+    // a raw-row counter. Wraps INSIDE any equality-DV filter (the
+    // counter must see the raw stream).
+    val posWrap: PartitionReaderFactory => PartitionReaderFactory =
+      if (posDv.isEmpty) identity
+      else {
+        val spark0 = SparkSession.active
+        val maxLoad = spark0.conf
+          .getOption(SnapshotV2.DvBroadcastMaxKeysConf).map(_.toLong)
+          .getOrElse(SnapshotV2.DvReaderMaxKeys)
+        val declared = posDv.map(_._2).sum
+        require(declared <= maxLoad,
+          s"$declared outstanding position deletes exceed the reader's " +
+            s"in-memory budget ($maxLoad) — run compactSnapshot " +
+            "(materializes the deletes)")
+        val posMap = new java.util.HashMap[String, Array[Long]]()
+        spark0.read.parquet(posDv.map(_._1): _*).collect()
+          .groupBy(_.getString(0)).foreach { case (f, rs) =>
+            posMap.put(f, rs.map(_.getLong(1)).distinct.sorted)
+          }
+        val bc = spark0.sparkContext.broadcast(posMap)
+        inner => new PosDeleteReaderFactory(inner, bc)
+      }
+    if (dv.isEmpty && posDv.isEmpty) {
       val inner =
         Bridge.parquetReaderFactory(SparkSession.active, m.schema, dataSchema, pushed)
       if (metaFields.isEmpty) inner
       else new MetadataAppendReaderFactory(inner, requiredSchema, dataSchema)
+    } else if (dv.isEmpty) {
+      // positions only: wrap the raw reader (metadata columns already
+      // refused above — the ordinal counter owns the raw stream)
+      posWrap(Bridge.parquetReaderFactory(
+        SparkSession.active, m.schema, dataSchema, pushed))
     } else {
       // MERGE-ON-READ application, the Iceberg equality-delete shape:
       // the accumulated delete keys (batch-sized sidecars, counts
@@ -921,7 +973,8 @@ private[graft] class SnapshotV2Scan(
       val keyOrd = innerSchema.fieldIndex(key)
       val projectTo =
         if (innerSchema.length == dataSchema.length) None else Some(dataSchema)
-      val inner = Bridge.parquetReaderFactory(spark, m.schema, innerSchema, pushed)
+      val inner =
+        posWrap(Bridge.parquetReaderFactory(spark, m.schema, innerSchema, pushed))
       val declared = dv.map(_.count)
       val budget = if (declared.forall(_ >= 0)) declared.sum else -1L
       val maxBroadcast = spark.conf
@@ -1261,6 +1314,47 @@ private[sources] class DvFilterReaderFactory(
   }
 }
 
+/** Applies broadcast POSITION deletes around an inner row reader: a
+  * row is dropped iff its raw ordinal within its data file is listed
+  * for that file. Partitions hold exactly ONE file (the scan plans
+  * them that way whenever any delete format is outstanding), so the
+  * ordinal is a plain reader-side counter over the UNFILTERED stream —
+  * the scan disabled parquet filter pushdown for exactly this reason.
+  * Files with no listed positions pass through at one map lookup. */
+private[sources] class PosDeleteReaderFactory(
+    inner: PartitionReaderFactory,
+    deletes: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, Array[Long]]])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      s"position-delete partitions hold one file each, got ${fp.files.length}")
+    val path = fp.files.head.filePath.toPath.toUri.getPath
+    val dead: Array[Long] = deletes.value.getOrDefault(path, Array.empty)
+    val in = inner.createReader(p)
+    if (dead.isEmpty) in
+    else new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      private var pos = -1L
+      override def next(): Boolean = {
+        while (in.next()) {
+          pos += 1
+          if (java.util.Arrays.binarySearch(dead, pos) < 0) {
+            cur = in.get()
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
 /** The SCOPED deletion-vector application — the over-budget fallback
   * to [[DvFilterReaderFactory]]'s broadcast map: each single-file
   * partition loads ONLY the sidecars whose manifest-recorded key range
@@ -1398,9 +1492,10 @@ private[graft] class SnapshotMicroBatchStream(
     val to = end.asInstanceOf[VersionOffset].version
     if (to == 0L || from >= to) return Array.empty
     val mTo = SnapshotTable.manifest(table, to)
-    require(SnapshotTable.dvPaths(mTo).isEmpty,
-      s"table $table carries outstanding deletion vectors — the v2 stream reads " +
-        "data files raw; stream through SnapshotSourceProvider (DV-applied) or compact first")
+    require(SnapshotTable.dvPaths(mTo).isEmpty && SnapshotTable.posDvPaths(mTo).isEmpty,
+      s"table $table carries outstanding deletion vectors / position deletes — " +
+        "the v2 stream reads data files raw; stream through " +
+        "SnapshotSourceProvider (DV-applied) or compact first")
     val entries =
       if (from == 0L) mTo.files
       else {

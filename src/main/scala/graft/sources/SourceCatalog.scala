@@ -3263,6 +3263,179 @@ object SourceCatalog extends QueryModule {
              |SELECT k % 10 AS bucket, COUNT(*)::BIGINT AS n_rows,
              |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_pos_delete",
+      // POSITION DELETES (Iceberg v2's second delete format, the r14
+      // verdict's missing arm): the MoR row-level DELETE for tables
+      // with NO natural row key — no morKey declarable, so equality
+      // DVs can't address the rows. The flow is the real one: a
+      // provenance scan of the V2 metadata columns (`SELECT _file,
+      // _pos FROM t WHERE pred` — served at zero extra I/O) feeds
+      // `deletePositions`, which records ONE tiny (_file,_pos) sidecar
+      // + manifest pointer while touching ZERO data files (REQUIREd:
+      // the file set is byte-identical across the delete). The V2
+      // reader drops the listed raw ordinals per file (filter pushdown
+      // disabled on pos-bearing scans so ordinals never shift; Spark's
+      // residual pass re-applies every filter). Arms prove the
+      // lifecycle: 'head' = rows gone immediately; 'asof' = VERSION AS
+      // OF the pre-delete snapshot still serves them (time-travel
+      // soundness); 'compacted' = compactSnapshot materializes the
+      // deletes and REQUIREd drops the pos state. Round34Spec pins
+      // ordinal-exact application, stale-position refusal, eq-DV
+      // composition, subset-reader guards, and vacuum keeping live
+      // sidecars.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_pdel_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftpd_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, pri STRING, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k')")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_pdel_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_pdel_src")
+        val table = s"$wh/t"
+        val before = SnapshotTable.manifest(table, 2L).files.map(_.path)
+        // the no-row-key MoR delete: provenance scan -> position sidecar
+        SnapshotTable.deletePositions(
+          s.table(s"$cat.t").filter(col("k") % 10 === 7).select("_file", "_pos"),
+          table)
+        val m3 = SnapshotTable.manifest(table, 3L)
+        require(m3.files.map(_.path) == before,
+          "a position delete must touch ZERO data files")
+        require(SnapshotTable.posDvPaths(m3).nonEmpty,
+          "the sidecar must ride the manifest")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_rows", "sum_price")
+        val head = agg(s.table(s"$cat.t"), "head")
+        val asof = agg(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 2"), "asof")
+        // compaction materializes the positions and re-zeros the state
+        val (_, v) = SnapshotTable.compactSnapshot(s, table)
+        require(SnapshotTable.posDvPaths(SnapshotTable.manifest(table, v)).isEmpty,
+          "the overwrite commit must drop the materialized position state")
+        val compacted = agg(s.table(s"$cat.t"), "compacted")
+        head.unionByName(asof).unionByName(compacted).orderBy("arm")
+      },
+      Some("""SELECT 'asof' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |UNION ALL
+             |SELECT 'compacted', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 10 <> 7
+             |UNION ALL
+             |SELECT 'head', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 10 <> 7
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_compound_spec",
+      // COMPOUND TIME x HASH LAYOUT — `PARTITIONED BY (days(ts),
+      // bucket(8, uid))`, the production event-table spec (every
+      // Iceberg/Delta fact a user migrates layers time × hash): the
+      // INSERT routes and sorts on BOTH transforms (period-major,
+      // bucket within period), the rolling writer cuts one (period,
+      // bucket) group per file and stamps BOTH (`__tpart` and
+      // `__bucket` min==max — REQUIREd on every file, >1 distinct
+      // value REQUIREd on each dimension), and the scan serves BOTH
+      // access patterns: a date-range read REQUIREs a strict file
+      // subset from the raw timestamp's manifest stats (disjoint by
+      // the period grouping), a uid point read REQUIREs a strict
+      // subset by the bucket stamp, and the join against a plain
+      // bucket(8, uid) dimension runs with ZERO exchanges (REQUIREd
+      // post-AQE — the bucket dimension owns the reported
+      // KeyGroupedPartitioning; periods stay a pruning dimension).
+      // Round35Spec pins the combination refusals, compaction
+      // preserving both stamps, and the unstamped degrade.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_cspec_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftcs_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.e (ts TIMESTAMP NOT NULL, uid BIGINT NOT NULL, " +
+          "value DOUBLE) PARTITIONED BY (days(ts), bucket(8, uid))")
+        s.sql(s"CREATE TABLE $cat.u (uid BIGINT NOT NULL, n_ev BIGINT) " +
+          "PARTITIONED BY (bucket(8, uid))")
+        val ev = Tables(s, dir).events
+        ev.select(col("ts"), col("user_id").as("uid"), col("value"))
+          .createOrReplaceTempView("graft_cspec_e")
+        ev.groupBy(col("user_id").as("uid"))
+          .agg(count(lit(1)).as("n_ev"))
+          .createOrReplaceTempView("graft_cspec_u")
+        s.sql(s"INSERT INTO $cat.e SELECT * FROM graft_cspec_e")
+        s.sql(s"INSERT INTO $cat.u SELECT * FROM graft_cspec_u")
+        val m = SnapshotTable.manifest(s"$wh/e", 2L)
+        require(m.files.nonEmpty && m.files.forall(f =>
+          f.stats.get(SnapshotTable.TemporalStat).exists { case (lo, hi) => lo == hi } &&
+          f.stats.get(SnapshotTable.BucketStat).exists { case (lo, hi) => lo == hi }),
+          "every compound file must carry BOTH one-group stamps")
+        require(m.files.flatMap(_.stats.get(SnapshotTable.TemporalStat))
+          .map(_._1).distinct.size > 1 &&
+          m.files.flatMap(_.stats.get(SnapshotTable.BucketStat))
+            .map(_._1).distinct.size > 1,
+          "both dimensions must span multiple groups or the pins are vacuous")
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.sql(s"SELECT e.value FROM $cat.e e JOIN $cat.u u ON e.uid = u.uid")
+          j.count() // materialize the AQE-final plan
+          require(graft.Stage.shuffleCount(j) == 0,
+            "the compound table must SPJ on its bucket dimension with zero exchanges")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        def planned(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size
+          }.sum
+        val bnd = ev.agg(
+          min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).collect()(0)
+        val (mn, mx) = (bnd.getLong(0), bnd.getLong(1))
+        val (rlo, rhi) = (mn + (mx - mn) / 3, mn + (mx - mn) / 2)
+        val rq = s.sql(s"SELECT * FROM $cat.e WHERE ts BETWEEN " +
+          s"timestamp_micros(${rlo}L) AND timestamp_micros(${rhi}L)")
+        require(planned(rq) < m.fileCount,
+          s"the period dimension must prune date ranges (${planned(rq)}/${m.fileCount})")
+        val eq = s.sql(s"SELECT * FROM $cat.e WHERE uid = 7")
+        require(planned(eq) < m.fileCount,
+          s"the bucket dimension must prune point reads (${planned(eq)}/${m.fileCount})")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_v"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "n_rows", "sum_v")
+        agg(s.sql(s"SELECT e.value FROM $cat.e e JOIN $cat.u u ON e.uid = u.uid"), "join")
+          .unionByName(agg(rq, "range"))
+          .unionByName(agg(eq, "eq"))
+          .orderBy("arm")
+      },
+      Some("""WITH e AS (SELECT ts, user_id AS uid, value FROM events),
+             |u AS (SELECT user_id AS uid FROM events GROUP BY 1),
+             |bnd AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events)
+             |SELECT 'eq' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_v
+             |FROM e WHERE uid = 7
+             |UNION ALL
+             |SELECT 'join', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM e JOIN u ON e.uid = u.uid
+             |UNION ALL
+             |SELECT 'range', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM e, bnd
+             |WHERE epoch_us(ts) BETWEEN mn + (mx - mn)//3 AND mn + (mx - mn)//2
+             |ORDER BY arm""".stripMargin)
     )
   )
 }
