@@ -1231,6 +1231,8 @@ object AnnCatalog extends QueryModule {
         val kw = keywordScores(Tables(s, dir).documents, terms)
           .orderBy(keywordOrder: _*)
           .limit(50)
+          // unpartitioned row_number over the LIMITed 50-row candidate
+          // list — deliberate (RRF fuses tiny top-k lists)
           .withColumn("r_kw", row_number().over(Window.orderBy(keywordOrder: _*)).cast("long"))
           .select(col("doc_id").as("id"), col("r_kw"))
         val vecOrder: Seq[org.apache.spark.sql.Column] =

@@ -2099,6 +2099,9 @@ object RelCatalog extends QueryModule {
         val offsets = bucketed
           .groupBy("bucket")
           .agg(count(lit(1)).as("cnt"))
+          // unpartitioned window over ~#buckets rows only (the per-row
+          // prefix sums stay bucket-partitioned) — deliberate, not a
+          // single-partition scan of the data
           .withColumn(
             "offset",
             coalesce(

@@ -295,22 +295,81 @@ class SnapshotCatalog extends TableCatalog
     * evolution contract, in SQL: trailing nullable columns only (old
     * files read NULL in them at zero rewrite — the manifest-level
     * add-column move src_snapshot_evolve pins), published as one
-    * metadata commit re-referencing every segment verbatim. Everything
-    * else (DROP/RENAME/RETYPE/positioned or NOT NULL adds) refuses
-    * loudly. */
+    * metadata commit re-referencing every segment verbatim.
+    *
+    * `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — post-create evolution
+    * of the NON-LAYOUT table declarations (`statsColumns`,
+    * `maxRowsPerFile`, `morKey`): one metadata commit (mode=props, file
+    * set provably unchanged — incremental readers scan across it),
+    * affecting FUTURE commits only (recorded stats on existing files
+    * stand). Layout declarations (bucket/truncate/temporal/identity)
+    * and DV state are CREATE-time/engine-owned and refuse here —
+    * re-layering a 100 TB table is INSERT OVERWRITE's job. Setting
+    * `morKey` onto a table whose outstanding DV chain is keyed on a
+    * DIFFERENT column refuses (one delete key per chain).
+    *
+    * Everything else (DROP/RENAME/RETYPE/positioned or NOT NULL adds)
+    * refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
     val v = SnapshotTable.currentVersion(p)
     if (v == 0) throw new NoSuchTableException(ident)
     val m = SnapshotTable.manifest(p, v)
+    val isProps = changes.forall(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (isProps) {
+      val sets = changes.collect { case s: TableChange.SetProperty =>
+        s.property -> s.value }
+      val unsets = changes.collect { case r: TableChange.RemoveProperty =>
+        r.property }
+      val editable = Map(
+        "statscolumns" -> SnapshotTable.StatsColsK,
+        "maxrowsperfile" -> SnapshotTable.MaxRowsK,
+        "morkey" -> SnapshotTable.MorKeyK)
+      def keyOf(prop: String): String = editable.getOrElse(prop.toLowerCase,
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident: property '$prop' is not evolvable — " +
+            "statsColumns, maxRowsPerFile and morKey are; layout declarations " +
+            "(bucket/truncate/temporal/identity) are CREATE-time (INSERT " +
+            "OVERWRITE re-layers), DV state is engine-owned"))
+      val applied = sets.map { case (prop, value) =>
+        val k = keyOf(prop)
+        k match {
+          case SnapshotTable.StatsColsK =>
+            val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+            cols.foreach(c => require(m.schema.fieldNames.contains(c),
+              s"statsColumns names unknown column $c"))
+            k -> cols.mkString(",")
+          case SnapshotTable.MaxRowsK =>
+            require(value.trim.toLong > 0,
+              s"maxRowsPerFile must be positive, got $value")
+            k -> value.trim.toLong.toString
+          case _ => // morKey
+            val c = value.trim
+            require(m.schema.fieldNames.contains(c), s"morKey names unknown column $c")
+            require(!m.schema(c).nullable,
+              s"morKey column $c must be NOT NULL — delta-based UPDATE/MERGE " +
+                "identify rows by it")
+            require(SnapshotTable.dvKeyOf(m).forall(_ == c),
+              s"table $ident carries deletion vectors keyed on " +
+                s"${SnapshotTable.dvKeyOf(m).get} — morKey cannot move to $c " +
+                "while that chain is outstanding (compactSnapshot first)")
+            k -> c
+        }
+      }
+      SnapshotTable.publishProps(p, m, applied.toMap, unsets.map(keyOf).toSet)
+      return loadTable(ident)
+    }
     val added = changes.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.position == null && a.isNullable =>
         StructField(a.fieldNames()(0), a.dataType, nullable = true)
       case other =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE $ident: only trailing nullable ADD COLUMN is supported " +
-            s"(extend-only evolution — old files read NULL); got $other")
+          s"ALTER TABLE $ident: only trailing nullable ADD COLUMN (extend-only " +
+            s"evolution — old files read NULL) and SET/UNSET TBLPROPERTIES " +
+            s"are supported; got $other")
     }
     added.foreach(f => require(!m.schema.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))

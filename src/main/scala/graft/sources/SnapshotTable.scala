@@ -814,6 +814,24 @@ object SnapshotTable {
       m.segments, m.inline, "append", carry, io)
   }
 
+  /** Metadata-only PROPERTY EVOLUTION: republish the current file set
+    * with updated non-layout declarations (statsColumns / maxRowsPerFile
+    * / morKey — the caller validates). Zero data I/O; every segment
+    * carried by reference; mode=props with the file set provably
+    * unchanged, so incremental readers scan across it like a
+    * metadata-only rewrite. The SQL tail of ALTER TABLE SET/UNSET
+    * TBLPROPERTIES. */
+  private[sources] def publishProps(
+      table: String,
+      m: Manifest,
+      sets: Map[String, String],
+      unsets: Set[String],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val carry = (tableDecls(m) -- unsets) ++ sets ++ dvExtra(m)
+    publishManifest(table, m.version + 1, m.version, m.schema,
+      m.segments, m.inline, "props", carry, io)
+  }
+
   /** GROUP-REPLACE commit — the tail of a V2 row-level operation
     * (UPDATE / MERGE INTO / rewritten DELETE): the files the
     * operation's scan READ are replaced by the files its write
@@ -1414,6 +1432,10 @@ object SnapshotTable {
     def getPartition(key: Any): Int = index(key)
   }
 
+  /** Ceiling on identity-cluster key cardinality — past it the layout
+    * the user wants is `bucket(n, k)` (the guard's message says so). */
+  private[graft] val MaxIdentityClusterKeys = 100000
+
   private def clusterExact(df: DataFrame, k: String): DataFrame = {
     val f = df.schema.fields.find(_.name == k).getOrElse(
       throw new IllegalArgumentException(s"no cluster column $k in ${df.schema.simpleString}"))
@@ -1423,6 +1445,15 @@ object SnapshotTable {
         "(integral or string — the manifest must recover the exact key from file stats)")
     val idx = df.schema.fieldIndex(k)
     val keys = df.select(col(k)).distinct().collect().map(_.get(0))
+    // identity clustering is for PARTITION-grade cardinalities: the key
+    // dictionary rides the driver and every key becomes one write
+    // partition + one file — a million-key "cluster" is a layout
+    // mistake, not a scale problem to absorb silently
+    require(keys.length <= MaxIdentityClusterKeys,
+      s"clusterBy=$k has ${keys.length} distinct values — identity clustering " +
+        s"caps at $MaxIdentityClusterKeys (one file and one driver map entry " +
+        "per key); use PARTITIONED BY (bucket(n, " + k + ")) for " +
+        "high-cardinality keys (fixed file budget, same zero-shuffle joins)")
     require(!keys.contains(null),
       s"cluster column $k holds NULLs — identity clustering needs a total key " +
         "(filter or coalesce them first)")
@@ -1807,10 +1838,10 @@ object SnapshotTable {
     require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val modes = ((fromVersion + 1) to toVersion).map { v =>
       val mode = manifest(table, v, io).extra.getOrElse("mode", "?")
-      require(mode == "append" || mode == "rewrite",
+      require(mode == "append" || mode == "rewrite" || mode == "props",
         s"snapshot $v of $table is mode=$mode — incremental read is only " +
-          "sound across appends (and metadata-only segment rewrites, " +
-          "whose file set is provably unchanged)")
+          "sound across appends (and metadata-only segment rewrites / " +
+          "property commits, whose file set is provably unchanged)")
       mode
     }
     val from = manifest(table, fromVersion, io)

@@ -794,6 +794,8 @@ object TextCatalog extends QueryModule {
           .orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val local = t.withColumn("loc", coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+        // unpartitioned window over ~#buckets rows only (per-row sums
+        // above are bucket-partitioned) — deliberate, not a scale bug
         val wBucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
         val offsets = t
           .groupBy("bucket")

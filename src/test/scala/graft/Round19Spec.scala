@@ -89,12 +89,13 @@ class Round19Spec extends AnyFunSuite {
 
   test("catalog refusals: unsupported transforms, ALTER, RENAME") {
     val (cat, wh) = freshCatalog()
-    // identity and bucket(n, k) are LAYOUTS now (Round25Spec); every
-    // other transform still refuses loudly
+    // identity, bucket(n, k), truncate(w, k) and the temporal family
+    // are LAYOUTS now (Round25/30/31Spec); a temporal transform over a
+    // NON-timestamp key still refuses loudly
     val e1 = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
+      spark.sql(s"CREATE TABLE $cat.p (k BIGINT, ts TIMESTAMP) PARTITIONED BY (years(k))")
     }
-    assert(e1.getMessage.contains("partition transform years is not supported"))
+    assert(e1.getMessage.contains("is not a timestamp"))
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN v")

@@ -89,7 +89,7 @@ class Round25Spec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v BIGINT) " +
         "PARTITIONED BY (bucket(4, k), v)")
     }
-    assert(e3.getMessage.contains("at most one clustering transform"))
+    assert(e3.getMessage.contains("unsupported transform combination"))
     // an unknown bucket column is caught by Spark's own transform
     // resolution before createTable even runs
     val e4 = intercept[Exception] {

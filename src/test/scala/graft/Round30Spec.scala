@@ -69,8 +69,10 @@ class Round30Spec extends AnyFunSuite {
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("NULL truncate key refused"))
     spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(100)")
+    // compaction routes to the layout-preserving per-group rewrite now
+    // (Round32Spec owns it); the stamp-blind ops still refuse by name
     val em = intercept[Exception] {
-      SnapshotTable.compactSnapshot(spark, s"$wh/t")
+      SnapshotTable.compactZOrder(spark, s"$wh/t", Seq("k", "v"))
     }
     assert(em.getMessage.contains("refused on truncate-grouped"))
     spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k % 10 = 3")
