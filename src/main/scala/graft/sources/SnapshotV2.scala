@@ -126,6 +126,32 @@ private[sources] class SnapshotV2Table(
 
   override def schema(): StructType = m.schema
 
+  /** `SHOW TBLPROPERTIES` / DESCRIBE surface: the table-level
+    * declarations under their TBLPROPERTIES names, plus read-only
+    * engine state (current version, outstanding delete sidecars) —
+    * the observability face of what ALTER TABLE SET TBLPROPERTIES
+    * evolves. */
+  override def properties(): java.util.Map[String, String] = {
+    val p = new java.util.HashMap[String, String]()
+    val statsCols = SnapshotTable.statsColumnsOf(m)
+    if (statsCols.nonEmpty) p.put("statsColumns", statsCols.mkString(","))
+    SnapshotTable.morKeyOf(m).foreach(p.put("morKey", _))
+    SnapshotTable.maxRowsPerFileOf(m).foreach(n => p.put("maxRowsPerFile", n.toString))
+    SnapshotTable.clusterKeyOf(m).foreach(p.put("layout.identity", _))
+    SnapshotTable.bucketSpecOf(m).foreach { case (c, n) =>
+      p.put("layout.bucket", s"$c:$n") }
+    SnapshotTable.truncSpecOf(m).foreach { case (c, w) =>
+      p.put("layout.truncate", s"$c:$w") }
+    SnapshotTable.temporalSpecOf(m).foreach { case (c, u) =>
+      p.put("layout.temporal", s"$c:$u") }
+    p.put("version", m.version.toString)
+    val dvs = SnapshotTable.dvRefs(m).size
+    if (dvs > 0) p.put("outstandingDeleteVectors", dvs.toString)
+    val pos = SnapshotTable.posDvRefs(m).size
+    if (pos > 0) p.put("outstandingPositionDeletes", pos.toString)
+    p
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

@@ -116,6 +116,25 @@ class Round36Spec extends AnyFunSuite {
       SnapshotTable.currentVersion(s"$wh/t"))) === Some("k"))
   }
 
+  test("SHOW TBLPROPERTIES reflects the declarations and their evolution") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT NOT NULL, " +
+      "v BIGINT) PARTITIONED BY (days(ts), bucket(4, k)) " +
+      "TBLPROPERTIES('statsColumns'='k')")
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p0 = props()
+    assert(p0.get("statsColumns").contains("k"))
+    assert(p0.get("layout.temporal").contains("ts:days"))
+    assert(p0.get("layout.bucket").contains("k:4"))
+    assert(p0.get("version").contains("1"))
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('maxRowsPerFile'='500')")
+    val p1 = props()
+    assert(p1.get("maxRowsPerFile").contains("500"))
+    assert(p1.get("version").contains("2"))
+  }
+
   test("identity clustering refuses partition-grade-cardinality abuse, " +
       "naming bucket(n, k) as the layout") {
     val wh = java.nio.file.Files.createTempDirectory("graft_snap36c").toString
