@@ -813,11 +813,16 @@ private[graft] class SnapshotV2Scan(
     // row's PHYSICAL ordinal and `_file` plans multi-purpose single-
     // file partitions whose wiring predates the DV filter; provenance
     // reads on a DV-carrying table should compact first
-    require(!anyDv || metaFields.isEmpty,
+    // position deletes COMPOSE with provenance reads (the metadata
+    // append is 1:1 over the raw stream and assigns raw ordinals
+    // BEFORE the ordinal filter drops rows — exactly what a stacked
+    // deletePositions batch must address); only equality DVs still
+    // refuse the combination (their filter predates the single-file
+    // metadata wiring)
+    require(dv.isEmpty || metaFields.isEmpty,
       s"metadata columns (${metaFields.mkString(",")}) on a table with " +
-        s"${dv.size} deletion-vector / ${posDv.size} position-delete " +
-        "sidecar(s) outstanding — run compactSnapshot (materializes the " +
-        "deletes) before provenance reads")
+        s"${dv.size} outstanding deletion-vector file(s) — run compactSnapshot " +
+        "(materializes the deletes) before provenance reads")
     val planned: Array[InputPartition] = grouped match {
       case Some(groups) =>
         // runtime filters narrow files WITHIN the static key groups
@@ -968,10 +973,16 @@ private[graft] class SnapshotV2Scan(
       if (metaFields.isEmpty) inner
       else new MetadataAppendReaderFactory(inner, requiredSchema, dataSchema)
     } else if (dv.isEmpty) {
-      // positions only: wrap the raw reader (metadata columns already
-      // refused above — the ordinal counter owns the raw stream)
-      posWrap(Bridge.parquetReaderFactory(
-        SparkSession.active, m.schema, dataSchema, pushed))
+      // positions only. The metadata append is 1:1 over the raw
+      // parquet stream, so wrapping the ordinal filter AROUND it keeps
+      // both sound at once: `_pos` values are assigned at raw ordinals
+      // (what a second deletePositions batch must address — the
+      // STACKING workflow), and the filter's counter walks the same
+      // raw stream. Filter pushdown is already disabled under posDv.
+      val base = Bridge.parquetReaderFactory(
+        SparkSession.active, m.schema, dataSchema, pushed)
+      if (metaFields.isEmpty) posWrap(base)
+      else posWrap(new MetadataAppendReaderFactory(base, requiredSchema, dataSchema))
     } else {
       // MERGE-ON-READ application, the Iceberg equality-delete shape:
       // the accumulated delete keys (batch-sized sidecars, counts

@@ -85,11 +85,6 @@ class Round34Spec extends AnyFunSuite {
     val file = SnapshotTable.manifest(table, 1L).files.head.path
     SnapshotTable.deletePositions(
       Seq(3L, 4L, 5L).toDF("_pos").withColumn("_file", lit(file)), table)
-    // stacking needs a fresh provenance scan — refused until compaction
-    val prov = intercept[Exception] {
-      spark.table(s"$cat.t").select("_file", "_pos").collect()
-    }
-    assert(prov.getMessage.contains("compactSnapshot"))
     val sub = intercept[Exception] {
       SnapshotTable.readPruned(spark, table, "k", 0L, 10L).collect()
     }
@@ -101,6 +96,37 @@ class Round34Spec extends AnyFunSuite {
       }
       assert(budget.getMessage.contains("position deletes exceed"))
     } finally spark.conf.unset(SnapshotV2.DvBroadcastMaxKeysConf)
+  }
+
+  test("position deletes STACK: provenance reads under outstanding pos " +
+      "deletes serve raw ordinals, so a second batch deletes correctly") {
+    val (cat, wh) = freshCatalog()
+    val table = s"$wh/t"
+    // one deterministic file: raw ordinal i holds k = i (0..19)
+    SnapshotTable.commit(
+      spark.range(20).orderBy("id").coalesce(1).select(col("id").as("k")),
+      table, append = false, statsColumns = Seq("k"))
+    // batch 1 via a provenance scan
+    SnapshotTable.deletePositions(
+      spark.table(s"$cat.t").filter(col("k") < 3).select("_file", "_pos"), table)
+    assert(spark.table(s"$cat.t").count() === 17)
+    // the provenance scan under the outstanding state serves RAW
+    // ordinals for the SURVIVING rows (k = i at raw ordinal i)
+    val prov = spark.table(s"$cat.t").select("k", "_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prov.keySet === (3L until 20L).toSet)
+    assert(prov.forall { case (k, pos) => k == pos },
+      "surviving rows must report their raw ordinals, not survivor ranks")
+    // batch 2 STACKS on the same chain — no compaction in between
+    SnapshotTable.deletePositions(
+      spark.table(s"$cat.t").filter(col("k") % 2 === 0).select("_file", "_pos"),
+      table)
+    assert(spark.table(s"$cat.t").orderBy("k").collect().map(_.getLong(0)).toSeq ===
+      (3L until 20L).filter(_ % 2 == 1))
+    // compaction materializes both batches at once
+    val (_, v) = SnapshotTable.compactSnapshot(spark, table)
+    assert(SnapshotTable.posDvRefs(SnapshotTable.manifest(table, v)).isEmpty)
+    assert(spark.table(s"$cat.t").count() === 9)
   }
 
   test("appends carry the position state; vacuum keeps live sidecars") {
