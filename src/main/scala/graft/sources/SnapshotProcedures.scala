@@ -113,6 +113,20 @@ private[sources] object SnapshotProcedures {
             SnapshotTable.compactZOrder(SparkSession.active, path(in), cols, in.getLong(1))
         row(files, v)
       },
+      Proc("consolidate_dvs",
+        Seq(p("table", StringType)),
+        StructType(Seq(
+          StructField("sidecars_before", IntegerType, nullable = false),
+          StructField("sidecars_after", IntegerType, nullable = false),
+          StructField("distinct_keys", LongType, nullable = false))),
+        "rewrite the outstanding deletion-vector chain into one deduped, " +
+          "range-tagged sidecar per effective sequence — zero data files " +
+          "touched; the maintenance mid-point between trickle-CDC reads " +
+          "and full compaction") { in =>
+        val (before, after, keys) =
+          SnapshotTable.consolidateDeleteVectors(SparkSession.active, path(in))
+        row(before, after, keys)
+      },
       Proc("expire_snapshots",
         Seq(p("table", StringType), p("older_than", LongType)),
         StructType(Seq(
@@ -189,7 +203,7 @@ private[sources] object SnapshotProcedures {
 
   def names: Seq[String] = Seq(
     "rewrite_segments", "compact", "rollback", "vacuum", "expire_snapshots",
-    "create_branch", "publish_branch", "drop_branch")
+    "consolidate_dvs", "create_branch", "publish_branch", "drop_branch")
 
   def load(name: String, warehouse: String): UnboundProcedure =
     procs(warehouse).find(_.name == name).getOrElse(

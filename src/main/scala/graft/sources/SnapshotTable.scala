@@ -1806,6 +1806,85 @@ object SnapshotTable {
     (newDv.map(_.count).sum, appended, v)
   }
 
+  /** DELETION-VECTOR CONSOLIDATION — the maintenance mid-point between
+    * trickle-CDC reads and full compaction (Iceberg's
+    * rewrite_position_delete_files analogue for the equality chain):
+    * rewrite the outstanding DV sidecars into ONE deduped sidecar per
+    * EFFECTIVE sequence, touching ZERO data files. The effective
+    * delete state is key → max(seq) (a key deleted at seq 5 and again
+    * at seq 9 only needs the 9 — re-grouping keys by that max
+    * preserves the reader rule `kill iff maxseq(key) > fseq` exactly);
+    * each task-grained sidecar a multi-task DELETE scattered (one per
+    * writer task, all at one seq) folds into one file, ranges and
+    * counts recorded on every new ref. One distributed job
+    * (partitionBy over the effective seq), one mode=dvrewrite metadata
+    * commit carrying the data file set VERBATIM; the change feed
+    * recognizes the mode and emits zero rows; old sidecars stay
+    * referenced by prior manifests until retention reclaims them.
+    * Readers win twice: the broadcast path loads a deduped set, the
+    * scoped path attaches fewer, range-tagged sidecars per file.
+    * Returns (sidecarsBefore, sidecarsAfter, distinctKeys). */
+  def consolidateDeleteVectors(
+      spark: SparkSession,
+      table: String,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Int, Long) = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot consolidate non-existent table $table")
+    val m = manifest(table, cur, io)
+    val refs = dvRefs(m)
+    require(refs.nonEmpty,
+      s"$table carries no outstanding deletion vectors — nothing to consolidate")
+    val key = m.extra(DvKeyK)
+    val keyType = m.schema(m.schema.fieldIndex(key)).dataType
+    val next = cur + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$table/data/v${next}_${token}_dvc"
+    // effective state in one job: key -> max seq, laid out one file per
+    // seq (partitionBy splits per seq inside each task; repartition by
+    // seq keeps each seq in one task → one file per effective seq)
+    val all = refs.map(r =>
+        spark.read.parquet(r.path).select(col(key), lit(r.seq).as("__seq")))
+      .reduce(_.unionByName(_))
+    all.groupBy(col(key)).agg(max(col("__seq")).as("__seq"))
+      .repartition(col("__seq"))
+      .write.partitionBy("__seq").parquet(dir)
+    // per-seq count + key range for the new refs (one small agg over
+    // the consolidated output — delete-state-sized, not table-sized)
+    val st = spark.read.parquet(dir)
+      .groupBy(col("__seq"))
+      .agg(count(lit(1)).as("__n"),
+        min(col(key)).as("__mn"), max(col(key)).as("__mx"))
+      .collect()
+    val newRefs = st.toSeq.map { r =>
+      val seq = r.getAs[Any]("__seq") match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case s: String => s.toLong // partition column read back as string
+      }
+      val seqDir = s"$dir/__seq=$seq"
+      val parts = io.list(seqDir).filter(_.endsWith(".parquet")).sorted
+      require(parts.size == 1,
+        s"consolidation expects one file per seq, got ${parts.size} in $seqDir")
+      val (rl, rs): (Option[(Long, Long)], Option[(String, String)]) =
+        keyType match {
+          case StringType => (None, Some((r.getAs[String]("__mn"), r.getAs[String]("__mx"))))
+          case _ =>
+            def asL(v: Any): Long = v match {
+              case b: Byte => b.toLong; case sh: Short => sh.toLong
+              case i: Int => i.toLong; case l: Long => l
+            }
+            (Some((asL(r.getAs[Any]("__mn")), asL(r.getAs[Any]("__mx")))), None)
+        }
+      DvRef(s"$seqDir/${parts.head}", seq, r.getAs[Long]("__n"), rl, rs)
+    }.sortBy(_.seq)
+    publishManifest(table, next, cur, m.schema, m.segments, m.inline,
+      "dvrewrite",
+      tableDecls(m) ++
+        m.extra.view.filterKeys(_ == PosDvFilesK).toMap ++
+        Map(DvKeyK -> key, DvFilesK -> dvEncode(newRefs)), io)
+    (refs.size, newRefs.size, newRefs.map(_.count).sum)
+  }
+
   /** INCREMENTAL read — the change-scan between two snapshots (the
     * Iceberg incremental-read shape): data files are immutable and an
     * append commit only ADDS files, so the rows added in versions
@@ -2389,6 +2468,15 @@ object SnapshotTable {
         "diff the common columns explicitly instead")
     val cols = mv.schema.fieldNames.toSeq
     require(cols.contains(key), s"no column $key in $table")
+    // a DV-consolidation commit rewrites the sidecar layout WITHOUT
+    // changing the effective delete state — its "new" sidecars must
+    // not read as new deletes (they are the old keys re-grouped)
+    if (mv.extra.get("mode").contains("dvrewrite") ||
+        mv.extra.get("mode").contains("props"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(org.apache.spark.sql.types.StructField(
+          "_change_type", StringType, nullable = false) +: mv.schema.fields))
     val pPaths = mp.files.map(_.path).toSet
     val vPaths = mv.files.map(_.path).toSet
     val added = mv.files.filterNot(f => pPaths(f.path))

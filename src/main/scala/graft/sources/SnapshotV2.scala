@@ -310,8 +310,12 @@ private[sources] class SnapshotScanBuilder(
       case _ => return false
     }
     val supported = m.schema.fields.find(_.name == colName).exists(_.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => true
-      case _                                                          => false
+      // timestamps/dates ride the long stats channel as exact epoch
+      // micros/days — micros order IS timestamp order, so the θ-bound
+      // subset algebra applies unchanged
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           TimestampType | DateType => true
+      case _ => false
     })
     // per-FILE, per-COLUMN proof: the subset algebra consumes the sort
     // column's nullCount (topNSubset.nonNullRows), so a file whose
@@ -334,7 +338,7 @@ private[sources] class SnapshotScanBuilder(
     * read and ZERO data files opened. Sound only when the manifest can
     * PROVE the value: every file must carry the stat (rowCount for
     * counts; a recorded range — or an all-NULL proof — for min/max on
-    * exactly-cast types: integral or string), filters must be absent
+    * exactly-cast types: integral, string, timestamp, date), filters must be absent
     * (stats cannot re-filter rows), DVs must be absent (deleted rows
     * would be counted), and COUNT must not be DISTINCT. Anything
     * unprovable declines the push and scans normally. */
@@ -381,16 +385,19 @@ private[sources] class SnapshotScanBuilder(
       case ByteType    => v.toByte
       case ShortType   => v.toShort
       case IntegerType => v.toInt
-      case _           => v
+      case DateType    => v.toInt // stats channel carries epoch days
+      case _           => v // LongType; TimestampType rides as epoch micros
     }
     // min/max: every file must either record the range or PROVE the
     // column all-NULL there (nulls == rows) — a file with neither could
-    // hide the true extremum
+    // hide the true extremum. Timestamps/dates serve EXACTLY: their
+    // stats are the physical epoch micros/days the commit folded.
     def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
         isMin: Boolean): Option[Any] =
       columnOf(e).flatMap { f =>
         f.dataType match {
-          case ByteType | ShortType | IntegerType | LongType =>
+          case ByteType | ShortType | IntegerType | LongType | TimestampType |
+               DateType =>
             val proven = files.forall(fe => fe.stats.contains(f.name) ||
               fe.nstats.get(f.name).exists { case (n, r) => n == r })
             if (!proven) None
@@ -412,8 +419,8 @@ private[sources] class SnapshotScanBuilder(
                 else bs.map(_._2).reduce((a, b) =>
                   if (SnapshotTable.FileEntry.bytesLe(a, b)) b else a)))
             }
-          // anything else (double, date, decimal...) was recorded
-          // through a lossy long cast — never served from the manifest
+          // anything else (double, decimal...) was recorded through a
+          // lossy long cast — never served from the manifest
           case _ => None
         }
       }

@@ -3436,6 +3436,134 @@ object SourceCatalog extends QueryModule {
              |FROM e, bnd
              |WHERE epoch_us(ts) BETWEEN mn + (mx - mn)//3 AND mn + (mx - mn)//2
              |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_dv_consolidate",
+      // DELETION-VECTOR CONSOLIDATION (`CALL consolidate_dvs` /
+      // consolidateDeleteVectors) — the maintenance mid-point between
+      // trickle-CDC reads and full compaction: a multi-commit MoR chain
+      // scatters task-grained sidecars (every UPDATE/DELETE writes one
+      // per writer task); consolidation rewrites them into ONE deduped,
+      // range-tagged sidecar per EFFECTIVE sequence (key → max seq —
+      // the reader rule `kill iff maxseq(key) > fseq` is preserved
+      // exactly, so a twice-updated key's latest post-image still
+      // serves once), in one distributed job and one mode=dvrewrite
+      // metadata commit that touches ZERO data files (REQUIREd:
+      // identical file list, sidecars strictly fewer). Readers win
+      // twice — the broadcast path loads a deduped set, the scoped
+      // path attaches fewer, range-tagged sidecars per file — and the
+      // change feed recognizes the mode and emits zero rows
+      // (Round38Spec pins all four properties). The arms replay the
+      // UPDATE+DELETE chain relationally; the post-consolidation read
+      // must answer them bit-identically.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_dvc_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftdc_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, pri STRING, price DOUBLE) " +
+          "TBLPROPERTIES('morKey'='k', 'statsColumns'='k')")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_dvc_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_dvc_src")
+        s.sql(s"UPDATE $cat.t SET price = price + 500.0 WHERE k % 10 = 3")
+        s.sql(s"UPDATE $cat.t SET price = price + 500.0 WHERE k % 10 = 3")
+        s.sql(s"DELETE FROM $cat.t WHERE k % 10 = 7")
+        val table = s"$wh/t"
+        val mBefore = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+        val r = s.sql(s"CALL $cat.system.consolidate_dvs('t')").collect()(0)
+        require(r.getInt(1) < r.getInt(0),
+          s"consolidation must shrink the chain (${r.getInt(0)} -> ${r.getInt(1)})")
+        val mAfter = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+        require(mAfter.files.map(_.path) == mBefore.files.map(_.path),
+          "consolidation must touch ZERO data files")
+        require(SnapshotTable.dvRefs(mAfter).forall(x =>
+          x.count > 0 && (x.rangeL.isDefined || x.rangeS.isDefined)),
+          "every consolidated ref must record count + key range")
+        s.table(s"$cat.t")
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k,
+             |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+             |       ELSE o_totalprice END AS price
+             |  FROM orders WHERE o_orderkey % 10 <> 7)
+             |SELECT k % 10 AS bucket, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_ts_agg_push",
+      // TIMESTAMP-TYPED MANIFEST SERVICE — the event-table dashboard
+      // queries at metadata cost: with the stats channel carrying
+      // timestamps as EXACT epoch micros end-to-end, (a) `MIN(ts)` /
+      // `MAX(ts)` / COUNT(*) on a days-partitioned table answer from
+      // manifest lines alone (REQUIREd: every planned partition is a
+      // metadata row, ZERO data files — "when does my data start/end"
+      // on 100 TB costs one manifest read), and (b) `ORDER BY ts LIMIT
+      // n` plans only the files whose time range reaches the θ bound
+      // (REQUIREd strict subset — micros order IS timestamp order, so
+      // the TopN subset algebra applies unchanged); the grouped layout
+      // makes the per-file ranges disjoint, so the oldest-n probe
+      // opens ~one file. Arms: the metadata-served extrema (surfaced
+      // as unix_micros for an engine-neutral oracle) and the
+      // oldest-five aggregate.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_tsagg_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftta_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.e (ts TIMESTAMP NOT NULL, eid BIGINT, " +
+          "value DOUBLE) PARTITIONED BY (days(ts))")
+        Tables(s, dir).events
+          .select(col("ts"), col("event_id").as("eid"), col("value"))
+          .createOrReplaceTempView("graft_tsagg_src")
+        s.sql(s"INSERT INTO $cat.e SELECT * FROM graft_tsagg_src")
+        val agg = s.table(s"$cat.e").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("ts")).as("mn"),
+          max(col("ts")).as("mx"))
+        val parts = agg.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions
+        }.flatten
+        require(parts.nonEmpty && parts.forall(_.isInstanceOf[MetadataRowPartition]),
+          s"timestamp extrema must be manifest-served " +
+            s"(got ${parts.map(_.getClass.getSimpleName).distinct.mkString(",")})")
+        val aggOut = agg.select(
+          col("n_rows"),
+          unix_micros(col("mn")).as("min_us"),
+          unix_micros(col("mx")).as("max_us"))
+        // oldest-five probe: the θ-bounded TopN plans a strict subset
+        val oldest = s.table(s"$cat.e").orderBy(col("ts"), col("eid")).limit(5)
+        val planned = oldest.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        val total = SnapshotTable.manifest(s"$wh/e", 2L).fileCount
+        require(planned < total,
+          s"ORDER BY ts LIMIT must plan a strict file subset ($planned/$total)")
+        val arm2 = oldest
+          .agg(count(lit(1)).as("n_old"),
+            sum(col("eid")).as("sum_eid"),
+            max(unix_micros(col("ts"))).as("last_us"))
+        aggOut.crossJoin(arm2)
+      },
+      Some("""WITH oldest AS (SELECT * FROM events ORDER BY ts, event_id LIMIT 5)
+             |SELECT (SELECT COUNT(*)::BIGINT FROM events) AS n_rows,
+             |(SELECT MIN(epoch_us(ts)) FROM events) AS min_us,
+             |(SELECT MAX(epoch_us(ts)) FROM events) AS max_us,
+             |COUNT(*)::BIGINT AS n_old,
+             |SUM(event_id)::BIGINT AS sum_eid,
+             |MAX(epoch_us(ts)) AS last_us
+             |FROM oldest""".stripMargin)
     )
   )
 }

@@ -139,7 +139,8 @@ class Round22Spec extends AnyFunSuite {
       java.util.Map.of("warehouse", wh)))
     val names = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(names === Set("rewrite_segments", "compact", "rollback", "vacuum",
-      "expire_snapshots", "create_branch", "publish_branch", "drop_branch"))
+      "expire_snapshots", "consolidate_dvs", "create_branch", "publish_branch",
+      "drop_branch"))
     assert(c.listProcedures(Array("elsewhere")).isEmpty)
   }
 }
