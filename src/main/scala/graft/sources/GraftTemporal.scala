@@ -53,14 +53,25 @@ object GraftTemporal {
   def of(micros: Long, unit: String): Long = unit match {
     case "hours"  => Math.floorDiv(micros, HourMicros)
     case "days"   => Math.floorDiv(micros, DayMicros)
-    case "months" =>
-      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, DayMicros))
-      (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
-    case "years" =>
-      java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, DayMicros))
-        .getYear.toLong - 1970L
+    case "months" | "years" => ofDays(Math.floorDiv(micros, DayMicros), unit)
     case other => throw new IllegalArgumentException(
       s"unknown temporal transform '$other' — one of ${Units.mkString(", ")}")
+  }
+
+  /** Period ordinal of an epoch-days DATE value (the physical Int a
+    * DateType column rides InternalRow as): days is the identity,
+    * months/years via the same tz-free calendar as the micros arm.
+    * Hours refuses — a date has no sub-day resolution. */
+  def ofDays(days: Long, unit: String): Long = unit match {
+    case "days" => days
+    case "months" =>
+      val d = java.time.LocalDate.ofEpochDay(days)
+      (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
+    case "years" =>
+      java.time.LocalDate.ofEpochDay(days).getYear.toLong - 1970L
+    case other => throw new IllegalArgumentException(
+      s"temporal transform '$other' does not apply to DATE keys — " +
+        "days/months/years do")
   }
 }
 
@@ -84,9 +95,13 @@ final case class GraftTemporalUnbound(unit: String) extends UnboundFunction {
       s"$unit takes (col), got ${inputType.simpleString}")
     inputType.fields(0).dataType match {
       case TimestampType => new GraftTemporalTs(unit)
+      case DateType if unit != "hours" => new GraftTemporalDate(unit)
+      case DateType => throw new UnsupportedOperationException(
+        "hours does not apply to DATE keys (no sub-day resolution) — " +
+          "days/months/years do")
       case other => throw new UnsupportedOperationException(
         s"$unit key type ${other.simpleString} is not supported — temporal " +
-          "transforms take TIMESTAMP keys (session-zone-free epoch micros)")
+          "transforms take TIMESTAMP or DATE keys (session-zone-free epoch units)")
     }
   }
 }
@@ -104,4 +119,22 @@ private[sources] class GraftTemporalTs(unit: String)
 
   override def produceResult(input: InternalRow): java.lang.Long =
     GraftTemporal.of(input.getLong(0), unit)
+}
+
+/** The DATE-keyed variant (physical epoch-days Int). Distinct
+  * canonical name — SPJ must never equate a date-derived period with a
+  * timestamp-derived one across a raw date=timestamp join. */
+private[sources] class GraftTemporalDate(unit: String)
+    extends ScalarFunction[java.lang.Long] {
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.$unit(date)"
+  override def inputTypes(): Array[DataType] = Array(DateType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable(): Boolean = false
+
+  /** Magic-method fast path (DateType rides as epoch-days int). */
+  def invoke(v: Int): Long = GraftTemporal.ofDays(v.toLong, unit)
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    GraftTemporal.ofDays(input.getInt(0).toLong, unit)
 }

@@ -235,9 +235,10 @@ class SnapshotCatalog extends TableCatalog
           val c = refOf(t.arguments()(0))
           val dt = schema.fields.find(_.name == c).getOrElse(
             throw new IllegalArgumentException(s"$unit names unknown column $c")).dataType
-          require(dt == TimestampType,
+          require(dt == TimestampType || (dt == DateType && unit != "hours"),
             s"$unit column $c: ${dt.simpleString} is not a timestamp — temporal " +
-              "transforms take TIMESTAMP keys (UTC epoch micros)")
+              "transforms take TIMESTAMP keys (UTC epoch micros) or DATE keys " +
+              "(days/months/years)")
           require(!schema.fieldNames.contains(SnapshotTable.TemporalStat),
             s"column name ${SnapshotTable.TemporalStat} is reserved on temporally-" +
               "partitioned tables (it records each file's period in the manifest)")
@@ -588,7 +589,8 @@ private[sources] class SnapshotStreamingWrite(
       (i, schema.fields(i).dataType, w)
     }
     val temporal = temporalBy.map { case (c, u) =>
-      (schema.fieldIndex(c), u)
+      val i = schema.fieldIndex(c)
+      (i, schema.fields(i).dataType, u)
     }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema), maxRows = maxRows,
@@ -675,7 +677,8 @@ private[sources] class SnapshotBatchWrite(
       (i, schema.fields(i).dataType, w)
     }
     val temporal = temporalBy.map { case (c, u) =>
-      (schema.fieldIndex(c), u)
+      val i = schema.fieldIndex(c)
+      (i, schema.fields(i).dataType, u)
     }
     new SnapshotDataWriterFactory(stage, tracked, cluster, bucket,
       Bridge.parquetRowWriter(SparkSession.active, schema),
@@ -708,7 +711,7 @@ private[sources] class SnapshotDataWriterFactory(
     dropOpSchema: Option[StructType] = None,
     maxRows: Option[Long] = None,
     trunc: Option[(Int, DataType, Int)] = None,
-    temporal: Option[(Int, String)] = None) extends DataWriterFactory
+    temporal: Option[(Int, DataType, String)] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
@@ -743,7 +746,7 @@ private[sources] class SnapshotDataWriter(
     bucket: Option[(Int, DataType, Int)] = None,
     maxRows: Option[Long] = None,
     trunc: Option[(Int, DataType, Int)] = None,
-    temporal: Option[(Int, String)] = None) extends DataWriter[InternalRow] {
+    temporal: Option[(Int, DataType, String)] = None) extends DataWriter[InternalRow] {
 
   // row-level rewrite rows arrive as [__row_operation, data...]: strip
   // the op column through a reusable ordinal projection (Spark's own
@@ -814,13 +817,17 @@ private[sources] class SnapshotDataWriter(
       if (writer != null && t != currentTrunc) rollFile()
       currentTrunc = t
     }
-    temporal.foreach { case (idx, unit) =>
+    temporal.foreach { case (idx, dt, unit) =>
       require(!row.isNullAt(idx),
         "NULL temporal partition key refused — time transforms need a total key")
-      // TimestampType rides InternalRow as epoch micros — the same
-      // value the catalog-served routing function hashed, so the roll
-      // boundary and the write distribution agree by construction
-      val t = GraftTemporal.of(row.getLong(idx), unit)
+      // TimestampType rides InternalRow as epoch micros, DateType as
+      // epoch days — the same values the catalog-served routing
+      // functions consumed, so the roll boundary and the write
+      // distribution agree by construction
+      val t = dt match {
+        case DateType => GraftTemporal.ofDays(row.getInt(idx).toLong, unit)
+        case _        => GraftTemporal.of(row.getLong(idx), unit)
+      }
       if (writer != null && t != currentTemporal) rollFile()
       currentTemporal = t
     }

@@ -2041,7 +2041,15 @@ object SnapshotTable {
       val v = col(c).cast("long")
       v - pmod(v, lit(w.toLong)) // floored grouping — negatives included
     }
-    def temporalCol(c: String, u: String): org.apache.spark.sql.Column = u match {
+    def temporalCol(c: String, u: String): org.apache.spark.sql.Column =
+      if (schema(c).dataType == DateType) u match {
+        // DATE keys: epoch-days arithmetic / tz-free calendar functions
+        case "days" => expr(s"unix_date(`$c`)")
+        case "months" => expr(s"(year(`$c`) - 1970) * 12 + month(`$c`) - 1")
+        case "years" => expr(s"year(`$c`) - 1970")
+        case other => throw new IllegalArgumentException(
+          s"temporal unit $other does not apply to DATE keys")
+      } else u match {
       // group REPRESENTATIVES, not ordinals: x - pmod(x, U) floors
       // correctly for pre-1970 stamps (SQL DIV truncates toward zero);
       // months/years go through tz-free DATE arithmetic on the exact
@@ -2089,7 +2097,10 @@ object SnapshotTable {
       org.apache.spark.sql.graftbridge.Bridge.parquetRowWriter(spark, schema),
       None, maxRowsPerFileOf(m),
       trunc.map { case (c, w) => (schema.fieldIndex(c), schema(c).dataType, w) },
-      temporal.map { case (c, u) => (schema.fieldIndex(c), u) })
+      temporal.map { case (c, u) =>
+        val i = schema.fieldIndex(c)
+        (i, schema.fields(i).dataType, u)
+      })
     val messages = laid.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val w = factory.createWriter(pid, pid.toLong)
       try { it.foreach(w.write); Iterator.single(w.commit()) }

@@ -63,10 +63,20 @@ class Round31Spec extends AnyFunSuite {
       .bind(StructType(Seq(StructField("_0", TimestampType)))).canonicalName())
     assert(names.distinct.size === names.size,
       "SPJ must never equate different temporal units")
-    for (dt <- Seq(LongType, DateType, StringType, TimestampNTZType)) {
+    for (dt <- Seq(LongType, StringType, TimestampNTZType)) {
       intercept[Exception] {
         GraftTemporalUnbound("days").bind(StructType(Seq(StructField("_0", dt))))
       }
+    }
+    // DATE keys bind for days/months/years (distinct canonical name —
+    // SPJ must never equate date- and timestamp-derived periods), and
+    // refuse hours (no sub-day resolution)
+    val dateBound = GraftTemporalUnbound("days")
+      .bind(StructType(Seq(StructField("_0", DateType))))
+    assert(dateBound.canonicalName() !== GraftTemporalUnbound("days")
+      .bind(StructType(Seq(StructField("_0", TimestampType)))).canonicalName())
+    intercept[Exception] {
+      GraftTemporalUnbound("hours").bind(StructType(Seq(StructField("_0", DateType))))
     }
   }
 

@@ -71,6 +71,46 @@ class Round39Spec extends AnyFunSuite {
       .startsWith("2024-06-01T12:00:00"))
   }
 
+  test("DATE-keyed temporal transforms: months(d) stamps one calendar month " +
+      "per file, SPJ joins on the raw date, compaction preserves the layout") {
+    val (cat, wh) = freshCatalog()
+    for (t <- Seq("a", "b"))
+      spark.sql(s"CREATE TABLE $cat.$t (d DATE NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (months(d))")
+    // 2023-11-01 .. 2024-02-28 daily (crossing the year), two fragments
+    spark.range(120)
+      .select(expr("date_from_unix_date(CAST(19662 + id AS INT))").as("d"),
+        col("id").as("v"))
+      .createOrReplaceTempView("g39_date_src")
+    for (r <- 0 to 1)
+      spark.sql(s"INSERT INTO $cat.a SELECT * FROM g39_date_src WHERE v % 2 = $r")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM g39_date_src")
+    val table = s"$wh/a"
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(s"$cat.a").join(spark.table(s"$cat.b"), Seq("d"))
+      assert(j.count() === 120)
+      assert(Stage.shuffleCount(j) === 0,
+        "co-month-partitioned DATE tables must SPJ with zero exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    val (_, v) = SnapshotTable.compactSnapshot(spark, table)
+    val m = SnapshotTable.manifest(table, v)
+    val months = m.files.map(_.stats(SnapshotTable.TemporalStat)).map { case (lo, hi) =>
+      assert(lo === hi); lo
+    }.sorted
+    // epoch day 19662 = 2023-11-01; 120 days = Nov+Dec+Jan+Feb exactly
+    assert(months === Seq(646L, 647L, 648L, 649L),
+      "date calendar groups must agree between the SQL rewrite and the writer")
+    assert(spark.table(s"$cat.a").agg(sum("v")).collect()(0).getLong(0) ===
+      (0L until 120L).sum)
+    // hours on a DATE key refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.h (d DATE) PARTITIONED BY (hours(d))")
+    }
+    assert(e.getMessage.contains("is not a timestamp"))
+  }
+
   test("DATE columns ride the epoch-days channel: stats recorded, extrema " +
       "served, range pruning proves absence") {
     val (cat, wh) = freshCatalog()
