@@ -184,4 +184,41 @@ class ScaleSpec extends AnyFunSuite {
       salted.orderBy("event_type").collect().toSeq ===
         direct.orderBy("event_type").collect().toSeq)
   }
+
+  test("temporal-layout lifecycle holds at volume: 200k rows / 50 days, " +
+      "4 fragmenting appends, compact to one file per day, 1-file day reads") {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = Files.createTempDirectory("graft_scale_temporal").toString
+    val cat = "gsc" + wh.takeRight(8).replaceAll("[^0-9a-zA-Z]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.e (ts TIMESTAMP NOT NULL, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // 200k rows uniformly over 50 days (one row every 21.6 s)
+    spark.range(200000)
+      .select(expr("timestamp_micros(CAST(1704067200000000 + id * 21600000 AS BIGINT))")
+        .as("ts"), col("id").as("v"))
+      .createOrReplaceTempView("gsc_src")
+    for (r <- 0 to 3)
+      spark.sql(s"INSERT INTO $cat.e SELECT * FROM gsc_src WHERE v % 4 = $r")
+    val table = s"$wh/e"
+    val frag = SnapshotTable.manifest(table, 5L)
+    assert(frag.files.size === 200, "4 appends x 50 days")
+    val (before, ver) = SnapshotTable.compactSnapshot(spark, table)
+    assert(before === 200)
+    val m = SnapshotTable.manifest(table, ver)
+    assert(m.files.size === 50, "one file per day at 200k rows")
+    assert(m.files.forall(
+      _.stats.get(SnapshotTable.TemporalStat).exists { case (lo, hi) => lo == hi }))
+    assert(spark.table(s"$cat.e").count() === 200000)
+    val day17 = spark.table(s"$cat.e")
+      .filter(col("ts") >= expr("timestamp'2024-01-18 00:00:00'") &&
+        col("ts") < expr("timestamp'2024-01-19 00:00:00'"))
+    assert(day17.count() === 4000)
+    val planned = day17.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    assert(planned === 1, s"a one-day read plans ONE file at volume, got $planned")
+  }
 }
