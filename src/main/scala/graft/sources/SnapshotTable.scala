@@ -1832,8 +1832,31 @@ object SnapshotTable {
     require(cur > 0, s"cannot consolidate non-existent table $table")
     val m = manifest(table, cur, io)
     val refs = dvRefs(m)
-    require(refs.nonEmpty,
+    val posRefs = posDvRefs(m)
+    require(refs.nonEmpty || posRefs.nonEmpty,
       s"$table carries no outstanding deletion vectors — nothing to consolidate")
+    // POSITION sidecars consolidate trivially (no sequence semantics —
+    // a position names its file by path): all batches dedupe into ONE
+    // (_file, _pos) sidecar
+    val posExtra: Map[String, String] =
+      if (posRefs.size <= 1) m.extra.view.filterKeys(_ == PosDvFilesK).toMap
+      else {
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val dir = s"$table/data/v${cur + 1}_${token}_posdvc"
+        posRefs.map(r => spark.read.parquet(r._1)).reduce(_.unionByName(_))
+          .distinct().coalesce(1).write.mode("errorifexists").parquet(dir)
+        val cnt = spark.read.parquet(dir).count()
+        val parts = io.list(dir).filter(_.endsWith(".parquet")).sorted
+        Map(PosDvFilesK -> posDvEncode(parts.map(n => (s"$dir/$n", cnt))))
+      }
+    if (refs.isEmpty) {
+      // positions only: one metadata commit, data files verbatim
+      publishManifest(table, cur + 1, cur, m.schema, m.segments, m.inline,
+        "dvrewrite", tableDecls(m) ++
+          m.extra.view.filterKeys(k => k == DvKeyK || k == DvFilesK).toMap ++
+          posExtra, io)
+      return (posRefs.size, 1, posRefs.map(_._2).sum)
+    }
     val key = m.extra(DvKeyK)
     val keyType = m.schema(m.schema.fieldIndex(key)).dataType
     val next = cur + 1
@@ -1879,10 +1902,10 @@ object SnapshotTable {
     }.sortBy(_.seq)
     publishManifest(table, next, cur, m.schema, m.segments, m.inline,
       "dvrewrite",
-      tableDecls(m) ++
-        m.extra.view.filterKeys(_ == PosDvFilesK).toMap ++
+      tableDecls(m) ++ posExtra ++
         Map(DvKeyK -> key, DvFilesK -> dvEncode(newRefs)), io)
-    (refs.size, newRefs.size, newRefs.map(_.count).sum)
+    (refs.size + posRefs.size, newRefs.size + math.min(posRefs.size, 1),
+      newRefs.map(_.count).sum)
   }
 
   /** INCREMENTAL read — the change-scan between two snapshots (the

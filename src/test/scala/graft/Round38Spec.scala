@@ -90,6 +90,32 @@ class Round38Spec extends AnyFunSuite {
     assert(byVersion.get(5L).contains(2L), "the UPDATE feeds pre+post images")
   }
 
+  test("position-delete sidecars consolidate too: stacked batches dedupe " +
+      "into ONE sidecar, results identical, eq-DV state rides verbatim") {
+    val (cat, wh) = freshCatalog()
+    val table = s"$wh/t"
+    SnapshotTable.commit(
+      spark.range(30).orderBy("id").coalesce(1).select(col("id").as("k")),
+      table, append = false, statsColumns = Seq("k"))
+    val file = SnapshotTable.manifest(table, 1L).files.head.path
+    import spark.implicits._
+    SnapshotTable.deletePositions(
+      Seq(0L, 1L).toDF("_pos").withColumn("_file", lit(file)), table)
+    SnapshotTable.deletePositions(
+      Seq(1L, 2L, 3L).toDF("_pos").withColumn("_file", lit(file)), table)
+    SnapshotTable.deleteKeys(Seq(29L).toDF("k"), table, "k")
+    val want = spark.table(s"$cat.t").orderBy("k").collect().toSeq
+    assert(want.size === 25)
+    val (before, after, _) = SnapshotTable.consolidateDeleteVectors(spark, table)
+    assert(before === 3 && after === 2,
+      "two pos sidecars + one eq sidecar -> one of each")
+    val m = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
+    assert(SnapshotTable.posDvRefs(m).size === 1)
+    assert(SnapshotTable.posDvRefs(m).head._2 === 4L,
+      "the consolidated sidecar holds the DEDUPED positions (0,1,2,3)")
+    assert(spark.table(s"$cat.t").orderBy("k").collect().toSeq === want)
+  }
+
   test("CALL consolidate_dvs reports the rewrite; the scoped reader rides " +
       "the consolidated ranges") {
     val (cat, wh) = freshCatalog()
