@@ -53,11 +53,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * arm, which is how Spark resolves the write's required distribution
   * and the scan's reported partitioning.
   *
-  * Deliberate refusals (loud, not wrong): other partition transforms
-  * (years/months/days/truncate — stats-clustering by the raw column
-  * already prunes those reads), ALTER TABLE beyond trailing nullable
-  * ADD COLUMN (schema evolution is the commit path's extend-only
-  * contract), RENAME (a table root is an immutable address for its
+  * Deliberate refusals (loud, not wrong): transform combinations beyond
+  * one transform or a time × (hash | truncate) compound; ALTER TABLE
+  * beyond trailing nullable ADD COLUMN and SET/UNSET TBLPROPERTIES —
+  * where layout changes go through the explicit `evolveLayout`
+  * spec-evolution verb (new-spec-for-new-files; direct layout-key
+  * edits refuse); RENAME (a table root is an immutable address for its
   * manifests' file paths).
   */
 class SnapshotCatalog extends TableCatalog
@@ -250,12 +251,8 @@ class SnapshotCatalog extends TableCatalog
             "temporal family (years/months/days/hours over a TIMESTAMP key) are")
       }
     }
-    require(layouts.size <= 1 ||
-      (layouts.size == 2 && layouts.map(_._1).toSet ==
-        Set(SnapshotTable.TemporalK, SnapshotTable.BucketK)),
-      s"unsupported transform combination ${partitions.mkString(", ")} — one " +
-        "transform, or the time x hash compound (days/months/hours/years + " +
-        "bucket), is supported")
+    SnapshotCatalog.requireSupportedCombination(layouts,
+      partitions.mkString(", "))
     val layout: Map[String, String] = layouts.toMap
     layout.collect { case (SnapshotTable.ClusterK, c) => c }.foreach { c =>
       require(schema.fieldNames.contains(c), s"PARTITIONED BY names unknown column $c")
@@ -283,11 +280,17 @@ class SnapshotCatalog extends TableCatalog
         s"morKey column $k must be declared NOT NULL — delta-based " +
           "UPDATE/MERGE identify rows by it")
     }
+    // TBLPROPERTIES('deleteMode'='positions'): route unprovable SQL
+    // DELETEs through position sidecars (morKey-less merge-on-read)
+    val deleteMode = Option(properties.get("deleteMode")).map(_.trim).filter(_.nonEmpty)
+    deleteMode.foreach(dm => require(dm == "positions",
+      s"deleteMode takes 'positions', got '$dm'"))
     val extra =
       (if (stats.isEmpty) Map.empty[String, String]
        else Map(SnapshotTable.StatsColsK -> stats.mkString(","))) ++
         morKey.map(SnapshotTable.MorKeyK -> _) ++
-        maxRows.map(n => SnapshotTable.MaxRowsK -> n.toString) ++ layout
+        maxRows.map(n => SnapshotTable.MaxRowsK -> n.toString) ++
+        deleteMode.map(SnapshotTable.DeleteModeK -> _) ++ layout
     SnapshotTable.createEmpty(p, schema, extra)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
   }
@@ -324,16 +327,49 @@ class SnapshotCatalog extends TableCatalog
         s.property -> s.value }
       val unsets = changes.collect { case r: TableChange.RemoveProperty =>
         r.property }
+      // PARTITION-SPEC EVOLUTION (the Iceberg-v2 new-spec-for-new-files
+      // model): `ALTER TABLE t SET TBLPROPERTIES('evolveLayout'=
+      // 'hours(ts)')` swaps the layout for FUTURE files in one metadata
+      // commit — existing files keep their stamps and prune under their
+      // own generation's transforms (the file's commit seq names its
+      // generation; SnapshotTable.LayoutHistK records each one), SPJ
+      // degrades to shuffle while generations are mixed (loudly — the
+      // scan description says so) and a full compaction re-unifies them.
+      // A DIRECT 'bucket'/'temporal'/... property set still refuses:
+      // evolution is an explicit verb, not a property edit.
+      sets.collectFirst {
+        case (prop, value) if prop.equalsIgnoreCase("evolveLayout") => value
+      } match {
+        case Some(specStr) =>
+          require(sets.size == 1 && unsets.isEmpty,
+            "evolveLayout must be the only change in its ALTER TABLE statement")
+          val newLayout = SnapshotCatalog.parseLayoutSpec(specStr, m.schema)
+          val curLayout = m.extra.view.filterKeys(SnapshotTable.LayoutKeys).toMap
+          require(newLayout != curLayout,
+            s"evolveLayout: $ident already has exactly that layout")
+          val hist = SnapshotTable.layoutHistOf(m) :+
+            (SnapshotTable.layoutSinceOf(m), curLayout)
+          SnapshotTable.publishProps(p, m,
+            sets = newLayout ++ Map(
+              SnapshotTable.LayoutSinceK -> (v + 1).toString,
+              SnapshotTable.LayoutHistK -> SnapshotTable.layoutHistEncode(hist)),
+            unsets = SnapshotTable.LayoutKeys)
+          return loadTable(ident)
+        case None =>
+      }
       val editable = Map(
         "statscolumns" -> SnapshotTable.StatsColsK,
         "maxrowsperfile" -> SnapshotTable.MaxRowsK,
-        "morkey" -> SnapshotTable.MorKeyK)
+        "morkey" -> SnapshotTable.MorKeyK,
+        "deletemode" -> SnapshotTable.DeleteModeK)
       def keyOf(prop: String): String = editable.getOrElse(prop.toLowerCase,
         throw new UnsupportedOperationException(
           s"ALTER TABLE $ident: property '$prop' is not evolvable — " +
-            "statsColumns, maxRowsPerFile and morKey are; layout declarations " +
-            "(bucket/truncate/temporal/identity) are CREATE-time (INSERT " +
-            "OVERWRITE re-layers), DV state is engine-owned"))
+            "statsColumns, maxRowsPerFile, morKey and deleteMode are; layout " +
+            "declarations (bucket/truncate/temporal/identity) evolve only " +
+            "through the explicit evolveLayout property (new-spec-for-new-" +
+            "files) or INSERT OVERWRITE (full re-layering), DV state is " +
+            "engine-owned"))
       val applied = sets.map { case (prop, value) =>
         val k = keyOf(prop)
         k match {
@@ -346,6 +382,11 @@ class SnapshotCatalog extends TableCatalog
             require(value.trim.toLong > 0,
               s"maxRowsPerFile must be positive, got $value")
             k -> value.trim.toLong.toString
+          case SnapshotTable.DeleteModeK =>
+            require(value.trim == "positions",
+              s"deleteMode takes 'positions' (UNSET to restore copy-on-write " +
+                s"routing), got '$value'")
+            k -> "positions"
           case _ => // morKey
             val c = value.trim
             require(m.schema.fieldNames.contains(c), s"morKey names unknown column $c")
@@ -387,6 +428,94 @@ class SnapshotCatalog extends TableCatalog
   override def renameTable(old: Identifier, next: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME is refused: a table root is the immutable address of its manifests' file paths")
+}
+
+private[sources] object SnapshotCatalog {
+
+  /** The one combination rule, shared by CREATE TABLE's transform list
+    * and evolveLayout's parsed spec: a single transform, or a time ×
+    * (hash | truncate) compound — period-major routing with the second
+    * dimension grouped within each period. */
+  private[sources] def requireSupportedCombination(
+      layouts: Seq[(String, String)], shown: String): Unit =
+    require(layouts.size <= 1 ||
+      (layouts.size == 2 && (layouts.map(_._1).toSet ==
+        Set(SnapshotTable.TemporalK, SnapshotTable.BucketK) ||
+        layouts.map(_._1).toSet ==
+          Set(SnapshotTable.TemporalK, SnapshotTable.TruncK))),
+      s"unsupported transform combination $shown — one transform, or a time x " +
+        "hash / time x truncate compound (days/months/hours/years + bucket or " +
+        "truncate), is supported")
+
+  /** Parse an `evolveLayout` TBLPROPERTY value — the PARTITIONED BY
+    * grammar as a string: `none` (unpartitioned), or comma-joined
+    * `identity(k)` / bare `k` / `bucket(n, k)` / `truncate(w, k)` /
+    * `days(ts)` (and the rest of the temporal family) — validated
+    * against the table schema with exactly CREATE TABLE's rules. */
+  private[sources] def parseLayoutSpec(
+      spec: String, schema: StructType): Map[String, String] = {
+    val s = spec.trim
+    if (s.isEmpty || s.equalsIgnoreCase("none")) return Map.empty
+    val Fn = """^([A-Za-z_]\w*)\s*\(([^)]*)\)$""".r
+    val layouts: Seq[(String, String)] = s.split(",(?![^(]*\\))").toSeq.map(_.trim).map {
+      case Fn(fn, argsStr) =>
+        val args = argsStr.split(",").map(_.trim).filter(_.nonEmpty)
+        def column(a: String): String = {
+          require(schema.fieldNames.contains(a),
+            s"evolveLayout names unknown column $a")
+          a
+        }
+        fn.toLowerCase match {
+          case "identity" =>
+            require(args.length == 1, s"identity takes one column, got $argsStr")
+            SnapshotTable.ClusterK -> column(args(0))
+          case "bucket" =>
+            require(args.length == 2, s"bucket takes (n, col), got $argsStr")
+            val n = args(0).toInt
+            require(n > 0, s"bucket count must be positive, got $n")
+            val c = column(args(1))
+            require(GraftBucket.supports(schema(c).dataType),
+              s"bucket column $c: ${schema(c).dataType.simpleString} is not an " +
+                "integral or string key")
+            require(!schema.fieldNames.contains(SnapshotTable.BucketStat),
+              s"column name ${SnapshotTable.BucketStat} is reserved on bucketed tables")
+            SnapshotTable.BucketK -> s"$c:$n"
+          case "truncate" =>
+            require(args.length == 2, s"truncate takes (w, col), got $argsStr")
+            val w = args(0).toInt
+            require(w > 0, s"truncate width must be positive, got $w")
+            val c = column(args(1))
+            require(Seq(ByteType, ShortType, IntegerType, LongType)
+              .contains(schema(c).dataType),
+              s"truncate column $c: ${schema(c).dataType.simpleString} is not integral")
+            require(!schema.fieldNames.contains(SnapshotTable.TruncStat),
+              s"column name ${SnapshotTable.TruncStat} is reserved on truncate-grouped tables")
+            SnapshotTable.TruncK -> s"$c:$w"
+          case unit if GraftTemporal.Units.contains(unit) =>
+            require(args.length == 1, s"$unit takes one column, got $argsStr")
+            val c = column(args(0))
+            val dt = schema(c).dataType
+            require(dt == TimestampType || (dt == DateType && unit != "hours"),
+              s"$unit column $c: ${dt.simpleString} is not a timestamp/date key")
+            require(!schema.fieldNames.contains(SnapshotTable.TemporalStat),
+              s"column name ${SnapshotTable.TemporalStat} is reserved on " +
+                "temporally-partitioned tables")
+            SnapshotTable.TemporalK -> s"$c:$unit"
+          case other => throw new UnsupportedOperationException(
+            s"evolveLayout transform $other is not supported")
+        }
+      case bare if bare.matches("""[A-Za-z_]\w*""") =>
+        require(schema.fieldNames.contains(bare),
+          s"evolveLayout names unknown column $bare")
+        SnapshotTable.ClusterK -> bare
+      case other => throw new IllegalArgumentException(
+        s"cannot parse evolveLayout term '$other'")
+    }
+    require(layouts.map(_._1).distinct.size == layouts.size,
+      s"evolveLayout repeats a transform family: $s")
+    requireSupportedCombination(layouts, s)
+    layouts.toMap
+  }
 }
 
 // ---- the DSv2 write protocol ----------------------------------------
@@ -441,6 +570,24 @@ private[sources] object SnapshotWrites {
             Distributions.clustered(Array(E.column(k)))
           override def requiredOrdering(): Array[V2SortOrder] =
             Array(E.sort(E.column(k), SortDirection.ASCENDING))
+        }
+      case (None, None, Some((wc, w)), Some((tc, u))) =>
+        // COMPOUND time × truncate (`PARTITIONED BY (months(ts),
+        // truncate(1000, k))`): the order-preserving sibling of the
+        // time × hash compound — period-major, width group within
+        // period, one (period, group) file, both stamps recorded; the
+        // scan prunes on either dimension and SPJ-groups on the
+        // truncate stamp across periods.
+        val tf = E.apply(u, E.column(tc))
+        val wf = E.apply(s"truncate_$w", E.column(wc))
+        new SnapshotWrite(table, schema, stats, None, None, Some((wc, w)),
+          Some((tc, u)), maxRows, overwrite, replaceScanned)
+            with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(tf, wf))
+          override def requiredOrdering(): Array[V2SortOrder] =
+            Array(E.sort(tf, SortDirection.ASCENDING),
+              E.sort(wf, SortDirection.ASCENDING))
         }
       case (None, _, Some((c, w)), _) =>
         // the order-preserving sibling of the bucket arm: routed and

@@ -313,7 +313,8 @@ object SnapshotTable {
       sstats: Map[String, (String, String)] = Map.empty,
       nstats: Map[String, (Long, Long)] = Map.empty,
       dstats: Map[String, Long] = Map.empty,
-      size: Long = -1L) extends StatRanges {
+      size: Long = -1L,
+      units: Boolean = false) extends StatRanges {
     def line: String = {
       val ist = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
       val sst = sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
@@ -322,7 +323,12 @@ object SnapshotTable {
       val nst = nstats.toSeq.sortBy(_._1).map { case (c, (n, r)) => s"$c:n:$n:$r" }
       val dst = dstats.toSeq.sortBy(_._1).map { case (c, d) => s"$c:d:$d" }
       val sz = if (size >= 0) Seq(s"sz:$size") else Nil
-      (path +: count.toString +: (sz ++ ist ++ sst ++ nst ++ dst)).mkString("|")
+      // the temporal-stats UNIT marker rides the REF (not the segment
+      // file): carried-forward refs re-serialize from the parsed object,
+      // so a legacy (unmarked) segment stays unmarked through any number
+      // of carries into marked manifests — its entries keep scrubbing
+      val un = if (units) Seq(s"u:$StatsUnitsV") else Nil
+      (path +: count.toString +: (un ++ sz ++ ist ++ sst ++ nst ++ dst)).mkString("|")
     }
   }
 
@@ -334,9 +340,13 @@ object SnapshotTable {
       val nst = Map.newBuilder[String, (Long, Long)]
       val dst = Map.newBuilder[String, Long]
       var size = -1L
+      var units = false
       parts.drop(2).foreach { st =>
         st.split(':') match {
           case Array("sz", b)        => size = b.toLong
+          // 2-token tags stay unambiguous: a column named "u" emits
+          // 3-token stat lines (`u:lo:hi`, `u:d:n`, ...)
+          case Array("u", v)         => units = v == StatsUnitsV
           case Array(c, "s", lo, hi) => sst += c -> (FileEntry.unhex(lo), FileEntry.unhex(hi))
           case Array(c, "s", _*)     => sst += c -> ("", "")
           case Array(c, "n", n, r)   => nst += c -> (n.toLong, r.toLong)
@@ -347,7 +357,7 @@ object SnapshotTable {
         }
       }
       SegmentRef(parts.head, parts(1).toInt, ist.result(), sst.result(), nst.result(),
-        dst.result(), size)
+        dst.result(), size, units)
     }
   }
 
@@ -356,14 +366,36 @@ object SnapshotTable {
       schema: StructType,
       segments: Seq[SegmentRef],
       inline: Seq[FileEntry],
-      extra: Map[String, String])(io: SnapshotIO) {
+      extra: Map[String, String],
+      stripLong: Set[String] = Set.empty)(io: SnapshotIO) {
+
+    /** Drop unit-AMBIGUOUS long stats from an entry loaded out of an
+      * UNMARKED segment: a segment ref without the `u:` unit token
+      * predates the micros/days channel, so its timestamp/date min/max
+      * could be in any unit a past writer used — interpreting them
+      * would silently mis-prune (prove-absent files that hold matching
+      * rows). Absent stats only ever mean "must read", so scrubbing is
+      * the safe direction. Null/NDV stats stay — counts carry no unit. */
+    private def scrubEntry(e: FileEntry): FileEntry =
+      if (stripLong.isEmpty || !stripLong.exists(e.stats.contains)) e
+      else e.copy(stats = e.stats -- stripLong)
+
+    /** Load one segment's entries, unit-gated: entries from a segment
+      * whose ref lacks the unit marker get their temporal long stats
+      * scrubbed (see [[scrubEntry]]). EVERY segment load — lazy reads
+      * here and the re-publication paths (mergeBatch, rewriteSegments)
+      * — goes through this, so ambiguous stats can never flow into a
+      * marked segment. */
+    private[sources] def loadSegment(s: SegmentRef): Seq[FileEntry] = {
+      val es = SnapshotTable.readSegment(s.path, io)
+      if (s.units || stripLong.isEmpty) es else es.map(scrubEntry)
+    }
 
     /** ALL file entries — inline (legacy flat manifests) plus every
       * segment's, loaded on demand. Head reads and maintenance need
       * this; pruned reads go through [[filesMatching]] instead and
       * never load missed segments. */
-    lazy val files: Seq[FileEntry] =
-      inline ++ segments.flatMap(s => SnapshotTable.readSegment(s.path, io))
+    lazy val files: Seq[FileEntry] = inline ++ segments.flatMap(loadSegment)
 
     /** Total file count from the refs alone — no segment is opened. */
     def fileCount: Long = inline.size.toLong + segments.map(_.count.toLong).sum
@@ -376,7 +408,7 @@ object SnapshotTable {
       * misses. */
     def filesMatching(pred: StatRanges => Boolean): Seq[FileEntry] =
       inline.filter(pred) ++ segments.filter(pred)
-        .flatMap(s => SnapshotTable.readSegment(s.path, io)).filter(pred)
+        .flatMap(s => loadSegment(s).filter(pred))
 
     /** Files that can contain rows with `col` in [lo, hi]: stats prove
       * absence; a file without stats for the column must be read. */
@@ -462,7 +494,11 @@ object SnapshotTable {
         // segment byte size: recorded only when EVERY contained file's
         // size is known — an unknown must surface as unknown, never as
         // an undercount (the CBO would broadcast off it)
-        if (chunk.forall(_.size >= 0)) chunk.map(_.size).sum else -1L)
+        if (chunk.forall(_.size >= 0)) chunk.map(_.size).sum else -1L,
+        // freshly-written segments are unit-marked: their temporal
+        // stats are micros/days by this binary's construction (entries
+        // from legacy segments were scrubbed before reaching here)
+        units = true)
     }.toVector
   }
 
@@ -495,7 +531,34 @@ object SnapshotTable {
       }
     }
     require(schema != null, s"manifest v$version of $table carries no schema")
-    Manifest(version, schema, segs.result(), files.result(), extra.result())(io)
+    val ex = extra.result()
+    // stats-unit gate: temporal long stats are only trusted under a
+    // micros/days unit marker — the manifest-level StatsUnitsK stamp
+    // (every commit of this binary) gates INLINE entries, the
+    // per-segment-ref `u:` token gates each segment (refs carry forward
+    // verbatim, so a legacy segment stays unmarked through any number
+    // of carries into marked manifests). Unmarked temporal stats were
+    // written by a pre-marker binary whose unit is unknowable — served
+    // as ABSENT (must-read), never reinterpreted. Segment-ref bounds
+    // scrub eagerly here; per-file entries scrub as their segments load
+    // (Manifest.loadSegment).
+    val temporal: Set[String] = schema.fields.collect {
+      case f if f.dataType == TimestampType || f.dataType == DateType => f.name
+    }.toSet
+    val segs0 = segs.result()
+    val inline0 = files.result()
+    val segs1 =
+      if (temporal.isEmpty) segs0
+      else segs0.map(s =>
+        if (!s.units && temporal.exists(s.stats.contains))
+          s.copy(stats = s.stats -- temporal)
+        else s)
+    val inline1 =
+      if (temporal.isEmpty || ex.get(StatsUnitsK).contains(StatsUnitsV)) inline0
+      else inline0.map(f =>
+        if (temporal.exists(f.stats.contains)) f.copy(stats = f.stats -- temporal)
+        else f)
+    Manifest(version, schema, segs1, inline1, ex, temporal)(io)
   }
 
   /** Write `df`'s data files for version `next`, collect their stats,
@@ -511,7 +574,10 @@ object SnapshotTable {
       mode: String,
       statsColumns: Seq[String],
       extra: Map[String, String],
-      io: SnapshotIO): Long = {
+      io: SnapshotIO,
+      // append commits pass the nullability-MERGED schema (commit()'s
+      // rule) — carried files must keep answering for their own nulls
+      publishSchema: Option[StructType] = None): Long = {
     // 1. data files first, under a per-attempt unique directory: racing
     //    or crashed attempts can only ever orphan their own files
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -573,7 +639,7 @@ object SnapshotTable {
           .toVector.sortBy(_.path)
       }
     // 2–3. manifest assembly + atomic-exclusive publication
-    publishManifest(table, next, current, df.schema,
+    publishManifest(table, next, current, publishSchema.getOrElse(df.schema),
       carriedSegments, carriedFiles ++ newFiles, mode, extra, io)
   }
 
@@ -607,6 +673,11 @@ object SnapshotTable {
       .append(s"version=$next\n")
       .append(s"parent=$current\n")
       .append(s"mode=$mode\n")
+    // every manifest this binary publishes declares its temporal stats
+    // unit — readers treat UNMARKED manifests' timestamp/date stats as
+    // absent (see manifest()'s strip), so a unit change can never be a
+    // silent reinterpretation
+    if (!extra.contains(StatsUnitsK)) body.append(s"$StatsUnitsK=$StatsUnitsV\n")
     extra.foreach { case (k, v) => body.append(s"$k=$v\n") }
     body.append(s"schema=${schema.json}\n")
     (carriedSegments ++ newSegs).foreach(s => body.append(s"segment=${s.line}\n"))
@@ -668,6 +739,7 @@ object SnapshotTable {
     // at O(new files + segment count). Parent inline entries (legacy
     // flat manifests) re-bundle into a segment once, migrating forward.
     var parentCluster: Option[String] = None
+    var publishSchema: StructType = df.schema
     val (carriedSegs, carriedFiles): (Seq[SegmentRef], Seq[FileEntry]) =
       if (append && current > 0) {
         val parent = manifest(table, current, io)
@@ -689,9 +761,17 @@ object SnapshotTable {
         // the SPJ grouping until an overwrite re-buckets (the scan
         // degrades soundly; Round25Spec pins it)
         dvCarry = dvExtra(parent) ++ parent.extra.view.filterKeys(k =>
-          k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
-            k == TemporalK || k == MaxRowsK).toMap
+          DeclKeys(k) && k != ClusterK).toMap
         parentCluster = parent.extra.get(ClusterK)
+        // nullability MERGES (OR) across generations: a column any
+        // carried file holds nulls in must stay nullable, or the
+        // vectorized reader silently serves epoch-0/zero for those
+        // nulls under the narrower declaration (hit live: an all-NULL
+        // first commit followed by a non-null append); genuinely NEW
+        // trailing columns publish nullable — carried files read NULL
+        publishSchema = StructType(
+          pf.indices.map(i => nf(i).copy(nullable = pf(i).nullable || nf(i).nullable)) ++
+            nf.drop(pf.length).map(_.copy(nullable = true)))
         (parent.segments, parent.inline)
       } else (Vector.empty, Vector.empty)
     // an identity-clustered table STAYS clustered: appends inherit the
@@ -712,7 +792,8 @@ object SnapshotTable {
     publishVersion(
       data, table, current + 1, current, carriedSegs, carriedFiles,
       if (append) "append" else "overwrite", stats,
-      extra ++ dvCarry ++ cluster.map(ClusterK -> _), io)
+      extra ++ dvCarry ++ cluster.map(ClusterK -> _), io,
+      publishSchema = Some(publishSchema))
   }
 
   /** Publish a commit from ALREADY-WRITTEN data files — the tail the
@@ -752,17 +833,12 @@ object SnapshotTable {
         // carried file reads NULL in them
         publishSchema = StructType(
           pf ++ nf.drop(pf.length).map(_.copy(nullable = true)))
-        carryExtra = parent.extra.view.filterKeys(k =>
-          k == DvKeyK || k == DvFilesK || k == PosDvFilesK || k == ClusterK ||
-            k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
-            k == TemporalK || k == MaxRowsK).toMap
+        carryExtra = dvExtra(parent) ++ tableDecls(parent)
         (parent.segments, parent.inline)
       } else if (current > 0) {
         // overwrite keeps the table-level declarations, drops the data
         val parent = manifest(table, current, io)
-        carryExtra = parent.extra.view.filterKeys(k =>
-          k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK ||
-            k == TruncK || k == TemporalK || k == MaxRowsK).toMap
+        carryExtra = tableDecls(parent)
         (Vector.empty, Vector.empty)
       } else (Vector.empty, Vector.empty)
     publishManifest(table, current + 1, current, publishSchema,
@@ -782,10 +858,7 @@ object SnapshotTable {
       m: Manifest,
       kept: Seq[FileEntry],
       io: SnapshotIO = LocalSnapshotIO): Long = {
-    val carry = m.extra.view.filterKeys(k =>
-      k == DvKeyK || k == DvFilesK || k == PosDvFilesK || k == ClusterK ||
-        k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
-        k == TemporalK || k == MaxRowsK).toMap
+    val carry = dvExtra(m) ++ tableDecls(m)
     publishManifest(table, m.version + 1, m.version, m.schema,
       Nil, kept, "delete", carry, io)
   }
@@ -806,10 +879,7 @@ object SnapshotTable {
       pf.indices.forall(i => widened.fields(i).name == pf(i).name &&
         widened.fields(i).dataType == pf(i).dataType),
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
-    val carry = m.extra.view.filterKeys(k =>
-      k == DvKeyK || k == DvFilesK || k == PosDvFilesK || k == ClusterK ||
-        k == StatsColsK || k == MorKeyK || k == BucketK || k == TruncK ||
-        k == TemporalK || k == MaxRowsK).toMap
+    val carry = dvExtra(m) ++ tableDecls(m)
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
   }
@@ -979,7 +1049,7 @@ object SnapshotTable {
     }
     val candidates: Seq[FileEntry] = m.inline ++
       m.segments.zipWithIndex.collect { case (s, i) if touchedSegIdx(i) => s }
-        .flatMap(s => readSegment(s.path, io))
+        .flatMap(m.loadSegment)
     // FILE level inside the segments that survived segment routing
     val (ranged, statless) = rangesOf(candidates)
     val touchedIdx = statless ++ hitOf(ranged)
@@ -1209,10 +1279,17 @@ object SnapshotTable {
     // read through the V2 scan, which applies both delete formats.
     // Subset readers (readPruned/readIncremental/changeFeed) refuse
     // instead — readFiles' guard.
-    if (posDvPaths(m).nonEmpty)
+    if (posDvPaths(m).nonEmpty) {
+      // the V2 provider resolves paths through LocalSnapshotIO — a
+      // caller's non-local io would silently read the wrong filesystem
+      // on this route, so refuse loudly rather than mis-read
+      require(io eq LocalSnapshotIO,
+        s"$table carries position-delete sidecars: the read routes through " +
+          "the V2 scan, which reads the local filesystem only — a custom " +
+          "SnapshotIO is not honored here; compactSnapshot first")
       spark.read.format(SnapshotV2Provider.format)
         .option("path", table).option("versionAsOf", v.toString).load()
-    else readFiles(spark, m, m => m.files)
+    } else readFiles(spark, m, m => m.files)
   }
 
   /** Manifest-level file pruning: load only the files whose recorded
@@ -1419,6 +1496,77 @@ object SnapshotTable {
       (s.substring(0, i), s.substring(i + 1))
     }
 
+  /** The four layout-declaration keys — what PARTITION-SPEC EVOLUTION
+    * swaps out as a unit. */
+  private[graft] val LayoutKeys: Set[String] = Set(ClusterK, BucketK, TruncK, TemporalK)
+
+  /** Reserved manifest key: the version since which the CURRENT layout
+    * keys apply — partition-spec evolution's generation boundary.
+    * Absent = 0 (the layout has held since creation). A file's commit
+    * sequence names its generation: files stamped at seq >= layoutsince
+    * were routed under the current spec, older files under the
+    * generation [[LayoutHistK]] records for their seq — the Iceberg-v2
+    * new-spec-for-new-files model with the generation id derived from
+    * the sequence the manifest already carries per file. */
+  private[sources] val LayoutSinceK = "layoutsince"
+
+  /** Reserved manifest key: the PAST layout generations, ascending —
+    * `;`-joined `<sinceVersion>:<hex(& -joined key=value)>` entries
+    * (empty hex = that generation was unpartitioned). Generation i
+    * covers seq in [since_i, since_{i+1}); the current keys cover
+    * [layoutsince, inf). */
+  private[sources] val LayoutHistK = "layouthist"
+
+  /** Reserved manifest key: DELETE routing for unprovable predicates on
+    * morKey-less tables — `positions` routes the remainder through a
+    * provenance scan + position sidecar (O(batch), zero rewrites)
+    * instead of the copy-on-write group rewrite.
+    * TBLPROPERTIES('deleteMode'='positions'). */
+  private[sources] val DeleteModeK = "deletemode"
+
+  /** The declared DELETE routing, if any. */
+  def deleteModeOf(m: Manifest): Option[String] = m.extra.get(DeleteModeK)
+
+  /** The version since which the current layout keys apply. */
+  def layoutSinceOf(m: Manifest): Long =
+    m.extra.get(LayoutSinceK).map(_.toLong).getOrElse(0L)
+
+  /** Past layout generations, ascending by start version. */
+  def layoutHistOf(m: Manifest): Seq[(Long, Map[String, String])] =
+    m.extra.get(LayoutHistK).filter(_.nonEmpty).map(_.split(";").toSeq.map { e =>
+      val i = e.indexOf(':')
+      val since = e.substring(0, i).toLong
+      val enc = e.substring(i + 1)
+      val kv =
+        if (enc.isEmpty) Map.empty[String, String]
+        else FileEntry.unhex(enc).split("&").map { p =>
+          val j = p.indexOf('=')
+          p.substring(0, j) -> p.substring(j + 1)
+        }.toMap
+      (since, kv)
+    }).getOrElse(Nil)
+
+  private[sources] def layoutHistEncode(hist: Seq[(Long, Map[String, String])]): String =
+    hist.map { case (v, kv) =>
+      s"$v:${FileEntry.hex(kv.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }
+        .mkString("&"))}"
+    }.mkString(";")
+
+  /** The layout generation that governed a file stamped at commit
+    * `seq`: the current keys when seq >= layoutsince, else the newest
+    * past generation starting at or before seq. */
+  def layoutForSeq(m: Manifest, seq: Long): Map[String, String] =
+    if (seq >= layoutSinceOf(m)) m.extra.view.filterKeys(LayoutKeys).toMap
+    else layoutHistOf(m).filter(_._1 <= seq).lastOption.map(_._2)
+      .getOrElse(Map.empty)
+
+  /** Parse a bucket spec (`col:n`) out of a generation's layout map. */
+  private[graft] def bucketSpecFromLayout(kv: Map[String, String]): Option[(String, Int)] =
+    kv.get(BucketK).map { s =>
+      val i = s.lastIndexOf(':')
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+
   /** Route every row of key `k` to the one partition owning that key —
     * an EXACT partitioner, not hash-modulo (two keys must never share a
     * file, or the file's min==max stat and the SPJ partition grouping
@@ -1529,19 +1677,45 @@ object SnapshotTable {
     * DVs; materialized and dropped by compaction. */
   private[sources] val PosDvFilesK = "posdvfiles"
 
-  /** The outstanding position-delete sidecars: (path, recorded count). */
-  private[graft] def posDvRefs(m: Manifest): Seq[(String, Long)] =
+  /** Reserved manifest key: the UNIT of temporal long stats in this
+    * manifest's entries — `micros` means timestamps ride as epoch
+    * MICROS and dates as epoch DAYS (the InternalRow physical values).
+    * Stamped by every publishManifest; a manifest WITHOUT it predates
+    * the marker and its temporal stats are unit-ambiguous — served as
+    * absent, never reinterpreted (manifest()'s strip + Manifest.scrub). */
+  private[sources] val StatsUnitsK = "statsunits"
+  private[sources] val StatsUnitsV = "micros"
+
+  /** An outstanding position-delete sidecar: path, recorded row count,
+    * and the byte-wise [min, max] range of the DATA-FILE PATHS it names
+    * — recorded at write time for free (the stale check already
+    * collected the named files) and what lets the over-budget SCOPED
+    * reader attach to each data file only the sidecars that can hit it.
+    * Legacy 2-token refs carry no range (= may hit any file). */
+  final case class PosDvRef(
+      path: String, count: Long, range: Option[(String, String)] = None)
+
+  /** The outstanding position-delete sidecars. */
+  private[graft] def posDvRefs(m: Manifest): Seq[PosDvRef] =
     m.extra.get(PosDvFilesK).filter(_.nonEmpty).map(_.split(";").toSeq.map { e =>
       e.split(':') match {
-        case Array(p, c) => (FileEntry.unhex(p), c.toLong)
+        case Array(p, c) => PosDvRef(FileEntry.unhex(p), c.toLong)
+        case Array(p, c, lo, hi) =>
+          PosDvRef(FileEntry.unhex(p), c.toLong,
+            Some((FileEntry.unhex(lo), FileEntry.unhex(hi))))
         case _ => throw new IllegalArgumentException(s"bad position-delete ref '$e'")
       }
     }).getOrElse(Nil)
 
-  private[sources] def posDvPaths(m: Manifest): Seq[String] = posDvRefs(m).map(_._1)
+  private[sources] def posDvPaths(m: Manifest): Seq[String] = posDvRefs(m).map(_.path)
 
-  private def posDvEncode(refs: Seq[(String, Long)]): String =
-    refs.map { case (p, c) => s"${FileEntry.hex(p)}:$c" }.mkString(";")
+  private def posDvEncode(refs: Seq[PosDvRef]): String =
+    refs.map { r =>
+      val base = s"${FileEntry.hex(r.path)}:${r.count}"
+      r.range.fold(base) { case (lo, hi) =>
+        s"$base:${FileEntry.hex(lo)}:${FileEntry.hex(hi)}"
+      }
+    }.mkString(";")
 
   /** The DV state a descendant commit must carry forward verbatim —
     * equality-delete chain AND position-delete sidecars. */
@@ -1588,6 +1762,11 @@ object SnapshotTable {
       .na.drop().distinct()
     val live = m.files.map(_.path).toSet
     val named = batch.select("_file").distinct().collect().map(_.getString(0))
+    // a predicate that matched nothing is a NO-OP, not a commit: an
+    // empty sidecar would still flip posDvPaths non-empty — refusing
+    // every subset reader, disabling SPJ/pushdowns, and breaking
+    // incremental readers across a delete that deleted nothing
+    if (named.isEmpty) return current
     val stale = named.filterNot(live)
     require(stale.isEmpty,
       s"position deletes name files not live in snapshot $current of $table " +
@@ -1598,12 +1777,61 @@ object SnapshotTable {
     val dir = s"$table/data/v${next}_${token}_posdv"
     batch.coalesce(1).write.mode("errorifexists").parquet(dir)
     val cnt = pos.sparkSession.read.parquet(dir).count()
+    // the ref carries the byte-wise path range of the files this batch
+    // names (free — `named` is already in hand): the scoped reader's
+    // per-file attachment prunes on it
+    val fLo = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) a else b)
+    val fHi = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) b else a)
     val refs = io.list(dir).filter(_.endsWith(".parquet")).sorted
-      .map(n => (s"$dir/$n", cnt))
+      .map(n => PosDvRef(s"$dir/$n", cnt, Some((fLo, fHi))))
     publishManifest(table, next, current, m.schema, m.segments, m.inline,
       mode = "delete",
       extra = tableDecls(m) ++ dvExtra(m) ++
         Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ refs)), io)
+  }
+
+  /** The commit tail of a SQL `DELETE FROM t WHERE pred` routed through
+    * POSITION deletes (TBLPROPERTIES('deleteMode'='positions'), the
+    * morKey-less MoR DELETE): files the manifest PROVED all-match drop
+    * whole, the unprovable remainder's matching rows land as ONE
+    * (_file,_pos) sidecar — one atomic commit, zero data files opened
+    * for writing. `dropPaths` empty degenerates to [[deletePositions]]
+    * (segments carried verbatim); a non-empty drop set forces fresh
+    * segments (the dropped entries lived inside the parent's). */
+  private[sources] def deletePositionsAndDrop(
+      pos: DataFrame,
+      table: String,
+      dropPaths: Set[String],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    if (dropPaths.isEmpty) return deletePositions(pos, table, io)
+    val current = currentVersion(table, io)
+    require(current > 0, s"cannot delete from non-existent table $table")
+    val m = manifest(table, current, io)
+    val kept = m.files.filterNot(f => dropPaths(f.path))
+    val batch = pos.select(col("_file").cast("string"), col("_pos").cast("long"))
+      .na.drop().distinct()
+    val named = batch.select("_file").distinct().collect().map(_.getString(0))
+    val live = kept.map(_.path).toSet
+    val stale = named.filterNot(live)
+    require(stale.isEmpty,
+      s"position deletes name files not kept in snapshot $current of $table " +
+        s"(${stale.take(3).mkString(", ")}…)")
+    val next = current + 1
+    val posExtra: Map[String, String] =
+      if (named.isEmpty) m.extra.view.filterKeys(_ == PosDvFilesK).toMap
+      else {
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val dir = s"$table/data/v${next}_${token}_posdv"
+        batch.coalesce(1).write.mode("errorifexists").parquet(dir)
+        val cnt = pos.sparkSession.read.parquet(dir).count()
+        val fLo = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) a else b)
+        val fHi = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) b else a)
+        val refs = io.list(dir).filter(_.endsWith(".parquet")).sorted
+          .map(n => PosDvRef(s"$dir/$n", cnt, Some((fLo, fHi))))
+        Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ refs))
+      }
+    publishManifest(table, next, current, m.schema, Nil, kept, "delete",
+      tableDecls(m) ++ dvExtra(m) ++ posExtra, io)
   }
 
   /** Maintenance that rewrites data files OUTSIDE the bucketed write
@@ -1703,10 +1931,18 @@ object SnapshotTable {
       rangeS: Option[(String, String)] = None)
 
   /** Table-level declarations every metadata commit must carry. */
+  /** Every table-level DECLARATION key a descendant commit must carry
+    * forward verbatim: layout (cluster/bucket/trunc/temporal + the spec-
+    * evolution generation markers), stats columns, MoR key, per-file row
+    * cap, delete routing. One list — the r15 carry-drift class of bug
+    * (a commit path silently stripping a declaration) can only recur by
+    * forgetting a NEW key here, not by missing one of nine sites. */
+  private[sources] val DeclKeys: Set[String] = Set(
+    ClusterK, BucketK, TruncK, TemporalK, LayoutSinceK, LayoutHistK,
+    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK)
+
   private def tableDecls(m: Manifest): Map[String, String] =
-    m.extra.view.filterKeys(k =>
-      k == ClusterK || k == StatsColsK || k == MorKeyK || k == BucketK ||
-        k == TruncK || k == TemporalK || k == MaxRowsK).toMap
+    m.extra.view.filterKeys(DeclKeys).toMap
 
   /** Write one deletion-vector sidecar (the batch's DISTINCT keys,
     * one small parquet) stamped at commit sequence `seq`, and return
@@ -1843,11 +2079,16 @@ object SnapshotTable {
       else {
         val token = java.util.UUID.randomUUID().toString.take(8)
         val dir = s"$table/data/v${cur + 1}_${token}_posdvc"
-        posRefs.map(r => spark.read.parquet(r._1)).reduce(_.unionByName(_))
+        posRefs.map(r => spark.read.parquet(r.path)).reduce(_.unionByName(_))
           .distinct().coalesce(1).write.mode("errorifexists").parquet(dir)
-        val cnt = spark.read.parquet(dir).count()
+        // count + named-file range in one delete-state-sized agg — the
+        // consolidated ref scopes at least as tightly as the originals
+        val st = spark.read.parquet(dir)
+          .agg(count(lit(1)), min(col("_file")), max(col("_file"))).collect()(0)
+        val cnt = st.getLong(0)
+        val range = Some((st.getString(1), st.getString(2)))
         val parts = io.list(dir).filter(_.endsWith(".parquet")).sorted
-        Map(PosDvFilesK -> posDvEncode(parts.map(n => (s"$dir/$n", cnt))))
+        Map(PosDvFilesK -> posDvEncode(parts.map(n => PosDvRef(s"$dir/$n", cnt, range))))
       }
     if (refs.isEmpty) {
       // positions only: one metadata commit, data files verbatim
@@ -1855,7 +2096,7 @@ object SnapshotTable {
         "dvrewrite", tableDecls(m) ++
           m.extra.view.filterKeys(k => k == DvKeyK || k == DvFilesK).toMap ++
           posExtra, io)
-      return (posRefs.size, 1, posRefs.map(_._2).sum)
+      return (posRefs.size, 1, posRefs.map(_.count).sum)
     }
     val key = m.extra(DvKeyK)
     val keyType = m.schema(m.schema.fieldIndex(key)).dataType
@@ -1865,9 +2106,20 @@ object SnapshotTable {
     // effective state in one job: key -> max seq, laid out one file per
     // seq (partitionBy splits per seq inside each task; repartition by
     // seq keeps each seq in one task → one file per effective seq)
+    // NULL keys never match a row (readers skip them), so dropping them
+    // here is lossless — and required: an all-NULL sidecar would yield
+    // a null min/max for its consolidated seq and crash the range
+    // extraction below
     val all = refs.map(r =>
         spark.read.parquet(r.path).select(col(key), lit(r.seq).as("__seq")))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_)).where(col(key).isNotNull)
+    if (all.isEmpty) {
+      // the whole chain was NULL keys — no row can ever match, so the
+      // consolidated state is NO state: clear the chain outright
+      publishManifest(table, next, cur, m.schema, m.segments, m.inline,
+        "dvrewrite", tableDecls(m) ++ posExtra, io)
+      return (refs.size + posRefs.size, math.min(posRefs.size, 1), 0L)
+    }
     all.groupBy(col(key)).agg(max(col("__seq")).as("__seq"))
       .repartition(col("__seq"))
       .write.partitionBy("__seq").parquet(dir)
@@ -2041,7 +2293,8 @@ object SnapshotTable {
       spark: SparkSession,
       table: String,
       targetBytes: Long,
-      io: SnapshotIO): (Int, Long) = {
+      io: SnapshotIO,
+      zorderBy: Seq[String] = Nil): (Int, Long) = {
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
@@ -2100,13 +2353,28 @@ object SnapshotTable {
     // re-grouped so each group lands whole in one task — the rolling
     // writer then cuts one stamped file per group (maxRowsPerFile still
     // splits hot groups)
-    val laid = read(spark, table, Some(cur), io)
+    val base = read(spark, table, Some(cur), io)
       .select(schema.fieldNames.map(col).toSeq: _*)
-      .repartition(n, groupCols: _*)
-      .sortWithinPartitions(groupCols: _*)
+    val laid =
+      if (zorderBy.isEmpty)
+        base.repartition(n, groupCols: _*).sortWithinPartitions(groupCols: _*)
+      else {
+        // per-period z-order: range-partitioning on (period, __z) keeps
+        // periods contiguous AND splits hot periods across tasks at z
+        // boundaries — each task's files carry the period stamp plus
+        // NARROW z-column bounds (disjoint z ranges across tasks), so
+        // intra-period reads prune to a strict file subset. The final
+        // projection back to the table schema is ordering-preserving,
+        // and the rolling writer still cuts at every period change.
+        val zc = groupCols :+ col("__z")
+        withZKey(base, zorderBy)
+          .repartitionByRange(n, zc: _*)
+          .sortWithinPartitions(zc: _*)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      }
     val statsCols = statsColumnsOf(m)
     val tracked = (statsCols ++
-      (bucket.map(_._1) ++ trunc.map(_._1) ++ temporal.map(_._1))
+      (bucket.map(_._1) ++ trunc.map(_._1) ++ temporal.map(_._1) ++ zorderBy)
         .filterNot(statsCols.contains))
       .distinct.flatMap { c =>
         schema.fields.zipWithIndex.find(_._1.name == c).map {
@@ -2151,31 +2419,14 @@ object SnapshotTable {
     * no interleave cost). Same transactional tail as compactSnapshot:
     * reads flow DV-applied, the overwrite commit drops DV state.
     * Returns (filesBefore, publishedVersion). */
-  def compactZOrder(
-      spark: SparkSession,
-      table: String,
-      zorderBy: Seq[String],
-      targetBytes: Long = 128L << 20,
-      io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
-    require(zorderBy.nonEmpty && zorderBy.size <= 7,
-      s"zorder takes 1..7 columns (8 grid bits each in a 63-bit key), got ${zorderBy.size}")
-    if (zorderBy.size == 1)
-      return compactSnapshot(spark, table, targetBytes,
-        statsColumns = zorderBy, clusterBy = zorderBy, io = io)
-    val cur = currentVersion(table, io)
-    val m = manifest(table, cur, io)
-    requireNotBucketed(m, table, "compactZOrder")
-    require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
-    zorderBy.foreach { c =>
-      val f = m.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"no column $c in $table"))
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
-        s"zorder_by column $c: ${f.dataType.simpleString} is not integral — " +
-          "derive an integral key first (days(ts), hash bucket, grid cell)")
-    }
-    val bytes = m.files.map(f => io.size(f.path)).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val cu = read(spark, table, Some(cur), io)
+  /** Append an observed-bounds Morton key column `__z` over the given
+    * integral columns: each value grids to 8 bits inside its column's
+    * observed [min, max] (one tiny broadcast agg), bits interleave into
+    * a 63-bit key — rows close in z are close in EVERY dimension, so a
+    * range-partitioned rewrite on `__z` leaves per-file min/max narrow
+    * on all the columns at once. Shared by the whole-table z-order and
+    * the per-period variant (which range-partitions on (period, __z)). */
+  private def withZKey(cu: DataFrame, zorderBy: Seq[String]): DataFrame = {
     val nDims = zorderBy.size
     val bounds = cu.agg(
       min(col(zorderBy.head).cast("long")).as("__mn_0"),
@@ -2191,8 +2442,59 @@ object SnapshotTable {
     }
     val morton = (0 until 8).flatMap(b => (0 until nDims).map(d =>
       s"shiftleft(shiftright(__g_$d, $b) & 1, ${b * nDims + d})")).mkString(" | ")
-    val rewritten = g
-      .withColumn("__z", expr(morton))
+    g.withColumn("__z", expr(morton))
+  }
+
+  private def requireZOrderable(m: Manifest, table: String, zorderBy: Seq[String]): Unit =
+    zorderBy.foreach { c =>
+      val f = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c in $table"))
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"zorder_by column $c: ${f.dataType.simpleString} is not integral — " +
+          "derive an integral key first (days(ts), hash bucket, grid cell)")
+    }
+
+  def compactZOrder(
+      spark: SparkSession,
+      table: String,
+      zorderBy: Seq[String],
+      targetBytes: Long = 128L << 20,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
+    require(zorderBy.nonEmpty && zorderBy.size <= 7,
+      s"zorder takes 1..7 columns (8 grid bits each in a 63-bit key), got ${zorderBy.size}")
+    // PER-PERIOD z-order (Delta's OPTIMIZE ... ZORDER BY scoped within
+    // partitions): on a temporally-partitioned table the rewrite keeps
+    // the period layout — rows range-partition on (period, __z), so a
+    // hot period splits into several files at z boundaries, every file
+    // keeps its min==max period stamp (pruning + per-period maintenance
+    // survive), and the recorded per-file bounds on the z columns turn
+    // narrow WITHIN each period.
+    val cur0 = currentVersion(table, io)
+    require(cur0 > 0, s"cannot z-order non-existent table $table")
+    val m0 = manifest(table, cur0, io)
+    if (temporalSpecOf(m0).nonEmpty) {
+      require(bucketSpecOf(m0).isEmpty && truncSpecOf(m0).isEmpty,
+        s"compactZOrder on $table: per-period z-order supports plain temporal " +
+          "layouts — a compound (time x hash / time x truncate) table's second " +
+          "dimension already owns the intra-period file split")
+      requireZOrderable(m0, table, zorderBy)
+      require(!zorderBy.contains(temporalSpecOf(m0).get._1),
+        "z-ordering the temporal partition key itself is a no-op — files are " +
+          "already period-disjoint; pick the columns queries filter WITHIN a period")
+      return compactLayout(spark, table, targetBytes, io, zorderBy)
+    }
+    if (zorderBy.size == 1)
+      return compactSnapshot(spark, table, targetBytes,
+        statsColumns = zorderBy, clusterBy = zorderBy, io = io)
+    val cur = currentVersion(table, io)
+    val m = manifest(table, cur, io)
+    requireNotBucketed(m, table, "compactZOrder")
+    require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
+    requireZOrderable(m, table, zorderBy)
+    val bytes = m.files.map(f => io.size(f.path)).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val cu = read(spark, table, Some(cur), io)
+    val rewritten = withZKey(cu, zorderBy)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
       .select(m.schema.fieldNames.map(col).toSeq: _*)
@@ -2303,7 +2605,7 @@ object SnapshotTable {
       return (m.segments.size, m.segments.size, cur)
     // entries carried verbatim — the consolidated segments' aggregated
     // bounds are recomputed by writeSegments from these exact stats
-    val entries = m.inline ++ small.flatMap(s => readSegment(s.path, io))
+    val entries = m.inline ++ small.flatMap(m.loadSegment)
     val v = publishManifest(table, cur + 1, cur, m.schema, big, entries,
       mode = "rewrite",
       extra = Map("rewritten-segments" -> small.size.toString) ++ dvExtra(m), io)

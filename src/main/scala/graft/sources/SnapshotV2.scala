@@ -144,6 +144,13 @@ private[sources] class SnapshotV2Table(
       p.put("layout.truncate", s"$c:$w") }
     SnapshotTable.temporalSpecOf(m).foreach { case (c, u) =>
       p.put("layout.temporal", s"$c:$u") }
+    SnapshotTable.deleteModeOf(m).foreach(p.put("deleteMode", _))
+    val since = SnapshotTable.layoutSinceOf(m)
+    if (since > 0) {
+      p.put("layout.since", since.toString)
+      p.put("layout.generations",
+        (SnapshotTable.layoutHistOf(m).size + 1).toString)
+    }
     p.put("version", m.version.toString)
     val dvs = SnapshotTable.dvRefs(m).size
     if (dvs > 0) p.put("outstandingDeleteVectors", dvs.toString)
@@ -219,23 +226,65 @@ private[sources] class SnapshotV2Table(
     * (canDeleteWhere=false → Spark reports the delete unsupported)
     * rather than approximate — row-level deletes are [[SnapshotTable
     * .deleteKeys]]'s merge-on-read job. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+  private def provableWhole(filters: Array[Filter]): Boolean =
     m.files.forall(f =>
       filters.forall(ManifestPruning.provesAll(m.schema, f, _)) ||
         filters.exists(!ManifestPruning.keeps(m.schema, f, _)))
+
+  /** Under TBLPROPERTIES('deleteMode'='positions') — the morKey-less
+    * MoR DELETE — an UNPROVABLE predicate no longer falls to the
+    * copy-on-write rewrite: [[deleteWhere]] routes the remainder
+    * through a provenance scan + position sidecar, O(batch) with zero
+    * data files rewritten, so the predicate only needs to be
+    * row-expressible (every pushed Filter shape is). morKey tables keep
+    * their equality-delta plan (one MoR format per declaration). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    provableWhole(filters) ||
+      (SnapshotTable.deleteModeOf(m).contains("positions") &&
+        SnapshotTable.morKeyOf(m).isEmpty &&
+        filters.forall(SnapshotV2.filterAsColumn(_).isDefined))
 
   /** Metadata-only DELETE: republish the manifest with the none-match
     * files only — zero data files opened or moved, one atomic commit;
     * the Delta/Iceberg "partition drop" at file granularity. mode=
     * delete, so incremental readers refuse across it (dropped files ≠
     * appended rows). Outstanding DV state rides along — it applies to
-    * the kept files; keys of dropped rows are harmless no-ops. */
+    * the kept files; keys of dropped rows are harmless no-ops.
+    *
+    * deleteMode=positions extends the same commit shape to UNPROVABLE
+    * predicates: provably-all-match files still drop whole, the fuzzy
+    * remainder's matching rows are located by ONE provenance scan
+    * (`_file`,`_pos` — raw ordinals, pushdown-disabled by the pos
+    * route) and recorded as a position sidecar in the SAME atomic
+    * commit. The 100 TB trickle-retention DELETE this buys: cost
+    * O(matching rows) + manifest, not O(touched files) rewrite. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(canDeleteWhere(filters),
+    if (provableWhole(filters)) {
+      val kept = m.files.filter(f => filters.exists(!ManifestPruning.keeps(m.schema, f, _)))
+      SnapshotTable.publishDrop(table, m, kept)
+      return
+    }
+    require(SnapshotTable.deleteModeOf(m).contains("positions"),
       s"DELETE on $table is not provable file-whole from manifest stats — " +
         "use SnapshotTable.deleteKeys (merge-on-read) for row-level deletes")
-    val kept = m.files.filter(f => filters.exists(!ManifestPruning.keeps(m.schema, f, _)))
-    SnapshotTable.publishDrop(table, m, kept)
+    val dropped = m.files
+      .filter(f => filters.forall(ManifestPruning.provesAll(m.schema, f, _)))
+      .map(_.path).toSet
+    val spark = SparkSession.active
+    val pred = filters.map(f => SnapshotV2.filterAsColumn(f).getOrElse(
+      throw new IllegalStateException(s"unexpected untranslatable filter $f")))
+      .reduce(_ && _)
+    // provenance scan of the CURRENT snapshot: manifest pruning skips
+    // proven-none-match files, proven-all-match files are excluded here
+    // (they drop whole — their rows must not also be enumerated)
+    var scan = spark.read.format(SnapshotV2Provider.format)
+      .option("path", table).option("versionAsOf", m.version.toString).load()
+      .where(pred)
+    if (dropped.nonEmpty)
+      scan = scan.where(!org.apache.spark.sql.functions.col("_file")
+        .isin(dropped.toSeq: _*))
+    SnapshotTable.deletePositionsAndDrop(
+      scan.select("_file", "_pos"), table, dropped)
   }
 }
 
@@ -537,11 +586,20 @@ private[graft] class SnapshotV2Scan(
     * inputPartitions on the exec node never reflects them). */
   @volatile private[graft] var lastPlanned: Int = -1
 
-  /** Spec hook: which deletion-vector application path the last reader
-    * factory chose — "broadcast" (driver-loaded key map, under the
-    * budget) or "scoped" (per-file manifest-range-pruned sidecar loads,
-    * the over-budget fallback). Empty when no DVs were outstanding. */
+  /** Spec hook: which delete application path the last reader factory
+    * chose — "broadcast" (driver-loaded map, under the budget) or
+    * "scoped" (per-file manifest-range-pruned sidecar loads, the
+    * over-budget fallback), for either delete format. When BOTH formats
+    * are outstanding, reflects the equality chain (assigned last).
+    * Empty when no deletes were outstanding. */
   @volatile private[graft] var lastDvMode: String = ""
+
+  /** Spec hook: total (data file → sidecar) attachments the last SCOPED
+    * reader factory planned — the "per-task cost scales with the
+    * sidecars that OVERLAP a file, not the chain total" invariant as a
+    * countable: k single-file-ranged sidecars over n files attach k
+    * times, not n·k. -1 until a scoped factory builds. */
+  @volatile private[graft] var lastScopedAttach: Long = -1L
 
   /** Columns a runtime predicate could prune on: any column with a
     * recorded stat anywhere in the manifest that is ALSO in this scan's
@@ -567,7 +625,12 @@ private[graft] class SnapshotV2Scan(
     val l = limit.map(n => s", limit=$n").getOrElse("")
     val tn = topN.map(t =>
       s", topN=${t.n} by ${t.col} ${if (t.ascending) "ASC" else "DESC"}").getOrElse("")
-    s"graft-snapshot v${m.version} (${m.fileCount} files$c$l$tn)"
+    // spec evolution leaves pre-evolution files stamped under their own
+    // generation: say so in the plan — the user reading .explain should
+    // see WHY the join shuffled (compaction re-unifies the generations)
+    val g = if (mixedLayoutGens) ", mixed layout generations (SPJ off until compaction)"
+            else ""
+    s"graft-snapshot v${m.version} (${m.fileCount} files$c$l$tn$g)"
   }
 
   /** Outstanding deletion-vector sidecars — when non-empty, rows are
@@ -576,8 +639,9 @@ private[graft] class SnapshotV2Scan(
   private lazy val dv: Seq[SnapshotTable.DvRef] = SnapshotTable.dvRefs(m)
 
   /** Outstanding POSITION-delete sidecars (Iceberg v2's second delete
-    * format): (path, count) pairs; rows drop by raw file ordinal. */
-  private lazy val posDv: Seq[(String, Long)] = SnapshotTable.posDvRefs(m)
+    * format): rows drop by raw file ordinal; each ref carries the path
+    * range of the data files it names (the scoped path's prune key). */
+  private lazy val posDv: Seq[SnapshotTable.PosDvRef] = SnapshotTable.posDvRefs(m)
 
   /** Any delete format outstanding — the condition that opts the scan
     * out of key grouping, limit/TopN truncation, and (for positions)
@@ -593,10 +657,22 @@ private[graft] class SnapshotV2Scan(
     * filter shape simply doesn't constrain. */
   private def bucketPrune(
       es: Seq[SnapshotTable.FileEntry],
-      fs: Array[Filter]): Seq[SnapshotTable.FileEntry] =
-    SnapshotTable.bucketSpecOf(m) match {
-      case Some((key, n)) =>
-        val allowed: Seq[Set[Int]] = fs.toSeq.flatMap {
+      fs: Array[Filter]): Seq[SnapshotTable.FileEntry] = {
+    val since = SnapshotTable.layoutSinceOf(m)
+    val cur = SnapshotTable.bucketSpecOf(m)
+    if (cur.isEmpty && since == 0) return es
+    // spec-evolution-aware: each file's stamp was computed under ITS
+    // generation's bucket spec (identified by the file's commit seq),
+    // so the allowed-id set is evaluated per (key, n) — an old
+    // bucket(8) file prunes by the filter value's bucket under n=8
+    // while its bucket(32) siblings prune under n=32. Same soundness
+    // rule per generation: unstamped or non-bucketed-generation files
+    // always survive.
+    val allowedCache =
+      scala.collection.mutable.Map.empty[(String, Int), Option[Set[Int]]]
+    def allowedFor(key: String, n: Int): Option[Set[Int]] =
+      allowedCache.getOrElseUpdate((key, n), {
+        val sets: Seq[Set[Int]] = fs.toSeq.flatMap {
           case org.apache.spark.sql.sources.EqualTo(c, v) if c == key =>
             GraftBucket.ofAny(v, n).map(Set(_))
           case org.apache.spark.sql.sources.EqualNullSafe(c, v)
@@ -608,16 +684,37 @@ private[graft] class SnapshotV2Scan(
             if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
           case _ => None
         }
-        if (allowed.isEmpty) es
-        else {
-          val live = allowed.reduce(_ intersect _)
-          es.filter(f => f.stats.get(SnapshotTable.BucketStat) match {
+        if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+      })
+    def specFor(f: SnapshotTable.FileEntry): Option[(String, Int)] =
+      if (f.seq >= since) cur
+      else SnapshotTable.bucketSpecFromLayout(SnapshotTable.layoutForSeq(m, f.seq))
+    es.filter { f =>
+      specFor(f) match {
+        case Some((key, n)) => allowedFor(key, n) match {
+          case Some(live) => f.stats.get(SnapshotTable.BucketStat) match {
             case Some((lo, hi)) if lo == hi => live(lo.toInt)
             case _ => true // unstamped file: keep (absence unprovable)
-          })
+          }
+          case None => true
         }
-      case None => es
+        case None => true
+      }
     }
+  }
+
+  /** Does any STATIC survivor predate the current layout generation?
+    * Mixed-generation file sets carry stamps from DIFFERENT transforms
+    * in the same stat channel (a day ordinal and an hour ordinal, a
+    * bucket(8) id and a bucket(32) id), so every stamp-grouping arm
+    * degrades to unknown partitioning — loudly sound; a full
+    * compaction (which re-routes every row under the current spec)
+    * restores SPJ. Pruning is unaffected: raw column stats are
+    * generation-free and bucket pruning resolves per generation. */
+  private lazy val mixedLayoutGens: Boolean = {
+    val since = SnapshotTable.layoutSinceOf(m)
+    since > 0 && entries.exists(_.seq < since)
+  }
 
   /** Manifest-pruned survivors of the STATIC filters — what the
     * reported partitioning and the CBO estimate derive from (both are
@@ -650,7 +747,7 @@ private[graft] class SnapshotV2Scan(
     // filter), while a key group bundles files — losing SPJ until
     // compaction is merge-on-read's documented read tax.
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv) None
+       anyDv || mixedLayoutGens) None
      else SnapshotTable.clusterKeyOf(m)).flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).map(_.dataType)
       def keyOf(f: SnapshotTable.FileEntry): Option[Any] = dt match {
@@ -686,7 +783,7 @@ private[graft] class SnapshotV2Scan(
     * the whole scan to unknown partitioning rather than lie to SPJ. */
   private lazy val bucketGroups: Option[Seq[(Int, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv) None
+       anyDv || mixedLayoutGens) None
      else SnapshotTable.bucketSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.BucketStat).collect {
         case (lo, hi) if lo == hi => lo.toInt -> f
@@ -701,7 +798,7 @@ private[graft] class SnapshotV2Scan(
     * the same one-unstamped-file-degrades-all soundness rule. */
   private lazy val truncGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv) None
+       anyDv || mixedLayoutGens) None
      else SnapshotTable.truncSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.TruncStat).collect {
         case (lo, hi) if lo == hi => lo -> f
@@ -719,7 +816,7 @@ private[graft] class SnapshotV2Scan(
     * the raw timestamp stats. */
   private lazy val temporalGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv || SnapshotTable.bucketSpecOf(m).nonEmpty) None
+       anyDv || mixedLayoutGens || SnapshotTable.bucketSpecOf(m).nonEmpty) None
      else SnapshotTable.temporalSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.TemporalStat).collect {
         case (lo, hi) if lo == hi => lo -> f
@@ -950,10 +1047,17 @@ private[graft] class SnapshotV2Scan(
       }
     // POSITION-delete application (Iceberg v2's second delete format):
     // sidecars are delete-batch sized — they enumerate dropped rows one
-    // by one, so the budgeted driver load mirrors the broadcast DV path;
-    // each single-file partition then drops its listed ordinals against
-    // a raw-row counter. Wraps INSIDE any equality-DV filter (the
-    // counter must see the raw stream).
+    // by one, so the common case mirrors the broadcast DV path (one
+    // budgeted driver load); each single-file partition then drops its
+    // listed ordinals against a raw-row counter. PAST the budget the
+    // scan switches — instead of refusing — to the SCOPED path: pos
+    // refs record the path range of the data files they name, so each
+    // file attaches only the sidecars whose range covers it, loaded
+    // task-side (zero driver memory; per-task memory scales with the
+    // deletes that overlap ONE file — simpler than the eq-DV range
+    // intersection because a position names its file by PATH). Either
+    // way wraps INSIDE any equality-DV filter (the counter must see
+    // the raw stream).
     val posWrap: PartitionReaderFactory => PartitionReaderFactory =
       if (posDv.isEmpty) identity
       else {
@@ -961,18 +1065,41 @@ private[graft] class SnapshotV2Scan(
         val maxLoad = spark0.conf
           .getOption(SnapshotV2.DvBroadcastMaxKeysConf).map(_.toLong)
           .getOrElse(SnapshotV2.DvReaderMaxKeys)
-        val declared = posDv.map(_._2).sum
-        require(declared <= maxLoad,
-          s"$declared outstanding position deletes exceed the reader's " +
-            s"in-memory budget ($maxLoad) — run compactSnapshot " +
-            "(materializes the deletes)")
-        val posMap = new java.util.HashMap[String, Array[Long]]()
-        spark0.read.parquet(posDv.map(_._1): _*).collect()
-          .groupBy(_.getString(0)).foreach { case (f, rs) =>
-            posMap.put(f, rs.map(_.getLong(1)).distinct.sorted)
-          }
-        val bc = spark0.sparkContext.broadcast(posMap)
-        inner => new PosDeleteReaderFactory(inner, bc)
+        val declared = posDv.map(_.count).sum
+        if (declared <= maxLoad) {
+          lastDvMode = "broadcast" // eq-DV branch below overwrites when both formats ride
+          val posMap = new java.util.HashMap[String, Array[Long]]()
+          spark0.read.parquet(posDv.map(_.path): _*).collect()
+            .groupBy(_.getString(0)).foreach { case (f, rs) =>
+              posMap.put(f, rs.map(_.getLong(1)).distinct.sorted)
+            }
+          val bc = spark0.sparkContext.broadcast(posMap)
+          inner => new PosDeleteReaderFactory(inner, bc)
+        } else {
+          lastDvMode = "scoped"
+          val sidecarPf: Map[String, PartitionedFile] = posDv.map { r =>
+            val len = LocalSnapshotIO.size(r.path)
+            r.path -> PartitionedFile(InternalRow.empty,
+              SparkPath.fromPathString(r.path), 0L, len, Array.empty, 0L, len)
+          }.toMap
+          // a rangeless (legacy) ref may name any file — always attached
+          def relevant(r: SnapshotTable.PosDvRef, path: String): Boolean =
+            r.range.forall { case (lo, hi) =>
+              SnapshotTable.FileEntry.bytesLe(lo, path) &&
+                SnapshotTable.FileEntry.bytesLe(path, hi)
+            }
+          val byFile: Map[String, Array[PartitionedFile]] =
+            entries.map { f =>
+              f.path -> posDv.filter(relevant(_, f.path))
+                .map(r => sidecarPf(r.path)).toArray
+            }.toMap
+          lastScopedAttach = byFile.valuesIterator.map(_.length.toLong).sum
+          val posSchema = StructType(Seq(
+            StructField("_file", StringType), StructField("_pos", LongType)))
+          val posReader = Bridge.parquetReaderFactory(
+            spark0, posSchema, posSchema, Array.empty)
+          inner => new PosScopedReaderFactory(inner, posReader, byFile)
+        }
       }
     if (dv.isEmpty && posDv.isEmpty) {
       val inner =
@@ -1084,6 +1211,7 @@ private[graft] class SnapshotV2Scan(
           entries.map { f =>
             f.path -> dv.filter(relevant(_, f)).map(r => sidecarPf(r.path)).toArray
           }.toMap
+        lastScopedAttach = byFile.valuesIterator.map(_.length.toLong).sum
         val keySchema = StructType(Seq(kf.copy(nullable = true)))
         val dvReader = Bridge.parquetReaderFactory(
           spark, keySchema, keySchema, Array.empty)
@@ -1109,6 +1237,39 @@ private[graft] object SnapshotV2 {
 
   /** A pushed `ORDER BY col LIMIT n` (first sort key only). */
   private[graft] case class TopN(col: String, ascending: Boolean, n: Int)
+
+  /** A V1 [[Filter]] as a Catalyst [[org.apache.spark.sql.Column]] —
+    * what lets the positions-mode DELETE re-run its predicate as a
+    * provenance scan. Total over every shape Spark pushes; None only
+    * for shapes this build has never seen (the caller then declines
+    * canDeleteWhere and Spark falls back to the rewrite plan). */
+  private[sources] def filterAsColumn(
+      f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v)            => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v)        => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v)           => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+      case In(c, vs)                => Some(col(c).isin(vs.toSeq: _*))
+      case IsNull(c)                => Some(col(c).isNull)
+      case IsNotNull(c)             => Some(col(c).isNotNull)
+      case StringStartsWith(c, v)   => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v)     => Some(col(c).endsWith(v))
+      case StringContains(c, v)     => Some(col(c).contains(v))
+      case And(l, r) =>
+        for (a <- filterAsColumn(l); b <- filterAsColumn(r)) yield a && b
+      case Or(l, r) =>
+        for (a <- filterAsColumn(l); b <- filterAsColumn(r)) yield a || b
+      case Not(c)                   => filterAsColumn(c).map(!_)
+      case _: AlwaysTrue            => Some(lit(true))
+      case _: AlwaysFalse           => Some(lit(false))
+      case _                        => None
+    }
+  }
 
   import org.apache.spark.sql.connector.catalog.MetadataColumn
 
@@ -1378,6 +1539,64 @@ private[sources] class PosDeleteReaderFactory(
       s"position-delete partitions hold one file each, got ${fp.files.length}")
     val path = fp.files.head.filePath.toPath.toUri.getPath
     val dead: Array[Long] = deletes.value.getOrDefault(path, Array.empty)
+    val in = inner.createReader(p)
+    if (dead.isEmpty) in
+    else new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      private var pos = -1L
+      override def next(): Boolean = {
+        while (in.next()) {
+          pos += 1
+          if (java.util.Arrays.binarySearch(dead, pos) < 0) {
+            cur = in.get()
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** The SCOPED position-delete application — the over-budget fallback
+  * to [[PosDeleteReaderFactory]]'s broadcast map: each single-file
+  * partition loads ONLY the sidecars whose recorded data-file path
+  * range covers its file (pruned driver-side from manifest refs at
+  * zero I/O), keeps the positions naming exactly this file, and drops
+  * those raw ordinals against the same counter the broadcast path
+  * uses. Nothing loads driver-side; per-task memory scales with the
+  * deletes that overlap ONE file. A position names its file by PATH,
+  * so the per-file filter is exact — no sequence scoping needed
+  * (files appended after a delete have different paths by
+  * construction). Compaction remains the cure; this is the bridge
+  * that keeps a morKey-less trickle-delete table readable. */
+private[sources] class PosScopedReaderFactory(
+    inner: PartitionReaderFactory,
+    posReader: PartitionReaderFactory,
+    byFile: Map[String, Array[PartitionedFile]]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      s"position-delete partitions hold one file each, got ${fp.files.length}")
+    val path = fp.files.head.filePath.toPath.toUri.getPath
+    val sidecars = byFile.getOrElse(path, Array.empty)
+    val posB = Array.newBuilder[Long]
+    sidecars.foreach { sc =>
+      val r = posReader.createReader(FilePartition(0, Array(sc)))
+      try while (r.next()) {
+        val row = r.get()
+        if (!row.isNullAt(0) && !row.isNullAt(1) &&
+            row.getUTF8String(0).toString == path)
+          posB += row.getLong(1)
+      } finally r.close()
+    }
+    val dead = posB.result()
+    java.util.Arrays.sort(dead) // dupes across stacked batches are harmless to the search
     val in = inner.createReader(p)
     if (dead.isEmpty) in
     else new PartitionReader[InternalRow] {

@@ -3317,12 +3317,31 @@ object SourceCatalog extends QueryModule {
             .select("arm", "n_rows", "sum_price")
         val head = agg(s.table(s"$cat.t"), "head")
         val asof = agg(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 2"), "asof")
+        // OVER-BUDGET arm: past spark.graft.dv.broadcastMaxKeys the scan
+        // switches — instead of refusing (the r15 verdict's last hard
+        // read cliff) — to the SCOPED path: each file attaches only the
+        // sidecars whose recorded data-file path range covers it, loaded
+        // task-side (zero driver memory). REQUIREd engaged structurally;
+        // the answer must equal the broadcast head's.
+        s.conf.set(graft.sources.SnapshotV2.DvBroadcastMaxKeysConf, "4")
+        val scoped = try {
+          val df = s.table(s"$cat.t")
+          df.collect() // materialize so the reader factory picks the path
+          val mode = graft.Stage.executedNodes(df).collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan
+          }.collectFirst { case sc: SnapshotV2Scan => sc.lastDvMode }.getOrElse("")
+          require(mode == "scoped",
+            s"an over-budget position-delete read must engage the scoped path, got '$mode'")
+          agg(s.table(s"$cat.t"), "scoped")
+        } finally s.conf.unset(graft.sources.SnapshotV2.DvBroadcastMaxKeysConf)
         // compaction materializes the positions and re-zeros the state
         val (_, v) = SnapshotTable.compactSnapshot(s, table)
         require(SnapshotTable.posDvPaths(SnapshotTable.manifest(table, v)).isEmpty,
           "the overwrite commit must drop the materialized position state")
         val compacted = agg(s.table(s"$cat.t"), "compacted")
-        head.unionByName(asof).unionByName(compacted).orderBy("arm")
+        head.unionByName(asof).unionByName(scoped).unionByName(compacted)
+          .orderBy("arm")
       },
       Some("""SELECT 'asof' AS arm, COUNT(*)::BIGINT AS n_rows,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
@@ -3333,6 +3352,10 @@ object SourceCatalog extends QueryModule {
              |FROM orders WHERE o_orderkey % 10 <> 7
              |UNION ALL
              |SELECT 'head', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 10 <> 7
+             |UNION ALL
+             |SELECT 'scoped', COUNT(*)::BIGINT,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              |FROM orders WHERE o_orderkey % 10 <> 7
              |ORDER BY arm""".stripMargin)
@@ -3564,6 +3587,308 @@ object SourceCatalog extends QueryModule {
              |SUM(event_id)::BIGINT AS sum_eid,
              |MAX(epoch_us(ts)) AS last_us
              |FROM oldest""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_spec_evolve",
+      // PARTITION-SPEC EVOLUTION (the r15 verdict's #2: Iceberg-v2
+      // new-spec-for-new-files): `ALTER TABLE ... SET TBLPROPERTIES
+      // ('evolveLayout'='hours(ts)')` swaps a days(ts) table to hourly
+      // partitioning for FUTURE files in ONE metadata commit (mode=
+      // props, zero files touched — REQUIREd). Old files keep their day
+      // stamps and prune under their own generation (the file's commit
+      // seq names it; the manifest records the generation history);
+      // new files cut per hour. Pruning is generation-free (raw micros
+      // stats), REQUIREd a strict subset over the MIXED set; time
+      // travel to the pre-evolution snapshot serves the old spec.
+      // At 100 TB this is the table that started daily and went hourly
+      // when one day outgrew a task — without rewriting a byte.
+      // Round42Spec pins the generation algebra, per-gen bucket
+      // pruning, SPJ degrade + compaction re-unification, guardrails.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sevo_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftse_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (days(ts))")
+        val T0 = 1704067200000000L
+        val H = 3600000000L
+        val src = Tables(s, dir).orders.select(
+          expr(s"timestamp_micros(CAST($T0 + (o_orderkey % 96) * $H AS BIGINT))").as("ts"),
+          col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        src.filter(col("k") % 2 === 0).createOrReplaceTempView("graft_sevo_a")
+        src.filter(col("k") % 2 === 1).createOrReplaceTempView("graft_sevo_b")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sevo_a")
+        val table = s"$wh/t"
+        val gen0 = SnapshotTable.manifest(table, 2L)
+        require(gen0.files.size == 4, s"4 day files, got ${gen0.files.size}")
+        s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('evolveLayout'='hours(ts)')")
+        val mProps = SnapshotTable.manifest(table, 3L)
+        require(mProps.extra.get("mode").contains("props") &&
+          mProps.files.map(_.path) == gen0.files.map(_.path),
+          "spec evolution must be ONE metadata commit touching zero files")
+        require(SnapshotTable.layoutHistOf(mProps) ==
+          Seq((0L, Map(SnapshotTable.TemporalK -> "ts:days"))),
+          "the old generation must be recorded")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sevo_b")
+        val m = SnapshotTable.manifest(table, 4L)
+        // odd orderkeys cover exactly the 48 ODD residues mod 96
+        require(m.files.count(_.seq >= 4L) == 48,
+          s"the new generation cuts per HOUR (48 files), got ${m.files.count(_.seq >= 4L)}")
+        // a 6-hour window prunes the MIXED set to a strict subset via
+        // the generation-free raw micros stats: 1 day file (even hours)
+        // + 3 hour files (odd hours 73/75/77)
+        val hit = m.filesFor("ts", T0 + 72L * H, T0 + 78L * H - 1L)
+        require(hit.size == 4,
+          s"window prune across generations: want 1 day + 3 hour files, got ${hit.size}")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        agg(s.table(s"$cat.t"), "head")
+          .unionByName(agg(s.table(s"$cat.t").where(
+            col("ts") >= expr(s"timestamp_micros(${T0 + 72L * H})") &&
+              col("ts") < expr(s"timestamp_micros(${T0 + 78L * H})")), "win"))
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 2"), "asof"))
+          .orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price,
+             |  o_orderkey % 96 AS h FROM orders)
+             |SELECT 'asof' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM t WHERE k % 2 = 0
+             |UNION ALL
+             |SELECT 'head', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM t
+             |UNION ALL
+             |SELECT 'win', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE h BETWEEN 72 AND 77
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_sql_pos_delete",
+      // SQL ROUTE TO POSITION DELETES (the r15 verdict's #4): under
+      // TBLPROPERTIES('deleteMode'='positions'), a `DELETE FROM t WHERE
+      // pred` whose predicate the manifest CANNOT prove file-whole no
+      // longer pays the copy-on-write rewrite — files proven all-match
+      // drop whole, the fuzzy remainder's matching rows are located by
+      // ONE provenance scan (_file/_pos, raw ordinals) and land as a
+      // position sidecar in the SAME atomic commit: O(matching rows) +
+      // manifest, ZERO data files written (REQUIREd on the manifest
+      // diff). The retention DELETE a morKey-less 100 TB table runs
+      // nightly. Round42Spec pins the drop/fuzzy split, the no-
+      // declaration CoW contrast, and the provable-whole fast path.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqpd_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftqp_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT, k2 BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k2', 'deleteMode'='positions')")
+        val src = Tables(s, dir).orders.select(
+          col("o_orderkey").as("k"), (col("o_orderkey") % 1000).as("k2"),
+          col("o_totalprice").as("price"))
+        // three range-disjoint commits so the DELETE's proof surface is
+        // deterministic: [0,250) all-match (drops whole), [250,500)
+        // fuzzy at the 300 boundary (positions), [500,1000) none-match
+        Seq(src.filter(col("k2") < 250),
+          src.filter(col("k2") >= 250 && col("k2") < 500),
+          src.filter(col("k2") >= 500)).zipWithIndex.foreach { case (d, i) =>
+          d.createOrReplaceTempView(s"graft_sqpd_$i")
+          s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sqpd_$i")
+        }
+        val table = s"$wh/t"
+        val before = SnapshotTable.manifest(table, 4L).files.map(_.path).toSet
+        s.sql(s"DELETE FROM $cat.t WHERE k2 < 300")
+        val m = SnapshotTable.manifest(table, 5L)
+        require(m.extra.get("mode").contains("delete"))
+        require(m.files.map(_.path).toSet.subsetOf(before),
+          "the MoR DELETE must write ZERO data files")
+        require(m.files.size < before.size,
+          "the provably-all-match commit must drop whole")
+        require(SnapshotTable.posDvRefs(m).nonEmpty,
+          "the fuzzy remainder must land as a position sidecar")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        val head = agg(s.table(s"$cat.t"), "head")
+        val asof = agg(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 4"), "asof")
+        val (_, v) = SnapshotTable.compactSnapshot(s, table)
+        require(SnapshotTable.posDvRefs(SnapshotTable.manifest(table, v)).isEmpty,
+          "compaction materializes the positions")
+        head.unionByName(asof).unionByName(agg(s.table(s"$cat.t"), "compacted"))
+          .orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey % 1000 AS k2, o_totalprice AS price
+             |  FROM orders)
+             |SELECT 'asof' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price FROM t
+             |UNION ALL
+             |SELECT 'compacted', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE k2 >= 300
+             |UNION ALL
+             |SELECT 'head', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE k2 >= 300
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_zorder_period",
+      // PER-PERIOD Z-ORDER (the r15 verdict's #5: Delta's `OPTIMIZE ...
+      // ZORDER BY` scoped within partitions): compactZOrder on a
+      // days(ts) table keeps the period layout — rows range-partition
+      // on (period, morton(x,y)), every rewritten file keeps its
+      // min==max period stamp (REQUIREd), a hot day splits into several
+      // files at z boundaries (REQUIREd), and a small (x,y) box inside
+      // one day prunes to a strict subset of that day's files off the
+      // recorded per-file bounds (REQUIREd) — the standard event-table
+      // maintenance that makes point-in-time device lookups open O(1)
+      // files instead of the whole day. Round42Spec pins stamp
+      // preservation, the split, and row-identity across the rewrite.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_zper_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftzp_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, x BIGINT, y BIGINT, " +
+          "price DOUBLE) PARTITIONED BY (days(ts)) " +
+          "TBLPROPERTIES('statsColumns'='x,y')")
+        val T0 = 1704067200000000L
+        val H = 3600000000L
+        Tables(s, dir).orders.select(
+            expr(s"timestamp_micros(CAST($T0 + (o_orderkey % 48) * $H AS BIGINT))")
+              .as("ts"),
+            (col("o_orderkey") % 64).as("x"),
+            expr("(o_orderkey div 64) % 64").as("y"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_zper_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_zper_src")
+        val table = s"$wh/t"
+        // size-relative target: ~8 rewrite partitions at ANY sf, so the
+        // per-period split is observable from sf0.001 up
+        val totalBytes = SnapshotTable.manifest(table, 2L).files.map(_.size).sum
+        val (_, v) = SnapshotTable.compactZOrder(s, table,
+          zorderBy = Seq("x", "y"), targetBytes = math.max(4096L, totalBytes / 8))
+        val m = SnapshotTable.manifest(table, v)
+        require(m.files.forall(
+          _.stats.get(SnapshotTable.TemporalStat).exists(st => st._1 == st._2)),
+          "every z-ordered file must keep its one-period stamp")
+        val day0 = m.files.map(_.stats(SnapshotTable.TemporalStat)._1).min
+        val d0 = m.files.filter(_.stats(SnapshotTable.TemporalStat)._1 == day0)
+        require(d0.size > 1, s"a hot period must split at z boundaries, got ${d0.size}")
+        val hit = d0.filter(f =>
+          f.stats.get("x").forall { case (lo, hi) => hi >= 0 && lo <= 7 } &&
+            f.stats.get("y").forall { case (lo, hi) => hi >= 0 && lo <= 7 })
+        require(hit.size < d0.size,
+          s"the (x,y) box must prune within the period (${hit.size}/${d0.size})")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        agg(s.table(s"$cat.t"), "all")
+          .unionByName(agg(s.table(s"$cat.t").where(
+            col("ts") < expr(s"timestamp_micros(${T0 + 24L * H})") &&
+              col("x") < 8 && col("y") < 8), "box"))
+          .orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey % 48 AS hh, o_orderkey % 64 AS x,
+             |  (o_orderkey // 64) % 64 AS y, o_totalprice AS price FROM orders)
+             |SELECT 'all' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price FROM t
+             |UNION ALL
+             |SELECT 'box', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE hh < 24 AND x < 8 AND y < 8
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_compound_months",
+      // BROADENED COMPOUND SPECS (the r15 verdict's #3): months(ts) x
+      // bucket(4, ck) — the month-partitioned tenant-bucketed fact that
+      // is ordinary production DDL. Every file carries BOTH min==max
+      // stamps (REQUIREd), the month dimension prunes via the raw
+      // micros stats (REQUIREd strict subset), and the bucket dimension
+      // SPJ-joins a co-bucketed dim with ZERO exchanges across periods
+      // (REQUIREd post-AQE, broadcast off). The layout-preserving
+      // compaction keeps both stamps (REQUIREd). Round42Spec pins the
+      // time x truncate sibling through the same period-major routing.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_cmon_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftcm_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.sql(s"CREATE TABLE $cat.f (ts TIMESTAMP NOT NULL, ck BIGINT NOT NULL, " +
+          "price DOUBLE) PARTITIONED BY (months(ts), bucket(4, ck))")
+        s.sql(s"CREATE TABLE $cat.d (ck BIGINT NOT NULL, tag BIGINT) " +
+          "PARTITIONED BY (bucket(4, ck))")
+        val T0 = 1704067200000000L
+        val DayM = 86400000000L
+        Tables(s, dir).orders.select(
+            expr(s"timestamp_micros(CAST($T0 + (o_orderkey % 3) * 31 * $DayM AS BIGINT))")
+              .as("ts"),
+            (col("o_orderkey") % 100).as("ck"), col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_cmon_f")
+        s.sql(s"INSERT INTO $cat.f SELECT * FROM graft_cmon_f")
+        s.sql(s"INSERT INTO $cat.d SELECT DISTINCT ck, ck * 2 FROM graft_cmon_f")
+        val table = s"$wh/f"
+        val m = SnapshotTable.manifest(table, 2L)
+        require(m.files.size == 12, s"3 months x 4 buckets, got ${m.files.size}")
+        require(m.files.forall(f =>
+          f.stats.get(SnapshotTable.TemporalStat).exists(st => st._1 == st._2) &&
+            f.stats.get(SnapshotTable.BucketStat).exists(st => st._1 == st._2)),
+          "every file carries BOTH min==max stamps")
+        require(m.filesFor("ts", T0, T0 + DayM).size == 4,
+          "the month dimension must prune to one period's buckets")
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = s.sql(s"SELECT f.price FROM $cat.f f JOIN $cat.d d ON f.ck = d.ck")
+          j.count()
+          require(graft.Stage.shuffleCount(j) == 0,
+            "the bucket dimension must SPJ across periods (zero exchanges)")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        val (_, v) = SnapshotTable.compactSnapshot(s, table)
+        val mc = SnapshotTable.manifest(table, v)
+        require(mc.files.forall(f =>
+          f.stats.get(SnapshotTable.TemporalStat).exists(st => st._1 == st._2) &&
+            f.stats.get(SnapshotTable.BucketStat).exists(st => st._1 == st._2)),
+          "compaction must preserve both stamps")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String, v0: Column) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(v0.cast("decimal(38,4)")).cast("double").as("sum_v"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_v")
+        val joined = s.sql(
+          s"SELECT f.price, d.tag FROM $cat.f f JOIN $cat.d d ON f.ck = d.ck")
+        agg(joined, "join", col("price") + col("tag"))
+          .unionByName(agg(s.table(s"$cat.f").where(
+            col("ts") < expr(s"timestamp_micros(${T0 + DayM})")), "month0",
+            col("price")))
+          .orderBy("arm")
+      },
+      Some("""WITH f AS (SELECT o_orderkey % 3 AS mth, o_orderkey % 100 AS ck,
+             |  o_totalprice AS price FROM orders),
+             |d AS (SELECT DISTINCT ck, ck * 2 AS tag FROM f)
+             |SELECT 'join' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(f.price + d.tag AS DECIMAL(38,4))) AS DOUBLE) AS sum_v
+             |FROM f JOIN d ON f.ck = d.ck
+             |UNION ALL
+             |SELECT 'month0', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM f WHERE mth = 0
+             |ORDER BY arm""".stripMargin)
     )
   )
 }

@@ -111,7 +111,7 @@ class Round38Spec extends AnyFunSuite {
       "two pos sidecars + one eq sidecar -> one of each")
     val m = SnapshotTable.manifest(table, SnapshotTable.currentVersion(table))
     assert(SnapshotTable.posDvRefs(m).size === 1)
-    assert(SnapshotTable.posDvRefs(m).head._2 === 4L,
+    assert(SnapshotTable.posDvRefs(m).head.count === 4L,
       "the consolidated sidecar holds the DEDUPED positions (0,1,2,3)")
     assert(spark.table(s"$cat.t").orderBy("k").collect().toSeq === want)
   }

@@ -221,4 +221,64 @@ class ScaleSpec extends AnyFunSuite {
     }.sum
     assert(planned === 1, s"a one-day read plans ONE file at volume, got $planned")
   }
+
+  test("merge cost is O(touched files), FLAT in table size: the same CDC " +
+      "batch rewrites the same file count against a 10x bigger table") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_scale_merge").toString
+    // key-disjoint layouts: 20 files at 20k rows, 200 files at 200k rows
+    def build(table: String, rows: Long, files: Int): Unit =
+      SnapshotTable.commit(
+        spark.range(rows).select(col("id").as("k"), (col("id") * 3).as("v"))
+          .repartitionByRange(files, col("k")).sortWithinPartitions("k"),
+        table, append = false, statsColumns = Seq("k"))
+    build(s"$wh/small", 20000L, 20)
+    build(s"$wh/big", 200000L, 200)
+    // one CDC batch touching keys inside a single file's range of EACH
+    val batch = Seq((100L, 999L), (101L, 998L)).toDF("k", "v")
+    val (touchedSmall, beforeSmall, _) = SnapshotTable.merge(batch, s"$wh/small", "k")
+    val (touchedBig, beforeBig, _) = SnapshotTable.merge(batch, s"$wh/big", "k")
+    assert(beforeSmall === 20 && beforeBig === 200, "the 10x size is real")
+    assert(touchedSmall === 1 && touchedBig === 1,
+      s"the SAME batch must rewrite the SAME file count at 10x the table " +
+        s"($touchedSmall vs $touchedBig) — merge cost is O(touched), not O(table)")
+    assert(SnapshotTable.read(spark, s"$wh/big").where(col("k") === 100L)
+      .collect()(0).getLong(1) === 999L)
+  }
+
+  test("scoped-DV read cost is proportional to the sidecars OVERLAPPING " +
+      "each file, not files x chain: counted attachments, not wall-clock") {
+    import graft.sources.{SnapshotCatalog, SnapshotTable, SnapshotV2}
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_scale_dv").toString
+    val cat = "gsd" + wh.takeRight(8).replaceAll("[^0-9a-zA-Z]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val table = s"$wh/t"
+    // 20 key-disjoint files (k range 1000 each)
+    SnapshotTable.commit(
+      spark.range(20000).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartitionByRange(20, col("k")).sortWithinPartitions("k"),
+      table, append = false, statsColumns = Seq("k"))
+    // 5 single-key delete batches — each key lives in exactly ONE file,
+    // so each sidecar's recorded range intersects exactly one file
+    (0 until 5).foreach { i =>
+      SnapshotTable.deleteKeys(Seq(i * 4000L + 10L).toDF("k"), table, "k")
+    }
+    spark.conf.set(SnapshotV2.DvBroadcastMaxKeysConf, "1")
+    try {
+      val df = spark.table(s"$cat.t")
+      assert(df.count() === 20000L - 5L)
+      val scan = graft.Stage.executedNodes(df).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.collectFirst { case sc: graft.sources.SnapshotV2Scan => sc }.get
+      assert(scan.lastDvMode === "scoped")
+      // 5 single-file-ranged sidecars over 20 files: 5 attachments, not
+      // 100 — the manifest range prune is what makes a 10x-more-files
+      // table pay the SAME per-file sidecar cost
+      assert(scan.lastScopedAttach === 5L,
+        s"attachments must equal OVERLAPS (5), got ${scan.lastScopedAttach}")
+    } finally spark.conf.unset(SnapshotV2.DvBroadcastMaxKeysConf)
+  }
 }
