@@ -147,10 +147,12 @@ class SnapshotCatalog extends TableCatalog
     throw new NoSuchTableException(ident)
   }
 
-  /** SQL `VERSION AS OF n`. */
+  /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`: a non-numeric
+    * version string resolves as a TAG name (immutable named refs,
+    * [[SnapshotTable.createTag]]), the Iceberg ref shape. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = pathOf(ident)
-    val v = version.toLong
+    val v = SnapshotTable.resolveVersionRef(p, version)
     if (SnapshotTable.currentVersion(p) < v || v < 1)
       throw new NoSuchTableException(ident)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, v))
@@ -1090,7 +1092,7 @@ private[sources] class SnapshotDataWriter(
   * `DESCRIBE HISTORY` equivalent without leaving SQL. */
 private[sources] object SnapshotMetaTables {
 
-  val Names: Set[String] = Set("history", "files", "segments")
+  val Names: Set[String] = Set("history", "files", "segments", "deletes", "tags")
 
   private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
 
@@ -1137,6 +1139,45 @@ private[sources] object SnapshotMetaTables {
             utf8(s.path),
             s.count.toLong,
             if (s.size >= 0) java.lang.Long.valueOf(s.size) else null))
+        })
+      case "deletes" =>
+        // the outstanding MERGE-ON-READ state, both formats — the
+        // observability face of the DV/position machinery: what a
+        // 100 TB operator checks before deciding compact vs
+        // consolidate ("how many sidecars, how many dead rows, how
+        // wide do they range")
+        val sch = StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("path", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = true),
+          StructField("seq", LongType, nullable = true),
+          StructField("lo", StringType, nullable = true),
+          StructField("hi", StringType, nullable = true)))
+        val m = SnapshotTable.manifest(tablePath, cur)
+        val eq = SnapshotTable.dvRefs(m).map { r =>
+          val (lo, hi) = r.rangeL.map { case (a, b) => (utf8(a.toString), utf8(b.toString)) }
+            .orElse(r.rangeS.map { case (a, b) => (utf8(a), utf8(b)) })
+            .getOrElse((null, null))
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+            utf8("equality"), utf8(r.path),
+            if (r.count >= 0) java.lang.Long.valueOf(r.count) else null,
+            java.lang.Long.valueOf(r.seq), lo, hi))
+        }
+        val pos = SnapshotTable.posDvRefs(m).map { r =>
+          val (lo, hi) = r.range.map { case (a, b) => (utf8(a), utf8(b)) }
+            .getOrElse((null, null))
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+            utf8("position"), utf8(r.path),
+            java.lang.Long.valueOf(r.count), null, lo, hi))
+        }
+        (sch, eq ++ pos)
+      case "tags" =>
+        val sch = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+        (sch, SnapshotTable.listTags(tablePath).map { case (n, v) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+            utf8(n), v))
         })
       case other => throw new IllegalArgumentException(s"unknown metadata table $other")
     }
@@ -1371,6 +1412,190 @@ private[sources] class SnapshotDeltaBatchWrite(
     if (LocalSnapshotIO.exists(stage) && LocalSnapshotIO.list(stage).isEmpty)
       LocalSnapshotIO.delete(stage)
   }
+}
+
+private[sources] case class SnapshotPosDeltaMessage(
+    entries: Seq[SnapshotTable.FileEntry],
+    sidecars: Seq[SnapshotTable.PosDvRef]) extends WriterCommitMessage
+
+/** POSITION-delta row-level operation — [[SupportsDelta]] with the row
+  * identity Iceberg's position-delta plans use: the METADATA columns
+  * `(_file, _pos)`. The MoR UPDATE/MERGE/DELETE for tables with NO
+  * natural row key: where [[SnapshotDeltaOperation]] needs a declared
+  * morKey, this engages under TBLPROPERTIES('deleteMode'='positions')
+  * on a morKey-less table — pre-images are killed by their raw file
+  * ordinal (task-written (_file,_pos) sidecars, the same format
+  * [[SnapshotTable.deletePositions]] records, so every reader applies
+  * them unchanged), post-images append as ordinary data files, and the
+  * commit publishes ONE manifest touching ZERO existing data files.
+  * This also catches the DELETEs whose predicate is NOT
+  * pushed-Filter-expressible (`k % 10 = 7`) — canDeleteWhere declines
+  * those, Spark plans the row-level rewrite, and this operation turns
+  * it into O(batch) instead of the copy-on-write group rewrite.
+  * Ordinal integrity rides the existing rule: a scan that projects
+  * `_pos` disables parquet filter pushdown, so the ordinals the writer
+  * records address the RAW stream. No sequence scoping is needed —
+  * the post-images appended beside the sidecar have new paths by
+  * construction, so the sidecar can never name them. */
+private[sources] class SnapshotPosDeltaOperation(
+    table: String,
+    m: SnapshotTable.Manifest,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-snapshot $cmd (position delta)"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new SnapshotScanBuilder(table, m) // delta replaces nothing; _pos disables pushdown
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        require(info.schema().isEmpty ||
+          info.schema().fieldNames.sameElements(m.schema.fieldNames),
+          s"position-delta write schema ${info.schema().simpleString} does not " +
+            s"match table schema ${m.schema.simpleString}")
+        new DeltaWrite {
+          override def toBatch: DeltaBatchWrite = new SnapshotPosDeltaBatchWrite(table, m)
+        }
+      }
+    }
+}
+
+/** The position-delta arm of the BatchWrite protocol: post-images ride
+  * the same rolling stats-folding writers as plain INSERTs; each task
+  * flushes its deduped (_file,_pos) set as ONE sidecar with the named-
+  * file path range folded over the same pass; commit = ONE atomic
+  * manifest carrying the parent's segments VERBATIM plus the sidecar
+  * refs — mode=merge, exactly the equality-delta commit shape with the
+  * position format in place of the key format. */
+private[sources] class SnapshotPosDeltaBatchWrite(
+    table: String,
+    m: SnapshotTable.Manifest) extends DeltaBatchWrite {
+
+  private val stage = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    s"$table/data/v${m.version + 1}_w$token"
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val schema = m.schema
+    val tracked = SnapshotTable.statsColumnsOf(m).flatMap { c =>
+      schema.fields.zipWithIndex.find(_._1.name == c).map {
+        case (f, i) => (c, i, f.dataType)
+      }
+    }
+    val posSchema = StructType(Seq(
+      StructField("_file", StringType, nullable = false),
+      StructField("_pos", LongType, nullable = false)))
+    new SnapshotPosDeltaWriterFactory(stage, tracked,
+      Bridge.parquetRowWriter(SparkSession.active, schema),
+      Bridge.parquetRowWriter(SparkSession.active, posSchema),
+      SnapshotTable.maxRowsPerFileOf(m))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: SnapshotPosDeltaMessage => m }
+    SnapshotTable.publishPosDeltaCommit(table,
+      msgs.flatMap(_.entries).sortBy(_.path).toSeq,
+      msgs.flatMap(_.sidecars).sortBy(_.path).toSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case SnapshotPosDeltaMessage(es, scs) =>
+        es.foreach(e => LocalSnapshotIO.delete(e.path))
+        scs.foreach(s => LocalSnapshotIO.delete(s.path))
+      case _ =>
+    }
+    if (LocalSnapshotIO.exists(stage) && LocalSnapshotIO.list(stage).isEmpty)
+      LocalSnapshotIO.delete(stage)
+  }
+}
+
+private[sources] class SnapshotPosDeltaWriterFactory(
+    stage: String,
+    tracked: Seq[(String, Int, DataType)],
+    pw: Bridge.ParquetRowWriterFactory,
+    posPw: Bridge.ParquetRowWriterFactory,
+    maxRows: Option[Long]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new SnapshotPosDeltaWriter(
+      seq => s"$stage/part-$partitionId-$taskId-$seq.parquet",
+      s"$stage/posdv-$partitionId-$taskId.parquet",
+      tracked, pw, posPw, maxRows)
+}
+
+/** Executor-side position-delta writer: inserts stream through the
+  * rolling stats-folding writer; delete ids — (_file, _pos) pairs —
+  * dedupe into a task-local set and flush as ONE two-column sidecar at
+  * commit, with the named-file byte-range folded for the ref (what the
+  * over-budget SCOPED reader prunes per-file attachments by). */
+private[sources] class SnapshotPosDeltaWriter(
+    pathFor: Int => String,
+    posPath: String,
+    tracked: Seq[(String, Int, DataType)],
+    pw: Bridge.ParquetRowWriterFactory,
+    posPw: Bridge.ParquetRowWriterFactory,
+    maxRows: Option[Long]) extends DeltaWriter[InternalRow] {
+
+  private val data = new SnapshotDataWriter(pathFor, tracked, None, pw,
+    maxRows = maxRows)
+  private val positions = new java.util.HashSet[(String, Long)]()
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    require(!id.isNullAt(0) && !id.isNullAt(1),
+      "NULL position-delta row id refused — (_file, _pos) are total by construction")
+    positions.add((id.getUTF8String(0).toString, id.getLong(1)))
+  }
+
+  override def insert(row: InternalRow): Unit = data.write(row)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // unreachable under representUpdateAsDeleteAndInsert=true; keep the
+    // equivalent decomposition anyway
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = data.commit().asInstanceOf[SnapshotWriteMessage]
+    val refs =
+      if (positions.isEmpty) Nil
+      else {
+        val w = posPw.open(posPath)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        var lo: String = null; var hi: String = null
+        val it = positions.iterator()
+        while (it.hasNext) {
+          val (f, p) = it.next()
+          if (lo == null || SnapshotTable.FileEntry.bytesLe(f, lo)) lo = f
+          if (hi == null || SnapshotTable.FileEntry.bytesLe(hi, f)) hi = f
+          row.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
+          row.update(1, p)
+          w.write(row)
+        }
+        w.close()
+        Seq(SnapshotTable.PosDvRef(posPath, positions.size.toLong, Some((lo, hi))))
+      }
+    SnapshotPosDeltaMessage(dataMsg.entries, refs)
+  }
+
+  override def abort(): Unit = {
+    data.abort()
+    LocalSnapshotIO.delete(posPath)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class SnapshotDeltaWriterFactory(

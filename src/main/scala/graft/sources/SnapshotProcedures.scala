@@ -189,6 +189,31 @@ private[sources] object SnapshotProcedures {
         val (manifests, files) = SnapshotTable.dropBranch(path(in), in.getUTF8String(1).toString)
         row(manifests, files)
       },
+      Proc("create_tag",
+        Seq(p("table", StringType), p("tag", StringType),
+          pd("version", LongType, "-1")),
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        "tag a published snapshot with an immutable name (Iceberg tag refs): " +
+          "resolvable via VERSION AS OF 'name', PINS retention — vacuum and " +
+          "expire_snapshots keep tagged manifests and their files regardless " +
+          "of age; version defaults to the current head") { in =>
+        val t = path(in)
+        val name = in.getUTF8String(1).toString
+        val ver = if (in.getLong(2) < 0) None else Some(in.getLong(2))
+        val v = SnapshotTable.createTag(t, name, ver)
+        row(org.apache.spark.unsafe.types.UTF8String.fromString(name), v)
+      },
+      Proc("drop_tag",
+        Seq(p("table", StringType), p("tag", StringType)),
+        StructType(Seq(
+          StructField("existed", BooleanType, nullable = false))),
+        "drop a tag: the name frees and the snapshot returns to ordinary " +
+          "retention rules") { in =>
+        row(java.lang.Boolean.valueOf(
+          SnapshotTable.dropTag(path(in), in.getUTF8String(1).toString)))
+      },
       Proc("vacuum",
         Seq(p("table", StringType), pd("retain_last", IntegerType, "2")),
         StructType(Seq(
@@ -203,7 +228,8 @@ private[sources] object SnapshotProcedures {
 
   def names: Seq[String] = Seq(
     "rewrite_segments", "compact", "rollback", "vacuum", "expire_snapshots",
-    "consolidate_dvs", "create_branch", "publish_branch", "drop_branch")
+    "consolidate_dvs", "create_branch", "publish_branch", "drop_branch",
+    "create_tag", "drop_tag")
 
   def load(name: String, warehouse: String): UnboundProcedure =
     procs(warehouse).find(_.name == name).getOrElse(

@@ -68,7 +68,9 @@ class SnapshotRelationProvider extends RelationProvider
       throw new IllegalArgumentException("snapshot relation needs .option(\"path\", <table root>)"))
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
-    val version = parameters.get("versionAsOf").map(_.toLong).orElse(
+    // a non-numeric versionAsOf resolves as a TAG name (Iceberg refs)
+    val version = parameters.get("versionAsOf")
+      .map(SnapshotTable.resolveVersionRef(table, _)).orElse(
       parameters.get("timestampAsOf").map { ts =>
         // resolve once at relation construction (readAsOf's rule:
         // newest STAMPED version at or before ts, version order

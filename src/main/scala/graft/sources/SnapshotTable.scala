@@ -1119,11 +1119,81 @@ object SnapshotTable {
       toVersion >= 1 && toVersion <= current,
       s"rollback target $toVersion outside published range [1, $current] of $table")
     val target = manifest(table, toVersion, io)
+    // the restored state includes the TARGET's table declarations —
+    // its layout (and generation history), stats columns, morKey: a
+    // rollback across a spec evolution restores the old spec exactly;
+    // dropping them would demote a bucketed table to unlaid-out
     publishManifest(
       table, current + 1, current, target.schema, target.segments, target.inline,
       mode = "rollback",
-      extra = Map("restored-from" -> toVersion.toString) ++ dvExtra(target), io)
+      extra = Map("restored-from" -> toVersion.toString) ++
+        tableDecls(target) ++ dvExtra(target), io)
   }
+
+  // ---- tags: named immutable snapshot references (Iceberg tags) ----
+
+  private def tagDir(table: String): String = s"$table/manifests/tags"
+  private def tagPath(table: String, name: String): String =
+    s"${tagDir(table)}/$name.tag"
+
+  /** TAG a published snapshot with an immutable name — Iceberg's tag
+    * refs: `v1.0-release`, `audit-2024Q1`. A tag is one tiny file
+    * holding the version number, created atomically (create-if-absent,
+    * the manifest-publication primitive) so two racing taggers cannot
+    * both win the name. Tags PIN retention: [[vacuum]] and
+    * [[expireSnapshots]] keep tagged manifests (and, through the
+    * reference walk, their files) regardless of age or keep-last-N —
+    * the reproducibility contract a training run's data snapshot
+    * needs. Resolution: SQL `VERSION AS OF 'name'` (non-numeric
+    * version strings resolve as tags), `CALL create_tag/drop_tag`,
+    * or the API pair here. Tags are immutable — re-pointing is
+    * dropTag + createTag, deliberately two steps. */
+  def createTag(
+      table: String,
+      name: String,
+      version: Option[Long] = None,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '.'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    require(name.exists(!_.isDigit),
+      s"tag name '$name' must not be purely numeric — it would shadow " +
+        "version-number time travel")
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot tag non-existent table $table")
+    val v = version.getOrElse(cur)
+    require(v >= 1 && v <= cur && io.exists(manifestPath(table, v)),
+      s"cannot tag snapshot $v of $table — not published (or already expired)")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"${tagDir(table)}/.tmp_${name}_$token"
+    io.writeString(tmp, v.toString)
+    val won = io.publishExclusive(tmp, tagPath(table, name))
+    io.delete(tmp)
+    require(won, s"tag $name of $table already exists — tags are immutable " +
+      "(dropTag first to re-point)")
+    v
+  }
+
+  /** Drop a tag: the name frees, the snapshot returns to ordinary
+    * retention rules. Returns whether the tag existed. */
+  def dropTag(table: String, name: String, io: SnapshotIO = LocalSnapshotIO): Boolean =
+    io.delete(tagPath(table, name))
+
+  /** All tags of a table: (name, version), name-sorted. */
+  def listTags(table: String, io: SnapshotIO = LocalSnapshotIO): Seq[(String, Long)] =
+    io.list(tagDir(table)).filter(_.endsWith(".tag")).sorted.map { f =>
+      (f.stripSuffix(".tag"), io.readString(s"${tagDir(table)}/$f").trim.toLong)
+    }
+
+  /** Resolve a version REFERENCE: a numeric string is a version
+    * number, anything else a tag name (loud when absent). */
+  def resolveVersionRef(table: String, ref: String, io: SnapshotIO = LocalSnapshotIO): Long =
+    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
+    else {
+      require(io.exists(tagPath(table, ref)),
+        s"no tag '$ref' on $table (tags: ${listTags(table, io).map(_._1).mkString(", ")})")
+      io.readString(tagPath(table, ref)).trim.toLong
+    }
 
   // ---- branches: write-audit-publish (Iceberg branch / WAP) ----
 
@@ -1151,8 +1221,12 @@ object SnapshotTable {
     val bp = branchPath(table, name)
     require(currentVersion(bp, io) == 0, s"branch $name of $table already exists")
     val m = manifest(table, cur, io)
+    // the branch inherits main's table declarations — a fork of a
+    // bucketed table must keep writing STAMPED files or the
+    // fast-forward publish would demote main's layout
     publishManifest(bp, 1L, 0L, m.schema, m.segments, m.inline,
-      mode = "fork", extra = Map("fork-of" -> cur.toString) ++ dvExtra(m), io)
+      mode = "fork", extra = Map("fork-of" -> cur.toString) ++
+        tableDecls(m) ++ dvExtra(m), io)
   }
 
   /** PUBLISH the branch head back onto main — the write-audit-publish
@@ -1181,10 +1255,11 @@ object SnapshotTable {
     val head = manifest(bp, bcur, io)
     val pureAppend = (2L to bcur).forall(v =>
       manifest(bp, v, io).extra.getOrElse("mode", "?") == "append")
+    // the audited branch head's declarations come back with its data
     publishManifest(table, cur + 1, cur, head.schema, head.segments, head.inline,
       mode = if (pureAppend) "append" else "publish",
       extra = Map("wap-branch" -> name, "wap-commits" -> (bcur - 1).toString)
-        ++ dvExtra(head), io)
+        ++ tableDecls(head) ++ dvExtra(head), io)
   }
 
   /** Drop a branch: delete its manifest chain, then any data file under
@@ -1346,10 +1421,27 @@ object SnapshotTable {
       m: Manifest,
       select: Manifest => Seq[FileEntry]): DataFrame = {
     val entries = select(m)
-    require(posDvPaths(m).isEmpty,
-      s"${posDvPaths(m).size} outstanding position-delete sidecar(s) — this " +
-        "read path cannot apply physical-ordinal deletes; read the full table " +
-        "(position-aware V2 route) or compactSnapshot first")
+    // subset reads under outstanding POSITION deletes: allowed iff every
+    // selected file is PROVABLY un-named by every sidecar — its path
+    // falls outside the sidecar's recorded named-file byte range (a
+    // manifest-only proof; rangeless legacy refs prove nothing). This
+    // is what keeps incremental readers, the streaming source, and the
+    // change feed's append arms serving through a trickle-positions
+    // epoch: files appended AFTER a sidecar can never be named by it,
+    // and usually sit outside its range. Unprovable subsets refuse as
+    // before (this path cannot apply physical-ordinal deletes).
+    val posRefs = posDvRefs(m)
+    if (posRefs.nonEmpty) {
+      val unprovable = entries.filter(f => posRefs.exists(r =>
+        r.range.forall { case (lo, hi) =>
+          FileEntry.bytesLe(lo, f.path) && FileEntry.bytesLe(f.path, hi)
+        }))
+      require(unprovable.isEmpty,
+        s"${posRefs.size} outstanding position-delete sidecar(s) may name " +
+          s"${unprovable.size} of the ${entries.size} selected file(s) — this " +
+          "read path cannot apply physical-ordinal deletes; read the full " +
+          "table (position-aware V2 route) or compactSnapshot first")
+    }
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
     // merge-on-read: apply the manifest's accumulated deletion vectors,
@@ -1919,6 +2011,28 @@ object SnapshotTable {
       tableDecls(m) ++
         m.extra.view.filterKeys(_ == PosDvFilesK).toMap ++
         Map(DvKeyK -> key, DvFilesK -> dvEncode(dvRefs(m) ++ newRefs)), io)
+  }
+
+  /** The commit tail of a SQL POSITION-delta write ([[SupportsDelta]]
+    * with (_file,_pos) row identity — MoR UPDATE / MERGE / row-level
+    * DELETE for morKey-less tables under deleteMode=positions): ONE
+    * manifest carrying the parent's segments verbatim, the post-image
+    * entries, and the task-written position sidecars appended to the
+    * outstanding refs — zero existing data files touched. mode=merge,
+    * like the equality-delta commit: incremental readers refuse across
+    * it, the position format applies reader-side unchanged. */
+  private[sources] def publishPosDeltaCommit(
+      table: String,
+      entries: Seq[FileEntry],
+      sidecars: Seq[PosDvRef],
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot delta-commit into non-existent table $table")
+    val m = manifest(table, cur, io)
+    publishManifest(table, cur + 1, cur, m.schema,
+      m.segments, m.inline ++ entries, "merge",
+      tableDecls(m) ++ dvExtra(m) ++
+        Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ sidecars)), io)
   }
 
   /** A task-written DV sidecar: path, exact key count, and the keys'
@@ -2608,7 +2722,8 @@ object SnapshotTable {
     val entries = m.inline ++ small.flatMap(m.loadSegment)
     val v = publishManifest(table, cur + 1, cur, m.schema, big, entries,
       mode = "rewrite",
-      extra = Map("rewritten-segments" -> small.size.toString) ++ dvExtra(m), io)
+      extra = Map("rewritten-segments" -> small.size.toString) ++
+        tableDecls(m) ++ dvExtra(m), io)
     (m.segments.size, manifest(table, v, io).segments.size, v)
   }
 
@@ -2813,6 +2928,16 @@ object SnapshotTable {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(org.apache.spark.sql.types.StructField(
           "_change_type", StringType, nullable = false) +: mv.schema.fields))
+    // a commit that RECORDS position sidecars (deletePositions / the
+    // position-delta DML) removes rows by physical ordinal — this
+    // file/DV-delta walk cannot attribute those to pre-images (and with
+    // the readFiles range proof now admitting append subsets, it would
+    // otherwise read as a pure append and SILENTLY miss the deletes)
+    val newPos = posDvRefs(mv).map(_.path).toSet -- posDvRefs(mp).map(_.path).toSet
+    require(newPos.isEmpty,
+      s"commit $v of $table records ${newPos.size} position-delete sidecar(s) — " +
+        "the incremental change feed cannot attribute physical-ordinal deletes; " +
+        "use the state-based changeFeed for this range")
     val pPaths = mp.files.map(_.path).toSet
     val vPaths = mv.files.map(_.path).toSet
     val added = mv.files.filterNot(f => pPaths(f.path))
@@ -2966,9 +3091,12 @@ object SnapshotTable {
     val cur = currentVersion(table, io)
     if (cur == 0) return (0, 0)
     val keep = ((cur - retainLast + 1) max 1) to cur
+    // tagged snapshots PIN retention: their manifests survive any
+    // keep-last-N, and the reference walk below then pins their files
+    val tagged = listTags(table, io).map(_._2).toSet
     var mDel = 0
     (1L until keep.head).foreach { v =>
-      if (io.delete(manifestPath(table, v))) mDel += 1
+      if (!tagged(v) && io.delete(manifestPath(table, v))) mDel += 1
     }
     val fDel = reclaimUnreferenced(table, io)
     // CDC staging below the retention floor: a `<from>_<to>` slice is
@@ -3007,9 +3135,11 @@ object SnapshotTable {
         "(its walk pins branch references); use dropBranch to reclaim a branch")
     val cur = currentVersion(table, io)
     if (cur == 0) return (0, 0)
+    // tagged snapshots never age out — the tag IS the retention pin
+    val tagged = listTags(table, io).map(_._2).toSet
     var mDel = 0
     (1L until cur).foreach { v =>
-      if (io.exists(manifestPath(table, v)) &&
+      if (!tagged(v) && io.exists(manifestPath(table, v)) &&
         manifest(table, v, io).extra.get("ts").exists(_.toLong < olderThan) &&
         io.delete(manifestPath(table, v))) mDel += 1
     }

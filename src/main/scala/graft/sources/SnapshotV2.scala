@@ -90,7 +90,9 @@ object SnapshotV2Provider {
         "snapshot v2 read needs .option(\"path\", <table root>)"))
     require(!(options.containsKey("versionAsOf") && options.containsKey("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
-    val version = Option(options.get("versionAsOf")).map(_.toLong).orElse(
+    // a non-numeric versionAsOf resolves as a TAG name (Iceberg refs)
+    val version = Option(options.get("versionAsOf"))
+      .map(SnapshotTable.resolveVersionRef(table, _)).orElse(
       Option(options.get("timestampAsOf")).map { ts =>
         (1L to SnapshotTable.currentVersion(table)).reverse.find { v =>
           SnapshotTable.manifest(table, v).extra.get("ts").exists(_.toLong <= ts.toLong)
@@ -215,6 +217,16 @@ private[sources] class SnapshotV2Table(
         // write path, so the layout survives DML; delta post-images
         // would land unstamped and demote it
         new SnapshotDeltaOperation(table, m, info.command(), k)
+      case None if SnapshotTable.deleteModeOf(m).contains("positions") &&
+          SnapshotTable.clusterKeyOf(m).isEmpty &&
+          SnapshotTable.bucketSpecOf(m).isEmpty &&
+          SnapshotTable.truncSpecOf(m).isEmpty &&
+          SnapshotTable.temporalSpecOf(m).isEmpty =>
+        // the morKey-LESS merge-on-read: row identity is the metadata
+        // pair (_file, _pos) — Iceberg's position-delta shape. UPDATE/
+        // MERGE and the non-pushable DELETEs (canDeleteWhere declines
+        // them) all commit O(batch) with zero data files rewritten.
+        new SnapshotPosDeltaOperation(table, m, info.command())
       case _ => new SnapshotRowLevelOperation(table, m, info.command())
     }
 

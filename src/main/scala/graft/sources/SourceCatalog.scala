@@ -2526,6 +2526,188 @@ object SourceCatalog extends QueryModule {
              |ORDER BY arm, prio""".stripMargin)
     ),
     Q(
+      "src_snapshot_sql_dml_positions",
+      // ROW-LEVEL SQL DML, POSITION-DELTA merge-on-read (SupportsDelta
+      // with (_file,_pos) row identity — Iceberg's position-delta
+      // plans): the morKey-LESS sibling of src_snapshot_sql_dml_mor.
+      // Under TBLPROPERTIES('deleteMode'='positions') and NO declared
+      // row key, UPDATE / MERGE / non-pushable row-level DELETE plan as
+      // DELTA writes — pre-images killed by raw file ordinal (per-task
+      // (_file,_pos) sidecars, the deletePositions format, applied by
+      // every reader unchanged), post-images appended as ordinary data
+      // files, ONE manifest commit each, and REQUIREd: ZERO original
+      // data files rewritten across the whole chain. No sequence
+      // scoping anywhere: a sidecar can never name the post-images
+      // committed beside it (new paths by construction) — the
+      // soundness argument is structural, not temporal. 'pre'
+      // time-travels below the chain; CALL compact materializes the
+      // positions (state dropped, REQUIREd) with 'postcompact' ==
+      // 'post'. The oracle replays the mutations relationally — hash
+      // equality IS the CoW-vs-position-delta identity. Round44Spec
+      // pins the per-commit anatomy, the eq-delta precedence when a
+      // morKey is also declared, and API/SQL sidecar interop.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sqlpp_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftpq_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.o (k BIGINT NOT NULL, prio STRING, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions')")
+        Tables(s, dir).orders
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            col("o_totalprice").as("price"))
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+          .createOrReplaceTempView("graft_sqlpp_src")
+        s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_sqlpp_src")
+        val dataBefore = SnapshotTable.manifest(s"$wh/o", 2L).files.map(_.path).toSet
+        val cut = Tables(s, dir).orders.agg(max("o_orderkey"))
+          .collect()(0).getLong(0) / 2
+        s.sql(s"UPDATE $cat.o SET price = price + 100.0 WHERE k <= $cut")
+        val m3 = SnapshotTable.manifest(s"$wh/o", 3L)
+        require(m3.extra.get("mode").contains("merge") &&
+          SnapshotTable.posDvRefs(m3).nonEmpty,
+          "UPDATE must commit as a position delta (pos sidecar, mode=merge)")
+        s.sql(s"""MERGE INTO $cat.o t
+                 |USING (SELECT k, 'X-M' AS prio, 0.0 AS price FROM graft_sqlpp_src
+                 |       WHERE k % 97 = 0
+                 |       UNION ALL
+                 |       SELECT k + 100000000, 'X-N', 1.0 FROM graft_sqlpp_src
+                 |       WHERE k % 101 = 0) s
+                 |ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET t.prio = s.prio, t.price = s.price
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // k % 13 = 5 is NOT pushed-Filter-expressible: canDeleteWhere
+        // declines, the row-level plan engages, and the position-delta
+        // operation turns the would-be CoW rewrite into O(batch)
+        s.sql(s"DELETE FROM $cat.o WHERE k % 13 = 5")
+        val head = SnapshotTable.manifest(s"$wh/o", 5L)
+        require(dataBefore.subsetOf(head.files.map(_.path).toSet),
+          "three row-level DML commits must rewrite ZERO original data files")
+        require(SnapshotTable.posDvRefs(head).size >= 3,
+          "each DML commit stacks its own position sidecar(s)")
+        def agg(sql: String, arm: String) =
+          s.sql(sql).groupBy("prio")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm))
+            .select("arm", "prio", "n_orders", "sum_price")
+        val post = agg(s"SELECT * FROM $cat.o", "post")
+        val pre = agg(s"SELECT * FROM $cat.o VERSION AS OF 2", "pre")
+        s.sql(s"CALL $cat.system.compact('o', ${128L << 20})")
+        require(SnapshotTable.posDvRefs(SnapshotTable
+          .manifest(s"$wh/o", SnapshotTable.currentVersion(s"$wh/o"))).isEmpty,
+          "CALL compact must materialize and drop the position state")
+        val pc = agg(s"SELECT * FROM $cat.o", "postcompact")
+        post.unionByName(pre).unionByName(pc).orderBy("arm", "prio")
+      },
+      Some("""WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders),
+             |updated AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |  o_totalprice + (CASE WHEN o_orderkey <= (SELECT c FROM cut)
+             |                       THEN 100.0 ELSE 0.0 END) AS price FROM orders),
+             |merged AS (
+             |  SELECT k, CASE WHEN k % 97 = 0 THEN 'X-M' ELSE prio END AS prio,
+             |         CASE WHEN k % 97 = 0 THEN 0.0 ELSE price END AS price
+             |  FROM updated
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, 'X-N', 1.0 FROM orders
+             |  WHERE o_orderkey % 101 = 0),
+             |fin AS (SELECT * FROM merged WHERE k % 13 <> 5)
+             |SELECT 'post' AS arm, prio, COUNT(*)::BIGINT AS n_orders,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM fin GROUP BY 2
+             |UNION ALL SELECT 'postcompact', prio, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM fin GROUP BY 2
+             |UNION ALL SELECT 'pre', o_orderpriority, COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM orders GROUP BY 2
+             |ORDER BY arm, prio""".stripMargin)
+    ),
+    Q(
+      "src_snapshot_tags",
+      // NAMED IMMUTABLE REFS (Iceberg tags) + MoR observability: `CALL
+      // create_tag('t','audit-q1')` pins a snapshot under a name that
+      // (a) resolves from SQL — `VERSION AS OF 'audit-q1'` (non-numeric
+      // version strings resolve as tags), and (b) PINS RETENTION —
+      // vacuum keep-last-N and age-based expiry both keep tagged
+      // manifests and (through the reference walk) their files, the
+      // reproducibility contract a training run's data snapshot signs.
+      // REQUIREd: after vacuum(retain_last=1) the untagged v1 is gone
+      // (time travel refuses) while the tagged v2 still serves its
+      // exact rows. The `deletes` metadata table then exposes the
+      // outstanding MoR state (both formats, counts + ranges) and
+      // `tags` the ref table — the "should I compact or consolidate"
+      // dashboard at manifest cost. Arms: tagged/head aggregates + the
+      // meta tables' deterministic projections.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_tags_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftg_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, price DOUBLE) " +
+          "TBLPROPERTIES('statsColumns'='k')")
+        val src = Tables(s, dir).orders.select(
+          col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        src.filter(col("k") % 2 === 0).createOrReplaceTempView("graft_tags_a")
+        src.filter(col("k") % 2 === 1).createOrReplaceTempView("graft_tags_b")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_tags_a")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_tags_b")
+        val table = s"$wh/t"
+        s.sql(s"CALL $cat.system.create_tag('t', 'audit-v2', 2)")
+        // keep-last-1 retention: the tag pins v2, the untagged v1 goes
+        SnapshotTable.vacuum(table, retainLast = 1)
+        require(scala.util.Try(SnapshotTable.manifest(table, 1L)).isFailure,
+          "the untagged v1 must expire under keep-last-1")
+        require(scala.util.Try(SnapshotTable.manifest(table, 2L)).isSuccess,
+          "the TAGGED v2 must survive any retention")
+        // outstanding MoR state, both formats, for the deletes table —
+        // positions FIRST (their provenance scan needs a DV-free table;
+        // the reverse order is the documented refusal)
+        SnapshotTable.deletePositions(
+          s.table(s"$cat.t").where(col("k") % 10 === 7).select("_file", "_pos"),
+          table)
+        SnapshotTable.deleteKeys(
+          s.table(s"$cat.t").where(col("k") % 10 === 3).select("k"), table, "k")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        val tagged = agg(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 'audit-v2'"),
+          "tagged")
+        val head = agg(s.table(s"$cat.t"), "head")
+        val meta = s.table(s"$cat.t.deletes")
+          .groupBy(concat(lit("mor_"), col("kind")).as("arm"))
+          .agg(sum(col("n_rows")).as("n_rows"),
+            lit(0.0).cast("double").as("sum_price"))
+          .select("arm", "n_rows", "sum_price")
+        val tags = s.table(s"$cat.t.tags")
+          .select(concat(lit("tag_"), col("name")).as("arm"),
+            col("version").as("n_rows"), lit(0.0).cast("double").as("sum_price"))
+        tagged.unionByName(head).unionByName(meta).unionByName(tags)
+          .orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders)
+             |SELECT 'head' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM t WHERE k % 10 NOT IN (3, 7)
+             |UNION ALL
+             |SELECT 'mor_equality', COUNT(*)::BIGINT, 0.0
+             |FROM t WHERE k % 10 = 3
+             |UNION ALL
+             |SELECT 'mor_position', COUNT(*)::BIGINT, 0.0
+             |FROM t WHERE k % 10 = 7
+             |UNION ALL
+             |SELECT 'tag_audit-v2', 2::BIGINT, 0.0
+             |UNION ALL
+             |SELECT 'tagged', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE k % 2 = 0
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
       "src_snapshot_expire",
       // AGE-BASED SNAPSHOT EXPIRY (Iceberg's expire_snapshots(older_than)
       // beside vacuum's keep-last-N — the retention contract production
