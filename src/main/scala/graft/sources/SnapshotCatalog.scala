@@ -761,7 +761,9 @@ private[sources] class SnapshotStreamingWrite(
       entries.foreach(e => LocalSnapshotIO.delete(e.path))
     } else {
       SnapshotTable.publishFiles(table, schema, entries, append = true,
-        extra = Map("batchid" -> epochId.toString))
+        extra = Map("batchid" -> epochId.toString),
+        stampedLayout = Some(SnapshotTable.layoutOf(
+          clusterBy, bucketBy, truncBy, temporalBy)))
     }
   }
 
@@ -838,7 +840,9 @@ private[sources] class SnapshotBatchWrite(
     val entries = messages.collect {
       case SnapshotWriteMessage(es) => es
     }.flatten.sortBy(_.path).toSeq
-    SnapshotTable.publishFiles(table, schema, entries, append = !overwrite)
+    SnapshotTable.publishFiles(table, schema, entries, append = !overwrite,
+      stampedLayout = Some(SnapshotTable.layoutOf(
+        clusterBy, bucketBy, truncBy, temporalBy)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1295,7 +1299,9 @@ private[sources] class SnapshotGroupReplaceWrite(
     val entries = messages.collect {
       case SnapshotWriteMessage(es) => es
     }.flatten.sortBy(_.path).toSeq
-    SnapshotTable.publishReplace(table, scanned(), entries)
+    SnapshotTable.publishReplace(table, scanned(), entries,
+      stampedLayout = Some(SnapshotTable.layoutOf(
+        clusterBy, bucketBy, truncBy, temporalBy)))
   }
 }
 

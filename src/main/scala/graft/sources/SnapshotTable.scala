@@ -806,14 +806,55 @@ object SnapshotTable {
     * atomic publication, CME to the loser of a race). The files must
     * already live under `$table/data/` (vacuum's in-flight rule
     * protects `v<N>_<token>` dirs above the current version). */
+  /** The layout-declaration map a write ROUTES AND STAMPS under — what
+    * [[publishFiles]]/[[publishReplace]] compare against the CURRENT
+    * manifest at commit: a long-lived writer (a streaming epoch, a
+    * planned INSERT) built before an evolveLayout would otherwise
+    * publish files stamped under the OLD transforms at a sequence the
+    * generation rule reads as NEW-spec — silently poisoning SPJ
+    * grouping. Divergence refuses loudly: restart the writer. */
+  private[sources] def layoutOf(
+      cluster: Option[String],
+      bucket: Option[(String, Int)],
+      trunc: Option[(String, Int)],
+      temporal: Option[(String, String)]): Map[String, String] =
+    (cluster.map(ClusterK -> _) ++
+      bucket.map { case (c, n) => BucketK -> s"$c:$n" } ++
+      trunc.map { case (c, w) => TruncK -> s"$c:$w" } ++
+      temporal.map { case (c, u) => TemporalK -> s"$c:$u" }).toMap
+
+  private def requireLayoutUnmoved(
+      m: Manifest, table: String, stamped: Option[Map[String, String]]): Unit =
+    stamped.foreach { sl =>
+      val cur = m.extra.view.filterKeys(LayoutKeys).toMap
+      require(cur == sl,
+        s"$table's layout evolved mid-write (the writer routed/stamped under " +
+          s"${if (sl.isEmpty) "no layout" else sl.mkString(", ")}, the table now " +
+          s"declares ${if (cur.isEmpty) "no layout" else cur.mkString(", ")}) — " +
+          "the commit would mis-stamp the new generation; restart the writer")
+    }
+
+  /** Spec hook: drive [[publishFiles]] with an explicit stamped-layout
+    * claim (the mid-write evolution race is otherwise a plan/execute
+    * interleaving no deterministic test can schedule). */
+  private[graft] def publishFilesForSpec(
+      table: String,
+      schema: StructType,
+      entries: Seq[FileEntry],
+      stale: Map[String, String]): Long =
+    publishFiles(table, schema, entries, append = true,
+      stampedLayout = Some(stale))
+
   private[sources] def publishFiles(
       table: String,
       schema: StructType,
       entries: Seq[FileEntry],
       append: Boolean,
       extra: Map[String, String] = Map.empty,
-      io: SnapshotIO = LocalSnapshotIO): Long = {
+      io: SnapshotIO = LocalSnapshotIO,
+      stampedLayout: Option[Map[String, String]] = None): Long = {
     val current = currentVersion(table, io)
+    if (current > 0) requireLayoutUnmoved(manifest(table, current, io), table, stampedLayout)
     var carryExtra = Map.empty[String, String]
     var publishSchema = schema
     val (carriedSegs, carriedFiles): (Seq[SegmentRef], Seq[FileEntry]) =
@@ -915,9 +956,11 @@ object SnapshotTable {
       table: String,
       scanned: Set[String],
       entries: Seq[FileEntry],
-      io: SnapshotIO = LocalSnapshotIO): Long = {
+      io: SnapshotIO = LocalSnapshotIO,
+      stampedLayout: Option[Map[String, String]] = None): Long = {
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
+    requireLayoutUnmoved(m, table, stampedLayout)
     requireNoDv(m, table, "a row-level rewrite")
     val kept = m.files.filterNot(f => scanned(f.path))
     val carry = tableDecls(m)

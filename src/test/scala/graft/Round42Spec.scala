@@ -284,6 +284,28 @@ class Round42Spec extends AnyFunSuite {
       "no declaration -> no position sidecars (CoW path)")
   }
 
+  test("a writer that routed under a STALE layout refuses at commit — the " +
+      "mid-write evolution race cannot mis-stamp the new generation") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val table = s"$wh/t"
+    spark.range(4).coalesce(1)
+      .select(expr(s"timestamp_micros(CAST($T0 + id * $H AS BIGINT))").as("ts"),
+        col("id").as("v"))
+      .createOrReplaceTempView("g42_race")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g42_race")
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('evolveLayout'='hours(ts)')")
+    // a write built pre-evolution carries the layout it STAMPED under —
+    // the commit tail compares it to the table's current declaration
+    val e = intercept[Exception] {
+      graft.sources.SnapshotTable.publishFilesForSpec(table,
+        SnapshotTable.manifest(table, 2L).schema, Nil,
+        stale = Map("temporal" -> "ts:days"))
+    }
+    assert(e.getMessage.contains("evolved mid-write"))
+  }
+
   test("the temporal stats channel feeds JOIN SIZING (NDV/rowCount on a " +
       "TIMESTAMP key) and NULL-membership pruning — the r15 unpinned arms") {
     val (cat, wh) = freshCatalog()
