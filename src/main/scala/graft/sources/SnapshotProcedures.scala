@@ -189,6 +189,21 @@ private[sources] object SnapshotProcedures {
         val (manifests, files) = SnapshotTable.dropBranch(path(in), in.getUTF8String(1).toString)
         row(manifests, files)
       },
+      Proc("compact_fragmented",
+        Seq(p("table", StringType), pd("target_bytes", LongType, (128L << 20).toString)),
+        StructType(Seq(
+          StructField("groups_rewritten", IntegerType, nullable = false),
+          StructField("files_rewritten", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        "SELECTIVE layout maintenance (Iceberg's filtered " +
+          "rewrite_data_files): rewrite only the groups fragmented across " +
+          ">1 file, carrying single-file groups and cold periods verbatim — " +
+          "the scheduled pass that consolidates today's streaming appends " +
+          "without paying a year of cold data") { in =>
+        val (groups, files, v) = SnapshotTable.compactFragmented(
+          SparkSession.active, path(in), in.getLong(1))
+        row(groups, files, v)
+      },
       Proc("create_tag",
         Seq(p("table", StringType), p("tag", StringType),
           pd("version", LongType, "-1")),
@@ -229,7 +244,7 @@ private[sources] object SnapshotProcedures {
   def names: Seq[String] = Seq(
     "rewrite_segments", "compact", "rollback", "vacuum", "expire_snapshots",
     "consolidate_dvs", "create_branch", "publish_branch", "drop_branch",
-    "create_tag", "drop_tag")
+    "create_tag", "drop_tag", "compact_fragmented")
 
   def load(name: String, warehouse: String): UnboundProcedure =
     procs(warehouse).find(_.name == name).getOrElse(

@@ -2446,12 +2446,66 @@ object SnapshotTable {
     * [[compactSnapshot]]; the commit is PINNED at parent+1, so a
     * racing writer turns into a loud CME, never silent row loss.
     * Returns (filesBefore, publishedVersion). */
+  /** SELECTIVE layout maintenance — Iceberg's filtered
+    * rewrite_data_files: rewrite ONLY the fragmented groups (a layout
+    * stamp tuple held by more than one file), carrying every
+    * single-file group and every unstamped file VERBATIM. This is the
+    * scheduled maintenance shape at 100 TB: a streaming-append day
+    * fragments TODAY's period while a year of cold periods sits at one
+    * file each — the full [[compactSnapshot]] rewrite pays the year,
+    * this pays today. Outstanding equality DVs are handled exactly:
+    * the subset reads DV-APPLIED (rewritten rows materialize their
+    * deletes) and the chain rides forward for the untouched files —
+    * rewritten files commit at a sequence past every outstanding DV,
+    * so nothing double-applies. Position deletes refuse (their
+    * ordinals die with the rewritten files; compactSnapshot is the
+    * cure), as do mixed layout generations (group stamps from two
+    * specs share a channel; full compaction re-unifies first).
+    * Returns (groupsRewritten, filesRewritten, publishedVersion);
+    * (0, 0, current) when nothing is fragmented. */
+  def compactFragmented(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long = 128L << 20,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Int, Long) = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot compact non-existent table $table")
+    val m = manifest(table, cur, io)
+    require(bucketSpecOf(m).nonEmpty || truncSpecOf(m).nonEmpty ||
+      temporalSpecOf(m).nonEmpty,
+      s"compactFragmented needs a transform layout (bucket/truncate/temporal) " +
+        s"on $table — group membership is the stamp; plain tables use " +
+        "compactSnapshot")
+    require(posDvPaths(m).isEmpty,
+      s"$table carries outstanding position-delete sidecar(s) — their ordinals " +
+        "die with a rewrite; run compactSnapshot (materializes them) instead")
+    val since = layoutSinceOf(m)
+    require(since == 0 || m.files.forall(_.seq >= since),
+      s"$table holds mixed layout generations — group stamps from two specs " +
+        "share a channel; run compactSnapshot (re-unifies the generations) first")
+    val channels = Seq(
+      bucketSpecOf(m).map(_ => BucketStat),
+      truncSpecOf(m).map(_ => TruncStat),
+      temporalSpecOf(m).map(_ => TemporalStat)).flatten
+    def stampOf(f: FileEntry): Option[Seq[Long]] = {
+      val ss = channels.map(c => f.stats.get(c).collect { case (lo, hi) if lo == hi => lo })
+      if (ss.forall(_.isDefined)) Some(ss.flatten) else None
+    }
+    val frag: Seq[FileEntry] = m.files.flatMap(f => stampOf(f).map(_ -> f))
+      .groupBy(_._1).valuesIterator.filter(_.size > 1).flatMap(_.map(_._2)).toSeq
+    if (frag.isEmpty) return (0, 0, cur)
+    val groups = frag.flatMap(stampOf).distinct.size
+    val (_, v) = compactLayout(spark, table, targetBytes, io, only = Some(frag))
+    (groups, frag.size, v)
+  }
+
   private def compactLayout(
       spark: SparkSession,
       table: String,
       targetBytes: Long,
       io: SnapshotIO,
-      zorderBy: Seq[String] = Nil): (Int, Long) = {
+      zorderBy: Seq[String] = Nil,
+      only: Option[Seq[FileEntry]] = None): (Int, Long) = {
     val cur = currentVersion(table, io)
     val m = manifest(table, cur, io)
     require(m.files.nonEmpty, s"$table snapshot $cur has no files to compact")
@@ -2504,14 +2558,18 @@ object SnapshotTable {
       temporal.map { case (c, u) => temporalCol(c, u) }.toSeq ++
         bucket.map { case (c, n) => bucketCol(c, n) } ++
         trunc.map { case (c, w) => truncCol(c, w) }
-    val bytes = m.files.map(f => if (f.size >= 0) f.size else io.size(f.path)).sum
+    val scope = only.getOrElse(m.files)
+    val bytes = scope.map(f => if (f.size >= 0) f.size else io.size(f.path)).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    // DV-applied read (deletes materialize, the overwrite drops them),
-    // re-grouped so each group lands whole in one task — the rolling
-    // writer then cuts one stamped file per group (maxRowsPerFile still
-    // splits hot groups)
-    val base = read(spark, table, Some(cur), io)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    // DV-applied read (deletes materialize; the FULL rewrite's
+    // overwrite then drops the chain, a SELECTIVE rewrite carries it
+    // for the untouched files), re-grouped so each group lands whole
+    // in one task — the rolling writer then cuts one stamped file per
+    // group (maxRowsPerFile still splits hot groups)
+    val base = (only match {
+      case Some(frag) => readFiles(spark, m, _ => frag)
+      case None       => read(spark, table, Some(cur), io)
+    }).select(schema.fieldNames.map(col).toSeq: _*)
     val laid =
       if (zorderBy.isEmpty)
         base.repartition(n, groupCols: _*).sortWithinPartitions(groupCols: _*)
@@ -2556,9 +2614,21 @@ object SnapshotTable {
     }.collect()
     val entries = messages.collect { case SnapshotWriteMessage(es) => es }
       .flatten.sortBy(_.path).toSeq
-    val v = publishManifest(table, cur + 1, cur, schema, Vector.empty, entries,
-      "overwrite", tableDecls(m) ++ Map("compacted-from" -> cur.toString), io)
-    (m.files.size, v)
+    val v = only match {
+      case Some(frag) =>
+        // selective: untouched files ride VERBATIM (original entries,
+        // original seq — their generation and DV scoping unchanged);
+        // mode=merge, like every partial rewrite
+        val fragPaths = frag.map(_.path).toSet
+        val kept = m.files.filterNot(f => fragPaths(f.path))
+        publishManifest(table, cur + 1, cur, schema, Vector.empty, kept ++ entries,
+          "merge", tableDecls(m) ++ dvExtra(m) ++
+            Map("compacted-groups-from" -> cur.toString), io)
+      case None =>
+        publishManifest(table, cur + 1, cur, schema, Vector.empty, entries,
+          "overwrite", tableDecls(m) ++ Map("compacted-from" -> cur.toString), io)
+    }
+    (only.map(_.size).getOrElse(m.files.size), v)
   }
 
   /** Z-ORDER compaction — the multi-dimensional arm of

@@ -2625,6 +2625,92 @@ object SourceCatalog extends QueryModule {
              |ORDER BY arm, prio""".stripMargin)
     ),
     Q(
+      "src_snapshot_compact_partial",
+      // SELECTIVE COMPACTION (Iceberg's filtered rewrite_data_files —
+      // `CALL compact_fragmented`): the scheduled maintenance shape at
+      // 100 TB. A streaming-append day fragments TODAY's periods while
+      // a year of cold periods sits at one file each; the full rewrite
+      // pays the year, this pays today. Fixture: a days(ts) table where
+      // two hot days take three fragmenting INSERTs each and two cold
+      // days one — REQUIREd after the pass: ONLY the fragmented groups
+      // rewrote (the cold days' files carried BYTE-IDENTICAL, path
+      // equality), every group back to one file, a one-day read plans
+      // ONE partition, mode=merge (a partial rewrite, so incremental
+      // readers refuse across it — honest), and a second pass is a
+      // NO-OP (nothing fragmented, no commit). Round46Spec pins the
+      // eq-DV interplay (subset reads DV-applied, chain carried for
+      // the untouched files, nothing double-applies), the position and
+      // mixed-generation refusals, and the compound arm.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_cprt_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftcp_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (days(ts))")
+        val T0 = 1704067200000000L
+        val H = 3600000000L
+        // days 0..3 by k%4; hot days 1 and 2 fragment across 3 inserts
+        val src = Tables(s, dir).orders.select(
+          expr(s"timestamp_micros(CAST($T0 + (o_orderkey % 4) * 24 * $H AS BIGINT))")
+            .as("ts"),
+          col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        src.filter(col("k") % 4 === 0 || col("k") % 4 === 3)
+          .createOrReplaceTempView("graft_cprt_cold")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_cprt_cold")
+        (0 until 3).foreach { i =>
+          src.filter((col("k") % 4 === 1 || col("k") % 4 === 2) && col("k") % 3 === i)
+            .createOrReplaceTempView(s"graft_cprt_hot$i")
+          s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_cprt_hot$i")
+        }
+        val table = s"$wh/t"
+        val before = SnapshotTable.manifest(table, 5L)
+        // __tpart stamps are day ORDINALS: cold days 0 and 3
+        val d0 = T0 / (24L * H)
+        val coldPaths = before.files
+          .filter(f => f.stats(SnapshotTable.TemporalStat)._1 == d0 ||
+            f.stats(SnapshotTable.TemporalStat)._1 == d0 + 3)
+          .map(_.path).toSet
+        require(coldPaths.size == 2, s"2 cold-day files, got ${coldPaths.size}")
+        require(before.files.size > 4, "the hot days must be fragmented")
+        val (groups, files, v) = SnapshotTable.compactFragmented(s, table)
+        require(groups == 2 && files == before.files.size - 2,
+          s"exactly the two HOT days rewrite, got groups=$groups files=$files")
+        val m = SnapshotTable.manifest(table, v)
+        require(m.extra.get("mode").contains("merge"))
+        require(coldPaths.subsetOf(m.files.map(_.path).toSet),
+          "cold days' files must ride byte-identical (path equality)")
+        require(m.files.size == 4, "one file per day after the pass")
+        val (g2, f2, v2) = SnapshotTable.compactFragmented(s, table)
+        require(g2 == 0 && f2 == 0 && v2 == v, "a clean table is a NO-OP")
+        // a one-day read plans ONE partition
+        val day1 = s.table(s"$cat.t")
+          .where(col("ts") >= expr(s"timestamp_micros(${T0 + 24L * H})") &&
+            col("ts") < expr(s"timestamp_micros(${T0 + 48L * H})"))
+        day1.collect()
+        val planned = graft.Stage.executedNodes(day1).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }.sum
+        require(planned == 1, s"a one-day read plans ONE file, got $planned")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        agg(s.table(s"$cat.t"), "all").unionByName(agg(day1, "day1")).orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey % 4 AS d, o_totalprice AS price FROM orders)
+             |SELECT 'all' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price FROM t
+             |UNION ALL
+             |SELECT 'day1', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE d = 1
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
       "src_snapshot_tags",
       // NAMED IMMUTABLE REFS (Iceberg tags) + MoR observability: `CALL
       // create_tag('t','audit-q1')` pins a snapshot under a name that
