@@ -204,6 +204,21 @@ private[sources] object SnapshotProcedures {
           SparkSession.active, path(in), in.getLong(1))
         row(groups, files, v)
       },
+      Proc("compact_evolved",
+        Seq(p("table", StringType), pd("target_bytes", LongType, (128L << 20).toString)),
+        StructType(Seq(
+          StructField("files_rewritten", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        "GENERATION-TARGETED compaction after partition-spec evolution: " +
+          "rewrite only the files stamped under PAST layout generations " +
+          "through the current spec, carrying the new generation verbatim — " +
+          "O(old generation) instead of compactSnapshot's O(table), and the " +
+          "scan's key grouping (SPJ) returns once every file holds a " +
+          "current-spec stamp") { in =>
+        val (files, v) = SnapshotTable.compactEvolved(
+          SparkSession.active, path(in), in.getLong(1))
+        row(files, v)
+      },
       Proc("create_tag",
         Seq(p("table", StringType), p("tag", StringType),
           pd("version", LongType, "-1")),
@@ -244,7 +259,7 @@ private[sources] object SnapshotProcedures {
   def names: Seq[String] = Seq(
     "rewrite_segments", "compact", "rollback", "vacuum", "expire_snapshots",
     "consolidate_dvs", "create_branch", "publish_branch", "drop_branch",
-    "create_tag", "drop_tag", "compact_fragmented")
+    "create_tag", "drop_tag", "compact_fragmented", "compact_evolved")
 
   def load(name: String, warehouse: String): UnboundProcedure =
     procs(warehouse).find(_.name == name).getOrElse(

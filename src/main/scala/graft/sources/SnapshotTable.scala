@@ -2482,7 +2482,8 @@ object SnapshotTable {
     val since = layoutSinceOf(m)
     require(since == 0 || m.files.forall(_.seq >= since),
       s"$table holds mixed layout generations — group stamps from two specs " +
-        "share a channel; run compactSnapshot (re-unifies the generations) first")
+        "share a channel; run compactEvolved (rewrites only the old " +
+        "generation under the current spec) first")
     val channels = Seq(
       bucketSpecOf(m).map(_ => BucketStat),
       truncSpecOf(m).map(_ => TruncStat),
@@ -2497,6 +2498,52 @@ object SnapshotTable {
     val groups = frag.flatMap(stampOf).distinct.size
     val (_, v) = compactLayout(spark, table, targetBytes, io, only = Some(frag))
     (groups, frag.size, v)
+  }
+
+  /** GENERATION-TARGETED compaction — partition-spec evolution's day-2
+    * maintenance pass: rewrite ONLY the files stamped under PAST layout
+    * generations (commit seq < the manifest's `layoutsince` boundary)
+    * through the CURRENT spec's stamping writers, carrying every
+    * current-generation file VERBATIM (same entries, same paths, same
+    * seq — zero bytes moved). Evolution happens precisely when a table
+    * has outgrown its layout, i.e. when it is LARGEST — the full
+    * [[compactSnapshot]] re-unification pays O(table) right then; this
+    * pays O(old generation) only, after which every live file carries a
+    * current-spec stamp, [[compactFragmented]]'s mixed-generation
+    * refusal clears, and the scan's key grouping (SPJ) returns without
+    * ever rewriting the new generation. Outstanding equality DVs apply
+    * to the rewritten subset during the read (their deletes
+    * materialize) and ride forward for the untouched files — nothing
+    * double-applies, because rewritten files commit at a sequence past
+    * every outstanding DV. A layout evolved to 'none' or to an identity
+    * cluster has no transform to restamp under — those re-unify through
+    * [[compactSnapshot]], and the refusal says so.
+    * Returns (filesRewritten, publishedVersion); (0, current) when no
+    * live file predates the current generation (nothing to do). */
+  def compactEvolved(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long = 128L << 20,
+      io: SnapshotIO = LocalSnapshotIO): (Int, Long) = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot compact non-existent table $table")
+    val m = manifest(table, cur, io)
+    val since = layoutSinceOf(m)
+    require(since > 0,
+      s"$table records no partition-spec evolution (no generation boundary) — " +
+        "compactSnapshot / compactFragmented are the maintenance passes here")
+    require(bucketSpecOf(m).nonEmpty || truncSpecOf(m).nonEmpty ||
+      temporalSpecOf(m).nonEmpty,
+      s"$table's current layout declares no transform (bucket/truncate/" +
+        "temporal) to restamp the old generation under — a layout evolved to " +
+        "'none' or an identity cluster re-unifies through compactSnapshot")
+    require(posDvPaths(m).isEmpty,
+      s"$table carries outstanding position-delete sidecar(s) — their ordinals " +
+        "die with a rewrite; run compactSnapshot (materializes them) instead")
+    val old = m.files.filter(_.seq < since)
+    if (old.isEmpty) return (0, cur)
+    val (_, v) = compactLayout(spark, table, targetBytes, io, only = Some(old))
+    (old.size, v)
   }
 
   private def compactLayout(

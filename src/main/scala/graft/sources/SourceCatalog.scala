@@ -3937,6 +3937,106 @@ object SourceCatalog extends QueryModule {
              |ORDER BY arm""".stripMargin)
     ),
     Q(
+      "src_snapshot_spec_compact",
+      // GENERATION-TARGETED COMPACTION (the r16 verdict's #1:
+      // `CALL system.compact_evolved`): partition-spec evolution's
+      // day-2 pass. After days(ts) -> hours(ts), the mixed table reads
+      // fine but its scan degrades to unknown partitioning (SPJ off);
+      // the old blanket cure was compactSnapshot — O(table), exactly
+      // when the table is largest. compactEvolved rewrites ONLY the
+      // pre-`layoutsince` files through the current spec's stamping
+      // writers: REQUIREd to touch exactly the old-generation file
+      // count, the new generation rides byte-identical (paths + sizes
+      // verbatim), every live file then stamps under the current spec
+      // (the scan's "mixed layout generations" degradation clears from
+      // the executed plan — REQUIREd), and the old day now prunes at
+      // HOUR grain (a 1h window opens ONE file where it opened a whole
+      // day — REQUIREd). At 100 TB this turns evolution's one
+      // cluster-day rewrite into an O(old generation) maintenance
+      // pass. Round47Spec pins the SPJ zero-shuffle round-trip and the
+      // equality-DV interplay.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_sgc_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftgc_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (days(ts))")
+        val T0 = 1704067200000000L
+        val H = 3600000000L
+        val src = Tables(s, dir).orders.select(
+          expr(s"timestamp_micros(CAST($T0 + (o_orderkey % 96) * $H AS BIGINT))").as("ts"),
+          col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        src.filter(col("k") % 2 === 0).createOrReplaceTempView("graft_sgc_a")
+        src.filter(col("k") % 2 === 1).createOrReplaceTempView("graft_sgc_b")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sgc_a")
+        s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('evolveLayout'='hours(ts)')")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_sgc_b")
+        val table = s"$wh/t"
+        val m0 = SnapshotTable.manifest(table, 4L)
+        val since = SnapshotTable.layoutSinceOf(m0)
+        val oldGen = m0.files.filter(_.seq < since)
+        val newGen = m0.files.filter(_.seq >= since)
+        require(oldGen.size == 4 && newGen.size == 48,
+          s"4 day files + 48 hour files, got ${oldGen.size}+${newGen.size}")
+        val res = s.sql(
+          s"CALL $cat.system.compact_evolved('t')").collect()(0)
+        require(res.getInt(0) == 4,
+          s"compact_evolved must rewrite EXACTLY the old generation (4 day " +
+            s"files), got ${res.getInt(0)}")
+        val m = SnapshotTable.manifest(table, res.getLong(1))
+        require(newGen.forall(f => m.files.exists(c =>
+          c.path == f.path && c.size == f.size && c.seq == f.seq)),
+          "the new generation must ride byte-identical (paths/sizes/seq verbatim)")
+        require(m.files.forall(_.seq >= since),
+          "no live file may predate the generation boundary after the pass")
+        // the old day is now hour-grained: the file a 1h even-hour
+        // window opens spans < 1 hour of ts where the pre-compaction
+        // match was a whole multi-hour day file; a 6h window opens
+        // exactly its 6 hour files
+        val win1 = (T0 + 72L * H, T0 + 73L * H - 1L)
+        def span(fs: Seq[SnapshotTable.FileEntry]): Long =
+          fs.map(f => f.stats("ts")._2 - f.stats("ts")._1).max
+        require(span(m0.filesFor("ts", win1._1, win1._2)) > H &&
+          span(m.filesFor("ts", win1._1, win1._2)) < H &&
+          m.filesFor("ts", T0 + 72L * H, T0 + 78L * H - 1L).size == 6,
+          "hour-grain pruning must hold across the whole table after the pass")
+        // the degradation note leaves the executed plan
+        val q = s.table(s"$cat.t")
+        q.collect()
+        require(!graft.Stage.executedNodes(q).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.description()
+        }.exists(_.contains("mixed layout generations")),
+          "the scan must stop reporting mixed generations after the pass")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        agg(s.table(s"$cat.t"), "head")
+          .unionByName(agg(s.table(s"$cat.t").where(
+            col("ts") >= expr(s"timestamp_micros(${T0 + 72L * H})") &&
+              col("ts") < expr(s"timestamp_micros(${T0 + 78L * H})")), "win"))
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 2"), "asof"))
+          .orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price,
+             |  o_orderkey % 96 AS h FROM orders)
+             |SELECT 'asof' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM t WHERE k % 2 = 0
+             |UNION ALL
+             |SELECT 'head', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) FROM t
+             |UNION ALL
+             |SELECT 'win', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE h BETWEEN 72 AND 77
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
       "src_snapshot_sql_pos_delete",
       // SQL ROUTE TO POSITION DELETES (the r15 verdict's #4): under
       // TBLPROPERTIES('deleteMode'='positions'), a `DELETE FROM t WHERE
