@@ -1462,7 +1462,8 @@ object SnapshotTable {
   private[sources] def readFiles(
       spark: SparkSession,
       m: Manifest,
-      select: Manifest => Seq[FileEntry]): DataFrame = {
+      select: Manifest => Seq[FileEntry],
+      applyPositions: Boolean = false): DataFrame = {
     val entries = select(m)
     // subset reads under outstanding POSITION deletes: allowed iff every
     // selected file is PROVABLY un-named by every sidecar — its path
@@ -1472,9 +1473,23 @@ object SnapshotTable {
     // change feed's append arms serving through a trickle-positions
     // epoch: files appended AFTER a sidecar can never be named by it,
     // and usually sit outside its range. Unprovable subsets refuse as
-    // before (this path cannot apply physical-ordinal deletes).
+    // before — UNLESS the caller opted into `applyPositions`, the
+    // selective-rewrite read shape: the subset then reads with its
+    // TRUE per-file ordinals (`_metadata.row_index`, computed by the
+    // parquet reader from file metadata — exact regardless of
+    // row-group scheduling; the scan pushes no filters here) and
+    // anti-joins the overlapping sidecars' (_file,_pos) pairs, so the
+    // rewrite materializes exactly the outstanding deletes. Only the
+    // sidecars whose recorded range may name a selected file load;
+    // rows naming unselected files simply never match.
     val posRefs = posDvRefs(m)
-    if (posRefs.nonEmpty) {
+    val posHit: Seq[PosDvRef] =
+      if (posRefs.isEmpty) Nil
+      else posRefs.filter(r => entries.exists(f =>
+        r.range.forall { case (lo, hi) =>
+          FileEntry.bytesLe(lo, f.path) && FileEntry.bytesLe(f.path, hi)
+        }))
+    if (posHit.nonEmpty && !applyPositions) {
       val unprovable = entries.filter(f => posRefs.exists(r =>
         r.range.forall { case (lo, hi) =>
           FileEntry.bytesLe(lo, f.path) && FileEntry.bytesLe(f.path, hi)
@@ -1485,6 +1500,36 @@ object SnapshotTable {
           "read path cannot apply physical-ordinal deletes; read the full " +
           "table (position-aware V2 route) or compactSnapshot first")
     }
+    val posApply = applyPositions && posHit.nonEmpty
+    def freshName(stem: String): String = Iterator.from(0)
+      .map(i => if (i == 0) stem else s"$stem$i")
+      .find(n => !m.schema.fieldNames.contains(n)).get
+    val pFileC = freshName("__graft_pfile")
+    val pPosC = freshName("__graft_ppos")
+    // scheme-normalize a file-source `_metadata.file_path` URI to the
+    // raw local path the manifest (and the sidecars' `_file` column)
+    // record: `file:/x`, `file://x`, `file:///x` all become `/x`
+    def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(c, "^file:/*", "/")
+    def withOrdinals(df: DataFrame): DataFrame =
+      if (!posApply) df
+      else df.select(col("*"),
+        normPath(col("_metadata.file_path")).as(pFileC),
+        col("_metadata.row_index").as(pPosC))
+    def stripPositions(df: DataFrame): DataFrame =
+      if (!posApply) df
+      else {
+        val del = posHit.map(r => spark.read.parquet(r.path).select(
+            col("_file").cast("string").as(s"${pFileC}_d"),
+            col("_pos").cast("long").as(s"${pPosC}_d")))
+          .reduce(_.unionByName(_))
+        // delete-batch-derived side: structural shuffle hint, never a
+        // size-estimate broadcast (the r8 rule)
+        df.join(del.hint("shuffle_hash"),
+            df(pFileC) === col(s"${pFileC}_d") &&
+              df(pPosC) === col(s"${pPosC}_d"), "left_anti")
+          .drop(pFileC, pPosC)
+      }
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
     // merge-on-read: apply the manifest's accumulated deletion vectors,
@@ -1500,7 +1545,8 @@ object SnapshotTable {
     dvRefs(m) match {
       case Nil =>
         if (entries.isEmpty) empty
-        else spark.read.schema(m.schema).parquet(entries.map(_.path): _*)
+        else stripPositions(withOrdinals(
+          spark.read.schema(m.schema).parquet(entries.map(_.path): _*)))
       case refs =>
         val key = m.extra(DvKeyK)
         def fresh(stem: String): String = Iterator.from(0)
@@ -1513,13 +1559,14 @@ object SnapshotTable {
         // DISTINCT seq over disjoint file sets — same total I/O as one
         // scan, and the seq count is bounded by commits since the last
         // compaction (which re-zeros it)
-        val base = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
+        val base0 = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
           .map { case (s, fs) =>
-            spark.read.schema(m.schema).parquet(fs.map(_.path): _*)
+            withOrdinals(spark.read.schema(m.schema).parquet(fs.map(_.path): _*))
               .withColumn(fseq, lit(s))
           }
           .reduceOption(_.unionByName(_))
           .getOrElse(empty.withColumn(fseq, lit(0L)))
+        val base = stripPositions(base0)
         val dv = refs.map { r =>
           spark.read.parquet(r.path)
             .select(col(key).as(dvk), lit(r.seq).as(dvq))
@@ -2457,10 +2504,13 @@ object SnapshotTable {
     * the subset reads DV-APPLIED (rewritten rows materialize their
     * deletes) and the chain rides forward for the untouched files —
     * rewritten files commit at a sequence past every outstanding DV,
-    * so nothing double-applies. Position deletes refuse (their
-    * ordinals die with the rewritten files; compactSnapshot is the
-    * cure), as do mixed layout generations (group stamps from two
-    * specs share a channel; full compaction re-unifies first).
+    * so nothing double-applies. Outstanding POSITION sidecars split
+    * around the rewrite: the subset reads with true per-file ordinals
+    * and materializes the positions naming rewritten files, while the
+    * kept-file remainder re-lands as one consolidated sidecar and
+    * provably-disjoint sidecars carry verbatim ([[splitPosSidecars]]).
+    * Mixed layout generations refuse (group stamps from two specs
+    * share a channel; [[compactEvolved]] re-unifies first).
     * Returns (groupsRewritten, filesRewritten, publishedVersion);
     * (0, 0, current) when nothing is fragmented. */
   def compactFragmented(
@@ -2476,9 +2526,6 @@ object SnapshotTable {
       s"compactFragmented needs a transform layout (bucket/truncate/temporal) " +
         s"on $table — group membership is the stamp; plain tables use " +
         "compactSnapshot")
-    require(posDvPaths(m).isEmpty,
-      s"$table carries outstanding position-delete sidecar(s) — their ordinals " +
-        "die with a rewrite; run compactSnapshot (materializes them) instead")
     val since = layoutSinceOf(m)
     require(since == 0 || m.files.forall(_.seq >= since),
       s"$table holds mixed layout generations — group stamps from two specs " +
@@ -2515,9 +2562,11 @@ object SnapshotTable {
     * to the rewritten subset during the read (their deletes
     * materialize) and ride forward for the untouched files — nothing
     * double-applies, because rewritten files commit at a sequence past
-    * every outstanding DV. A layout evolved to 'none' or to an identity
-    * cluster has no transform to restamp under — those re-unify through
-    * [[compactSnapshot]], and the refusal says so.
+    * every outstanding DV; position-delete sidecars split around the
+    * rewrite exactly as in [[compactFragmented]]. A layout evolved to
+    * 'none' or to an identity cluster has no transform to restamp
+    * under — those re-unify through [[compactSnapshot]], and the
+    * refusal says so.
     * Returns (filesRewritten, publishedVersion); (0, current) when no
     * live file predates the current generation (nothing to do). */
   def compactEvolved(
@@ -2537,13 +2586,55 @@ object SnapshotTable {
       s"$table's current layout declares no transform (bucket/truncate/" +
         "temporal) to restamp the old generation under — a layout evolved to " +
         "'none' or an identity cluster re-unifies through compactSnapshot")
-    require(posDvPaths(m).isEmpty,
-      s"$table carries outstanding position-delete sidecar(s) — their ordinals " +
-        "die with a rewrite; run compactSnapshot (materializes them) instead")
     val old = m.files.filter(_.seq < since)
     if (old.isEmpty) return (0, cur)
     val (_, v) = compactLayout(spark, table, targetBytes, io, only = Some(old))
     (old.size, v)
+  }
+
+  /** Split the outstanding position-delete sidecar set around a
+    * selective rewrite of `rewritten` files: sidecars whose recorded
+    * named-file byte range provably misses every rewritten path carry
+    * VERBATIM (zero reads); the overlapping ones load (delete-batch-
+    * sized), drop the rows naming rewritten files (those deletes
+    * materialized in the rewrite's position-applied read), and their
+    * kept-file remainder re-lands as ONE consolidated, range-tagged
+    * sidecar. Returns the replacement `PosDvFilesK` entry — absent when
+    * nothing survives (the whole chain was consumed by the rewrite). */
+  private def splitPosSidecars(
+      spark: SparkSession,
+      m: Manifest,
+      rewritten: Set[String],
+      table: String,
+      next: Long,
+      io: SnapshotIO): Map[String, String] = {
+    val refs = posDvRefs(m)
+    if (refs.isEmpty) return Map.empty
+    val (overlap, disjoint) = refs.partition(r => r.range.forall {
+      case (lo, hi) => rewritten.exists(p =>
+        FileEntry.bytesLe(lo, p) && FileEntry.bytesLe(p, hi))
+    })
+    if (overlap.isEmpty) return Map(PosDvFilesK -> posDvEncode(refs))
+    import spark.implicits._
+    // the rewritten-path side is manifest-subset-sized and driver-held
+    // already — broadcast is structural here, not an estimate
+    val rw = rewritten.toSeq.toDF("__graft_rwp")
+    val remain = overlap.map(r => spark.read.parquet(r.path))
+      .reduce(_.unionByName(_))
+      .join(broadcast(rw), col("_file") === col("__graft_rwp"), "left_anti")
+      .select(col("_file").cast("string"), col("_pos").cast("long"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$table/data/v${next}_${token}_posdv"
+    remain.coalesce(1).write.mode("errorifexists").parquet(dir)
+    val agg0 = spark.read.parquet(dir)
+      .agg(count(lit(1)), min(col("_file")), max(col("_file"))).collect()(0)
+    val newRefs =
+      if (agg0.getLong(0) == 0L) Nil
+      else io.list(dir).filter(_.endsWith(".parquet")).sorted.map(n =>
+        PosDvRef(s"$dir/$n", agg0.getLong(0),
+          Some((agg0.getString(1), agg0.getString(2)))))
+    val all = disjoint ++ newRefs
+    if (all.isEmpty) Map.empty else Map(PosDvFilesK -> posDvEncode(all))
   }
 
   private def compactLayout(
@@ -2614,7 +2705,7 @@ object SnapshotTable {
     // in one task — the rolling writer then cuts one stamped file per
     // group (maxRowsPerFile still splits hot groups)
     val base = (only match {
-      case Some(frag) => readFiles(spark, m, _ => frag)
+      case Some(frag) => readFiles(spark, m, _ => frag, applyPositions = true)
       case None       => read(spark, table, Some(cur), io)
     }).select(schema.fieldNames.map(col).toSeq: _*)
     val laid =
@@ -2665,11 +2756,18 @@ object SnapshotTable {
       case Some(frag) =>
         // selective: untouched files ride VERBATIM (original entries,
         // original seq — their generation and DV scoping unchanged);
-        // mode=merge, like every partial rewrite
+        // mode=merge, like every partial rewrite. The position-delete
+        // sidecar set SPLITS around the rewrite: rows naming rewritten
+        // files were materialized by the DV-applied read above and must
+        // not survive (their files leave the manifest), rows naming
+        // kept files re-land as one consolidated sidecar, and sidecars
+        // provably disjoint from the rewrite carry verbatim.
         val fragPaths = frag.map(_.path).toSet
         val kept = m.files.filterNot(f => fragPaths(f.path))
+        val posCarry = splitPosSidecars(spark, m, fragPaths, table, cur + 1, io)
         publishManifest(table, cur + 1, cur, schema, Vector.empty, kept ++ entries,
-          "merge", tableDecls(m) ++ dvExtra(m) ++
+          "merge", tableDecls(m) ++
+            (dvExtra(m) - PosDvFilesK) ++ posCarry ++
             Map("compacted-groups-from" -> cur.toString), io)
       case None =>
         publishManifest(table, cur + 1, cur, schema, Vector.empty, entries,

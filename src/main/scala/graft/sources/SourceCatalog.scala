@@ -2637,10 +2637,18 @@ object SourceCatalog extends QueryModule {
       // equality), every group back to one file, a one-day read plans
       // ONE partition, mode=merge (a partial rewrite, so incremental
       // readers refuse across it — honest), and a second pass is a
-      // NO-OP (nothing fragmented, no commit). Round46Spec pins the
-      // eq-DV interplay (subset reads DV-applied, chain carried for
-      // the untouched files, nothing double-applies), the position and
-      // mixed-generation refusals, and the compound arm.
+      // NO-OP (nothing fragmented, no commit). The trickle-positions
+      // epoch (the r16 verdict's #2) runs BEFORE the pass: one
+      // position-delete batch names a HOT file and a COLD file; the
+      // rewrite reads position-applied (true `_metadata.row_index`
+      // ordinals), materializes the hot row's delete, and SPLITS the
+      // sidecar — the cold row re-lands as one consolidated ref whose
+      // range tags exactly the cold file (REQUIREd), still applied
+      // reader-side after the pass (row identity REQUIREd against the
+      // pre-compaction state). Round46Spec pins the eq-DV interplay
+      // (subset reads DV-applied, chain carried for the untouched
+      // files, nothing double-applies), the fully-consumed-sidecar
+      // drop, the mixed-generation refusal, and the compound arm.
       (s, dir) => {
         val wh = graft.Stage.dir("graft_cprt_", dir).getPath
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
@@ -2665,7 +2673,16 @@ object SourceCatalog extends QueryModule {
           s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_cprt_hot$i")
         }
         val table = s"$wh/t"
-        val before = SnapshotTable.manifest(table, 5L)
+        // trickle-positions epoch: one batch killing the smallest hot-
+        // day-1 key and the smallest cold-day-0 key by physical ordinal
+        val k1 = src.filter(col("k") % 4 === 1).agg(min("k")).collect()(0).getLong(0)
+        val k0 = src.filter(col("k") % 4 === 0).agg(min("k")).collect()(0).getLong(0)
+        SnapshotTable.deletePositions(
+          s.table(s"$cat.t").where(col("k").isin(k0, k1)).select("_file", "_pos"),
+          table)
+        val before = SnapshotTable.manifest(table, 6L)
+        require(SnapshotTable.posDvRefs(before).size == 1, "one trickle sidecar")
+        val preRows = s.table(s"$cat.t").count()
         // __tpart stamps are day ORDINALS: cold days 0 and 3
         val d0 = T0 / (24L * H)
         val coldPaths = before.files
@@ -2673,6 +2690,8 @@ object SourceCatalog extends QueryModule {
             f.stats(SnapshotTable.TemporalStat)._1 == d0 + 3)
           .map(_.path).toSet
         require(coldPaths.size == 2, s"2 cold-day files, got ${coldPaths.size}")
+        val coldDay0 = before.files
+          .find(_.stats(SnapshotTable.TemporalStat)._1 == d0).get.path
         require(before.files.size > 4, "the hot days must be fragmented")
         val (groups, files, v) = SnapshotTable.compactFragmented(s, table)
         require(groups == 2 && files == before.files.size - 2,
@@ -2682,6 +2701,15 @@ object SourceCatalog extends QueryModule {
         require(coldPaths.subsetOf(m.files.map(_.path).toSet),
           "cold days' files must ride byte-identical (path equality)")
         require(m.files.size == 4, "one file per day after the pass")
+        // the sidecar SPLIT around the rewrite: the hot row's delete
+        // materialized, the cold row re-landed as one consolidated ref
+        // range-tagged to exactly the cold day-0 file, still applied
+        val refsAfter = SnapshotTable.posDvRefs(m)
+        require(refsAfter.size == 1 && refsAfter.head.count == 1L &&
+          refsAfter.head.range.contains((coldDay0, coldDay0)),
+          s"want one consolidated single-row ref on the cold file, got $refsAfter")
+        require(s.table(s"$cat.t").count() == preRows,
+          "row identity must match the pre-compaction state exactly")
         val (g2, f2, v2) = SnapshotTable.compactFragmented(s, table)
         require(g2 == 0 && f2 == 0 && v2 == v, "a clean table is a NO-OP")
         // a one-day read plans ONE partition
@@ -2701,7 +2729,11 @@ object SourceCatalog extends QueryModule {
             .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
         agg(s.table(s"$cat.t"), "all").unionByName(agg(day1, "day1")).orderBy("arm")
       },
-      Some("""WITH t AS (SELECT o_orderkey % 4 AS d, o_totalprice AS price FROM orders)
+      Some("""WITH t AS (SELECT o_orderkey % 4 AS d, o_totalprice AS price FROM orders
+             |  WHERE o_orderkey <>
+             |    (SELECT MIN(o_orderkey) FROM orders WHERE o_orderkey % 4 = 1)
+             |  AND o_orderkey <>
+             |    (SELECT MIN(o_orderkey) FROM orders WHERE o_orderkey % 4 = 0))
              |SELECT 'all' AS arm, COUNT(*)::BIGINT AS n_rows,
              |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price FROM t
              |UNION ALL

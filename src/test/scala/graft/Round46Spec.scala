@@ -68,33 +68,74 @@ class Round46Spec extends AnyFunSuite {
     assert(got.size === 28)
   }
 
-  test("refusals: outstanding position deletes and mixed layout " +
-      "generations both refuse with the cure named") {
+  test("selective compaction under outstanding position deletes: " +
+      "rewritten groups materialize their positions, the kept-file " +
+      "remainder re-lands consolidated, fully-consumed sidecars drop, " +
+      "cold files ride byte-identical") {
     val (cat, wh) = freshCatalog()
-    spark.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT) " +
-      "PARTITIONED BY (days(ts))")
+    spark.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT NOT NULL) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES('statsColumns'='k')")
     val table = s"$wh/t"
+    def ins(lo: Long, hi: Long, day: Long): Unit = {
+      spark.range(lo, hi).select(
+          expr(s"timestamp_micros(CAST($T0 + $day * $D AS BIGINT))").as("ts"),
+          col("id").as("k"))
+        .createOrReplaceTempView("g46_p")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM g46_p")
+    }
+    ins(0, 10, 0)   // v2: day0 file A
+    ins(10, 20, 1)  // v3: day1 file (the cold, single-file day)
+    ins(20, 30, 0)  // v4: day0 file B — day0 now fragmented
+    // trickle batch 1 (v5): one sidecar naming a DAY0 file AND the
+    // day1 file — must SPLIT; batch 2 (v6): names only a day0 file —
+    // fully consumed by the rewrite
+    def posOf(keys: Long*) = spark.table(s"$cat.t")
+      .where(col("k").isin(keys: _*)).select("_file", "_pos")
+    SnapshotTable.deletePositions(posOf(0L, 10L), table)
+    SnapshotTable.deletePositions(posOf(20L), table)
+    assert(SnapshotTable.posDvRefs(SnapshotTable.manifest(table, 6L)).size === 2)
+    val preRows = spark.table(s"$cat.t").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(preRows === (0L until 30L).filterNot(Set(0L, 10L, 20L)))
+    val day1 = SnapshotTable.manifest(table, 6L).files.find(
+      _.stats(SnapshotTable.TemporalStat)._1 == T0 / D + 1).get
+    val (groups, files, v) = SnapshotTable.compactFragmented(spark, table)
+    assert(groups === 1 && files === 2, "only day0 is fragmented")
+    val m = SnapshotTable.manifest(table, v)
+    assert(m.files.exists(f => f.path == day1.path && f.size == day1.size),
+      "the cold day rides byte-identical")
+    // the sidecar set split: one consolidated ref remains, holding
+    // ONLY the day1 row, its range tagged to the day1 file
+    val refs = SnapshotTable.posDvRefs(m)
+    assert(refs.size === 1 && refs.head.count === 1L &&
+      refs.head.range.contains((day1.path, day1.path)),
+      s"want one consolidated single-row ref on day1, got $refs")
+    // row identity is exactly the pre-compaction state: day0's
+    // positions materialized in the rewrite, day1's still applies
+    // reader-side through the V2 route
+    assert(spark.table(s"$cat.t").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === preRows)
+    // and the rewritten day0 files physically dropped k=0 and k=20
+    val day0 = m.files.filterNot(_.path == day1.path)
+    assert(day0.forall(_.seq == v))
+    assert(spark.read.parquet(day0.map(_.path): _*).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      ((1L until 10L) ++ (21L until 30L)))
+  }
+
+  test("mixed layout generations still refuse, naming compactEvolved") {
+    val (cat2, wh2) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat2.t (ts TIMESTAMP NOT NULL, k BIGINT) " +
+      "PARTITIONED BY (days(ts))")
     spark.range(4).select(
         expr(s"timestamp_micros(CAST($T0 + (id % 2) * $D AS BIGINT))").as("ts"),
         col("id").as("k"))
       .createOrReplaceTempView("g46_r")
-    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g46_r")
-    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g46_r")
-    import spark.implicits._
-    val f = SnapshotTable.manifest(table, 3L).files.head.path
-    SnapshotTable.deletePositions(Seq(0L).toDF("_pos").withColumn("_file", lit(f)),
-      table)
-    val e1 = intercept[Exception] { SnapshotTable.compactFragmented(spark, table) }
-    assert(e1.getMessage.contains("position-delete"))
-    // mixed generations
-    val (cat2, wh2) = freshCatalog()
-    spark.sql(s"CREATE TABLE $cat2.t (ts TIMESTAMP NOT NULL, k BIGINT) " +
-      "PARTITIONED BY (days(ts))")
     spark.sql(s"INSERT INTO $cat2.t SELECT * FROM g46_r")
     spark.sql(s"ALTER TABLE $cat2.t SET TBLPROPERTIES('evolveLayout'='hours(ts)')")
     spark.sql(s"INSERT INTO $cat2.t SELECT * FROM g46_r")
     val e2 = intercept[Exception] { SnapshotTable.compactFragmented(spark, s"$wh2/t") }
-    assert(e2.getMessage.contains("mixed layout generations"))
+    assert(e2.getMessage.contains("compactEvolved"))
   }
 
   test("the compound arm: a fragmented (month, bucket) group rewrites " +

@@ -133,8 +133,8 @@ class Round47Spec extends AnyFunSuite {
       .filterNot(k => k == 5L || k == 73L))
   }
 
-  test("guardrails: no evolution recorded, layout evolved to 'none', and " +
-      "outstanding position deletes all refuse with the cure named") {
+  test("guardrails: no evolution recorded and layout evolved to 'none' " +
+      "refuse; outstanding position deletes split around the rewrite") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, k BIGINT) " +
       "PARTITIONED BY (days(ts))")
@@ -149,7 +149,8 @@ class Round47Spec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('evolveLayout'='none')")
     val e2 = intercept[Exception] { SnapshotTable.compactEvolved(spark, table) }
     assert(e2.getMessage.contains("compactSnapshot"))
-    // a real evolution + a position sidecar: the ordinal hazard refuses
+    // a real evolution + a position sidecar naming only OLD-generation
+    // files: the rewrite materializes it and the sidecar set empties
     val (cat2, wh2) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat2.t (ts TIMESTAMP NOT NULL, k BIGINT) " +
       "PARTITIONED BY (days(ts))")
@@ -157,11 +158,17 @@ class Round47Spec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat2.t SELECT * FROM g47_g")
     spark.sql(s"ALTER TABLE $cat2.t SET TBLPROPERTIES('evolveLayout'='hours(ts)')")
     spark.sql(s"INSERT INTO $cat2.t SELECT * FROM g47_g")
-    import spark.implicits._
-    val f = SnapshotTable.manifest(table2, 2L).files.head.path
-    SnapshotTable.deletePositions(
-      Seq(0L).toDF("_pos").withColumn("_file", lit(f)), table2)
-    val e3 = intercept[Exception] { SnapshotTable.compactEvolved(spark, table2) }
-    assert(e3.getMessage.contains("position-delete"))
+    val gen0Paths = SnapshotTable.manifest(table2, 2L).files.map(_.path)
+    val dead = spark.table(s"$cat2.t")
+      .where(col("k") === 0 && col("_file").isin(gen0Paths: _*))
+      .select("_file", "_pos")
+    SnapshotTable.deletePositions(dead, table2)
+    assert(spark.table(s"$cat2.t").count() === 7)
+    val (rw, v2) = SnapshotTable.compactEvolved(spark, table2)
+    assert(rw === 2, "both old-generation day files rewrite")
+    val m2 = SnapshotTable.manifest(table2, v2)
+    assert(SnapshotTable.posDvRefs(m2).isEmpty,
+      "a sidecar naming only rewritten files is fully consumed")
+    assert(spark.table(s"$cat2.t").count() === 7, "the delete stays applied")
   }
 }
