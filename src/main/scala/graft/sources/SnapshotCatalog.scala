@@ -287,12 +287,18 @@ class SnapshotCatalog extends TableCatalog
     val deleteMode = Option(properties.get("deleteMode")).map(_.trim).filter(_.nonEmpty)
     deleteMode.foreach(dm => require(dm == "positions",
       s"deleteMode takes 'positions', got '$dm'"))
+    // TBLPROPERTIES('changeCapture'='none'): opt out of the write-time
+    // pre-image sidecar position-delta commits record for the feed
+    val changeCapture = Option(properties.get("changeCapture")).map(_.trim).filter(_.nonEmpty)
+    changeCapture.foreach(cc => require(cc == "none" || cc == "preimages",
+      s"changeCapture takes 'none' or 'preimages' (the default), got '$cc'"))
     val extra =
       (if (stats.isEmpty) Map.empty[String, String]
        else Map(SnapshotTable.StatsColsK -> stats.mkString(","))) ++
         morKey.map(SnapshotTable.MorKeyK -> _) ++
         maxRows.map(n => SnapshotTable.MaxRowsK -> n.toString) ++
-        deleteMode.map(SnapshotTable.DeleteModeK -> _) ++ layout
+        deleteMode.map(SnapshotTable.DeleteModeK -> _) ++
+        changeCapture.map(SnapshotTable.ChangeCaptureK -> _) ++ layout
     SnapshotTable.createEmpty(p, schema, extra)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
   }
@@ -363,11 +369,13 @@ class SnapshotCatalog extends TableCatalog
         "statscolumns" -> SnapshotTable.StatsColsK,
         "maxrowsperfile" -> SnapshotTable.MaxRowsK,
         "morkey" -> SnapshotTable.MorKeyK,
-        "deletemode" -> SnapshotTable.DeleteModeK)
+        "deletemode" -> SnapshotTable.DeleteModeK,
+        "changecapture" -> SnapshotTable.ChangeCaptureK)
       def keyOf(prop: String): String = editable.getOrElse(prop.toLowerCase,
         throw new UnsupportedOperationException(
           s"ALTER TABLE $ident: property '$prop' is not evolvable — " +
-            "statsColumns, maxRowsPerFile, morKey and deleteMode are; layout " +
+            "statsColumns, maxRowsPerFile, morKey, deleteMode and " +
+            "changeCapture are; layout " +
             "declarations (bucket/truncate/temporal/identity) evolve only " +
             "through the explicit evolveLayout property (new-spec-for-new-" +
             "files) or INSERT OVERWRITE (full re-layering), DV state is " +
@@ -389,6 +397,11 @@ class SnapshotCatalog extends TableCatalog
               s"deleteMode takes 'positions' (UNSET to restore copy-on-write " +
                 s"routing), got '$value'")
             k -> "positions"
+          case SnapshotTable.ChangeCaptureK =>
+            require(value.trim == "none" || value.trim == "preimages",
+              s"changeCapture takes 'none' or 'preimages' (the default), " +
+                s"got '$value'")
+            k -> value.trim
           case _ => // morKey
             val c = value.trim
             require(m.schema.fieldNames.contains(c), s"morKey names unknown column $c")

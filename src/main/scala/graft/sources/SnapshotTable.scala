@@ -1328,7 +1328,9 @@ object SnapshotTable {
     }
     val mainSegRefs: Set[String] = mainManifests.flatMap(_.segments.map(_.path)).toSet
     val mainRefs: Set[String] =
-      mainManifests.flatMap(_.inline.map(_.path)).toSet ++
+      mainManifests.flatMap(m => m.inline.map(_.path) ++
+        m.extra.get(ChangePreK).map(FileEntry.unhex).toSeq
+          .flatMap(d => io.list(d).map(f => s"$d/$f"))).toSet ++
         mainSegRefs.toSeq.flatMap(p => readSegment(p, io).map(_.path))
     var mDel = 0
     (1L to bcur).foreach { v => if (io.delete(manifestPath(bp, v))) mDel += 1 }
@@ -1709,6 +1711,24 @@ object SnapshotTable {
   /** The declared DELETE routing, if any. */
   def deleteModeOf(m: Manifest): Option[String] = m.extra.get(DeleteModeK)
 
+  /** Reserved manifest key (PER-COMMIT — deliberately NOT carried): the
+    * hex-encoded directory of this commit's write-time CHANGE-ROW
+    * sidecar, holding the full pre-images of the rows the commit
+    * deleted by physical ordinal. Position deletes are row-wise
+    * unattributable after the fact (the ordinal says nothing about the
+    * row once the batch is gone), so the commit captures them while the
+    * rows are still addressable — one O(touched files) pass at write
+    * time buys [[changeFeedIncremental]] an O(delta) read across every
+    * position-delta commit forever after. */
+  private[sources] val ChangePreK = "changepre"
+
+  /** Reserved manifest key: declared change-capture routing —
+    * TBLPROPERTIES('changeCapture'='none') opts a table out of the
+    * write-time pre-image sidecar (retention-delete tables that never
+    * read a change feed shouldn't pay the capture pass); the default
+    * ('preimages') captures. A declaration, so it carries. */
+  private[sources] val ChangeCaptureK = "changecapture"
+
   /** The version since which the current layout keys apply. */
   def layoutSinceOf(m: Manifest): Long =
     m.extra.get(LayoutSinceK).map(_.toLong).getOrElse(0L)
@@ -1929,6 +1949,47 @@ object SnapshotTable {
     * against a version whose files were since rewritten are UNSOUND by
     * construction and refuse loudly. mode=delete: incremental readers
     * refuse across it, like deleteKeys. Returns the published version. */
+  /** WRITE-TIME CHANGE CAPTURE for a position-delta commit: while the
+    * deleted rows are still physically addressable (the batch was
+    * scanned from the live view, so every named ordinal is a live row),
+    * read the named files ONCE with their true per-file ordinals and
+    * semi-join the batch — the match is exactly the deleted rows'
+    * pre-images, which land as one small change sidecar next to the
+    * position sidecar. O(touched files) at write time; it is what lets
+    * [[changeFeedIncremental]] serve delete pre-images across
+    * position-delta commits at O(delta) instead of falling back to the
+    * O(table) state diff. Returns the per-commit [[ChangePreK]]
+    * pointer; empty under TBLPROPERTIES('changeCapture'='none') or for
+    * an empty batch. */
+  private def writeChangePre(
+      spark: SparkSession,
+      m: Manifest,
+      batch: DataFrame,
+      named: Seq[String],
+      table: String,
+      next: Long,
+      io: SnapshotIO): Map[String, String] = {
+    if (named.isEmpty || m.extra.get(ChangeCaptureK).contains("none"))
+      return Map.empty
+    def freshName(stem: String): String = Iterator.from(0)
+      .map(i => if (i == 0) stem else s"$stem$i")
+      .find(n => !m.schema.fieldNames.contains(n)).get
+    val cf = freshName("__graft_cf")
+    val cp = freshName("__graft_cp")
+    val base = spark.read.schema(m.schema).parquet(named: _*)
+      .select(col("*"),
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as(cf),
+        col("_metadata.row_index").as(cp))
+    // batch-derived side: structural shuffle hint, never an estimate
+    val pre = base.join(batch.hint("shuffle_hash"),
+        base(cf) === batch("_file") && base(cp) === batch("_pos"), "left_semi")
+      .drop(cf, cp)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$table/data/v${next}_${token}_chpre"
+    pre.coalesce(1).write.mode("errorifexists").parquet(dir)
+    Map(ChangePreK -> FileEntry.hex(dir))
+  }
+
   def deletePositions(
       pos: DataFrame,
       table: String,
@@ -1966,9 +2027,11 @@ object SnapshotTable {
     val fHi = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) b else a)
     val refs = io.list(dir).filter(_.endsWith(".parquet")).sorted
       .map(n => PosDvRef(s"$dir/$n", cnt, Some((fLo, fHi))))
+    val chpre = writeChangePre(
+      pos.sparkSession, m, batch, named.toSeq, table, next, io)
     publishManifest(table, next, current, m.schema, m.segments, m.inline,
       mode = "delete",
-      extra = tableDecls(m) ++ dvExtra(m) ++
+      extra = tableDecls(m) ++ dvExtra(m) ++ chpre ++
         Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ refs)), io)
   }
 
@@ -2012,8 +2075,14 @@ object SnapshotTable {
           .map(n => PosDvRef(s"$dir/$n", cnt, Some((fLo, fHi))))
         Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ refs))
       }
+    // change capture covers only the FUZZY remainder: the whole-dropped
+    // files' pre-images stay attributable from the parent manifest (the
+    // feed's removed-files arm reads them position-applied)
+    val chpre =
+      if (named.isEmpty) Map.empty[String, String]
+      else writeChangePre(pos.sparkSession, m, batch, named.toSeq, table, next, io)
     publishManifest(table, next, current, m.schema, Nil, kept, "delete",
-      tableDecls(m) ++ dvExtra(m) ++ posExtra, io)
+      tableDecls(m) ++ dvExtra(m) ++ posExtra ++ chpre, io)
   }
 
   /** Maintenance that rewrites data files OUTSIDE the bucketed write
@@ -2119,9 +2188,25 @@ object SnapshotTable {
     val cur = currentVersion(table, io)
     require(cur > 0, s"cannot delta-commit into non-existent table $table")
     val m = manifest(table, cur, io)
+    // write-time change capture for the DML's position deletes: the
+    // sidecars are already on disk (task-written), batch-sized; one
+    // O(touched files) pass recovers the pre-images while the ordinals
+    // still address them. The O(batch) distinct-file collect is the
+    // documented stats-routing contract.
+    val chpre =
+      if (sidecars.isEmpty) Map.empty[String, String]
+      else {
+        val spark = SparkSession.active
+        val batch = sidecars.map(r => spark.read.parquet(r.path))
+          .reduce(_.unionByName(_))
+          .select(col("_file").cast("string"), col("_pos").cast("long"))
+        val named = batch.select("_file").distinct().collect()
+          .map(_.getString(0)).toSeq
+        writeChangePre(spark, m, batch, named, table, cur + 1, io)
+      }
     publishManifest(table, cur + 1, cur, m.schema,
       m.segments, m.inline ++ entries, "merge",
-      tableDecls(m) ++ dvExtra(m) ++
+      tableDecls(m) ++ dvExtra(m) ++ chpre ++
         Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ sidecars)), io)
   }
 
@@ -2143,7 +2228,7 @@ object SnapshotTable {
     * forgetting a NEW key here, not by missing one of nine sites. */
   private[sources] val DeclKeys: Set[String] = Set(
     ClusterK, BucketK, TruncK, TemporalK, LayoutSinceK, LayoutHistK,
-    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK)
+    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK, ChangeCaptureK)
 
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(DeclKeys).toMap
@@ -3187,29 +3272,44 @@ object SnapshotTable {
         StructType(org.apache.spark.sql.types.StructField(
           "_change_type", StringType, nullable = false) +: mv.schema.fields))
     // a commit that RECORDS position sidecars (deletePositions / the
-    // position-delta DML) removes rows by physical ordinal — this
-    // file/DV-delta walk cannot attribute those to pre-images (and with
-    // the readFiles range proof now admitting append subsets, it would
-    // otherwise read as a pure append and SILENTLY miss the deletes)
+    // position-delta DML) removes rows by physical ordinal — row-wise
+    // unattributable after the fact. The commit therefore captured the
+    // pre-images at WRITE time ([[writeChangePre]]): serve the deletes
+    // from that per-commit change sidecar, O(delta). A commit without
+    // one (changeCapture='none', or legacy) still refuses loudly — with
+    // the readFiles range proof admitting append subsets, it would
+    // otherwise read as a pure append and SILENTLY miss the deletes.
     val newPos = posDvRefs(mv).map(_.path).toSet -- posDvRefs(mp).map(_.path).toSet
-    require(newPos.isEmpty,
-      s"commit $v of $table records ${newPos.size} position-delete sidecar(s) — " +
-        "the incremental change feed cannot attribute physical-ordinal deletes; " +
-        "use the state-based changeFeed for this range")
+    val chPre: Option[DataFrame] =
+      if (newPos.isEmpty) None
+      else {
+        val dir = mv.extra.get(ChangePreK).map(FileEntry.unhex)
+        require(dir.isDefined,
+          s"commit $v of $table records ${newPos.size} position-delete " +
+            "sidecar(s) with no write-time change capture (changeCapture=" +
+            "'none' or a pre-capture commit) — physical-ordinal deletes are " +
+            "unattributable after the fact; use the state-based changeFeed " +
+            "for this range")
+        Some(spark.read.schema(mp.schema).parquet(dir.get))
+      }
     val pPaths = mp.files.map(_.path).toSet
     val vPaths = mv.files.map(_.path).toSet
     val added = mv.files.filterNot(f => pPaths(f.path))
     val removed = mp.files.filterNot(f => vPaths(f.path))
     val oldDv = dvRefs(mp).map(_.path).toSet
     val dvNew = dvRefs(mv).filterNot(r => oldDv(r.path))
-    val post = readFiles(spark, mv, _ => added)
-    if (removed.isEmpty && dvNew.isEmpty)
+    // position-applied subset reads throughout: rows a PRIOR trickle
+    // sidecar already killed must not resurface as this commit's
+    // pre-images (and added files can never be named by this commit's
+    // own sidecar — deletes target rows that existed before it)
+    val post = readFiles(spark, mv, _ => added, applyPositions = true)
+    if (removed.isEmpty && dvNew.isEmpty && chPre.isEmpty)
       // pure append: the added files ARE the inserts — no diff join
       return post.select(lit("insert").as("_change_type") +: cols.map(col): _*)
     require(dvNew.isEmpty || dvKeyNameOf(mv) == key,
       s"commit $v stamps deletion vectors keyed on ${dvKeyNameOf(mv)} — the " +
         s"change feed must diff on that identity, got $key")
-    val preRemoved = readFiles(spark, mp, _ => removed)
+    val preRemoved = readFiles(spark, mp, _ => removed, applyPositions = true)
     val preKept =
       if (dvNew.isEmpty) preRemoved.limit(0)
       else {
@@ -3263,10 +3363,10 @@ object SnapshotTable {
             }
           case _ => kept // unprunable key type: read carried files (sound)
         }
-        readFiles(spark, mp, _ => hit)
+        readFiles(spark, mp, _ => hit, applyPositions = true)
           .join(dvk.hint("shuffle_hash"), Seq(key), "left_semi")
       }
-    val pre = preRemoved.unionByName(preKept)
+    val pre = chPre.foldLeft(preRemoved.unionByName(preKept))(_.unionByName(_))
     if (added.isEmpty)
       // nothing appended: every pre-image is a deletion (DV-only
       // deleteKeys commits, metadata file drops) — no diff join needed
@@ -3434,7 +3534,11 @@ object SnapshotTable {
     val liveSegments: Seq[String] = liveManifests.flatMap(_.segments.map(_.path)).distinct
     val referenced: Set[String] =
       liveManifests.flatMap(m =>
-        m.inline.map(_.path) ++ dvPaths(m) ++ posDvPaths(m)).toSet ++
+        m.inline.map(_.path) ++ dvPaths(m) ++ posDvPaths(m) ++
+          // a retained commit's change-row sidecar stays readable: the
+          // pointer names a directory, so pin its files
+          m.extra.get(ChangePreK).map(FileEntry.unhex).toSeq
+            .flatMap(d => io.list(d).map(f => s"$d/$f"))).toSet ++
         liveSegments.flatMap(p => readSegment(p, io).map(_.path))
     var fDel = 0
     val dataRoot = s"$table/data"

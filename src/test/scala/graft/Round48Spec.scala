@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SnapshotCatalog, SnapshotTable}
+
+/** Round-48 wave: WRITE-TIME CHANGE CAPTURE for position-delta commits
+  * — the pre-images a physical-ordinal delete can never recover after
+  * the fact are persisted as a per-commit change sidecar while the
+  * rows are still addressable, and `changeFeedIncremental` serves
+  * delete pre-images from it at O(delta) across deletePositions / SQL
+  * position-delta DML commits. Pins exact pre-images, the
+  * non-resurrection rule under trickle sidecars, the state-feed
+  * cross-check, the changeCapture='none' opt-out refusal, and vacuum
+  * pinning the capture sidecar of retained commits.
+  */
+class Round48Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshCatalog(): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_snap48").toString
+    val cat = "g48" + wh.takeRight(8).replaceAll("[^0-9a-zA-Z]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("deletePositions captures exact pre-images; the incremental feed " +
+      "crosses the commit, and a prior trickle sidecar's rows never " +
+      "resurface as later pre-images") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions')")
+    val table = s"$wh/t"
+    spark.range(10).select(col("id").as("k"), concat(lit("r"), col("id")).as("v"))
+      .coalesce(1).createOrReplaceTempView("g48_a")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_a")
+    def posOf(keys: Long*) = spark.table(s"$cat.t")
+      .where(col("k").isin(keys: _*)).select("_file", "_pos")
+    SnapshotTable.deletePositions(posOf(1L, 3L), table) // v3
+    SnapshotTable.deletePositions(posOf(5L), table)     // v4 — same file!
+    assert(SnapshotTable.manifest(table, 3L).extra.contains("changepre") &&
+      SnapshotTable.manifest(table, 4L).extra.contains("changepre"),
+      "each position commit records its write-time capture")
+    val feed = SnapshotTable.changeFeedIncremental(spark, table, 2L, 4L, "k")
+      .select("_commit_version", "_change_type", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(feed.toSeq === Seq(
+      (3L, "delete", 1L, "r1"), (3L, "delete", 3L, "r3"),
+      (4L, "delete", 5L, "r5")),
+      "exact pre-images per commit; v4 must NOT resurface v3's rows")
+    // state-based cross-check, commit by commit
+    (3L to 4L).foreach { v =>
+      val inc = SnapshotTable.changeFeedIncremental(spark, table, v - 1, v, "k")
+        .drop("_commit_version")
+      val st = SnapshotTable.changeFeed(spark, table, v - 1, v, "k")
+      assert(inc.exceptAll(st).isEmpty && st.exceptAll(inc).isEmpty,
+        s"state feed and incremental feed must agree at commit $v")
+    }
+  }
+
+  test("SQL position-delta DML (UPDATE then row-level DELETE): the feed " +
+      "serves update pre/post pairs and delete pre-images across the " +
+      "chain, agreeing with the state diff") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, price DOUBLE) " +
+      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions')")
+    val table = s"$wh/t"
+    spark.range(20).select(col("id").as("k"), (col("id") * 1.0).as("price"))
+      .createOrReplaceTempView("g48_b")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_b")
+    spark.sql(s"UPDATE $cat.t SET price = price + 100.0 WHERE k < 5")  // v3
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 13 = 7")                  // v4
+    val m3 = SnapshotTable.manifest(table, 3L)
+    assert(m3.extra.get("mode").contains("merge") && m3.extra.contains("changepre"))
+    val feed = SnapshotTable.changeFeedIncremental(spark, table, 2L, 4L, "k")
+    val byType = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(byType === Map(
+      ((3L, "update_preimage"), 5L), ((3L, "update_postimage"), 5L),
+      ((4L, "delete"), 1L)))
+    assert(feed.where(col("_change_type") === "update_postimage")
+      .agg(sum("price")).collect()(0).getDouble(0) === (0 until 5).map(_ + 100.0).sum)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    (3L to 4L).foreach { v =>
+      val inc = SnapshotTable.changeFeedIncremental(spark, table, v - 1, v, "k")
+        .drop("_commit_version")
+      val st = SnapshotTable.changeFeed(spark, table, v - 1, v, "k")
+      assert(inc.exceptAll(st).isEmpty && st.exceptAll(inc).isEmpty,
+        s"state feed and incremental feed must agree at commit $v")
+    }
+  }
+
+  test("changeCapture='none' opts out: the commit records no capture " +
+      "and the feed refuses loudly; vacuum pins retained captures") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES('deleteMode'='positions','changeCapture'='none')")
+    val table = s"$wh/t"
+    spark.range(6).select(col("id").as("k"), concat(lit("x"), col("id")).as("v"))
+      .coalesce(1).createOrReplaceTempView("g48_c")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_c")
+    SnapshotTable.deletePositions(
+      spark.table(s"$cat.t").where(col("k") === 2).select("_file", "_pos"), table)
+    assert(!SnapshotTable.manifest(table, 3L).extra.contains("changepre"))
+    val e = intercept[Exception] {
+      SnapshotTable.changeFeedIncremental(spark, table, 2L, 3L, "k").collect()
+    }
+    assert(e.getMessage.contains("no write-time change capture"))
+    // the declaration carries (DeclKeys): an append must not strip it
+    spark.sql(s"INSERT INTO $cat.t SELECT k + 100, v FROM g48_c")
+    assert(SnapshotTable.manifest(table, 4L).extra.get("changecapture")
+      .contains("none"))
+    // vacuum: a capture-bearing table retains its sidecars for the
+    // kept window and the feed still serves after reclamation
+    val (cat2, wh2) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES('deleteMode'='positions')")
+    val table2 = s"$wh2/t"
+    spark.sql(s"INSERT INTO $cat2.t SELECT * FROM g48_c")
+    SnapshotTable.deletePositions(
+      spark.table(s"$cat2.t").where(col("k") === 1).select("_file", "_pos"), table2)
+    SnapshotTable.vacuum(table2, retainLast = 2)
+    val feed = SnapshotTable.changeFeedIncremental(spark, table2, 2L, 3L, "k")
+      .select("_change_type", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(feed.toSeq === Seq(("delete", 1L)),
+      "vacuum must pin the retained commit's capture sidecar")
+  }
+}
