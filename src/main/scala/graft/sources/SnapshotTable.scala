@@ -3241,7 +3241,10 @@ object SnapshotTable {
     ((fromVersion + 1) to toVersion)
       .map(v => commitChanges(spark, table, v, key, io)
         .withColumn("_commit_version", lit(v)))
-      .reduce(_.unionByName(_))
+      // a feed spanning an add-at-end schema commit unions frames of
+      // different widths: pre-evolution commits NULL-fill the added
+      // tail — the value every pre-evolution row holds there
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** One commit's change rows (see [[changeFeedIncremental]]). */
@@ -3255,11 +3258,26 @@ object SnapshotTable {
     val parent = mv.extra.get("parent").map(_.toLong).getOrElse(v - 1)
     require(parent > 0, s"snapshot $v of $table has no parent to diff against")
     val mp = manifest(table, parent, io)
+    // add-at-end evolution is the ONE schema boundary the manifest
+    // itself supports (appends may only extend; old files read NULL in
+    // the added columns) — the feed crosses it by serving at v's schema
+    // and NULL-filling the added tail on parent-side frames, exactly
+    // the value every pre-evolution row holds for those columns. Any
+    // other shape (rename/drop/reorder/retype never commit via append)
+    // still refuses.
+    val addedTail: Seq[org.apache.spark.sql.types.StructField] =
+      mv.schema.fields.drop(mp.schema.fields.length).toSeq
     require(
-      mp.schema.fieldNames.sameElements(mv.schema.fieldNames),
-      s"incremental change feed across a schema boundary at $v " +
+      mv.schema.fields.length >= mp.schema.fields.length &&
+        mp.schema.fields.indices.forall(i =>
+          mv.schema.fields(i).name == mp.schema.fields(i).name &&
+            mv.schema.fields(i).dataType == mp.schema.fields(i).dataType),
+      s"incremental change feed across a non-extending schema boundary at $v " +
         s"(${mp.schema.simpleString} vs ${mv.schema.simpleString}) — " +
         "diff the common columns explicitly instead")
+    def padToV(df: DataFrame): DataFrame =
+      addedTail.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
     val cols = mv.schema.fieldNames.toSeq
     require(cols.contains(key), s"no column $key in $table")
     // a DV-consolidation commit rewrites the sidecar layout WITHOUT
@@ -3290,7 +3308,7 @@ object SnapshotTable {
             "'none' or a pre-capture commit) — physical-ordinal deletes are " +
             "unattributable after the fact; use the state-based changeFeed " +
             "for this range")
-        Some(spark.read.schema(mp.schema).parquet(dir.get))
+        Some(padToV(spark.read.schema(mp.schema).parquet(dir.get)))
       }
     val pPaths = mp.files.map(_.path).toSet
     val vPaths = mv.files.map(_.path).toSet
@@ -3309,7 +3327,8 @@ object SnapshotTable {
     require(dvNew.isEmpty || dvKeyNameOf(mv) == key,
       s"commit $v stamps deletion vectors keyed on ${dvKeyNameOf(mv)} — the " +
         s"change feed must diff on that identity, got $key")
-    val preRemoved = readFiles(spark, mp, _ => removed, applyPositions = true)
+    val preRemoved =
+      padToV(readFiles(spark, mp, _ => removed, applyPositions = true))
     val preKept =
       if (dvNew.isEmpty) preRemoved.limit(0)
       else {
@@ -3363,7 +3382,7 @@ object SnapshotTable {
             }
           case _ => kept // unprunable key type: read carried files (sound)
         }
-        readFiles(spark, mp, _ => hit, applyPositions = true)
+        padToV(readFiles(spark, mp, _ => hit, applyPositions = true))
           .join(dvk.hint("shuffle_hash"), Seq(key), "left_semi")
       }
     val pre = chPre.foldLeft(preRemoved.unionByName(preKept))(_.unionByName(_))

@@ -3109,11 +3109,18 @@ object SourceCatalog extends QueryModule {
       // trickle-CDC consumer pays is commit-sized, not table-sized;
       // mergeMoR's zero-rewrite REQUIRE rides too). Arms = (commit,
       // change_type) counts+sums across an append + a MoR upsert
-      // commit; the oracle replays both relationally. Round26Spec pins
-      // the single-commit equivalence with the state-based changeFeed,
-      // the compaction-commit zero-row property, the carried-file prune
-      // (a provably-missed file is physically deleted and the feed
-      // still serves), and the refusals.
+      // commit, then ACROSS an add-at-end schema commit (the r16
+      // verdict's #5): a widening append lands a new column, and the
+      // feed crosses the boundary serving at the head schema —
+      // pre-evolution pre-images NULL-fill the added tail (REQUIREd
+      // through n_flag: post-evolution inserts count non-null, the
+      // later delete's pre-images count zero), exactly the value those
+      // rows hold. The oracle replays everything relationally.
+      // Round26Spec pins the single-commit equivalence with the
+      // state-based changeFeed, the compaction-commit zero-row
+      // property, the carried-file prune (a provably-missed file is
+      // physically deleted and the feed still serves), and the
+      // refusals; Round48Spec pins the ALTER ADD COLUMNS crossing.
       (s, dir) => {
         val table = graft.Stage.dir("graft_cdfinc_", dir).getPath
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
@@ -3148,29 +3155,48 @@ object SourceCatalog extends QueryModule {
         })
         require(hit < kept.size,
           s"the DV key window must prune the carried files ($hit/${kept.size})")
-        SnapshotTable.changeFeedIncremental(s, table, 1L, 3L, key)
+        // the add-at-end boundary: a widening append lands o_flag (v4),
+        // then a DV delete of pre-evolution rows (v5) — its pre-images
+        // must NULL-fill the added column
+        SnapshotTable.commit(
+          o.filter(col(key) % 3 === 2)
+            .withColumn("o_flag", (col(key) % 2).cast("long")),
+          table, append = true)
+        SnapshotTable.deleteKeys(
+          base.filter(col(key) % 10 === 1 && col(key) < maxk).select(key),
+          table, key)
+        SnapshotTable.changeFeedIncremental(s, table, 1L, 5L, key)
           .groupBy("_commit_version", "_change_type")
           .agg(
             count(lit(1)).as("n_rows"),
-            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"),
+            count(col("o_flag")).as("n_flag"))
           .orderBy("_commit_version", "_change_type")
       },
       Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice
              |  FROM orders WHERE o_orderkey % 3 = 0),
              |ins AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+             |ins2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2),
              |w AS (SELECT MAX(o_orderkey)//5 AS maxk FROM orders),
              |upd AS (SELECT base.* FROM base, w WHERE o_orderkey % 10 = 3 AND o_orderkey < maxk),
-             |del AS (SELECT base.* FROM base, w WHERE o_orderkey % 10 = 7 AND o_orderkey < maxk)
+             |del AS (SELECT base.* FROM base, w WHERE o_orderkey % 10 = 7 AND o_orderkey < maxk),
+             |del2 AS (SELECT base.* FROM base, w WHERE o_orderkey % 10 = 1 AND o_orderkey < maxk)
              |SELECT 2::BIGINT AS _commit_version, 'insert' AS _change_type,
              |  COUNT(*)::BIGINT AS n_rows,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+             |  0::BIGINT AS n_flag
              |FROM ins
              |UNION ALL SELECT 3, 'delete', COUNT(*)::BIGINT,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) FROM del
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 0::BIGINT FROM del
              |UNION ALL SELECT 3, 'update_preimage', COUNT(*)::BIGINT,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) FROM upd
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 0::BIGINT FROM upd
              |UNION ALL SELECT 3, 'update_postimage', COUNT(*)::BIGINT,
-             |  CAST(SUM(CAST(o_totalprice + 500.0 AS DECIMAL(38,4))) AS DOUBLE) FROM upd
+             |  CAST(SUM(CAST(o_totalprice + 500.0 AS DECIMAL(38,4))) AS DOUBLE), 0::BIGINT FROM upd
+             |UNION ALL SELECT 4, 'insert', COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE),
+             |  COUNT(*)::BIGINT FROM ins2
+             |UNION ALL SELECT 5, 'delete', COUNT(*)::BIGINT,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 0::BIGINT FROM del2
              |ORDER BY _commit_version, _change_type""".stripMargin)
     ),
     Q(

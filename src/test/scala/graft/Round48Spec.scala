@@ -94,6 +94,35 @@ class Round48Spec extends AnyFunSuite {
     }
   }
 
+  test("the incremental feed crosses add-at-end schema commits: the " +
+      "evolve commit feeds zero changes, parent-side pre-images " +
+      "null-fill the added column, inserts carry it") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES('statsColumns'='k','morKey'='k')")
+    val table = s"$wh/t"
+    spark.range(4).select(col("id").as("k"), concat(lit("a"), col("id")).as("v"))
+      .createOrReplaceTempView("g48_e")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_e")          // v2
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (extra BIGINT)")   // v3
+    spark.range(4, 6).select(col("id").as("k"),
+        concat(lit("a"), col("id")).as("v"), (col("id") * 7).as("extra"))
+      .createOrReplaceTempView("g48_e2")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_e2")         // v4
+    import spark.implicits._
+    SnapshotTable.deleteKeys(Seq(2L).toDF("k"), table, "k")       // v5
+    val feed = SnapshotTable.changeFeedIncremental(spark, table, 2L, 5L, "k")
+      .select("_commit_version", "_change_type", "k", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(feed.toSeq === Seq(
+      (4L, "insert", 4L, "a4", 28L), (4L, "insert", 5L, "a5", 35L),
+      (5L, "delete", 2L, "a2", -1L)),
+      "the evolve commit feeds nothing; the pre-evolution pre-image " +
+        "null-fills the added column")
+  }
+
   test("changeCapture='none' opts out: the commit records no capture " +
       "and the feed refuses loudly; vacuum pins retained captures") {
     val (cat, wh) = freshCatalog()
