@@ -2930,10 +2930,20 @@ object SnapshotTable {
     require(cur0 > 0, s"cannot z-order non-existent table $table")
     val m0 = manifest(table, cur0, io)
     if (temporalSpecOf(m0).nonEmpty) {
-      require(bucketSpecOf(m0).isEmpty && truncSpecOf(m0).isEmpty,
-        s"compactZOrder on $table: per-period z-order supports plain temporal " +
-          "layouts — a compound (time x hash / time x truncate) table's second " +
-          "dimension already owns the intra-period file split")
+      // PER-GROUP z-order — Delta's `OPTIMIZE ... ZORDER BY` scoped
+      // within partitions: on a plain temporal table rows range-
+      // partition on (period, __z); on a COMPOUND (time × hash /
+      // time × truncate) layout the rewrite key widens to (period,
+      // bucket|trunc, __z), so the curve clusters WITHIN each
+      // (period, second-dimension) group, BOTH stamps survive the
+      // rolling stamping writer, and every group's files carry narrow
+      // z-column bounds — a (months × bucket) event table z-orders
+      // inside its (month, tenant-bucket) cells like any Delta table
+      // z-orders inside its partitions. Z-ordering the second
+      // dimension's COLUMN is allowed (within a hash bucket the raw
+      // key still spans its whole domain — the curve adds the range
+      // pruning the equality-only bucket stamp cannot); only the
+      // temporal key itself is a no-op.
       requireZOrderable(m0, table, zorderBy)
       require(!zorderBy.contains(temporalSpecOf(m0).get._1),
         "z-ordering the temporal partition key itself is a no-op — files are " +

@@ -4309,6 +4309,85 @@ object SourceCatalog extends QueryModule {
              |ORDER BY arm""".stripMargin)
     ),
     Q(
+      "src_snapshot_zorder_compound",
+      // PER-GROUP Z-ORDER INSIDE A COMPOUND LAYOUT (the r16 verdict's
+      // #6): `compactZOrder` on a months(ts) × bucket(4, ck) table no
+      // longer refuses — the rewrite key widens to (month, bucket,
+      // morton(x,y)), the curve clusters WITHIN each (month, tenant-
+      // bucket) cell, and the rolling stamping writer keeps BOTH
+      // min==max stamps on every output file (REQUIREd) — ordinary
+      // Delta `OPTIMIZE ZORDER BY` usage on a partitioned+bucketed
+      // table. REQUIREd: a hot (month, bucket) group splits at z
+      // boundaries and a small (x,y) box prunes to a strict subset of
+      // that group's files off the recorded per-file bounds on BOTH
+      // z columns; month pruning (raw micros) and bucket SPJ survive
+      // untouched because the stamps do. Round47Spec pins row identity
+      // across the rewrite and the remaining guardrails.
+      (s, dir) => {
+        val wh = graft.Stage.dir("graft_zcmp_", dir).getPath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        val cat = "graftzc_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, ck BIGINT NOT NULL, " +
+          "x BIGINT, y BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (months(ts), bucket(4, ck)) " +
+          "TBLPROPERTIES('statsColumns'='x,y')")
+        val T0 = 1704067200000000L
+        val D = 86400000000L
+        Tables(s, dir).orders.select(
+            expr(s"timestamp_micros(CAST($T0 + (o_orderkey % 2) * 31 * $D AS BIGINT))")
+              .as("ts"),
+            col("o_orderkey").as("ck"),
+            (col("o_orderkey") % 64).as("x"),
+            expr("(o_orderkey div 64) % 64").as("y"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_zcmp_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_zcmp_src")
+        val table = s"$wh/t"
+        // size-relative target: ~3 files per (month, bucket) cell at
+        // ANY sf, so the intra-group split is observable from sf0.001
+        val totalBytes = SnapshotTable.manifest(table, 2L).files.map(_.size).sum
+        val (_, v) = SnapshotTable.compactZOrder(s, table,
+          zorderBy = Seq("x", "y"), targetBytes = math.max(2048L, totalBytes / 24))
+        val m = SnapshotTable.manifest(table, v)
+        require(m.files.forall(f =>
+          f.stats.get(SnapshotTable.TemporalStat).exists(st => st._1 == st._2) &&
+            f.stats.get(SnapshotTable.BucketStat).exists(st => st._1 == st._2)),
+          "BOTH stamps on every file after the compound z-order")
+        val month0 = m.files.map(_.stats(SnapshotTable.TemporalStat)._1).min
+        val cells = m.files.filter(_.stats(SnapshotTable.TemporalStat)._1 == month0)
+          .groupBy(_.stats(SnapshotTable.BucketStat)._1)
+        val grp = cells.values.maxBy(_.size)
+        require(grp.size > 1,
+          s"a hot (month, bucket) cell must split at z boundaries, got ${grp.size}")
+        val hit = grp.filter(f =>
+          f.stats.get("x").forall { case (lo, hi) => hi >= 0 && lo <= 7 } &&
+            f.stats.get("y").forall { case (lo, hi) => hi >= 0 && lo <= 7 })
+        require(hit.size < grp.size,
+          s"the (x,y) box must prune within the cell (${hit.size}/${grp.size})")
+        def agg(df: org.apache.spark.sql.DataFrame, arm: String) =
+          df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("price").cast("decimal(38,4)")).cast("double").as("sum_price"))
+            .withColumn("arm", lit(arm)).select("arm", "n_rows", "sum_price")
+        agg(s.table(s"$cat.t"), "all")
+          .unionByName(agg(s.table(s"$cat.t").where(
+            col("ts") < expr(s"timestamp_micros(${T0 + 31L * D})") &&
+              col("x") < 8 && col("y") < 8), "box"))
+          .orderBy("arm")
+      },
+      Some("""WITH t AS (SELECT o_orderkey % 2 AS mo, o_orderkey % 64 AS x,
+             |  (o_orderkey // 64) % 64 AS y, o_totalprice AS price FROM orders)
+             |SELECT 'all' AS arm, COUNT(*)::BIGINT AS n_rows,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS sum_price FROM t
+             |UNION ALL
+             |SELECT 'box', COUNT(*)::BIGINT,
+             |CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)
+             |FROM t WHERE mo = 0 AND x < 8 AND y < 8
+             |ORDER BY arm""".stripMargin)
+    ),
+    Q(
       "src_snapshot_compound_months",
       // BROADENED COMPOUND SPECS (the r15 verdict's #3): months(ts) x
       // bucket(4, ck) — the month-partitioned tenant-bucketed fact that

@@ -133,6 +133,51 @@ class Round47Spec extends AnyFunSuite {
       .filterNot(k => k == 5L || k == 73L))
   }
 
+  test("per-period z-order inside a compound (months x bucket) layout: " +
+      "both stamps survive the rewrite, z bounds narrow within each " +
+      "(month, bucket) group, rows identical") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (ts TIMESTAMP NOT NULL, ck BIGINT NOT NULL, " +
+      "x BIGINT, y BIGINT) PARTITIONED BY (months(ts), bucket(2, ck)) " +
+      "TBLPROPERTIES('statsColumns'='x,y')")
+    val table = s"$wh/t"
+    val D = 86400000000L
+    spark.range(2048).select(
+        expr(s"timestamp_micros(CAST($T0 + (id % 2) * 31 * $D AS BIGINT))").as("ts"),
+        col("id").as("ck"),
+        (col("id") / 2 % 32).cast("long").as("x"),
+        (col("id") / 64).cast("long").as("y"))
+      .createOrReplaceTempView("g47_zc")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g47_zc")
+    val before = spark.table(s"$cat.t").orderBy("ck").collect()
+    val (_, v) = SnapshotTable.compactZOrder(spark, table,
+      zorderBy = Seq("x", "y"), targetBytes = 1L << 10)
+    val m = SnapshotTable.manifest(table, v)
+    assert(m.files.forall(f =>
+      f.stats.get(SnapshotTable.TemporalStat).exists(s => s._1 == s._2) &&
+        f.stats.get(SnapshotTable.BucketStat).exists(s => s._1 == s._2)),
+      "BOTH stamps on every file after the compound z-order")
+    // pick one (month, bucket) group: it split at z boundaries and a
+    // small (x, y) box prunes to a strict subset of ITS files
+    val month0 = m.files.map(_.stats(SnapshotTable.TemporalStat)._1).min
+    val grp = m.files.filter(f =>
+      f.stats(SnapshotTable.TemporalStat)._1 == month0 &&
+        f.stats(SnapshotTable.BucketStat)._1 == 0L)
+    assert(grp.size > 1, s"a hot (month, bucket) group must split, got ${grp.size}")
+    val hit = grp.filter(f =>
+      f.stats.get("x").forall { case (lo, hi) => hi >= 3 && lo <= 4 } &&
+        f.stats.get("y").forall { case (lo, hi) => hi >= 3 && lo <= 4 })
+    assert(hit.size < grp.size,
+      s"the (x,y) box must prune within the group (${hit.size}/${grp.size})")
+    assert(spark.table(s"$cat.t").orderBy("ck").collect() === before)
+    // guardrails still hold on compounds: a TIMESTAMP column refuses
+    // as non-integral before the temporal-key no-op check even applies
+    val e = intercept[Exception] {
+      SnapshotTable.compactZOrder(spark, table, Seq("ts"))
+    }
+    assert(e.getMessage.contains("not integral"))
+  }
+
   test("guardrails: no evolution recorded and layout evolved to 'none' " +
       "refuse; outstanding position deletes split around the rewrite") {
     val (cat, wh) = freshCatalog()
