@@ -418,6 +418,17 @@ class SnapshotCatalog extends TableCatalog
       SnapshotTable.publishProps(p, m, applied.toMap, unsets.map(keyOf).toSet)
       return loadTable(ident)
     }
+    // METADATA-ONLY RENAME COLUMN (Iceberg's field-ID move, ordinal-
+    // keyed here): one props commit, zero files; old files read under
+    // the current names positionally, old snapshots keep their own
+    if (changes.forall(_.isInstanceOf[TableChange.RenameColumn])) {
+      changes.foreach { case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested column rename unsupported: ${r.fieldNames.mkString(".")}")
+        SnapshotTable.renameColumn(p, r.fieldNames()(0), r.newName())
+      }
+      return loadTable(ident)
+    }
     val added = changes.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.position == null && a.isNullable =>
@@ -425,7 +436,8 @@ class SnapshotCatalog extends TableCatalog
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE $ident: only trailing nullable ADD COLUMN (extend-only " +
-            s"evolution — old files read NULL) and SET/UNSET TBLPROPERTIES " +
+            s"evolution — old files read NULL), RENAME COLUMN (metadata-only; " +
+            s"drop/reorder/retype stay refused) and SET/UNSET TBLPROPERTIES " +
             s"are supported; got $other")
     }
     added.foreach(f => require(!m.schema.fieldNames.contains(f.name),

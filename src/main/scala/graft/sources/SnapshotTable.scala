@@ -438,12 +438,19 @@ object SnapshotTable {
 
   private def segmentDir(table: String): String = s"$table/manifests/segments"
 
+  /** Spec hook: segment files loaded since JVM start. The O(segments)
+    * planning claims — and the join-sizing decision reading manifest
+    * LINES alone — pin on this counter, never on wall-clock. */
+  private[graft] val segmentLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Load one segment's file entries. Segment files are immutable —
     * written once at commit, shared by reference ever after. */
-  private[sources] def readSegment(path: String, io: SnapshotIO): Seq[FileEntry] =
+  private[sources] def readSegment(path: String, io: SnapshotIO): Seq[FileEntry] = {
+    segmentLoads.incrementAndGet()
     io.readString(path).linesIterator.collect {
       case l if l.startsWith("file=") => FileEntry.parse(l.stripPrefix("file="))
     }.toVector
+  }
 
   /** Files per segment: bounds the cost of loading one segment (and of
     * rewriting the touched ones under MERGE). 10k entries ≈ a few MB of
@@ -750,7 +757,14 @@ object SnapshotTable {
             pf.indices.forall(i => nf(i).name == pf(i).name && nf(i).dataType == pf(i).dataType),
           s"append schema ${df.schema.simpleString} does not extend " +
             s"snapshot $current's ${parent.schema.simpleString} — appends may only " +
-            "ADD columns at the end (rename/drop/reorder/retype refused)")
+            "ADD columns at the end (drop/reorder/retype refused; rename via " +
+            "renameColumn)")
+        nf.drop(pf.length).foreach(f =>
+          require(!historicalNames(parent).contains(f.name),
+            s"added column ${f.name} collides with a PREVIOUS name of another " +
+              "column — a live file may still carry it physically, and one " +
+              "physical column must never resolve under two names; pick a " +
+              "fresh name"))
         // outstanding deletion vectors ride every append verbatim — a
         // commit that dropped them would resurrect the deleted rows.
         // Table-level DECLARATIONS (declared stats columns, morKey,
@@ -920,6 +934,10 @@ object SnapshotTable {
       pf.indices.forall(i => widened.fields(i).name == pf(i).name &&
         widened.fields(i).dataType == pf(i).dataType),
       s"evolve schema ${widened.simpleString} does not extend ${m.schema.simpleString}")
+    widened.fields.drop(pf.length).foreach(f =>
+      require(!historicalNames(m).contains(f.name),
+        s"added column ${f.name} collides with a PREVIOUS name of another " +
+          "column (a live file may still carry it physically); pick a fresh name"))
     val carry = dvExtra(m) ++ tableDecls(m)
     publishManifest(table, m.version + 1, m.version, widened,
       m.segments, m.inline, "append", carry, io)
@@ -1513,11 +1531,37 @@ object SnapshotTable {
     // record: `file:/x`, `file://x`, `file:///x` all become `/x`
     def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       regexp_replace(c, "^file:/*", "/")
-    def withOrdinals(df: DataFrame): DataFrame =
-      if (!posApply) df
-      else df.select(col("*"),
-        normPath(col("_metadata.file_path")).as(pFileC),
-        col("_metadata.row_index").as(pPosC))
+    // RAW load of a file subset: files group by their NAME EPOCH (the
+    // column names they were physically written under — renames are
+    // metadata-only, so an old file reads under its own names and maps
+    // back to the current ones POSITIONALLY), and the pos-applying
+    // variant rides its true per-file ordinals out of the same select
+    // (metadata columns resolve only on the scan itself, never through
+    // a union). One read per distinct epoch over disjoint file sets —
+    // same total I/O as one scan; epochs are bounded by renames, not
+    // files.
+    val renames = renamesOf(m)
+    def loadRaw(fs: Seq[FileEntry]): DataFrame = {
+      val byEpoch: Seq[(Seq[String], Seq[FileEntry])] =
+        if (renames.isEmpty) Seq(m.schema.fieldNames.toSeq -> fs)
+        else fs.groupBy(f => namesAt(m, math.max(f.seq, 0L))).toSeq
+          .sortBy(_._1.mkString("|"))
+      byEpoch.map { case (names, group) =>
+        val epochSchema = StructType(m.schema.fields.zip(names).map {
+          case (f, n) => f.copy(name = n)
+        })
+        val dataCols = names.zip(m.schema.fieldNames).map {
+          case (old, cur) => col(old).as(cur)
+        }
+        val ordCols =
+          if (!posApply) Nil
+          else Seq(
+            normPath(col("_metadata.file_path")).as(pFileC),
+            col("_metadata.row_index").as(pPosC))
+        spark.read.schema(epochSchema).parquet(group.map(_.path): _*)
+          .select(dataCols ++ ordCols: _*)
+      }.reduce(_.unionByName(_))
+    }
     def stripPositions(df: DataFrame): DataFrame =
       if (!posApply) df
       else {
@@ -1547,8 +1591,7 @@ object SnapshotTable {
     dvRefs(m) match {
       case Nil =>
         if (entries.isEmpty) empty
-        else stripPositions(withOrdinals(
-          spark.read.schema(m.schema).parquet(entries.map(_.path): _*)))
+        else stripPositions(loadRaw(entries))
       case refs =>
         val key = m.extra(DvKeyK)
         def fresh(stem: String): String = Iterator.from(0)
@@ -1562,10 +1605,7 @@ object SnapshotTable {
         // scan, and the seq count is bounded by commits since the last
         // compaction (which re-zeros it)
         val base0 = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
-          .map { case (s, fs) =>
-            withOrdinals(spark.read.schema(m.schema).parquet(fs.map(_.path): _*))
-              .withColumn(fseq, lit(s))
-          }
+          .map { case (s, fs) => loadRaw(fs).withColumn(fseq, lit(s)) }
           .reduceOption(_.unionByName(_))
           .getOrElse(empty.withColumn(fseq, lit(0L)))
         val base = stripPositions(base0)
@@ -1728,6 +1768,101 @@ object SnapshotTable {
     * read a change feed shouldn't pay the capture pass); the default
     * ('preimages') captures. A declaration, so it carries. */
   private[sources] val ChangeCaptureK = "changecapture"
+
+  /** Reserved manifest key: the COLUMN-RENAME history — `;`-joined
+    * `<sinceVer>:<ordinal>:<hex(oldName)>` entries, ascending by
+    * version. Iceberg's field-ID indirection re-expressed through the
+    * one stable identity this manifest already has: the ORDINAL
+    * (schema evolution is add-at-end only, so field i in any data file
+    * is field i of the table for i < the file's width). A rename is a
+    * metadata-only commit: the manifest schema takes the new name, the
+    * entry records (commitVersion, ordinal, nameBeforeTheRename), and
+    * readers reconstruct each file's WRITTEN names from its commit seq
+    * ([[namesAt]]) to read it positionally under the current names.
+    * Old snapshots keep their own schema (their manifests predate the
+    * entry). A declaration, so it carries. */
+  private[sources] val RenamesK = "renames"
+
+  /** The rename history, ascending: (sinceVersion, ordinal, oldName). */
+  def renamesOf(m: Manifest): Seq[(Long, Int, String)] =
+    m.extra.get(RenamesK).filter(_.nonEmpty).map(_.split(";").toSeq.map { e =>
+      val p = e.split(":", 3)
+      (p(0).toLong, p(1).toInt, FileEntry.unhex(p(2)))
+    }).getOrElse(Nil)
+
+  private[sources] def renamesEncode(rs: Seq[(Long, Int, String)]): String =
+    rs.map { case (v, i, n) => s"$v:$i:${FileEntry.hex(n)}" }.mkString(";")
+
+  /** The column names a file stamped at commit `seq` was WRITTEN under:
+    * start from the current names and revert, newest first, every
+    * rename the file predates. Ordinals are stable (add-at-end-only
+    * evolution), so the mapping is positional. */
+  def namesAt(m: Manifest, seq: Long): Seq[String] = {
+    val names = m.schema.fieldNames.clone()
+    renamesOf(m).sortBy(-_._1).foreach { case (ver, ord, old) =>
+      if (seq < ver && ord < names.length) names(ord) = old
+    }
+    names.toSeq
+  }
+
+  /** Every name any live data file may carry for some column — what a
+    * NEW name (rename target or added column) must never collide with,
+    * or an old file's physical column would resolve under two names. */
+  private[sources] def historicalNames(m: Manifest): Set[String] =
+    renamesOf(m).map(_._3).toSet
+
+  /** METADATA-ONLY COLUMN RENAME — the most common schema evolution
+    * after add, refused until now: one props commit swaps the name in
+    * the manifest schema and records the (version, ordinal, oldName)
+    * entry; ZERO data files are touched, old files read under the
+    * current names through the positional mapping, old snapshots keep
+    * serving their own names (time travel reads their manifests).
+    * Refusals keep the rest of the system honest: a column referenced
+    * by any table declaration (cluster/bucket/truncate/temporal —
+    * current or any PAST layout generation — statsColumns, morKey, the
+    * outstanding DV key) refuses (evolve the declaration first), as
+    * does a target name that exists, or that any live file still
+    * carries for another ordinal (the historical-name collision that
+    * would make one physical column resolve under two names). Drops,
+    * reorders, and retypes stay refused at every entry point.
+    * Returns the published version. */
+  def renameColumn(
+      table: String,
+      oldName: String,
+      newName: String,
+      io: SnapshotIO = LocalSnapshotIO): Long = {
+    val cur = currentVersion(table, io)
+    require(cur > 0, s"cannot rename a column of non-existent table $table")
+    val m = manifest(table, cur, io)
+    val idx = m.schema.fieldNames.indexOf(oldName)
+    require(idx >= 0, s"no column $oldName in $table")
+    require(newName.nonEmpty && newName != oldName,
+      s"rename target must be a new non-empty name, got '$newName'")
+    require(!m.schema.fieldNames.contains(newName),
+      s"column $newName already exists in $table")
+    require(!historicalNames(m).contains(newName),
+      s"$newName was a previous name of a column of $table — a live file may " +
+        "still carry it physically, and one physical column must never " +
+        "resolve under two names; pick a fresh name")
+    val declRefs: Set[String] =
+      (Seq(clusterKeyOf(m), bucketSpecOf(m).map(_._1), truncSpecOf(m).map(_._1),
+        temporalSpecOf(m).map(_._1), morKeyOf(m), dvKeyOf(m)).flatten ++
+        statsColumnsOf(m) ++
+        layoutHistOf(m).flatMap(_._2.values.map { s =>
+          val i = s.lastIndexOf(':')
+          if (i < 0) s else s.substring(0, i)
+        })).toSet
+    require(!declRefs(oldName),
+      s"column $oldName is referenced by a table declaration (layout spec — " +
+        "current or a past generation — statsColumns, morKey or the DV key); " +
+        "evolve the declaration first, then rename")
+    val renamed = StructType(
+      m.schema.fields.updated(idx, m.schema.fields(idx).copy(name = newName)))
+    publishManifest(table, cur + 1, cur, renamed, m.segments, m.inline, "props",
+      tableDecls(m) ++ dvExtra(m) ++
+        Map(RenamesK -> renamesEncode(renamesOf(m) :+ ((cur + 1, idx, oldName)))),
+      io)
+  }
 
   /** The version since which the current layout keys apply. */
   def layoutSinceOf(m: Manifest): Long =
@@ -2228,7 +2363,7 @@ object SnapshotTable {
     * forgetting a NEW key here, not by missing one of nine sites. */
   private[sources] val DeclKeys: Set[String] = Set(
     ClusterK, BucketK, TruncK, TemporalK, LayoutSinceK, LayoutHistK,
-    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK, ChangeCaptureK)
+    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK, ChangeCaptureK, RenamesK)
 
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(DeclKeys).toMap
@@ -3248,6 +3383,15 @@ object SnapshotTable {
       io: SnapshotIO = LocalSnapshotIO): DataFrame = {
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    // a rename inside the range would mis-align the per-commit frames
+    // (the same column unions under two names); each SIDE of a rename
+    // serves cleanly under its own names — split the range there
+    val crossed = renamesOf(manifest(table, toVersion, io))
+      .filter(r => r._1 > fromVersion && r._1 <= toVersion)
+    require(crossed.isEmpty,
+      s"the feed range ($fromVersion, $toVersion] crosses a column rename at " +
+        s"version ${crossed.headOption.map(_._1).getOrElse(0L)} — columns " +
+        "would not align across commits; split the range at the rename")
     ((fromVersion + 1) to toVersion)
       .map(v => commitChanges(spark, table, v, key, io)
         .withColumn("_commit_version", lit(v)))
@@ -3268,6 +3412,19 @@ object SnapshotTable {
     val parent = mv.extra.get("parent").map(_.toLong).getOrElse(v - 1)
     require(parent > 0, s"snapshot $v of $table has no parent to diff against")
     val mp = manifest(table, parent, io)
+    // a DV-consolidation commit rewrites the sidecar layout WITHOUT
+    // changing the effective delete state — its "new" sidecars must
+    // not read as new deletes (they are the old keys re-grouped); a
+    // props commit (TBLPROPERTIES, spec evolution, column RENAME)
+    // changes no rows either. Both return empty BEFORE any schema
+    // comparison — a rename commit's schemas differ by name on
+    // purpose.
+    if (mv.extra.get("mode").contains("dvrewrite") ||
+        mv.extra.get("mode").contains("props"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(org.apache.spark.sql.types.StructField(
+          "_change_type", StringType, nullable = false) +: mv.schema.fields))
     // add-at-end evolution is the ONE schema boundary the manifest
     // itself supports (appends may only extend; old files read NULL in
     // the added columns) — the feed crosses it by serving at v's schema
@@ -3290,15 +3447,6 @@ object SnapshotTable {
         d.withColumn(f.name, lit(null).cast(f.dataType)))
     val cols = mv.schema.fieldNames.toSeq
     require(cols.contains(key), s"no column $key in $table")
-    // a DV-consolidation commit rewrites the sidecar layout WITHOUT
-    // changing the effective delete state — its "new" sidecars must
-    // not read as new deletes (they are the old keys re-grouped)
-    if (mv.extra.get("mode").contains("dvrewrite") ||
-        mv.extra.get("mode").contains("props"))
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(org.apache.spark.sql.types.StructField(
-          "_change_type", StringType, nullable = false) +: mv.schema.fields))
     // a commit that RECORDS position sidecars (deletePositions / the
     // position-delta DML) removes rows by physical ordinal — row-wise
     // unattributable after the fact. The commit therefore captured the

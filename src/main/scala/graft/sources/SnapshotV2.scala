@@ -554,6 +554,40 @@ private[sources] class KeyedFilePartition(
   override def partitionKey(): InternalRow = key
 }
 
+/** Per-partition dispatch between NAME-EPOCH parquet reader factories
+  * after a metadata-only column rename: a file written before the
+  * rename physically carries the old column name, so its partition
+  * reads through a factory whose read schema maps each required field
+  * back to that epoch's name POSITIONALLY (`InternalRow`s carry no
+  * names — the translated read schema only steers the parquet column
+  * resolution; the output rows align with the current projection by
+  * construction). Partitions are epoch-homogeneous: the scan disables
+  * key grouping while live files span epochs, and the single-file
+  * default partitioning is homogeneous trivially. */
+private[sources] class RenameDispatchReaderFactory(
+    current: PartitionReaderFactory,
+    byEpoch: Map[Seq[String], PartitionReaderFactory],
+    epochOf: Map[String, Seq[String]],
+    currentNames: Seq[String]) extends PartitionReaderFactory {
+  private def pick(p: InputPartition): PartitionReaderFactory = p match {
+    case fp: FilePartition if fp.files.nonEmpty =>
+      def epoch(f: PartitionedFile): Seq[String] =
+        epochOf.getOrElse(f.filePath.toPath.toUri.getPath, currentNames)
+      val names = epoch(fp.files.head)
+      require(fp.files.forall(f => epoch(f) == names),
+        "mixed rename epochs in one partition — grouping must be off under renames")
+      if (names == currentNames) current else byEpoch(names)
+    case _ => current
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    pick(p).createReader(p)
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    pick(p).createColumnarReader(p)
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    pick(p).supportColumnarReads(p)
+}
+
 private[graft] class SnapshotV2Scan(
     table: String,
     m: SnapshotTable.Manifest,
@@ -642,7 +676,9 @@ private[graft] class SnapshotV2Scan(
     // see WHY the join shuffled (compaction re-unifies the generations)
     val g = if (mixedLayoutGens) ", mixed layout generations (SPJ off until compaction)"
             else ""
-    s"graft-snapshot v${m.version} (${m.fileCount} files$c$l$tn$g)"
+    val rn = if (renamedEpochMixed) ", mixed rename epochs (SPJ off until compaction)"
+             else ""
+    s"graft-snapshot v${m.version} (${m.fileCount} files$c$l$tn$g$rn)"
   }
 
   /** Outstanding deletion-vector sidecars — when non-empty, rows are
@@ -728,6 +764,19 @@ private[graft] class SnapshotV2Scan(
     since > 0 && entries.exists(_.seq < since)
   }
 
+  /** Do the surviving files span COLUMN-RENAME epochs? Key grouping
+    * bundles multiple files into one partition, and the rename
+    * dispatch needs every partition epoch-homogeneous — so grouping
+    * (SPJ) switches off while pre-rename files are live, exactly like
+    * [[mixedLayoutGens]]; a compaction (which rewrites every file
+    * under the current names) restores it. Pruning is unaffected: an
+    * old file's stats live under its old names, so current-name
+    * lookups simply never skip it (sound). */
+  private lazy val renamedEpochMixed: Boolean = {
+    val rs = SnapshotTable.renamesOf(m)
+    rs.nonEmpty && entries.exists(f => math.max(f.seq, 0L) < rs.map(_._1).max)
+  }
+
   /** Manifest-pruned survivors of the STATIC filters — what the
     * reported partitioning and the CBO estimate derive from (both are
     * consumed before any runtime filter exists). */
@@ -759,7 +808,7 @@ private[graft] class SnapshotV2Scan(
     // filter), while a key group bundles files — losing SPJ until
     // compaction is merge-on-read's documented read tax.
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv || mixedLayoutGens) None
+       anyDv || mixedLayoutGens || renamedEpochMixed) None
      else SnapshotTable.clusterKeyOf(m)).flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).map(_.dataType)
       def keyOf(f: SnapshotTable.FileEntry): Option[Any] = dt match {
@@ -795,7 +844,7 @@ private[graft] class SnapshotV2Scan(
     * the whole scan to unknown partitioning rather than lie to SPJ. */
   private lazy val bucketGroups: Option[Seq[(Int, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv || mixedLayoutGens) None
+       anyDv || mixedLayoutGens || renamedEpochMixed) None
      else SnapshotTable.bucketSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.BucketStat).collect {
         case (lo, hi) if lo == hi => lo.toInt -> f
@@ -810,7 +859,7 @@ private[graft] class SnapshotV2Scan(
     * the same one-unstamped-file-degrades-all soundness rule. */
   private lazy val truncGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv || mixedLayoutGens) None
+       anyDv || mixedLayoutGens || renamedEpochMixed) None
      else SnapshotTable.truncSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.TruncStat).collect {
         case (lo, hi) if lo == hi => lo -> f
@@ -828,7 +877,7 @@ private[graft] class SnapshotV2Scan(
     * the raw timestamp stats. */
   private lazy val temporalGroups: Option[Seq[(Long, Seq[SnapshotTable.FileEntry])]] =
     (if (limit.isDefined || topN.isDefined || metaFields.nonEmpty ||
-       anyDv || mixedLayoutGens || SnapshotTable.bucketSpecOf(m).nonEmpty) None
+       anyDv || mixedLayoutGens || renamedEpochMixed || SnapshotTable.bucketSpecOf(m).nonEmpty) None
      else SnapshotTable.temporalSpecOf(m)).flatMap { _ =>
       val keyed = entries.map(f => f.stats.get(SnapshotTable.TemporalStat).collect {
         case (lo, hi) if lo == hi => lo -> f
@@ -1027,6 +1076,34 @@ private[graft] class SnapshotV2Scan(
     case _ => Array.empty
   }
 
+  /** The parquet reader base, RENAME-AWARE: the current-epoch factory
+    * reads under the current names (pushed filters intact); each OLD
+    * name epoch gets a factory whose table/read schemas carry that
+    * epoch's names positionally (rows align by ordinal — names never
+    * travel in InternalRows) and NO pushed filters (they reference
+    * current names; the residual pass applies everything row-wise
+    * anyway). A per-partition dispatch picks by the file's epoch. */
+  private def parquetBase(
+      readSchema: StructType, pushedF: Array[Filter]): PartitionReaderFactory = {
+    val spark0 = SparkSession.active
+    val cur = Bridge.parquetReaderFactory(spark0, m.schema, readSchema, pushedF)
+    if (SnapshotTable.renamesOf(m).isEmpty) return cur
+    val currentNames = m.schema.fieldNames.toSeq
+    val epochOf: Map[String, Seq[String]] =
+      entries.map(f => f.path -> SnapshotTable.namesAt(m, math.max(f.seq, 0L))).toMap
+    val byEpoch: Map[Seq[String], PartitionReaderFactory] =
+      epochOf.values.toSet.filterNot(_ == currentNames).map { (names: Seq[String]) =>
+        val curToOld = currentNames.zip(names).toMap
+        val tableT = StructType(m.schema.fields.zip(names).map {
+          case (f, n) => f.copy(name = n)
+        })
+        val readT = StructType(readSchema.fields.map(f =>
+          f.copy(name = curToOld.getOrElse(f.name, f.name))))
+        names -> Bridge.parquetReaderFactory(spark0, tableT, readT, Array.empty)
+      }.toMap
+    new RenameDispatchReaderFactory(cur, byEpoch, epochOf, currentNames)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // row-group pruning: hand parquet only the filters over recorded
     // data columns (pruned columns still exist in the files); runtime
@@ -1114,8 +1191,7 @@ private[graft] class SnapshotV2Scan(
         }
       }
     if (dv.isEmpty && posDv.isEmpty) {
-      val inner =
-        Bridge.parquetReaderFactory(SparkSession.active, m.schema, dataSchema, pushed)
+      val inner = parquetBase(dataSchema, pushed)
       if (metaFields.isEmpty) inner
       else new MetadataAppendReaderFactory(inner, requiredSchema, dataSchema)
     } else if (dv.isEmpty) {
@@ -1125,8 +1201,7 @@ private[graft] class SnapshotV2Scan(
       // (what a second deletePositions batch must address — the
       // STACKING workflow), and the filter's counter walks the same
       // raw stream. Filter pushdown is already disabled under posDv.
-      val base = Bridge.parquetReaderFactory(
-        SparkSession.active, m.schema, dataSchema, pushed)
+      val base = parquetBase(dataSchema, pushed)
       if (metaFields.isEmpty) posWrap(base)
       else posWrap(new MetadataAppendReaderFactory(base, requiredSchema, dataSchema))
     } else {
@@ -1157,7 +1232,7 @@ private[graft] class SnapshotV2Scan(
       val projectTo =
         if (innerSchema.length == dataSchema.length) None else Some(dataSchema)
       val inner =
-        posWrap(Bridge.parquetReaderFactory(spark, m.schema, innerSchema, pushed))
+        posWrap(parquetBase(innerSchema, pushed))
       val declared = dv.map(_.count)
       val budget = if (declared.forall(_ >= 0)) declared.sum else -1L
       val maxBroadcast = spark.conf

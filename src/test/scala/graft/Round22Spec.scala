@@ -140,7 +140,8 @@ class Round22Spec extends AnyFunSuite {
     val names = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(names === Set("rewrite_segments", "compact", "rollback", "vacuum",
       "expire_snapshots", "consolidate_dvs", "create_branch", "publish_branch",
-      "drop_branch", "create_tag", "drop_tag", "compact_fragmented"))
+      "drop_branch", "create_tag", "drop_tag", "compact_fragmented",
+      "compact_evolved"))
     assert(c.listProcedures(Array("elsewhere")).isEmpty)
   }
 }

@@ -134,13 +134,13 @@ class Round26Spec extends AnyFunSuite {
     intercept[Exception] {
       SnapshotTable.changeFeedIncremental(spark, table, 2L, 2L, "o_orderkey")
     }
+    // an ADD-AT-END boundary now serves (null-filled tail — Round48Spec
+    // owns it); only a NON-extending boundary still refuses
     val t2 = tmpTable()
     SnapshotTable.commit(ordersNarrow, t2, append = false)
     SnapshotTable.commit(ordersNarrow.withColumn("extra", lit(1L)), t2, append = true)
-    val e3 = intercept[Exception] {
-      SnapshotTable.changeFeedIncremental(spark, t2, 1L, 2L, "o_orderkey").count()
-    }
-    assert(e3.getMessage.contains("schema boundary"))
+    assert(SnapshotTable.changeFeedIncremental(spark, t2, 1L, 2L, "o_orderkey")
+      .where(col("_change_type") === "insert").count() === ordersNarrow.count())
   }
 
   test("API appends carry table declarations (statsColumns, morKey, bucket)") {

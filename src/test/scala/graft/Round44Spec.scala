@@ -135,7 +135,8 @@ class Round44Spec extends AnyFunSuite {
 
   test("subset readers under trickle positions: provably un-named files " +
       "serve (append epochs keep flowing), named files still refuse, and " +
-      "the incremental change feed refuses the pos commit loudly") {
+      "the incremental change feed serves the pos commit from its " +
+      "write-time capture") {
     val (cat, wh) = freshCatalog()
     posTable(cat)
     val table = s"$wh/t"
@@ -155,13 +156,15 @@ class Round44Spec extends AnyFunSuite {
       SnapshotTable.readPruned(spark, table, "k", 0L, 5L).collect()
     }
     assert(e.getMessage.contains("position-delete"))
-    // the incremental change feed refuses the POS commit itself loudly
-    // (physical-ordinal deletes are unattributable) ...
-    val cf = intercept[Exception] {
-      SnapshotTable.changeFeedIncremental(spark, table, 2L, 3L, "k").collect()
-    }
-    assert(cf.getMessage.contains("position-delete"))
-    // ... but the append epoch's feed flows
+    // the incremental change feed SERVES the pos commit now — the
+    // commit captured its delete pre-images at write time (Round48Spec
+    // owns the capture anatomy; the refusal survives only for
+    // changeCapture='none' / legacy commits)
+    val feed = SnapshotTable.changeFeedIncremental(spark, table, 2L, 3L, "k")
+    assert(feed.where(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted ===
+      (0L until 40L).filter(_ % 13 == 5))
+    // ... and the append epoch's feed flows
     assert(SnapshotTable.changeFeedIncremental(spark, table, 3L, 4L, "k")
       .where(col("_change_type") === "insert").count() === 10)
   }

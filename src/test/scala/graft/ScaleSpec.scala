@@ -247,6 +247,113 @@ class ScaleSpec extends AnyFunSuite {
       .collect()(0).getLong(1) === 999L)
   }
 
+  test("join sizing reads manifest LINES alone: the broadcast decision " +
+      "on a pure-segment manifest loads ZERO segment files (counted " +
+      "loads, not wall-clock)") {
+    import graft.sources.SnapshotTable
+    val wh = Files.createTempDirectory("graft_scale_seg").toString
+    val table = s"$wh/dim"
+    // two commits -> a pure-segment manifest (inline only exists for
+    // legacy flat manifests); statsColumns record rowCount + NDV per
+    // part, aggregated into the segment REFERENCES at write time
+    SnapshotTable.commit(
+      spark.range(5000).select(col("id").as("k"), (col("id") * 7).as("w"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      table, append = false, statsColumns = Seq("k"))
+    SnapshotTable.commit(
+      spark.range(5000, 8000).select(col("id").as("k"), (col("id") * 7).as("w"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      table, append = true, statsColumns = Seq("k"))
+    val m = SnapshotTable.manifest(table, 2L)
+    assert(m.segments.nonEmpty && m.inline.isEmpty, "pure-segment manifest")
+    val c0 = SnapshotTable.segmentLoads.get()
+    // the sizing PROOFS — row count and key-NDV upper bound — answer
+    // from the segment references in the head manifest's lines
+    assert(SnapshotTable.rowCountOf(table).contains(8000L))
+    assert(SnapshotTable.ndvOf(table, "k").exists(n => n >= 8000L && n <= 9000L))
+    assert(SnapshotTable.segmentLoads.get() === c0,
+      "the broadcast decision must load ZERO segment files")
+    // the decision drives a real broadcast — and an unprovable bound
+    // falls to shuffle, never a blind broadcast
+    val left = spark.range(100000).select(col("id").as("lk"))
+    val (joined, bc) = SnapshotTable.sizedJoin(left, "lk", table, "k",
+      maxBuildRows = 10000L, maxBuildKeys = 10000L)
+    assert(bc, "8000 provable rows under a 10000 cap must broadcast")
+    assert(joined.count() === 8000L)
+    assert(graft.Stage.executedNodes(joined).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]))
+    val (j2, bc2) = SnapshotTable.sizedJoin(left, "lk", table, "k",
+      maxBuildRows = 100L, maxBuildKeys = 10000L)
+    assert(!bc2 && j2.count() === 8000L, "over the cap falls to shuffle")
+  }
+
+  test("post-evolution pruned reads plan O(touched files) on a 10x " +
+      "table with MIXED generations: counted files, not wall-clock") {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    def build(days: Int): (String, String) = {
+      val wh = Files.createTempDirectory(s"graft_scale_evo$days").toString
+      val cat = "gse" + days + wh.takeRight(6).replaceAll("[^0-9a-zA-Z]", "")
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.e (ts TIMESTAMP NOT NULL, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+      // gen 0: `days` day files; gen 1: 4 days cut hourly (96 files)
+      spark.range(days.toLong * 40)
+        .select(expr(s"timestamp_micros(CAST(1704067200000000 + " +
+          s"(id % $days) * 86400000000 + id * 7 AS BIGINT))").as("ts"),
+          col("id").as("v"))
+        .createOrReplaceTempView(s"gse_src_$days")
+      spark.sql(s"INSERT INTO $cat.e SELECT * FROM gse_src_$days")
+      spark.sql(s"ALTER TABLE $cat.e SET TBLPROPERTIES('evolveLayout'='hours(ts)')")
+      spark.range(96)
+        .select(expr(s"timestamp_micros(CAST(1704067200000000 + " +
+          s"${days}L * 86400000000 + id * 3600000000 AS BIGINT))").as("ts"),
+          (col("id") + 1000000).as("v"))
+        .createOrReplaceTempView(s"gse_new_$days")
+      spark.sql(s"INSERT INTO $cat.e SELECT * FROM gse_new_$days")
+      (cat, s"$wh/e")
+    }
+    val (catS, tabS) = build(10)
+    val (catB, tabB) = build(100)
+    val mS = SnapshotTable.manifest(tabS, 4L)
+    val mB = SnapshotTable.manifest(tabB, 4L)
+    assert(mS.files.size === 10 + 96 && mB.files.size === 100 + 96,
+      "the 10x old generation is real, both tables mixed")
+    assert(mS.files.exists(_.seq < SnapshotTable.layoutSinceOf(mS)) &&
+      mB.files.exists(_.seq < SnapshotTable.layoutSinceOf(mB)))
+    // a 3-hour window in the NEW generation prunes to the SAME 3 hour
+    // files on both tables — the old generation's size never enters
+    def planned(cat: String, days: Int): Int = {
+      val lo = s"timestamp_micros(CAST(1704067200000000 + ${days}L * 86400000000 " +
+        "+ 5 * 3600000000 AS BIGINT))"
+      val hi = s"timestamp_micros(CAST(1704067200000000 + ${days}L * 86400000000 " +
+        "+ 8 * 3600000000 AS BIGINT))"
+      val q = spark.table(s"$cat.e")
+        .where(col("ts") >= expr(lo) && col("ts") < expr(hi))
+      assert(q.count() === 3)
+      graft.Stage.executedNodes(q).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    assert(planned(catS, 10) === 3 && planned(catB, 100) === 3,
+      "a pruned post-evolution read plans O(touched files) at 10x")
+    // and a 1-day window in the OLD generation plans exactly 1 file on
+    // both — per-generation pruning is size-independent too
+    def plannedOld(cat: String): Int = {
+      val q = spark.table(s"$cat.e")
+        .where(col("ts") >= expr("timestamp'2024-01-03 00:00:00'") &&
+          col("ts") < expr("timestamp'2024-01-04 00:00:00'"))
+      q.collect()
+      graft.Stage.executedNodes(q).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    assert(plannedOld(catS) === 1 && plannedOld(catB) === 1,
+      "old-generation day reads stay 1-file at 10x")
+  }
+
   test("scoped-DV read cost is proportional to the sidecars OVERLAPPING " +
       "each file, not files x chain: counted attachments, not wall-clock") {
     import graft.sources.{SnapshotCatalog, SnapshotTable, SnapshotV2}
