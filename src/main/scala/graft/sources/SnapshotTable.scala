@@ -1763,10 +1763,13 @@ object SnapshotTable {
   private[sources] val ChangePreK = "changepre"
 
   /** Reserved manifest key: declared change-capture routing —
-    * TBLPROPERTIES('changeCapture'='none') opts a table out of the
-    * write-time pre-image sidecar (retention-delete tables that never
-    * read a change feed shouldn't pay the capture pass); the default
-    * ('preimages') captures. A declaration, so it carries. */
+    * TBLPROPERTIES('changeCapture'='preimages') OPTS IN to the
+    * write-time pre-image sidecar (Delta's enableChangeDataFeed
+    * posture: a retention-delete table that never reads a change feed
+    * must not silently pay an extra O(touched files) pass per delete
+    * commit); absent or 'none' = no capture, and the incremental feed
+    * refuses position-delta commits naming this property as the cure.
+    * A declaration, so it carries. */
   private[sources] val ChangeCaptureK = "changecapture"
 
   /** Reserved manifest key: the COLUMN-RENAME history — `;`-joined
@@ -2094,8 +2097,9 @@ object SnapshotTable {
     * [[changeFeedIncremental]] serve delete pre-images across
     * position-delta commits at O(delta) instead of falling back to the
     * O(table) state diff. Returns the per-commit [[ChangePreK]]
-    * pointer; empty under TBLPROPERTIES('changeCapture'='none') or for
-    * an empty batch. */
+    * pointer; empty unless the table opted in with
+    * TBLPROPERTIES('changeCapture'='preimages') (the Delta-CDF
+    * posture — capture is a declared cost, never a silent one). */
   private def writeChangePre(
       spark: SparkSession,
       m: Manifest,
@@ -2104,7 +2108,7 @@ object SnapshotTable {
       table: String,
       next: Long,
       io: SnapshotIO): Map[String, String] = {
-    if (named.isEmpty || m.extra.get(ChangeCaptureK).contains("none"))
+    if (named.isEmpty || !m.extra.get(ChangeCaptureK).contains("preimages"))
       return Map.empty
     def freshName(stem: String): String = Iterator.from(0)
       .map(i => if (i == 0) stem else s"$stem$i")
@@ -3064,25 +3068,24 @@ object SnapshotTable {
     val cur0 = currentVersion(table, io)
     require(cur0 > 0, s"cannot z-order non-existent table $table")
     val m0 = manifest(table, cur0, io)
-    if (temporalSpecOf(m0).nonEmpty) {
+    if (temporalSpecOf(m0).nonEmpty || bucketSpecOf(m0).nonEmpty ||
+        truncSpecOf(m0).nonEmpty) {
       // PER-GROUP z-order — Delta's `OPTIMIZE ... ZORDER BY` scoped
-      // within partitions: on a plain temporal table rows range-
-      // partition on (period, __z); on a COMPOUND (time × hash /
-      // time × truncate) layout the rewrite key widens to (period,
-      // bucket|trunc, __z), so the curve clusters WITHIN each
-      // (period, second-dimension) group, BOTH stamps survive the
-      // rolling stamping writer, and every group's files carry narrow
-      // z-column bounds — a (months × bucket) event table z-orders
-      // inside its (month, tenant-bucket) cells like any Delta table
-      // z-orders inside its partitions. Z-ordering the second
-      // dimension's COLUMN is allowed (within a hash bucket the raw
-      // key still spans its whole domain — the curve adds the range
-      // pruning the equality-only bucket stamp cannot); only the
+      // within partitions, on ANY transform layout: the rewrite key
+      // widens to (every layout stamp, __z) — (period, __z) on plain
+      // temporal, (period, bucket|trunc, __z) on compounds, (bucket,
+      // __z) / (trunc, __z) on hash- or width-grouped tables — so the
+      // curve clusters WITHIN each layout cell, every stamp survives
+      // the rolling stamping writer (pruning + SPJ untouched), and
+      // each cell's files carry narrow z-column bounds. Z-ordering a
+      // bucket/trunc key's raw COLUMN is allowed (within a hash bucket
+      // the key still spans its whole domain — the curve adds the
+      // range pruning the equality-only bucket stamp cannot); only the
       // temporal key itself is a no-op.
       requireZOrderable(m0, table, zorderBy)
-      require(!zorderBy.contains(temporalSpecOf(m0).get._1),
+      temporalSpecOf(m0).foreach(t => require(!zorderBy.contains(t._1),
         "z-ordering the temporal partition key itself is a no-op — files are " +
-          "already period-disjoint; pick the columns queries filter WITHIN a period")
+          "already period-disjoint; pick the columns queries filter WITHIN a period"))
       return compactLayout(spark, table, targetBytes, io, zorderBy)
     }
     if (zorderBy.size == 1)
@@ -3462,10 +3465,10 @@ object SnapshotTable {
         val dir = mv.extra.get(ChangePreK).map(FileEntry.unhex)
         require(dir.isDefined,
           s"commit $v of $table records ${newPos.size} position-delete " +
-            "sidecar(s) with no write-time change capture (changeCapture=" +
-            "'none' or a pre-capture commit) — physical-ordinal deletes are " +
-            "unattributable after the fact; use the state-based changeFeed " +
-            "for this range")
+            "sidecar(s) with no write-time change capture — physical-ordinal " +
+            "deletes are unattributable after the fact; enable " +
+            "TBLPROPERTIES('changeCapture'='preimages') before the commit, " +
+            "or use the state-based changeFeed for this range")
         Some(padToV(spark.read.schema(mp.schema).parquet(dir.get)))
       }
     val pPaths = mp.files.map(_.path).toSet

@@ -112,8 +112,9 @@ class Round25Spec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() === 2)
   }
 
-  test("stamp-blind maintenance refuses on bucketed layouts (zorder, merge, " +
-      "mergeMoR); compaction routes to the layout-preserving rewrite") {
+  test("stamp-blind maintenance refuses on bucketed layouts (merge, " +
+      "mergeMoR); zorder and compaction route to the layout-preserving " +
+      "per-group rewrite") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
@@ -121,13 +122,22 @@ class Round25Spec extends AnyFunSuite {
     val table = s"$wh/t"
     val batch = spark.range(3).select(col("id").as("k"), lit(0L).as("v"))
     for (op <- Seq(
-      () => SnapshotTable.compactZOrder(spark, table, Seq("k", "v")),
       () => SnapshotTable.merge(batch, table, "k"),
       () => SnapshotTable.mergeMoR(batch, table, "k"))) {
       val e = intercept[Exception] { op() }
       assert(e.getMessage.contains("refused on hash-bucketed"),
         s"got: ${e.getMessage}")
     }
+    // compactZOrder is no longer stamp-blind: it routes through the
+    // per-group stamping rewrite — every bucket stamp survives and the
+    // curve clusters WITHIN each bucket (Round47Spec owns compounds)
+    val (_, zv) = SnapshotTable.compactZOrder(spark, table, Seq("k", "v"))
+    val zm = SnapshotTable.manifest(table, zv)
+    assert(zm.files.nonEmpty && zm.files.forall(
+      _.stats.get(SnapshotTable.BucketStat).exists(s => s._1 == s._2)),
+      "per-group z-order must keep every bucket stamp")
+    assert(spark.table(s"$cat.t").agg(sum("v")).collect()(0).getLong(0) ===
+      (0L until 100L).map(_ * 10).sum)
     // layout overrides still refuse — the table's own layout rules
     val e = intercept[Exception] {
       SnapshotTable.compactSnapshot(spark, table, clusterBy = Seq("v"))

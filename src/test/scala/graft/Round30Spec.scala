@@ -69,12 +69,13 @@ class Round30Spec extends AnyFunSuite {
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("NULL truncate key refused"))
     spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(100)")
-    // compaction routes to the layout-preserving per-group rewrite now
-    // (Round32Spec owns it); the stamp-blind ops still refuse by name
-    val em = intercept[Exception] {
-      SnapshotTable.compactZOrder(spark, s"$wh/t", Seq("k", "v"))
-    }
-    assert(em.getMessage.contains("refused on truncate-grouped"))
+    // zorder and compaction both route to the layout-preserving
+    // per-group rewrite now (Round32Spec owns compaction): every
+    // truncate stamp survives the z rewrite
+    val (_, zv) = SnapshotTable.compactZOrder(spark, s"$wh/t", Seq("k", "v"))
+    assert(SnapshotTable.manifest(s"$wh/t", zv).files.forall(
+      _.stats.get(SnapshotTable.TruncStat).exists { case (lo, hi) => lo == hi }),
+      "per-group z-order must keep every truncate stamp")
     spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k % 10 = 3")
     val m = SnapshotTable.manifest(s"$wh/t", SnapshotTable.currentVersion(s"$wh/t"))
     assert(m.files.nonEmpty && m.files.forall(

@@ -25,7 +25,8 @@ class Round44Spec extends AnyFunSuite {
 
   private def posTable(cat: String): Unit = {
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
-      "TBLPROPERTIES('statsColumns'='k', 'deleteMode'='positions')")
+      "TBLPROPERTIES('statsColumns'='k', 'deleteMode'='positions', " +
+      "'changeCapture'='preimages')")
     spark.range(40).coalesce(2).select(col("id").as("k"), (col("id") * 10).as("v"))
       .createOrReplaceTempView("g44_src")
     spark.sql(s"INSERT INTO $cat.t SELECT * FROM g44_src")

@@ -12,7 +12,8 @@ import graft.sources.{SnapshotCatalog, SnapshotTable}
   * delete pre-images from it at O(delta) across deletePositions / SQL
   * position-delta DML commits. Pins exact pre-images, the
   * non-resurrection rule under trickle sidecars, the state-feed
-  * cross-check, the changeCapture='none' opt-out refusal, and vacuum
+  * cross-check, the opt-in posture (no declaration, no capture, loud
+  * refusal naming the cure; ALTER enables mid-life), and vacuum
   * pinning the capture sidecar of retained commits.
   */
 class Round48Spec extends AnyFunSuite {
@@ -31,7 +32,7 @@ class Round48Spec extends AnyFunSuite {
       "resurface as later pre-images") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v STRING) " +
-      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions')")
+      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions','changeCapture'='preimages')")
     val table = s"$wh/t"
     spark.range(10).select(col("id").as("k"), concat(lit("r"), col("id")).as("v"))
       .coalesce(1).createOrReplaceTempView("g48_a")
@@ -66,7 +67,7 @@ class Round48Spec extends AnyFunSuite {
       "chain, agreeing with the state diff") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, price DOUBLE) " +
-      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions')")
+      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions','changeCapture'='preimages')")
     val table = s"$wh/t"
     spark.range(20).select(col("id").as("k"), (col("id") * 1.0).as("price"))
       .createOrReplaceTempView("g48_b")
@@ -123,31 +124,56 @@ class Round48Spec extends AnyFunSuite {
         "null-fills the added column")
   }
 
-  test("changeCapture='none' opts out: the commit records no capture " +
-      "and the feed refuses loudly; vacuum pins retained captures") {
+  test("the catalog-addressed changes table serves a position-delta " +
+      "commit from the write-time capture") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES('statsColumns'='k','deleteMode'='positions','changeCapture'='preimages')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 10 FROM range(30)")
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 13 = 5") // v3: position delta
+    val rows = spark.read
+      .option("fromVersion", "2").option("toVersion", "3").option("key", "k")
+      .table(s"$cat.t.changes")
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(rows.toSeq === Seq(("delete", 5L), ("delete", 18L)),
+      "the changes table rides the same capture — no refusal, exact pre-images")
+  }
+
+  test("capture is OPT-IN (the Delta-CDF posture): a table without the " +
+      "declaration records nothing and the feed refuses naming the " +
+      "cure; ALTER enables it mid-life; vacuum pins retained captures") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v STRING) " +
-      "TBLPROPERTIES('deleteMode'='positions','changeCapture'='none')")
+      "TBLPROPERTIES('deleteMode'='positions')")
     val table = s"$wh/t"
     spark.range(6).select(col("id").as("k"), concat(lit("x"), col("id")).as("v"))
       .coalesce(1).createOrReplaceTempView("g48_c")
     spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_c")
     SnapshotTable.deletePositions(
       spark.table(s"$cat.t").where(col("k") === 2).select("_file", "_pos"), table)
-    assert(!SnapshotTable.manifest(table, 3L).extra.contains("changepre"))
+    assert(!SnapshotTable.manifest(table, 3L).extra.contains("changepre"),
+      "no declaration, no capture pass — the cost is never silent")
     val e = intercept[Exception] {
       SnapshotTable.changeFeedIncremental(spark, table, 2L, 3L, "k").collect()
     }
-    assert(e.getMessage.contains("no write-time change capture"))
-    // the declaration carries (DeclKeys): an append must not strip it
+    assert(e.getMessage.contains("changeCapture"))
+    // enable mid-life: later commits capture, and the declaration
+    // carries across data commits (DeclKeys)
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('changeCapture'='preimages')")
+    SnapshotTable.deletePositions(
+      spark.table(s"$cat.t").where(col("k") === 4).select("_file", "_pos"), table)
+    assert(SnapshotTable.manifest(table, 5L).extra.contains("changepre"))
+    assert(SnapshotTable.changeFeedIncremental(spark, table, 4L, 5L, "k")
+      .select("k").collect().map(_.getLong(0)).toSeq === Seq(4L))
     spark.sql(s"INSERT INTO $cat.t SELECT k + 100, v FROM g48_c")
-    assert(SnapshotTable.manifest(table, 4L).extra.get("changecapture")
-      .contains("none"))
+    assert(SnapshotTable.manifest(table, 6L).extra.get("changecapture")
+      .contains("preimages"))
     // vacuum: a capture-bearing table retains its sidecars for the
     // kept window and the feed still serves after reclamation
     val (cat2, wh2) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat2.t (k BIGINT NOT NULL, v STRING) " +
-      "TBLPROPERTIES('deleteMode'='positions')")
+      "TBLPROPERTIES('deleteMode'='positions','changeCapture'='preimages')")
     val table2 = s"$wh2/t"
     spark.sql(s"INSERT INTO $cat2.t SELECT * FROM g48_c")
     SnapshotTable.deletePositions(
