@@ -973,21 +973,13 @@ private[graft] class SnapshotV2Scan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // deletion vectors apply reader-side (see createReaderFactory) —
-    // only the metadata-column combination is refused: `_pos` is the
-    // row's PHYSICAL ordinal and `_file` plans multi-purpose single-
-    // file partitions whose wiring predates the DV filter; provenance
-    // reads on a DV-carrying table should compact first
-    // position deletes COMPOSE with provenance reads (the metadata
-    // append is 1:1 over the raw stream and assigns raw ordinals
-    // BEFORE the ordinal filter drops rows — exactly what a stacked
-    // deletePositions batch must address); only equality DVs still
-    // refuse the combination (their filter predates the single-file
-    // metadata wiring)
-    require(dv.isEmpty || metaFields.isEmpty,
-      s"metadata columns (${metaFields.mkString(",")}) on a table with " +
-        s"${dv.size} outstanding deletion-vector file(s) — run compactSnapshot " +
-        "(materializes the deletes) before provenance reads")
+    // deletion vectors apply reader-side (see createReaderFactory);
+    // BOTH delete formats COMPOSE with provenance reads: the
+    // metadata append is 1:1 over the raw stream and assigns raw
+    // ordinals BEFORE any delete filter drops rows — exactly what a
+    // stacked deletePositions batch must address (positions r16,
+    // equality DVs r17: the DV filter wraps outside the append with
+    // its key ordinal resolved in the appended layout)
     val planned: Array[InputPartition] = grouped match {
       case Some(groups) =>
         // runtime filters narrow files WITHIN the static key groups
@@ -1228,11 +1220,26 @@ private[graft] class SnapshotV2Scan(
       val innerSchema =
         if (dataSchema.fieldNames.contains(key)) dataSchema
         else StructType(dataSchema.fields :+ kf) // force-read the key, project after
-      val keyOrd = innerSchema.fieldIndex(key)
+      // PROVENANCE COMPOSITION (`_file`/`_pos` under an equality-DV
+      // chain): the metadata append is 1:1 over the RAW parquet stream
+      // — `_pos` values are assigned at raw ordinals, exactly what a
+      // stacked deletePositions batch must address — and the DV filter
+      // wraps OUTSIDE it, dropping dead rows without compacting the
+      // counter (the same wrap order the position format uses). A
+      // force-read key appends LAST so the post-filter projection
+      // strips it by prefix.
+      val outSchema =
+        if (metaFields.isEmpty) innerSchema
+        else if (requiredSchema.fieldNames.contains(key)) requiredSchema
+        else StructType(requiredSchema.fields :+ kf)
+      val target = if (metaFields.isEmpty) dataSchema else requiredSchema
+      val keyOrd = outSchema.fieldIndex(key)
       val projectTo =
-        if (innerSchema.length == dataSchema.length) None else Some(dataSchema)
-      val inner =
-        posWrap(parquetBase(innerSchema, pushed))
+        if (outSchema.length == target.length) None else Some(target)
+      val parquetInner = parquetBase(innerSchema, pushed)
+      val inner = posWrap(
+        if (metaFields.isEmpty) parquetInner
+        else new MetadataAppendReaderFactory(parquetInner, outSchema, innerSchema))
       val declared = dv.map(_.count)
       val budget = if (declared.forall(_ >= 0)) declared.sum else -1L
       val maxBroadcast = spark.conf

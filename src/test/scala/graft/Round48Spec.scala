@@ -140,6 +140,38 @@ class Round48Spec extends AnyFunSuite {
       "the changes table rides the same capture — no refusal, exact pre-images")
   }
 
+  test("provenance reads compose with an outstanding equality-DV chain " +
+      "(broadcast AND scoped): raw ordinals survive, dead rows drop, " +
+      "and a stacked position batch lands exactly") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES('statsColumns'='k','morKey'='k')")
+    val table = s"$wh/t"
+    spark.range(10).coalesce(1)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .createOrReplaceTempView("g48_p")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM g48_p")
+    import spark.implicits._
+    SnapshotTable.deleteKeys(Seq(3L).toDF("k"), table, "k")
+    // the refusal is gone: `_pos` serves RAW ordinals over the
+    // unfiltered stream (the gap at the dead row proves it), the DV
+    // filter drops dead rows OUTSIDE the append
+    def prov() = spark.table(s"$cat.t").select("_file", "_pos", "k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(prov() === (0L until 10L).filterNot(_ == 3L).map(k => (k, k)),
+      "raw ordinals with a gap at the equality-deleted row")
+    spark.conf.set(graft.sources.SnapshotV2.DvBroadcastMaxKeysConf, "0")
+    try assert(prov() === (0L until 10L).filterNot(_ == 3L).map(k => (k, k)),
+      "the scoped fallback composes identically")
+    finally spark.conf.unset(graft.sources.SnapshotV2.DvBroadcastMaxKeysConf)
+    // the unlocked workflow: a position batch STACKED on the eq chain
+    SnapshotTable.deletePositions(
+      spark.table(s"$cat.t").where(col("k") === 7).select("_file", "_pos"), table)
+    assert(spark.table(s"$cat.t").select("k").collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 10L).filterNot(k => k == 3L || k == 7L),
+      "equality and position deletes compose through the provenance scan")
+  }
+
   test("capture is OPT-IN (the Delta-CDF posture): a table without the " +
       "declaration records nothing and the feed refuses naming the " +
       "cure; ALTER enables it mid-life; vacuum pins retained captures") {
