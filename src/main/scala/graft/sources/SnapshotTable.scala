@@ -3305,15 +3305,27 @@ object SnapshotTable {
     require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val ma = manifest(table, fromVersion, io)
     val mb = manifest(table, toVersion, io)
+    // the manifest supports exactly two schema moves — add-at-end and
+    // metadata-only RENAME — and both are POSITIONAL (ordinals never
+    // move): the state diff serves at the TO-side schema, mapping the
+    // from-side columns by ordinal (a renamed column's pre-images
+    // report under its current name) and NULL-filling the added tail
+    // (the value every pre-evolution row holds there). Anything
+    // non-positional (drop/reorder/retype never commit) still refuses.
+    val fa = ma.schema.fields
+    val fb = mb.schema.fields
     require(
-      ma.schema.fieldNames.sameElements(mb.schema.fieldNames),
-      s"change feed across a schema boundary (${ma.schema.simpleString} vs " +
-        s"${mb.schema.simpleString}) — diff the common columns explicitly instead")
+      fb.length >= fa.length &&
+        fa.indices.forall(i => fa(i).dataType == fb(i).dataType),
+      s"change feed across a non-positional schema boundary " +
+        s"(${ma.schema.simpleString} vs ${mb.schema.simpleString}) — " +
+        "diff the common columns explicitly instead")
     val cols = mb.schema.fieldNames.toSeq
-    diffByKey(
-      read(spark, table, Some(fromVersion), io),
-      read(spark, table, Some(toVersion), io),
-      cols, key)
+    val pre0 = read(spark, table, Some(fromVersion), io)
+      .toDF(fa.indices.map(i => fb(i).name): _*)
+    val pre = fb.drop(fa.length).foldLeft(pre0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    diffByKey(pre, read(spark, table, Some(toVersion), io), cols, key)
   }
 
   /** Classify a keyed PRE-side vs POST-side diff into change-feed rows:

@@ -102,6 +102,34 @@ class Round49Spec extends AnyFunSuite {
       (0L until 200L).map(_ * 3).sum)
   }
 
+  test("the state-based changeFeed crosses rename AND add-at-end " +
+      "boundaries positionally: pre-images report under current names, " +
+      "the added tail null-fills") {
+    val table = java.nio.file.Files.createTempDirectory("graft49_cf").toString + "/t"
+    val d1 = spark.range(6).select(col("id").as("k"), (col("id") * 2).as("v"))
+    SnapshotTable.commit(d1, table, append = false)                    // v1
+    SnapshotTable.renameColumn(table, "v", "qty")                      // v2
+    // overwrite at the new schema + a new trailing column: k=1 deleted,
+    // k=2 updated, k=99 inserted
+    val d2 = spark.range(6).filter(col("id") =!= 1)
+      .select(col("id").as("k"),
+        (col("id") * 2 + when(col("id") === 2, 7).otherwise(0)).as("qty"),
+        lit(null).cast("long").as("flag"))
+      .unionByName(spark.sql("SELECT 99L AS k, 0L AS qty, 5L AS flag"))
+    SnapshotTable.commit(d2, table, append = false)                    // v3
+    val feed = SnapshotTable.changeFeed(spark, table, 1L, 3L, "k")
+      .select("_change_type", "k", "qty", "flag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(t => (t._2, t._1))
+    assert(feed.toSeq === Seq(
+      ("delete", 1L, 2L, -1L),
+      ("update_postimage", 2L, 11L, -1L), ("update_preimage", 2L, 4L, -1L),
+      ("insert", 99L, 0L, 5L)),
+      "positional mapping: renamed pre-images under the current name, " +
+        "the added tail null-fills (unchanged rows with null flags drop)")
+  }
+
   test("guards: declaration-referenced columns refuse, historical names " +
       "never reused (rename target or added column), drop/retype still " +
       "refused") {
