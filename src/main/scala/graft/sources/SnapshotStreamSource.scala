@@ -150,40 +150,24 @@ private[sources] class SnapshotSource(
     val to = version(end)
     planned = hwm.advance(to, planned)
     val m = SnapshotTable.manifest(table, to)
-    val files = start.map(version).filter(_ > 0L) match {
+    val entries = start.map(version).filter(_ > 0L) match {
       case None =>
         // initial load: everything the table held up to `to` is the
         // base batch — resolved from to's manifest alone
-        m.files.map(_.path)
-      case Some(from) if from >= to => Nil
-      case Some(from)               => SnapshotTable.incrementalFiles(table, from, to)
+        m.files
+      case Some(from) if from >= to => Seq.empty
+      case Some(from) =>
+        // slice files live in `to`'s manifest (append-only chains) —
+        // resolve their ENTRIES, whose commit seq the delete scoping
+        // below depends on
+        val paths = SnapshotTable.incrementalFiles(table, from, to).toSet
+        m.files.filter(f => paths(f.path))
     }
     // the plan must carry streaming leaves (MicroBatchExecution asserts
     // it) while staying a declarative parquet relation — the Bridge
-    // shim builds exactly what FileStreamSource hands back
-    val base = org.apache.spark.sql.graftbridge.Bridge
-      .streamingParquetBatch(sqlContext.sparkSession, files, schema)
-    // deletion vectors apply on EVERY read path — the initial batch of
-    // a stream attached to a table with outstanding DVs must not emit
-    // deleted rows (steady-state slices can't cross a mode=delete
-    // commit: incrementalFiles refuses non-append chains)
-    require(SnapshotTable.posDvPaths(m).isEmpty,
-      s"table $table carries outstanding position-delete sidecar(s) — the " +
-        "streaming anti-join cannot address physical ordinals; run " +
-        "compactSnapshot (materializes the deletes) before streaming")
-    SnapshotTable.dvPaths(m) match {
-      case Nil => base
-      case dvp =>
-        import org.apache.spark.sql.functions.col
-        val k = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
-          s"snapshot table $table has deletion-vector files but no dvkey in its manifest — corrupt metadata"))
-        require(schema.fieldNames.contains(k),
-          s"stream schema must include the deletion-vector key column '$k' " +
-            s"(got ${schema.fieldNames.mkString(",")}) — DVs cannot be applied without it")
-        val dv = sqlContext.sparkSession.read.parquet(dvp: _*)
-          .select(col(k).as("__dvk")).distinct()
-        base.join(dv.hint("shuffle_hash"), base(k) === col("__dvk"), "left_anti")
-    }
+    // shim builds exactly what FileStreamSource hands back; both delete
+    // formats apply, SEQ-SCOPED (see SnapshotStreamState.batch)
+    SnapshotStreamState.batch(sqlContext.sparkSession, table, m, schema, entries)
   }
 
   /** Offsets come back as SerializedOffset after a checkpoint restart;
@@ -305,25 +289,12 @@ private[sources] class SnapshotCdcSource(
     start.map(version).filter(_ > 0L) match {
       case None =>
         // initial load: the head STATE as insert rows — streaming
-        // parquet relation off the manifest, deletion vectors applied
-        // as a static anti-join (stream-static left_anti is stateless)
+        // parquet relation off the manifest with BOTH delete formats
+        // applied, seq-scoped (stream-static left_anti is stateless)
         val m = SnapshotTable.manifest(table, to)
-        val base = org.apache.spark.sql.graftbridge.Bridge
-          .streamingParquetBatch(spark, m.files.map(_.path), m.schema)
-        require(SnapshotTable.posDvPaths(m).isEmpty,
-          s"table $table carries outstanding position-delete sidecar(s) — " +
-            "the CDC initial load cannot address physical ordinals; run " +
-            "compactSnapshot before attaching")
-        val live = SnapshotTable.dvPaths(m) match {
-          case Nil => base
-          case dvp =>
-            val k = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
-              s"snapshot table $table has deletion-vector files but no dvkey in its manifest — corrupt metadata"))
-            val dv = spark.read.parquet(dvp: _*).select(col(k).as("__dvk")).distinct()
-            base.join(dv.hint("shuffle_hash"), base(k) === col("__dvk"), "left_anti")
-        }
-        live.select(
-          lit("insert").as("_change_type") +: m.schema.fieldNames.toSeq.map(col): _*)
+        SnapshotStreamState.batch(spark, table, m, m.schema, m.files)
+          .select(
+            lit("insert").as("_change_type") +: m.schema.fieldNames.toSeq.map(col): _*)
       case Some(from) if from >= to =>
         org.apache.spark.sql.graftbridge.Bridge
           .streamingParquetBatch(spark, Nil, schema)
@@ -367,4 +338,81 @@ private[sources] class SnapshotCdcSource(
   }
 
   override def stop(): Unit = ()
+}
+
+/** ATTACH-TIME / SLICE table state as a STREAMING frame with both
+  * delete formats applied — shared by the append-only source (initial
+  * load AND steady-state slices) and the CDC source's initial load.
+  *
+  * Equality DVs apply SEQ-SCOPED, exactly like every batch read path:
+  * a DV stamped at commit s kills only rows from files with seq < s.
+  * The previous unscoped `key IN dv` anti-join silently killed (a) the
+  * post-images a mergeMoR commit appends beside its own DV (a fresh
+  * attach after an upsert lost the upserted rows), and (b) rows
+  * RE-APPENDED after a deleteKeys commit, in both the initial batch
+  * and later slices — found by inspection this round, pinned in
+  * Round50Spec. Files group by commit seq (one streaming scan per
+  * distinct seq over disjoint file sets — same total I/O), and the DV
+  * side carries each sidecar's seq.
+  *
+  * Position sidecars anti-join on TRUE per-file ordinals taken from
+  * the scan itself (`_metadata.row_index`, scheme-normalized path) —
+  * the same shape the selective rewrite reads by — so a pos-carrying
+  * table now attaches instead of refusing; steady-state slices only
+  * ever see files appended after the sidecars (append-only chains),
+  * where the anti-join is a provable no-op. */
+private[sources] object SnapshotStreamState {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+
+  def batch(
+      spark: SparkSession,
+      table: String,
+      m: SnapshotTable.Manifest,
+      schema: StructType,
+      entries: Seq[SnapshotTable.FileEntry]): DataFrame = {
+    def scan(paths: Seq[String]): DataFrame = org.apache.spark.sql.graftbridge
+      .Bridge.streamingParquetBatch(spark, paths, schema)
+    if (entries.isEmpty) return scan(Nil)
+    val posRefs = SnapshotTable.posDvRefs(m)
+    def stripPos(df: DataFrame): DataFrame =
+      if (posRefs.isEmpty) df
+      else {
+        val del = posRefs.map(r => spark.read.parquet(r.path).select(
+            col("_file").cast("string").as("__g_pdf"),
+            col("_pos").cast("long").as("__g_pdp")))
+          .reduce(_.unionByName(_))
+        // delete-batch-derived side: structural shuffle hint
+        df.select(col("*"),
+            regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("__g_pf"),
+            col("_metadata.row_index").as("__g_pp"))
+          .join(del.hint("shuffle_hash"),
+            col("__g_pf") === col("__g_pdf") && col("__g_pp") === col("__g_pdp"),
+            "left_anti")
+          .drop("__g_pf", "__g_pp")
+      }
+    val dvRefs = SnapshotTable.dvRefs(m)
+    if (dvRefs.isEmpty) stripPos(scan(entries.map(_.path)))
+    else {
+      val k = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
+        s"snapshot table $table has deletion-vector files but no dvkey in " +
+          "its manifest — corrupt metadata"))
+      require(schema.fieldNames.contains(k),
+        s"stream schema must include the deletion-vector key column '$k' " +
+          s"(got ${schema.fieldNames.mkString(",")}) — DVs cannot be applied " +
+          "without it")
+      val base = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
+        .map { case (sq, fs) =>
+          stripPos(scan(fs.map(_.path))).withColumn("__g_fseq", lit(sq))
+        }
+        .reduce(_.unionByName(_))
+      val dv = dvRefs.map(r => spark.read.parquet(r.path)
+          .select(col(k).as("__g_dvk"), lit(r.seq).as("__g_dvq")))
+        .reduce(_.unionByName(_))
+      base.join(dv.hint("shuffle_hash"),
+          base(k) === col("__g_dvk") && col("__g_dvq") > col("__g_fseq"),
+          "left_anti")
+        .drop("__g_fseq")
+    }
+  }
 }
