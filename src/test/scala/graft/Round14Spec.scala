@@ -301,7 +301,8 @@ class Round14Spec extends AnyFunSuite {
       s"year arm pruning inert: ${yearHit.size}/${m.files.size}")
   }
 
-  test("changeFeed: classifies every row; sound across the merge; refuses schema drift") {
+  test("changeFeed: classifies every row; sound across the merge; " +
+      "serves an add-at-end drift positionally") {
     val table = tmpTable()
     val o = ordersNarrow
     SnapshotTable.commit(o, table, append = false)
@@ -319,11 +320,15 @@ class Round14Spec extends AnyFunSuite {
     assert(feed === Set(
       ("delete", 0L), ("update_preimage", 1L), ("update_postimage", 1L),
       ("insert", 999999L)), s"feed misclassified: $feed")
-    // schema drift between the versions refuses loudly
+    // an ADD-AT-END drift now serves positionally (Round49Spec owns
+    // the mapping; only non-positional boundaries refuse, and those
+    // can never commit): the widening overwrite restores key 0 and
+    // drops the synthetic insert
     SnapshotTable.commit(o.withColumn("extra", lit(1L)), table, append = false)
-    intercept[IllegalArgumentException] {
-      SnapshotTable.changeFeed(spark, table, 2L, 3L, "o_orderkey")
-    }
+    val feed2 = SnapshotTable.changeFeed(spark, table, 2L, 3L, "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed2.contains(("insert", 0L)) && feed2.contains(("delete", 999999L)),
+      s"the add-at-end crossing must serve: $feed2")
   }
 
   // ---- Hadoop-FileSystem commit arm -------------------------------
