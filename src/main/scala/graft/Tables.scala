@@ -9,7 +9,30 @@ import org.apache.spark.sql.functions._
   * applies; nothing is cached here — callers decide lifetime.
   */
 final class Tables(val spark: SparkSession, val dir: String) {
-  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Plain parquet scan with the file's schema served from a process-
+    * level cache: `spark.read.parquet(p)` pays a footer-inference
+    * Spark job on EVERY call, and the harness loads the same immutable
+    * testdata files hundreds of times per bench/verify session —
+    * hundreds of ~50 ms driver round-trips for bytes that cannot have
+    * changed. The cache keys on (path, size, mtime, nanosAsLong) — any
+    * regeneration of the file invalidates, and the events.parquet
+    * TIMESTAMP(NANOS) column infers differently under the legacy flag,
+    * so the flag is part of the identity. This caches SCHEMAS only
+    * (file metadata, the same class of state Spark's own catalog
+    * caches) — never data or results. */
+  def t(name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val f = new java.io.File(p)
+    val flag = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = (p, f.length(), f.lastModified(), flag)
+    Tables.schemaCache.get(key) match {
+      case null =>
+        val df = spark.read.parquet(p)
+        Tables.schemaCache.put(key, df.schema)
+        df
+      case s => spark.read.schema(s).parquet(p)
+    }
+  }
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -58,6 +81,12 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** (path, size, mtime, nanosAsLong) -> inferred schema. Bounded by
+    * the handful of testdata files per scale factor; see [[Tables.t]]. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String),
+      org.apache.spark.sql.types.StructType]()
 
   /** Normalize the events `ts` column to BIGINT epoch NANOS whatever
     * the on-disk encoding: TIMESTAMP(NANOS) arrives as long under

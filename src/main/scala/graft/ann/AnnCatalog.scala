@@ -1,5 +1,7 @@
 package graft.ann
 
+import scala.util.chaining._
+
 import graft.{Fan, Q, QueryModule, Tables}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,11 +29,19 @@ object AnnCatalog extends QueryModule {
   /** ann_hnsw's quadratic-build bound — see the query's scaladoc. */
   private[graft] val GraphSampleCap = 50000L
 
+  /** Quantized corpus, PERSISTED (r18): every consumer query reuses the
+    * corpus 2-10x (centroid aggregations, assignment joins, query-side
+    * filters), and without the cache each reuse re-runs the scan +
+    * 64-dim quantize. Registered with GraftCache so the harnesses
+    * unpersist between queries; single-use consumers pay one cache
+    * write of a vectors-sized frame. */
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Fan
-      .out(Tables(s, dir).embeddings)
-      .withColumn("qv", quantize(col("embedding")))
-      .withColumn("nsq", normSqQ(col("qv")))
+    graft.GraftCache.register(
+      Fan
+        .out(Tables(s, dir).embeddings)
+        .withColumn("qv", quantize(col("embedding")))
+        .withColumn("nsq", normSqQ(col("qv")))
+        .persist())
 
   private def queriesDf(c: DataFrame): DataFrame =
     c.filter(col("vec_id") < 10)
@@ -252,11 +262,14 @@ object AnnCatalog extends QueryModule {
     * re-rank). See ann_pq's Q comment for the method and the
     * exact-integer rationale. */
   private def pqAdc(c: DataFrame): DataFrame = {
-    // m=8 subspaces × 8 dims over the 64-dim quantized vector
-    val sub = c
+    // m=8 subspaces × 8 dims over the 64-dim quantized vector.
+    // truncated (r18): sub feeds the two codebook aggregations, the
+    // code assignment AND the query LUT — four recomputations of the
+    // corpus quantize + explode without it.
+    val sub = graft.GraftCache.truncate(c
       .select(col("vec_id"), col("label"), col("qv"), explode(expr("sequence(0, 7)")).as("j"))
       .withColumn("sv", expr("slice(qv, j*8+1, 8)"))
-      .select("vec_id", "label", "j", "sv")
+      .select("vec_id", "label", "j", "sv"))
     // sub-codebooks: per (subspace, label) exact elementwise sums +
     // count + squared norm of the sum vector
     val cb = sub
@@ -276,6 +289,8 @@ object AnnCatalog extends QueryModule {
         "ssq",
         expr("aggregate(csum, CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"))
       .select(col("j"), col("label").as("cell"), col("csum"), col("cnt"), col("ssq"))
+      // truncated: cb is broadcast twice (codes + LUT) — tiny (r18)
+      .pipe(graft.GraftCache.truncate)
     // ||v - s/c||² ranking ≡ (-2·v·s·c + ssq)/c² + const: exact
     // integer numerator, one portable IEEE division. The inner dot
     // stays a Long (safe to ~1e6-vector cells: 8·1e6·(n·1e6) < 2^63);
@@ -622,9 +637,14 @@ object AnnCatalog extends QueryModule {
         val c = corpus(s, dir)
         // k-means-lite centroids in EXACT integer space + aggregation-
         // argmax assignment — see centroidsOf/coarseAssign for the
-        // oracle-portability and shuffle-shape rationale.
-        val cents = coarseCentroids(c)
-        val assigned = coarseAssign(c, cents)
+        // oracle-portability and shuffle-shape rationale. Cached (r18):
+        // cents is broadcast twice, assigned feeds both ivfSearch
+        // consumers. assigned is PERSISTED, not truncated — AnnSpec
+        // pins the min_by partial combine structurally, and persist
+        // keeps the producing plan visible through the cache scan
+        // (truncate would flatten it to an RDD leaf).
+        val cents = graft.GraftCache.truncate(coarseCentroids(c))
+        val assigned = graft.GraftCache.register(coarseAssign(c, cents).persist())
         ivfSearch(assigned, cents)
       },
       Some(ivfSql)
@@ -645,7 +665,9 @@ object AnnCatalog extends QueryModule {
       // round-trip corruption or partition mix-up breaks the hash.
       (s, dir) => {
         val c = corpus(s, dir)
-        val cents = coarseCentroids(c)
+        // truncated: cents feeds the artifact write AND the assignment
+        // broadcast (r18)
+        val cents = graft.GraftCache.truncate(coarseCentroids(c))
         val assigned = coarseAssign(c, cents)
         val base = graft.Stage.dir("graft_ivf_idx_", dir).getPath
         cents.write.mode("overwrite").parquet(s"$base/centroids")
@@ -675,8 +697,10 @@ object AnnCatalog extends QueryModule {
       // return < k rows — the honest filtered-index semantics.
       (s, dir) => {
         val c = corpus(s, dir)
-        val cents = coarseCentroids(c)
-        val assigned = coarseAssign(c, cents)
+        // truncated: cents is broadcast twice (assign + probe scoring),
+        // assigned feeds the query filter AND the posting-list join (r18)
+        val cents = graft.GraftCache.truncate(coarseCentroids(c))
+        val assigned = graft.GraftCache.truncate(coarseAssign(c, cents))
         val q = assigned
           .filter(col("vec_id") < 10)
           .select(
@@ -740,8 +764,11 @@ object AnnCatalog extends QueryModule {
       // argmax over the batch.
       (s, dir) => {
         val c = corpus(s, dir)
-        val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
-        ivfSearch(coarseAssign(c, cents), cents)
+        // truncated: cents is broadcast twice, the merged assignment
+        // feeds both ivfSearch consumers (r18)
+        val cents = graft.GraftCache.truncate(
+          centroidsOf(c.filter(col("vec_id") < 400), "label"))
+        ivfSearch(graft.GraftCache.truncate(coarseAssign(c, cents)), cents)
       },
       Some(frozenCentroidIvfSql)
     ),
@@ -764,7 +791,10 @@ object AnnCatalog extends QueryModule {
       // or a stats mix-up breaks the hash.
       (s, dir) => {
         val c = corpus(s, dir)
-        val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
+        // truncated: cents is broadcast by BOTH day-1/day-2 assignments
+        // and the search probe scoring (r18)
+        val cents = graft.GraftCache.truncate(
+          centroidsOf(c.filter(col("vec_id") < 400), "label"))
         val table = graft.Stage.dir("graft_ivfsnap_", dir).getPath
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
         def clustered(df: DataFrame) = df
@@ -801,8 +831,13 @@ object AnnCatalog extends QueryModule {
       // sum aggregations, then cells-sized narrow arithmetic.
       (s, dir) => {
         val c = corpus(s, dir)
-        val cents = centroidsOf(c.filter(col("vec_id") < 400), "label")
-        val assigned = coarseAssign(c, cents)
+        // truncated: cents feeds the assignment broadcast AND the
+        // drift join (r18)
+        val cents = graft.GraftCache.truncate(
+          centroidsOf(c.filter(col("vec_id") < 400), "label"))
+        // truncated: centroidsOf(assigned) scans its input twice (sum +
+        // count aggregations) — one assignment shuffle, not two (r18)
+        val assigned = graft.GraftCache.truncate(coarseAssign(c, cents))
         val cur = centroidsOf(assigned, "cell")
         cents
           .select(col("cell"), col("csum").as("c0"), col("cnt").as("n0"))
@@ -999,9 +1034,15 @@ object AnnCatalog extends QueryModule {
       // the raw vectors are read ONCE at index build; queries touch
       // 1-byte-ish codes, the memory-bound regime PQ exists for.
       (s, dir) => {
-        val c = corpus(s, dir)
-        val cents = coarseCentroids(c)
-        val assigned = coarseAssign(c, cents)
+        // cache discipline (r18): without it the corpus (scan +
+        // quantize) re-ran ~10x — cents is broadcast THREE times (each
+        // materialization recomputing both centroid aggregations),
+        // assigned twice, sub three times. persist the depth-1 corpus;
+        // truncate the tiny derived stages (they sit on cached state —
+        // GraftCache.truncate's nested-cache rule).
+        val c = corpus(s, dir) // persisted by the helper
+        val cents = graft.GraftCache.truncate(coarseCentroids(c))
+        val assigned = graft.GraftCache.truncate(coarseAssign(c, cents))
         // scaled residual rv = v·cnt − csum: exact BIGINT elementwise
         val resid = assigned
           .join(broadcast(cents), Seq("cell"))
@@ -1021,6 +1062,9 @@ object AnnCatalog extends QueryModule {
           // planes are computable in DuckDB (hyperBucketSql).
           .withColumn("seed", hyperBucket(col("sv"), bits = 4, dim = 8))
           .select("vec_id", "cell", "cnt", "j", "sv", "seed")
+          // truncated: sub feeds the two codebook aggregations AND the
+          // code-assignment join (r18)
+          .pipe(graft.GraftCache.truncate)
         // per-(cell, subspace) residual sub-codebooks over the seed
         val cb = sub
           .select(col("cell"), col("j"), col("seed"), posexplode(col("sv")))
@@ -1032,6 +1076,9 @@ object AnnCatalog extends QueryModule {
               .as("ssum"))
           .join(sub.groupBy("cell", "j", "seed").agg(count(lit(1)).as("scnt")), Seq("cell", "j", "seed"))
           .select(col("cell"), col("j"), col("seed").as("code"), col("ssum"), col("scnt"))
+          // truncated: cb is broadcast twice (codes + lut) — tiny
+          // (cells x 8 x codes rows), one materialization (r18)
+          .pipe(graft.GraftCache.truncate)
         // codes: argmin residual distance per (vector, subspace) within
         // its cell — aggregation-argmin (map-side combine), not a window
         val codes = sub
@@ -1290,8 +1337,10 @@ object AnnCatalog extends QueryModule {
       // contract).
       (s, dir) => {
         val c = corpus(s, dir)
-        val cents = coarseCentroids(c)
-        val assigned = coarseAssign(c, cents)
+        // truncated: cents is broadcast twice, assigned feeds the code
+        // table, the probe scoring AND the ADC posting-list join (r18)
+        val cents = graft.GraftCache.truncate(coarseCentroids(c))
+        val assigned = graft.GraftCache.truncate(coarseAssign(c, cents))
         val stats = c
           .select(posexplode(col("qv")))
           .groupBy("pos")

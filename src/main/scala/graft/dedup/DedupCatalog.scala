@@ -403,7 +403,10 @@ object DedupCatalog extends QueryModule {
       // re-read.
       (s, dir) => {
         val sh = GraftCache.register(shingleDf(s, dir).persist())
-        val mh = minhashVectors(sh)
+        // truncated: mh feeds BOTH signature-join sides below — without
+        // it the explode + md5 + 64-min-agg chain runs twice (r18);
+        // lineage-truncated (not persisted) because it sits on cached sh
+        val mh = GraftCache.truncate(minhashVectors(sh))
         val pairs = minhashPairsFrom(sh).select("id_a", "id_b")
         pairs
           .join(mh.select(col("doc_id").as("id_a"), col("mh").as("ma")), "id_a")
@@ -696,6 +699,10 @@ object DedupCatalog extends QueryModule {
           // (3n) div 10 == floor(0.3n) exactly, integer-only in both engines
           .filter(col("rn") <= expr("(3 * n) div 10") + 1 && col("df") <= ShingleDfCap)
           .select("doc_id", "lang", "g", "n")
+          // truncated: prefix feeds BOTH self-join sides — without it
+          // the df-count + window chain runs twice (r18); sits on the
+          // cached sh → truncate, not a second persist level
+          .pipe(GraftCache.truncate)
         // LENGTH filter (sound): J(A,B) >= 0.7 forces the set sizes
         // within ratio 0.7 of each other — 7*|A| <= 10*|B| and vice
         // versa, exact integers. Prunes cross-length candidates before
@@ -773,14 +780,17 @@ object DedupCatalog extends QueryModule {
                 .reduce(_ + _)
                 .as(s"c$c")
             }: _*)
-        val chunks = sig.select(
+        // truncated: chunks feeds BOTH pigeonhole self-join sides —
+        // without it the md5 + 64-bit-sum signature aggregation runs
+        // twice over the corpus (r18)
+        val chunks = GraftCache.truncate(sig.select(
           col("doc_id"),
           col("lang"),
           col("c0"),
           col("c1"),
           col("c2"),
           col("c3"),
-          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))))
         val pairs = chunks
           .as("a")
           .join(
@@ -836,12 +846,16 @@ object DedupCatalog extends QueryModule {
         val copies = e
           .filter(pmod(col("vec_id"), lit(25)) === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
-        val base = e
+        // persisted: base feeds BOTH sides of the bucket self-join —
+        // without the cache the quantize + norm + hyperplane work runs
+        // twice over the corpus (r18; depth-1 over the scan → persist)
+        val base = GraftCache.register(e
           .select("vec_id", "embedding", "label")
           .union(copies)
           .withColumn("qv", quantize(col("embedding")))
           .withColumn("nsq", normSqQ(col("qv")))
           .withColumn("bucket", hyperBucket(col("qv")))
+          .persist())
         val a = base.select(
           col("vec_id").as("id_a"),
           col("qv").as("qa"),
@@ -908,10 +922,13 @@ object DedupCatalog extends QueryModule {
         val copies = e
           .filter(pmod(col("vec_id"), lit(25)) === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
-        val base = Fan
+        // persisted: base feeds the two centroid aggregations AND the
+        // assignment join — three full quantize passes without it (r18)
+        val base = GraftCache.register(Fan
           .out(e.select("vec_id", "embedding", "label").union(copies))
           .withColumn("qv", quantize(col("embedding")))
           .withColumn("nsq", normSqQ(col("qv")))
+          .persist())
         val cents = base
           .select(col("label"), posexplode(col("qv")))
           .groupBy("label", "pos")
@@ -931,6 +948,13 @@ object DedupCatalog extends QueryModule {
             struct(negate(col("score")), col("cell"))).as("best"))
           .select(col("vec_id"), col("best.qv").as("qv"), col("best.nsq").as("nsq"), col("best.cell").as("cell"))
           .withColumn("bucket", hyperBucket(col("qv")))
+          // cached: assigned feeds BOTH self-join sides — without it
+          // the centroid-scoring + min_by assignment shuffle runs twice
+          // (r18). PERSISTED, not truncated: AnnSpec pins the min_by
+          // partial combine structurally and persist keeps the
+          // producing plan visible through the cache scan.
+          .persist()
+          .pipe(GraftCache.register(_))
         val a = assigned.select(
           col("vec_id").as("id_a"),
           col("qv").as("qa"),
@@ -1374,7 +1398,11 @@ object DedupCatalog extends QueryModule {
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
           .persist())
         val freq = sites.groupBy("g").agg(count(lit(1)).as("f"))
-        val live = sites.join(freq.filter(col("f").between(2, 64)), "g")
+        // truncated: live feeds BOTH sides of the gram pair join —
+        // without it the frequency join runs twice (r18); sits on the
+        // persisted sites → truncate
+        val live = GraftCache.truncate(
+          sites.join(freq.filter(col("f").between(2, 64)), "g"))
         val capped = sites.join(freq.filter(col("f") > 64), "g")
           .groupBy("doc_id").agg(count(lit(1)).as("n_capped_sites"))
         val pairs = live.select(col("doc_id").as("d1"), col("pos").as("p1"), col("g"))

@@ -374,11 +374,44 @@ private[sources] object SnapshotStreamState {
     def scan(paths: Seq[String]): DataFrame = org.apache.spark.sql.graftbridge
       .Bridge.streamingParquetBatch(spark, paths, schema)
     if (entries.isEmpty) return scan(Nil)
+    // RENAME-EPOCH GUARD (r17 advisory, high): the streaming scan reads
+    // parquet BY NAME under the current-name schema — a file written
+    // before a column rename holds the OLD physical name and would
+    // read the renamed column as silent NULLs (the exact failure the
+    // batch routes' epoch dispatch exists to prevent). Until the
+    // streaming relation grows the same positional dispatch, refuse
+    // loudly: a compaction (which rewrites every file under current
+    // names) re-admits the stream. Steady-state slices of files
+    // appended after the rename pass untouched.
+    locally {
+      val cur = m.schema.fieldNames.toSeq
+      val stale = entries.filter(f =>
+        SnapshotTable.namesAt(m, math.max(f.seq, 0L)) != cur)
+      require(stale.isEmpty,
+        s"streaming read of $table refused: ${stale.size} file(s) predate a " +
+          "column rename and would serve the renamed column as NULL under " +
+          "the current-name schema — compactSnapshot (rewrites files under " +
+          "current names) before streaming this slice")
+    }
     val posRefs = SnapshotTable.posDvRefs(m)
-    def stripPos(df: DataFrame): DataFrame =
-      if (posRefs.isEmpty) df
+    // Only sidecars whose recorded named-file byte range may cover one
+    // of THIS scan's files load and anti-join (readFiles' posHit rule;
+    // a rangeless legacy ref proves nothing and always applies).
+    // Steady-state slices — files appended strictly after every
+    // sidecar — now scan clean instead of paying a provable-no-op
+    // sidecar load + anti-join per micro-batch (r17 advisory, low).
+    def posHitFor(fs: Seq[SnapshotTable.FileEntry]): Seq[SnapshotTable.PosDvRef] =
+      posRefs.filter(r => fs.exists(f =>
+        r.range.forall { case (lo, hi) =>
+          SnapshotTable.FileEntry.bytesLe(lo, f.path) &&
+            SnapshotTable.FileEntry.bytesLe(f.path, hi)
+        }))
+    def stripPos(fs: Seq[SnapshotTable.FileEntry])(df: DataFrame): DataFrame = {
+      val hit = posHitFor(fs)
+      if (hit.isEmpty) df
       else {
-        val del = posRefs.map(r => spark.read.parquet(r.path).select(
+        val del = hit.map(r => spark.read
+            .schema(SnapshotV2.PosSidecarSchema).parquet(r.path).select(
             col("_file").cast("string").as("__g_pdf"),
             col("_pos").cast("long").as("__g_pdp")))
           .reduce(_.unionByName(_))
@@ -391,8 +424,9 @@ private[sources] object SnapshotStreamState {
             "left_anti")
           .drop("__g_pf", "__g_pp")
       }
+    }
     val dvRefs = SnapshotTable.dvRefs(m)
-    if (dvRefs.isEmpty) stripPos(scan(entries.map(_.path)))
+    if (dvRefs.isEmpty) stripPos(entries)(scan(entries.map(_.path)))
     else {
       val k = SnapshotTable.dvKeyOf(m).getOrElse(throw new IllegalStateException(
         s"snapshot table $table has deletion-vector files but no dvkey in " +
@@ -403,10 +437,11 @@ private[sources] object SnapshotStreamState {
           "without it")
       val base = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
         .map { case (sq, fs) =>
-          stripPos(scan(fs.map(_.path))).withColumn("__g_fseq", lit(sq))
+          stripPos(fs)(scan(fs.map(_.path))).withColumn("__g_fseq", lit(sq))
         }
         .reduce(_.unionByName(_))
-      val dv = dvRefs.map(r => spark.read.parquet(r.path)
+      val kSchema = StructType(Seq(m.schema(k).copy(nullable = true)))
+      val dv = dvRefs.map(r => spark.read.schema(kSchema).parquet(r.path)
           .select(col(k).as("__g_dvk"), lit(r.seq).as("__g_dvq")))
         .reduce(_.unionByName(_))
       base.join(dv.hint("shuffle_hash"),

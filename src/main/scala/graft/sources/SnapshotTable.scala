@@ -623,7 +623,12 @@ object SnapshotTable {
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"),
             approx_count_distinct(col(c)).as(s"__nd_$c"))
         } :+ count(lit(1)).as("__nr")
-        spark.read.parquet(dataDir)
+        // the files were JUST written from df — their schema is known,
+        // so the stats pass skips parquet footer inference (one fewer
+        // job per stats-bearing commit; asNullable = what inference
+        // would have returned, r18)
+        spark.read.schema(StructType(df.schema.fields.map(_.copy(nullable = true))))
+          .parquet(dataDir)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -1565,7 +1570,9 @@ object SnapshotTable {
     def stripPositions(df: DataFrame): DataFrame =
       if (!posApply) df
       else {
-        val del = posHit.map(r => spark.read.parquet(r.path).select(
+        // explicit sidecar schema: no footer-inference job per build
+        val del = posHit.map(r => spark.read
+            .schema(SnapshotV2.PosSidecarSchema).parquet(r.path).select(
             col("_file").cast("string").as(s"${pFileC}_d"),
             col("_pos").cast("long").as(s"${pPosC}_d")))
           .reduce(_.unionByName(_))
@@ -1609,8 +1616,11 @@ object SnapshotTable {
           .reduceOption(_.unionByName(_))
           .getOrElse(empty.withColumn(fseq, lit(0L)))
         val base = stripPositions(base0)
+        // explicit sidecar schema (the manifest knows the key type):
+        // no footer-inference job per ref per build
+        val kf0 = m.schema(m.schema.fieldIndex(key)).copy(nullable = true)
         val dv = refs.map { r =>
-          spark.read.parquet(r.path)
+          spark.read.schema(StructType(Seq(kf0))).parquet(r.path)
             .select(col(key).as(dvk), lit(r.seq).as(dvq))
         }.reduce(_.unionByName(_))
         base.join(dv.hint("shuffle_hash"),
@@ -2115,10 +2125,39 @@ object SnapshotTable {
       .find(n => !m.schema.fieldNames.contains(n)).get
     val cf = freshName("__graft_cf")
     val cp = freshName("__graft_cp")
-    val base = spark.read.schema(m.schema).parquet(named: _*)
-      .select(col("*"),
-        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as(cf),
-        col("_metadata.row_index").as(cp))
+    // Named files read EPOCH-AWARE: a file written before a column
+    // rename holds the OLD physical name, and a by-name read under the
+    // current schema would silently capture that column as NULL (the
+    // r17 advisory). Files group by their name epoch exactly like
+    // readFiles.loadRaw — positional alias back to current names, the
+    // metadata columns out of the SAME select (they only resolve on
+    // the scan itself, never through a union). The no-rename path is
+    // byte-identical to before (one scan, current schema).
+    val renames = renamesOf(m)
+    val base =
+      if (renames.isEmpty)
+        spark.read.schema(m.schema).parquet(named: _*)
+          .select(col("*"),
+            regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as(cf),
+            col("_metadata.row_index").as(cp))
+      else {
+        val seqOf: Map[String, Long] =
+          m.files.map(f => f.path -> math.max(f.seq, 0L)).toMap
+        named.groupBy(p => namesAt(m, seqOf.getOrElse(p, Long.MaxValue)))
+          .toSeq.sortBy(_._1.mkString("|"))
+          .map { case (names, paths) =>
+            val epochSchema = StructType(m.schema.fields.zip(names).map {
+              case (f, n) => f.copy(name = n)
+            })
+            val dataCols = names.zip(m.schema.fieldNames).map {
+              case (old, cur) => col(old).as(cur)
+            }
+            spark.read.schema(epochSchema).parquet(paths: _*)
+              .select(dataCols ++ Seq(
+                regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as(cf),
+                col("_metadata.row_index").as(cp)): _*)
+          }.reduce(_.unionByName(_))
+      }
     // batch-derived side: structural shuffle hint, never an estimate
     val pre = base.join(batch.hint("shuffle_hash"),
         base(cf) === batch("_file") && base(cp) === batch("_pos"), "left_semi")
@@ -2158,14 +2197,20 @@ object SnapshotTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$table/data/v${next}_${token}_posdv"
     batch.coalesce(1).write.mode("errorifexists").parquet(dir)
-    val cnt = pos.sparkSession.read.parquet(dir).count()
+    // exact count via a driver-thread pass over the tiny sidecar —
+    // zero Spark jobs (the old read.parquet(dir).count() paid schema
+    // inference + a count job per position commit, r18)
+    val sidecarFiles = io.list(dir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dir/$n")
+    var cnt = 0L
+    SnapshotV2.foreachSidecarRow(
+      pos.sparkSession, SnapshotV2.PosSidecarSchema, sidecarFiles)(_ => cnt += 1)
     // the ref carries the byte-wise path range of the files this batch
     // names (free — `named` is already in hand): the scoped reader's
     // per-file attachment prunes on it
     val fLo = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) a else b)
     val fHi = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) b else a)
-    val refs = io.list(dir).filter(_.endsWith(".parquet")).sorted
-      .map(n => PosDvRef(s"$dir/$n", cnt, Some((fLo, fHi))))
+    val refs = sidecarFiles.map(p => PosDvRef(p, cnt, Some((fLo, fHi))))
     val chpre = writeChangePre(
       pos.sparkSession, m, batch, named.toSeq, table, next, io)
     publishManifest(table, next, current, m.schema, m.segments, m.inline,
@@ -2207,11 +2252,15 @@ object SnapshotTable {
         val token = java.util.UUID.randomUUID().toString.take(8)
         val dir = s"$table/data/v${next}_${token}_posdv"
         batch.coalesce(1).write.mode("errorifexists").parquet(dir)
-        val cnt = pos.sparkSession.read.parquet(dir).count()
+        // driver-thread count over the tiny sidecar — zero Spark jobs
+        val sidecarFiles = io.list(dir).filter(_.endsWith(".parquet")).sorted
+          .map(n => s"$dir/$n")
+        var cnt = 0L
+        SnapshotV2.foreachSidecarRow(
+          pos.sparkSession, SnapshotV2.PosSidecarSchema, sidecarFiles)(_ => cnt += 1)
         val fLo = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) a else b)
         val fHi = named.reduce((a, b) => if (FileEntry.bytesLe(a, b)) b else a)
-        val refs = io.list(dir).filter(_.endsWith(".parquet")).sorted
-          .map(n => PosDvRef(s"$dir/$n", cnt, Some((fLo, fHi))))
+        val refs = sidecarFiles.map(p => PosDvRef(p, cnt, Some((fLo, fHi))))
         Map(PosDvFilesK -> posDvEncode(posDvRefs(m) ++ refs))
       }
     // change capture covers only the FUZZY remainder: the whole-dropped
@@ -2331,13 +2380,19 @@ object SnapshotTable {
     // sidecars are already on disk (task-written), batch-sized; one
     // O(touched files) pass recovers the pre-images while the ordinals
     // still address them. The O(batch) distinct-file collect is the
-    // documented stats-routing contract.
+    // documented stats-routing contract. Capture is OPT-IN
+    // (changeCapture=preimages): the property gates BEFORE the
+    // sidecar re-read and the distinct-file collect, so a capture-less
+    // DML commit pays zero extra jobs here — previously the collect
+    // ran unconditionally and writeChangePre then discarded it, one
+    // wasted Spark job per position-delta DML commit (r18).
     val chpre =
-      if (sidecars.isEmpty) Map.empty[String, String]
+      if (sidecars.isEmpty || !m.extra.get(ChangeCaptureK).contains("preimages"))
+        Map.empty[String, String]
       else {
         val spark = SparkSession.active
-        val batch = sidecars.map(r => spark.read.parquet(r.path))
-          .reduce(_.unionByName(_))
+        val batch = spark.read.schema(SnapshotV2.PosSidecarSchema)
+          .parquet(sidecars.map(_.path): _*)
           .select(col("_file").cast("string"), col("_pos").cast("long"))
         val named = batch.select("_file").distinct().collect()
           .map(_.getString(0)).toSeq
@@ -2386,27 +2441,46 @@ object SnapshotTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dvDir = s"$table/data/v${seq}_${token}_dv"
     keyCol.distinct().coalesce(1).write.mode("errorifexists").parquet(dvDir)
-    // count AND key range in the same one-tiny-file pass — the range
-    // rides the ref so range-only consumers never open the sidecar
-    val keyName = keyCol.schema.fields(0).name
-    val keyType = keyCol.schema.fields(0).dataType
-    val st = spark.read.parquet(dvDir)
-      .agg(count(lit(1)), min(col(keyName)), max(col(keyName))).collect()(0)
-    val cnt = st.getLong(0)
-    val (rl, rs): (Option[(Long, Long)], Option[(String, String)]) =
-      if (cnt == 0 || st.isNullAt(1)) (None, None)
-      else keyType match {
-        case StringType => (None, Some((st.getString(1), st.getString(2))))
+    // count AND key range in one DRIVER-THREAD pass over the tiny
+    // freshly-written sidecar (SnapshotV2.foreachSidecarRow — zero
+    // Spark jobs; the old spark.read.agg(...).collect() paid a schema-
+    // inference job + an aggregate job per DV commit, r18). The range
+    // rides the ref so range-only consumers never open the sidecar.
+    val keyField = keyCol.schema.fields(0)
+    val keyType = keyField.dataType
+    val files = io.list(dvDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dvDir/$n")
+    var cnt = 0L
+    var mnL = Long.MaxValue; var mxL = Long.MinValue
+    var mnS: String = null; var mxS: String = null
+    SnapshotV2.foreachSidecarRow(
+      spark, StructType(Seq(keyField.copy(nullable = true))), files) { row =>
+      cnt += 1
+      if (!row.isNullAt(0)) keyType match {
+        case StringType =>
+          val v = row.getUTF8String(0).toString
+          if (mnS == null || FileEntry.bytesLe(v, mnS)) mnS = v
+          if (mxS == null || FileEntry.bytesLe(mxS, v)) mxS = v
         case ByteType | ShortType | IntegerType | LongType =>
-          def asL(i: Int): Long = st.get(i) match {
-            case b: Byte => b.toLong; case sh: Short => sh.toLong
-            case ii: Int => ii.toLong; case l: Long => l
+          val v = keyType match {
+            case ByteType    => row.getByte(0).toLong
+            case ShortType   => row.getShort(0).toLong
+            case IntegerType => row.getInt(0).toLong
+            case _           => row.getLong(0)
           }
-          (Some((asL(1), asL(2))), None)
+          if (v < mnL) mnL = v
+          if (v > mxL) mxL = v
+        case _ => ()
+      }
+    }
+    val (rl, rs): (Option[(Long, Long)], Option[(String, String)]) =
+      keyType match {
+        case StringType if mnS != null => (None, Some((mnS, mxS)))
+        case ByteType | ShortType | IntegerType | LongType if mnL <= mxL =>
+          (Some((mnL, mxL)), None)
         case _ => (None, None)
       }
-    io.list(dvDir).filter(_.endsWith(".parquet")).sorted
-      .map(n => DvRef(s"$dvDir/$n", seq, cnt, rl, rs))
+    files.map(p => DvRef(p, seq, cnt, rl, rs))
   }
 
   /** MERGE-ON-READ upsert — the Iceberg-v2 equality-delete shape for a
@@ -2507,16 +2581,28 @@ object SnapshotTable {
       else {
         val token = java.util.UUID.randomUUID().toString.take(8)
         val dir = s"$table/data/v${cur + 1}_${token}_posdvc"
-        posRefs.map(r => spark.read.parquet(r.path)).reduce(_.unionByName(_))
+        spark.read.schema(SnapshotV2.PosSidecarSchema)
+          .parquet(posRefs.map(_.path): _*)
           .distinct().coalesce(1).write.mode("errorifexists").parquet(dir)
-        // count + named-file range in one delete-state-sized agg — the
-        // consolidated ref scopes at least as tightly as the originals
-        val st = spark.read.parquet(dir)
-          .agg(count(lit(1)), min(col("_file")), max(col("_file"))).collect()(0)
-        val cnt = st.getLong(0)
-        val range = Some((st.getString(1), st.getString(2)))
+        // count + named-file range in one DRIVER-THREAD pass over the
+        // consolidated (delete-state-sized, coalesce(1)) sidecar —
+        // zero Spark jobs; the consolidated ref scopes at least as
+        // tightly as the originals
         val parts = io.list(dir).filter(_.endsWith(".parquet")).sorted
-        Map(PosDvFilesK -> posDvEncode(parts.map(n => PosDvRef(s"$dir/$n", cnt, range))))
+          .map(n => s"$dir/$n")
+        var cnt = 0L
+        var mnF: String = null; var mxF: String = null
+        SnapshotV2.foreachSidecarRow(
+          spark, SnapshotV2.PosSidecarSchema, parts) { row =>
+          cnt += 1
+          if (!row.isNullAt(0)) {
+            val v = row.getUTF8String(0).toString
+            if (mnF == null || FileEntry.bytesLe(v, mnF)) mnF = v
+            if (mxF == null || FileEntry.bytesLe(mxF, v)) mxF = v
+          }
+        }
+        val range = Some((mnF, mxF))
+        Map(PosDvFilesK -> posDvEncode(parts.map(p => PosDvRef(p, cnt, range))))
       }
     if (refs.isEmpty) {
       // positions only: one metadata commit, data files verbatim
@@ -2538,8 +2624,10 @@ object SnapshotTable {
     // here is lossless — and required: an all-NULL sidecar would yield
     // a null min/max for its consolidated seq and crash the range
     // extraction below
+    val kf1 = m.schema(m.schema.fieldIndex(key)).copy(nullable = true)
     val all = refs.map(r =>
-        spark.read.parquet(r.path).select(col(key), lit(r.seq).as("__seq")))
+        spark.read.schema(StructType(Seq(kf1))).parquet(r.path)
+          .select(col(key), lit(r.seq).as("__seq")))
       .reduce(_.unionByName(_)).where(col(key).isNotNull)
     if (all.isEmpty) {
       // the whole chain was NULL keys — no row can ever match, so the
@@ -2843,20 +2931,31 @@ object SnapshotTable {
     // the rewritten-path side is manifest-subset-sized and driver-held
     // already — broadcast is structural here, not an estimate
     val rw = rewritten.toSeq.toDF("__graft_rwp")
-    val remain = overlap.map(r => spark.read.parquet(r.path))
-      .reduce(_.unionByName(_))
+    val remain = spark.read.schema(SnapshotV2.PosSidecarSchema)
+      .parquet(overlap.map(_.path): _*)
       .join(broadcast(rw), col("_file") === col("__graft_rwp"), "left_anti")
       .select(col("_file").cast("string"), col("_pos").cast("long"))
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$table/data/v${next}_${token}_posdv"
     remain.coalesce(1).write.mode("errorifexists").parquet(dir)
-    val agg0 = spark.read.parquet(dir)
-      .agg(count(lit(1)), min(col("_file")), max(col("_file"))).collect()(0)
+    // driver-thread count + named-file range over the tiny rewritten
+    // sidecar — zero Spark jobs (was footer inference + an agg job)
+    val parts0 = io.list(dir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dir/$n")
+    var rCnt = 0L
+    var rMn: String = null; var rMx: String = null
+    SnapshotV2.foreachSidecarRow(
+      spark, SnapshotV2.PosSidecarSchema, parts0) { row =>
+      rCnt += 1
+      if (!row.isNullAt(0)) {
+        val v = row.getUTF8String(0).toString
+        if (rMn == null || FileEntry.bytesLe(v, rMn)) rMn = v
+        if (rMx == null || FileEntry.bytesLe(rMx, v)) rMx = v
+      }
+    }
     val newRefs =
-      if (agg0.getLong(0) == 0L) Nil
-      else io.list(dir).filter(_.endsWith(".parquet")).sorted.map(n =>
-        PosDvRef(s"$dir/$n", agg0.getLong(0),
-          Some((agg0.getString(1), agg0.getString(2)))))
+      if (rCnt == 0L) Nil
+      else parts0.map(p => PosDvRef(p, rCnt, Some((rMn, rMx))))
     val all = disjoint ++ newRefs
     if (all.isEmpty) Map.empty else Map(PosDvFilesK -> posDvEncode(all))
   }
@@ -3506,8 +3605,11 @@ object SnapshotTable {
       if (dvNew.isEmpty) preRemoved.limit(0)
       else {
         val kept = mv.files.filter(f => pPaths(f.path))
-        val dvk = dvNew.map(r => spark.read.parquet(r.path))
-          .reduce(_.unionByName(_))
+        // lazy + explicit schema: the sidecar frame only exists for
+        // legacy rangeless refs, and never pays footer inference
+        lazy val dvk = spark.read
+          .schema(StructType(Seq(mv.schema(key).copy(nullable = true))))
+          .parquet(dvNew.map(_.path): _*)
         // prune the carried files by the DV keys' observed range —
         // served from the REFS' recorded ranges when every new sidecar
         // carries one (written by the commit, zero reads here), else

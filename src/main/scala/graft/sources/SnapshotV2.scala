@@ -1149,11 +1149,25 @@ private[graft] class SnapshotV2Scan(
         val declared = posDv.map(_.count).sum
         if (declared <= maxLoad) {
           lastDvMode = "broadcast" // eq-DV branch below overwrites when both formats ride
-          val posMap = new java.util.HashMap[String, Array[Long]]()
-          spark0.read.parquet(posDv.map(_.path): _*).collect()
-            .groupBy(_.getString(0)).foreach { case (f, rs) =>
-              posMap.put(f, rs.map(_.getLong(1)).distinct.sorted)
+          // driver-THREAD sidecar read (SnapshotV2.foreachSidecarRow):
+          // the old spark.read.parquet(...).collect() paid 2 Spark jobs
+          // per reader-factory build — schema inference + collect —
+          // and a DML chain re-pays them on every scan (r18)
+          val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+          SnapshotV2.foreachSidecarRow(
+            spark0, SnapshotV2.PosSidecarSchema, posDv.map(_.path)) { row =>
+            if (!row.isNullAt(0) && !row.isNullAt(1)) {
+              val k = row.getUTF8String(0).toString
+              var b = acc.get(k)
+              if (b == null) {
+                b = scala.collection.mutable.ArrayBuffer.empty[Long]
+                acc.put(k, b)
+              }
+              b += row.getLong(1)
             }
+          }
+          val posMap = new java.util.HashMap[String, Array[Long]]()
+          acc.forEach((k, b) => posMap.put(k, b.toArray.distinct.sorted))
           val bc = spark0.sparkContext.broadcast(posMap)
           inner => new PosDeleteReaderFactory(inner, bc)
         } else {
@@ -1250,16 +1264,24 @@ private[graft] class SnapshotV2Scan(
         // load ONCE driver-side into a key -> max-commit-sequence map —
         // declared counts bound the load before it starts
         lastDvMode = "broadcast"
+        // driver-THREAD sidecar reads (SnapshotV2.foreachSidecarRow):
+        // the old per-ref spark.read.parquet(...).collect() paid 2
+        // Spark jobs PER SIDECAR per reader-factory build (r18). Key
+        // normalization identical to the old boxed-Row path: integral
+        // types widen to Long, strings stay java Strings — the exact
+        // key space DvFilterReaderFactory probes with.
         val deletes = new java.util.HashMap[Any, java.lang.Long]()
+        val kSchema = StructType(Seq(kf.copy(nullable = true)))
         dv.foreach { r =>
-          spark.read.parquet(r.path).collect().foreach { row =>
-            val k = row.get(0) match {
-              case b: java.lang.Byte    => b.longValue(): Any
-              case s: java.lang.Short   => s.longValue(): Any
-              case i: java.lang.Integer => i.longValue(): Any
-              case other                => other
-            }
-            if (k != null) {
+          SnapshotV2.foreachSidecarRow(spark, kSchema, Seq(r.path)) { row =>
+            if (!row.isNullAt(0)) {
+              val k: Any = kf.dataType match {
+                case StringType  => row.getUTF8String(0).toString
+                case ByteType    => row.getByte(0).toLong
+                case ShortType   => row.getShort(0).toLong
+                case IntegerType => row.getInt(0).toLong
+                case _           => row.getLong(0)
+              }
               val prev = deletes.get(k)
               if (prev == null || prev < r.seq) deletes.put(k, r.seq)
             }
@@ -1489,6 +1511,40 @@ private[graft] object SnapshotV2 {
     * outstanding delete keys the v2 reader may load driver-side and
     * broadcast before switching to the scoped per-file path. */
   private[graft] val DvBroadcastMaxKeysConf = "spark.graft.dv.broadcastMaxKeys"
+
+  /** The (_file, _pos) sidecar schema — shared by every position-delete
+    * consumer so none of them pays parquet schema inference. */
+  private[sources] val PosSidecarSchema: StructType = StructType(Seq(
+    StructField("_file", StringType), StructField("_pos", LongType)))
+
+  /** Drive the shared parquet reader factory on the CALLING thread —
+    * ZERO Spark jobs — over tiny driver-side sidecar files (DV /
+    * position-delete parquet, coalesce(1)-written by construction).
+    * `spark.read.parquet(p).collect()` costs TWO jobs per load (footer
+    * schema inference + the collect itself), and the under-budget
+    * broadcast delete paths re-pay them on every reader-factory build
+    * — a DML chain re-loads the whole outstanding chain per scan
+    * (guide §5: the driver should do almost no data work; these loads
+    * are bounded by the declared-count budget BEFORE they start, so a
+    * driver-thread read is the same memory and none of the job/stage/
+    * scheduler overhead; r18). The distributed application paths are
+    * untouched. Rows are reader-owned and reused: `f` must extract
+    * fields, never retain the row. */
+  private[sources] def foreachSidecarRow(
+      spark: SparkSession,
+      schema: StructType,
+      paths: Seq[String])(f: InternalRow => Unit): Unit = {
+    if (paths.isEmpty) return
+    val factory = Bridge.parquetReaderFactory(spark, schema, schema, Array.empty)
+    paths.foreach { p =>
+      val len = LocalSnapshotIO.size(p)
+      val pf = PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len)
+      val r = factory.createReader(FilePartition(0, Array(pf)))
+      try while (r.next()) f(r.get())
+      finally r.close()
+    }
+  }
 }
 
 /** Appends the requested metadata columns (`_file`/`_pos`) around an

@@ -2669,10 +2669,14 @@ object SourceCatalog extends QueryModule {
           SnapshotTable.manifest(table, 4L).extra.contains("changepre"),
           "each position-delta commit must record its write-time capture")
         locally {
-          val inc = SnapshotTable
+          // both feeds feed BOTH exceptAll arms: truncate each once so
+          // the cross-check costs two tiny diffs, not two full
+          // recomputations of each feed (r18 — REQUIRE unchanged)
+          val inc = graft.GraftCache.truncate(SnapshotTable
             .changeFeedIncremental(s, table, 2L, 3L, "k")
-            .drop("_commit_version")
-          val st = SnapshotTable.changeFeed(s, table, 2L, 3L, "k")
+            .drop("_commit_version"))
+          val st = graft.GraftCache.truncate(
+            SnapshotTable.changeFeed(s, table, 2L, 3L, "k"))
           require(inc.exceptAll(st).isEmpty && st.exceptAll(inc).isEmpty,
             "state feed and incremental feed must agree at the UPDATE commit " +
               "(Round48Spec cross-checks every commit shape)")
