@@ -144,12 +144,31 @@ object PipelineCatalog extends QueryModule {
             .filter(size(col("ss")) > 0)
             .persist())
         val sex = ssh.select(col("sid"), explode(col("ss")).as("g"))
-        val keepG = sex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-        val cand = bsh
-          .select(col("doc_id"), explode(col("s")).as("g"))
-          .join(sex.join(keepG.select("g"), "g"), "g")
+        // one seen-side DF pass serves BOTH the cap (df <= 50) and its
+        // complement (the hot set the prefilter needs) — r18
+        val gdf = graft.GraftCache.truncate(
+          sex.groupBy("g").agg(count(lit(1)).as("df")))
+        val keepG = gdf.filter(col("df") <= 50).select("g")
+        val hotG = gdf.filter(col("df") > 50).select("g")
+        val bex = bsh.select(col("doc_id"), explode(col("s")).as("g"))
+        // count-based prefilter, LOSSLESS for the final predicate (the
+        // dedup_containment bound, r18): a batch shingle missing from
+        // keepG is either absent from EVERY seen doc (cannot intersect)
+        // or df-capped (counted by nhot), so
+        //   |s ∩ ss| <= shk + nhot  and containment >= 0.8 requires
+        //   shk >= ceil(0.8*na) - nhot.
+        // The expensive array-intersect verify then touches only pairs
+        // that can still qualify, instead of every shared-shingle pair.
+        val nhot = bex
+          .join(hotG.hint("shuffle_hash"), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
+        val cand = bex
+          .join(sex.join(keepG.hint("shuffle_merge"), "g"), "g")
+          .groupBy("doc_id", "sid").agg(count(lit(1)).as("shk"))
+          .join(bsh.select("doc_id", "na"), "doc_id")
+          .join(nhot.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .filter(col("shk") >= expr("(4*na+4) div 5") - coalesce(col("nhot"), lit(0L)))
           .select("doc_id", "sid")
-          .distinct()
         val upd = cand
           .join(bsh.select("doc_id", "s", "na"), "doc_id")
           .join(ssh, "sid")

@@ -292,13 +292,22 @@ class SnapshotCatalog extends TableCatalog
     val changeCapture = Option(properties.get("changeCapture")).map(_.trim).filter(_.nonEmpty)
     changeCapture.foreach(cc => require(cc == "none" || cc == "preimages",
       s"changeCapture takes 'none' or 'preimages' (the default), got '$cc'"))
+    // TBLPROPERTIES('advisoryPartitionBytes'='N'): advisory size of the
+    // write shuffle's partitions (Iceberg's
+    // write.spark.advisory-partition-size-bytes) — a many-group layout
+    // on a modest table sets it below the session advisory so the
+    // per-group file cuts parallelize instead of serializing in one
+    // AQE-coalesced task
+    val advisory = Option(properties.get("advisoryPartitionBytes")).map(_.trim.toLong)
+    advisory.foreach(n => require(n > 0, s"advisoryPartitionBytes must be positive, got $n"))
     val extra =
       (if (stats.isEmpty) Map.empty[String, String]
        else Map(SnapshotTable.StatsColsK -> stats.mkString(","))) ++
         morKey.map(SnapshotTable.MorKeyK -> _) ++
         maxRows.map(n => SnapshotTable.MaxRowsK -> n.toString) ++
         deleteMode.map(SnapshotTable.DeleteModeK -> _) ++
-        changeCapture.map(SnapshotTable.ChangeCaptureK -> _) ++ layout
+        changeCapture.map(SnapshotTable.ChangeCaptureK -> _) ++
+        advisory.map(n => SnapshotTable.AdvisoryBytesK -> n.toString) ++ layout
     SnapshotTable.createEmpty(p, schema, extra)
     new SnapshotV2Table(p, SnapshotTable.manifest(p, 1L))
   }
@@ -370,7 +379,8 @@ class SnapshotCatalog extends TableCatalog
         "maxrowsperfile" -> SnapshotTable.MaxRowsK,
         "morkey" -> SnapshotTable.MorKeyK,
         "deletemode" -> SnapshotTable.DeleteModeK,
-        "changecapture" -> SnapshotTable.ChangeCaptureK)
+        "changecapture" -> SnapshotTable.ChangeCaptureK,
+        "advisorypartitionbytes" -> SnapshotTable.AdvisoryBytesK)
       def keyOf(prop: String): String = editable.getOrElse(prop.toLowerCase,
         throw new UnsupportedOperationException(
           s"ALTER TABLE $ident: property '$prop' is not evolvable — " +
@@ -587,12 +597,15 @@ private[sources] object SnapshotWrites {
     val temporal = SnapshotTable.temporalSpecOf(m)
     val stats = SnapshotTable.statsColumnsOf(m)
     val maxRows = SnapshotTable.maxRowsPerFileOf(m)
+    // 0 = no declaration: Spark falls back to the session AQE advisory
+    val adv = SnapshotTable.advisoryPartitionBytesOf(m).getOrElse(0L)
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder => V2SortOrder}
     (cluster, bucket, trunc, temporal) match {
       case (Some(k), _, _, _) =>
         new SnapshotWrite(table, schema, stats, Some(k), None, None, None, maxRows,
           overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+          override def advisoryPartitionSizeInBytes(): Long = adv
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.column(k)))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -610,6 +623,7 @@ private[sources] object SnapshotWrites {
         new SnapshotWrite(table, schema, stats, None, None, Some((wc, w)),
           Some((tc, u)), maxRows, overwrite, replaceScanned)
             with RequiresDistributionAndOrdering {
+          override def advisoryPartitionSizeInBytes(): Long = adv
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(tf, wf))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -627,6 +641,7 @@ private[sources] object SnapshotWrites {
         val tf = E.apply(s"truncate_$w", E.column(c))
         new SnapshotWrite(table, schema, stats, None, None, Some((c, w)), None,
           maxRows, overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+          override def advisoryPartitionSizeInBytes(): Long = adv
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(tf))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -643,6 +658,7 @@ private[sources] object SnapshotWrites {
         new SnapshotWrite(table, schema, stats, None, Some((bc, n)), None,
           Some((tc, u)), maxRows, overwrite, replaceScanned)
             with RequiresDistributionAndOrdering {
+          override def advisoryPartitionSizeInBytes(): Long = adv
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(tf, E.bucket(n, bc)))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -656,6 +672,7 @@ private[sources] object SnapshotWrites {
         // rolling writer cuts one file per bucket and stamps it.
         new SnapshotWrite(table, schema, stats, None, Some((c, n)), None, None,
           maxRows, overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+          override def advisoryPartitionSizeInBytes(): Long = adv
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(E.bucket(n, c)))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -668,6 +685,7 @@ private[sources] object SnapshotWrites {
         val tf = E.apply(u, E.column(c))
         new SnapshotWrite(table, schema, stats, None, None, None, Some((c, u)),
           maxRows, overwrite, replaceScanned) with RequiresDistributionAndOrdering {
+          override def advisoryPartitionSizeInBytes(): Long = adv
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(tf))
           override def requiredOrdering(): Array[V2SortOrder] =
@@ -889,12 +907,13 @@ private[sources] class SnapshotDataWriterFactory(
     dropOpSchema: Option[StructType] = None,
     maxRows: Option[Long] = None,
     trunc: Option[(Int, DataType, Int)] = None,
-    temporal: Option[(Int, DataType, String)] = None) extends DataWriterFactory
+    temporal: Option[(Int, DataType, String)] = None,
+    ndv: Boolean = false) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   private def writerFor(prefix: String): DataWriter[InternalRow] =
     new SnapshotDataWriter(seq => s"$stage/$prefix-$seq.parquet", tracked, cluster, pw,
-      dropOpSchema, bucket, maxRows, trunc, temporal)
+      dropOpSchema, bucket, maxRows, trunc, temporal, ndv)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writerFor(s"part-$partitionId-$taskId")
@@ -924,7 +943,12 @@ private[sources] class SnapshotDataWriter(
     bucket: Option[(Int, DataType, Int)] = None,
     maxRows: Option[Long] = None,
     trunc: Option[(Int, DataType, Int)] = None,
-    temporal: Option[(Int, DataType, String)] = None) extends DataWriter[InternalRow] {
+    temporal: Option[(Int, DataType, String)] = None,
+    // fold a per-file HLL++ distinct sketch over the same pass (the
+    // `d:` manifest line the API commit path records) — the estimator
+    // and relativeSD match approx_count_distinct exactly, so a file's
+    // task-side estimate is bit-identical to the old re-read agg's
+    ndv: Boolean = false) extends DataWriter[InternalRow] {
 
   // row-level rewrite rows arrive as [__row_operation, data...]: strip
   // the op column through a reusable ordinal projection (Spark's own
@@ -951,6 +975,17 @@ private[sources] class SnapshotDataWriter(
   private val maxL = Array.fill(tracked.size)(Long.MinValue)
   private val minS = Array.fill[String](tracked.size)(null)
   private val maxS = Array.fill[String](tracked.size)(null)
+  // HLL++ registers per tracked column (ndv mode): the same helper and
+  // buffer layout the HyperLogLogPlusPlus aggregate uses, fed the same
+  // physical values, so per-file estimates equal approx_count_distinct
+  private val hll =
+    if (ndv) new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.05)
+    else null
+  private val hllBufs: Array[InternalRow] =
+    if (ndv) Array.fill(tracked.size)(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array.fill[Any](hll.numWords)(0L)))
+    else null
 
   private def keyOf(row: InternalRow, idx: Int, dt: DataType): Any = dt match {
     case StringType  => row.getUTF8String(idx).toString
@@ -1017,25 +1052,32 @@ private[sources] class SnapshotDataWriter(
     while (i < tracked.size) {
       val (_, idx, dt) = tracked(i)
       if (row.isNullAt(idx)) nulls(i) += 1
-      else dt match {
-        case StringType =>
-          val v = row.getUTF8String(idx).toString // copy out of the reused buffer
-          if (minS(i) == null || SnapshotTable.FileEntry.bytesLe(v, minS(i))) minS(i) = v
-          if (maxS(i) == null || SnapshotTable.FileEntry.bytesLe(maxS(i), v)) maxS(i) = v
-        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
-          // timestamps track as epoch MICROS and dates as epoch DAYS —
-          // the physical InternalRow value, the unit ManifestPruning
-          // converts pushed literals to
-          val v = dt match {
-            case ByteType    => row.getByte(idx).toLong
-            case ShortType   => row.getShort(idx).toLong
-            case IntegerType => row.getInt(idx).toLong
-            case DateType    => row.getInt(idx).toLong
-            case _           => row.getLong(idx)
-          }
-          if (v < minL(i)) minL(i) = v
-          if (v > maxL(i)) maxL(i) = v
-        case _ => // declared stats on a non-prunable type: count nulls only
+      else {
+        dt match {
+          case StringType =>
+            val v = row.getUTF8String(idx).toString // copy out of the reused buffer
+            if (minS(i) == null || SnapshotTable.FileEntry.bytesLe(v, minS(i))) minS(i) = v
+            if (maxS(i) == null || SnapshotTable.FileEntry.bytesLe(maxS(i), v)) maxS(i) = v
+          case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType |
+              DoubleType | FloatType =>
+            // timestamps track as epoch MICROS and dates as epoch DAYS —
+            // the physical InternalRow value, the unit ManifestPruning
+            // converts pushed literals to; floating columns track the
+            // CAST(long) truncation the commit path's agg recorded
+            val v = dt match {
+              case ByteType    => row.getByte(idx).toLong
+              case ShortType   => row.getShort(idx).toLong
+              case IntegerType => row.getInt(idx).toLong
+              case DateType    => row.getInt(idx).toLong
+              case DoubleType  => row.getDouble(idx).toLong
+              case FloatType   => row.getFloat(idx).toLong
+              case _           => row.getLong(idx)
+            }
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+          case _ => // declared stats on a non-prunable type: count nulls only
+        }
+        if (ndv) hll.update(hllBufs(i), 0, row.get(idx, dt), dt)
       }
       i += 1
     }
@@ -1054,13 +1096,24 @@ private[sources] class SnapshotDataWriter(
     val ist = Map.newBuilder[String, (Long, Long)]
     val sst = Map.newBuilder[String, (String, String)]
     val nst = Map.newBuilder[String, (Long, Long)]
+    val dst = Map.newBuilder[String, Long]
     tracked.zipWithIndex.foreach { case ((c, _, dt), i) =>
       nst += c -> (nulls(i), rows)
       if (nulls(i) < rows) dt match {
         case StringType => sst += c -> (minS(i), maxS(i))
-        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
+        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType |
+            DoubleType | FloatType =>
           ist += c -> (minL(i), maxL(i))
         case _ =>
+      }
+      if (ndv) {
+        // recorded unconditionally (0 for an all-NULL file), matching
+        // the commit path's approx_count_distinct row verbatim
+        dst += c -> hll.query(hllBufs(i), 0)
+        var w = 0
+        while (w < hll.numWords) { hllBufs(i).asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          .update(w, 0L); w += 1 }
       }
     }
     // the bucket/truncate/temporal stamp: one group per file by
@@ -1076,7 +1129,7 @@ private[sources] class SnapshotDataWriter(
       ist += SnapshotTable.TemporalStat -> (currentTemporal, currentTemporal)
     }
     done += SnapshotTable.FileEntry(
-      path, ist.result(), sst.result(), nst.result(), Map.empty, pw.sizeOf(path))
+      path, ist.result(), sst.result(), nst.result(), dst.result(), pw.sizeOf(path))
     writer = null
     fileSeq += 1
     rows = 0

@@ -586,73 +586,60 @@ object SnapshotTable {
       // rule) — carried files must keep answering for their own nulls
       publishSchema: Option[StructType] = None): Long = {
     // 1. data files first, under a per-attempt unique directory: racing
-    //    or crashed attempts can only ever orphan their own files
+    //    or crashed attempts can only ever orphan their own files.
+    //    The write runs through the SAME task-side rolling writer the
+    //    DSv2 catalog path uses, folding every manifest stat — min/max
+    //    (strings raw, timestamps as epoch MICROS, dates as epoch DAYS,
+    //    floating columns under the CAST(long) truncation the old agg
+    //    applied), nullCount/rowCount, and the HLL++ distinct estimate —
+    //    over the same pass the bytes take: ONE Spark job per commit
+    //    where write + footer-less re-read + stats-agg used to take
+    //    three, and the just-written data is never read back (at scale,
+    //    half the commit I/O; r18 guide §1.2/§5)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$table/data/v${next}_$token"
-    df.write.mode("errorifexists").parquet(dataDir)
-    val spark = df.sparkSession
-    val newFiles: Vector[FileEntry] =
-      if (statsColumns.isEmpty) {
-        io.list(dataDir).filter(_.endsWith(".parquet")).sorted
-          .map { n =>
-            val p = s"$dataDir/$n"
-            FileEntry(p, Map.empty, size = io.size(p))
-          }.toVector
-      } else {
-        // one map-side-combined pass over the new files only; string
-        // columns record raw-string bounds, everything else integer —
-        // timestamps as epoch MICROS and dates as epoch DAYS (the same
-        // physical channel InternalRow and the task-side rolling writer
-        // carry, so pruning reads one unit whichever path committed)
-        val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-        val stringCols = statsColumns
-          .filter(c => dtypes.get(c).contains(StringType)).toSet
-        val aggs = statsColumns.flatMap { c =>
-          val v = dtypes.get(c) match {
-            case Some(StringType)    => col(c)
-            case Some(TimestampType) => unix_micros(col(c))
-            case Some(DateType)      => unix_date(col(c)).cast("long")
-            case _                   => col(c).cast("long")
-          }
-          // min/max ignore NULLs; the null count beside them is what
-          // prunes IS [NOT] NULL (and row count sizes the file); the
-          // HLL++ distinct estimate beside THOSE is what sizes a join
-          // side from the manifest alone (broadcast-or-shuffle without
-          // a scan) — all partials of ONE map-side-combined pass
-          Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"),
-            approx_count_distinct(col(c)).as(s"__nd_$c"))
-        } :+ count(lit(1)).as("__nr")
-        // the files were JUST written from df — their schema is known,
-        // so the stats pass skips parquet footer inference (one fewer
-        // job per stats-bearing commit; asNullable = what inference
-        // would have returned, r18)
-        spark.read.schema(StructType(df.schema.fields.map(_.copy(nullable = true))))
-          .parquet(dataDir)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val p = new java.net.URI(r.getAs[String]("__f")).getPath
-            val nr = r.getAs[Long]("__nr")
-            // an ALL-NULL file has no min/max for the column — record
-            // no range (absence = "must read") instead of a bogus (0,0)
-            def hasRange(c: String) = !r.isNullAt(r.fieldIndex(s"__mn_$c"))
-            FileEntry(
-              p,
-              statsColumns.filterNot(stringCols).filter(hasRange).map(c =>
-                c -> (r.getAs[Long](s"__mn_$c"), r.getAs[Long](s"__mx_$c"))).toMap,
-              statsColumns.filter(stringCols).filter(hasRange).map(c =>
-                c -> (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))).toMap,
-              statsColumns.map(c => c -> (r.getAs[Long](s"__nu_$c"), nr)).toMap,
-              statsColumns.map(c => c -> r.getAs[Long](s"__nd_$c")).toMap,
-              io.size(p))
-          }
-          .toVector.sortBy(_.path)
-      }
+    val newFiles: Vector[FileEntry] = writeWithStats(df, dataDir, statsColumns)
     // 2–3. manifest assembly + atomic-exclusive publication
     publishManifest(table, next, current, publishSchema.getOrElse(df.schema),
       carriedSegments, carriedFiles ++ newFiles, mode, extra, io)
+  }
+
+  /** Write `df` as parquet files under `dataDir` with every declared
+    * manifest stat folded task-side (the rolling writer's single pass):
+    * returns the path-sorted [[FileEntry]]s, exactly what the old
+    * write-then-re-aggregate pass recorded — same stat channels, same
+    * HLL++ estimator with the same relativeSD — minus the re-read.
+    * Empty input partitions leave no file (the lazy-open rule), where
+    * the old path could write an unreferenced empty file. */
+  private def writeWithStats(
+      df: DataFrame,
+      dataDir: String,
+      statsColumns: Seq[String]): Vector[FileEntry] = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val tracked = statsColumns.map { c =>
+      val i = schema.fields.indexWhere(_.name == c)
+      require(i >= 0, s"stats column $c not in ${schema.simpleString}")
+      (c, i, schema.fields(i).dataType)
+    }
+    val factory = new SnapshotDataWriterFactory(
+      dataDir, tracked, cluster = None, bucket = None,
+      org.apache.spark.sql.graftbridge.Bridge.parquetRowWriter(spark, schema),
+      ndv = statsColumns.nonEmpty)
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val w = factory.createWriter(
+          pid, org.apache.spark.TaskContext.get().taskAttemptId())
+        try {
+          while (it.hasNext) w.write(it.next())
+          w.commit() match {
+            case SnapshotWriteMessage(es) => Iterator.single(es)
+            case other => throw new IllegalStateException(s"unexpected $other")
+          }
+        } catch { case t: Throwable => w.abort(); throw t }
+      }
+    }.collect().flatten.toVector.sortBy(_.path)
   }
 
   /** Assemble a manifest for `next` — carried segments referenced
@@ -1688,6 +1675,22 @@ object SnapshotTable {
   /** The declared per-file row cap, if any. */
   def maxRowsPerFileOf(m: Manifest): Option[Long] = m.extra.get(MaxRowsK).map(_.toLong)
 
+  /** Reserved manifest key: the declared ADVISORY WRITE PARTITION SIZE
+    * (TBLPROPERTIES('advisoryPartitionBytes'='N') — the exact knob
+    * Iceberg exposes as `write.spark.advisory-partition-size-bytes`).
+    * A layout-routed write (bucket/truncate/temporal/cluster) cuts one
+    * FILE per group per task: AQE's byte-based coalescing cannot see
+    * that per-file fixed cost, so a small-bytes write into a
+    * many-group layout coalesces to one task that opens and closes
+    * every group's file serially. The table declares the write
+    * partition size its group geometry wants; unset = the session's
+    * AQE advisory (behavior unchanged). */
+  private[sources] val AdvisoryBytesK = "advisorypartitionbytes"
+
+  /** The declared advisory write-partition size, if any. */
+  def advisoryPartitionBytesOf(m: Manifest): Option[Long] =
+    m.extra.get(AdvisoryBytesK).map(_.toLong)
+
   /** The declared bucket layout (column, bucket count), if any. */
   def bucketSpecOf(m: Manifest): Option[(String, Int)] =
     m.extra.get(BucketK).map { s =>
@@ -2422,7 +2425,8 @@ object SnapshotTable {
     * forgetting a NEW key here, not by missing one of nine sites. */
   private[sources] val DeclKeys: Set[String] = Set(
     ClusterK, BucketK, TruncK, TemporalK, LayoutSinceK, LayoutHistK,
-    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK, ChangeCaptureK, RenamesK)
+    StatsColsK, MorKeyK, MaxRowsK, DeleteModeK, ChangeCaptureK, RenamesK,
+    AdvisoryBytesK)
 
   private def tableDecls(m: Manifest): Map[String, String] =
     m.extra.view.filterKeys(DeclKeys).toMap

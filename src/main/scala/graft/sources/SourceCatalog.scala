@@ -3815,12 +3815,17 @@ object SourceCatalog extends QueryModule {
             .map(_._1).distinct.size > 1,
           "both dimensions must span multiple groups or the pins are vacuous")
         val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        try {
+        // the REQUIRE's materialization IS the join's one execution:
+        // truncate (eager localCheckpoint) finalizes the AQE plan the
+        // shuffle count reads, and the 'join' arm below aggregates the
+        // materialized rows instead of re-running the SPJ (r18)
+        val jt = try {
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           val j = s.sql(s"SELECT e.value FROM $cat.e e JOIN $cat.u u ON e.uid = u.uid")
-          j.count() // materialize the AQE-final plan
+          val t = graft.GraftCache.truncate(j)
           require(graft.Stage.shuffleCount(j) == 0,
             "the compound table must SPJ on its bucket dimension with zero exchanges")
+          t
         } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         def planned(df: org.apache.spark.sql.DataFrame): Int =
           df.queryExecution.sparkPlan.collect {
@@ -3845,7 +3850,7 @@ object SourceCatalog extends QueryModule {
               sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_v"))
             .withColumn("arm", lit(arm))
             .select("arm", "n_rows", "sum_v")
-        agg(s.sql(s"SELECT e.value FROM $cat.e e JOIN $cat.u u ON e.uid = u.uid"), "join")
+        agg(jt, "join")
           .unionByName(agg(rq, "range"))
           .unionByName(agg(eq, "eq"))
           .orderBy("arm")
