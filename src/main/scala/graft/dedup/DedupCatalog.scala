@@ -504,7 +504,7 @@ object DedupCatalog extends QueryModule {
         // initial plans per action (GraftCache.truncate)
         val mh = GraftCache.truncate(minhashVectors(sh))
         val geometries = Seq((8, 8), (16, 4), (32, 2))
-        val perCfg = geometries.map { case (b, r) =>
+        def perGeometry(b: Int, r: Int) = {
           val bands = bandsOf(mh, b, r)
           val hot = bands
             .groupBy("lang", "band", "bucket")
@@ -532,6 +532,20 @@ object DedupCatalog extends QueryModule {
             .select("id_a", "id_b")
           (b, r, candP, GraftCache.register(pairs.persist()))
         }
+        // the three geometry pipelines are independent jobs over the one
+        // materialized signature store (mh — the truncate above already
+        // ran): submit them from a small driver pool (guide §2.6) so one
+        // geometry's candidate-join tail back-fills with the next
+        // geometry's tasks instead of idling the executors (r18)
+        val geoPool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val geoEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(geoPool)
+        val perCfg =
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.traverse(geometries) { case (b, r) =>
+              scala.concurrent.Future(perGeometry(b, r))
+            }, scala.concurrent.duration.Duration.Inf)
+          finally geoPool.shutdown()
         val pool = perCfg.map(_._4).reduce(_.unionByName(_)).distinct()
         val gt = pool.agg(count(lit(1)).as("n_pool"))
         perCfg

@@ -3792,8 +3792,16 @@ object SourceCatalog extends QueryModule {
         val cat = "graftcs_" + wh.takeRight(10).replaceAll("[^0-9a-zA-Z]", "")
         s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        // advisoryPartitionBytes (Iceberg's write.spark.advisory-
+        // partition-size-bytes): the compound layout cuts one file per
+        // (day, bucket) GROUP per task — ~240 groups here — and AQE's
+        // byte-based coalescing would otherwise merge this table's small
+        // write shuffle into one task that opens and closes every
+        // group's file serially. The table declares write partitions
+        // sized for its group geometry (~a few groups per task).
         s.sql(s"CREATE TABLE $cat.e (ts TIMESTAMP NOT NULL, uid BIGINT NOT NULL, " +
-          "value DOUBLE) PARTITIONED BY (days(ts), bucket(8, uid))")
+          "value DOUBLE) PARTITIONED BY (days(ts), bucket(8, uid)) " +
+          "TBLPROPERTIES('advisoryPartitionBytes'='65536')")
         s.sql(s"CREATE TABLE $cat.u (uid BIGINT NOT NULL, n_ev BIGINT) " +
           "PARTITIONED BY (bucket(8, uid))")
         val ev = Tables(s, dir).events
