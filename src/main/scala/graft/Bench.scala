@@ -60,13 +60,60 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Per-query watchdog (r19): one wedged micro-batch used to hang the
+    // whole 325-query run (r18's rc=124 — awaitTermination has no bound).
+    // 300 s is ~40x the slowest r17 median, generous even on a degraded
+    // box; on expiry the query is marked failed (the existing -1 path)
+    // and the run continues. All Spark work stays on the MAIN thread —
+    // the timer thread only stops streams / cancels jobs / interrupts,
+    // none of which constructs plans (the r18 session-propagation trap).
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_SEC", "300").toLong.max(1L)
     val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftMetrics.install(spark)
 
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+    val mainThread = Thread.currentThread()
+    // Returns None on success, Some(reason) on failure/timeout. The body
+    // runs on the calling (main) thread; the watchdog unblocks it by
+    // stopping streams (covers awaitTermination/processAllAvailable),
+    // cancelling jobs (covers actions), then interrupting (backstop).
+    def runGuarded(body: => Unit): Option[String] = {
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val task = new java.util.TimerTask {
+        def run(): Unit = {
+          timedOut.set(true)
+          try spark.streams.active.foreach(q =>
+            try q.stop() catch { case _: Throwable => () })
+          catch { case _: Throwable => () }
+          try spark.sparkContext.cancelAllJobs() catch { case _: Throwable => () }
+          mainThread.interrupt()
+        }
+      }
+      watchdog.schedule(task, queryTimeoutSec * 1000L)
+      try { body; None }
+      catch {
+        case e: Throwable =>
+          Some(
+            if (timedOut.get) s"timed out after ${queryTimeoutSec}s"
+            else String.valueOf(e.getMessage))
+      } finally {
+        task.cancel()
+        // a late-firing watchdog may have interrupted between the catch
+        // and here; clear the flag so harness bookkeeping is unaffected
+        Thread.interrupted()
+        // stop any stream a failed query left running so it cannot leak
+        // into the next entry's window
+        try spark.streams.active.foreach(q =>
+          try q.stop() catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+      }
+    }
+
     // JIT/classloading warmup on the tiny sf so per-query numbers
     // reflect the engine, not first-touch costs.
-    force(SparkEntry.entry(spark))
+    runGuarded(force(SparkEntry.entry(spark)))
 
     // optional local-iteration filter (driver sets neither)
     val only = args.toSet
@@ -85,14 +132,15 @@ object Bench {
           // dt captured BEFORE the cache teardown in finally — the
           // unpersist bookkeeping is harness cost, not query cost
           try {
-            force(fnByName(name)(spark, sfDir))
-            timesByName.getOrElseUpdate(
-              name, scala.collection.mutable.ArrayBuffer.empty[Double]) +=
-              (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              failedNames += name
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            runGuarded(force(fnByName(name)(spark, sfDir))) match {
+              case None =>
+                timesByName.getOrElseUpdate(
+                  name, scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+                  (System.nanoTime() - t0) / 1e9
+              case Some(why) =>
+                failedNames += name
+                System.err.println(s"[bench] $name failed: $why")
+            }
           } finally GraftCache.clear() // never borrow a predecessor's cache
         }
       }

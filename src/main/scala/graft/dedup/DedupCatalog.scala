@@ -532,20 +532,13 @@ object DedupCatalog extends QueryModule {
             .select("id_a", "id_b")
           (b, r, candP, GraftCache.register(pairs.persist()))
         }
-        // the three geometry pipelines are independent jobs over the one
-        // materialized signature store (mh — the truncate above already
-        // ran): submit them from a small driver pool (guide §2.6) so one
-        // geometry's candidate-join tail back-fills with the next
-        // geometry's tasks instead of idling the executors (r18)
-        val geoPool = java.util.concurrent.Executors.newFixedThreadPool(3)
-        implicit val geoEc: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(geoPool)
-        val perCfg =
-          try scala.concurrent.Await.result(
-            scala.concurrent.Future.traverse(geometries) { case (b, r) =>
-              scala.concurrent.Future(perGeometry(b, r))
-            }, scala.concurrent.duration.Duration.Inf)
-          finally geoPool.shutdown()
+        // sequential on purpose: r18 ran the three geometry pipelines
+        // from a bare 3-thread driver pool (guide §2.6); session-less
+        // pool threads can poison Spark's lazily-created shared pools
+        // (workers inherit a null active-session thread-local) and break
+        // UNRELATED later plans nondeterministically. The overlap was
+        // scheduling-level only (plans unchanged) — reverted (r19).
+        val perCfg = geometries.map { case (b, r) => perGeometry(b, r) }
         val pool = perCfg.map(_._4).reduce(_.unionByName(_)).distinct()
         val gt = pool.agg(count(lit(1)).as("n_pool"))
         perCfg

@@ -49,31 +49,26 @@ object ShreddedLayout {
 
   /** Write all 6 tables under `baseDir/<table>/`.
     *
-    * The 6 writes are independent jobs over the one persisted claims
-    * relation: submitting them from a small driver pool (guide §2.6,
-    * "overlap independent jobs") lets the next table's tasks back-fill
-    * executors freed by the previous write's straggler tail — FIFO
-    * scheduling gives exactly the back-fill shape. 3 in flight is
-    * enough to fill tails without fighting for executors. */
-  def write(sh: Shredded, baseDir: String): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val writes = sh.all.map {
-        case ("vertex", df) => Future {
-          df.repartitionByRange(col("id"))
-            .sortWithinPartitions("id")
-            .write
-            .mode("overwrite")
-            .parquet(s"$baseDir/vertex")
-        }
-        case (name, df) => Future(writeEdgeLike(df, s"$baseDir/$name"))
-      }
-      Await.result(Future.sequence(writes), scala.concurrent.duration.Duration.Inf)
-      ()
-    } finally pool.shutdown()
-  }
+    * Sequential on purpose. Round 18 overlapped the 6 independent writes
+    * from a bare 3-thread driver pool (guide §2.6); those threads carried
+    * no active SparkSession, and Spark's lazily-spawned shared pools
+    * (AQE QueryStageCreator, broadcast-exchange) inherit thread-locals at
+    * worker-creation time — a worker spawned from a session-less thread
+    * poisons plan construction for UNRELATED later queries on the same
+    * session (SparkPlan.session == null NPEs, nondeterministic). The
+    * overlap bought scheduling latency only (plans unchanged), so it is
+    * reverted rather than patched: deterministic correctness of the whole
+    * process outweighs tail back-fill on 6 small writes. */
+  def write(sh: Shredded, baseDir: String): Unit =
+    sh.all.foreach {
+      case ("vertex", df) =>
+        df.repartitionByRange(col("id"))
+          .sortWithinPartitions("id")
+          .write
+          .mode("overwrite")
+          .parquet(s"$baseDir/vertex")
+      case (name, df) => writeEdgeLike(df, s"$baseDir/$name")
+    }
 
   def read(spark: SparkSession, baseDir: String, table: String): DataFrame =
     spark.read.parquet(s"$baseDir/$table")
