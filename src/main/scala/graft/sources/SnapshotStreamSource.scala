@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -121,7 +122,7 @@ private[sources] class SnapshotSource(
     table: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "") extends Source with SupportsTriggerAvailableNow {
 
   // admission-control cursor: the last offset a batch was planned up
   // to, advanced in getBatch and PERSISTED under metadataPath — on
@@ -144,6 +145,34 @@ private[sources] class SnapshotSource(
       case None    => v
     }
     if (capped == 0L) None else Some(LongOffset(capped))
+  }
+
+  // ---- Trigger.AvailableNow admission support (r19) -------------------
+  // Without SupportsTriggerAvailableNow, MicroBatchExecution falls back
+  // to SINGLE BATCH execution for AvailableNow (with a warning per
+  // query) — one unbounded batch instead of a terminating bounded-batch
+  // drain. The target version is FIXED at prepare time (the AvailableNow
+  // contract: data committed during the run is not picked up, so a busy
+  // producer can never wedge the drain), and the per-batch admission cap
+  // (maxVersionsPerTrigger) still applies through `planned`. With
+  // SupportsAdmissionControl present, the engine calls latestOffset for
+  // EVERY trigger type, so the un-prepared path mirrors getOffset.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(SnapshotTable.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val v = availableNowTarget.getOrElse(SnapshotTable.currentVersion(table))
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(v, planned + n)
+      case None    => v
+    }
+    if (capped == 0L) null else LongOffset(capped)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -262,7 +291,7 @@ private[sources] class SnapshotCdcSource(
     key: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "") extends Source with SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.functions.{col, lit}
 
@@ -280,6 +309,27 @@ private[sources] class SnapshotCdcSource(
       case None    => v
     }
     if (capped == 0L) None else Some(LongOffset(capped))
+  }
+
+  // Trigger.AvailableNow admission support — same shape and rationale
+  // as [[SnapshotSource]] (target fixed at prepare, per-batch cap via
+  // `planned`, latestOffset mirrors getOffset when un-prepared).
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(SnapshotTable.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val v = availableNowTarget.getOrElse(SnapshotTable.currentVersion(table))
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(v, planned + n)
+      case None    => v
+    }
+    if (capped == 0L) null else LongOffset(capped)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -364,6 +414,7 @@ private[sources] class SnapshotCdcSource(
 private[sources] object SnapshotStreamState {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions._
+  import scala.jdk.CollectionConverters._
 
   def batch(
       spark: SparkSession,
@@ -435,11 +486,54 @@ private[sources] object SnapshotStreamState {
         s"stream schema must include the deletion-vector key column '$k' " +
           s"(got ${schema.fieldNames.mkString(",")}) — DVs cannot be applied " +
           "without it")
-      val base = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
-        .map { case (sq, fs) =>
-          stripPos(fs)(scan(fs.map(_.path))).withColumn("__g_fseq", lit(sq))
-        }
-        .reduce(_.unionByName(_))
+      val seqs = entries.map(f => math.max(f.seq, 0L)).distinct
+      val base = if (seqs.size == 1)
+        stripPos(entries)(scan(entries.map(_.path)))
+          .withColumn("__g_fseq", lit(seqs.head))
+      else {
+        // ONE streaming scan regardless of outstanding commit count
+        // (r19): rows tag their file's commit seq through a broadcast
+        // (path -> seq) attach — the V1 streaming analog of the V2
+        // route's per-file FileSeqMetaKey constant — instead of one
+        // scan per distinct seq unioned, whose plan width grew with
+        // commits since the last compaction. INNER join on the
+        // scan-normalized path: a mismatch loses rows loudly (oracle)
+        // instead of null-fseq'ing the DV scope silently.
+        val seqDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            entries.map(f => org.apache.spark.sql.Row(
+              f.path, math.max(f.seq, 0L))).asJava),
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "__g_fpm", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(
+              "__g_fseq", org.apache.spark.sql.types.LongType))))
+        // path (and, when sidecars may hit, the row ordinal) must be
+        // captured in ONE select on the scan itself — metadata columns
+        // resolve only there, never through a join
+        val hit = posHitFor(entries)
+        val scan0 = scan(entries.map(_.path)).select(
+          col("*") +:
+            regexp_replace(col("_metadata.file_path"), "^file:/*", "/")
+              .as("__g_pf") +:
+            (if (hit.isEmpty) Nil
+             else Seq(col("_metadata.row_index").as("__g_pp"))): _*)
+        val afterPos =
+          if (hit.isEmpty) scan0
+          else {
+            val del = hit.map(r => spark.read
+                .schema(SnapshotV2.PosSidecarSchema).parquet(r.path).select(
+                col("_file").cast("string").as("__g_pdf"),
+                col("_pos").cast("long").as("__g_pdp")))
+              .reduce(_.unionByName(_))
+            scan0.join(del.hint("shuffle_hash"),
+                col("__g_pf") === col("__g_pdf") && col("__g_pp") === col("__g_pdp"),
+                "left_anti")
+              .drop("__g_pp")
+          }
+        afterPos.join(broadcast(seqDf), col("__g_pf") === col("__g_fpm"))
+          .drop("__g_pf", "__g_fpm")
+      }
       val kSchema = StructType(Seq(m.schema(k).copy(nullable = true)))
       val dv = dvRefs.map(r => spark.read.schema(kSchema).parquet(r.path)
           .select(col(k).as("__g_dvk"), lit(r.seq).as("__g_dvq")))

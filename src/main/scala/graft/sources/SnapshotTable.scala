@@ -1533,7 +1533,7 @@ object SnapshotTable {
     // same total I/O as one scan; epochs are bounded by renames, not
     // files.
     val renames = renamesOf(m)
-    def loadRaw(fs: Seq[FileEntry]): DataFrame = {
+    def loadRaw(fs: Seq[FileEntry], pathCol: Option[String] = None): DataFrame = {
       val byEpoch: Seq[(Seq[String], Seq[FileEntry])] =
         if (renames.isEmpty) Seq(m.schema.fieldNames.toSeq -> fs)
         else fs.groupBy(f => namesAt(m, math.max(f.seq, 0L))).toSeq
@@ -1550,8 +1550,13 @@ object SnapshotTable {
           else Seq(
             normPath(col("_metadata.file_path")).as(pFileC),
             col("_metadata.row_index").as(pPosC))
+        // extra scan-normalized path column (the DV arm's seq attach):
+        // metadata columns resolve only on the scan itself, so it must
+        // ride this select, never a later one
+        val pathCols = pathCol.toSeq.map(c =>
+          normPath(col("_metadata.file_path")).as(c))
         spark.read.schema(epochSchema).parquet(group.map(_.path): _*)
-          .select(dataCols ++ ordCols: _*)
+          .select(dataCols ++ ordCols ++ pathCols: _*)
       }.reduce(_.unionByName(_))
     }
     def stripPositions(df: DataFrame): DataFrame =
@@ -1594,14 +1599,33 @@ object SnapshotTable {
         val fseq = fresh("__graft_fseq")
         val dvk = fresh("__graft_dvk")
         val dvq = fresh("__graft_dvq")
-        // tag rows with their file's commit sequence: one scan per
-        // DISTINCT seq over disjoint file sets — same total I/O as one
-        // scan, and the seq count is bounded by commits since the last
-        // compaction (which re-zeros it)
-        val base0 = entries.groupBy(f => math.max(f.seq, 0L)).toSeq.sortBy(_._1)
-          .map { case (s, fs) => loadRaw(fs).withColumn(fseq, lit(s)) }
-          .reduceOption(_.unionByName(_))
-          .getOrElse(empty.withColumn(fseq, lit(0L)))
+        // tag rows with their file's commit sequence. ONE scan
+        // regardless of outstanding commit count (r19): rows attach
+        // their file's seq through a broadcast (path -> seq) inner join
+        // on the scan-normalized path — the V1 analog of the V2 route's
+        // per-file FileSeqMetaKey constant — instead of one scan per
+        // distinct seq unioned, whose plan width grew with commits
+        // since the last compaction. INNER join: a path mismatch loses
+        // rows loudly (oracle) instead of null-fseq'ing the DV scope
+        // silently. Single-seq tables (fresh/compacted) keep the
+        // constant tag — no join at all.
+        val seqs = entries.map(f => math.max(f.seq, 0L)).distinct
+        val base0 =
+          if (entries.isEmpty) empty.withColumn(fseq, lit(0L))
+          else if (seqs.size == 1) loadRaw(entries).withColumn(fseq, lit(seqs.head))
+          else {
+            val pathC = fresh("__graft_fpath")
+            val seqDf = spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                entries.map(f => org.apache.spark.sql.Row(
+                  f.path, math.max(f.seq, 0L))).asJava),
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField(s"${pathC}_m", StringType),
+                org.apache.spark.sql.types.StructField(fseq, LongType))))
+            loadRaw(entries, pathCol = Some(pathC))
+              .join(broadcast(seqDf), col(pathC) === col(s"${pathC}_m"))
+              .drop(pathC, s"${pathC}_m")
+          }
         val base = stripPositions(base0)
         // explicit sidecar schema (the manifest knows the key type):
         // no footer-inference job per ref per build
